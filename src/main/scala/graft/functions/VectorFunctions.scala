@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math as pure Column compositions (whole-stage-codegen friendly —
+  * no UDFs, no closures at runtime).
+  *
+  * Semantics mirror the reference's distance kernels
+  * (reference: vector_db/indexes.py:108-123):
+  *   - cosine_distance  = 1 - v.q / (|v||q|), +Inf when either norm is 0
+  *     (vector_db/indexes.py:108-115)
+  *   - euclidean_distance = |v - q|_2            (vector_db/indexes.py:117-119)
+  *   - dot_product_distance = -(v.q)             (vector_db/indexes.py:121-123)
+  *
+  * Storage is float32 (vector_db/indexes.py:92); distances are accumulated
+  * in double (SURVEY.md §7.4 item 2): we cast the arrays to array<double>
+  * up-front, then do a sequential fold — the same element order and
+  * precision DuckDB's list kernels use, which keeps the oracle hash stable.
+  */
+object VectorFunctions {
+
+  /** Elementwise dot product accumulated in double. */
+  def dotProduct(v: Column, q: Column): Column =
+    aggregate(
+      zip_with(v.cast("array<double>"), q.cast("array<double>"), _ * _),
+      lit(0.0d),
+      _ + _)
+
+  /** L2 norm in double. */
+  def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
+
+  /** Cosine distance; +Infinity when either vector has zero norm
+    * (reference: vector_db/indexes.py:112-113 — keeps zero vectors sorted
+    * last ascending, which Spark's ordering of Infinity also guarantees). */
+  def cosineDistance(v: Column, q: Column): Column = {
+    val nv = l2Norm(v)
+    val nq = l2Norm(q)
+    when(nv === 0.0d || nq === 0.0d, lit(Double.PositiveInfinity))
+      .otherwise(lit(1.0d) - dotProduct(v, q) / (nv * nq))
+  }
+
+  /** Euclidean (L2) distance. */
+  def euclideanDistance(v: Column, q: Column): Column =
+    sqrt(aggregate(
+      zip_with(v.cast("array<double>"), q.cast("array<double>"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0d),
+      _ + _))
+
+  /** Negated dot product, so ascending sort = most similar first. */
+  def dotProductDistance(v: Column, q: Column): Column =
+    -dotProduct(v, q)
+
+  /** Metric dispatch (reference: vector_db/indexes.py:99-106). Unknown
+    * metric fails eagerly at plan-build time, mirroring the reference's
+    * raise at library creation. */
+  def distance(metric: String)(v: Column, q: Column): Column = metric match {
+    case "cosine"      => cosineDistance(v, q)
+    case "euclidean"   => euclideanDistance(v, q)
+    case "dot_product" => dotProductDistance(v, q)
+    case other =>
+      throw new IllegalArgumentException(s"unknown distance metric: $other")
+  }
+
+  val SupportedMetrics: Set[String] = Set("cosine", "euclidean", "dot_product")
+
+  // ------------------------------------------------------------------
+  // LSH (random-projection) — reference: vector_db/indexes.py:165-242
+  // ------------------------------------------------------------------
+
+  /** Deterministic `numProjections x dim` Gaussian projection matrix
+    * (reference: vector_db/indexes.py:172-187 — seeded RNG; exact NumPy
+    * bit-compat is not required, only determinism given the stored seed). */
+  def projectionMatrix(numProjections: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numProjections, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-bit bucket hash: bit i set iff P_i . v >= 0, packed little-endian
+    * (reference: vector_db/indexes.py:236-242). Pure Column composition:
+    * the matrix is tiny (numProjections x dim) and inlined as literals, so
+    * the whole hash stays inside whole-stage codegen. */
+  def lshBucket(v: Column, matrix: Array[Array[Double]]): Column = {
+    val bits = matrix.zipWithIndex.map { case (row, i) =>
+      val proj = dotProduct(v, array(row.map(lit): _*))
+      when(proj >= 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("int")
+  }
+}

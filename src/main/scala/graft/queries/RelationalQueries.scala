@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Relational surface (SURVEY.md §2.2-§2.5): filters/projections with
+  * parquet pushdown, broadcast dimension joins, semi/anti joins (the
+  * reference's scoping and cascade-delete patterns), derived counts,
+  * pagination, ranking windows — over the TPC-H-ish driver tables.
+  */
+object RelationalQueries {
+
+  /** A1/A2-style aggregation with map-side partial agg; filter + column
+    * pruning reach the parquet scan. Sums rounded so the double fold order
+    * (Spark partial+final vs DuckDB sequential) cannot flip the hash. */
+  private val aggLineitem: QueryFn = (s, dir) =>
+    table(s, dir, "lineitem")
+      .where(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val aggLineitemSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1: chunk->document->library FK chain becomes fact ⋈ broadcast dims
+    * (reference: vector_db/vector_store.py:157-158). customer->nation->region
+    * is the same N:1 chain; both dims broadcast — zero shuffle on the fact. */
+  private val fkChainJoin: QueryFn = (s, dir) => {
+    val cust = table(s, dir, "customer")
+    val nat = table(s, dir, "nation")
+    val reg = table(s, dir, "region")
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val fkChainJoinSql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** TPC-H Q3 shape: selective dim filters pushed down, two joins, top-10
+    * by aggregated revenue (broadcast the filtered small sides). */
+  private val topRevenue: QueryFn = (s, dir) => {
+    val cust = table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = table(s, dir, "orders")
+      .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    val li = table(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val topRevenueSql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** J2/P2: scoping semi-join (reference: disk_store.py:348-351 keeps
+    * chunks whose document is in the library). */
+  private val semiJoin: QueryFn = (s, dir) => {
+    val ord = table(s, dir, "orders")
+    val bigCust = table(s, dir, "customer").where(col("c_acctbal") > 9000)
+    ord.join(bigCust, ord("o_custkey") === bigCust("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val semiJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** J6: cascade delete as LEFT ANTI join (reference:
+    * vector_db/vector_store.py:131-147 — deleting documents removes their
+    * chunks; here: "delete" high-balance customers, orders survive only if
+    * their parent was not deleted). */
+  private val antiJoinCascade: QueryFn = (s, dir) => {
+    val ord = table(s, dir, "orders")
+    val deleted = table(s, dir, "customer").where(col("c_acctbal") > 9000)
+    ord.join(deleted, ord("o_custkey") === deleted("c_custkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val antiJoinCascadeSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** A2: derived counts replace the reference's stored counters
+    * (reference: vector_db/entities.py:93-99 — counts can never drift when
+    * they are a groupBy at read time). */
+  private val derivedCounts: QueryFn = (s, dir) =>
+    table(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("document_count"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
+  private val derivedCountsSql: String =
+    """SELECT source, count(*) AS document_count, sum(n_chars) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** W3: pagination = deterministic total order + row_number window
+    * (reference: schemas.py:77-83 slices a materialized list; the engine
+    * fixes the unspecified-order wart with an explicit sort key). */
+  private val pagination: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn").between(101, 150))
+      .drop("rn")
+      .orderBy(col("doc_id"))
+  }
+
+  private val paginationSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |ORDER BY doc_id LIMIT 50 OFFSET 100""".stripMargin
+
+  /** W4-style ranking window: top-3 orders per customer segment by price. */
+  private val topPerGroup: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = table(s, dir, "orders")
+    val cust = table(s, dir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  private val topPerGroupSql: String =
+    """SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |QUALIFY rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** A3 + approx cardinalities: pagination totals and distinct counts.
+    * countDistinct is exact (oracle-checkable); approx_count_distinct is
+    * the 100TB-scale variant, exercised in ScalaTest instead. */
+  private val cardinalities: QueryFn = (s, dir) =>
+    table(s, dir, "lineitem")
+      .agg(count(lit(1)).as("total"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+
+  private val cardinalitiesSql: String =
+    """SELECT count(*) AS total, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts FROM lineitem""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("agg_lineitem_pushdown", aggLineitem, Some(aggLineitemSql)),
+    Q("join_fk_chain_broadcast", fkChainJoin, Some(fkChainJoinSql)),
+    Q("join_top_revenue", topRevenue, Some(topRevenueSql)),
+    Q("join_semi_scope", semiJoin, Some(semiJoinSql)),
+    Q("join_anti_cascade", antiJoinCascade, Some(antiJoinCascadeSql)),
+    Q("agg_derived_counts", derivedCounts, Some(derivedCountsSql)),
+    Q("window_pagination", pagination, Some(paginationSql)),
+    Q("window_top_per_group", topPerGroup, Some(topPerGroupSql)),
+    Q("agg_cardinalities", cardinalities, Some(cardinalitiesSql)),
+  )
+}

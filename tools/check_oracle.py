@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables = parquet basenames in
+sfDir), sorts columns by name, and compares cell-by-cell.
+"""
+import json, math, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+
+def load_spark(path):
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None, None
+    import pyarrow as pa
+    tb = pa.concat_tables([pq.read_table(f) for f in files])
+    cols = sorted(tb.column_names)
+    return cols, [tuple(r[c] for c in cols) for r in tb.to_pylist()]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spath = os.path.join(out_dir, name)
+        scols, srows = load_spark(spath)
+        if scols is None:
+            print(f"FAIL {name}: no spark output at {spath}")
+            n_fail += 1
+            continue
+        try:
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            drows = [tuple(r[i] for i in order) for r in res.fetchall()]
+            dcols = sorted(dcols)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duckdb={len(drows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(srows, drows)):
+            for j, (x, y) in enumerate(zip(a, b)):
+                if isinstance(x, float) and isinstance(y, float):
+                    if x != y and not (math.isnan(x) and math.isnan(y)):
+                        bad = (i, scols[j], x, y)
+                        break
+                elif x != y:
+                    bad = (i, scols[j], x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, x, y = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={x!r} duckdb={y!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
