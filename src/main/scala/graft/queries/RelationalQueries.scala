@@ -129,22 +129,22 @@ object RelationalQueries {
       .orderBy(col("source"))
 
   private val derivedCountsSql: String =
-    """SELECT source, count(*) AS document_count, sum(n_chars) AS total_chars
+    """SELECT source, count(*) AS document_count,
+      |  sum(n_chars)::BIGINT AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  /** W3: pagination = deterministic total order + row_number window
+  /** W3: pagination = deterministic total order + offset/limit
     * (reference: schemas.py:77-83 slices a materialized list; the engine
-    * fixes the unspecified-order wart with an explicit sort key). */
-  private val pagination: QueryFn = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
+    * fixes the unspecified-order wart with an explicit sort key).
+    * offset+limit over a sort plans TakeOrderedAndProject of skip+limit
+    * rows per partition — unlike a no-partition row_number window, which
+    * would drag the whole table through a single task at scale. */
+  private val pagination: QueryFn = (s, dir) =>
     table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn").between(101, 150))
-      .drop("rn")
       .orderBy(col("doc_id"))
-  }
+      .offset(100)
+      .limit(50)
 
   private val paginationSql: String =
     """SELECT doc_id, source, n_chars FROM documents
@@ -170,9 +170,9 @@ object RelationalQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |QUALIFY rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
 
-  /** A3 + approx cardinalities: pagination totals and distinct counts.
+  /** A3 + cardinalities: pagination totals and distinct counts.
     * countDistinct is exact (oracle-checkable); approx_count_distinct is
-    * the 100TB-scale variant, exercised in ScalaTest instead. */
+    * the 100TB-scale variant (see CoreSpec's approx-cardinality test). */
   private val cardinalities: QueryFn = (s, dir) =>
     table(s, dir, "lineitem")
       .agg(count(lit(1)).as("total"),

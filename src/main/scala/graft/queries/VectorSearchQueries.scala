@@ -20,6 +20,13 @@ import graft.functions.VectorFunctions._
   */
 object VectorSearchQueries {
 
+  /** Round to 6 places, then normalize IEEE signed zero: the self-match row
+    * computes 1 - dot/(n*n) as a tiny negative double, and round() keeps the
+    * sign bit (-0.0) — Spark and DuckDB disagree on it, and the driver's
+    * oracle hashes the byte representation. -0.0 + 0.0 = +0.0 on both sides. */
+  private[queries] def roundDist(d: org.apache.spark.sql.Column) =
+    round(d, 6) + lit(0.0d)
+
   /** Deterministic total order: (rounded distance, id) — SURVEY.md §7.4(2). */
   private def knn(metric: String, k: Int, labelFilter: Option[Int]): QueryFn =
     (s, dir) => {
@@ -29,7 +36,7 @@ object VectorSearchQueries {
       val base = labelFilter.fold(emb)(l => emb.where(col("label") === l))
       base.crossJoin(broadcast(q))
         .withColumn("distance",
-          round(distance(metric)(col("embedding"), col("qvec")), 6))
+          roundDist(distance(metric)(col("embedding"), col("qvec"))))
         .select(col("vec_id"), col("distance"))
         .orderBy(col("distance"), col("vec_id"))
         .limit(k)
@@ -48,7 +55,7 @@ object VectorSearchQueries {
 
   private def knnSql(metric: String, k: Int, where: String = ""): String =
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-       |SELECT vec_id, round(${distSql(metric, "embedding::DOUBLE[]", "qv")}, 6) AS distance
+       |SELECT vec_id, round(${distSql(metric, "embedding::DOUBLE[]", "qv")}, 6) + 0 AS distance
        |FROM embeddings, q $where
        |ORDER BY distance, vec_id LIMIT $k""".stripMargin
 
@@ -61,37 +68,50 @@ object VectorSearchQueries {
     emb.join(allowed, Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(q))
       .withColumn("distance",
-        round(cosineDistance(col("embedding"), col("qvec")), 6))
+        roundDist(cosineDistance(col("embedding"), col("qvec"))))
       .select(col("vec_id"), col("distance"))
       .orderBy(col("distance"), col("vec_id"))
       .limit(10)
   }
 
-  /** J3 batch variant: many queries x all vectors, top-k per query via a
-    * ranking window (reference has only 1-query search; this is the shape
-    * that scales — BroadcastNestedLoopJoin with the small query side
-    * broadcast, then per-query top-k). */
+  /** J3 batch variant: many queries x all vectors, top-k per query
+    * (reference has only 1-query search; this is the shape that scales —
+    * BroadcastNestedLoopJoin with the small query side broadcast).
+    *
+    * Two-phase salted top-k: a single window over query_id would shuffle
+    * all NxQ rows into only Q partitions — a skew killer when Q is small.
+    * Phase 1 takes top-k per (query_id, salt) — SALT× more reduce slots and
+    * each emits at most k rows — so phase 2's per-query window sees only
+    * SALT*k rows per query. Identical results: the true per-query top-k is
+    * a subset of the union of per-salt top-k. */
   private val knnBatch: QueryFn = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    val SALT = 8
+    val k = 5
     val emb = table(s, dir, "embeddings")
     val qs = emb.where(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("query_id"))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("distance"), col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("distance"), col("vec_id"))
     emb.crossJoin(broadcast(qs))
       .withColumn("distance",
-        round(cosineDistance(col("embedding"), col("qvec")), 6))
+        roundDist(cosineDistance(col("embedding"), col("qvec"))))
       .select(col("query_id"), col("vec_id"), col("distance"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 5)
-      .drop("rn")
+      .withColumn("salt", pmod(col("vec_id"), lit(SALT)))
+      .withColumn("rn1", row_number().over(w1))
+      .where(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("distance"))
       .orderBy(col("query_id"), col("distance"), col("vec_id"))
   }
 
   private val knnBatchSql: String =
     s"""WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 4),
        |d AS (SELECT query_id, vec_id,
-       |        round(${distSql("cosine", "embedding::DOUBLE[]", "qv")}, 6) AS distance
+       |        round(${distSql("cosine", "embedding::DOUBLE[]", "qv")}, 6) + 0 AS distance
        |      FROM embeddings, qs),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn FROM d)
        |SELECT query_id, vec_id, distance FROM r WHERE rn <= 5

@@ -7,9 +7,22 @@ Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = parquet basenames in
 sfDir), sorts columns by name, and compares cell-by-cell.
 """
-import json, math, sys, glob, os
+import json, math, struct, sys, glob, os
 import duckdb
 import pyarrow.parquet as pq
+
+
+def cell_mismatch(x, y):
+    """Strict comparison matching the driver's byte-hash gate: floats are
+    compared by IEEE-754 bit pattern (so -0.0 != +0.0), ints must agree in
+    Python value AND neither side may be a float; types must be compatible."""
+    if isinstance(x, float) or isinstance(y, float):
+        if not (isinstance(x, float) and isinstance(y, float)):
+            return True  # int-vs-float width/type divergence
+        if math.isnan(x) and math.isnan(y):
+            return False
+        return struct.pack(">d", x) != struct.pack(">d", y)
+    return x != y
 
 
 def load_spark(path):
@@ -61,11 +74,7 @@ def main():
         bad = None
         for i, (a, b) in enumerate(zip(srows, drows)):
             for j, (x, y) in enumerate(zip(a, b)):
-                if isinstance(x, float) and isinstance(y, float):
-                    if x != y and not (math.isnan(x) and math.isnan(y)):
-                        bad = (i, scols[j], x, y)
-                        break
-                elif x != y:
+                if cell_mismatch(x, y):
                     bad = (i, scols[j], x, y)
                     break
             if bad:
