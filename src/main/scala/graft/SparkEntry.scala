@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     VectorSearchQueries.all ++
+      LshQueries.all ++
       RelationalQueries.all ++
       DedupQueries.all
 

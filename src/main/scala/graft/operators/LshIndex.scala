@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Random-projection (LSH) index as DataFrame operations
+  * (reference: vector_db/indexes.py:165-242 — RandomProjectionIndex).
+  *
+  * The "index" is not a separate structure: it is a derived `bucket` column
+  * on the vector table, computed from a small seeded Gaussian projection
+  * matrix that is broadcast as plan literals. At scale the table is
+  * `repartition($"bucket")`-ed (or bucketed parquet) so a bucket probe is a
+  * partition-pruned scan; here the probe is a broadcast equi-join on bucket.
+  *
+  * Search is the reference's two-phase semantics (vector_db/indexes.py:206-234):
+  * scan only the query's bucket; if the candidate set has fewer than k
+  * members, fall back to scanning the full (allow-)set — never fewer
+  * results than flat search would give, and exactly equal when the
+  * fallback triggers.
+  */
+object LshIndex {
+
+  /** Index configuration; `seed` makes the projection matrix deterministic
+    * (reference: vector_db/indexes.py:172-187 — seeded RNG; bit-compat with
+    * NumPy is NOT required, only determinism given the stored seed). */
+  final case class Config(numProjections: Int, dim: Int, seed: Long) {
+    val matrix: Array[Array[Double]] = projectionMatrix(numProjections, dim, seed)
+  }
+
+  /** Derive the bucket column (index build = one narrow projection, no
+    * shuffle; reference: vector_db/indexes.py:189-204 maintains a dict). */
+  def withBucket(df: DataFrame, emb: Column, cfg: Config): DataFrame =
+    df.withColumn("bucket", lshBucket(emb, cfg.matrix))
+
+  /** Two-phase bucketed k-NN (reference: vector_db/indexes.py:206-234).
+    *
+    * @param indexed vector table with a `bucket` column (any pre-filters —
+    *                metadata/allow-set — already applied, so the fallback
+    *                scans the allow-set, not all vectors, exactly as
+    *                indexes.py:223-224 does)
+    * @param query   one-row DataFrame with `qvec` and `qbucket`
+    * @param embCol  name of the embedding column in `indexed`
+    *
+    * Phase 1 counts bucket candidates with an early-stop `limit(k).count()`
+    * — the count can stop at k, we only need to know "< k or not".
+    * Phase 2 picks the plan: bucket probe (broadcast equi-join on bucket)
+    * or full scan of the allow-set. Driver-side two-phase is deliberate:
+    * a Catalyst rule cannot see row counts (SURVEY.md §7.6).
+    */
+  def searchTwoPhase(indexed: DataFrame, query: DataFrame, embCol: String,
+                     metric: String, k: Int, idCol: String = "vec_id"): DataFrame = {
+    val cand = indexed.join(broadcast(query),
+      indexed("bucket") === query("qbucket"))
+    val enough = cand.limit(k).count() >= k
+    val base = if (enough) cand else indexed.crossJoin(broadcast(query.drop("qbucket")))
+    base
+      .withColumn("distance",
+        round(distance(metric)(col(embCol), col("qvec")), 6) + lit(0.0d))
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+}

@@ -42,9 +42,9 @@ object VectorSearchQueries {
         .limit(k)
     }
 
-  private def dotSql(a: String, b: String) = s"list_dot_product($a, $b)"
+  private[queries] def dotSql(a: String, b: String) = s"list_dot_product($a, $b)"
 
-  private def distSql(metric: String, v: String, q: String): String =
+  private[queries] def distSql(metric: String, v: String, q: String): String =
     metric match {
       case "cosine" =>
         s"case when sqrt(${dotSql(v, v)}) = 0 or sqrt(${dotSql(q, q)}) = 0 then 'infinity'::DOUBLE " +

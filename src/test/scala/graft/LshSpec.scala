@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+import graft.operators.LshIndex
+
+/** LSH bucket hash + two-phase search semantics
+  * (reference: vector_db/indexes.py:165-242). */
+class LshSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = LshIndex.Config(numProjections = 4, dim = 8, seed = 123L)
+
+  private def vecs(n: Int): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(7)
+    (0L until n).map(i => i -> Seq.fill(8)(rng.nextFloat() * 2 - 1))
+  }
+
+  private def bucketsOf(rows: Seq[(Long, Seq[Float])]): Map[Long, Long] =
+    LshIndex.withBucket(rows.toDF("vec_id", "embedding"), col("embedding"), cfg)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+
+  test("projection matrix is deterministic given the seed") {
+    val a = projectionMatrix(4, 8, 42L)
+    val b = projectionMatrix(4, 8, 42L)
+    val c = projectionMatrix(4, 8, 43L)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    assert(a.flatten.toSeq != c.flatten.toSeq)
+  }
+
+  test("buckets are in [0, 2^numProjections)") {
+    val bs = bucketsOf(vecs(64)).values
+    assert(bs.forall(b => b >= 0 && b < 16))
+  }
+
+  test("positive scaling preserves the bucket (sign-invariant hash)") {
+    val base = vecs(16)
+    val scaled = base.map { case (id, v) => (id, v.map(_ * 3.5f)) }
+    assert(bucketsOf(base) == bucketsOf(scaled))
+  }
+
+  test("bucket hash rejects empty and oversized matrices") {
+    intercept[IllegalArgumentException] {
+      lshBucket(col("v"), Array.empty[Array[Double]])
+    }
+    intercept[IllegalArgumentException] {
+      lshBucket(col("v"), Array.fill(63, 2)(0.5))
+    }
+  }
+
+  test("fallback path: < k bucket candidates gives exactly the flat result " +
+    "(reference indexes.py:223-224)") {
+    val rows = vecs(12) // 12 vectors across 16 buckets: every bucket < k=10
+    val df = rows.toDF("vec_id", "embedding")
+    val indexed = LshIndex.withBucket(df, col("embedding"), cfg)
+    val q = indexed.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+    val lsh = LshIndex.searchTwoPhase(indexed, q, "embedding", "cosine", 10)
+      .as[(Long, Double)].collect().toSeq
+
+    val qFlat = df.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val flat = df.crossJoin(broadcast(qFlat))
+      .withColumn("distance",
+        round(cosineDistance(col("embedding"), col("qvec")), 6) + lit(0.0d))
+      .select(col("vec_id"), col("distance"))
+      .orderBy(col("distance"), col("vec_id")).limit(10)
+      .as[(Long, Double)].collect().toSeq
+
+    assert(lsh == flat)
+  }
+
+  test("bucket path: results come only from the query's bucket") {
+    // Many vectors, k=2: the query bucket certainly holds >= 2 of 256.
+    val rows = vecs(256)
+    val df = rows.toDF("vec_id", "embedding")
+    val indexed = LshIndex.withBucket(df, col("embedding"), cfg)
+    val q = indexed.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+    val qBucket = bucketsOf(rows)(0L)
+    val got = LshIndex.searchTwoPhase(indexed, q, "embedding", "cosine", 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size == 2)
+    val byId = bucketsOf(rows)
+    assert(got.forall { case (id, _) => byId(id) == qBucket })
+    // the query row itself (distance 0) is in its own bucket and must win
+    assert(got.head._1 == 0L && got.head._2 == 0.0)
+  }
+
+  test("allow-set fallback scans the allow-set, not all vectors") {
+    val rows = vecs(64)
+    val df = rows.toDF("vec_id", "embedding")
+    val allowed = rows.map(_._1).filter(_ % 5 == 0).toSet
+    val indexed = LshIndex.withBucket(df, col("embedding"), cfg)
+      .where(col("vec_id") % 5 === 0) // ~13 rows: any bucket slice < 10
+    val q = LshIndex.withBucket(df, col("embedding"), cfg)
+      .where(col("vec_id") === 1)
+      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+    val got = LshIndex.searchTwoPhase(indexed, q, "embedding", "cosine", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.forall { case (id, _) => allowed(id) })
+  }
+}
