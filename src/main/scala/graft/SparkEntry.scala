@@ -14,6 +14,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     VectorSearchQueries.all ++
       LshQueries.all ++
+      MetadataQueries.all ++
       RelationalQueries.all ++
       DedupQueries.all
 
