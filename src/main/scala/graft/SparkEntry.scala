@@ -15,6 +15,7 @@ object SparkEntry {
     VectorSearchQueries.all ++
       LshQueries.all ++
       MetadataQueries.all ++
+      EngineQueries.all ++
       RelationalQueries.all ++
       DedupQueries.all
 

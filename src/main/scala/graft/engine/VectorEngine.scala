@@ -1,0 +1,502 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.functions.MetadataFunctions
+import graft.operators.LshIndex
+import java.sql.Timestamp
+import java.nio.file.{Files, Paths}
+
+/** The engine facade — the Spark realization of the reference's 13-endpoint
+  * CRUD + search surface (reference: vector_db/api.py:226-384,
+  * vector_db/vector_store.py:33-259, vector_db/services.py:31-181;
+  * SURVEY.md §2.8).
+  *
+  * State model: three entity tables (libraries/documents/chunks) held as
+  * Datasets; single-row CRUD builds on LocalRelation unions (driver-cheap,
+  * no jobs), bulk ingest is a DataFrame union (one micro-batch = one atomic
+  * append — the reference's batch atomicity, services.py:144-162, is native
+  * here). Persistence is versioned Parquet under a state directory
+  * (`save`/`open`), with the LSH projection matrices in their own tiny
+  * table (S4). Mutations are copy-on-write — at 100 TB the same semantics
+  * run as anti-join + append table rewrites per micro-batch (J6), never
+  * per-row synchronous writes (the reference rewrites its whole .npy per
+  * chunk add, disk_store.py:329-332 — an anti-pattern this engine drops).
+  *
+  * Derived counts replace stored counters (reference entities.py:93-99
+  * floors drifting counters at 0; a `groupBy().count()` cannot drift —
+  * SURVEY.md §7.4 item 5).
+  */
+final class VectorEngine private (val spark: SparkSession) {
+
+  import spark.implicits._
+  import VectorEngine._
+
+  private var libs: Dataset[LibraryRow] = spark.emptyDataset[LibraryRow]
+  private var docs: Dataset[DocumentRow] = spark.emptyDataset[DocumentRow]
+  private var chunks: Dataset[ChunkRow] = spark.emptyDataset[ChunkRow]
+  /** Per-library LSH projection matrix (only for index_kind=random_projection). */
+  private var matrices: Map[String, MatrixRow] = Map.empty
+
+  // -------------------------------------------------------------------
+  // Read-only views (the query surface)
+  // -------------------------------------------------------------------
+  def librariesDf: DataFrame = libs.toDF()
+  def documentsDf: DataFrame = docs.toDF()
+  def chunksDf: DataFrame = chunks.toDF()
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+  private def newId(): String = java.util.UUID.randomUUID().toString
+
+  private def encodeMeta(m: Map[String, Any]): Map[String, String] =
+    m.map { case (k, v) => k -> MetadataFunctions.encodeValue(v) }
+
+  // -------------------------------------------------------------------
+  // Validation predicates (P5-P7; reference entities.py:39-67,104-146)
+  // -------------------------------------------------------------------
+  private def requireName(n: String, what: String): Unit =
+    if (n.isEmpty || n.length > MaxNameLen)
+      throw ValidationError(s"$what name must be 1..$MaxNameLen chars")
+
+  private def requireDescription(d: String): Unit =
+    if (d.length > MaxDescriptionLen)
+      throw ValidationError(s"description must be <= $MaxDescriptionLen chars")
+
+  // -------------------------------------------------------------------
+  // Libraries (api.py:229-266)
+  // -------------------------------------------------------------------
+  def createLibrary(name: String, dim: Int, metric: String = "cosine",
+                    indexKind: String = "flat", description: String = "",
+                    metadata: Map[String, Any] = Map.empty,
+                    id: Option[String] = None,
+                    lshProjections: Int = DefaultLshProjections,
+                    lshSeed: Long = DefaultLshSeed): LibraryRow = {
+    requireName(name, "library")
+    requireDescription(description)
+    if (dim <= 0) throw ValidationError("embedding_dimension must be > 0")
+    if (!SupportedMetrics(metric))
+      throw ValidationError(s"unknown distance metric: $metric")
+    if (!SupportedIndexKinds(indexKind))
+      throw ValidationError(s"unknown index kind: $indexKind")
+    val lid = id.getOrElse(newId())
+    if (findLibrary(lid).isDefined)
+      throw ConflictError(s"library already exists: $lid")
+    val t = now()
+    val row = LibraryRow(lid, name, description, encodeMeta(metadata),
+      dim, metric, indexKind, t, t)
+    libs = libs.unionByName(Seq(row).toDS())
+    if (indexKind == IndexKindLsh)
+      matrices += lid -> MatrixRow(lid, lshProjections, dim, lshSeed,
+        projectionMatrix(lshProjections, dim, lshSeed).map(_.toSeq).toSeq)
+    row
+  }
+
+  private def findLibrary(id: String): Option[LibraryRow] =
+    libs.where(col("id") === id).collect().headOption
+
+  def getLibrary(id: String): LibraryRow =
+    findLibrary(id).getOrElse(throw NotFoundError("library", id))
+
+  def listLibraries(skip: Int = 0, limit: Int = DefaultPageLimit): Page[LibraryRow] =
+    page(libs.orderBy(col("created_at"), col("id")).as[LibraryRow], skip, limit)
+
+  /** Partial update (exclude-unset merge, services.py:41-45). Dimension and
+    * index-kind changes are REJECTED while the library has chunks
+    * (vector_store.py:59-65); flipped while empty, the index is rebuilt
+    * (vector_store.py:67-68). */
+  def patchLibrary(id: String, name: Option[String] = None,
+                   description: Option[String] = None,
+                   metadata: Option[Map[String, Any]] = None,
+                   dim: Option[Int] = None, metric: Option[String] = None,
+                   indexKind: Option[String] = None): LibraryRow = {
+    val cur = getLibrary(id)
+    val dimChange = dim.exists(_ != cur.embedding_dimension)
+    val kindChange = indexKind.exists(_ != cur.index_kind)
+    if ((dimChange || kindChange) && chunkCount(id) > 0)
+      throw ConflictError(
+        "cannot change embedding_dimension or index_kind of a non-empty library")
+    name.foreach(requireName(_, "library"))
+    description.foreach(requireDescription)
+    dim.foreach(d => if (d <= 0) throw ValidationError("embedding_dimension must be > 0"))
+    metric.foreach(m => if (!SupportedMetrics(m))
+      throw ValidationError(s"unknown distance metric: $m"))
+    indexKind.foreach(k => if (!SupportedIndexKinds(k))
+      throw ValidationError(s"unknown index kind: $k"))
+    val next = cur.copy(
+      name = name.getOrElse(cur.name),
+      description = description.getOrElse(cur.description),
+      metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
+      embedding_dimension = dim.getOrElse(cur.embedding_dimension),
+      distance_metric = metric.getOrElse(cur.distance_metric),
+      index_kind = indexKind.getOrElse(cur.index_kind),
+      updated_at = now())
+    libs = replaceById(libs, id, next)
+    if (dimChange || kindChange) { // library is empty: rebuild the index
+      if (next.index_kind == IndexKindLsh)
+        matrices += id -> MatrixRow(id, DefaultLshProjections,
+          next.embedding_dimension, DefaultLshSeed,
+          projectionMatrix(DefaultLshProjections, next.embedding_dimension,
+            DefaultLshSeed).map(_.toSeq).toSeq)
+      else matrices -= id
+    }
+    next
+  }
+
+  /** Cascade delete library -> documents -> chunks (vector_store.py:74-87;
+    * J6 anti-join semantics via the denormalized library_id). */
+  def deleteLibrary(id: String): Unit = {
+    getLibrary(id)
+    libs = libs.where(col("id") =!= id).as[LibraryRow]
+    docs = docs.where(col("library_id") =!= id).as[DocumentRow]
+    chunks = chunks.where(col("library_id") =!= id).as[ChunkRow]
+    matrices -= id
+  }
+
+  // -------------------------------------------------------------------
+  // Documents (api.py:301-339)
+  // -------------------------------------------------------------------
+  def createDocument(libraryId: String, name: String,
+                     metadata: Map[String, Any] = Map.empty,
+                     id: Option[String] = None): DocumentRow = {
+    getLibrary(libraryId) // parent must exist (services.py:64-66)
+    requireName(name, "document")
+    val did = id.getOrElse(newId())
+    if (findDocument(did).isDefined)
+      throw ConflictError(s"document already exists: $did")
+    val t = now()
+    val row = DocumentRow(did, libraryId, name, encodeMeta(metadata), t, t)
+    docs = docs.unionByName(Seq(row).toDS())
+    row
+  }
+
+  private def findDocument(id: String): Option[DocumentRow] =
+    docs.where(col("id") === id).collect().headOption
+
+  def getDocument(id: String): DocumentRow =
+    findDocument(id).getOrElse(throw NotFoundError("document", id))
+
+  def listDocuments(libraryId: String, skip: Int = 0,
+                    limit: Int = DefaultPageLimit): Page[DocumentRow] = {
+    getLibrary(libraryId)
+    page(docs.where(col("library_id") === libraryId)
+      .orderBy(col("created_at"), col("id")).as[DocumentRow], skip, limit)
+  }
+
+  /** library_id is IMMUTABLE (vector_store.py:124-125). */
+  def patchDocument(id: String, name: Option[String] = None,
+                    metadata: Option[Map[String, Any]] = None,
+                    libraryId: Option[String] = None): DocumentRow = {
+    val cur = getDocument(id)
+    if (libraryId.exists(_ != cur.library_id))
+      throw ConflictError("document library_id is immutable")
+    name.foreach(requireName(_, "document"))
+    val next = cur.copy(
+      name = name.getOrElse(cur.name),
+      metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
+      updated_at = now())
+    docs = replaceById(docs, id, next)
+    next
+  }
+
+  /** Cascade delete document -> chunks (vector_store.py:131-147). */
+  def deleteDocument(id: String): Unit = {
+    getDocument(id)
+    docs = docs.where(col("id") =!= id).as[DocumentRow]
+    chunks = chunks.where(col("document_id") =!= id).as[ChunkRow]
+  }
+
+  // -------------------------------------------------------------------
+  // Chunks (api.py:347-382)
+  // -------------------------------------------------------------------
+
+  /** Validate one chunk payload against its library (P5-P7). */
+  private def validateChunk(c: ChunkInput, dim: Int): Unit = {
+    if (c.text.isEmpty || c.text.length > MaxTextLen)
+      throw ValidationError(s"text must be 1..$MaxTextLen chars")
+    if (c.chunkIndex < 0) throw ValidationError("chunk_index must be >= 0")
+    if (c.embedding.isEmpty) throw ValidationError("embedding must be non-empty")
+    if (c.embedding.exists(f => f.isNaN || f.isInfinite))
+      throw ValidationError("embedding must be finite")
+    if (c.embedding.length != dim)
+      throw ValidationError(
+        s"embedding dimension ${c.embedding.length} != library dimension $dim")
+  }
+
+  private def bucketOf(libId: String, kind: String): Option[Seq[Float] => Long] =
+    if (kind != IndexKindLsh) None
+    else {
+      val m = matrices(libId).matrix.map(_.toArray).toArray
+      Some((v: Seq[Float]) => {
+        var bucket = 0L
+        var i = 0
+        while (i < m.length) {
+          // same fold order as the Column kernel: left-to-right double acc
+          var acc = 0.0d; var j = 0
+          while (j < m(i).length) { acc += m(i)(j) * v(j).toDouble; j += 1 }
+          if (acc >= 0.0d) bucket |= 1L << i
+          i += 1
+        }
+        bucket
+      })
+    }
+
+  /** Atomic batch insert (api.py:354-361, services.py:144-162): <= 1000
+    * chunks, one parent document (A5), EVERY row validated before ANY row
+    * is inserted — one union = one atomic append. */
+  def addChunksBatch(documentId: String, batch: Seq[ChunkInput]): Seq[ChunkRow] = {
+    if (batch.isEmpty) return Seq.empty
+    if (batch.size > MaxBatchSize)
+      throw ValidationError(s"batch must be <= $MaxBatchSize chunks")
+    val doc = getDocument(documentId)
+    val lib = getLibrary(doc.library_id)
+    batch.foreach(validateChunk(_, lib.embedding_dimension))
+    val ids = batch.flatMap(_.id)
+    if (ids.distinct.size != ids.size)
+      throw ConflictError("duplicate chunk ids in batch")
+    if (ids.nonEmpty && chunks.where(col("id").isin(ids: _*)).count() > 0)
+      throw ConflictError("chunk id already exists")
+    val bucketFn = bucketOf(lib.id, lib.index_kind)
+    val t = now()
+    val rows = batch.map { c =>
+      ChunkRow(c.id.getOrElse(newId()), doc.id, lib.id, c.text, c.embedding,
+        encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)), t, t)
+    }
+    chunks = chunks.unionByName(rows.toDS())
+    rows
+  }
+
+  def addChunk(documentId: String, input: ChunkInput): ChunkRow =
+    addChunksBatch(documentId, Seq(input)).head
+
+  /** Bulk ingest — the 100 TB path: a DataFrame with
+    * (id, document_id, text, embedding, metadata, chunk_index) appended in
+    * one micro-batch. Validation is DF predicates (violations counted with
+    * one aggregate, nothing written on failure — same atomicity contract);
+    * parent documents are checked with an anti-join; the bucket column is
+    * derived per-library inside the plan. No driver-side row loop. */
+  def addChunksDf(libraryId: String, df: DataFrame): Long = {
+    val lib = getLibrary(libraryId)
+    val dim = lib.embedding_dimension
+    val bad = df.select(
+      sum(when(length(col("text")).between(1, MaxTextLen), 0).otherwise(1)).as("bad_text"),
+      sum(when(col("chunk_index") >= 0, 0).otherwise(1)).as("bad_idx"),
+      sum(when(size(col("embedding")) === dim, 0).otherwise(1)).as("bad_dim"))
+      .head()
+    if (bad.getLong(0) > 0) throw ValidationError(s"text must be 1..$MaxTextLen chars")
+    if (bad.getLong(1) > 0) throw ValidationError("chunk_index must be >= 0")
+    if (bad.getLong(2) > 0)
+      throw ValidationError(s"embedding dimension != library dimension $dim")
+    val orphans = df.join(docs.where(col("library_id") === libraryId)
+      .select(col("id").as("document_id")), Seq("document_id"), "left_anti")
+    if (orphans.limit(1).count() > 0)
+      throw NotFoundError("document", "referenced by bulk ingest batch")
+    val t = now()
+    val bucketCol = if (lib.index_kind == IndexKindLsh)
+      lshBucket(col("embedding"), matrices(libraryId).matrix.map(_.toArray).toArray)
+    else lit(null).cast("long")
+    val prepared = df.select(
+      col("id").cast("string"),
+      col("document_id").cast("string"),
+      lit(libraryId).as("library_id"),
+      col("text").cast("string"),
+      col("embedding").cast("array<float>"),
+      col("metadata").cast("map<string,string>"),
+      col("chunk_index").cast("int"),
+      bucketCol.as("bucket"),
+      lit(t).as("created_at"),
+      lit(t).as("updated_at")).as[ChunkRow]
+    val n = prepared.count()
+    chunks = chunks.unionByName(prepared)
+    n
+  }
+
+  private def findChunk(id: String): Option[ChunkRow] =
+    chunks.where(col("id") === id).collect().headOption
+
+  def getChunk(id: String): ChunkRow =
+    findChunk(id).getOrElse(throw NotFoundError("chunk", id))
+
+  /** P4: the API response projection excludes the embedding
+    * (schemas.py:124-129) — column pruning, the scan never reads it. */
+  def chunkResponse(id: String): DataFrame = {
+    getChunk(id)
+    chunks.where(col("id") === id)
+      .select("id", "document_id", "text", "metadata", "chunk_index")
+  }
+
+  def listChunks(documentId: String, skip: Int = 0,
+                 limit: Int = DefaultPageLimit): Page[ChunkRow] = {
+    getDocument(documentId)
+    // deterministic order fixes the reference's unspecified pagination
+    // order (SURVEY.md §3.3)
+    page(chunks.where(col("document_id") === documentId)
+      .orderBy(col("chunk_index"), col("id")).as[ChunkRow], skip, limit)
+  }
+
+  /** document_id is IMMUTABLE (vector_store.py:196-197); an embedding
+    * change re-validates the dimension and re-derives the bucket
+    * (vector_store.py:199-205, indexes.py:195-199). */
+  def patchChunk(id: String, text: Option[String] = None,
+                 embedding: Option[Seq[Float]] = None,
+                 metadata: Option[Map[String, Any]] = None,
+                 chunkIndex: Option[Int] = None,
+                 documentId: Option[String] = None): ChunkRow = {
+    val cur = getChunk(id)
+    if (documentId.exists(_ != cur.document_id))
+      throw ConflictError("chunk document_id is immutable")
+    val lib = getLibrary(cur.library_id)
+    val probe = ChunkInput(text.getOrElse(cur.text),
+      embedding.getOrElse(cur.embedding),
+      chunkIndex = chunkIndex.getOrElse(cur.chunk_index))
+    validateChunk(probe, lib.embedding_dimension)
+    val newEmb = embedding.getOrElse(cur.embedding)
+    val next = cur.copy(
+      text = text.getOrElse(cur.text),
+      embedding = newEmb,
+      metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
+      chunk_index = chunkIndex.getOrElse(cur.chunk_index),
+      bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
+      updated_at = now())
+    chunks = replaceById(chunks, id, next)
+    next
+  }
+
+  def deleteChunk(id: String): Unit = {
+    getChunk(id)
+    chunks = chunks.where(col("id") =!= id).as[ChunkRow]
+  }
+
+  // -------------------------------------------------------------------
+  // Derived counts (A2 — replace the reference's stored counters)
+  // -------------------------------------------------------------------
+  def documentCount(libraryId: String): Long =
+    docs.where(col("library_id") === libraryId).count()
+
+  def chunkCount(libraryId: String): Long =
+    chunks.where(col("library_id") === libraryId).count()
+
+  def chunkCountByDocument(documentId: String): Long =
+    chunks.where(col("document_id") === documentId).count()
+
+  // -------------------------------------------------------------------
+  // Search (§3.1: api.py:279-293 -> services.py:164-181 ->
+  // vector_store.py:230-259 -> indexes.py search)
+  // -------------------------------------------------------------------
+  def search(libraryId: String, query: Seq[Float], k: Int,
+             filters: Map[String, Any] = Map.empty): DataFrame = {
+    val lib = getLibrary(libraryId)
+    if (k <= 0) throw SearchError("k must be > 0")
+    if (query.length != lib.embedding_dimension)
+      throw SearchError(
+        s"query dimension ${query.length} != library dimension ${lib.embedding_dimension}")
+    val metaPred = MetadataFunctions.filterPredicate(col("metadata"), filters)
+    val scoped = chunks.where(col("library_id") === libraryId).where(metaPred)
+    // empty allow-set short-circuits: the index is never consulted
+    // (vector_store.py:256-258)
+    if (filters.nonEmpty && scoped.limit(1).count() == 0)
+      return spark.emptyDataset[(String, Double)].toDF("chunk_id", "distance")
+    val qvec = array(query.map(f => lit(f)): _*).cast("array<float>")
+    val result =
+      if (lib.index_kind == IndexKindLsh) {
+        val m = matrices(libraryId).matrix.map(_.toArray).toArray
+        val q = spark.range(1).select(qvec.as("qvec"),
+          lshBucket(qvec, m).as("qbucket"))
+        LshIndex.searchTwoPhase(scoped.toDF(), q, "embedding",
+          lib.distance_metric, k, idCol = "id")
+      } else {
+        scoped.toDF().crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
+          .withColumn("distance",
+            round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+              + lit(0.0d))
+          .select(col("id"), col("distance"))
+          .orderBy(col("distance"), col("id"))
+          .limit(k)
+      }
+    result.withColumnRenamed("id", "chunk_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Persistence (S2-S5: disk_store.py:100-162, indexes.py:125-162 —
+  // semantics, not byte layout: versioned Parquet + matrix table)
+  // -------------------------------------------------------------------
+  def save(dir: String): Unit = {
+    val version = "v" + System.nanoTime()
+    val base = s"$dir/$version"
+    try {
+      libs.toDF().write.mode("overwrite").parquet(s"$base/libraries.parquet")
+      docs.toDF().write.mode("overwrite").parquet(s"$base/documents.parquet")
+      chunks.toDF().write.mode("overwrite").parquet(s"$base/chunks.parquet")
+      matrices.values.toSeq.toDS().toDF().write.mode("overwrite")
+        .parquet(s"$base/matrices.parquet")
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(s"$dir/MANIFEST"), version)
+    } catch {
+      case e: VectorDbError => throw e
+      case e: Exception => throw StorageError(s"save failed: ${e.getMessage}")
+    }
+  }
+
+  private def load(dir: String): Unit = {
+    val version =
+      try Files.readString(Paths.get(s"$dir/MANIFEST")).trim
+      catch { case e: Exception => throw StorageError(s"no engine state at $dir: ${e.getMessage}") }
+    val base = s"$dir/$version"
+    libs = spark.read.parquet(s"$base/libraries.parquet").as[LibraryRow]
+    docs = spark.read.parquet(s"$base/documents.parquet").as[DocumentRow]
+    chunks = spark.read.parquet(s"$base/chunks.parquet").as[ChunkRow]
+    matrices = spark.read.parquet(s"$base/matrices.parquet").as[MatrixRow]
+      .collect().map(m => m.library_id -> m).toMap
+    // S5 cold-start rebuild: bucket is re-derivable from the persisted
+    // matrix; recompute for LSH libraries so a stale/absent bucket column
+    // can never poison the probe (disk_store.py:86-98).
+    val lshLibs = libs.collect().filter(_.index_kind == IndexKindLsh)
+    if (lshLibs.nonEmpty) {
+      val bucketCol = lshLibs.foldLeft(lit(null).cast("long")) { (acc, l) =>
+        when(col("library_id") === l.id,
+          lshBucket(col("embedding"), matrices(l.id).matrix.map(_.toArray).toArray))
+          .otherwise(acc)
+      }
+      chunks = chunks.toDF().withColumn("bucket", bucketCol).as[ChunkRow]
+    }
+  }
+
+  // -------------------------------------------------------------------
+  private def page[T](ds: Dataset[T], skip: Int, limit: Int): Page[T] = {
+    if (skip < 0 || limit <= 0) throw ValidationError("skip >= 0 and limit > 0 required")
+    val total = ds.count()
+    Page(ds.offset(skip).limit(limit).collect().toSeq, total, skip, limit)
+  }
+
+  private def replaceById[T](ds: Dataset[T], id: String, row: T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    ds.where(col("id") =!= id).unionByName(Seq(row).toDS().as[T])
+}
+
+object VectorEngine {
+  val MaxTextLen = 10000          // entities.py:42
+  val MaxNameLen = 255            // entities.py:81-86
+  val MaxDescriptionLen = 1000    // entities.py:107-117
+  val MaxBatchSize = 1000         // schemas.py:90
+  val DefaultPageLimit = 100      // api.py:240
+  val DefaultLshProjections = 8   // indexes.py:173
+  val DefaultLshSeed = 42L
+  val IndexKindFlat = "flat"
+  val IndexKindLsh = "random_projection"
+  val SupportedIndexKinds: Set[String] = Set(IndexKindFlat, IndexKindLsh)
+
+  /** Persisted LSH projection matrix (S4 — indexes.py:262-321 persists the
+    * matrix; here it is a row in the matrices table). */
+  final case class MatrixRow(library_id: String, num_projections: Int,
+                             dim: Int, seed: Long, matrix: Seq[Seq[Double]])
+
+  /** Fresh empty engine. */
+  def create(spark: SparkSession): VectorEngine = new VectorEngine(spark)
+
+  /** Reopen persisted state (S3/S5 cold start). */
+  def open(spark: SparkSession, dir: String): VectorEngine = {
+    val e = new VectorEngine(spark)
+    e.load(dir)
+    e
+  }
+}

@@ -28,8 +28,12 @@ object LshQueries {
   private def rowLit(row: Array[Double]): String =
     row.map(fmt).mkString("[", ",", "]") + "::DOUBLE[]"
 
+  /** The engine's lifecycle queries reuse the same seeded matrix so their
+    * oracle SQL reproduces engine bucket assignment exactly. */
+  private[queries] def config: LshIndex.Config = cfg
+
   /** Same sign-bit hash as VectorFunctions.lshBucket, in DuckDB SQL. */
-  private def bucketSql(v: String): String =
+  private[queries] def bucketSql(v: String): String =
     cfg.matrix.zipWithIndex.map { case (row, i) =>
       s"(CASE WHEN ${VectorSearchQueries.dotSql(v, rowLit(row))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -1,0 +1,190 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** Engine CRUD + lifecycle semantics (mirrors the reference's
+  * tests/test_vector_store.py, tests/test_services.py and
+  * tests/test_disk_persistence.py layers). */
+class EngineSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private def freshWithData(kind: String = "flat"): (VectorEngine, String, String) = {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("lib", dim = 4, indexKind = kind,
+      lshProjections = 4, lshSeed = 123L)
+    val doc = e.createDocument(lib.id, "doc")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("a", vec(1, 0, 0, 0), Map("tag" -> 1), 0, Some("c0")),
+      ChunkInput("b", vec(0.9, 0.1, 0, 0), Map("tag" -> 2), 1, Some("c1")),
+      ChunkInput("c", vec(0, 1, 0, 0), Map("tag" -> 1), 2, Some("c2")),
+      ChunkInput("d", vec(0, 0, 1, 0), Map("tag" -> "1"), 3, Some("c3"))))
+    (e, lib.id, doc.id)
+  }
+
+  test("create/get/list round-trip with derived counts") {
+    val (e, lib, doc) = freshWithData()
+    assert(e.getLibrary(lib).name == "lib")
+    assert(e.documentCount(lib) == 1)
+    assert(e.chunkCount(lib) == 4)
+    assert(e.chunkCountByDocument(doc) == 4)
+    val pg = e.listChunks(doc, skip = 0, limit = 2)
+    assert(pg.total == 4 && pg.hasMore && pg.items.map(_.id) == Seq("c0", "c1"))
+    val pg2 = e.listChunks(doc, skip = 2, limit = 2)
+    assert(!pg2.hasMore && pg2.items.map(_.id) == Seq("c2", "c3"))
+  }
+
+  test("missing entities raise NotFoundError (404 semantics)") {
+    val e = VectorEngine.create(spark)
+    intercept[NotFoundError] { e.getLibrary("nope") }
+    intercept[NotFoundError] { e.createDocument("nope", "d") }
+    intercept[NotFoundError] { e.getChunk("nope") }
+  }
+
+  test("duplicate ids raise ConflictError (vector_store.py:154-155)") {
+    val (e, _, doc) = freshWithData()
+    intercept[ConflictError] {
+      e.addChunk(doc, ChunkInput("x", vec(1, 0, 0, 0), id = Some("c0")))
+    }
+    e.createLibrary("y", 4, id = Some("lib-dup"))
+    intercept[ConflictError] { e.createLibrary("z", 4, id = Some("lib-dup")) }
+  }
+
+  test("validation guards P5-P7 raise ValidationError") {
+    val (e, _, doc) = freshWithData()
+    intercept[ValidationError] { e.addChunk(doc, ChunkInput("", vec(1, 0, 0, 0))) }
+    intercept[ValidationError] { e.addChunk(doc, ChunkInput("x" * 10001, vec(1, 0, 0, 0))) }
+    intercept[ValidationError] { e.addChunk(doc, ChunkInput("x", vec(1, 0, 0))) } // wrong dim
+    intercept[ValidationError] { e.addChunk(doc, ChunkInput("x", Seq.empty)) }
+    intercept[ValidationError] { e.addChunk(doc, ChunkInput("x", vec(1, 0, 0, 0), chunkIndex = -1)) }
+    intercept[ValidationError] { e.createLibrary("l2", dim = 0) }
+    intercept[ValidationError] { e.createLibrary("l2", dim = 4, metric = "manhattan") }
+    intercept[ValidationError] { e.createLibrary("", dim = 4) }
+  }
+
+  test("batch insert is atomic: one bad row means nothing is written " +
+    "(services.py:156-157)") {
+    val (e, lib, doc) = freshWithData()
+    intercept[ValidationError] {
+      e.addChunksBatch(doc, Seq(
+        ChunkInput("ok", vec(1, 0, 0, 0)),
+        ChunkInput("bad-dim", vec(1, 0))))
+    }
+    assert(e.chunkCount(lib) == 4) // unchanged
+    intercept[ValidationError] {
+      e.addChunksBatch(doc, (1 to 1001).map(i => ChunkInput(s"t$i", vec(1, 0, 0, 0))))
+    }
+  }
+
+  test("dimension/index_kind immutable while library has chunks " +
+    "(vector_store.py:59-65); mutable while empty, with index rebuild") {
+    val (e, lib, _) = freshWithData()
+    intercept[ConflictError] { e.patchLibrary(lib, dim = Some(8)) }
+    intercept[ConflictError] { e.patchLibrary(lib, indexKind = Some("random_projection")) }
+    // empty library: both changes allowed
+    val lib2 = e.createLibrary("empty", dim = 4)
+    assert(e.patchLibrary(lib2.id, dim = Some(8)).embedding_dimension == 8)
+    assert(e.patchLibrary(lib2.id, indexKind = Some("random_projection"))
+      .index_kind == "random_projection")
+  }
+
+  test("document library_id and chunk document_id are immutable " +
+    "(vector_store.py:124-125,196-197)") {
+    val (e, _, doc) = freshWithData()
+    intercept[ConflictError] { e.patchDocument(doc, libraryId = Some("other")) }
+    intercept[ConflictError] { e.patchChunk("c0", documentId = Some("other")) }
+    // patching with the SAME parent id is a no-op, not a conflict
+    e.patchChunk("c0", documentId = Some(doc), text = Some("a2"))
+    assert(e.getChunk("c0").text == "a2")
+  }
+
+  test("cascade: delete document removes its chunks; delete library removes all") {
+    val (e, lib, doc) = freshWithData()
+    val doc2 = e.createDocument(lib, "doc2")
+    e.addChunk(doc2.id, ChunkInput("e", vec(0, 0, 0, 1), id = Some("c4")))
+    e.deleteDocument(doc)
+    assert(e.chunkCount(lib) == 1)
+    intercept[NotFoundError] { e.getChunk("c0") }
+    e.deleteLibrary(lib)
+    assert(e.librariesDf.count() == 0 && e.documentsDf.count() == 0 &&
+      e.chunksDf.count() == 0)
+  }
+
+  test("search: ordering, k-cap, typed metadata filter, empty-filter " +
+    "short-circuit (vector_store.py:230-259)") {
+    val (e, lib, _) = freshWithData()
+    val hits = e.search(lib, vec(1, 0, 0, 0), k = 2)
+    val ids = hits.collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("c0", "c1")) // exact match first, then closest
+    assert(e.search(lib, vec(1, 0, 0, 0), k = 100).count() == 4) // k > n
+    // typed filter: int 1 matches c0 and c2 but NOT c3 (string "1")
+    val filtered = e.search(lib, vec(1, 0, 0, 0), k = 10, Map("tag" -> 1))
+      .collect().map(_.getString(0)).toSet
+    assert(filtered == Set("c0", "c2"))
+    // no-match filter short-circuits to empty
+    assert(e.search(lib, vec(1, 0, 0, 0), k = 10, Map("tag" -> 99)).count() == 0)
+  }
+
+  test("search parameter guards raise SearchError (services.py:171-175)") {
+    val (e, lib, _) = freshWithData()
+    intercept[SearchError] { e.search(lib, vec(1, 0, 0, 0), k = 0) }
+    intercept[SearchError] { e.search(lib, vec(1, 0), k = 5) }
+  }
+
+  test("chunk response excludes the embedding (P4, schemas.py:124-129)") {
+    val (e, _, _) = freshWithData()
+    assert(e.chunkResponse("c0").columns.toSeq ==
+      Seq("id", "document_id", "text", "metadata", "chunk_index"))
+  }
+
+  test("LSH library: search results equal flat search on the same data " +
+    "(two-phase fallback semantics at small n)") {
+    val (ef, libF, _) = freshWithData("flat")
+    val (el, libL, _) = freshWithData("random_projection")
+    val q = vec(0.9, 0.05, 0, 0)
+    val flat = ef.search(libF, q, 3).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val lsh = el.search(libL, q, 3).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(lsh == flat) // < k candidates per bucket at n=4 -> exhaustive fallback
+  }
+
+  test("persistence round-trip: save -> open gives identical search results " +
+    "(test_disk_persistence.py:240-271)") {
+    val dir = Files.tmp("graft-engine-flat")
+    val (e, lib, doc) = freshWithData()
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    val q = vec(1, 0.2, 0, 0)
+    val before = e.search(lib, q, 4).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val after = e2.search(lib, q, 4).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(before == after)
+    assert(e2.getDocument(doc).name == "doc")
+    assert(e2.chunkCount(lib) == 4)
+  }
+
+  test("persistence round-trip preserves the LSH matrix and buckets " +
+    "(test_disk_persistence.py:88-129)") {
+    val dir = Files.tmp("graft-engine-lsh")
+    val (e, lib, _) = freshWithData("random_projection")
+    val bucketsBefore = e.chunksDf.select("id", "bucket").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    val bucketsAfter = e2.chunksDf.select("id", "bucket").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bucketsBefore == bucketsAfter) // S5 rebuild is deterministic
+    val q = vec(0.5, 0.5, 0, 0)
+    assert(e.search(lib, q, 2).collect().toSeq.toString ==
+      e2.search(lib, q, 2).collect().toSeq.toString)
+  }
+
+  test("open on a missing directory raises StorageError") {
+    intercept[StorageError] { VectorEngine.open(spark, "/tmp/does-not-exist-graft") }
+  }
+
+  private object Files {
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+}
