@@ -17,7 +17,8 @@ object SparkEntry {
       MetadataQueries.all ++
       EngineQueries.all ++
       RelationalQueries.all ++
-      DedupQueries.all
+      DedupQueries.all ++
+      TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's core operation — k-NN cosine search (SURVEY.md §3.1). */

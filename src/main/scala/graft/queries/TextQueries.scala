@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis._
+
+/** Text-analysis operators over the `documents` table (builder brief;
+  * SURVEY.md §2.9): token statistics, global term stats, quality scoring,
+  * language ID, and content fingerprinting. The oracle SQL is GENERATED
+  * from the same profiles/weights the Column operators use, so the two
+  * sides cannot drift apart silently.
+  */
+object TextQueries {
+
+  private val tokSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** Per-document token statistics. */
+  private val tokenStats: QueryFn = (s, dir) => {
+    val t = tokens(col("text"))
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_unique"),
+      (round(avgTokenLen(t), 6) + lit(0.0d)).as("avg_token_len"),
+      (round(stopwordRatio(t), 6) + lit(0.0d)).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenStatsSql: String = {
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+       |  round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 6) + 0 AS avg_token_len,
+       |  round(len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t), 6) + 0 AS stopword_ratio
+       |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Global term frequencies, top 20 (count desc, term asc — total order).
+    * Classic explode -> groupBy: map-side partial aggregation, one shuffle
+    * on the term. */
+  private val termStats: QueryFn = (s, dir) =>
+    table(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  private val termStatsSql: String =
+    s"""SELECT term, count(*) AS n
+       |FROM (SELECT unnest($tokSql) AS term FROM documents)
+       |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+
+  /** Composite quality score (weights are the operator contract). */
+  private val quality: QueryFn = (s, dir) => {
+    val t = tokens(col("text"))
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      (round(qualityScore(t), 6) + lit(0.0d)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql: String = {
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, round(
+       |  0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
+       |  0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
+       |  0.3 * least(len(t)::DOUBLE / 100.0, 1.0), 6) + 0 AS quality
+       |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Stopword-profile language ID (argmax, profile order breaks ties). */
+  private val langId: QueryFn = (s, dir) =>
+    table(s, dir, "documents").select(
+      col("doc_id"), predictedLang(tokens(col("text"))).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  private val langIdSql: String = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
+    val whens = scores.zipWithIndex.init.map { case ((lang, sc), i) =>
+      val later = scores.drop(i + 1).map(o => s"$sc >= ${o._2}").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE $whens ELSE '${LangProfiles.last._1}' END AS predicted_lang
+       |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash-1 content fingerprint (rolling-hash-style signature). */
+  private val fingerprintQ: QueryFn = (s, dir) =>
+    table(s, dir, "documents").select(
+      col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_min(list_transform(
+       |    list_distinct(CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |      ELSE []::VARCHAR[] END),
+       |    s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)) AS fingerprint
+       |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    Q("text_term_stats", termStats, Some(termStatsSql)),
+    Q("text_quality", quality, Some(qualitySql)),
+    Q("text_langid", langId, Some(langIdSql)),
+    Q("text_fingerprint", fingerprintQ, Some(fingerprintSql)),
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.NearDup._
+
+class NearDupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct lowercase word bigrams") {
+    val sh = docs.where($"doc_id" === 1)
+      .select(shingles(col("text"), 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick") && sh.contains("lazy dog"))
+    assert(sh.length == 8) // 9 tokens -> 8 bigrams, all distinct
+  }
+
+  test("shingles: short text yields empty bigram set, not an error") {
+    val sh = Seq((1L, "word")).toDF("id", "text")
+      .select(shingles(col("text"), 2).as("sh")).as[Seq[String]].head()
+    assert(sh.isEmpty)
+  }
+
+  test("minhash: identical texts have identical signatures") {
+    val sigs = docs.where($"doc_id".isin(1, 4))
+      .select(minhashSignature(shingles(col("text"), 2), 8).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("nearDupPairs finds near and exact dups, not unrelated docs") {
+    val pairs = nearDupPairs(docs, col("doc_id"), col("text"), 2, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("jaccard of exact dup is 1.0") {
+    val j = nearDupPairs(docs, col("doc_id"), col("text"), 2, 16, 0.5)
+      .where($"id_a" === 1 && $"id_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: exact dups collide, near-dups are close, unrelated far") {
+    val sims = docs.select($"doc_id", simhash(shingles(col("text"), 2), 32).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(4L))
+    val near = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    val far = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    assert(near < far)
+  }
+
+  test("simhashPairs respects the pigeonhole precondition") {
+    intercept[IllegalArgumentException] {
+      simhashPairs(docs, col("doc_id"), col("text"), 2, 32, 4, maxHamming = 5)
+    }
+  }
+
+  test("bandedCandidates never pairs a doc with itself and orders ids") {
+    val sh = docs.select(col("doc_id").as("id"),
+      minhashSignature(shingles(col("text"), 2), 8).as("sig"))
+    val cand = bandedCandidates(sh, "id", "sig")
+      .as[(Long, Long)].collect()
+    assert(cand.forall { case (a, b) => a < b })
+  }
+}

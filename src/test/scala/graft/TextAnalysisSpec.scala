@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis._
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one[T: org.apache.spark.sql.Encoder](text: String,
+                                                   c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T =
+    Seq(Tuple1(text)).toDF("text").select(c(col("text")).as("v")).as[T].head()
+
+  test("tokens: lowercased, whitespace-split, trimmed") {
+    val t = one[Seq[String]]("  The Quick  Fox ", c => tokens(c))
+    assert(t == Seq("the", "quick", "fox"))
+  }
+
+  test("stopword ratio counts profile words") {
+    val r = one[Double]("the cat is on a mat", c => stopwordRatio(tokens(c)))
+    // "the", "is", "a" of 6 tokens
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("unique ratio is type-token ratio") {
+    val r = one[Double]("a a b b", c => uniqueRatio(tokens(c)))
+    assert(r == 0.5)
+  }
+
+  test("avg token length") {
+    val r = one[Double]("ab abcd", c => avgTokenLen(tokens(c)))
+    assert(r == 3.0)
+  }
+
+  test("quality score is within [0, 1] and penalizes stopword soup") {
+    val good = one[Double]("neural networks learn distributed representations quickly",
+      c => qualityScore(tokens(c)))
+    val soup = one[Double]("the the the the a a a of of to",
+      c => qualityScore(tokens(c)))
+    assert(good > soup)
+    assert(good >= 0 && good <= 1 && soup >= 0 && soup <= 1)
+  }
+
+  test("language ID picks the profile with most hits; first profile wins ties") {
+    assert(one[String]("der hund und die katze ist da", c => predictedLang(tokens(c))) == "de")
+    assert(one[String]("el perro y la casa que es un", c => predictedLang(tokens(c))) == "es")
+    assert(one[String]("the cat and the dog is it", c => predictedLang(tokens(c))) == "en")
+    // zero hits everywhere -> deterministic first profile
+    assert(one[String]("xyzzy plugh", c => predictedLang(tokens(c))) == "en")
+  }
+
+  test("fingerprint is stable and content-sensitive") {
+    val a = one[Long]("the quick brown fox", c => fingerprint(c))
+    val b = one[Long]("the quick brown fox", c => fingerprint(c))
+    val d = one[Long]("a different text entirely", c => fingerprint(c))
+    assert(a == b && a != d)
+  }
+}
