@@ -14,11 +14,13 @@ object SparkEntry {
   private def registry: Seq[Q] =
     VectorSearchQueries.all ++
       LshQueries.all ++
+      AnnQueries.all ++
       MetadataQueries.all ++
       EngineQueries.all ++
       RelationalQueries.all ++
       DedupQueries.all ++
-      TextQueries.all
+      TextQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's core operation — k-NN cosine search (SURVEY.md §3.1). */

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+
+/** Approximate-nearest-neighbor search over the embeddings table: the
+  * brute-force top-k (knn_flat_*) is the baseline; this adds the IVF
+  * scale path — centroid cells + nprobe probing. The oracle reproduces
+  * the same assignment (row_number over (distance, cid)) and probe
+  * selection in SQL, so the approximation itself is checked, not just
+  * the final arithmetic.
+  */
+object AnnQueries {
+
+  /** Deterministic centroid sample: vec_id % 25 == 1 (20 centroids at
+    * sf0.01). */
+  private val CentroidMod = 25
+  private val NProbe = 3
+  private val K = 10
+
+  private val ivfTopk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val centroids = emb.where(pmod(col("vec_id"), lit(CentroidMod)) === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => IvfIndex.Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_.id)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    IvfIndex.search(emb, "embedding", "vec_id", centroids, query,
+      NProbe, "cosine", K)
+  }
+
+  private val ivfTopkSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+       |           FROM embeddings WHERE vec_id % $CentroidMod = 1),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT e.vec_id, e.v, c.cid,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |      FROM e, c),
+       |cell AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe)
+       |SELECT vec_id, round($cos, 6) + 0 AS distance
+       |FROM cell, q WHERE cid IN (SELECT cid FROM probe)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
+  )
+}

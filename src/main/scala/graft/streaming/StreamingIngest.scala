@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming ingest + windowed analytics over the events
+  * stream (SURVEY.md §2.7 — additive: the reference has no streaming; its
+  * closest analog is the atomic batch insert, services.py:144-162).
+  *
+  * The aggregation is written once and runs identically in batch and
+  * micro-batch mode (Spark unifies the DataFrame API); the streaming
+  * entry point adds a watermark so state for closed windows is dropped
+  * instead of growing forever — the property that keeps this viable on an
+  * unbounded 100 TB/day stream.
+  */
+object StreamingIngest {
+
+  /** Hourly tumbling-window counts and value totals per event type.
+    * Works on a batch OR streaming DataFrame of
+    * (event_id, ts, user_id, event_type, value, props). */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value")), 2) + lit(0.0d)).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming variant: 2-hour watermark bounds state; late events beyond
+    * it are dropped (the explicit late-data contract). */
+  def windowedEventCountsStream(events: DataFrame): DataFrame =
+    windowedEventCounts(events.withWatermark("ts", "2 hours"))
+
+  /** Idempotent micro-batch upsert into a Parquet sink: within-batch
+    * dedup + anti-join against the sink on event_id, then ONE append —
+    * re-delivered events (at-least-once sources) can never double-insert.
+    * The same shape serves engine chunk ingest via
+    * VectorEngine.addChunksDf. */
+  def upsertBatch(batch: DataFrame, sinkDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates("event_id")
+    val deduped =
+      if (new java.io.File(sinkDir).exists())
+        fresh.join(spark.read.parquet(sinkDir).select("event_id"),
+          Seq("event_id"), "left_anti")
+      else fresh
+    deduped.write.mode("append").parquet(sinkDir)
+  }
+
+  /** Start the ingest stream: foreachBatch gives exactly-once-per-batch
+    * semantics on top of the checkpointed source offsets. */
+  def startIngest(stream: DataFrame, sinkDir: String,
+                  checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, sinkDir) }
+      .start()
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val assets = Seq(
+    (1L, "image", "0123456789abcdef0123456789abcdef"), // 32 bytes = 2 frames
+    (2L, "audio", "short"),                            // 5 bytes = 1 frame
+  ).toDF("id", "modality", "payload")
+    .withColumn("content", col("payload").cast("binary"))
+
+  test("features: byte length, frame count, stub dimensions in range") {
+    val f = Multimodal.features(assets, col("id"), col("content"), col("modality"))
+      .collect().map(r => r.getLong(2) -> r).toMap
+    val img = f(32L)
+    assert(img.getLong(6) == 2) // n_frames
+    assert(img.getInt(4) >= 1 && img.getInt(4) <= 64) // width
+    assert(img.getInt(5) >= 1 && img.getInt(5) <= 64) // height
+    assert(f(5L).getLong(6) == 1)
+  }
+
+  test("Column stub matches the driver-side decodeStub exactly") {
+    val bytes = "0123456789abcdef0123456789abcdef".getBytes("UTF-8")
+    val (w, h) = Multimodal.decodeStub(bytes)
+    val row = Multimodal.features(assets.where($"id" === 1),
+      col("id"), col("content"), col("modality")).head()
+    assert(row.getInt(4) == w && row.getInt(5) == h)
+  }
+
+  test("mapPartitions decode path agrees with the Column projection") {
+    val ds = assets.select($"id", $"modality", $"content")
+      .as[(Long, String, Array[Byte])]
+    val viaPartitions = Multimodal.decodePartitions(ds).collect()
+      .map(m => m.id -> ((m.sha, m.width, m.height, m.n_frames))).toMap
+    val viaColumns = Multimodal.features(assets, col("id"), col("content"),
+      col("modality")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getInt(4), r.getInt(5),
+        r.getLong(6)))).toMap
+    assert(viaPartitions == viaColumns)
+  }
+
+  test("frame sampling: slices cover the payload in order, last frame ragged") {
+    val frames = Multimodal.sampleFrames(assets.where($"id" === 2),
+      col("id"), col("content")).collect()
+    assert(frames.length == 1)
+    assert(new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8") == "short")
+    val img = Multimodal.sampleFrames(assets.where($"id" === 1),
+      col("id"), col("content"))
+      .orderBy("frame_index").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8"))
+    assert(img.toSeq == Seq("0123456789abcdef", "0123456789abcdef"))
+  }
+}
