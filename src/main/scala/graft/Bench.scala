@@ -31,7 +31,10 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up: run everything once, untimed (ignore failures here — they
     // are captured in the timed pass below).
     names.foreach { n =>

@@ -35,20 +35,56 @@ object NearDup {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signature: element i = min over shingles of hash_i. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => seededHash(i, s)))): _*)
+  /** Distinct hashed shingle set: the md5 runs ONCE per shingle; every
+    * downstream hash (minhash family, simhash bits) derives from the
+    * 60-bit value with cheap integer arithmetic. */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => seededHash(0, s)))
 
-  /** Banded-LSH candidate pairs: one row per (band, minhash) key, one
-    * shuffle on that key, pairs formed only within buckets. With r=1 row
-    * per band and H bands, a pair with Jaccard s collides with
-    * probability 1-(1-s)^H — at s=0.5, H=16 that is 1 - 1.5e-5, so the
-    * exact-confirm step sees essentially every true pair. */
-  def bandedCandidates(df: DataFrame, idCol: String, sigCol: String): DataFrame = {
-    val bands = df.select(col(idCol), posexplode(col(sigCol)).as(Seq("band", "v")))
+  /** Affine minhash family over the base hash: h_i(x) = (a_i * (x mod 2^30)
+    * + b_i) mod p with p = 1e9+7 — coefficients are fixed formulas so any
+    * SQL oracle can regenerate them; products stay under 2^61 (no
+    * overflow). One md5 per shingle total, vs one per shingle PER HASH for
+    * a seeded-md5 family (16x the digest work at H=16). */
+  def minhashCoeffs(i: Int): (Long, Long) =
+    (1664525L + 2L * i + 1L, 1013904223L + 7L * i)
+
+  val MinhashPrime = 1000000007L
+
+  /** MinHash signature over a hashed shingle array: element i = min over
+    * shingles of h_i. */
+  def minhashSignature(hsh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      val (a, b) = minhashCoeffs(i)
+      array_min(transform(hsh, x =>
+        (lit(a) * pmod(x, lit(1L << 30)) + lit(b)) % lit(MinhashPrime)))
+    }: _*)
+
+  /** Banded-LSH candidate pairs: the signature is cut into bands of
+    * `rowsPerBand` minhashes; the band slice is the join key (one shuffle,
+    * pairs formed only within buckets — never all-pairs).
+    *
+    * Tuning is the recall/bucket-size dial: a pair with Jaccard s agrees
+    * on one band with probability s^r, on any of b bands with
+    * 1-(1-s^r)^b. r=1 maximizes recall but degenerates on self-similar
+    * corpora (a common shingle's global-min hash puts a large fraction of
+    * all documents into ONE bucket); r=2 drops an unrelated pair
+    * (s<=0.1) to <=1% per band while a true near-dup at s=0.9 still
+    * collides with probability 1-(1-0.81)^8 = 1 - 1.7e-6. */
+  def bandedCandidates(df: DataFrame, idCol: String, sigCol: String,
+                       rowsPerBand: Int = 1): DataFrame = {
+    val numBands = (size(col(sigCol)) / rowsPerBand).cast("int")
+    // The join key must be a SCALAR: joining on the raw array<long> slice
+    // is not hash-partitionable and silently degrades to a nested-loop
+    // join (measured 331s vs 2s on 5k docs). hash() of the slice is a
+    // Spark-internal bucketing detail — a collision only adds a candidate
+    // pair for the exact confirm to reject, never loses one.
+    val bands = df.select(col(idCol), posexplode(
+      transform(sequence(lit(0), numBands - 1),
+        k => hash(slice(col(sigCol), k * rowsPerBand + 1, lit(rowsPerBand)))))
+      .as(Seq("band", "key")))
     bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
@@ -60,32 +96,52 @@ object NearDup {
 
   /** End-to-end near-dup pairs: shingle -> minhash -> banded candidates ->
     * exact Jaccard confirm at `threshold`. Output: (id_a, id_b, jaccard)
-    * with id_a < id_b. */
+    * with id_a < id_b.
+    *
+    * The confirm compares HASHED shingle sets (array<long>), not the
+    * string arrays — the Jaccard value is identical (same deterministic
+    * hash on both sides of any oracle) and long-array intersection is far
+    * cheaper than string-array intersection on wide candidate sets. */
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
-                   n: Int = 2, numHashes: Int = 16,
+                   n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val cand = bandedCandidates(sig, "id", "sig")
+    // localCheckpoint materializes the small per-doc index artifacts
+    // (hashed shingle sets + signatures) so the three consumers below —
+    // band explode, a-side join, b-side join — do not each re-run the
+    // shingling/hashing scan. At larger scale this artifact would be
+    // written to storage once at index-build time (same role as the
+    // chunks table's bucket column).
+    val hashed = df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
+      .localCheckpoint()
+    val sig = hashed.select(col("id"),
+      minhashSignature(col("hsh"), numHashes).as("sig"))
+    val cand = bandedCandidates(sig, "id", "sig", rowsPerBand)
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(hashed.select(col("id").as("id_a"), col("hsh").as("hsh_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hsh").as("hsh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("hsh_a"), col("hsh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** `bits`-wide SimHash over the hashed shingle set: bit j is set iff the
-    * sum of (+1/-1 votes from bit j of each shingle hash) is >= 0. */
-  def simhash(sh: Column, bits: Int): Column = {
+    * sum of (+1/-1 votes from bit j of each shingle hash) is >= 0.
+    *
+    * Single-pass shape: ONE aggregate over the shingle hashes with an
+    * array-of-counters accumulator (zip_with against a bit-mask literal
+    * array). A naive per-bit formulation would inline — and re-evaluate —
+    * the md5 of every shingle `bits` times and push the expression tree
+    * past the codegen method-size limit into interpreted mode; this form
+    * hashes each shingle exactly once. */
+  def simhash(hsh: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
-    val hs = transform(sh, s => seededHash(0, s))
-    (0 until bits).map { j =>
-      val bitsum = aggregate(hs, lit(0L), (acc, x) =>
-        acc + when(shiftright(x, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(bitsum >= 0L, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val masks = array((0 until bits).map(j => lit(1L << j)): _*)
+    val zeros = array_repeat(lit(0L), bits)
+    val votes = aggregate(hsh, zeros,
+      (acc, x) => zip_with(acc, masks, (a, m) =>
+        a + when(x.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(votes, masks, (v, m) => when(v >= 0L, m).otherwise(lit(0L))),
+      lit(0L), _ + _)
   }
 
   /** Hamming distance between two simhash fingerprints. */
@@ -101,7 +157,10 @@ object NearDup {
     require(maxHamming <= numBands - 1,
       "pigeonhole guarantee needs maxHamming <= numBands - 1")
     val bandBits = bits / numBands
-    val sims = df.select(id.as("id"), simhash(shingles(text, shingleN), bits).as("sim"))
+    // materialized once: both sides of the self-join reuse it
+    val sims = df.select(id.as("id"),
+      simhash(hashedShingles(text, shingleN), bits).as("sim"))
+      .localCheckpoint()
     val banded = sims.select(col("id"), col("sim"),
       posexplode(array((0 until numBands).map(k =>
         shiftright(col("sim"), k * bandBits)

@@ -29,12 +29,23 @@ object DedupQueries {
       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       |        FROM documents)""".stripMargin
 
+  /** DuckDB twin of NearDup.shingles(text, 3) hashed with seededHash(0)
+    * — the confirm compares hashed trigram sets, exactly like the Spark
+    * operator. */
+  private val hashedTrigramSets: String =
+    s"""SELECT doc_id, list_distinct(list_transform(sh, s -> ${hashSql(0, "s")})) AS hsh
+       |  FROM (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE []::VARCHAR[] END) AS sh
+       |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |          FROM documents))""".stripMargin
+
   /** DuckDB twin of the exact-Jaccard confirm over all pairs (the oracle
     * may go all-pairs; the engine under test must not). */
   private val jaccardPairs: String =
-    s"""s AS ($bigramShingles),
+    s"""s AS ($hashedTrigramSets),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |        len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) AS j
+       |        len(list_intersect(a.hsh, b.hsh))::DOUBLE / len(list_distinct(a.hsh || b.hsh)) AS j
        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)""".stripMargin
 
   /** Exact dedup: hash-groupBy on content digest, keep min id
@@ -60,12 +71,17 @@ object DedupQueries {
       |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
       |ORDER BY doc_id""".stripMargin
 
-  /** MinHash-banded near-dup pairs, exact-Jaccard-confirmed at 0.5
-    * (the sf data plants ~25 pairs at j >= 0.97; nothing sits in
-    * [0.3, 0.8), so the threshold is far from any boundary). */
+  /** MinHash-banded near-dup pairs, exact-Jaccard-confirmed at 0.5 over
+    * hashed TRIGRAM sets. Trigrams (not bigrams) because this corpus has a
+    * tiny vocabulary: unrelated trigram Jaccard tops out at 0.067 while
+    * planted dups sit at >= 0.90 — so r=2 banding keeps buckets small
+    * (bigram minhash with r=1 drops a large share of the corpus into one
+    * bucket and goes quadratic). Miss probability for a true pair at
+    * s=0.9: (1 - 0.81)^8 = 1.7e-6. */
   private val nearPairs: QueryFn = (s, dir) =>
     NearDup.nearDupPairs(table(s, dir, "documents"),
-        col("doc_id"), col("text"), n = 2, numHashes = 16, threshold = 0.5)
+        col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 2,
+        threshold = 0.5)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         (round(col("jaccard"), 6) + lit(0.0d)).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -80,7 +96,7 @@ object DedupQueries {
   private val nearSurvivors: QueryFn = (s, dir) => {
     val docs = table(s, dir, "documents")
     val losers = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
-      n = 2, numHashes = 16, threshold = 0.5).select(col("id_b"))
+      n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5).select(col("id_b"))
     docs.join(losers, docs("doc_id") === col("id_b"), "left_anti")
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
@@ -91,43 +107,62 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE j >= 0.5)
        |ORDER BY doc_id""".stripMargin
 
-  /** SimHash fingerprint pairs at Hamming distance <= 3, banded into 8
-    * 4-bit sub-keys (pigeonhole-lossless for <= numBands-1 = 7 differing
-    * bits). 32-bit fingerprints over BIGRAM shingles: unigram simhash
-    * degenerates on a small shared vocabulary (every doc collides);
-    * bigrams restore diversity — 24 pairs at sf0.01, all planted dups. */
+  /** SimHash fingerprint pairs at Hamming distance <= 5: 48-bit
+    * fingerprints over BIGRAM shingles, banded into 6 8-bit sub-keys
+    * (pigeonhole-lossless for <= numBands-1 = 5 differing bits; 8-bit
+    * keys keep per-bucket fan-in bounded where 4-bit nibbles would not).
+    * At sf0.01 planted dups sit at hamming <= 5 and the nearest unrelated
+    * pair at 7 — a clean gap. Unigram simhash degenerates on this small
+    * shared vocabulary; bigrams restore diversity. */
   private val simhashPairs: QueryFn = (s, dir) =>
     NearDup.simhashPairs(table(s, dir, "documents"),
-        col("doc_id"), col("text"), shingleN = 2, bits = 32, numBands = 8,
-        maxHamming = 3)
+        col("doc_id"), col("text"), shingleN = 2, bits = 48, numBands = 6,
+        maxHamming = 5)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val simhashPairsSql: String = {
     val hash0 = hashSql(0, "s")
-    val bitTerms = (0 until 32).map { j =>
+    val bitTerms = (0 until 48).map { j =>
       s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
     s"""WITH s AS ($bigramShingles),
-       |toks AS (SELECT doc_id, list_transform(sh, s -> $hash0) AS hs FROM s),
+       |toks AS (SELECT doc_id, list_distinct(list_transform(sh, s -> $hash0)) AS hs FROM s),
        |h AS (SELECT doc_id, $bitTerms::BIGINT AS sim FROM toks)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  bit_count(xor(a.sim, b.sim))::INT AS hamming
        |FROM h a JOIN h b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 5
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Embedding-cosine near-dup: label-blocked self-join (the blocking key
-    * IS the scale story — one shuffle on label, pairs only within a
-    * block; at 100 TB the block key is a coarse cluster/LSH bucket). */
+  /** Embedding-cosine near-dup: label-blocked self-join (pairs only
+    * within a block; at 100 TB the block key is a coarse cluster/LSH
+    * bucket). The left side is SALTED and the right side replicated to
+    * every salt value — with only ~10 distinct labels a bare label join
+    * would squeeze all pairs through 10 reduce slots; salting fans the
+    * same exact pair set out over label x salt cells (each unordered
+    * pair lands exactly once, in the left row's salt cell). */
   private val embeddingNear: QueryFn = (s, dir) => {
+    val SALT = 8
     val e = table(s, dir, "embeddings").select(
       col("vec_id"), col("label"), col("embedding"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("distance",
-        round(cosineDistance(col("a.embedding"), col("b.embedding")), 6) + lit(0.0d))
+    // Precompute each row's L2 norm BEFORE the join: the pair distance
+    // then needs one dot product instead of three array folds — same
+    // arithmetic as cosineDistance (1 - dot/(na*nb), +Inf on zero norm),
+    // so the oracle is unchanged.
+    val withNorm = e.withColumn("nrm", l2Norm(col("embedding")))
+    val a = withNorm.withColumn("salt", pmod(col("vec_id"), lit(SALT)))
+    val b = withNorm.withColumn("salt",
+      explode(sequence(lit(0), lit(SALT - 1)).cast("array<bigint>")))
+    val rawDist = when(col("a.nrm") === 0.0d || col("b.nrm") === 0.0d,
+        lit(Double.PositiveInfinity))
+      .otherwise(lit(1.0d) -
+        dotProduct(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+    a.as("a").join(b.as("b"),
+        col("a.label") === col("b.label") && col("a.salt") === col("b.salt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("distance", round(rawDist, 6) + lit(0.0d))
       .where(col("distance") <= 0.6)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("distance"))

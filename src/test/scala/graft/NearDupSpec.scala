@@ -31,26 +31,26 @@ class NearDupSpec extends AnyFunSuite {
 
   test("minhash: identical texts have identical signatures") {
     val sigs = docs.where($"doc_id".isin(1, 4))
-      .select(minhashSignature(shingles(col("text"), 2), 8).as("sig"))
+      .select(minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
       .as[Seq[Long]].collect()
     assert(sigs(0) == sigs(1))
   }
 
   test("nearDupPairs finds near and exact dups, not unrelated docs") {
-    val pairs = nearDupPairs(docs, col("doc_id"), col("text"), 2, 16, 0.5)
+    val pairs = nearDupPairs(docs, col("doc_id"), col("text"), n = 2, numHashes = 16, rowsPerBand = 1, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
   test("jaccard of exact dup is 1.0") {
-    val j = nearDupPairs(docs, col("doc_id"), col("text"), 2, 16, 0.5)
+    val j = nearDupPairs(docs, col("doc_id"), col("text"), n = 2, numHashes = 16, rowsPerBand = 1, threshold = 0.5)
       .where($"id_a" === 1 && $"id_b" === 4)
       .select("jaccard").as[Double].head()
     assert(j == 1.0)
   }
 
   test("simhash: exact dups collide, near-dups are close, unrelated far") {
-    val sims = docs.select($"doc_id", simhash(shingles(col("text"), 2), 32).as("s"))
+    val sims = docs.select($"doc_id", simhash(hashedShingles(col("text"), 2), 32).as("s"))
       .as[(Long, Long)].collect().toMap
     assert(sims(1L) == sims(4L))
     val near = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
@@ -60,13 +60,13 @@ class NearDupSpec extends AnyFunSuite {
 
   test("simhashPairs respects the pigeonhole precondition") {
     intercept[IllegalArgumentException] {
-      simhashPairs(docs, col("doc_id"), col("text"), 2, 32, 4, maxHamming = 5)
+      simhashPairs(docs, col("doc_id"), col("text"), 2, 32, numBands = 4, maxHamming = 5)
     }
   }
 
   test("bandedCandidates never pairs a doc with itself and orders ids") {
     val sh = docs.select(col("doc_id").as("id"),
-      minhashSignature(shingles(col("text"), 2), 8).as("sig"))
+      minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
     val cand = bandedCandidates(sh, "id", "sig")
       .as[(Long, Long)].collect()
     assert(cand.forall { case (a, b) => a < b })

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.functions.VectorFunctions._
+import graft.operators.LshIndex
+
+/** ScalaCheck properties: the LSH two-phase search degrades gracefully —
+  * when the fallback triggers it EQUALS flat search; bucket-path results
+  * are always drawn from the true distance ordering; top-k is a prefix of
+  * top-(k+1). Run by sbt's native ScalaCheck framework. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = LshIndex.Config(numProjections = 3, dim = 4, seed = 7L)
+
+  private def flatTopK(rows: Seq[(Long, Seq[Float])], q: Seq[Float], k: Int) = {
+    val df = rows.toDF("vec_id", "embedding")
+    df.crossJoin(broadcast(Seq(Tuple1(q)).toDF("qvec")))
+      .withColumn("distance",
+        round(cosineDistance(col("embedding"), col("qvec")), 6) + lit(0.0d))
+      .select(col("vec_id"), col("distance"))
+      .orderBy(col("distance"), col("vec_id")).limit(k)
+      .as[(Long, Double)].collect().toSeq
+  }
+
+  private def lshTopK(rows: Seq[(Long, Seq[Float])], q: Seq[Float], k: Int) = {
+    val indexed = LshIndex.withBucket(rows.toDF("vec_id", "embedding"),
+      col("embedding"), cfg)
+    val qdf = Seq(Tuple1(q)).toDF("qvec")
+      .select(col("qvec"), lshBucket(col("qvec"), cfg.matrix).as("qbucket"))
+    LshIndex.searchTwoPhase(indexed, qdf, "embedding", "cosine", k)
+      .as[(Long, Double)].collect().toSeq
+  }
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f)).map(_.toSeq)
+
+  private val nonZeroVec: Gen[Seq[Float]] = vecGen.retryUntil(_.exists(_ != 0f))
+
+  property("n < k forces fallback in every bucket, so LSH == flat") =
+    forAll(Gen.listOfN(6, vecGen), nonZeroVec) { (vs, q) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      lshTopK(rows, q, k = 10) == flatTopK(rows, q, k = 10)
+    }
+
+  property("flat top-k is a prefix of top-(k+1)") =
+    forAll(Gen.listOfN(8, vecGen), nonZeroVec) { (vs, q) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      flatTopK(rows, q, 4).startsWith(flatTopK(rows, q, 3))
+    }
+
+  property("LSH results come from the true distance ordering, sorted") =
+    forAll(Gen.listOfN(12, nonZeroVec)) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = lshTopK(rows, vs.head, k = 2)
+      val all = flatTopK(rows, vs.head, k = rows.size)
+      got.forall(all.contains) && got == got.sortBy(r => (r._2, r._1))
+    }
+}
