@@ -46,6 +46,21 @@ final class VectorEngine private (val spark: SparkSession) {
   def documentsDf: DataFrame = docs.toDF()
   def chunksDf: DataFrame = chunks.toDF()
 
+  /** S1: expose the entity tables as temp views for `spark.sql` access
+    * (the reference's in-memory store is a dict the API reads; here it is
+    * the session catalog). `cache = true` additionally pins them — the
+    * hot-path store of SURVEY.md §2.1. Views reflect the state at call
+    * time; re-register after mutations. */
+  def registerViews(prefix: String = "graft", cache: Boolean = false): Unit = {
+    def reg(df: DataFrame, name: String): Unit = {
+      val d = if (cache) df.cache() else df
+      d.createOrReplaceTempView(s"${prefix}_$name")
+    }
+    reg(librariesDf, "libraries")
+    reg(documentsDf, "documents")
+    reg(chunksDf, "chunks")
+  }
+
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
   private def newId(): String = java.util.UUID.randomUUID().toString
 

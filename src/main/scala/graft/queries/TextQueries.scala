@@ -104,11 +104,43 @@ object TextQueries {
        |FROM (SELECT doc_id, $tokSql AS t FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** X6 / W4: document reconstruction through the chunk model — split
+    * every text into 5-token chunks with a chunk_index, explode to one
+    * row per chunk, then reassemble with a chunk_index-ordered window
+    * (the reference's `chunk_index` contract, entities.py:54-58). The
+    * oracle hashes the original text: the reconstruction hash only
+    * matches if the window really restores chunk order. */
+  private val docReconstruct: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ChunkTokens = 5
+    val t = tokens(col("text"))
+    val chunked = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), ceil(size(t) / ChunkTokens.toDouble).cast("int") - 1),
+          k => concat_ws(" ", slice(t, k * ChunkTokens + 1, lit(ChunkTokens)))))
+        .as(Seq("chunk_index", "chunk_text")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_index"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    chunked
+      .withColumn("parts", collect_list(col("chunk_text")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        md5(concat_ws(" ", first(col("parts")))).as("reconstructed_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docReconstructSql: String =
+    s"""SELECT doc_id, ceil(len(t) / 5.0)::BIGINT AS n_chunks,
+       |  md5(array_to_string(t, ' ')) AS reconstructed_hash
+       |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_term_stats", termStats, Some(termStatsSql)),
     Q("text_quality", quality, Some(qualitySql)),
     Q("text_langid", langId, Some(langIdSql)),
     Q("text_fingerprint", fingerprintQ, Some(fingerprintSql)),
+    Q("window_doc_reconstruct", docReconstruct, Some(docReconstructSql)),
   )
 }

@@ -179,6 +179,16 @@ class EngineSpec extends AnyFunSuite {
       e2.search(lib, q, 2).collect().toSeq.toString)
   }
 
+  test("registerViews exposes entity tables to spark.sql (S1)") {
+    val (e, lib, _) = freshWithData()
+    e.registerViews("enginespec")
+    val n = spark.sql(
+      s"SELECT count(*) FROM enginespec_chunks WHERE library_id = '$lib'")
+      .head().getLong(0)
+    assert(n == 4)
+    assert(spark.sql("SELECT name FROM enginespec_libraries").head().getString(0) == "lib")
+  }
+
   test("open on a missing directory raises StorageError") {
     intercept[StorageError] { VectorEngine.open(spark, "/tmp/does-not-exist-graft") }
   }
