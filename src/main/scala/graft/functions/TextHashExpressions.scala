@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-loop twins of the NearDup shingle/hash kernels as Catalyst
+  * expressions. The Column compositions (`transform`/`aggregate` over
+  * `md5`/`conv`) are semantically identical but run interpreted with one
+  * boxed expression-tree walk PER SHINGLE; these run one JIT-compiled
+  * Scala loop per row (CodegenFallback — the row-level virtual call is
+  * noise next to the per-element interpretation it replaces).
+  *
+  * Hash contract (shared with the DuckDB oracle, see DedupQueries):
+  *   base hash   = first 15 hex chars of md5("0:" + shingle) as a long
+  *   minhash_i   = min over shingles of (a_i * (h mod 2^30) + b_i) mod p
+  *   simhash bit j = sign of sum of +-1 votes from bit j of each h
+  */
+object TextHash {
+
+  /** First 60 bits of md5(prefix + s): identical to
+    * conv(substring(md5(concat(seed, ':', s)), 1, 15), 16, 10). */
+  private[functions] def md5Prefix60(digest: java.security.MessageDigest,
+                                     s: String): Long = {
+    digest.reset()
+    val b = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Distinct hashed word n-gram shingles of one text — the Scala twin of
+    * NearDup.shingles(text, n) + seededHash(0, _): trim spaces (ASCII
+    * 0x20 only, matching Spark/DuckDB trim), lowercase, split on \s+. */
+  private[functions] def hashedShingles(text: String, n: Int): Array[Long] = {
+    val trimmed = {
+      var st = 0; var en = text.length
+      while (st < en && text.charAt(st) == ' ') st += 1
+      while (en > st && text.charAt(en - 1) == ' ') en -= 1
+      text.substring(st, en)
+    }
+    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < n) return Array.empty
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      sb.append("0:")
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(md5Prefix60(digest, sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  def hashedShinglesCol(text: Column, n: Int): Column =
+    ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text), n))
+
+  def minhashSignatureCol(hsh: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinhashSignatureExpr(ColumnBridge.expression(hsh), numHashes))
+
+  def simhashCol(hsh: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashExpr(ColumnBridge.expression(hsh), bits))
+}
+
+case class HashedShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "hashed_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.hashedShingles(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class MinhashSignatureExpr(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  private lazy val coeffs: Array[(Long, Long)] =
+    Array.tabulate(numHashes)(graft.operators.NearDup.minhashCoeffs)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val x = hs.getLong(i) % (1L << 30)
+      var j = 0
+      while (j < numHashes) {
+        val (a, b) = coeffs(j)
+        val h = (a * x + b) % graft.operators.NearDup.MinhashPrime
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class SimhashExpr(child: Expression, bits: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+  override def prettyName: String = "simhash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < m) {
+      val x = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        votes(j) += (if (((x >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) >= 0L) sim |= 1L << j; j += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused, whole-stage-codegen distance kernels (SURVEY.md §7.7 — the
+  * perf track behind the F1-F3 Column compositions).
+  *
+  * The `zip_with`/`aggregate` higher-order compositions in
+  * VectorFunctions are semantically exact but evaluate INTERPRETED
+  * (Catalyst does not codegen lambda functions), boxing every element.
+  * These expressions emit a tight primitive loop via doGenCode instead —
+  * same float32-input / float64-accumulation contract, same
+  * left-to-right fold order, bit-identical results (each accumulator is
+  * independent, so fusing the three cosine folds into one loop cannot
+  * change any IEEE result) — the oracle SQL is unchanged.
+  *
+  * Kernels (reference: vector_db/indexes.py:108-123):
+  *   cosine   = 1 - v.q/(|v||q|), +Inf when either norm is 0
+  *   euclidean = sqrt(sum (v_i - q_i)^2)
+  *   dot      = -(v.q)
+  */
+abstract class VectorDistanceExpression extends BinaryExpression
+  with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<float> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+
+  /** Scala twin of the generated loop (interpreted eval path). */
+  protected def compute(a: ArrayData, b: ArrayData): Double
+
+  /** Java loop body: given array variables, assign the result double to
+    * `resultVar`. */
+  protected def genLoop(a: String, b: String, resultVar: String): String
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => genLoop(a, b, ev.value))
+}
+
+/** v · q accumulated in double (float32 inputs). */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends VectorDistanceExpression {
+
+  override def prettyName: String = "vec_dot"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def genLoop(a: String, b: String, res: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double acc = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+       |$res = acc;
+       |""".stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : Expression = copy(left = l, right = r)
+}
+
+/** 1 - v.q/(|v||q|); +Infinity when either norm is zero
+  * (vector_db/indexes.py:112-113). One fused loop for all three folds. */
+case class CosineDistanceExpr(left: Expression, right: Expression)
+  extends VectorDistanceExpression {
+
+  override def prettyName: String = "cosine_distance"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val d1 = math.sqrt(na); val d2 = math.sqrt(nb)
+    if (d1 == 0.0d || d2 == 0.0d) Double.PositiveInfinity
+    else 1.0d - dot / (d1 * d2)
+  }
+
+  override protected def genLoop(a: String, b: String, res: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double x = (double) $a.getFloat(i);
+       |  double y = (double) $b.getFloat(i);
+       |  dot += x * y; na += x * x; nb += y * y;
+       |}
+       |double d1 = java.lang.Math.sqrt(na);
+       |double d2 = java.lang.Math.sqrt(nb);
+       |$res = (d1 == 0.0 || d2 == 0.0)
+       |  ? Double.POSITIVE_INFINITY : 1.0 - dot / (d1 * d2);
+       |""".stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : Expression = copy(left = l, right = r)
+}
+
+/** sqrt(sum (v_i - q_i)^2) (vector_db/indexes.py:117-119). */
+case class EuclideanDistanceExpr(left: Expression, right: Expression)
+  extends VectorDistanceExpression {
+
+  override def prettyName: String = "euclidean_distance"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def genLoop(a: String, b: String, res: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double acc = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+       |  acc += d * d;
+       |}
+       |$res = java.lang.Math.sqrt(acc);
+       |""".stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : Expression = copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def cosineDistance(v: Column, q: Column): Column =
+    c(CosineDistanceExpr(e(v), e(q)))
+  def euclideanDistance(v: Column, q: Column): Column =
+    c(EuclideanDistanceExpr(e(v), e(q)))
+  def dotProduct(v: Column, q: Column): Column =
+    c(DotProductExpr(e(v), e(q)))
+  def dotProductDistance(v: Column, q: Column): Column =
+    -dotProduct(v, q)
+}

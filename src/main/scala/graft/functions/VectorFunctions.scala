@@ -32,25 +32,23 @@ object VectorFunctions {
 
   /** Cosine distance; +Infinity when either vector has zero norm
     * (reference: vector_db/indexes.py:112-113 — keeps zero vectors sorted
-    * last ascending, which Spark's ordering of Infinity also guarantees). */
-  def cosineDistance(v: Column, q: Column): Column = {
-    val nv = l2Norm(v)
-    val nq = l2Norm(q)
-    when(nv === 0.0d || nq === 0.0d, lit(Double.PositiveInfinity))
-      .otherwise(lit(1.0d) - dotProduct(v, q) / (nv * nq))
-  }
+    * last ascending, which Spark's ordering of Infinity also guarantees).
+    *
+    * Implemented as a fused codegen expression (VectorExpressions) —
+    * identical IEEE results to the zip_with/aggregate composition (same
+    * float32->float64 per-element conversion, same left-to-right folds),
+    * but a primitive loop inside whole-stage codegen instead of an
+    * interpreted lambda chain. */
+  def cosineDistance(v: Column, q: Column): Column =
+    VectorExpressions.cosineDistance(v, q)
 
-  /** Euclidean (L2) distance. */
+  /** Euclidean (L2) distance (fused codegen loop). */
   def euclideanDistance(v: Column, q: Column): Column =
-    sqrt(aggregate(
-      zip_with(v.cast("array<double>"), q.cast("array<double>"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0d),
-      _ + _))
+    VectorExpressions.euclideanDistance(v, q)
 
   /** Negated dot product, so ascending sort = most similar first. */
   def dotProductDistance(v: Column, q: Column): Column =
-    -dotProduct(v, q)
+    VectorExpressions.dotProductDistance(v, q)
 
   /** Metric dispatch (reference: vector_db/indexes.py:99-106). Unknown
     * metric fails eagerly at plan-build time, mirroring the reference's

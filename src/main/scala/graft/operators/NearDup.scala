@@ -37,9 +37,12 @@ object NearDup {
 
   /** Distinct hashed shingle set: the md5 runs ONCE per shingle; every
     * downstream hash (minhash family, simhash bits) derives from the
-    * 60-bit value with cheap integer arithmetic. */
+    * 60-bit value with cheap integer arithmetic. Backed by a JIT-compiled
+    * expression (graft.functions.TextHash) — the equivalent
+    * array_distinct(transform(shingles, md5...)) composition evaluates
+    * interpreted per shingle and dominated the near-dup wall-clock. */
   def hashedShingles(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => seededHash(0, s)))
+    graft.functions.TextHash.hashedShinglesCol(text, n)
 
   /** Affine minhash family over the base hash: h_i(x) = (a_i * (x mod 2^30)
     * + b_i) mod p with p = 1e9+7 — coefficients are fixed formulas so any
@@ -52,13 +55,11 @@ object NearDup {
   val MinhashPrime = 1000000007L
 
   /** MinHash signature over a hashed shingle array: element i = min over
-    * shingles of h_i. */
+    * shingles of h_i (JIT-compiled loop; an empty shingle set yields the
+    * Long.MaxValue sentinel signature, which can only ever pair with
+    * another empty doc and is rejected by the exact confirm). */
   def minhashSignature(hsh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      val (a, b) = minhashCoeffs(i)
-      array_min(transform(hsh, x =>
-        (lit(a) * pmod(x, lit(1L << 30)) + lit(b)) % lit(MinhashPrime)))
-    }: _*)
+    graft.functions.TextHash.minhashSignatureCol(hsh, numHashes)
 
   /** Banded-LSH candidate pairs: the signature is cut into bands of
     * `rowsPerBand` minhashes; the band slice is the join key (one shuffle,
@@ -133,16 +134,8 @@ object NearDup {
     * the md5 of every shingle `bits` times and push the expression tree
     * past the codegen method-size limit into interpreted mode; this form
     * hashes each shingle exactly once. */
-  def simhash(hsh: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
-    val masks = array((0 until bits).map(j => lit(1L << j)): _*)
-    val zeros = array_repeat(lit(0L), bits)
-    val votes = aggregate(hsh, zeros,
-      (acc, x) => zip_with(acc, masks, (a, m) =>
-        a + when(x.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
-    aggregate(zip_with(votes, masks, (v, m) => when(v >= 0L, m).otherwise(lit(0L))),
-      lit(0L), _ + _)
-  }
+  def simhash(hsh: Column, bits: Int): Column =
+    graft.functions.TextHash.simhashCol(hsh, bits)
 
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

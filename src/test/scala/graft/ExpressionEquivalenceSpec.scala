@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+import graft.operators.NearDup
+
+/** The codegen/JIT expression kernels must be BIT-IDENTICAL to the
+  * declarative Column compositions they replaced — the oracle hash gate
+  * depends on it. These tests evaluate both forms on the same data and
+  * require exact equality. */
+class ExpressionEquivalenceSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(11)
+  private val vecs = (0L until 50L).map(i =>
+    (i, Seq.fill(16)(rng.nextFloat() * 2 - 1))).toDF("id", "v")
+  private val q = Seq.fill(16)(rng.nextFloat() * 2 - 1)
+
+  // the original higher-order compositions, kept here as the spec
+  private def hofDot(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+    aggregate(zip_with(v.cast("array<double>"), q.cast("array<double>"), _ * _),
+      lit(0.0d), _ + _)
+
+  private def qCol = array(q.map(x => lit(x)): _*).cast("array<float>")
+
+  test("cosine expression == HOF composition, bit for bit") {
+    val nv = sqrt(hofDot(col("v"), col("v")))
+    val nq = sqrt(hofDot(qCol, qCol))
+    val hof = when(nv === 0.0d || nq === 0.0d, lit(Double.PositiveInfinity))
+      .otherwise(lit(1.0d) - hofDot(col("v"), qCol) / (nv * nq))
+    val rows = vecs.select(cosineDistance(col("v"), qCol).as("e"), hof.as("h"))
+      .as[(Double, Double)].collect()
+    assert(rows.forall { case (e, h) =>
+      java.lang.Double.doubleToRawLongBits(e) == java.lang.Double.doubleToRawLongBits(h)
+    })
+  }
+
+  test("euclidean expression == HOF composition, bit for bit") {
+    val hof = sqrt(aggregate(
+      zip_with(col("v").cast("array<double>"), qCol.cast("array<double>"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), _ + _))
+    val rows = vecs.select(euclideanDistance(col("v"), qCol).as("e"), hof.as("h"))
+      .as[(Double, Double)].collect()
+    assert(rows.forall { case (e, h) =>
+      java.lang.Double.doubleToRawLongBits(e) == java.lang.Double.doubleToRawLongBits(h)
+    })
+  }
+
+  test("dot-product expression == HOF composition, bit for bit") {
+    val rows = vecs.select(dotProductDistance(col("v"), qCol).as("e"),
+      (-hofDot(col("v"), qCol)).as("h")).as[(Double, Double)].collect()
+    assert(rows.forall { case (e, h) => e == h })
+  }
+
+  private val texts = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "  Mixed   CASE and    extra whitespace   "),
+    (3L, "one two"),
+    (4L, "single"),
+  ).toDF("id", "text")
+
+  // HOF twin of hashedShingles: distinct strings -> seeded md5 prefix
+  private def hofHashedShingles(text: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(transform(NearDup.shingles(text, n),
+      s => NearDup.seededHash(0, s)))
+
+  test("hashedShingles expression == HOF composition (values and order)") {
+    for (n <- Seq(1, 2, 3)) {
+      val rows = texts.select(
+        NearDup.hashedShingles(col("text"), n).as("e"),
+        hofHashedShingles(col("text"), n).as("h"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (e, h) => assert(e == h, s"n=$n") }
+    }
+  }
+
+  test("minhash signature expression == per-hash affine HOF") {
+    val hof = array((0 until 8).map { i =>
+      val (a, b) = NearDup.minhashCoeffs(i)
+      array_min(transform(col("hsh"), x =>
+        (lit(a) * pmod(x, lit(1L << 30)) + lit(b)) % lit(NearDup.MinhashPrime)))
+    }: _*)
+    val base = texts.select(NearDup.hashedShingles(col("text"), 2).as("hsh"))
+      .where(size(col("hsh")) > 0)
+    val rows = base.select(NearDup.minhashSignature(col("hsh"), 8).as("e"),
+      hof.as("h")).as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (e, h) => assert(e == h) }
+  }
+
+  test("simhash expression == array-accumulator HOF") {
+    val bits = 16
+    val masks = array((0 until bits).map(j => lit(1L << j)): _*)
+    val zeros = array_repeat(lit(0L), bits)
+    val votes = aggregate(col("hsh"), zeros,
+      (acc, x) => zip_with(acc, masks, (a, m) =>
+        a + when(x.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    val hof = aggregate(
+      zip_with(votes, masks, (v, m) => when(v >= 0L, m).otherwise(lit(0L))),
+      lit(0L), _ + _)
+    val base = texts.select(NearDup.hashedShingles(col("text"), 2).as("hsh"))
+    val rows = base.select(NearDup.simhash(col("hsh"), bits).as("e"), hof.as("h"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (e, h) => assert(e == h) }
+  }
+}
