@@ -148,9 +148,51 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
   : Expression = copy(left = l, right = r)
 }
 
+/** Sign-bit LSH bucket hash as a fused loop (twin of
+  * VectorFunctions.lshBucket: bit i set iff P_i . v >= 0, double
+  * accumulation in matrix-row-major order). The matrix rides inside the
+  * expression (tiny — numProjections x dim doubles). */
+case class LshBucketExpr(child: Expression, matrix: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(matrix.nonEmpty && matrix.length <= 62,
+    s"numProjections must be in [1, 62], got ${matrix.length}")
+
+  override def prettyName: String = "lsh_bucket"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var i = 0
+    while (i < matrix.length) {
+      val row = matrix(i)
+      val n = math.min(row.length, v.numElements())
+      var acc = 0.0d; var j = 0
+      while (j < n) { acc += v.getFloat(j).toDouble * row(j); j += 1 }
+      if (acc >= 0.0d) bucket |= 1L << i
+      i += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def lshBucket(v: Column, matrix: Array[Array[Double]]): Column =
+    c(LshBucketExpr(e(v), matrix))
 
   def cosineDistance(v: Column, q: Column): Column =
     c(CosineDistanceExpr(e(v), e(q)))

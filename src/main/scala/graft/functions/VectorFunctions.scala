@@ -76,17 +76,11 @@ object VectorFunctions {
   }
 
   /** Sign-bit bucket hash: bit i set iff P_i . v >= 0, packed little-endian
-    * (reference: vector_db/indexes.py:236-242). Pure Column composition:
-    * the matrix is tiny (numProjections x dim) and inlined as literals, so
-    * the whole hash stays inside whole-stage codegen. The hash stays LONG —
-    * an int cast would silently overflow at >= 32 projections. */
-  def lshBucket(v: Column, matrix: Array[Array[Double]]): Column = {
-    require(matrix.nonEmpty && matrix.length <= 62,
-      s"numProjections must be in [1, 62], got ${matrix.length}")
-    val bits = matrix.zipWithIndex.map { case (row, i) =>
-      val proj = dotProduct(v, array(row.map(lit): _*))
-      when(proj >= 0.0d, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * (reference: vector_db/indexes.py:236-242). Fused-loop expression with
+    * the tiny matrix embedded (VectorExpressions.LshBucketExpr) — same
+    * float32->float64 per-element products and left-to-right accumulation
+    * as the zip_with composition it replaced. The hash stays LONG — an
+    * int cast would silently overflow at >= 32 projections. */
+  def lshBucket(v: Column, matrix: Array[Array[Double]]): Column =
+    VectorExpressions.lshBucket(v, matrix)
 }

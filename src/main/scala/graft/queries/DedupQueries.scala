@@ -150,15 +150,19 @@ object DedupQueries {
     // Precompute each row's L2 norm BEFORE the join: the pair distance
     // then needs one dot product instead of three array folds — same
     // arithmetic as cosineDistance (1 - dot/(na*nb), +Inf on zero norm),
-    // so the oracle is unchanged.
-    val withNorm = e.withColumn("nrm", l2Norm(col("embedding")))
+    // so the oracle is unchanged. Dot products use the fused codegen
+    // expression (bit-identical to the HOF fold).
+    import graft.functions.VectorExpressions
+    val withNorm = e.withColumn("nrm",
+      sqrt(VectorExpressions.dotProduct(col("embedding"), col("embedding"))))
     val a = withNorm.withColumn("salt", pmod(col("vec_id"), lit(SALT)))
     val b = withNorm.withColumn("salt",
       explode(sequence(lit(0), lit(SALT - 1)).cast("array<bigint>")))
     val rawDist = when(col("a.nrm") === 0.0d || col("b.nrm") === 0.0d,
         lit(Double.PositiveInfinity))
       .otherwise(lit(1.0d) -
-        dotProduct(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        VectorExpressions.dotProduct(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
     a.as("a").join(b.as("b"),
         col("a.label") === col("b.label") && col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -183,7 +183,19 @@ object RelationalQueries {
     """SELECT count(*) AS total, count(DISTINCT l_orderkey) AS n_orders,
       |  count(DISTINCT l_partkey) AS n_parts FROM lineitem""".stripMargin
 
+  /** A3: the pagination envelope math — `total` over the full set,
+    * `has_more = skip + limit < total` (reference: schemas.py:77-83; the
+    * engine's Page does the same, EngineSpec covers it end-to-end). */
+  private val paginationMeta: QueryFn = (s, dir) =>
+    table(s, dir, "documents").agg(
+      count(lit(1)).as("total"),
+      (lit(150L) < count(lit(1))).as("has_more"))
+
+  private val paginationMetaSql: String =
+    "SELECT count(*) AS total, 150 < count(*) AS has_more FROM documents"
+
   val all: Seq[Q] = Seq(
+    Q("agg_pagination_meta", paginationMeta, Some(paginationMetaSql)),
     Q("agg_lineitem_pushdown", aggLineitem, Some(aggLineitemSql)),
     Q("join_fk_chain_broadcast", fkChainJoin, Some(fkChainJoinSql)),
     Q("join_top_revenue", topRevenue, Some(topRevenueSql)),
