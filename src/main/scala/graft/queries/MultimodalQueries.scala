@@ -62,9 +62,55 @@ object MultimodalQueries {
       |  count(*) AS n_events, round(sum(value), 2) + 0 AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Sessionization: reconstruct user sessions from the event stream with
+    * a 30-minute inactivity gap — lag + cumulative-sum windows partitioned
+    * by user (the shuffle key; scales with user cardinality). Gaps are
+    * compared in integer MICROSECONDS on both sides (unix_micros /
+    * epoch_us) — a seconds cast would round differently in DuckDB
+    * (half-even) than Spark (truncation). */
+  private val sessionize: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val GapUs = 1800L * 1000000L
+    val ev = table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (round(sum(col("value")), 2) + lit(0.0d)).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |x AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM m)
+      |SELECT user_id, session_seq::BIGINT AS session_seq,
+      |  count(*) AS n_events, min(ts) AS session_start,
+      |  round(sum(value), 2) + 0 AS session_value
+      |FROM x GROUP BY user_id, x.session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_features", mmFeatures, Some(mmFeaturesSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
+    Q("events_sessionize", sessionize, Some(sessionizeSql)),
   )
 }

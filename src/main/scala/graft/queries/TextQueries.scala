@@ -20,6 +20,10 @@ object TextQueries {
       col("doc_id"),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_unique"),
+      // BPE-ish budget estimate: ~4 chars per subword token, the standard
+      // LLM-context heuristic (the real tokenizer is model-specific)
+      ceil(length(trim(col("text"))).cast("double") / 4.0).cast("long")
+        .as("n_tokens_bpe_est"),
       (round(avgTokenLen(t), 6) + lit(0.0d)).as("avg_token_len"),
       (round(stopwordRatio(t), 6) + lit(0.0d)).as("stopword_ratio"))
       .orderBy(col("doc_id"))
@@ -28,9 +32,10 @@ object TextQueries {
   private val tokenStatsSql: String = {
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+       |  ceil(len(trim(text))::DOUBLE / 4.0)::BIGINT AS n_tokens_bpe_est,
        |  round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 6) + 0 AS avg_token_len,
        |  round(len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t), 6) + 0 AS stopword_ratio
-       |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+       |FROM (SELECT doc_id, text, $tokSql AS t FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
 
