@@ -179,6 +179,37 @@ class EngineSpec extends AnyFunSuite {
       e2.search(lib, q, 2).collect().toSeq.toString)
   }
 
+  test("index-kind flip on an empty library takes effect for later ingest") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("flip", dim = 4) // flat
+    e.patchLibrary(lib.id, indexKind = Some("random_projection"))
+    val doc = e.createDocument(lib.id, "d")
+    e.addChunk(doc.id, ChunkInput("x", vec(1, 0, 0, 0), id = Some("fc0")))
+    assert(e.getChunk("fc0").bucket.isDefined) // bucket derived post-flip
+    assert(e.search(lib.id, vec(1, 0, 0, 0), 1).count() == 1)
+  }
+
+  test("patchChunk with a new embedding re-derives the bucket " +
+    "(vector_store.py:199-205)") {
+    val (e, _, _) = freshWithData("random_projection")
+    val before = e.getChunk("c0").bucket.get
+    // flip the vector to (roughly) the opposite direction
+    e.patchChunk("c0", embedding = Some(vec(-1, 0, 0, 0)))
+    val after = e.getChunk("c0").bucket.get
+    // opposite vector flips every projection sign -> complement bucket
+    assert(after == (~before & 0xfL))
+  }
+
+  test("bulk ingest rejects rows referencing unknown documents") {
+    val (e, lib, doc) = freshWithData()
+    import spark.implicits._
+    val bad = Seq(("bx", "no-such-doc", "t", Seq(1f, 0f, 0f, 0f),
+      Map.empty[String, String], 0))
+      .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index")
+    intercept[NotFoundError] { e.addChunksDf(lib, bad) }
+    assert(e.chunkCount(lib) == 4) // nothing written
+  }
+
   test("registerViews exposes entity tables to spark.sql (S1)") {
     val (e, lib, _) = freshWithData()
     e.registerViews("enginespec")
