@@ -20,7 +20,8 @@ object SparkEntry {
       RelationalQueries.all ++
       DedupQueries.all ++
       TextQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's core operation — k-NN cosine search (SURVEY.md §3.1). */

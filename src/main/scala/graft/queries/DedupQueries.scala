@@ -42,7 +42,7 @@ object DedupQueries {
 
   /** DuckDB twin of the exact-Jaccard confirm over all pairs (the oracle
     * may go all-pairs; the engine under test must not). */
-  private val jaccardPairs: String =
+  private[queries] val jaccardPairs: String =
     s"""s AS ($hashedTrigramSets),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        len(list_intersect(a.hsh, b.hsh))::DOUBLE / len(list_distinct(a.hsh || b.hsh)) AS j

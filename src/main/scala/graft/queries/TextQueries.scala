@@ -11,7 +11,7 @@ import graft.operators.TextAnalysis._
   */
 object TextQueries {
 
-  private val tokSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private[queries] val tokSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** Per-document token statistics. */
   private val tokenStats: QueryFn = (s, dir) => {
