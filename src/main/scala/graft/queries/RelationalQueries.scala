@@ -194,7 +194,40 @@ object RelationalQueries {
   private val paginationMetaSql: String =
     "SELECT count(*) AS total, 150 < count(*) AS has_more FROM documents"
 
+  /** Multi-level aggregation (ROLLUP): subtotals per returnflag and a
+    * grand total in one pass — Spark expands the grouping sets and still
+    * partial-aggregates map-side. Beyond the reference's surface (free in
+    * Spark; SURVEY.md §2.4 notes the absence). */
+  private val rollupAgg: QueryFn = (s, dir) =>
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("l_quantity")), 2) + lit(0.0d)).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) + 0 AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Exact interpolated percentiles (Spark `percentile` and DuckDB
+    * `quantile_cont` both do linear interpolation over the sorted set). */
+  private val percentiles: QueryFn = (s, dir) =>
+    table(s, dir, "lineitem").agg(
+      (round(expr("percentile(l_quantity, 0.25)"), 6) + lit(0.0d)).as("p25"),
+      (round(expr("percentile(l_quantity, 0.5)"), 6) + lit(0.0d)).as("p50"),
+      (round(expr("percentile(l_quantity, 0.75)"), 6) + lit(0.0d)).as("p75"))
+
+  private val percentilesSql: String =
+    """SELECT round(quantile_cont(l_quantity, 0.25), 6) + 0 AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 6) + 0 AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 6) + 0 AS p75
+      |FROM lineitem""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("agg_rollup", rollupAgg, Some(rollupAggSql)),
+    Q("agg_percentiles", percentiles, Some(percentilesSql)),
     Q("agg_pagination_meta", paginationMeta, Some(paginationMetaSql)),
     Q("agg_lineitem_pushdown", aggLineitem, Some(aggLineitemSql)),
     Q("join_fk_chain_broadcast", fkChainJoin, Some(fkChainJoinSql)),
