@@ -185,6 +185,31 @@ final class VectorEngine private (val spark: SparkSession) {
     row
   }
 
+  /** Bulk document ingest — the 100 TB path, mirroring addChunksDf: a
+    * DataFrame with (id, name, metadata) appended in one micro-batch
+    * after set-based validation (no driver row loop). */
+  def addDocumentsDf(libraryId: String, df: DataFrame): Long = {
+    getLibrary(libraryId)
+    val bad = df.select(
+      sum(when(length(col("name")).between(1, MaxNameLen), 0).otherwise(1)))
+      .head().getLong(0)
+    if (bad > 0) throw ValidationError(s"document name must be 1..$MaxNameLen chars")
+    val dupes = df.join(docs.select(col("id")), Seq("id"), "left_semi")
+    if (dupes.limit(1).count() > 0)
+      throw ConflictError("document id already exists")
+    val t = now()
+    val prepared = df.select(
+      col("id").cast("string"),
+      lit(libraryId).as("library_id"),
+      col("name").cast("string"),
+      col("metadata").cast("map<string,string>"),
+      lit(t).as("created_at"),
+      lit(t).as("updated_at")).as[DocumentRow]
+    val n = prepared.count()
+    docs = docs.unionByName(prepared)
+    n
+  }
+
   private def findDocument(id: String): Option[DocumentRow] =
     docs.where(col("id") === id).collect().headOption
 

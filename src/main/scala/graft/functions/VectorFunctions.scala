@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math as pure Column compositions (whole-stage-codegen friendly —
-  * no UDFs, no closures at runtime).
+/** Vector math — the engine's distance kernels.
   *
   * Semantics mirror the reference's distance kernels
   * (reference: vector_db/indexes.py:108-123):
@@ -14,9 +13,15 @@ import org.apache.spark.sql.functions._
   *   - dot_product_distance = -(v.q)             (vector_db/indexes.py:121-123)
   *
   * Storage is float32 (vector_db/indexes.py:92); distances are accumulated
-  * in double (SURVEY.md §7.4 item 2): we cast the arrays to array<double>
-  * up-front, then do a sequential fold — the same element order and
-  * precision DuckDB's list kernels use, which keeps the oracle hash stable.
+  * in double (SURVEY.md §7.4 item 2) with a left-to-right fold — the same
+  * element order and precision DuckDB's list kernels use, which keeps the
+  * oracle hash stable.
+  *
+  * The distance kernels are fused codegen expressions (VectorExpressions,
+  * SURVEY.md §7.7); `dotProduct`/`l2Norm` below remain generic Column
+  * compositions because they also serve mixed float/double inputs (e.g.
+  * the LSH projection rows, which must stay double precision). The two
+  * forms are proven bit-identical in ExpressionEquivalenceSpec.
   */
 object VectorFunctions {
 

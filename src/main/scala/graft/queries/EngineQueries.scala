@@ -24,11 +24,11 @@ object EngineQueries {
       indexKind = kind, id = Some("lib0"),
       lshProjections = LshQueries.config.numProjections,
       lshSeed = LshQueries.config.seed)
-    val labels = table(s, dir, "embeddings")
-      .select(col("label")).distinct().orderBy(col("label"))
-      .collect().map(_.getInt(0)).toSeq
-    labels.foreach(l =>
-      eng.createDocument(lib.id, s"doc-$l", id = Some(s"doc-$l")))
+    eng.addDocumentsDf(lib.id, table(s, dir, "embeddings")
+      .select(concat(lit("doc-"), col("label")).as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("name"),
+        typedLit(Map.empty[String, String]).as("metadata")))
     val chunkDf = table(s, dir, "embeddings").select(
       concat(lit("c"), col("vec_id")).as("id"),
       concat(lit("doc-"), col("label")).as("document_id"),

@@ -200,6 +200,21 @@ class EngineSpec extends AnyFunSuite {
     assert(after == (~before & 0xfL))
   }
 
+  test("bulk document ingest validates names and duplicate ids") {
+    val (e, lib, _) = freshWithData()
+    import spark.implicits._
+    val docs2 = Seq(("d10", "ten", Map.empty[String, String]),
+      ("d11", "eleven", Map.empty[String, String]))
+      .toDF("id", "name", "metadata")
+    assert(e.addDocumentsDf(lib, docs2) == 2)
+    assert(e.documentCount(lib) == 3)
+    intercept[ConflictError] { e.addDocumentsDf(lib, docs2) } // same ids again
+    intercept[ValidationError] {
+      e.addDocumentsDf(lib,
+        Seq(("d12", "", Map.empty[String, String])).toDF("id", "name", "metadata"))
+    }
+  }
+
   test("bulk ingest rejects rows referencing unknown documents") {
     val (e, lib, doc) = freshWithData()
     import spark.implicits._
