@@ -466,7 +466,14 @@ final class VectorEngine private (val spark: SparkSession) {
     try {
       libs.toDF().write.mode("overwrite").parquet(s"$base/libraries.parquet")
       docs.toDF().write.mode("overwrite").parquet(s"$base/documents.parquet")
-      chunks.toDF().write.mode("overwrite").parquet(s"$base/chunks.parquet")
+      // chunks partitioned by library: a reopened engine's per-library
+      // scan (every search) is partition-pruned at the directory level.
+      // An empty table is written unpartitioned — partitionBy with zero
+      // rows writes no files at all, which would make the reopen fail.
+      val out = chunks.toDF()
+      val writer = out.write.mode("overwrite")
+      (if (out.isEmpty) writer else writer.partitionBy("library_id"))
+        .parquet(s"$base/chunks.parquet")
       matrices.values.toSeq.toDS().toDF().write.mode("overwrite")
         .parquet(s"$base/matrices.parquet")
       Files.createDirectories(Paths.get(dir))
@@ -484,7 +491,11 @@ final class VectorEngine private (val spark: SparkSession) {
     val base = s"$dir/$version"
     libs = spark.read.parquet(s"$base/libraries.parquet").as[LibraryRow]
     docs = spark.read.parquet(s"$base/documents.parquet").as[DocumentRow]
-    chunks = spark.read.parquet(s"$base/chunks.parquet").as[ChunkRow]
+    // partition-column type inference could read a numeric-looking
+    // library_id back as INT — pin it to string
+    chunks = spark.read.parquet(s"$base/chunks.parquet")
+      .withColumn("library_id", col("library_id").cast("string"))
+      .as[ChunkRow]
     matrices = spark.read.parquet(s"$base/matrices.parquet").as[MatrixRow]
       .collect().map(m => m.library_id -> m).toMap
     // S5 cold-start rebuild: bucket is re-derivable from the persisted

@@ -107,10 +107,32 @@ object MultimodalQueries {
       |FROM x GROUP BY user_id, x.session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Stream enrichment: events joined to a broadcast dimension (the
+    * foreachBatch-side pattern for attaching user/customer attributes to
+    * a stream) — zero shuffle on the event side, one aggregate. */
+  private val eventsEnriched: QueryFn = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(s, dir, "events").select(col("user_id"), col("value"))
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value")), 2) + lit(0.0d)).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val eventsEnrichedSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  round(sum(value), 2) + 0 AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_features", mmFeatures, Some(mmFeaturesSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
     Q("events_sessionize", sessionize, Some(sessionizeSql)),
+    Q("events_enriched", eventsEnriched, Some(eventsEnrichedSql)),
   )
 }

@@ -235,6 +235,17 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT name FROM enginespec_libraries").head().getString(0) == "lib")
   }
 
+  test("empty engine round-trips (no chunks written yet)") {
+    val dir = Files.tmp("graft-engine-empty")
+    val e = VectorEngine.create(spark)
+    e.createLibrary("only-lib", dim = 4, id = Some("empty-lib"))
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    assert(e2.getLibrary("empty-lib").name == "only-lib")
+    assert(e2.chunkCount("empty-lib") == 0)
+    assert(e2.search("empty-lib", vec(1, 0, 0, 0), 5).count() == 0)
+  }
+
   test("open on a missing directory raises StorageError") {
     intercept[StorageError] { VectorEngine.open(spark, "/tmp/does-not-exist-graft") }
   }
