@@ -23,7 +23,7 @@ object IvfIndex {
   final case class Centroid(id: Long, vec: Array[Float])
 
   private def litVec(v: Array[Float]): Column =
-    array(v.map(x => lit(x)): _*).cast("array<float>")
+    array(v.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")
 
   /** Cell id = argmin over centroids of euclidean distance, ties broken by
     * centroid id (struct comparison is lexicographic on (distance, id)). */

@@ -21,8 +21,10 @@ import graft.functions.{CosineDistanceExpr, DotProductExpr, EuclideanDistanceExp
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // 11-arg constructor is the only non-deprecated one carrying usage text
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "4.0.0", "", "scala_udf")
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
