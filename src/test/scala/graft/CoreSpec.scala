@@ -21,6 +21,16 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.06) // 3x rsd head-room
   }
 
+  test("approx_percentile tracks exact percentile (the scale path behind " +
+    "agg_percentiles)") {
+    val rng = new scala.util.Random(5)
+    val df = (1 to 20000).map(_ => rng.nextDouble() * 100).toDF("x")
+    val r = df.agg(
+      expr("percentile(x, 0.5)").as("exact"),
+      expr("approx_percentile(x, 0.5, 1000)").as("approx")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1.0)
+  }
+
   test("offset+limit pagination returns the same slice as a row_number window") {
     val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val viaOffset = df.orderBy("id").offset(100).limit(50)
