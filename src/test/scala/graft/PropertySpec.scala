@@ -56,6 +56,45 @@ object PropertySpec extends Properties("graft") {
       flatTopK(rows, q, 4).startsWith(flatTopK(rows, q, 3))
     }
 
+  property("metadata pre-filter == post-filter (SURVEY §5: filter placement " +
+    "cannot change the result set)") =
+    forAll(Gen.listOfN(10, Gen.zip(vecGen, Gen.oneOf(1, 2, 3)))) { rows =>
+      import graft.functions.MetadataFunctions._
+      val df = rows.zipWithIndex.map { case ((v, tag), i) =>
+        (i.toLong, v, Map("tag" -> s"i:$tag"))
+      }.toDF("vec_id", "embedding", "metadata")
+      val q = Seq(Tuple1(Seq(1f, 0f, 0f, 0f))).toDF("qvec")
+      def scored(base: org.apache.spark.sql.DataFrame) = base
+        .crossJoin(broadcast(q))
+        .withColumn("distance",
+          round(cosineDistance(col("embedding"), col("qvec")), 6) + lit(0.0d))
+        .select(col("vec_id"), col("distance"))
+      val pre = scored(df.where(filterPredicate(col("metadata"), Map("tag" -> 2))))
+        .orderBy(col("distance"), col("vec_id"))
+        .as[(Long, Double)].collect().toSeq
+      val post = scored(df)
+        .join(df.where(filterPredicate(col("metadata"), Map("tag" -> 2)))
+          .select("vec_id"), Seq("vec_id"), "left_semi")
+        .orderBy(col("distance"), col("vec_id"))
+        .as[(Long, Double)].collect().toSeq
+      pre == post
+    }
+
+  property("jaccard is symmetric, bounded, and 1 iff equal sets") = {
+    import graft.operators.NearDup
+    forAll(Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty)),
+      Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { (a, b) =>
+      val df = Seq((a.mkString(" "), b.mkString(" "))).toDF("ta", "tb")
+      val r = df.select(
+        NearDup.jaccard(NearDup.shingles(col("ta"), 1), NearDup.shingles(col("tb"), 1)).as("ab"),
+        NearDup.jaccard(NearDup.shingles(col("tb"), 1), NearDup.shingles(col("ta"), 1)).as("ba"),
+        NearDup.jaccard(NearDup.shingles(col("ta"), 1), NearDup.shingles(col("ta"), 1)).as("aa"))
+        .head()
+      val (ab, ba, aa) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      ab == ba && ab >= 0.0 && ab <= 1.0 && aa == 1.0
+    }
+  }
+
   property("LSH results come from the true distance ordering, sorted") =
     forAll(Gen.listOfN(12, nonZeroVec)) { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
