@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{ChunkInput, VectorEngine}
+
+/** Physical-plan regression guards: the scale properties the engine is
+  * designed around must be visible in the executed plan, so a future
+  * refactor cannot silently reintroduce a scale-killer (round 1 shipped
+  * one: a no-partition row_number window). Checked at sf0.001 — plan
+  * SHAPE is scale-independent. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("knn_flat_cosine: TakeOrderedAndProject over a broadcast query side " +
+    "(per-partition top-k, k-row merge)") {
+    val p = plan("knn_flat_cosine")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("window_pagination: offset-aware top-k, no window operator at all") {
+    val p = plan("window_pagination")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("offset=100"))
+    assert(!p.contains("Window ["))
+  }
+
+  test("knn_batch_topk: partial window-group-limit before every exchange, " +
+    "windows partitioned (never global)") {
+    val p = plan("knn_batch_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("hashpartitioning(query_id"))
+    // a global window would shuffle everything to a single partition
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"))
+  }
+
+  test("agg_lineitem_pushdown: map-side partial aggregation and a pushed " +
+    "scan filter") {
+    val p = plan("agg_lineitem_pushdown")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("l_shipdate") && p.contains("DataFilters"))
+  }
+
+  test("join_fk_chain_broadcast: both dimension sides broadcast") {
+    val p = plan("join_fk_chain_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("dedup_near_pairs: band join is a hash equi-join, not a nested loop") {
+    val p = plan("dedup_near_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("reopened engine scans partition-prune to the searched library") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("a", dim = 2, id = Some("libA"))
+    val lib2 = e.createLibrary("b", dim = 2, id = Some("libB"))
+    val d = e.createDocument("libA", "d")
+    val d2 = e.createDocument("libB", "d2")
+    e.addChunk(d.id, ChunkInput("x", Seq(1f, 0f), id = Some("pa")))
+    e.addChunk(d2.id, ChunkInput("y", Seq(0f, 1f), id = Some("pb")))
+    e.save(stateDir)
+    val e2 = VectorEngine.open(spark, stateDir)
+    val p = e2.search("libA", Seq(1f, 0f), 1).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("libA"))
+  }
+}
