@@ -42,14 +42,34 @@ abstract class VectorDistanceExpression extends BinaryExpression
   protected def compute(a: ArrayData, b: ArrayData): Double
 
   /** Java loop body: given array variables, assign the result double to
-    * `resultVar`. */
-  protected def genLoop(a: String, b: String, resultVar: String): String
+    * `resultVar`. Locals MUST come from `ctx.freshName` — two kernels in
+    * the same whole-stage-codegen function otherwise collide on variable
+    * names, and the janino "Redefinition of local variable" error silently
+    * drops the ENTIRE stage to interpreted mode. */
+  protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                        resultVar: String): String
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => genLoop(a, b, ev.value))
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      // mirror nullSafeEval: mismatched dimensions raise, never silently
+      // truncate (reference _normalize_vector errors on mismatch) — via the
+      // registered SQL functions there is no engine-level dim guard ahead
+      // of this kernel.
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
+         |""".stripMargin + genLoop(ctx, a, b, ev.value))
 }
 
 /** v · q accumulated in double (float32 inputs). */
@@ -65,15 +85,19 @@ case class DotProductExpr(left: Expression, right: Expression)
     acc
   }
 
-  override protected def genLoop(a: String, b: String, res: String): String =
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                                 res: String): String = {
+    val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
-       |$res = acc;
+       |$res = $acc;
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
   : Expression = copy(left = l, right = r)
@@ -98,20 +122,27 @@ case class CosineDistanceExpr(left: Expression, right: Expression)
     else 1.0d - dot / (d1 * d2)
   }
 
-  override protected def genLoop(a: String, b: String, res: String): String =
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                                 res: String): String = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val d1 = ctx.freshName("d1"); val d2 = ctx.freshName("d2")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = (double) $a.getFloat(i);
-       |  double y = (double) $b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double) $a.getFloat($i);
+       |  double $y = (double) $b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |double d1 = java.lang.Math.sqrt(na);
-       |double d2 = java.lang.Math.sqrt(nb);
-       |$res = (d1 == 0.0 || d2 == 0.0)
-       |  ? Double.POSITIVE_INFINITY : 1.0 - dot / (d1 * d2);
+       |double $d1 = java.lang.Math.sqrt($na);
+       |double $d2 = java.lang.Math.sqrt($nb);
+       |$res = ($d1 == 0.0 || $d2 == 0.0)
+       |  ? Double.POSITIVE_INFINITY : 1.0 - $dot / ($d1 * $d2);
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
   : Expression = copy(left = l, right = r)
@@ -133,16 +164,20 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
     math.sqrt(acc)
   }
 
-  override protected def genLoop(a: String, b: String, res: String): String =
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                                 res: String): String = {
+    val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i"); val d = ctx.freshName("d")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-       |  acc += d * d;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  $acc += $d * $d;
        |}
-       |$res = java.lang.Math.sqrt(acc);
+       |$res = java.lang.Math.sqrt($acc);
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
   : Expression = copy(left = l, right = r)
@@ -170,13 +205,15 @@ case class LshBucketExpr(child: Expression, matrix: Array[Array[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != matrix(0).length)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs ${matrix(0).length})")
     var bucket = 0L
     var i = 0
     while (i < matrix.length) {
       val row = matrix(i)
-      val n = math.min(row.length, v.numElements())
       var acc = 0.0d; var j = 0
-      while (j < n) { acc += v.getFloat(j).toDouble * row(j); j += 1 }
+      while (j < row.length) { acc += v.getFloat(j).toDouble * row(j); j += 1 }
       if (acc >= 0.0d) bucket |= 1L << i
       i += 1
     }

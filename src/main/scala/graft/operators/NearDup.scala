@@ -140,6 +140,63 @@ object NearDup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Embedding-cosine near-dup pairs with NO blocking column required: the
+    * block key is a derived sign-bit LSH bucket of the embedding itself
+    * (the same kernel the vector index uses), so the operator runs on any
+    * corpus — a real 100 TB corpus has no labels. Output:
+    * (id_a, id_b, distance) with id_a < id_b and rounded cosine distance
+    * <= threshold.
+    *
+    * Candidate generation is multi-probe: side B is replicated to its own
+    * bucket plus every bucket at Hamming distance 1 (numProjections + 1
+    * probes), so any pair whose buckets differ in at most ONE projection
+    * sign is compared — recovering most of the recall a single-bucket
+    * block loses, at a bounded (P+1)x fan-out instead of all-pairs. For a
+    * fixed (a, b) row pair at most one probe value equals a's bucket, so
+    * no pair is emitted twice and no distinct() is needed.
+    *
+    * Scale shape: ONE shuffle, hash equi-join on (bucket, salt) — never a
+    * cartesian/BNL join. Side A is salted and side B replicated to every
+    * salt value, fanning each bucket's pairs over `salt` reduce slots
+    * (sign-bit buckets are coarse at small P; salting keeps the reducers
+    * busy even when one bucket dominates). L2 norms are precomputed per
+    * row BEFORE the join, so the pair distance is one fused dot-product
+    * kernel instead of three array folds.
+    *
+    * The distance is `round(raw, 6) + 0.0` and the threshold compares the
+    * ROUNDED value — part of the operator contract so results are
+    * reproducible bit-for-bit across engines (any SQL oracle applies the
+    * same rounding; IEEE -0.0 is normalized away). */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, emb: Column,
+                            matrix: Array[Array[Double]], threshold: Double,
+                            salt: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    import graft.functions.VectorExpressions
+    val base = df.select(id.as("id"), emb.as("emb"))
+      .withColumn("bucket", VectorExpressions.lshBucket(col("emb"), matrix))
+      .withColumn("nrm",
+        sqrt(VectorExpressions.dotProduct(col("emb"), col("emb"))))
+    val a = base.withColumn("salt",
+      pmod(hash(col("id")), lit(salt)).cast("long"))
+    val probes =
+      if (multiProbe)
+        array((lit(0L) +: matrix.indices.map(i => lit(1L << i)))
+          .map(m => col("bucket").bitwiseXOR(m)): _*)
+      else array(col("bucket"))
+    val b = base.withColumn("probe", explode(probes))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1)).cast("array<bigint>")))
+    val rawDist = when(col("a.nrm") === 0.0d || col("b.nrm") === 0.0d,
+        lit(Double.PositiveInfinity))
+      .otherwise(lit(1.0d) -
+        VectorExpressions.dotProduct(col("a.emb"), col("b.emb")) /
+          (col("a.nrm") * col("b.nrm")))
+    a.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.probe") && col("a.salt") === col("b.salt") &&
+          col("a.id") < col("b.id"))
+      .withColumn("distance", round(rawDist, 6) + lit(0.0d))
+      .where(col("distance") <= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("distance"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, banded: the
     * fingerprint is split into `numBands` sub-keys; by pigeonhole any pair
     * within maxHamming <= numBands - 1 shares at least one exact sub-key,

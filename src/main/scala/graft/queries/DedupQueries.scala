@@ -183,6 +183,34 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Label-FREE embedding near-dup: blocks on a derived LSH bucket of the
+    * embedding itself (multi-probe to Hamming distance 1), so the operator
+    * needs nothing but (id, embedding) — the shape a real corpus has. The
+    * oracle inlines the same seeded projection matrix (LshQueries.bucketSql)
+    * and replays the blocking as an all-pairs bit_count(xor) <= 1 filter —
+    * checking bucket assignment, the multi-probe contract, AND the
+    * distances, not just the arithmetic. */
+  private val embeddingNearLsh: QueryFn = (s, dir) =>
+    NearDup.embeddingNearDupPairs(
+        table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        LshQueries.config.matrix, threshold = 0.6)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("distance"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val embeddingNearLshSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "a.v", "b.v")
+    val bucket = LshQueries.bucketSql("embedding::DOUBLE[]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |                  ($bucket)::BIGINT AS b
+       |           FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round($cos, 6) + 0 AS distance
+       |FROM e a JOIN e b
+       |  ON a.vec_id < b.vec_id AND bit_count(xor(a.b, b.b)) <= 1
+       |WHERE round($cos, 6) + 0 <= 0.6
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
     Q("dedup_exact_survivors", exactSurvivors, Some(exactSurvivorsSql)),
@@ -190,5 +218,6 @@ object DedupQueries {
     Q("dedup_near_survivors", nearSurvivors, Some(nearSurvivorsSql)),
     Q("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("dedup_embedding_near", embeddingNear, Some(embeddingNearSql)),
+    Q("dedup_embedding_near_lsh", embeddingNearLsh, Some(embeddingNearLshSql)),
   )
 }

@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_embedding_near_lsh: bucket-blocked self-join is a hash " +
+    "equi-join on (bucket, salt), never all-pairs") {
+    val p = plan("dedup_embedding_near_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("reopened engine scans partition-prune to the searched library") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val e = VectorEngine.create(spark)
