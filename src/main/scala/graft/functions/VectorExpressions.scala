@@ -186,10 +186,11 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
 /** Sign-bit LSH bucket hash as a fused loop (twin of
   * VectorFunctions.lshBucket: bit i set iff P_i . v >= 0, double
   * accumulation in matrix-row-major order). The matrix rides inside the
-  * expression (tiny — numProjections x dim doubles). */
+  * expression as ONE reference object (tiny — numProjections x dim
+  * doubles), so the plan carries O(1) expression nodes regardless of
+  * matrix size and the loop stays inside whole-stage codegen. */
 case class LshBucketExpr(child: Expression, matrix: Array[Array[Double]])
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(matrix.nonEmpty && matrix.length <= 62,
     s"numProjections must be in [1, 62], got ${matrix.length}")
@@ -220,6 +221,117 @@ case class LshBucketExpr(child: Expression, matrix: Array[Array[Double]])
     bucket
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("lshMatrix", matrix, "double[][]")
+      val bucket = ctx.freshName("bucket"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      s"""
+         |if ($v.numElements() != $m[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $v.numElements() +
+         |    " vs " + $m[0].length + ")");
+         |}
+         |long $bucket = 0L;
+         |for (int $i = 0; $i < $m.length; $i++) {
+         |  double[] $row = $m[$i];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $row.length; $j++) {
+         |    $acc += (double) $v.getFloat($j) * $row[$j];
+         |  }
+         |  if ($acc >= 0.0) $bucket |= 1L << $i;
+         |}
+         |${ev.value} = $bucket;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** IVF cell assignment: id of the nearest centroid by euclidean distance,
+  * ties broken by the SMALLEST centroid id (ids must be passed sorted
+  * ascending; keep-first-on-tie then equals min-id, matching a SQL
+  * `row_number() OVER (ORDER BY distance, cid)` oracle).
+  *
+  * The centroid table rides inside the expression as ONE reference object
+  * — at realistic C (4k-64k centroids) this is a few MB serialized once
+  * per task, while the per-centroid `least(struct(...))` alternative is
+  * O(C * dim) expression NODES, which breaks codegen method-size limits
+  * and bloats every serialized plan (the round-2 design defect this
+  * replaces). Distance uses the same left-to-right double accumulation +
+  * sqrt as EuclideanDistanceExpr so any SQL oracle reproduces ties
+  * bit-for-bit. */
+case class NearestCellExpr(child: Expression, ids: Array[Long],
+                           centroids: Array[Array[Float]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty && ids.length == centroids.length,
+    "need >= 1 centroid and one id per centroid")
+  require(ids.toSeq == ids.toSeq.sorted, "centroid ids must be sorted ascending")
+
+  override def prettyName: String = "nearest_cell"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != centroids(0).length)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs ${centroids(0).length})")
+    var best = Double.PositiveInfinity
+    var bestId = ids(0)
+    var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      var acc = 0.0d; var j = 0
+      while (j < row.length) {
+        val d = v.getFloat(j).toDouble - row(j).toDouble
+        acc += d * d; j += 1
+      }
+      val dist = math.sqrt(acc)
+      if (dist < best) { best = dist; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cents = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+      val cid = ctx.addReferenceObj("ivfCellIds", ids, "long[]")
+      val best = ctx.freshName("best"); val bestId = ctx.freshName("bestId")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val row = ctx.freshName("row"); val dist = ctx.freshName("dist")
+      s"""
+         |if ($v.numElements() != $cents[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $v.numElements() +
+         |    " vs " + $cents[0].length + ")");
+         |}
+         |double $best = Double.POSITIVE_INFINITY;
+         |long $bestId = $cid[0];
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  float[] $row = $cents[$c];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $row.length; $j++) {
+         |    double $d = (double) $v.getFloat($j) - (double) $row[$j];
+         |    $acc += $d * $d;
+         |  }
+         |  double $dist = java.lang.Math.sqrt($acc);
+         |  if ($dist < $best) { $best = $dist; $bestId = $cid[$c]; }
+         |}
+         |${ev.value} = $bestId;
+         |""".stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -230,6 +342,10 @@ object VectorExpressions {
 
   def lshBucket(v: Column, matrix: Array[Array[Double]]): Column =
     c(LshBucketExpr(e(v), matrix))
+
+  def nearestCell(v: Column, ids: Array[Long],
+                  centroids: Array[Array[Float]]): Column =
+    c(NearestCellExpr(e(v), ids, centroids))
 
   def cosineDistance(v: Column, q: Column): Column =
     c(CosineDistanceExpr(e(v), e(q)))

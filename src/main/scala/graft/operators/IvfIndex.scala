@@ -3,20 +3,31 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.functions.VectorExpressions
 
 /** IVF-style approximate nearest-neighbor search: vectors are assigned to
   * the cell of their nearest centroid; a query probes only the `nprobe`
   * nearest cells. The scale path beyond LSH for embedding search.
   *
-  * Centroids are index metadata (tiny: C x dim), so cell assignment is a
-  * PURE PROJECTION — `least()` over C (distance, id) structs inlined as
-  * literals — no join, no shuffle, fully inside whole-stage codegen. At
-  * 100 TB the cell is computed once at ingest, stored, and the table is
-  * partitioned by it, making a probe a partition-pruned scan of
-  * nprobe/C of the data; here it is computed inline and filtered.
+  * 100 TB design (the round-2 inline-literal version is gone):
+  *   - The `cell` column is computed ONCE at ingest (`withCell`) and
+  *     STORED, exactly like the LSH `bucket` column — at scale the table
+  *     is partitioned/bucketed by it, so a probe is a partition-pruned
+  *     scan of ~nprobe/C of the data. Search never recomputes cells.
+  *   - Cell assignment is ONE expression node (NearestCellExpr) carrying
+  *     the centroid table as a reference object — O(1) plan size at any C,
+  *     fused codegen loop; `least()` over C struct literals (O(C*dim)
+  *     expression nodes) broke codegen past a few hundred centroids.
+  *   - Centroids come from a k-means pass over the data (`train`):
+  *     DataFrame iterations — assign cells (projection), per-cell
+  *     element-wise means (ONE partial-agg'd groupBy of C groups) — with a
+  *     deterministic seeded init. The collected model is index metadata
+  *     (C x dim floats), same role as the LSH projection matrix.
   *
-  * Centroid selection here is a deterministic id-based sample; at scale
-  * substitute a k-means pass — the search operator is unchanged.
+  * Search correctness never depends on centroid quality — the stored cell
+  * is the ground truth of what each probe scans (and any SQL oracle can
+  * replay assignment given the centroid table); centroid quality only
+  * moves RECALL, which IvfSpec measures against flat search.
   */
 object IvfIndex {
 
@@ -26,14 +37,53 @@ object IvfIndex {
     array(v.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")
 
   /** Cell id = argmin over centroids of euclidean distance, ties broken by
-    * centroid id (struct comparison is lexicographic on (distance, id)). */
+    * centroid id — one codegen'd expression node regardless of C. */
   def cellColumn(v: Column, centroids: Seq[Centroid]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val structs = centroids.map(c =>
-      struct(euclideanDistance(v, litVec(c.vec)).as("d"), lit(c.id).as("cid")))
-    val best =
-      if (structs.size == 1) structs.head else least(structs: _*)
-    best.getField("cid")
+    val sorted = centroids.sortBy(_.id)
+    VectorExpressions.nearestCell(v, sorted.map(_.id).toArray,
+      sorted.map(_.vec).toArray)
+  }
+
+  /** Ingest-time stored cell column (mirror of LshIndex.withBucket). */
+  def withCell(df: DataFrame, emb: Column, centroids: Seq[Centroid]): DataFrame =
+    df.withColumn("cell", cellColumn(emb, centroids))
+
+  /** Lloyd's k-means over an embedding column, as DataFrame iterations:
+    * per sweep ONE scan — cell assignment is a projection, the update is a
+    * groupBy(cell) with `dim` partial-agg'd AVGs (C groups, so the shuffle
+    * is C rows) — then a driver collect of the C x dim means (tiny, same
+    * budget as collecting the LSH matrix). Empty cells keep their previous
+    * centroid. Init is a deterministic seeded hash-order sample of
+    * distinct vectors, so a stored seed reproduces the same model.
+    *
+    * Means are float64 partial aggregates; their exact low bits depend on
+    * reduction order, which is fine for an INDEX — the stored cell column,
+    * not the centroids, defines what a probe scans. */
+  def train(df: DataFrame, emb: Column, c: Int, iters: Int = 5,
+            seed: Long = 42L): Seq[Centroid] = {
+    require(c > 0 && iters >= 0, "need c > 0 and iters >= 0")
+    val vecs = df.select(emb.cast("array<float>").as("emb"))
+    val init = vecs.dropDuplicates("emb")
+      .withColumn("h", xxhash64(lit(seed), col("emb")))
+      .orderBy(col("h"))
+      .limit(c)
+      .select("emb").collect().map(_.getSeq[Float](0).toArray)
+    require(init.nonEmpty, "cannot train on an empty table")
+    val ids = init.indices.map(_.toLong).toArray
+    val dim = init(0).length
+    val cents = init.clone()
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cell",
+        VectorExpressions.nearestCell(col("emb"), ids, cents))
+      val aggs = (0 until dim).map(j => avg(col("emb").getItem(j)).as(s"m$j"))
+      assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*).collect()
+        .foreach { r =>
+          val cell = r.getLong(0).toInt
+          cents(cell) = Array.tabulate(dim)(j => r.getDouble(j + 1).toFloat)
+        }
+    }
+    ids.zip(cents).map { case (id, v) => Centroid(id, v) }.toSeq
   }
 
   /** Driver-side twin of the cell assignment for the query vector: the
@@ -50,13 +100,15 @@ object IvfIndex {
     centroids.map(c => (dist(c.vec), c.id)).sorted.take(nprobe).map(_._2)
   }
 
-  /** Probe-limited top-k: assign cells inline, keep only the probed
-    * cells, score with `metric`, take k. Output: (idCol, distance). */
-  def search(df: DataFrame, embCol: String, idCol: String,
+  /** Probe-limited top-k over a table with a STORED `cell` column (from
+    * `withCell` at ingest): filter to the probed cells — partition-
+    * prunable at scale — score with `metric`, take k.
+    * Output: (idCol, distance). */
+  def search(indexed: DataFrame, embCol: String, idCol: String,
              centroids: Seq[Centroid], query: Array[Float],
              nprobe: Int, metric: String, k: Int): DataFrame = {
     val probed = nearestCentroids(query, centroids, nprobe)
-    df.withColumn("cell", cellColumn(col(embCol), centroids))
+    indexed
       .where(col("cell").isin(probed: _*))
       .withColumn("distance",
         round(distance(metric)(col(embCol), litVec(query)), 6) + lit(0.0d))

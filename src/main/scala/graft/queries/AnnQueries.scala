@@ -12,9 +12,13 @@ import graft.operators.IvfIndex
   */
 object AnnQueries {
 
-  /** Deterministic centroid sample: vec_id % 25 == 1 (20 centroids at
-    * sf0.01). */
-  private val CentroidMod = 25
+  /** Deterministic centroid sample: vec_id % 7 == 1 — 72 centroids at the
+    * driver's verify scale (sf0.01), exercising the reference-object cell
+    * expression at C >= 64 where the round-2 per-centroid literal design
+    * broke codegen. (The oracle must replay assignment, so the gate uses a
+    * deterministic sample; k-means `train` is spec-checked via measured
+    * recall instead — IvfSpec.) */
+  private val CentroidMod = 7
   private val NProbe = 3
   private val K = 10
 
@@ -27,7 +31,9 @@ object AnnQueries {
       .toSeq.sortBy(_.id)
     val query = emb.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    IvfIndex.search(emb, "embedding", "vec_id", centroids, query,
+    // cell is STORED at ingest (withCell), search filters the stored column
+    val indexed = IvfIndex.withCell(emb, col("embedding"), centroids)
+    IvfIndex.search(indexed, "embedding", "vec_id", centroids, query,
       NProbe, "cosine", K)
   }
 

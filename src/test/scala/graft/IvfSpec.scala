@@ -38,9 +38,10 @@ class IvfSpec extends AnyFunSuite {
     assert(IvfIndex.nearestCentroids(Array(0.9f, 0.1f), centroids, 2) == Seq(0L, 1L))
   }
 
-  test("search scans only probed cells") {
+  test("search scans only probed cells (stored cell column)") {
     // nprobe=1 from (1,0): only cell 0 -> 12 and 11 can never appear
-    val got = IvfIndex.search(vecs, "embedding", "vec_id", centroids,
+    val indexed = IvfIndex.withCell(vecs, col("embedding"), centroids)
+    val got = IvfIndex.search(indexed, "embedding", "vec_id", centroids,
       Array(1f, 0f), nprobe = 1, "cosine", k = 10)
       .select("vec_id").as[Long].collect().toSet
     assert(got == Set(10L, 13L))
@@ -52,9 +53,59 @@ class IvfSpec extends AnyFunSuite {
         graft.functions.VectorFunctions.cosineDistance(col("embedding"),
           array(lit(1f), lit(0f))))
       .orderBy("distance", "vec_id").select("vec_id").as[Long].collect().toSeq
-    val ivf = IvfIndex.search(vecs, "embedding", "vec_id", centroids,
+    val indexed = IvfIndex.withCell(vecs, col("embedding"), centroids)
+    val ivf = IvfIndex.search(indexed, "embedding", "vec_id", centroids,
       Array(1f, 0f), nprobe = 3, "cosine", k = 4)
       .select("vec_id").as[Long].collect().toSeq
     assert(ivf == exact)
+  }
+
+  test("cell expression works at C >= 64 under strict codegen " +
+    "(no silent interpreted fallback)") {
+    val many = (0 until 80).map(i =>
+      Centroid(i.toLong, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = IvfIndex.withCell(vecs, col("embedding"), many)
+        .where(col("cell") >= 0).count()
+      assert(n == 4)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  /** The number the reference claims (~95%) but never measures
+    * (reference README.md:174-179): recall@10 of a trained IVF index vs
+    * flat search, on the real sf0.01 embeddings.
+    *
+    * Honest caveat, measured: these synthetic embeddings are near-UNIFORM
+    * on the sphere (a C x nprobe sweep shows recall tracking the probed
+    * fraction: C=16/nprobe=4 -> 0.66, C=8/nprobe=8 -> 1.0), so IVF's
+    * advantage is bounded here — the committed config C=8/nprobe=6 probes
+    * 75% for 0.91+ recall, the k-means gain over random probing being the
+    * remainder. On a real clustered corpus the same operator probes far
+    * less for the same recall; the point of this test is that the NUMBER
+    * is measured and pinned, not guessed. */
+  test("k-means IVF: recall@10 >= 0.9 vs flat at sf0.01 (C=8, nprobe=6)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val model = IvfIndex.train(emb, col("embedding"), c = 8, iters = 5)
+    assert(model.size == 8)
+    val indexed = IvfIndex.withCell(emb, col("embedding"), model)
+      .select("vec_id", "embedding", "cell").localCheckpoint()
+    val queries = emb.where(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val recalls = queries.map { case (_, q) =>
+      val flat = emb
+        .withColumn("distance", graft.functions.VectorFunctions.cosineDistance(
+          col("embedding"), array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")))
+        .orderBy("distance", "vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val ivf = IvfIndex.search(indexed, "embedding", "vec_id", model, q,
+        nprobe = 6, "cosine", k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      (flat intersect ivf).size.toDouble / flat.size
+    }
+    val recall = recalls.sum / recalls.length
+    info(f"IVF recall@10 over ${queries.length} queries: $recall%.3f")
+    assert(recall >= 0.9, f"recall@10 $recall%.3f < 0.9")
   }
 }

@@ -88,6 +88,43 @@ class LshSpec extends AnyFunSuite {
     assert(got.head._1 == 0L && got.head._2 == 0.0)
   }
 
+  /** Measured recall@10 of the single-bucket LSH probe vs flat search on
+    * the real sf0.01 embeddings with the committed query config
+    * (4 projections / 16 buckets, seed 42 — LshQueries.config). The
+    * reference claims "~95% accuracy" without ever measuring
+    * (README.md:174-179); this pins the actual number so a config change
+    * that craters recall fails CI. */
+  test("LSH bucket path: measured recall@10 vs flat at sf0.01") {
+    val queryCfg = LshIndex.Config(numProjections = 4, dim = 64, seed = 42L)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val indexed = LshIndex.withBucket(emb, col("embedding"), queryCfg)
+      .select("vec_id", "embedding", "bucket").localCheckpoint()
+    val queries = emb.where(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val recalls = queries.map { case (id, qv) =>
+      val flat = emb.withColumn("distance",
+          cosineDistance(col("embedding"),
+            array(qv.map(lit(_)): _*).cast("array<float>")))
+        .orderBy("distance", "vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val q = indexed.where(col("vec_id") === id)
+        .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+      val lsh = LshIndex.searchTwoPhase(indexed, q, "embedding", "cosine", 10)
+        .select("vec_id").as[Long].collect().toSet
+      (flat intersect lsh).size.toDouble / flat.size
+    }
+    val recall = recalls.sum / recalls.length
+    info(f"LSH single-bucket recall@10 over ${queries.length} queries: $recall%.3f")
+    // Measured 0.19 on these near-uniform synthetic embeddings — low in
+    // absolute terms but 3x the 1/16 random-probe baseline, i.e. the hash
+    // genuinely concentrates neighbors. (The reference's "~95%" claim is
+    // unreproducible on uniform data; a user choosing numProjections now
+    // has a measured number per config.) Floor guards against a hash
+    // regression, not against the data distribution.
+    assert(recall >= 0.15, f"recall@10 $recall%.3f < 0.15")
+  }
+
   test("allow-set fallback scans the allow-set, not all vectors") {
     val rows = vecs(64)
     val df = rows.toDF("vec_id", "embedding")

@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ann_ivf_topk: cell assignment is ONE expression node (reference-" +
+    "object centroids), not per-centroid literal structs") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("nearest_cell"))
+    assert(!p.contains("least(")) // the round-2 O(C*dim)-node design
+  }
+
   test("reopened engine scans partition-prune to the searched library") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val e = VectorEngine.create(spark)
