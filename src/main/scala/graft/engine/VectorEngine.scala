@@ -61,8 +61,53 @@ final class VectorEngine private (val spark: SparkSession) {
     reg(chunksDf, "chunks")
   }
 
-  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+  /** Strictly monotonic mutation clock: consecutive mutations inside one
+    * millisecond still get distinct, ordered timestamps, so "parent
+    * updated_at advanced" (reference entities.py:28-31 update_timestamp)
+    * is observable after EVERY child mutation, not just across ms
+    * boundaries. */
+  private var lastTs = 0L
+  private def now(): Timestamp = {
+    val t = math.max(System.currentTimeMillis(), lastTs + 1)
+    lastTs = t
+    new Timestamp(t)
+  }
   private def newId(): String = java.util.UUID.randomUUID().toString
+
+  // -------------------------------------------------------------------
+  // Plan-lineage compaction: every single-row mutation is a copy-on-write
+  // filter/union on the previous Dataset, so after N mutations the logical
+  // plan holds O(N) nodes and analysis cost grows superlinearly — a
+  // long-lived engine would eventually OOM the DRIVER on plan metadata,
+  // not data. Every CompactEvery mutations the three tables are
+  // localCheckpoint()ed: lineage truncates to a materialized RDD (a
+  // distributed operation — never a driver collect, so it is safe even
+  // when chunks is a reopened 100 TB parquet table that has since been
+  // mutated). Bulk appends don't count: they add one union node per
+  // micro-batch, which is already bounded.
+  // -------------------------------------------------------------------
+  private val CompactEvery = 32
+  private var mutationsSinceCompact = 0
+
+  private def afterMutation(): Unit = {
+    mutationsSinceCompact += 1
+    if (mutationsSinceCompact >= CompactEvery) {
+      libs = libs.localCheckpoint()
+      docs = docs.localCheckpoint()
+      chunks = chunks.localCheckpoint()
+      mutationsSinceCompact = 0
+    }
+  }
+
+  /** Parent-timestamp refresh (reference entities.py:93-99,148-166: the
+    * counter methods call update_timestamp on the parent document and
+    * library for every child add/remove). Counts here are derived, but
+    * the TIMESTAMP bump is API-observable and must match. */
+  private def touchLibrary(id: String, t: Timestamp): Unit =
+    findLibrary(id).foreach(l => libs = replaceById(libs, id, l.copy(updated_at = t)))
+
+  private def touchDocument(id: String, t: Timestamp): Unit =
+    findDocument(id).foreach(d => docs = replaceById(docs, id, d.copy(updated_at = t)))
 
   private def encodeMeta(m: Map[String, Any]): Map[String, String] =
     m.map { case (k, v) => k -> MetadataFunctions.encodeValue(v) }
@@ -101,9 +146,15 @@ final class VectorEngine private (val spark: SparkSession) {
     val row = LibraryRow(lid, name, description, encodeMeta(metadata),
       dim, metric, indexKind, t, t)
     libs = libs.unionByName(Seq(row).toDS())
-    if (indexKind == IndexKindLsh)
+    // The MatrixRow doubles as the remembered LSH configuration: recorded
+    // for LSH libraries AND for flat libraries created with non-default
+    // params, so a later index_kind flip (patchLibrary) rebuilds with the
+    // caller's configuration instead of silently reverting to defaults.
+    if (indexKind == IndexKindLsh ||
+        lshProjections != DefaultLshProjections || lshSeed != DefaultLshSeed)
       matrices += lid -> MatrixRow(lid, lshProjections, dim, lshSeed,
         projectionMatrix(lshProjections, dim, lshSeed).map(_.toSeq).toSeq)
+    afterMutation()
     row
   }
 
@@ -148,13 +199,20 @@ final class VectorEngine private (val spark: SparkSession) {
       updated_at = now())
     libs = replaceById(libs, id, next)
     if (dimChange || kindChange) { // library is empty: rebuild the index
-      if (next.index_kind == IndexKindLsh)
-        matrices += id -> MatrixRow(id, DefaultLshProjections,
-          next.embedding_dimension, DefaultLshSeed,
-          projectionMatrix(DefaultLshProjections, next.embedding_dimension,
-            DefaultLshSeed).map(_.toSeq).toSeq)
-      else matrices -= id
+      // Rebuild with the library's ORIGINAL LSH configuration when one was
+      // ever recorded (the MatrixRow remembers num_projections/seed across
+      // kind flips — it is kept, not deleted, on a flip to flat); only a
+      // library that never had an LSH index gets the defaults.
+      if (next.index_kind == IndexKindLsh) {
+        val (np, seed) = matrices.get(id)
+          .map(m => (m.num_projections, m.seed))
+          .getOrElse((DefaultLshProjections, DefaultLshSeed))
+        matrices += id -> MatrixRow(id, np, next.embedding_dimension, seed,
+          projectionMatrix(np, next.embedding_dimension, seed)
+            .map(_.toSeq).toSeq)
+      }
     }
+    afterMutation()
     next
   }
 
@@ -166,6 +224,7 @@ final class VectorEngine private (val spark: SparkSession) {
     docs = docs.where(col("library_id") =!= id).as[DocumentRow]
     chunks = chunks.where(col("library_id") =!= id).as[ChunkRow]
     matrices -= id
+    afterMutation()
   }
 
   // -------------------------------------------------------------------
@@ -182,6 +241,8 @@ final class VectorEngine private (val spark: SparkSession) {
     val t = now()
     val row = DocumentRow(did, libraryId, name, encodeMeta(metadata), t, t)
     docs = docs.unionByName(Seq(row).toDS())
+    touchLibrary(libraryId, t) // increment_document_count bumps the library
+    afterMutation()
     row
   }
 
@@ -190,12 +251,27 @@ final class VectorEngine private (val spark: SparkSession) {
     * after set-based validation (no driver row loop). */
   def addDocumentsDf(libraryId: String, df: DataFrame): Long = {
     getLibrary(libraryId)
-    val bad = df.select(
-      sum(when(length(col("name")).between(1, MaxNameLen), 0).otherwise(1)))
-      .head().getLong(0)
-    if (bad > 0) throw ValidationError(s"document name must be 1..$MaxNameLen chars")
-    val dupes = df.join(docs.select(col("id")), Seq("id"), "left_semi")
-    if (dupes.limit(1).count() > 0)
+    // ONE validation action: name guard, within-batch duplicate ids, and
+    // conflicts against the existing docs table (broadcast-joinable: the
+    // conflict side is id-only) folded into a single aggregate. coalesce
+    // keeps the empty-batch case a clean no-op instead of a NULL unbox.
+    val stats = df
+      .join(docs.select(col("id").as("__existing")),
+        df("id") === col("__existing"), "left_outer")
+      .select(
+        coalesce(sum(when(length(col("name")).between(1, MaxNameLen), 0)
+          .otherwise(1)), lit(0L)).as("bad_name"),
+        coalesce(sum(when(col("__existing").isNotNull, 1).otherwise(0)), lit(0L))
+          .as("conflicts"),
+        count(lit(1)).as("total"),
+        coalesce(count_distinct(col("id")), lit(0L)).as("distinct_ids"))
+      .head()
+    val total = stats.getAs[Long]("total")
+    if (total == 0) return 0L
+    if (stats.getAs[Long]("bad_name") > 0)
+      throw ValidationError(s"document name must be 1..$MaxNameLen chars")
+    if (stats.getAs[Long]("conflicts") > 0 ||
+        stats.getAs[Long]("distinct_ids") != total)
       throw ConflictError("document id already exists")
     val t = now()
     val prepared = df.select(
@@ -205,9 +281,10 @@ final class VectorEngine private (val spark: SparkSession) {
       col("metadata").cast("map<string,string>"),
       lit(t).as("created_at"),
       lit(t).as("updated_at")).as[DocumentRow]
-    val n = prepared.count()
     docs = docs.unionByName(prepared)
-    n
+    touchLibrary(libraryId, t)
+    afterMutation()
+    total
   }
 
   private def findDocument(id: String): Option[DocumentRow] =
@@ -236,14 +313,17 @@ final class VectorEngine private (val spark: SparkSession) {
       metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
       updated_at = now())
     docs = replaceById(docs, id, next)
+    afterMutation()
     next
   }
 
   /** Cascade delete document -> chunks (vector_store.py:131-147). */
   def deleteDocument(id: String): Unit = {
-    getDocument(id)
+    val cur = getDocument(id)
     docs = docs.where(col("id") =!= id).as[DocumentRow]
     chunks = chunks.where(col("document_id") =!= id).as[ChunkRow]
+    touchLibrary(cur.library_id, now()) // decrement counters bump the library
+    afterMutation()
   }
 
   // -------------------------------------------------------------------
@@ -303,6 +383,9 @@ final class VectorEngine private (val spark: SparkSession) {
         encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)), t, t)
     }
     chunks = chunks.unionByName(rows.toDS())
+    touchDocument(doc.id, t)   // increment_chunk_count bumps the document...
+    touchLibrary(lib.id, t)    // ...and the library (entities.py:93-99,160-166)
+    afterMutation()
     rows
   }
 
@@ -318,19 +401,52 @@ final class VectorEngine private (val spark: SparkSession) {
   def addChunksDf(libraryId: String, df: DataFrame): Long = {
     val lib = getLibrary(libraryId)
     val dim = lib.embedding_dimension
-    val bad = df.select(
-      sum(when(length(col("text")).between(1, MaxTextLen), 0).otherwise(1)).as("bad_text"),
-      sum(when(col("chunk_index") >= 0, 0).otherwise(1)).as("bad_idx"),
-      sum(when(size(col("embedding")) === dim, 0).otherwise(1)).as("bad_dim"))
+    // ONE validation action for the whole batch: the text/index/dimension/
+    // finiteness guards, the orphan check (left join against the library's
+    // doc ids), and the duplicate-id checks (within the batch via
+    // count_distinct, against the existing chunks table via a second id-only
+    // left join) all fold into a single aggregate — same per-row guards as
+    // addChunksBatch's validateChunk, set-based. coalesce keeps an empty
+    // batch a clean no-op.
+    val nonFinite = exists(col("embedding"),
+      x => isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity))
+    val stats = df
+      .join(docs.where(col("library_id") === libraryId)
+        .select(col("id").as("__doc")),
+        df("document_id") === col("__doc"), "left_outer")
+      .join(chunks.select(col("id").as("__chunk")),
+        df("id") === col("__chunk"), "left_outer")
+      .select(
+        coalesce(sum(when(length(col("text")).between(1, MaxTextLen), 0)
+          .otherwise(1)), lit(0L)).as("bad_text"),
+        coalesce(sum(when(col("chunk_index") >= 0, 0).otherwise(1)), lit(0L))
+          .as("bad_idx"),
+        coalesce(sum(when(size(col("embedding")) === dim, 0).otherwise(1)),
+          lit(0L)).as("bad_dim"),
+        coalesce(sum(when(nonFinite, 1).otherwise(0)), lit(0L)).as("bad_finite"),
+        coalesce(sum(when(col("__doc").isNull, 1).otherwise(0)), lit(0L))
+          .as("orphans"),
+        coalesce(sum(when(col("__chunk").isNotNull, 1).otherwise(0)), lit(0L))
+          .as("conflicts"),
+        count(lit(1)).as("total"),
+        coalesce(count_distinct(df("id")), lit(0L)).as("distinct_ids"))
       .head()
-    if (bad.getLong(0) > 0) throw ValidationError(s"text must be 1..$MaxTextLen chars")
-    if (bad.getLong(1) > 0) throw ValidationError("chunk_index must be >= 0")
-    if (bad.getLong(2) > 0)
+    val total = stats.getAs[Long]("total")
+    if (total == 0) return 0L
+    if (stats.getAs[Long]("bad_text") > 0)
+      throw ValidationError(s"text must be 1..$MaxTextLen chars")
+    if (stats.getAs[Long]("bad_idx") > 0)
+      throw ValidationError("chunk_index must be >= 0")
+    if (stats.getAs[Long]("bad_dim") > 0)
       throw ValidationError(s"embedding dimension != library dimension $dim")
-    val orphans = df.join(docs.where(col("library_id") === libraryId)
-      .select(col("id").as("document_id")), Seq("document_id"), "left_anti")
-    if (orphans.limit(1).count() > 0)
+    if (stats.getAs[Long]("bad_finite") > 0)
+      throw ValidationError("embedding must be finite")
+    if (stats.getAs[Long]("orphans") > 0)
       throw NotFoundError("document", "referenced by bulk ingest batch")
+    if (stats.getAs[Long]("conflicts") > 0 ||
+        stats.getAs[Long]("distinct_ids") != total)
+      throw ConflictError("chunk id already exists")
     val t = now()
     val bucketCol = if (lib.index_kind == IndexKindLsh)
       lshBucket(col("embedding"), matrices(libraryId).matrix.map(_.toArray).toArray)
@@ -346,9 +462,20 @@ final class VectorEngine private (val spark: SparkSession) {
       bucketCol.as("bucket"),
       lit(t).as("created_at"),
       lit(t).as("updated_at")).as[ChunkRow]
-    val n = prepared.count()
     chunks = chunks.unionByName(prepared)
-    n
+    // set-based parent refresh: every document referenced by the batch gets
+    // its updated_at bumped (reference increments its chunk_count per row),
+    // as does the library — no driver row loop.
+    val touched = df.select(col("document_id").as("__tid")).distinct()
+    docs = docs.toDF()
+      .join(touched, col("id") === col("__tid"), "left_outer")
+      .withColumn("updated_at",
+        when(col("__tid").isNotNull, lit(t)).otherwise(col("updated_at")))
+      .drop("__tid")
+      .as[DocumentRow]
+    touchLibrary(libraryId, t)
+    afterMutation()
+    total
   }
 
   private def findChunk(id: String): Option[ChunkRow] =
@@ -399,12 +526,17 @@ final class VectorEngine private (val spark: SparkSession) {
       bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
       updated_at = now())
     chunks = replaceById(chunks, id, next)
+    afterMutation()
     next
   }
 
   def deleteChunk(id: String): Unit = {
-    getChunk(id)
+    val cur = getChunk(id)
     chunks = chunks.where(col("id") =!= id).as[ChunkRow]
+    val t = now()
+    touchDocument(cur.document_id, t) // decrement_chunk_count bumps parents
+    touchLibrary(cur.library_id, t)
+    afterMutation()
   }
 
   // -------------------------------------------------------------------

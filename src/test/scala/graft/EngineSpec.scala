@@ -250,6 +250,111 @@ class EngineSpec extends AnyFunSuite {
     intercept[StorageError] { VectorEngine.open(spark, "/tmp/does-not-exist-graft") }
   }
 
+  test("child mutations bump parent document AND library updated_at " +
+    "(entities.py:93-99,148-166 counter methods call update_timestamp)") {
+    val (e, lib, doc) = freshWithData()
+    val libT0 = e.getLibrary(lib).updated_at
+    val docT0 = e.getDocument(doc).updated_at
+    e.addChunk(doc, ChunkInput("z", vec(0, 0, 1, 1), id = Some("c9")))
+    val libT1 = e.getLibrary(lib).updated_at
+    val docT1 = e.getDocument(doc).updated_at
+    assert(docT1.after(docT0) && libT1.after(libT0))
+    e.deleteChunk("c9")
+    assert(e.getDocument(doc).updated_at.after(docT1))
+    assert(e.getLibrary(lib).updated_at.after(libT1))
+    // document create and cascade delete bump the library too
+    val t2 = e.getLibrary(lib).updated_at
+    val d2 = e.createDocument(lib, "d2")
+    val t3 = e.getLibrary(lib).updated_at
+    assert(t3.after(t2))
+    e.deleteDocument(d2.id)
+    assert(e.getLibrary(lib).updated_at.after(t3))
+    // bulk ingest bumps every referenced parent
+    import spark.implicits._
+    val docT2 = e.getDocument(doc).updated_at
+    val bulk = Seq(("b1", doc, "t", Seq(1f, 0f, 0f, 0f),
+      Map.empty[String, String], 9))
+      .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index")
+    e.addChunksDf(lib, bulk)
+    assert(e.getDocument(doc).updated_at.after(docT2))
+  }
+
+  test("plan lineage stays bounded across 500 single-row mutations " +
+    "(localCheckpoint compaction)") {
+    val (e, lib, _) = freshWithData()
+    for (i <- 0 until 500) e.patchChunk("c0", text = Some(s"t$i"))
+    def nodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n => n }.size
+    assert(nodes(e.chunksDf) < 150,
+      s"chunks plan grew to ${nodes(e.chunksDf)} nodes")
+    assert(nodes(e.documentsDf) < 150)
+    assert(e.getChunk("c0").text == "t499")
+    assert(e.chunkCount(lib) == 4)
+  }
+
+  test("bulk chunk ingest rejects duplicate ids (batch + existing) and " +
+    "non-finite embeddings; empty batch is a no-op") {
+    val (e, lib, doc) = freshWithData()
+    import spark.implicits._
+    def df(rows: Seq[(String, String, String, Seq[Float], Map[String, String], Int)]) =
+      rows.toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index")
+    intercept[ConflictError] { // id exists in the chunks table
+      e.addChunksDf(lib, df(Seq(("c0", doc, "t", Seq(1f, 0f, 0f, 0f), Map.empty, 0))))
+    }
+    intercept[ConflictError] { // duplicate within the batch
+      e.addChunksDf(lib, df(Seq(
+        ("n1", doc, "t", Seq(1f, 0f, 0f, 0f), Map.empty, 0),
+        ("n1", doc, "t", Seq(0f, 1f, 0f, 0f), Map.empty, 1))))
+    }
+    intercept[ValidationError] { // NaN
+      e.addChunksDf(lib, df(Seq(("n2", doc, "t", Seq(Float.NaN, 0f, 0f, 0f), Map.empty, 0))))
+    }
+    intercept[ValidationError] { // Infinity
+      e.addChunksDf(lib, df(Seq(("n3", doc, "t",
+        Seq(Float.PositiveInfinity, 0f, 0f, 0f), Map.empty, 0))))
+    }
+    assert(e.addChunksDf(lib, df(Seq.empty)) == 0) // empty no-op, no NPE
+    assert(e.addDocumentsDf(lib,
+      Seq.empty[(String, String, Map[String, String])]
+        .toDF("id", "name", "metadata")) == 0)
+    assert(e.chunkCount(lib) == 4) // nothing written by any of the above
+  }
+
+  test("patchLibrary index rebuild keeps the library's LSH configuration " +
+    "(never silently reverts to defaults)") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("l", dim = 4, indexKind = "random_projection",
+      lshProjections = 6, lshSeed = 99L)
+    e.patchLibrary(lib.id, dim = Some(8)) // empty: dim flip rebuilds index
+    val dir = Files.tmp("graft-lshcfg")
+    e.save(dir)
+    val version = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dir/MANIFEST")).trim
+    val m = spark.read.parquet(s"$dir/$version/matrices.parquet")
+      .where(org.apache.spark.sql.functions.col("library_id") === lib.id).head()
+    assert(m.getAs[Int]("num_projections") == 6)
+    assert(m.getAs[Long]("seed") == 99L)
+    assert(m.getAs[Int]("dim") == 8)
+  }
+
+  test("bulk chunk ingest validates in one action (job count)") {
+    val (e, lib, doc) = freshWithData()
+    import spark.implicits._
+    val df = Seq(("jc1", doc, "t", Seq(1f, 0f, 0f, 0f),
+      Map.empty[String, String], 0))
+      .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index")
+    spark.sparkContext.setJobGroup("bulk-ingest-jobs", "EngineSpec")
+    try e.addChunksDf(lib, df)
+    finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("bulk-ingest-jobs").length
+    // getLibrary point-lookup + ONE validation aggregate. AQE materializes
+    // each broadcast/stage as its own job, so the single action measures as
+    // ~4 jobs; the round-2 shape ran THREE separate actions (validation
+    // aggregate, orphan count, prepared.count) and landed near double this.
+    assert(jobs <= 5, s"expected <= 5 jobs for bulk ingest, got $jobs")
+  }
+
   private object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString
