@@ -89,6 +89,16 @@ final class VectorEngine private (val spark: SparkSession) {
   private val CompactEvery = 32
   private var mutationsSinceCompact = 0
 
+  // Incremental-persistence bookkeeping: which libraries' CHUNK partitions
+  // changed since the last save, and where that save went. A save to the
+  // same directory rewrites only the dirty partitions (dynamic partition
+  // overwrite) — at 100 TB a save must be O(changed), not O(table).
+  private var dirtyLibs: Set[String] = Set.empty
+  private var lastSaveDir: Option[String] = None
+  private var lastSaveHadChunks = false
+
+  private def markDirty(libraryId: String): Unit = dirtyLibs += libraryId
+
   private def afterMutation(): Unit = {
     mutationsSinceCompact += 1
     if (mutationsSinceCompact >= CompactEvery) {
@@ -224,6 +234,7 @@ final class VectorEngine private (val spark: SparkSession) {
     docs = docs.where(col("library_id") =!= id).as[DocumentRow]
     chunks = chunks.where(col("library_id") =!= id).as[ChunkRow]
     matrices -= id
+    markDirty(id)
     afterMutation()
   }
 
@@ -323,6 +334,7 @@ final class VectorEngine private (val spark: SparkSession) {
     docs = docs.where(col("id") =!= id).as[DocumentRow]
     chunks = chunks.where(col("document_id") =!= id).as[ChunkRow]
     touchLibrary(cur.library_id, now()) // decrement counters bump the library
+    markDirty(cur.library_id)
     afterMutation()
   }
 
@@ -385,6 +397,7 @@ final class VectorEngine private (val spark: SparkSession) {
     chunks = chunks.unionByName(rows.toDS())
     touchDocument(doc.id, t)   // increment_chunk_count bumps the document...
     touchLibrary(lib.id, t)    // ...and the library (entities.py:93-99,160-166)
+    markDirty(lib.id)
     afterMutation()
     rows
   }
@@ -474,6 +487,7 @@ final class VectorEngine private (val spark: SparkSession) {
       .drop("__tid")
       .as[DocumentRow]
     touchLibrary(libraryId, t)
+    markDirty(libraryId)
     afterMutation()
     total
   }
@@ -526,6 +540,7 @@ final class VectorEngine private (val spark: SparkSession) {
       bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
       updated_at = now())
     chunks = replaceById(chunks, id, next)
+    markDirty(cur.library_id)
     afterMutation()
     next
   }
@@ -536,6 +551,7 @@ final class VectorEngine private (val spark: SparkSession) {
     val t = now()
     touchDocument(cur.document_id, t) // decrement_chunk_count bumps parents
     touchLibrary(cur.library_id, t)
+    markDirty(cur.library_id)
     afterMutation()
   }
 
@@ -588,28 +604,137 @@ final class VectorEngine private (val spark: SparkSession) {
     result.withColumnRenamed("id", "chunk_id")
   }
 
+  /** Batch k-NN at the facade — "the shape that scales" (J3 batch): ONE
+    * plan scores every query against the library instead of Q sequential
+    * searches. Output: (query_id, chunk_id, distance), top-k per query.
+    *
+    * LSH-aware two-phase PER QUERY (the reference's two-phase semantics,
+    * vectorized): all query buckets probe in one broadcast equi-join; a
+    * per-query candidate count (ONE tiny action, Q rows) decides which
+    * queries have >= k bucket candidates; the rest fall back to the full
+    * (allow-set-)scan — never fewer results than flat search. The top-k
+    * reduction is the salted two-phase window (operators.TopK), so no
+    * query's candidate set ever funnels through a single reduce slot. */
+  def searchBatch(libraryId: String, queries: Seq[(Long, Seq[Float])], k: Int,
+                  filters: Map[String, Any] = Map.empty): DataFrame = {
+    val lib = getLibrary(libraryId)
+    if (k <= 0) throw SearchError("k must be > 0")
+    val emptyOut = spark.emptyDataset[(Long, String, Double)]
+      .toDF("query_id", "chunk_id", "distance")
+    if (queries.isEmpty) return emptyOut
+    queries.foreach { case (qid, q) =>
+      if (q.length != lib.embedding_dimension)
+        throw SearchError(
+          s"query $qid dimension ${q.length} != library dimension ${lib.embedding_dimension}")
+    }
+    val metaPred = MetadataFunctions.filterPredicate(col("metadata"), filters)
+    val scoped = chunks.where(col("library_id") === libraryId).where(metaPred)
+      .toDF()
+    if (filters.nonEmpty && scoped.limit(1).count() == 0) return emptyOut
+    val qDf = queries.toDF("query_id", "qvec")
+      .withColumn("qvec", col("qvec").cast("array<float>"))
+    val pairs: DataFrame =
+      if (lib.index_kind == IndexKindLsh) {
+        val m = matrices(libraryId).matrix.map(_.toArray).toArray
+        val qb = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
+        val cand = scoped.join(broadcast(qb), col("bucket") === col("qbucket"))
+          .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
+        val counts = cand.groupBy("query_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val bucketQs = queries.map(_._1).filter(counts.getOrElse(_, 0L) >= k)
+        val fallbackQs = queries.map(_._1).filterNot(bucketQs.toSet)
+        val parts = Seq(
+          if (bucketQs.nonEmpty)
+            Some(cand.where(col("query_id").isin(bucketQs: _*)))
+          else None,
+          if (fallbackQs.nonEmpty)
+            Some(scoped.crossJoin(
+                broadcast(qb.where(col("query_id").isin(fallbackQs: _*))
+                  .drop("qbucket")))
+              .select(col("query_id"), col("id"), col("embedding"), col("qvec")))
+          else None).flatten
+        parts.reduce(_ unionByName _)
+      } else
+        scoped.crossJoin(broadcast(qDf))
+          .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
+    val scored = pairs
+      .withColumn("distance",
+        round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+          + lit(0.0d))
+      .select(col("query_id"), col("id"), col("distance"))
+    graft.operators.TopK.perGroup(scored, "query_id", "distance", "id", k)
+      .withColumnRenamed("id", "chunk_id")
+      .orderBy(col("query_id"), col("distance"), col("chunk_id"))
+  }
+
   // -------------------------------------------------------------------
   // Persistence (S2-S5: disk_store.py:100-162, indexes.py:125-162 —
   // semantics, not byte layout: versioned Parquet + matrix table)
   // -------------------------------------------------------------------
+  /** Versioned save with PARTITION-SELECTIVE chunk writes.
+    *
+    * Layout: the small entity tables (libraries/documents/matrices — all
+    * O(entities), never O(vectors)) are rewritten in full into a fresh
+    * `v<ts>` directory and committed by writing MANIFEST last, exactly as
+    * before. The chunks table — the O(100 TB) one — lives at a STABLE
+    * `dir/chunks` path partitioned by library_id; a save to the same
+    * directory as the previous save rewrites ONLY the partitions of
+    * libraries mutated since then (dynamic partition overwrite), deleting
+    * the partition directories of libraries that emptied or were dropped.
+    * A save to a NEW directory (or one whose previous save had no chunks)
+    * falls back to a full write.
+    *
+    * Tradeoff, stated: the incremental chunk write is not atomic with the
+    * MANIFEST flip (the reference has the same property — it rewrites its
+    * .npy in place, disk_store.py:329-332); what it buys is O(changed)
+    * save cost, the only viable shape at scale. */
   def save(dir: String): Unit = {
     val version = "v" + System.nanoTime()
     val base = s"$dir/$version"
     try {
       libs.toDF().write.mode("overwrite").parquet(s"$base/libraries.parquet")
       docs.toDF().write.mode("overwrite").parquet(s"$base/documents.parquet")
-      // chunks partitioned by library: a reopened engine's per-library
-      // scan (every search) is partition-pruned at the directory level.
-      // An empty table is written unpartitioned — partitionBy with zero
-      // rows writes no files at all, which would make the reopen fail.
-      val out = chunks.toDF()
-      val writer = out.write.mode("overwrite")
-      (if (out.isEmpty) writer else writer.partitionBy("library_id"))
-        .parquet(s"$base/chunks.parquet")
       matrices.values.toSeq.toDS().toDF().write.mode("overwrite")
         .parquet(s"$base/matrices.parquet")
+      val chunksPath = s"$dir/chunks"
+      val out = chunks.toDF()
+      val incremental = lastSaveDir.contains(dir) && lastSaveHadChunks
+      if (incremental) {
+        // libraries whose partitions changed but now hold zero rows
+        // (emptied or cascade-deleted): dynamic overwrite writes nothing
+        // for them, so their stale directories are removed explicitly.
+        val dirtyWithRows =
+          if (dirtyLibs.isEmpty) Set.empty[String]
+          else out.where(col("library_id").isin(dirtyLibs.toSeq: _*))
+            .select("library_id").distinct().collect()
+            .map(_.getString(0)).toSet
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+        (dirtyLibs -- dirtyWithRows).foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$chunksPath/library_id=$id"),
+            true)
+        }
+        if (dirtyWithRows.nonEmpty)
+          out.where(col("library_id").isin(dirtyWithRows.toSeq: _*))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("library_id")
+            .parquet(chunksPath)
+        lastSaveHadChunks = true // incremental implies rows existed before
+      } else {
+        // full write; an empty table is written unpartitioned —
+        // partitionBy with zero rows writes no files at all, which would
+        // make the reopen fail.
+        val empty = out.isEmpty
+        val writer = out.write.mode("overwrite")
+        (if (empty) writer else writer.partitionBy("library_id"))
+          .parquet(chunksPath)
+        lastSaveHadChunks = !empty
+      }
       Files.createDirectories(Paths.get(dir))
       Files.writeString(Paths.get(s"$dir/MANIFEST"), version)
+      lastSaveDir = Some(dir)
+      dirtyLibs = Set.empty
     } catch {
       case e: VectorDbError => throw e
       case e: Exception => throw StorageError(s"save failed: ${e.getMessage}")
@@ -624,12 +749,22 @@ final class VectorEngine private (val spark: SparkSession) {
     libs = spark.read.parquet(s"$base/libraries.parquet").as[LibraryRow]
     docs = spark.read.parquet(s"$base/documents.parquet").as[DocumentRow]
     // partition-column type inference could read a numeric-looking
-    // library_id back as INT — pin it to string
-    chunks = spark.read.parquet(s"$base/chunks.parquet")
-      .withColumn("library_id", col("library_id").cast("string"))
-      .as[ChunkRow]
+    // library_id back as INT — pin it to string. An incremental save that
+    // deleted every partition leaves a schema-less directory: that is a
+    // validly-persisted EMPTY table.
+    chunks =
+      try spark.read.parquet(s"$dir/chunks")
+        .withColumn("library_id", col("library_id").cast("string"))
+        .as[ChunkRow]
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.emptyDataset[ChunkRow]
+      }
     matrices = spark.read.parquet(s"$base/matrices.parquet").as[MatrixRow]
       .collect().map(m => m.library_id -> m).toMap
+    lastSaveDir = Some(dir)
+    lastSaveHadChunks = !chunks.isEmpty
+    dirtyLibs = Set.empty
     // S5 cold-start rebuild: bucket is re-derivable from the persisted
     // matrix; recompute for LSH libraries so a stale/absent bucket column
     // can never poison the probe (disk_store.py:86-98).

@@ -105,9 +105,47 @@ object EngineQueries {
        |SELECT chunk_id, round(${VectorSearchQueries.distSql("cosine", "v", "qv")}, 6) + 0 AS distance
        |FROM base ORDER BY distance, chunk_id LIMIT 10""".stripMargin
 
+  /** Facade batch search on an LSH library: 4 queries in ONE plan, with
+    * the two-phase bucket-probe/fallback decided PER QUERY. The oracle
+    * replays per-query candidate counts and the conditional fallback in
+    * SQL, so whichever phase each query takes at any scale factor, both
+    * sides agree. */
+  private val batchSearch: QueryFn = (s, dir) => {
+    val (eng, lib) = buildEngine(s, dir, VectorEngine.IndexKindLsh, deleteDoc7 = false)
+    val qs = table(s, dir, "embeddings").where(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    eng.searchBatch(lib, qs, k = 5)
+  }
+
+  private val batchSearchSql: String = {
+    val bucket = LshQueries.bucketSql("embedding::DOUBLE[]")
+    val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, $bucket AS qb
+       |           FROM embeddings WHERE vec_id < 4),
+       |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v, $bucket AS b
+       |      FROM embeddings),
+       |cand AS (SELECT q.query_id, e.chunk_id, e.v, q.qv FROM e JOIN q ON e.b = q.qb),
+       |counts AS (SELECT query_id, count(*) AS n FROM cand GROUP BY query_id),
+       |base AS (
+       |  SELECT c.query_id, c.chunk_id, c.v, c.qv
+       |  FROM cand c JOIN counts t ON c.query_id = t.query_id WHERE t.n >= 5
+       |  UNION ALL
+       |  SELECT q.query_id, e.chunk_id, e.v, q.qv FROM e, q
+       |  WHERE coalesce((SELECT n FROM counts WHERE counts.query_id = q.query_id), 0) < 5
+       |),
+       |r AS (SELECT query_id, chunk_id, round($cos, 6) + 0 AS distance,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY round($cos, 6) + 0, chunk_id) AS rn
+       |      FROM base)
+       |SELECT query_id, chunk_id, distance FROM r WHERE rn <= 5
+       |ORDER BY query_id, distance, chunk_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
+    Q("lifecycle_batch_search", batchSearch, Some(batchSearchSql)),
   )
 }

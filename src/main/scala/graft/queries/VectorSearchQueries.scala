@@ -85,26 +85,15 @@ object VectorSearchQueries {
     * SALT*k rows per query. Identical results: the true per-query top-k is
     * a subset of the union of per-salt top-k. */
   private val knnBatch: QueryFn = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val SALT = 8
     val k = 5
     val emb = table(s, dir, "embeddings")
     val qs = emb.where(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w1 = Window.partitionBy(col("query_id"), col("salt"))
-      .orderBy(col("distance"), col("vec_id"))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("distance"), col("vec_id"))
-    emb.crossJoin(broadcast(qs))
+    val scored = emb.crossJoin(broadcast(qs))
       .withColumn("distance",
         roundDist(cosineDistance(col("embedding"), col("qvec"))))
       .select(col("query_id"), col("vec_id"), col("distance"))
-      .withColumn("salt", pmod(col("vec_id"), lit(SALT)))
-      .withColumn("rn1", row_number().over(w1))
-      .where(col("rn1") <= k)
-      .withColumn("rn", row_number().over(w2))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("distance"))
+    graft.operators.TopK.perGroup(scored, "query_id", "distance", "vec_id", k)
       .orderBy(col("query_id"), col("distance"), col("vec_id"))
   }
 

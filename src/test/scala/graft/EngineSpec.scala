@@ -337,6 +337,68 @@ class EngineSpec extends AnyFunSuite {
     assert(m.getAs[Int]("dim") == 8)
   }
 
+  test("searchBatch equals per-query search for flat AND LSH libraries " +
+    "(including the per-query fallback decision)") {
+    for (kind <- Seq("flat", "random_projection")) {
+      val (e, lib, _) = freshWithData(kind)
+      val qs = Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 0.9, 0.1, 0))
+      val batch = e.searchBatch(lib, qs, k = 2).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      qs.foreach { case (qid, q) =>
+        val single = e.search(lib, q, 2).collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"kind=$kind query=$qid")
+      }
+    }
+    // guards + filter parity
+    val (e, lib, _) = freshWithData()
+    intercept[SearchError] { e.searchBatch(lib, Seq(0L -> vec(1, 0)), 2) }
+    intercept[SearchError] { e.searchBatch(lib, Seq(0L -> vec(1, 0, 0, 0)), 0) }
+    assert(e.searchBatch(lib, Seq.empty, 3).count() == 0)
+    val filtered = e.searchBatch(lib, Seq(0L -> vec(1, 0, 0, 0)), 10,
+      Map("tag" -> 1)).collect().map(_.getString(1)).toSet
+    assert(filtered == Set("c0", "c2"))
+  }
+
+  test("incremental save rewrites only the touched library's partition") {
+    val dir = Files.tmp("graft-incr")
+    val e = VectorEngine.create(spark)
+    val libA = e.createLibrary("a", dim = 4, id = Some("ilibA"))
+    val libB = e.createLibrary("b", dim = 4, id = Some("ilibB"))
+    val dA = e.createDocument(libA.id, "da")
+    val dB = e.createDocument(libB.id, "db")
+    e.addChunk(dA.id, ChunkInput("x", vec(1, 0, 0, 0), id = Some("ia0")))
+    e.addChunk(dB.id, ChunkInput("y", vec(0, 1, 0, 0), id = Some("ib0")))
+    e.save(dir)
+    def partFiles(lib: String): Map[String, Long] = {
+      val p = java.nio.file.Paths.get(s"$dir/chunks/library_id=$lib")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toMap
+    }
+    val a0 = partFiles(libA.id)
+    e.addChunk(dB.id, ChunkInput("z", vec(0, 0, 1, 0), id = Some("ib1")))
+    Thread.sleep(20) // ensure a rewrite would move mtime
+    e.save(dir)
+    // library A's partition is byte-untouched; B's was rewritten
+    assert(partFiles(libA.id) == a0)
+    val e2 = VectorEngine.open(spark, dir)
+    assert(e2.chunkCount(libA.id) == 1 && e2.chunkCount(libB.id) == 2)
+    // deleting a library removes its partition directory on the next save
+    e2.deleteLibrary(libB.id)
+    e2.save(dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/chunks/library_id=${libB.id}")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/chunks/library_id=${libA.id}")))
+    val e3 = VectorEngine.open(spark, dir)
+    assert(e3.chunkCount(libA.id) == 1)
+    intercept[NotFoundError] { e3.getLibrary(libB.id) }
+  }
+
   test("bulk chunk ingest validates in one action (job count)") {
     val (e, lib, doc) = freshWithData()
     import spark.implicits._

@@ -57,4 +57,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 4)
     assert(got.select("event_id").distinct().count() == 4)
   }
+
+  test("upsert anti-join reads ONLY the batch's date partitions " +
+    "(bounded re-read on an unbounded sink)") {
+    val sink = java.nio.file.Files.createTempDirectory("graft-sink-pruned")
+      .toString + "/events"
+    def batch(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // three micro-batches over three distinct days
+    StreamingIngest.upsertBatch(batch(Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2026-01-01 11:00:00"), 1L, "view", 1.0, "{}"))), sink)
+    StreamingIngest.upsertBatch(batch(Seq(
+      (3L, ts("2026-01-02 10:00:00"), 2L, "click", 1.0, "{}"))), sink)
+    StreamingIngest.upsertBatch(batch(Seq(
+      (4L, ts("2026-01-03 10:00:00"), 3L, "click", 1.0, "{}"),
+      (3L, ts("2026-01-02 10:00:00"), 2L, "click", 1.0, "{}"))), sink) // redelivered
+    val got = spark.read.parquet(sink)
+    assert(got.count() == 4) // redelivery of event 3 did not double-insert
+    // the pruned read for a single-date batch touches only that partition:
+    // count the files the executed scan ACTUALLY selected (inputFiles
+    // reports the relation pre-pruning, so it cannot be used here)
+    val pruned = StreamingIngest.sinkIdsForDates(spark, sink,
+      Seq(java.sql.Date.valueOf("2026-01-02")))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val scannedFiles = scan.metrics("numFiles").value
+    val allFiles = spark.read.parquet(sink).inputFiles.length
+    assert(scannedFiles >= 1 && scannedFiles < allFiles,
+      s"scan read $scannedFiles of $allFiles files — not pruned")
+    assert(scan.toString.contains("PartitionFilters"))
+  }
 }
