@@ -37,7 +37,10 @@ object TextHash {
 
   /** Distinct hashed word n-gram shingles of one text — the Scala twin of
     * NearDup.shingles(text, n) + seededHash(0, _): trim spaces (ASCII
-    * 0x20 only, matching Spark/DuckDB trim), lowercase, split on \s+. */
+    * 0x20 only, matching Spark/DuckDB trim), lowercase, split on \s+.
+    * ASCII assumption documented at NearDup.shingles: the two paths can
+    * diverge on non-ASCII case mappings; ExpressionEquivalenceSpec locks
+    * them equal on the supported (ASCII) domain. */
   private[functions] def hashedShingles(text: String, n: Int): Array[Long] = {
     val trimmed = {
       var st = 0; var en = text.length

@@ -15,7 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Distinct lowercase word n-gram shingles of a text column. */
+  /** Distinct lowercase word n-gram shingles of a text column.
+    *
+    * ASCII assumption: this Column path (Spark `lower`/`split`) and its
+    * JIT twin `TextHash.hashedShingles` (Java `toLowerCase(Locale.ROOT)` /
+    * `String.split`) agree on ASCII text but can diverge on non-ASCII
+    * input (locale-sensitive case mappings such as İ/ı, regex-engine
+    * differences). Mixed use of the two paths on a non-ASCII corpus would
+    * drift silently; normalize such corpora upstream, or route both
+    * sides through the same expression kernel. */
   def shingles(text: Column, n: Int): Column = {
     val t = split(trim(lower(text)), "\\s+")
     val grams =
