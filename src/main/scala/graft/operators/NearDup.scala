@@ -179,10 +179,13 @@ object NearDup {
                             matrix: Array[Array[Double]], threshold: Double,
                             salt: Int = 8, multiProbe: Boolean = true): DataFrame = {
     import graft.functions.VectorExpressions
+    // materialized once: both join sides (and the multi-probe explode)
+    // reuse the bucket+norm projection instead of recomputing it per side
     val base = df.select(id.as("id"), emb.as("emb"))
       .withColumn("bucket", VectorExpressions.lshBucket(col("emb"), matrix))
       .withColumn("nrm",
         sqrt(VectorExpressions.dotProduct(col("emb"), col("emb"))))
+      .localCheckpoint()
     val a = base.withColumn("salt",
       pmod(hash(col("id")), lit(salt)).cast("long"))
     val probes =

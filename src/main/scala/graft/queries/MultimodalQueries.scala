@@ -107,6 +107,41 @@ object MultimodalQueries {
       |FROM x GROUP BY user_id, x.session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** STATEFUL sessionization (flatMapGroupsWithState) run in batch mode:
+    * the same typed fold that powers the streaming path, oracle-checked
+    * against the SQL window formulation — proving the per-key state
+    * machine and the lag+cumsum window compute the SAME sessions. */
+  private val sessionizeStateful: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.StatefulSessionize
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[StatefulSessionize.SessionEvent]
+    StatefulSessionize.sessionizeBatch(ev).toDF()
+      .withColumn("session_value", round(col("session_value"), 2) + lit(0.0d))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val sessionizeStatefulSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |x AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |  round(sum(value), 2) + 0 AS session_value
+      |FROM x GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Stream enrichment: events joined to a broadcast dimension (the
     * foreachBatch-side pattern for attaching user/customer attributes to
     * a stream) — zero shuffle on the event side, one aggregate. */
@@ -133,6 +168,7 @@ object MultimodalQueries {
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
     Q("events_sessionize", sessionize, Some(sessionizeSql)),
+    Q("events_sessionize_stateful", sessionizeStateful, Some(sessionizeStatefulSql)),
     Q("events_enriched", eventsEnriched, Some(eventsEnrichedSql)),
   )
 }

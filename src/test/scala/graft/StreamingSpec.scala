@@ -58,6 +58,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 4)
   }
 
+  test("stateful sessionization: inline gap-close, cross-batch extension, " +
+    "event-time-timeout drain") {
+    import graft.streaming.StatefulSessionize
+    import graft.streaming.StatefulSessionize.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val src = mem.toDS().withWatermark("ts", "10 minutes")
+      .as[SessionEvent]
+    val q = StatefulSessionize.sessionizeStream(src)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def got() = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    try {
+      // batch 1: user 1 opens a session (2 events, 10 min apart)
+      mem.addData(SessionEvent(1L, ts("2026-01-01 10:00:00"), 1L, 1.0),
+        SessionEvent(2L, ts("2026-01-01 10:10:00"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(got().isEmpty) // still open — nothing emitted
+      // batch 2: user 1 extends the SAME session across the batch boundary
+      // (25-min gap <= 30); user 2 opens one
+      mem.addData(SessionEvent(3L, ts("2026-01-01 10:35:00"), 1L, 4.0),
+        SessionEvent(4L, ts("2026-01-01 10:36:00"), 2L, 8.0))
+      q.processAllAvailable()
+      assert(got().isEmpty)
+      // batch 3: user 1's event 2h later closes their session INLINE, and
+      // the advanced watermark (12:30) passes user 2's horizon (11:06) —
+      // their idle session drains via TIMEOUT in the follow-up trigger
+      mem.addData(SessionEvent(5L, ts("2026-01-01 12:40:00"), 1L, 16.0))
+      q.processAllAvailable()
+      assert(got() == Set(
+        (1L, ts("2026-01-01 10:00:00"), 3L, 7.0),
+        (2L, ts("2026-01-01 10:36:00"), 1L, 8.0)))
+      // batch 4: a far-future event advances the watermark past user 1's
+      // open-session horizon (13:10) — it drains too
+      mem.addData(SessionEvent(6L, ts("2026-01-01 23:00:00"), 3L, 0.5))
+      q.processAllAvailable()
+      assert(got() == Set(
+        (1L, ts("2026-01-01 10:00:00"), 3L, 7.0),
+        (1L, ts("2026-01-01 12:40:00"), 1L, 16.0),
+        (2L, ts("2026-01-01 10:36:00"), 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization batch fold == lag+cumsum window sessions") {
+    import graft.streaming.StatefulSessionize
+    import graft.streaming.StatefulSessionize.SessionEvent
+    import org.apache.spark.sql.expressions.Window
+    // out-of-order, multi-user, boundary gap exactly 30 min (stays open)
+    val ev = Seq(
+      SessionEvent(1L, ts("2026-01-01 10:00:00"), 1L, 1.0),
+      SessionEvent(2L, ts("2026-01-01 10:30:00"), 1L, 2.0), // == gap: same session
+      SessionEvent(3L, ts("2026-01-01 11:00:01"), 1L, 4.0), // > gap: new session
+      SessionEvent(4L, ts("2026-01-01 09:00:00"), 2L, 8.0),
+      SessionEvent(5L, ts("2026-01-01 09:10:00"), 2L, 16.0)
+    )
+    val typed = StatefulSessionize.sessionizeBatch(
+        spark.createDataset(scala.util.Random.shuffle(ev)))
+      .collect().map(s => (s.user_id, s.session_start, s.n_events, s.session_value))
+      .sortBy(t => (t._1, t._2.getTime))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sql = spark.createDataset(ev).toDF()
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("seq", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select("user_id", "session_start", "n_events", "session_value")
+      .orderBy(col("user_id"), col("session_start"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(typed.toSeq == sql.toSeq)
+    assert(typed.length == 3)
+  }
+
   test("upsert anti-join reads ONLY the batch's date partitions " +
     "(bounded re-read on an unbounded sink)") {
     val sink = java.nio.file.Files.createTempDirectory("graft-sink-pruned")
