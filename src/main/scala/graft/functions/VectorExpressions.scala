@@ -336,6 +336,80 @@ case class NearestCellExpr(child: Expression, ids: Array[Long],
     copy(child = c)
 }
 
+/** SQ8 asymmetric euclidean distance: decode-and-accumulate in ONE fused
+  * loop — query (float32) vs a scalar-quantized vector (uint8 codes in an
+  * int array + per-vector min/max). Decode is
+  * `mn + (code * (mx - mn)) / 255.0` per element, exactly the expression
+  * an SQL oracle writes, so the approximate distances (and therefore the
+  * candidate SET a rescore pass sees) are reproducible bit-for-bit.
+  *
+  * The query vector rides as ONE reference object (per-query constant);
+  * children are the three stored columns. Accumulation mirrors
+  * EuclideanDistanceExpr: per-element double subtract/square, left-to-
+  * right, sqrt at the end. */
+case class Sq8EuclideanExpr(first: Expression, second: Expression,
+                            third: Expression, query: Array[Float])
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  require(query.nonEmpty, "query must be non-empty")
+
+  override def prettyName: String = "sq8_euclidean"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<int> codes, double min, double max), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(codesAny: Any, mnAny: Any, mxAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    if (codes.numElements() != query.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${codes.numElements()} vs ${query.length})")
+    val mn = mnAny.asInstanceOf[Double]
+    val scale = mxAny.asInstanceOf[Double] - mn
+    var acc = 0.0d; var i = 0
+    while (i < codes.numElements()) {
+      val dec = mn + (codes.getInt(i).toDouble * scale) / 255.0
+      val d = query(i).toDouble - dec
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, mn, mx) => {
+      val q = ctx.addReferenceObj("sq8Query", query, "float[]")
+      val n = ctx.freshName("n"); val scale = ctx.freshName("scale")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val dec = ctx.freshName("dec"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $codes.numElements();
+         |if ($n != $q.length) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $n + " vs " + $q.length + ")");
+         |}
+         |double $scale = $mx - $mn;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dec = $mn + ((double) $codes.getInt($i) * $scale) / 255.0;
+         |  double $d = (double) $q[$i] - $dec;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorExpressions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -346,6 +420,10 @@ object VectorExpressions {
   def nearestCell(v: Column, ids: Array[Long],
                   centroids: Array[Array[Float]]): Column =
     c(NearestCellExpr(e(v), ids, centroids))
+
+  def sq8Euclidean(codes: Column, mn: Column, mx: Column,
+                   query: Array[Float]): Column =
+    c(Sq8EuclideanExpr(e(codes), e(mn), e(mx), query))
 
   def cosineDistance(v: Column, q: Column): Column =
     c(CosineDistanceExpr(e(v), e(q)))

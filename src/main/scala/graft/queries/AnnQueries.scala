@@ -55,7 +55,44 @@ object AnnQueries {
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
   }
 
+  /** SQ8 quantized search: encode all embeddings to uint8 codes, approx
+    * top-R on the codes ONLY, exact rescore top-k. The oracle replays the
+    * whole thing — encoding, decode-based approximate distances, the R
+    * candidate cut, and the exact rescore — so the quantization contract
+    * itself is gated, not just the final distances. */
+  private val Rescore = 50
+
+  private val sq8Topk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val encoded = graft.operators.Quantization.encode(emb, col("embedding"))
+    graft.operators.Quantization.search(encoded, "embedding", "vec_id",
+      query, K, Rescore)
+  }
+
+  private val sq8TopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |                  list_min(embedding::DOUBLE[]) AS mn,
+       |                  list_max(embedding::DOUBLE[]) AS mx
+       |           FROM embeddings),
+       |c AS (SELECT vec_id, mn, mx,
+       |        CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+       |             ELSE list_transform(v, x ->
+       |               floor((x - mn) * 255.0 / (mx - mn) + 0.5)::INT) END AS codes
+       |      FROM e),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |d AS (SELECT c.vec_id,
+       |        list_distance(list_transform(codes, cc ->
+       |          mn + (cc * (mx - mn)) / 255.0), qv) AS approx
+       |      FROM c, q),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) + 0 AS distance
+       |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
+    Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
   )
 }

@@ -48,6 +48,23 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     })
   }
 
+  test("sq8 asymmetric euclidean expression == decode-then-HOF, bit for bit") {
+    import graft.operators.Quantization
+    val encoded = Quantization.encode(vecs, col("v"))
+    val decoded = transform(col("codes"), cc =>
+      col("qmin") + (cc.cast("double") * (col("qmax") - col("qmin"))) / lit(255.0))
+    val hof = sqrt(aggregate(
+      zip_with(qCol.cast("array<double>"), decoded, (a, b) => (a - b) * (a - b)),
+      lit(0.0d), _ + _))
+    val rows = encoded.select(
+      graft.functions.VectorExpressions.sq8Euclidean(
+        col("codes"), col("qmin"), col("qmax"), q.toArray).as("e"),
+      hof.as("h")).as[(Double, Double)].collect()
+    assert(rows.forall { case (e, h) =>
+      java.lang.Double.doubleToRawLongBits(e) == java.lang.Double.doubleToRawLongBits(h)
+    })
+  }
+
   test("dot-product expression == HOF composition, bit for bit") {
     val rows = vecs.select(dotProductDistance(col("v"), qCol).as("e"),
       (-hofDot(col("v"), qCol)).as("h")).as[(Double, Double)].collect()

@@ -69,6 +69,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("least(")) // the round-2 O(C*dim)-node design
   }
 
+  test("sq8 search on a STORED-codes table: approx phase scans only the " +
+    "compact columns; rescore is a broadcast semi-join touching R rows") {
+    import org.apache.spark.sql.functions.col
+    // materialize the encoded table — the ingest-time shape (the oracle
+    // query encodes on the fly, which necessarily reads the embeddings;
+    // at scale codes are stored like the LSH bucket / IVF cell columns)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Quantization.encode(emb, col("embedding"))
+      .select("vec_id", "embedding", "qmin", "qmax", "codes")
+      .write.mode("overwrite").parquet(s"$tmp/encoded")
+    val stored = spark.read.parquet(s"$tmp/encoded")
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val result = graft.operators.Quantization.search(
+      stored, "embedding", "vec_id", q, k = 10, rescore = 50)
+    val p = result.queryExecution.executedPlan.toString
+    assert(p.contains("sq8_euclidean"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    // phase 1's scan must NOT carry the float32 embedding column: the
+    // whole point of SQ8 is scanning 1/4 the bytes. The embedding column
+    // appears only in the rescore branch's scan.
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("codes") && !l.contains("embedding")),
+      s"no compact-only scan — phase 1 reads full vectors:\n${scans.mkString("\n")}")
+    assert(result.count() == 10)
+  }
+
   test("reopened engine scans partition-prune to the searched library") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val e = VectorEngine.create(spark)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Quantization
+
+class QuantizationSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("encode: codes bounded to [0,255], extremes exact, constant vector all-zero") {
+    val df = Seq(
+      (1L, Seq(-1.0f, 0.0f, 0.5f, 1.0f)),
+      (2L, Seq(3.0f, 3.0f, 3.0f, 3.0f)) // constant: mx == mn
+    ).toDF("id", "v")
+    val enc = Quantization.encode(df, col("v")).orderBy("id").collect()
+    def codes(r: org.apache.spark.sql.Row): Seq[Int] =
+      r.getSeq[Int](r.fieldIndex("codes")).toSeq
+    val c1 = codes(enc(0))
+    assert(c1.head == 0 && c1.last == 255) // min -> 0, max -> 255
+    assert(c1.forall(c => c >= 0 && c <= 255))
+    assert(codes(enc(1)) == Seq(0, 0, 0, 0))
+    assert(enc(1).getAs[Double]("qmin") == 3.0d)
+  }
+
+  test("decode error bounded by half a quantization step per element") {
+    val rng = new scala.util.Random(7)
+    val df = (0L until 100L).map(i => (i, Seq.fill(32)(rng.nextFloat() * 4 - 2)))
+      .toDF("id", "v")
+    val worst = Quantization.encode(df, col("v"))
+      .withColumn("err", aggregate(
+        zip_with(col("v").cast("array<double>"),
+          transform(col("codes"), cc =>
+            col("qmin") + (cc.cast("double") * (col("qmax") - col("qmin"))) / lit(255.0)),
+          (x, d) => abs(x - d)),
+        lit(0.0d), (acc, x) => greatest(acc, x)))
+      .agg(max(col("err") / ((col("qmax") - col("qmin")) / lit(255.0))))
+      .head().getDouble(0)
+    // worst per-element error, in units of one quantization step
+    assert(worst <= 0.5 + 1e-9, s"worst error $worst steps > half a step")
+  }
+
+  test("sq8 search: recall@10 vs exact flat search at sf0.01 (R=50)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
+    val queries = emb.where(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val recalls = queries.map { case (_, q) =>
+      val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
+      val flat = emb
+        .withColumn("distance",
+          graft.functions.VectorExpressions.euclideanDistance(col("embedding"), qCol))
+        .orderBy("distance", "vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val sq8 = Quantization.search(encoded, "embedding", "vec_id", q,
+        k = 10, rescore = 50)
+        .select("vec_id").as[Long].collect().toSet
+      (flat intersect sq8).size.toDouble / flat.size
+    }
+    val recall = recalls.sum / recalls.length
+    info(f"SQ8 recall@10 over ${queries.length} queries: $recall%.3f")
+    // 8-bit codes + 5x rescore headroom: near-exact is the expectation
+    assert(recall >= 0.95, f"recall@10 $recall%.3f < 0.95")
+  }
+
+  test("search guards: k > 0, rescore >= k") {
+    val df = Quantization.encode(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"), col("v"))
+    intercept[IllegalArgumentException] {
+      Quantization.search(df, "v", "id", Array(1.0f, 2.0f), k = 0, rescore = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Quantization.search(df, "v", "id", Array(1.0f, 2.0f), k = 10, rescore = 5)
+    }
+  }
+}
