@@ -225,8 +225,45 @@ object RelationalQueries {
       |  round(quantile_cont(l_quantity, 0.75), 6) + 0 AS p75
       |FROM lineitem""".stripMargin
 
+  /** Backward as-of join: each purchase event enriched with the user's
+    * most recent click at-or-before it (union + carry-forward window —
+    * ONE |L|+|R| shuffle by user, no range-join pair blowup). The right
+    * side is pre-deduped to one row per (user, ts) (max event_id), making
+    * the match deterministic; the oracle is DuckDB's NATIVE ASOF LEFT
+    * JOIN, so the operator's semantics are checked against an independent
+    * first-class implementation, not a re-derivation. */
+  private val asofEvents: QueryFn = (s, dir) => {
+    import graft.operators.AsOfJoin
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.backward(purchases, clicks, "user_id", "ts", "click_ts",
+        Seq("click_id", "click_ts"))
+      .withColumn("asof_gap_us",
+        unix_micros(col("ts")) - unix_micros(col("asof_click_ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_id"), col("asof_gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val asofEventsSql: String =
+    """WITH r AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, l.ts, r.click_id AS asof_click_id,
+      |  epoch_us(l.ts) - epoch_us(r.click_ts) AS asof_gap_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.click_ts
+      |ORDER BY l.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("agg_rollup", rollupAgg, Some(rollupAggSql)),
+    Q("join_asof_events", asofEvents, Some(asofEventsSql)),
     Q("agg_percentiles", percentiles, Some(percentilesSql)),
     Q("agg_pagination_meta", paginationMeta, Some(paginationMetaSql)),
     Q("agg_lineitem_pushdown", aggLineitem, Some(aggLineitemSql)),
