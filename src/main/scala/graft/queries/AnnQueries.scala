@@ -91,8 +91,64 @@ object AnnQueries {
        |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
 
+  /** IVF x SQ8 COMPOSITION — the billion-vector search shape: the stored
+    * cell column prunes the scan to nprobe/C of the rows, the uint8 codes
+    * cut the scanned bytes of that remainder 4x, and only the R approx
+    * survivors are rescored against full float32 vectors. Implemented by
+    * literally composing the two operators (`withCell` + cell filter
+    * feeding `Quantization.search`); the oracle replays cell assignment,
+    * probe selection, encoding, the approx candidate cut, and the rescore
+    * — every stage of the funnel is gated. */
+  private val ivfSq8Topk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val centroids = emb.where(pmod(col("vec_id"), lit(CentroidMod)) === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => IvfIndex.Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_.id)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val indexed = graft.operators.Quantization.encode(
+      IvfIndex.withCell(emb, col("embedding"), centroids), col("embedding"))
+    val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
+    graft.operators.Quantization.search(
+      indexed.where(col("cell").isin(probed: _*)),
+      "embedding", "vec_id", query, K, Rescore)
+  }
+
+  private val ivfSq8TopkSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+       |           FROM embeddings WHERE vec_id % $CentroidMod = 1),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |             list_min(embedding::DOUBLE[]) AS mn,
+       |             list_max(embedding::DOUBLE[]) AS mx
+       |      FROM embeddings),
+       |a AS (SELECT e.vec_id, e.v, e.mn, e.mx, c.cid,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |      FROM e, c),
+       |cell AS (SELECT vec_id, v, mn, mx, cid FROM a WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe),
+       |p AS (SELECT * FROM cell WHERE cid IN (SELECT cid FROM probe)),
+       |enc AS (SELECT vec_id, v, mn, mx,
+       |          CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+       |               ELSE list_transform(v, x ->
+       |                 floor((x - mn) * 255.0 / (mx - mn) + 0.5)::INT) END AS codes
+       |        FROM p),
+       |d AS (SELECT enc.vec_id,
+       |        list_distance(list_transform(codes, cc ->
+       |          mn + (cc * (mx - mn)) / 255.0), qv) AS approx
+       |      FROM enc, q),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT p.vec_id, round(list_distance(p.v, q.qv), 6) + 0 AS distance
+       |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
+    Q("ann_ivf_sq8_topk", ivfSq8Topk, Some(ivfSq8TopkSql)),
   )
 }
