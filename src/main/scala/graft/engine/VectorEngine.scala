@@ -630,15 +630,18 @@ final class VectorEngine private (val spark: SparkSession) {
     val metaPred = MetadataFunctions.filterPredicate(col("metadata"), filters)
     val scoped = chunks.where(col("library_id") === libraryId).where(metaPred)
       .toDF()
-    if (filters.nonEmpty && scoped.limit(1).count() == 0) return emptyOut
     val qDf = queries.toDF("query_id", "qvec")
       .withColumn("qvec", col("qvec").cast("array<float>"))
     val pairs: DataFrame =
       if (lib.index_kind == IndexKindLsh) {
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
         val qb = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
+        // materialized ONCE (localCheckpoint): the candidate count below
+        // and the final result both consume it — without pinning, the
+        // probe join (the expensive stage) would execute twice per call.
         val cand = scoped.join(broadcast(qb), col("bucket") === col("qbucket"))
           .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
+          .localCheckpoint()
         val counts = cand.groupBy("query_id").count().collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val bucketQs = queries.map(_._1).filter(counts.getOrElse(_, 0L) >= k)
@@ -700,31 +703,45 @@ final class VectorEngine private (val spark: SparkSession) {
       val out = chunks.toDF()
       val incremental = lastSaveDir.contains(dir) && lastSaveHadChunks
       if (incremental) {
-        // libraries whose partitions changed but now hold zero rows
-        // (emptied or cascade-deleted): dynamic overwrite writes nothing
-        // for them, so their stale directories are removed explicitly.
+        // The live `chunks` Dataset may be FILE-BACKED BY THIS PATH (the
+        // engine was opened from, or previously saved to, `dir`): the
+        // rows to write are pinned OFF the files first (localCheckpoint —
+        // O(changed) rows, the same set being written), all reads of the
+        // old files happen before any delete, and `chunks` is re-rooted
+        // from the freshly written state below — otherwise the overwrite
+        // replaces files the live plan still references and every later
+        // action dies with FILE_NOT_EXIST.
         val dirtyWithRows =
           if (dirtyLibs.isEmpty) Set.empty[String]
           else out.where(col("library_id").isin(dirtyLibs.toSeq: _*))
             .select("library_id").distinct().collect()
             .map(_.getString(0)).toSet
-        val fs = org.apache.hadoop.fs.FileSystem
-          .get(spark.sparkContext.hadoopConfiguration)
+        val snapshot =
+          if (dirtyWithRows.nonEmpty)
+            Some(out.where(col("library_id").isin(dirtyWithRows.toSeq: _*))
+              .localCheckpoint())
+          else None
+        // libraries whose partitions changed but now hold zero rows
+        // (emptied or cascade-deleted): dynamic overwrite writes nothing
+        // for them, so their stale directories are removed explicitly —
+        // via the FILESYSTEM OF THE SAVE PATH, not the default FS.
+        val cpath = new org.apache.hadoop.fs.Path(chunksPath)
+        val fs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         (dirtyLibs -- dirtyWithRows).foreach { id =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$chunksPath/library_id=$id"),
             true)
         }
-        if (dirtyWithRows.nonEmpty)
-          out.where(col("library_id").isin(dirtyWithRows.toSeq: _*))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("library_id")
-            .parquet(chunksPath)
-        lastSaveHadChunks = true // incremental implies rows existed before
+        snapshot.foreach(_.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("library_id")
+          .parquet(chunksPath))
+        lastSaveHadChunks = true // partitioned layout persists on disk
       } else {
         // full write; an empty table is written unpartitioned —
         // partitionBy with zero rows writes no files at all, which would
-        // make the reopen fail.
+        // make the reopen fail. (No self-overwrite hazard here: a
+        // file-backed-on-`dir` chunks Dataset implies lastSaveHadChunks,
+        // i.e. the incremental branch.)
         val empty = out.isEmpty
         val writer = out.write.mode("overwrite")
         (if (empty) writer else writer.partitionBy("library_id"))
@@ -735,10 +752,39 @@ final class VectorEngine private (val spark: SparkSession) {
       Files.writeString(Paths.get(s"$dir/MANIFEST"), version)
       lastSaveDir = Some(dir)
       dirtyLibs = Set.empty
+      // Re-root the live Dataset on the state just persisted (disk ==
+      // memory after a save, so this is a semantic no-op): stale
+      // references to replaced/deleted files die here, and the plan
+      // lineage of a long-lived engine resets to one scan.
+      chunks = readChunksTable(dir)
     } catch {
       case e: VectorDbError => throw e
       case e: Exception => throw StorageError(s"save failed: ${e.getMessage}")
     }
+  }
+
+  /** Read the stable chunks table at `dir/chunks`. PRECISE emptiness
+    * detection: a directory holding no parquet files is the
+    * validly-persisted EMPTY state an incremental save leaves after
+    * deleting every partition; a MISSING directory is not our layout and
+    * fails loudly (never silently loaded as zero chunks); any other read
+    * error propagates. */
+  private def readChunksTable(dir: String): Dataset[ChunkRow] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/chunks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw StorageError(s"no chunks table at $dir/chunks")
+    val it = fs.listFiles(p, true)
+    var hasParquet = false
+    while (!hasParquet && it.hasNext)
+      hasParquet = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasParquet) spark.emptyDataset[ChunkRow]
+    else
+      // partition-column type inference could read a numeric-looking
+      // library_id back as INT — pin it to string
+      spark.read.parquet(s"$dir/chunks")
+        .withColumn("library_id", col("library_id").cast("string"))
+        .as[ChunkRow]
   }
 
   private def load(dir: String): Unit = {
@@ -748,18 +794,7 @@ final class VectorEngine private (val spark: SparkSession) {
     val base = s"$dir/$version"
     libs = spark.read.parquet(s"$base/libraries.parquet").as[LibraryRow]
     docs = spark.read.parquet(s"$base/documents.parquet").as[DocumentRow]
-    // partition-column type inference could read a numeric-looking
-    // library_id back as INT — pin it to string. An incremental save that
-    // deleted every partition leaves a schema-less directory: that is a
-    // validly-persisted EMPTY table.
-    chunks =
-      try spark.read.parquet(s"$dir/chunks")
-        .withColumn("library_id", col("library_id").cast("string"))
-        .as[ChunkRow]
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.emptyDataset[ChunkRow]
-      }
+    chunks = readChunksTable(dir)
     matrices = spark.read.parquet(s"$base/matrices.parquet").as[MatrixRow]
       .collect().map(m => m.library_id -> m).toMap
     lastSaveDir = Some(dir)

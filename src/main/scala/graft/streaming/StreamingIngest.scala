@@ -33,12 +33,19 @@ object StreamingIngest {
     windowedEventCounts(events.withWatermark("ts", "2 hours"))
 
   /** Partition-pruned view of already-ingested event ids for the given
-    * event dates — the ONLY part of the sink the upsert anti-join reads. */
+    * event dates — the ONLY part of the sink the upsert anti-join reads.
+    * `includeNullDate` also reads the null-date partition (events with a
+    * null ts land there; `isin` alone would never match it and a null-ts
+    * redelivery would double-insert). */
   def sinkIdsForDates(spark: SparkSession, sinkDir: String,
-                      dates: Seq[java.sql.Date]): DataFrame =
+                      dates: Seq[java.sql.Date],
+                      includeNullDate: Boolean = false): DataFrame = {
+    val dateMatch = col("event_date").isin(dates: _*)
     spark.read.parquet(sinkDir)
-      .where(col("event_date").isin(dates: _*))
+      .where(if (includeNullDate) dateMatch || col("event_date").isNull
+             else dateMatch)
       .select("event_id")
+  }
 
   /** Idempotent micro-batch upsert into a DATE-PARTITIONED Parquet sink:
     * within-batch dedup + anti-join against the sink on event_id, then ONE
@@ -59,9 +66,12 @@ object StreamingIngest {
       .withColumn("event_date", to_date(col("ts")))
     val deduped =
       if (new java.io.File(sinkDir).exists()) {
-        val dates = fresh.select(col("event_date")).distinct()
+        val rawDates = fresh.select(col("event_date")).distinct()
           .collect().map(_.getDate(0)).toSeq
-        fresh.join(sinkIdsForDates(spark, sinkDir, dates),
+        val dates = rawDates.filter(_ != null)
+        fresh.join(
+          sinkIdsForDates(spark, sinkDir, dates,
+            includeNullDate = rawDates.exists(_ == null)),
           Seq("event_id"), "left_anti")
       } else fresh
     deduped.write.mode("append").partitionBy("event_date").parquet(sinkDir)

@@ -399,6 +399,56 @@ class EngineSpec extends AnyFunSuite {
     intercept[NotFoundError] { e3.getLibrary(libB.id) }
   }
 
+  test("engine stays fully usable AFTER saving into its own backing dir " +
+    "(no stale references to replaced/deleted partition files)") {
+    val dir = Files.tmp("graft-reuse")
+    val e = VectorEngine.create(spark)
+    val libA = e.createLibrary("a", dim = 4, id = Some("rlibA"))
+    val libB = e.createLibrary("b", dim = 4, id = Some("rlibB"))
+    val dA = e.createDocument(libA.id, "da")
+    val dB = e.createDocument(libB.id, "db")
+    e.addChunk(dA.id, ChunkInput("x", vec(1, 0, 0, 0), id = Some("ra0")))
+    e.addChunk(dB.id, ChunkInput("y", vec(0, 1, 0, 0), id = Some("rb0")))
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    // mutate + incremental save, then KEEP USING the same engine: every
+    // path below used to die with FILE_NOT_EXIST on the replaced files
+    e2.addChunk(e2.listDocuments(libB.id).items.head.id,
+      ChunkInput("z", vec(0, 0, 1, 0), id = Some("rb1")))
+    e2.save(dir)
+    assert(e2.getChunk("ra0").text == "x")
+    assert(e2.chunkCount(libB.id) == 2)
+    assert(e2.search(libB.id, vec(0, 0, 1, 0), 1).collect()
+      .head.getString(0) == "rb1")
+    // delete-only save (partition directory removed), engine still live
+    e2.deleteLibrary(libA.id)
+    e2.save(dir)
+    assert(e2.chunkCount(libB.id) == 2)
+    assert(e2.getChunk("rb1").text == "z")
+    // a third save after further mutation composes
+    e2.patchChunk("rb1", text = Some("z2"))
+    e2.save(dir)
+    val e3 = VectorEngine.open(spark, dir)
+    assert(e3.getChunk("rb1").text == "z2")
+    assert(e3.chunkCount(libB.id) == 2)
+  }
+
+  test("open fails loudly on a state dir without a chunks table") {
+    val dir = Files.tmp("graft-nochunks")
+    val e = VectorEngine.create(spark)
+    e.createLibrary("a", dim = 2, id = Some("nl"))
+    e.save(dir)
+    // simulate an old-layout/corrupt dir: chunks table missing entirely
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rmrf)
+      java.nio.file.Files.delete(p)
+    }
+    rmrf(java.nio.file.Paths.get(s"$dir/chunks"))
+    intercept[StorageError] { VectorEngine.open(spark, dir) }
+  }
+
   test("bulk chunk ingest validates in one action (job count)") {
     val (e, lib, doc) = freshWithData()
     import spark.implicits._
