@@ -701,7 +701,10 @@ final class VectorEngine private (val spark: SparkSession) {
         .parquet(s"$base/matrices.parquet")
       val chunksPath = s"$dir/chunks"
       val out = chunks.toDF()
-      val incremental = lastSaveDir.contains(dir) && lastSaveHadChunks
+      // the live chunks Dataset can hold references to files under `dir`
+      // only if this engine was opened from / previously saved to it
+      val selfBacked = lastSaveDir.contains(dir)
+      val incremental = selfBacked && lastSaveHadChunks
       if (incremental) {
         // The live `chunks` Dataset may be FILE-BACKED BY THIS PATH (the
         // engine was opened from, or previously saved to, `dir`): the
@@ -739,11 +742,12 @@ final class VectorEngine private (val spark: SparkSession) {
       } else {
         // full write; an empty table is written unpartitioned —
         // partitionBy with zero rows writes no files at all, which would
-        // make the reopen fail. (No self-overwrite hazard here: a
-        // file-backed-on-`dir` chunks Dataset implies lastSaveHadChunks,
-        // i.e. the incremental branch.)
-        val empty = out.isEmpty
-        val writer = out.write.mode("overwrite")
+        // make the reopen fail. A self-backed source (e.g. opened from a
+        // dir whose chunks table held files but zero rows) is pinned off
+        // the files first, like the incremental branch.
+        val src = if (selfBacked) out.localCheckpoint() else out
+        val empty = src.isEmpty
+        val writer = src.write.mode("overwrite")
         (if (empty) writer else writer.partitionBy("library_id"))
           .parquet(chunksPath)
         lastSaveHadChunks = !empty
@@ -755,8 +759,9 @@ final class VectorEngine private (val spark: SparkSession) {
       // Re-root the live Dataset on the state just persisted (disk ==
       // memory after a save, so this is a semantic no-op): stale
       // references to replaced/deleted files die here, and the plan
-      // lineage of a long-lived engine resets to one scan.
-      chunks = readChunksTable(dir)
+      // lineage of a long-lived engine resets to one scan. A fresh-dir
+      // save has no stale references to kill — skip the extra read.
+      if (selfBacked) chunks = readChunksTable(dir)
     } catch {
       case e: VectorDbError => throw e
       case e: Exception => throw StorageError(s"save failed: ${e.getMessage}")

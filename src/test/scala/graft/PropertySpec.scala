@@ -102,4 +102,46 @@ object PropertySpec extends Properties("graft") {
       val all = flatTopK(rows, vs.head, k = rows.size)
       got.forall(all.contains) && got == got.sortBy(r => (r._2, r._1))
     }
+
+  property("salted TopK.perGroup == unsalted global window, any salt") = {
+    import org.apache.spark.sql.expressions.Window
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0, 50))),
+      Gen.chooseNum(1, 6), Gen.oneOf(1, 2, 8, 17)) { (rows, k, salt) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v.toDouble, i.toLong) }
+        .toDF("g", "d", "id")
+      val salted = graft.operators.TopK.perGroup(df, "g", "d", "id", k, salt)
+        .select("g", "d", "id").as[(Long, Double, Long)].collect().toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("d"), col("id"))
+      val plain = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).select("g", "d", "id")
+        .as[(Long, Double, Long)].collect().toSet
+      salted == plain
+    }
+  }
+
+  property("as-of join == per-row brute-force latest-at-or-before") = {
+    import graft.operators.AsOfJoin
+    val tsGen = Gen.chooseNum(0L, 40L)
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 2L), tsGen)),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 2L), tsGen))) { (ls, rs) =>
+      def ts(n: Long) = new java.sql.Timestamp(n * 1000L)
+      val left = ls.zipWithIndex.map { case ((key, t), i) => (i.toLong, key, ts(t)) }
+      // contract: right unique per (key, ts) — keep max id on ties
+      val right = rs.zipWithIndex.map { case ((key, t), i) => (i.toLong, key, ts(t)) }
+        .groupBy(x => (x._2, x._3)).values.map(_.maxBy(_._1)).toSeq
+      val got = AsOfJoin.backward(
+          left.toDF("event_id", "k", "ts"), right.toDF("rid", "k", "rts"),
+          "k", "ts", "rts", Seq("rid"))
+        .select("event_id", "asof_rid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      val expect = left.map { case (id, key, t) =>
+        val cand = right.filter(r => r._2 == key && !r._3.after(t))
+        id -> (if (cand.isEmpty) None
+               else Some(cand.maxBy(r => (r._3.getTime, r._1))._1))
+      }.toMap
+      got == expect
+    }
+  }
 }
