@@ -142,6 +142,29 @@ object MultimodalQueries {
       |FROM x GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** The stream-stream interval join run in BATCH mode (identical code;
+    * watermarks are no-ops on bounded input): every purchase paired with
+    * the same user's clicks in the preceding 30 minutes. */
+  private val intervalJoin: QueryFn = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.StreamingIngest.clickToPurchaseJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"),
+        windowSeconds = 1800L)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  private val intervalJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  c.event_id AS click_id, c.ts AS click_ts
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1800 SECONDS AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Stream enrichment: events joined to a broadcast dimension (the
     * foreachBatch-side pattern for attaching user/customer attributes to
     * a stream) — zero shuffle on the event side, one aggregate. */
@@ -169,6 +192,7 @@ object MultimodalQueries {
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
     Q("events_sessionize", sessionize, Some(sessionizeSql)),
     Q("events_sessionize_stateful", sessionizeStateful, Some(sessionizeStatefulSql)),
+    Q("events_interval_join", intervalJoin, Some(intervalJoinSql)),
     Q("events_enriched", eventsEnriched, Some(eventsEnrichedSql)),
   )
 }

@@ -77,6 +77,31 @@ object StreamingIngest {
     deduped.write.mode("append").partitionBy("event_date").parquet(sinkDir)
   }
 
+  /** Watermarked STREAM-STREAM interval join: each purchase pairs with
+    * the same user's clicks in the preceding `windowSeconds` — the
+    * streaming twin of the batch as-of enrichment (operators.AsOfJoin).
+    *
+    * Both sides carry watermarks and the join predicate bounds the event
+    * time range on BOTH ends, so Spark can expire buffered state for
+    * either side once the watermark passes the interval: state is
+    * O(events inside the window), not O(stream). Without the range
+    * condition a stream-stream join must buffer one side forever. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          windowSeconds: Long = 3600L): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Start the ingest stream: foreachBatch gives exactly-once-per-batch
     * semantics on top of the checkpointed source offsets. */
   def startIngest(stream: DataFrame, sinkDir: String,

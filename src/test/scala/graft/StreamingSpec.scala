@@ -58,6 +58,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 4)
   }
 
+  test("stream-stream interval join: purchases pair with in-window clicks " +
+    "across micro-batches; out-of-window clicks never match") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingIngest.clickToPurchaseJoin(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id"),
+        windowSeconds = 1800L)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // batch 1: clicks only — buffered, nothing joins yet
+      clicks.addData((1L, ts("2026-01-01 10:00:00"), 1L),
+        (2L, ts("2026-01-01 10:20:00"), 1L),
+        (3L, ts("2026-01-01 08:00:00"), 2L)) // will be out of window
+      q.processAllAvailable()
+      // batch 2: purchases arrive in a LATER micro-batch and still join
+      purchases.addData((10L, ts("2026-01-01 10:30:00"), 1L),
+        (11L, ts("2026-01-01 10:30:00"), 2L))
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      // purchase 10 pairs with BOTH in-window clicks of user 1;
+      // purchase 11 finds nothing (user 2's click is 2.5h old)
+      assert(got == Set((10L, 1L), (10L, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: inline gap-close, cross-batch extension, " +
     "event-time-timeout drain") {
     import graft.streaming.StatefulSessionize
