@@ -79,7 +79,9 @@ object TextQueries {
       col("doc_id"), predictedLang(tokens(col("text"))).as("predicted_lang"))
       .orderBy(col("doc_id"))
 
-  private val langIdSql: String = {
+  /** DuckDB twin of predictedLang over a token list `t` — generated from
+    * the SAME LangProfiles the Column operator uses. */
+  private def langCaseSql: String = {
     def score(words: Seq[String]) =
       s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
     val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
@@ -87,11 +89,48 @@ object TextQueries {
       val later = scores.drop(i + 1).map(o => s"$sc >= ${o._2}").mkString(" AND ")
       s"WHEN $later THEN '$lang'"
     }.mkString(" ")
+    s"CASE $whens ELSE '${LangProfiles.last._1}' END"
+  }
+
+  private val langIdSql: String =
     s"""SELECT doc_id,
-       |  CASE $whens ELSE '${LangProfiles.last._1}' END AS predicted_lang
+       |  $langCaseSql AS predicted_lang
        |FROM (SELECT doc_id, $tokSql AS t FROM documents)
        |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic STRATIFIED downsampling — the corpus-rebalance pass of
+    * a training-data pipeline (low-quality sources downweighted, curated
+    * sources kept): keep a document iff its seeded 60-bit hash falls
+    * under its stratum's rate threshold. Hash-thresholding (not
+    * `sample()`) so the selection is reproducible run-to-run,
+    * engine-to-engine, and partitioning-independent — the properties a
+    * curation pipeline needs for audits. Source tier k (k = src-number
+    * div 5, four tiers) samples at (k+1)/4: thresholds are pure INTEGER
+    * arithmetic ((k+1) * 2^58 vs the 60-bit hash) — no float boundary
+    * anywhere. Pure projection + one aggregate; scales as a scan. */
+  private val StratSeed = 7
+
+  private val stratifiedSample: QueryFn = (s, dir) => {
+    import graft.operators.NearDup
+    val tier = expr("cast(substring(source, 4, 10) as int) div 5")
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("u", NearDup.seededHash(StratSeed, col("doc_id").cast("string")))
+      .withColumn("threshold", (tier + lit(1)).cast("long") * lit(1L << 58))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("u") < col("threshold"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("source"))
   }
+
+  private val stratifiedSampleSql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |        ('0x' || substr(md5('$StratSeed:' || doc_id), 1, 15))::BIGINT AS u,
+       |        ((substr(source, 4)::INT // 5) + 1)::BIGINT * ${1L << 58} AS threshold
+       |      FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN u < threshold THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
   /** MinHash-1 content fingerprint (rolling-hash-style signature). */
   private val fingerprintQ: QueryFn = (s, dir) =>
@@ -145,6 +184,7 @@ object TextQueries {
     Q("text_term_stats", termStats, Some(termStatsSql)),
     Q("text_quality", quality, Some(qualitySql)),
     Q("text_langid", langId, Some(langIdSql)),
+    Q("pipeline_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("text_fingerprint", fingerprintQ, Some(fingerprintSql)),
     Q("window_doc_reconstruct", docReconstruct, Some(docReconstructSql)),
   )
