@@ -96,6 +96,11 @@ final class VectorEngine private (val spark: SparkSession) {
   private var dirtyLibs: Set[String] = Set.empty
   private var lastSaveDir: Option[String] = None
   private var lastSaveHadChunks = false
+  // The directory whose files the live `chunks` PLAN is rooted on (set by
+  // load and by post-save re-roots) — distinct from lastSaveDir: a save
+  // to dirB while opened from dirA leaves the plan rooted on dirA, and a
+  // LATER save back to dirA must still pin + re-root.
+  private var chunksBackingDir: Option[String] = None
 
   private def markDirty(libraryId: String): Unit = dirtyLibs += libraryId
 
@@ -636,14 +641,17 @@ final class VectorEngine private (val spark: SparkSession) {
       if (lib.index_kind == IndexKindLsh) {
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
         val qb = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
-        // materialized ONCE (localCheckpoint): the candidate count below
-        // and the final result both consume it — without pinning, the
-        // probe join (the expensive stage) would execute twice per call.
+        // The count pass re-runs the probe join but over a COLUMN-PRUNED
+        // scan (bucket only — no embedding bytes): the expensive width is
+        // read once, in the result plan below. No caching, so repeated
+        // batch searches leave no storage residue behind.
+        val counts = scoped.select(col("bucket"))
+          .join(broadcast(qb.select(col("query_id"), col("qbucket"))),
+            col("bucket") === col("qbucket"))
+          .groupBy("query_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val cand = scoped.join(broadcast(qb), col("bucket") === col("qbucket"))
           .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
-          .localCheckpoint()
-        val counts = cand.groupBy("query_id").count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val bucketQs = queries.map(_._1).filter(counts.getOrElse(_, 0L) >= k)
         val fallbackQs = queries.map(_._1).filterNot(bucketQs.toSet)
         val parts = Seq(
@@ -701,10 +709,10 @@ final class VectorEngine private (val spark: SparkSession) {
         .parquet(s"$base/matrices.parquet")
       val chunksPath = s"$dir/chunks"
       val out = chunks.toDF()
-      // the live chunks Dataset can hold references to files under `dir`
-      // only if this engine was opened from / previously saved to it
-      val selfBacked = lastSaveDir.contains(dir)
-      val incremental = selfBacked && lastSaveHadChunks
+      // does the live chunks plan reference files under THIS dir?
+      val selfBacked = chunksBackingDir.contains(dir)
+      // does dir/chunks hold a partitioned layout we can overlay?
+      val incremental = lastSaveDir.contains(dir) && lastSaveHadChunks
       if (incremental) {
         // The live `chunks` Dataset may be FILE-BACKED BY THIS PATH (the
         // engine was opened from, or previously saved to, `dir`): the
@@ -714,16 +722,16 @@ final class VectorEngine private (val spark: SparkSession) {
         // from the freshly written state below — otherwise the overwrite
         // replaces files the live plan still references and every later
         // action dies with FILE_NOT_EXIST.
-        val dirtyWithRows =
-          if (dirtyLibs.isEmpty) Set.empty[String]
-          else out.where(col("library_id").isin(dirtyLibs.toSeq: _*))
-            .select("library_id").distinct().collect()
-            .map(_.getString(0)).toSet
+        // ONE scan of the dirty subset: the pinned snapshot serves both
+        // the which-libraries-still-have-rows probe and the write below.
         val snapshot =
-          if (dirtyWithRows.nonEmpty)
-            Some(out.where(col("library_id").isin(dirtyWithRows.toSeq: _*))
-              .localCheckpoint())
-          else None
+          if (dirtyLibs.isEmpty) None
+          else Some(out.where(col("library_id").isin(dirtyLibs.toSeq: _*))
+            .localCheckpoint())
+        val dirtyWithRows = snapshot
+          .map(_.select("library_id").distinct().collect()
+            .map(_.getString(0)).toSet)
+          .getOrElse(Set.empty[String])
         // libraries whose partitions changed but now hold zero rows
         // (emptied or cascade-deleted): dynamic overwrite writes nothing
         // for them, so their stale directories are removed explicitly —
@@ -734,10 +742,11 @@ final class VectorEngine private (val spark: SparkSession) {
           fs.delete(new org.apache.hadoop.fs.Path(s"$chunksPath/library_id=$id"),
             true)
         }
-        snapshot.foreach(_.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("library_id")
-          .parquet(chunksPath))
+        if (dirtyWithRows.nonEmpty)
+          snapshot.foreach(_.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("library_id")
+            .parquet(chunksPath))
         lastSaveHadChunks = true // partitioned layout persists on disk
       } else {
         // full write; an empty table is written unpartitioned —
@@ -783,13 +792,17 @@ final class VectorEngine private (val spark: SparkSession) {
     var hasParquet = false
     while (!hasParquet && it.hasNext)
       hasParquet = it.next().getPath.getName.endsWith(".parquet")
-    if (!hasParquet) spark.emptyDataset[ChunkRow]
-    else
+    if (!hasParquet) {
+      chunksBackingDir = None
+      spark.emptyDataset[ChunkRow]
+    } else {
+      chunksBackingDir = Some(dir)
       // partition-column type inference could read a numeric-looking
       // library_id back as INT — pin it to string
       spark.read.parquet(s"$dir/chunks")
         .withColumn("library_id", col("library_id").cast("string"))
         .as[ChunkRow]
+    }
   }
 
   private def load(dir: String): Unit = {

@@ -136,13 +136,17 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Embedding-cosine near-dup: label-blocked self-join (pairs only
-    * within a block; at 100 TB the block key is a coarse cluster/LSH
-    * bucket). The left side is SALTED and the right side replicated to
-    * every salt value — with only ~10 distinct labels a bare label join
-    * would squeeze all pairs through 10 reduce slots; salting fans the
-    * same exact pair set out over label x salt cells (each unordered
-    * pair lands exactly once, in the left row's salt cell). */
+  /** Embedding-cosine near-dup, PRE-BLOCKED variant: when the corpus
+    * already carries a low-cardinality partition key (label/topic/shard),
+    * pairs are compared only within a block. The LABEL-FREE general
+    * operator — the 100 TB path for corpora with no such key — is
+    * `dedup_embedding_near_lsh` below (NearDup.embeddingNearDupPairs,
+    * blocking on a derived LSH bucket). The left side is SALTED and the
+    * right side replicated to every salt value — with only ~10 distinct
+    * labels a bare label join would squeeze all pairs through 10 reduce
+    * slots; salting fans the same exact pair set out over label x salt
+    * cells (each unordered pair lands exactly once, in the left row's
+    * salt cell). */
   private val embeddingNear: QueryFn = (s, dir) => {
     val SALT = 8
     val e = table(s, dir, "embeddings").select(

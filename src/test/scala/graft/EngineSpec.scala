@@ -433,6 +433,27 @@ class EngineSpec extends AnyFunSuite {
     assert(e3.chunkCount(libB.id) == 2)
   }
 
+  test("saving back to an EARLIER backing dir after a save elsewhere " +
+    "still pins and re-roots (multi-directory save history)") {
+    val dirA = Files.tmp("graft-multiA")
+    val dirB = Files.tmp("graft-multiB")
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("m", dim = 4, id = Some("mlib"))
+    val d = e.createDocument(lib.id, "md")
+    e.addChunk(d.id, ChunkInput("x", vec(1, 0, 0, 0), id = Some("ma0")))
+    e.save(dirA)
+    val e2 = VectorEngine.open(spark, dirA) // chunks rooted on dirA
+    e2.save(dirB)                           // fresh-dir save: stays rooted on dirA
+    e2.addChunk(e2.listDocuments(lib.id).items.head.id,
+      ChunkInput("y", vec(0, 1, 0, 0), id = Some("ma1")))
+    e2.save(dirA)                           // back to the ORIGINAL backing dir
+    assert(e2.chunkCount(lib.id) == 2)      // engine still live
+    assert(e2.getChunk("ma0").text == "x")
+    val re = VectorEngine.open(spark, dirA)
+    assert(re.chunkCount(lib.id) == 2)
+    assert(VectorEngine.open(spark, dirB).chunkCount(lib.id) == 1)
+  }
+
   test("open fails loudly on a state dir without a chunks table") {
     val dir = Files.tmp("graft-nochunks")
     val e = VectorEngine.create(spark)
