@@ -150,12 +150,18 @@ object TextQueries {
 
   /** X6 / W4: document reconstruction through the chunk model — split
     * every text into 5-token chunks with a chunk_index, explode to one
-    * row per chunk, then reassemble with a chunk_index-ordered window
-    * (the reference's `chunk_index` contract, entities.py:54-58). The
-    * oracle hashes the original text: the reconstruction hash only
-    * matches if the window really restores chunk order. */
+    * row per chunk, then reassemble in chunk_index order (the reference's
+    * `chunk_index` contract, entities.py:54-58). The oracle hashes the
+    * ORIGINAL text: the reconstruction hash only matches if chunk order
+    * is really restored.
+    *
+    * Reassembly is ONE partial-agg'd shuffle:
+    * `array_sort(collect_list(struct(chunk_index, chunk_text)))` orders
+    * within each doc after grouping. The ordered-window formulation it
+    * replaces carried the FULL parts array on every chunk row
+    * (O(chunks x doc_len) materialized bytes) before discarding all but
+    * one copy — measurably slower and strictly more shuffle width. */
   private val docReconstruct: QueryFn = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val ChunkTokens = 5
     val t = tokens(col("text"))
     val chunked = table(s, dir, "documents")
@@ -163,13 +169,12 @@ object TextQueries {
         transform(sequence(lit(0), ceil(size(t) / ChunkTokens.toDouble).cast("int") - 1),
           k => concat_ws(" ", slice(t, k * ChunkTokens + 1, lit(ChunkTokens)))))
         .as(Seq("chunk_index", "chunk_text")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_index"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     chunked
-      .withColumn("parts", collect_list(col("chunk_text")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        md5(concat_ws(" ", first(col("parts")))).as("reconstructed_hash"))
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_index"), col("chunk_text")))),
+          c => c.getField("chunk_text")))).as("reconstructed_hash"))
       .orderBy(col("doc_id"))
   }
 
