@@ -13,6 +13,62 @@ import java.nio.file.{Files, Paths}
   * from the timing map, so a broken query can never masquerade as a fast one.
   */
 object Bench {
+
+  /** recall@10 of each approximate search path vs exact flat search on
+    * the sf dir's embeddings: LSH bucket probe and k-means IVF under
+    * cosine, SQ8 rescored search under euclidean. 10 query vectors. */
+  private def measureRecall(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{IvfIndex, LshIndex, Quantization}
+    import graft.functions.VectorExpressions
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val queries = emb.where(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    def qCol(q: Array[Float]) =
+      array(q.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    def flatScan(q: Array[Float], metric: String): Set[Long] = topIds(
+      emb.withColumn("d", metric match {
+          case "cosine" => VectorExpressions.cosineDistance(col("embedding"), qCol(q))
+          case _ => VectorExpressions.euclideanDistance(col("embedding"), qCol(q))
+        })
+        .orderBy(col("d"), col("vec_id")).limit(10))
+    // exact baselines computed once per (query, metric)
+    val flatCos = queries.map { case (id, q) => id -> flatScan(q, "cosine") }.toMap
+    val flatEuc = queries.map { case (id, q) => id -> flatScan(q, "euclidean") }.toMap
+    def avg(xs: Seq[Double]): Double = xs.sum / xs.length
+
+    val lshCfg = LshIndex.Config(numProjections = 4, dim = 64, seed = 42L)
+    val indexed = LshIndex.withBucket(emb, col("embedding"), lshCfg).localCheckpoint()
+    val lsh = avg(queries.map { case (id, q) =>
+      val qdf = Seq(Tuple1(q.toSeq)).toDF("qvec")
+        .select(col("qvec").cast("array<float>").as("qvec"))
+        .withColumn("qbucket", graft.functions.VectorFunctions.lshBucket(col("qvec"), lshCfg.matrix))
+      val got = topIds(LshIndex.searchTwoPhase(indexed, qdf, "embedding", "cosine", 10)
+        .withColumnRenamed("id", "vec_id"))
+      (flatCos(id) intersect got).size / 10.0
+    })
+
+    val model = IvfIndex.train(emb, col("embedding"), c = 8, iters = 3)
+    val cells = IvfIndex.withCell(emb, col("embedding"), model).localCheckpoint()
+    val ivf = avg(queries.map { case (id, q) =>
+      val got = topIds(IvfIndex.search(cells, "embedding", "vec_id", model, q,
+        nprobe = 6, "cosine", 10))
+      (flatCos(id) intersect got).size / 10.0
+    })
+
+    val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
+    val sq8 = avg(queries.map { case (id, q) =>
+      val got = topIds(Quantization.search(encoded, "embedding", "vec_id", q,
+        k = 10, rescore = 50))
+      (flatEuc(id) intersect got).size / 10.0
+    })
+    Map("lsh_bucket" -> lsh, "ivf_c8_nprobe6" -> ivf, "sq8_r50" -> sq8)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -57,8 +113,16 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // Measured ANN recall@10 at THIS scale factor (the number the
+    // reference claims ~95% for but never measures): each approximate
+    // path vs exact flat search under its own metric, 10 queries.
+    // Never fails the bench — reported best-effort.
+    val recall = try {
+      val r = measureRecall(spark, sfDir)
+      r.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    } catch { case e: Throwable => s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"recall_at_10":$recall,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()
