@@ -184,8 +184,82 @@ object TextQueries {
        |FROM (SELECT doc_id, $tokSql AS t FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene-style
+    * +1-inside-the-log idf) for a fixed 3-term query — retrieval without
+    * embeddings, the lexical half of a hybrid-search stack. Shapes:
+    * explode→filter(query terms)→ONE (doc,term) groupBy; df is a 3-row
+    * driver collect; the per-term scores pivot to fixed columns so the
+    * final sum has a DETERMINISTIC add order (float addition does not
+    * commute across engines). The only transcendental (ln in idf) is
+    * rounded to 6dp on both sides; every other operation is rational
+    * arithmetic in the same order, so the oracle hash-matches. */
+  private val Bm25Query = Seq("data", "window", "dup")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  private val bm25: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).as("len"))
+    val Array(nDocs, avgLen) = lens.agg(count(lit(1)), avg(col("len")))
+      .head() match { case r => Array(r.getLong(0).toDouble, r.getDouble(1)) }
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .where(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfMap = tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(term: String): Double = {
+      val df = dfMap.getOrElse(term, 0L).toDouble
+      BigDecimal(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val piv = tf.groupBy(col("doc_id"))
+      .agg(Bm25Query.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+      }.head, Bm25Query.zipWithIndex.drop(1).map { case (t, i) =>
+        sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+      }: _*)
+    val termScore = Bm25Query.zipWithIndex.map { case (t, i) =>
+      coalesce(lit(idf(t)) * col(s"tf$i") /
+        (col(s"tf$i") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
+          + lit(Bm25B) * col("len") / lit(avgLen))), lit(0.0d))
+    }
+    lens.join(piv, Seq("doc_id"), "left")
+      .withColumn("score", round(termScore.reduceLeft(_ + _), 6) + lit(0.0d))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val bm25Sql: String = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    def tfCol(i: Int) = s"tf$i"
+    val pivCols = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN tf END) AS ${tfCol(i)}"
+    }.mkString(", ")
+    def idfSql(t: String) =
+      s"round(ln((s.n - coalesce((SELECT df FROM df WHERE term = '$t'), 0) + 0.5)" +
+        s" / (coalesce((SELECT df FROM df WHERE term = '$t'), 0) + 0.5) + 1.0), 6)"
+    val scoreTerms = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"coalesce(${idfSql(t)} * ${tfCol(i)} / (${tfCol(i)} + $Bm25K1 * " +
+        s"(1.0 - $Bm25B + $Bm25B * len / s.avglen)), 0.0)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |lens AS (SELECT doc_id, len(t)::INT AS len FROM toks),
+       |s AS (SELECT count(*)::BIGINT::DOUBLE AS n, avg(len) AS avglen FROM lens),
+       |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+       |       WHERE term IN ($inList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |piv AS (SELECT doc_id, $pivCols FROM tf GROUP BY doc_id)
+       |SELECT l.doc_id, round($scoreTerms, 6) + 0 AS score
+       |FROM lens l LEFT JOIN piv USING (doc_id), s
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    Q("text_bm25_topk", bm25, Some(bm25Sql)),
     Q("text_term_stats", termStats, Some(termStatsSql)),
     Q("text_quality", quality, Some(qualitySql)),
     Q("text_langid", langId, Some(langIdSql)),

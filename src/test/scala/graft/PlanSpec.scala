@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite {
     assert(result.count() == 10)
   }
 
+  test("events_interval_join: equi-join on the key with the time range as " +
+    "a post-filter — never a nested loop over the pair space") {
+    val p = plan("events_interval_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("reopened engine scans partition-prune to the searched library") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val e = VectorEngine.create(spark)
