@@ -197,7 +197,10 @@ object TextQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
-  private val bm25: QueryFn = (s, dir) => {
+  /** (doc_id, score) for every document — shared by the top-k query and
+    * the hybrid RRF fusion. */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
     val docs = table(s, dir, "documents")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val lens = toks.select(col("doc_id"), size(col("t")).as("len"))
@@ -227,11 +230,14 @@ object TextQueries {
     lens.join(piv, Seq("doc_id"), "left")
       .withColumn("score", round(termScore.reduceLeft(_ + _), 6) + lit(0.0d))
       .select(col("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
   }
 
-  private val bm25Sql: String = {
+  private val bm25: QueryFn = (s, dir) =>
+    bm25Scores(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)
+
+  /** SELECT producing (doc_id, score) for every document — the SQL twin
+    * of bm25Scores. */
+  private[queries] val bm25ScoresSql: String = {
     val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
     def tfCol(i: Int) = s"tf$i"
     val pivCols = Bm25Query.zipWithIndex.map { case (t, i) =>
@@ -253,13 +259,76 @@ object TextQueries {
        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
        |piv AS (SELECT doc_id, $pivCols FROM tf GROUP BY doc_id)
        |SELECT l.doc_id, round($scoreTerms, 6) + 0 AS score
-       |FROM lens l LEFT JOIN piv USING (doc_id), s
-       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+       |FROM lens l LEFT JOIN piv USING (doc_id), s""".stripMargin
+  }
+
+  private val bm25Sql: String =
+    s"""WITH bm AS ($bm25ScoresSql)
+       |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** HYBRID retrieval — reciprocal-rank fusion of the BM25 lexical
+    * ranking and the vector cosine ranking (doc ids and vec ids align
+    * 1:1 in the corpus): rrf = 1/(60+lex_rank) + 1/(60+vec_rank), the
+    * standard fusion for hybrid search stacks. Scale shape: each ranker
+    * contributes only its top-50 via TakeOrderedAndProject (no global
+    * window over the corpus); ranks are assigned within the tiny
+    * candidate sets, and fusion is a 50x50 full-outer join. RRF is pure
+    * integer-rank arithmetic — no cross-engine float risk beyond the
+    * final rounded division sum, whose add order is fixed. */
+  private val RrfK = 60
+  private val RrfCandidates = 50
+
+  private val hybridRrf: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfCandidates)
+      .withColumn("lrank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lrank"))
+    val emb = table(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val vecTop = emb
+      .withColumn("distance",
+        round(graft.functions.VectorExpressions.cosineDistance(col("embedding"),
+          array(qv.map(x => lit(x)): _*).cast("array<float>")), 6) + lit(0.0d))
+      .orderBy(col("distance"), col("vec_id")).limit(RrfCandidates)
+      .withColumn("vrank", row_number().over(
+        Window.orderBy(col("distance"), col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("vrank"))
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0d)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0d)), 6) + lit(0.0d))
+      .select(col("doc_id"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val hybridRrfSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
+    s"""WITH bm AS ($bm25ScoresSql),
+       |lt AS (SELECT doc_id, score FROM bm
+       |       ORDER BY score DESC, doc_id LIMIT $RrfCandidates),
+       |lr AS (SELECT doc_id,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM lt),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |vt AS (SELECT vec_id, round($cos, 6) + 0 AS distance FROM e, q
+       |       ORDER BY distance, vec_id LIMIT $RrfCandidates),
+       |vr AS (SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY distance, vec_id) AS vrank FROM vt)
+       |SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id,
+       |  round(coalesce(1::DOUBLE / ($RrfK + lrank), 0::DOUBLE)
+       |      + coalesce(1::DOUBLE / ($RrfK + vrank), 0::DOUBLE), 6) + 0 AS rrf
+       |FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),
+    Q("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("text_term_stats", termStats, Some(termStatsSql)),
     Q("text_quality", quality, Some(qualitySql)),
     Q("text_langid", langId, Some(langIdSql)),
