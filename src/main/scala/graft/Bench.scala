@@ -26,15 +26,18 @@ object Bench {
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val queries = emb.where(col("vec_id") < 10).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    if (queries.isEmpty) return Map.empty // never emit NaN into the JSON
     def qCol(q: Array[Float]) =
       array(q.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")
     def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
+    // baseline ranks by the SAME rounded distance the engine paths use,
+    // so a 6dp tie broken by id cannot read as a (false) recall miss
     def flatScan(q: Array[Float], metric: String): Set[Long] = topIds(
-      emb.withColumn("d", metric match {
+      emb.withColumn("d", round(metric match {
           case "cosine" => VectorExpressions.cosineDistance(col("embedding"), qCol(q))
           case _ => VectorExpressions.euclideanDistance(col("embedding"), qCol(q))
-        })
+        }, 6) + lit(0.0d))
         .orderBy(col("d"), col("vec_id")).limit(10))
     // exact baselines computed once per (query, metric)
     val flatCos = queries.map { case (id, q) => id -> flatScan(q, "cosine") }.toMap
@@ -47,8 +50,7 @@ object Bench {
       val qdf = Seq(Tuple1(q.toSeq)).toDF("qvec")
         .select(col("qvec").cast("array<float>").as("qvec"))
         .withColumn("qbucket", graft.functions.VectorFunctions.lshBucket(col("qvec"), lshCfg.matrix))
-      val got = topIds(LshIndex.searchTwoPhase(indexed, qdf, "embedding", "cosine", 10)
-        .withColumnRenamed("id", "vec_id"))
+      val got = topIds(LshIndex.searchTwoPhase(indexed, qdf, "embedding", "cosine", 10))
       (flatCos(id) intersect got).size / 10.0
     })
 

@@ -204,11 +204,16 @@ object TextQueries {
     val docs = table(s, dir, "documents")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val lens = toks.select(col("doc_id"), size(col("t")).as("len"))
+      .localCheckpoint()
     val Array(nDocs, avgLen) = lens.agg(count(lit(1)), avg(col("len")))
       .head() match { case r => Array(r.getLong(0).toDouble, r.getDouble(1)) }
+    // tf is TINY (query-term rows only) and consumed three times (df
+    // collect, pivot, and the final plan) — materialize it once, same
+    // for the per-doc lens frame (stats aggregate + final join).
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .where(col("term").isin(Bm25Query: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfMap = tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     def idf(term: String): Double = {
@@ -216,12 +221,10 @@ object TextQueries {
       BigDecimal(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val piv = tf.groupBy(col("doc_id"))
-      .agg(Bm25Query.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, col("tf"))).as(s"tf$i")
-      }.head, Bm25Query.zipWithIndex.drop(1).map { case (t, i) =>
-        sum(when(col("term") === t, col("tf"))).as(s"tf$i")
-      }: _*)
+    val tfAggs = Bm25Query.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+    }
+    val piv = tf.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
     val termScore = Bm25Query.zipWithIndex.map { case (t, i) =>
       coalesce(lit(idf(t)) * col(s"tf$i") /
         (col(s"tf$i") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
@@ -267,8 +270,12 @@ object TextQueries {
        |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** HYBRID retrieval — reciprocal-rank fusion of the BM25 lexical
-    * ranking and the vector cosine ranking (doc ids and vec ids align
-    * 1:1 in the corpus): rrf = 1/(60+lex_rank) + 1/(60+vec_rank), the
+    * ranking and the vector cosine ranking over the EMBEDDED subset of
+    * the corpus (doc_id == vec_id where an embedding exists; at some
+    * scale factors only part of the document table is embedded, and
+    * fusing rankers over different collections silently degrades to
+    * single-ranker scoring — both sides therefore restrict to documents
+    * that have a vector): rrf = 1/(60+lex_rank) + 1/(60+vec_rank), the
     * standard fusion for hybrid search stacks. Scale shape: each ranker
     * contributes only its top-50 via TakeOrderedAndProject (no global
     * window over the corpus); ranks are assigned within the tiny
@@ -280,12 +287,13 @@ object TextQueries {
 
   private val hybridRrf: QueryFn = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    val emb = table(s, dir, "embeddings")
     val lexTop = bm25Scores(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id")).limit(RrfCandidates)
       .withColumn("lrank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("lrank"))
-    val emb = table(s, dir, "embeddings")
     val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
     val vecTop = emb
@@ -309,6 +317,7 @@ object TextQueries {
     val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
     s"""WITH bm AS ($bm25ScoresSql),
        |lt AS (SELECT doc_id, score FROM bm
+       |       WHERE doc_id IN (SELECT vec_id FROM embeddings)
        |       ORDER BY score DESC, doc_id LIMIT $RrfCandidates),
        |lr AS (SELECT doc_id,
        |         row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM lt),

@@ -52,8 +52,10 @@ class BucketingSpec extends AnyFunSuite {
       val unbucketed = emb.select("vec_id", "embedding")
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
       assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    spark.sql("DROP TABLE IF EXISTS b_vectors")
-    spark.sql("DROP TABLE IF EXISTS b_meta")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_vectors")
+      spark.sql("DROP TABLE IF EXISTS b_meta")
+    }
   }
 }
