@@ -80,18 +80,24 @@ object NearDup {
     * all documents into ONE bucket); r=2 drops an unrelated pair
     * (s<=0.1) to <=1% per band while a true near-dup at s=0.9 still
     * collides with probability 1-(1-0.81)^8 = 1 - 1.7e-6. */
-  def bandedCandidates(df: DataFrame, idCol: String, sigCol: String,
-                       rowsPerBand: Int = 1): DataFrame = {
+  /** (id, band, key) rows for the banded join. The join key must be a
+    * SCALAR: joining on the raw array<long> slice is not
+    * hash-partitionable and silently degrades to a nested-loop join
+    * (measured 331s vs 2s on 5k docs). hash() of the slice is a
+    * Spark-internal bucketing detail — a collision only adds a candidate
+    * pair for the exact confirm to reject, never loses one. */
+  private def bandKeys(df: DataFrame, idCol: String, sigCol: String,
+                       rowsPerBand: Int): DataFrame = {
     val numBands = (size(col(sigCol)) / rowsPerBand).cast("int")
-    // The join key must be a SCALAR: joining on the raw array<long> slice
-    // is not hash-partitionable and silently degrades to a nested-loop
-    // join (measured 331s vs 2s on 5k docs). hash() of the slice is a
-    // Spark-internal bucketing detail — a collision only adds a candidate
-    // pair for the exact confirm to reject, never loses one.
-    val bands = df.select(col(idCol), posexplode(
+    df.select(col(idCol), posexplode(
       transform(sequence(lit(0), numBands - 1),
         k => hash(slice(col(sigCol), k * rowsPerBand + 1, lit(rowsPerBand)))))
       .as(Seq("band", "key")))
+  }
+
+  def bandedCandidates(df: DataFrame, idCol: String, sigCol: String,
+                       rowsPerBand: Int = 1): DataFrame = {
+    val bands = bandKeys(df, idCol, sigCol, rowsPerBand)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -131,6 +137,42 @@ object NearDup {
       .withColumn("jaccard", jaccard(col("hsh_a"), col("hsh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** INCREMENTAL near-dup — the continuously-growing-corpus shape: which
+    * ARRIVING documents near-duplicate any EXISTING document. The
+    * existing side's hashed shingles + signatures are the persisted index
+    * artifact of the corpus; each arriving micro-batch band-joins against
+    * it (candidates only — one shuffle on scalar band keys), confirms
+    * with exact Jaccard, and the survivors are what gets appended.
+    * Existing x existing and arriving x arriving pairs are never formed:
+    * per-batch cost is O(batch x collisions), not O(corpus^2).
+    * Output: (arriving_id, existing_id, jaccard) — every confirmed
+    * reason-to-drop pair. */
+  def incrementalNearDupPairs(existing: DataFrame, arriving: DataFrame,
+                              id: Column, text: Column, n: Int = 3,
+                              numHashes: Int = 16, rowsPerBand: Int = 2,
+                              threshold: Double = 0.5): DataFrame = {
+    def index(df: DataFrame) =
+      df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
+        .localCheckpoint()
+    val hx = index(existing)
+    val hy = index(arriving)
+    def sigs(h: DataFrame) = h.select(col("id"),
+      minhashSignature(col("hsh"), numHashes).as("sig"))
+    val cand = bandKeys(sigs(hx), "id", "sig", rowsPerBand).as("x")
+      .join(bandKeys(sigs(hy), "id", "sig", rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("y.id").as("arriving_id"), col("x.id").as("existing_id"))
+      .distinct()
+    cand
+      .join(hx.select(col("id").as("existing_id"), col("hsh").as("hsh_x")),
+        "existing_id")
+      .join(hy.select(col("id").as("arriving_id"), col("hsh").as("hsh_y")),
+        "arriving_id")
+      .withColumn("jaccard", jaccard(col("hsh_x"), col("hsh_y")))
+      .where(col("jaccard") >= threshold)
+      .select(col("arriving_id"), col("existing_id"), col("jaccard"))
   }
 
   /** `bits`-wide SimHash over the hashed shingle set: bit j is set iff the

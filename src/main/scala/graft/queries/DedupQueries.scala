@@ -215,8 +215,38 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Incremental dedup: documents 0..399 are the existing corpus, 400+
+    * are an arriving batch; an arrival survives iff NO existing document
+    * confirms at trigram-Jaccard >= 0.5. The oracle recomputes ALL cross
+    * pairs (no banding), so this row also gates banding recall: a true
+    * cross pair the bands missed would flip a survivor and fail the
+    * hash. */
+  private val IncrSplit = 400
+
+  private val incrementalSurvivors: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val dropped = NearDup.incrementalNearDupPairs(
+        docs.where(col("doc_id") < IncrSplit),
+        docs.where(col("doc_id") >= IncrSplit),
+        col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 2,
+        threshold = 0.5)
+      .select(col("arriving_id").as("doc_id"))
+    docs.where(col("doc_id") >= IncrSplit)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  private val incrementalSurvivorsSql: String =
+    s"""WITH $jaccardPairs
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= $IncrSplit AND doc_id NOT IN (
+       |  SELECT doc_b FROM p WHERE doc_a < $IncrSplit AND doc_b >= $IncrSplit
+       |    AND j >= 0.5)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
+    Q("dedup_incremental_survivors", incrementalSurvivors, Some(incrementalSurvivorsSql)),
     Q("dedup_exact_survivors", exactSurvivors, Some(exactSurvivorsSql)),
     Q("dedup_near_pairs", nearPairs, Some(nearPairsSql)),
     Q("dedup_near_survivors", nearSurvivors, Some(nearSurvivorsSql)),

@@ -64,6 +64,32 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDupPairs == the cross-split slice of the full " +
+    "self-join pairs; existing/arriving pairs never formed internally") {
+    val big = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "one two three four five six seven eight"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (11L, "one two three four five six seven nine"),        // near-dup of 3
+      (12L, "totally unrelated content goes right here folks")
+    ).toDF("doc_id", "text")
+    val existing = big.where($"doc_id" < 10)
+    val arriving = big.where($"doc_id" >= 10)
+    val incr = incrementalNearDupPairs(existing, arriving,
+        col("doc_id"), col("text"), n = 2, numHashes = 16, rowsPerBand = 1,
+        threshold = 0.5)
+      .select($"existing_id", $"arriving_id")
+      .as[(Long, Long)].collect().toSet
+    val full = nearDupPairs(big, col("doc_id"), col("text"),
+        n = 2, numHashes = 16, rowsPerBand = 1, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter(p => p._1 < 10 && p._2 >= 10).toSet
+    assert(incr == full)
+    assert(incr.contains((1L, 10L)) && incr.contains((3L, 11L)))
+    assert(!incr.exists { case (_, b) => b == 12L })
+  }
+
   test("bandedCandidates never pairs a doc with itself and orders ids") {
     val sh = docs.select(col("doc_id").as("id"),
       minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
