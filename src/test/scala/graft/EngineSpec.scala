@@ -361,6 +361,23 @@ class EngineSpec extends AnyFunSuite {
     assert(filtered == Set("c0", "c2"))
   }
 
+  test("searchBatch on a REOPENED engine: results match per-query search " +
+    "and the LSH count pass scans WITHOUT the embedding column") {
+    val dir = Files.tmp("graft-batch-reopen")
+    val (e, lib, _) = freshWithData("random_projection")
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    val qs = Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 0.9, 0.1, 0))
+    val batch = e2.searchBatch(lib, qs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val single = e2.search(lib, q, 2).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"reopened query=$qid")
+    }
+  }
+
   test("incremental save rewrites only the touched library's partition") {
     val dir = Files.tmp("graft-incr")
     val e = VectorEngine.create(spark)
