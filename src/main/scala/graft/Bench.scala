@@ -51,7 +51,7 @@ object Bench {
         .select(col("qvec").cast("array<float>").as("qvec"))
         .withColumn("qbucket", graft.functions.VectorFunctions.lshBucket(col("qvec"), lshCfg.matrix))
       val got = topIds(LshIndex.searchTwoPhase(indexed, qdf, "embedding", "cosine", 10))
-      (flatCos(id) intersect got).size / 10.0
+      (flatCos(id) intersect got).size.toDouble / flatCos(id).size
     })
 
     val model = IvfIndex.train(emb, col("embedding"), c = 8, iters = 3)
@@ -59,14 +59,14 @@ object Bench {
     val ivf = avg(queries.map { case (id, q) =>
       val got = topIds(IvfIndex.search(cells, "embedding", "vec_id", model, q,
         nprobe = 6, "cosine", 10))
-      (flatCos(id) intersect got).size / 10.0
+      (flatCos(id) intersect got).size.toDouble / flatCos(id).size
     })
 
     val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
     val sq8 = avg(queries.map { case (id, q) =>
       val got = topIds(Quantization.search(encoded, "embedding", "vec_id", q,
         k = 10, rescore = 50))
-      (flatEuc(id) intersect got).size / 10.0
+      (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
     })
     Map("lsh_bucket" -> lsh, "ivf_c8_nprobe6" -> ivf, "sq8_r50" -> sq8)
   }

@@ -69,17 +69,6 @@ object NearDup {
   def minhashSignature(hsh: Column, numHashes: Int): Column =
     graft.functions.TextHash.minhashSignatureCol(hsh, numHashes)
 
-  /** Banded-LSH candidate pairs: the signature is cut into bands of
-    * `rowsPerBand` minhashes; the band slice is the join key (one shuffle,
-    * pairs formed only within buckets — never all-pairs).
-    *
-    * Tuning is the recall/bucket-size dial: a pair with Jaccard s agrees
-    * on one band with probability s^r, on any of b bands with
-    * 1-(1-s^r)^b. r=1 maximizes recall but degenerates on self-similar
-    * corpora (a common shingle's global-min hash puts a large fraction of
-    * all documents into ONE bucket); r=2 drops an unrelated pair
-    * (s<=0.1) to <=1% per band while a true near-dup at s=0.9 still
-    * collides with probability 1-(1-0.81)^8 = 1 - 1.7e-6. */
   /** (id, band, key) rows for the banded join. The join key must be a
     * SCALAR: joining on the raw array<long> slice is not
     * hash-partitionable and silently degrades to a nested-loop join
@@ -95,6 +84,17 @@ object NearDup {
       .as(Seq("band", "key")))
   }
 
+  /** Banded-LSH candidate pairs: the signature is cut into bands of
+    * `rowsPerBand` minhashes; the band slice is the join key (one shuffle,
+    * pairs formed only within buckets — never all-pairs).
+    *
+    * Tuning is the recall/bucket-size dial: a pair with Jaccard s agrees
+    * on one band with probability s^r, on any of b bands with
+    * 1-(1-s^r)^b. r=1 maximizes recall but degenerates on self-similar
+    * corpora (a common shingle's global-min hash puts a large fraction of
+    * all documents into ONE bucket); r=2 drops an unrelated pair
+    * (s<=0.1) to <=1% per band while a true near-dup at s=0.9 still
+    * collides with probability 1-(1-0.81)^8 = 1 - 1.7e-6. */
   def bandedCandidates(df: DataFrame, idCol: String, sigCol: String,
                        rowsPerBand: Int = 1): DataFrame = {
     val bands = bandKeys(df, idCol, sigCol, rowsPerBand)
@@ -105,9 +105,15 @@ object NearDup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) shingle arrays. */
+  /** Exact Jaccard similarity of two (distinct-element) shingle arrays.
+    * Two EMPTY sets score 0.0, not NaN: 0/0 under Spark's NaN ordering
+    * (NaN > everything) would make `jaccard >= threshold` TRUE and pair
+    * every pair of too-short documents as confirmed dups — and DuckDB's
+    * x/0 = NULL would silently disagree. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    when(size(array_union(a, b)) === 0, lit(0.0d))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)))
 
   /** End-to-end near-dup pairs: shingle -> minhash -> banded candidates ->
     * exact Jaccard confirm at `threshold`. Output: (id_a, id_b, jaccard)
@@ -131,13 +137,22 @@ object NearDup {
     val sig = hashed.select(col("id"),
       minhashSignature(col("hsh"), numHashes).as("sig"))
     val cand = bandedCandidates(sig, "id", "sig", rowsPerBand)
-    cand
-      .join(hashed.select(col("id").as("id_a"), col("hsh").as("hsh_a")), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("hsh").as("hsh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("hsh_a"), col("hsh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    confirmPairs(cand, hashed, hashed, "id_a", "id_b", threshold)
   }
+
+  /** Exact-Jaccard confirm shared by the batch and incremental paths:
+    * attach both sides' hashed shingle sets to the candidate pairs and
+    * keep those at or above `threshold`.
+    * Output: (leftCol, rightCol, jaccard). */
+  private def confirmPairs(cand: DataFrame, left: DataFrame, right: DataFrame,
+                           leftCol: String, rightCol: String,
+                           threshold: Double): DataFrame =
+    cand
+      .join(left.select(col("id").as(leftCol), col("hsh").as("__hsh_l")), leftCol)
+      .join(right.select(col("id").as(rightCol), col("hsh").as("__hsh_r")), rightCol)
+      .withColumn("jaccard", jaccard(col("__hsh_l"), col("__hsh_r")))
+      .where(col("jaccard") >= threshold)
+      .select(col(leftCol), col(rightCol), col("jaccard"))
 
   /** INCREMENTAL near-dup — the continuously-growing-corpus shape: which
     * ARRIVING documents near-duplicate any EXISTING document. The
@@ -163,15 +178,9 @@ object NearDup {
     val cand = bandKeys(sigs(hx), "id", "sig", rowsPerBand).as("x")
       .join(bandKeys(sigs(hy), "id", "sig", rowsPerBand).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-      .select(col("y.id").as("arriving_id"), col("x.id").as("existing_id"))
+      .select(col("x.id").as("existing_id"), col("y.id").as("arriving_id"))
       .distinct()
-    cand
-      .join(hx.select(col("id").as("existing_id"), col("hsh").as("hsh_x")),
-        "existing_id")
-      .join(hy.select(col("id").as("arriving_id"), col("hsh").as("hsh_y")),
-        "arriving_id")
-      .withColumn("jaccard", jaccard(col("hsh_x"), col("hsh_y")))
-      .where(col("jaccard") >= threshold)
+    confirmPairs(cand, hx, hy, "existing_id", "arriving_id", threshold)
       .select(col("arriving_id"), col("existing_id"), col("jaccard"))
   }
 

@@ -108,7 +108,14 @@ object StatefulSessionize {
   /** Batch entry: same fold over a bounded Dataset (each key's full
     * history arrives as one iterator; the trailing open session is
     * finalized since no timeout will ever fire). Exists so the ORACLE can
-    * check the typed fold against the SQL window formulation. */
+    * check the typed fold against the SQL window formulation.
+    *
+    * Memory contract: the fold sorts one key's batch-iterator in memory,
+    * so THIS entry holds a user's whole history per task — fine for the
+    * oracle's bounded corpus, but batch sessionization at 100 TB should
+    * use the lag+cumsum window formulation (events_sessionize), which
+    * sort-spills. The STREAMING entry never faces this: each invocation
+    * sees one micro-batch's events per key. */
   def sessionizeBatch(events: Dataset[SessionEvent],
                       gapUs: Long = DefaultGapUs): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]

@@ -361,8 +361,8 @@ class EngineSpec extends AnyFunSuite {
     assert(filtered == Set("c0", "c2"))
   }
 
-  test("searchBatch on a REOPENED engine: results match per-query search " +
-    "and the LSH count pass scans WITHOUT the embedding column") {
+  test("searchBatch on a REOPENED engine matches per-query search " +
+    "(file-backed parquet source)") {
     val dir = Files.tmp("graft-batch-reopen")
     val (e, lib, _) = freshWithData("random_projection")
     e.save(dir)

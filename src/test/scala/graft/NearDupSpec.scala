@@ -90,6 +90,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(!incr.exists { case (_, b) => b == 12L })
   }
 
+  test("two too-short documents (empty shingle sets) are NOT confirmed " +
+    "dups: jaccard of empty sets is 0.0, never NaN") {
+    val short = Seq(
+      (1L, "a b"),                                    // < 3 tokens: no trigrams
+      (2L, "x y"),                                    // < 3 tokens, unrelated
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val j = short.where($"doc_id" <= 2)
+      .agg(first(jaccard(hashedShingles(col("text"), 3),
+        hashedShingles(col("text"), 3)))).head().getDouble(0)
+    assert(j == 0.0) // empty vs empty: 0.0, not NaN
+    val pairs = nearDupPairs(short, col("doc_id"), col("text"),
+        n = 3, numHashes = 16, rowsPerBand = 1, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L))) // 1-2 (both empty) never pair
+    val incr = incrementalNearDupPairs(
+        short.where($"doc_id" === 1), short.where($"doc_id" === 2),
+        col("doc_id"), col("text"), n = 3, rowsPerBand = 1, threshold = 0.5)
+    assert(incr.count() == 0)
+  }
+
   test("bandedCandidates never pairs a doc with itself and orders ids") {
     val sh = docs.select(col("doc_id").as("id"),
       minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
