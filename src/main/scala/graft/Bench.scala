@@ -46,11 +46,17 @@ object Bench {
 
     val lshCfg = LshIndex.Config(numProjections = 4, dim = 64, seed = 42L)
     val indexed = LshIndex.withBucket(emb, col("embedding"), lshCfg).localCheckpoint()
+    def lshQdf(q: Array[Float]) = Seq(Tuple1(q.toSeq)).toDF("qvec")
+      .select(col("qvec").cast("array<float>").as("qvec"))
+      .withColumn("qbucket",
+        graft.functions.VectorFunctions.lshBucket(col("qvec"), lshCfg.matrix))
     val lsh = avg(queries.map { case (id, q) =>
-      val qdf = Seq(Tuple1(q.toSeq)).toDF("qvec")
-        .select(col("qvec").cast("array<float>").as("qvec"))
-        .withColumn("qbucket", graft.functions.VectorFunctions.lshBucket(col("qvec"), lshCfg.matrix))
-      val got = topIds(LshIndex.searchTwoPhase(indexed, qdf, "embedding", "cosine", 10))
+      val got = topIds(LshIndex.searchTwoPhase(indexed, lshQdf(q), "embedding", "cosine", 10))
+      (flatCos(id) intersect got).size.toDouble / flatCos(id).size
+    })
+    val lshMp = avg(queries.map { case (id, q) =>
+      val got = topIds(LshIndex.searchMultiProbe(indexed, lshQdf(q),
+        "embedding", "cosine", 10, lshCfg.numProjections))
       (flatCos(id) intersect got).size.toDouble / flatCos(id).size
     })
 
@@ -68,7 +74,8 @@ object Bench {
         k = 10, rescore = 50))
       (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
     })
-    Map("lsh_bucket" -> lsh, "ivf_c8_nprobe6" -> ivf, "sq8_r50" -> sq8)
+    Map("lsh_bucket" -> lsh, "lsh_multiprobe" -> lshMp,
+      "ivf_c8_nprobe6" -> ivf, "sq8_r50" -> sq8)
   }
 
   def main(args: Array[String]): Unit = {

@@ -38,12 +38,13 @@ object LshQueries {
       s"(CASE WHEN ${VectorSearchQueries.dotSql(v, rowLit(row))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def lshSql(k: Int, where: String): String =
+  private def lshSql(k: Int, where: String,
+                     candPred: String = "e.b = q.qb"): String =
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${bucketSql("embedding::DOUBLE[]")} AS qb
        |           FROM embeddings WHERE vec_id = 0),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${bucketSql("embedding::DOUBLE[]")} AS b
        |      FROM embeddings $where),
-       |cand AS (SELECT e.vec_id, e.v, q.qv FROM e, q WHERE e.b = q.qb),
+       |cand AS (SELECT e.vec_id, e.v, q.qv FROM e, q WHERE $candPred),
        |base AS (
        |  SELECT vec_id, v, qv FROM cand WHERE (SELECT count(*) FROM cand) >= $k
        |  UNION ALL
@@ -76,8 +77,23 @@ object LshQueries {
     LshIndex.searchTwoPhase(indexed, q, "embedding", "cosine", 10)
   }
 
+  /** Multi-probe variant: candidates come from the query's bucket and
+    * every Hamming-distance-1 bucket (the recall remedy for sign-bit
+    * LSH); the oracle expresses the probe set as bit_count(xor) <= 1,
+    * which is exactly membership in the P+1 flipped-bit values. */
+  private val lshMultiProbe: QueryFn = (s, dir) => {
+    val indexed = LshIndex.withBucket(
+      table(s, dir, "embeddings"), col("embedding"), cfg)
+    val q = indexed.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+    LshIndex.searchMultiProbe(indexed, q, "embedding", "cosine", 10,
+      cfg.numProjections)
+  }
+
   val all: Seq[Q] = Seq(
     Q("knn_lsh_bucket", lshBucket, Some(lshSql(10, ""))),
     Q("knn_lsh_fallback", lshFallback, Some(lshSql(10, "WHERE label = 5"))),
+    Q("knn_lsh_multiprobe", lshMultiProbe,
+      Some(lshSql(10, "", candPred = "bit_count(xor(e.b, q.qb)) <= 1"))),
   )
 }
