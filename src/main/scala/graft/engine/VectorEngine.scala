@@ -576,8 +576,13 @@ final class VectorEngine private (val spark: SparkSession) {
   // Search (§3.1: api.py:279-293 -> services.py:164-181 ->
   // vector_store.py:230-259 -> indexes.py search)
   // -------------------------------------------------------------------
+  /** `multiProbe`: on an LSH library, also probe every bucket at Hamming
+    * distance 1 from the query's — the recall/latency dial
+    * (LshIndex.searchMultiProbe; measured recall lift in LshSpec). A
+    * reference user gets single-bucket semantics by default. */
   def search(libraryId: String, query: Seq[Float], k: Int,
-             filters: Map[String, Any] = Map.empty): DataFrame = {
+             filters: Map[String, Any] = Map.empty,
+             multiProbe: Boolean = false): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
     if (query.length != lib.embedding_dimension)
@@ -595,8 +600,12 @@ final class VectorEngine private (val spark: SparkSession) {
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
         val q = spark.range(1).select(qvec.as("qvec"),
           lshBucket(qvec, m).as("qbucket"))
-        LshIndex.searchTwoPhase(scoped.toDF(), q, "embedding",
-          lib.distance_metric, k, idCol = "id")
+        if (multiProbe)
+          LshIndex.searchMultiProbe(scoped.toDF(), q, "embedding",
+            lib.distance_metric, k, m.length, idCol = "id")
+        else
+          LshIndex.searchTwoPhase(scoped.toDF(), q, "embedding",
+            lib.distance_metric, k, idCol = "id")
       } else {
         scoped.toDF().crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
           .withColumn("distance",

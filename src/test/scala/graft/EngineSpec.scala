@@ -361,6 +361,26 @@ class EngineSpec extends AnyFunSuite {
     assert(filtered == Set("c0", "c2"))
   }
 
+  test("multi-probe facade search: superset recall of single-bucket, " +
+    "exact distances, flat libraries unaffected") {
+    val (e, lib, _) = freshWithData("random_projection")
+    val q = vec(1, 0, 0, 0)
+    // k=1 keeps both paths on the bucket probe (no fallback): the
+    // multi-probe candidate set contains the single-bucket one, so its
+    // top-1 distance can only be <= the single-bucket top-1 distance
+    val single = e.search(lib, q, 1).collect().map(_.getDouble(1)).head
+    val multi = e.search(lib, q, 1, multiProbe = true)
+      .collect().map(_.getDouble(1)).head
+    assert(multi <= single)
+    // with k >= corpus both paths fall back and agree exactly
+    assert(e.search(lib, q, 10, multiProbe = true).collect().toSeq ==
+      e.search(lib, q, 10).collect().toSeq)
+    // flat library: flag is a no-op
+    val (ef, libF, _) = freshWithData("flat")
+    assert(ef.search(libF, q, 3, multiProbe = true).collect().toSeq ==
+      ef.search(libF, q, 3).collect().toSeq)
+  }
+
   test("searchBatch on a REOPENED engine matches per-query search " +
     "(file-backed parquet source)") {
     val dir = Files.tmp("graft-batch-reopen")
