@@ -630,7 +630,8 @@ final class VectorEngine private (val spark: SparkSession) {
     * reduction is the salted two-phase window (operators.TopK), so no
     * query's candidate set ever funnels through a single reduce slot. */
   def searchBatch(libraryId: String, queries: Seq[(Long, Seq[Float])], k: Int,
-                  filters: Map[String, Any] = Map.empty): DataFrame = {
+                  filters: Map[String, Any] = Map.empty,
+                  multiProbe: Boolean = false): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
     val emptyOut = spark.emptyDataset[(Long, String, Double)]
@@ -649,7 +650,17 @@ final class VectorEngine private (val spark: SparkSession) {
     val pairs: DataFrame =
       if (lib.index_kind == IndexKindLsh) {
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
-        val qb = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
+        // multiProbe: each query probes its bucket AND every Hamming-1
+        // neighbor (P+1 distinct values — a chunk matches at most one
+        // probe per query, so no candidate duplicates); the fallback side
+        // always uses the UN-exploded query set.
+        val qbSingle = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
+        val qb =
+          if (multiProbe)
+            qbSingle.withColumn("qbucket", explode(
+              array((lit(0L) +: m.indices.map(i => lit(1L << i)))
+                .map(mask => col("qbucket").bitwiseXOR(mask)): _*)))
+          else qbSingle
         // The count pass re-runs the probe join but over a COLUMN-PRUNED
         // scan (bucket only — no embedding bytes): the expensive width is
         // read once, in the result plan below. No caching, so repeated
@@ -669,8 +680,7 @@ final class VectorEngine private (val spark: SparkSession) {
           else None,
           if (fallbackQs.nonEmpty)
             Some(scoped.crossJoin(
-                broadcast(qb.where(col("query_id").isin(fallbackQs: _*))
-                  .drop("qbucket")))
+                broadcast(qDf.where(col("query_id").isin(fallbackQs: _*))))
               .select(col("query_id"), col("id"), col("embedding"), col("qvec")))
           else None).flatten
         parts.reduce(_ unionByName _)

@@ -106,14 +106,18 @@ object NearDup {
   }
 
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays.
-    * Two EMPTY sets score 0.0, not NaN: 0/0 under Spark's NaN ordering
-    * (NaN > everything) would make `jaccard >= threshold` TRUE and pair
-    * every pair of too-short documents as confirmed dups — and DuckDB's
-    * x/0 = NULL would silently disagree. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0d))
-      .otherwise(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)))
+    * |A∪B| is derived as |A|+|B|-|A∩B| (exact for distinct-element
+    * inputs), so no union array is ever materialized — one array op per
+    * pair on the confirm hot path. Two EMPTY sets score 0.0, not NaN:
+    * 0/0 under Spark's NaN ordering (NaN > everything) would make
+    * `jaccard >= threshold` TRUE and pair every pair of too-short
+    * documents as confirmed dups — and DuckDB's x/0 = NULL would
+    * silently disagree. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0.0d)).otherwise(inter.cast("double") / union)
+  }
 
   /** End-to-end near-dup pairs: shingle -> minhash -> banded candidates ->
     * exact Jaccard confirm at `threshold`. Output: (id_a, id_b, jaccard)

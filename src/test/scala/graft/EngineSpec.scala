@@ -379,6 +379,17 @@ class EngineSpec extends AnyFunSuite {
     val (ef, libF, _) = freshWithData("flat")
     assert(ef.search(libF, q, 3, multiProbe = true).collect().toSeq ==
       ef.search(libF, q, 3).collect().toSeq)
+    // batch parity: searchBatch(multiProbe) == per-query search(multiProbe)
+    val (eb, libB, _) = freshWithData("random_projection")
+    val qs = Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 0.9, 0.1, 0))
+    val batch = eb.searchBatch(libB, qs, k = 2, multiProbe = true).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      val one = eb.search(libB, qv, 2, multiProbe = true).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == one, s"multiProbe batch query=$qid")
+    }
   }
 
   test("searchBatch on a REOPENED engine matches per-query search " +

@@ -95,8 +95,9 @@ class IvfSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val recalls = queries.map { case (_, q) =>
       val flat = emb
-        .withColumn("distance", graft.functions.VectorFunctions.cosineDistance(
-          col("embedding"), array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")))
+        .withColumn("distance", round(graft.functions.VectorFunctions.cosineDistance(
+          col("embedding"), array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")),
+          6) + lit(0.0d))
         .orderBy("distance", "vec_id").limit(10)
         .select("vec_id").as[Long].collect().toSet
       val ivf = IvfIndex.search(indexed, "embedding", "vec_id", model, q,

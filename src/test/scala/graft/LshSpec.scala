@@ -103,9 +103,11 @@ class LshSpec extends AnyFunSuite {
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
     val recallPairs = queries.map { case (id, qv) =>
+      // baseline ranks by the SAME rounded distance the search paths use,
+      // so a 6dp tie broken by id cannot read as a false recall miss
       val flat = emb.withColumn("distance",
-          cosineDistance(col("embedding"),
-            array(qv.map(lit(_)): _*).cast("array<float>")))
+          round(cosineDistance(col("embedding"),
+            array(qv.map(lit(_)): _*).cast("array<float>")), 6) + lit(0.0d))
         .orderBy("distance", "vec_id").limit(10)
         .select("vec_id").as[Long].collect().toSet
       val q = indexed.where(col("vec_id") === id)
@@ -131,7 +133,10 @@ class LshSpec extends AnyFunSuite {
     // numbers per config.) Floors guard against a hash regression, not
     // against the data distribution.
     assert(recall >= 0.15, f"single recall@10 $recall%.3f < 0.15")
-    assert(recallMp >= recall, "multi-probe must never lose recall")
+    // NOT asserting recallMp >= recall: the < k fallback can fire
+    // asymmetrically (single-bucket under k falls back to an EXACT scan
+    // while the multi-probe candidate set stays on the probe path), so
+    // cross-path dominance is not an invariant — only the floor is.
     assert(recallMp >= 0.4, f"multi-probe recall@10 $recallMp%.3f < 0.4")
   }
 

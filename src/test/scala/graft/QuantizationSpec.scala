@@ -49,8 +49,9 @@ class QuantizationSpec extends AnyFunSuite {
     val recalls = queries.map { case (_, q) =>
       val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
       val flat = emb
-        .withColumn("distance",
-          graft.functions.VectorExpressions.euclideanDistance(col("embedding"), qCol))
+        .withColumn("distance", round(
+          graft.functions.VectorExpressions.euclideanDistance(col("embedding"), qCol),
+          6) + lit(0.0d))
         .orderBy("distance", "vec_id").limit(10)
         .select("vec_id").as[Long].collect().toSet
       val sq8 = Quantization.search(encoded, "embedding", "vec_id", q,
