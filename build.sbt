@@ -15,6 +15,10 @@ run / fork := true
 // bench's one-line JSON metric from stdout, and sbt's default LoggedOutput
 // would prepend "[info] " to it.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep that JSON line the LAST line of stdout: sbt's
+// "[success] Total time: ..." epilogue would otherwise follow it and break
+// a last-line parser.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
