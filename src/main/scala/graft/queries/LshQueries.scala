@@ -90,10 +90,64 @@ object LshQueries {
       cfg.numProjections)
   }
 
+  /** QUERY-DIRECTED ADAPTIVE probing (LshIndex.searchAdaptive): buckets
+    * ordered by flipped-margin cost, probed until the prefix holds
+    * k * AdaptiveMultiplier candidates. The oracle replays the WHOLE
+    * selection — margins, per-bucket costs, the (cost, bucket)-ordered
+    * cumulative histogram, and the prefix cut — in SQL, so the
+    * data-dependent probe set itself is gated, not just the final
+    * distances. Margins/costs are bit-identical cross-engine (same
+    * left-to-right double folds as the bucket sign bits the other LSH
+    * oracles already rely on).
+    *
+    * The gate pins multiplier=20 (target 200 candidates), BELOW the row
+    * count at every driver scale factor >= 0.01, so the prefix cut is
+    * genuinely partial — the default multiplier's larger target would
+    * degenerate to a full scan on the small gate tables and leave the
+    * selection logic unexercised. */
+  private val AdaptiveGateMult = 20
+
+  private val lshAdaptive: QueryFn = (s, dir) => {
+    val indexed = LshIndex.withBucket(
+      table(s, dir, "embeddings"), col("embedding"), cfg)
+    val q = table(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    LshIndex.searchAdaptive(indexed, q, cfg.matrix, "cosine", 10,
+      multiplier = AdaptiveGateMult)
+  }
+
+  private val lshAdaptiveSql: String = {
+    val target = 10L * AdaptiveGateMult
+    val marginCols = cfg.matrix.zipWithIndex.map { case (row, i) =>
+      s"${VectorSearchQueries.dotSql("embedding::DOUBLE[]", rowLit(row))} AS m$i"
+    }.mkString(",\n       |           ".stripMargin)
+    // same term order as LshIndex.probePrefix's loop: i ascending, each
+    // non-flipped bit contributing an exact +0
+    val costExpr = cfg.matrix.indices.map { i =>
+      s"(CASE WHEN (xor(h.b, q.qb) & ${1L << i}) <> 0 THEN abs(q.m$i) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${bucketSql("embedding::DOUBLE[]")} AS qb,
+       |           $marginCols
+       |           FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${bucketSql("embedding::DOUBLE[]")} AS b
+       |      FROM embeddings),
+       |hist AS (SELECT b, count(*) AS n FROM e GROUP BY b),
+       |cost AS (SELECT h.b, h.n, $costExpr AS cost FROM hist h, q),
+       |sel AS (SELECT b FROM (
+       |          SELECT b, n, cost,
+       |                 sum(n) OVER (ORDER BY cost, b
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_before
+       |          FROM cost) WHERE cum_before < $target)
+       |SELECT vec_id, round(${VectorSearchQueries.distSql("cosine", "v", "qv")}, 6) + 0 AS distance
+       |FROM e, q WHERE e.b IN (SELECT b FROM sel)
+       |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("knn_lsh_bucket", lshBucket, Some(lshSql(10, ""))),
     Q("knn_lsh_fallback", lshFallback, Some(lshSql(10, "WHERE label = 5"))),
     Q("knn_lsh_multiprobe", lshMultiProbe,
       Some(lshSql(10, "", candPred = "bit_count(xor(e.b, q.qb)) <= 1"))),
+    Q("knn_lsh_adaptive", lshAdaptive, Some(lshAdaptiveSql)),
   )
 }
