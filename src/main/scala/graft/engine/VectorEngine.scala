@@ -3,8 +3,8 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
-import graft.functions.MetadataFunctions
-import graft.operators.LshIndex
+import graft.functions.{MetadataFunctions, VectorExpressions}
+import graft.operators.{IvfIndex, LshIndex}
 import java.sql.Timestamp
 import java.nio.file.{Files, Paths}
 
@@ -38,6 +38,10 @@ final class VectorEngine private (val spark: SparkSession) {
   private var chunks: Dataset[ChunkRow] = spark.emptyDataset[ChunkRow]
   /** Per-library LSH projection matrix (only for index_kind=random_projection). */
   private var matrices: Map[String, MatrixRow] = Map.empty
+  /** Per-library IVF centroid model (only for index_kind=ivf) — index
+    * metadata exactly like the LSH matrix: O(C x dim), persisted beside it,
+    * and the stored `bucket` column holds the chunk's CELL id. */
+  private var cellModels: Map[String, Seq[IvfIndex.Centroid]] = Map.empty
 
   // -------------------------------------------------------------------
   // Read-only views (the query surface)
@@ -239,6 +243,7 @@ final class VectorEngine private (val spark: SparkSession) {
     docs = docs.where(col("library_id") =!= id).as[DocumentRow]
     chunks = chunks.where(col("library_id") =!= id).as[ChunkRow]
     matrices -= id
+    cellModels -= id
     markDirty(id)
     afterMutation()
   }
@@ -360,23 +365,53 @@ final class VectorEngine private (val spark: SparkSession) {
         s"embedding dimension ${c.embedding.length} != library dimension $dim")
   }
 
+  /** Driver-side index-key derivation for single-row adds: LSH bucket or
+    * IVF cell, bit-identical twin of the Column kernels (LshBucketExpr /
+    * NearestCellExpr) so a chunk added singly and one added in bulk land
+    * in the same bucket. An IVF library with no trained/assigned centroid
+    * model yet stores null (searched exactly until the model exists). */
   private def bucketOf(libId: String, kind: String): Option[Seq[Float] => Long] =
-    if (kind != IndexKindLsh) None
-    else {
-      val m = matrices(libId).matrix.map(_.toArray).toArray
-      Some((v: Seq[Float]) => {
-        var bucket = 0L
-        var i = 0
-        while (i < m.length) {
-          // same fold order as the Column kernel: left-to-right double acc
-          var acc = 0.0d; var j = 0
-          while (j < m(i).length) { acc += m(i)(j) * v(j).toDouble; j += 1 }
-          if (acc >= 0.0d) bucket |= 1L << i
-          i += 1
+    kind match {
+      case IndexKindLsh =>
+        val m = matrices(libId).matrix.map(_.toArray).toArray
+        Some((v: Seq[Float]) => {
+          var bucket = 0L
+          var i = 0
+          while (i < m.length) {
+            // same fold order as the Column kernel: left-to-right double acc
+            var acc = 0.0d; var j = 0
+            while (j < m(i).length) { acc += m(i)(j) * v(j).toDouble; j += 1 }
+            if (acc >= 0.0d) bucket |= 1L << i
+            i += 1
+          }
+          bucket
+        })
+      case IndexKindIvf =>
+        cellModels.get(libId).map { cs =>
+          (v: Seq[Float]) => {
+            // twin of NearestCellExpr: strict < keeps the smallest cid on ties
+            var best = Double.PositiveInfinity
+            var bestId = cs.head.id
+            cs.foreach { c =>
+              var acc = 0.0d; var j = 0
+              while (j < c.vec.length) {
+                val d = v(j).toDouble - c.vec(j).toDouble; acc += d * d; j += 1
+              }
+              val dist = math.sqrt(acc)
+              if (dist < best) { best = dist; bestId = c.id }
+            }
+            bestId
+          }
         }
-        bucket
-      })
+      case _ => None
     }
+
+  /** The IVF cell column for a library with a centroid model. */
+  private def cellColumn(libId: String): Column = {
+    val cs = cellModels(libId)
+    VectorExpressions.nearestCell(col("embedding"),
+      cs.map(_.id).toArray, cs.map(_.vec).toArray)
+  }
 
   /** Atomic batch insert (api.py:354-361, services.py:144-162): <= 1000
     * chunks, one parent document (A5), EVERY row validated before ANY row
@@ -466,9 +501,12 @@ final class VectorEngine private (val spark: SparkSession) {
         stats.getAs[Long]("distinct_ids") != total)
       throw ConflictError("chunk id already exists")
     val t = now()
-    val bucketCol = if (lib.index_kind == IndexKindLsh)
-      lshBucket(col("embedding"), matrices(libraryId).matrix.map(_.toArray).toArray)
-    else lit(null).cast("long")
+    val bucketCol =
+      if (lib.index_kind == IndexKindLsh)
+        lshBucket(col("embedding"), matrices(libraryId).matrix.map(_.toArray).toArray)
+      else if (lib.index_kind == IndexKindIvf && cellModels.contains(libraryId))
+        cellColumn(libraryId)
+      else lit(null).cast("long")
     val prepared = df.select(
       col("id").cast("string"),
       col("document_id").cast("string"),
@@ -573,18 +611,84 @@ final class VectorEngine private (val spark: SparkSession) {
     chunks.where(col("document_id") === documentId).count()
 
   // -------------------------------------------------------------------
+  // IVF index management (the scale index the reference lacks — SURVEY
+  // §2 extension family; the model is index metadata like the LSH matrix)
+  // -------------------------------------------------------------------
+  /** Install an explicit centroid model on an `ivf` library and (re)derive
+    * the stored cell of every existing chunk. Explicit centroids make the
+    * index REPRODUCIBLE (and SQL-replayable by an oracle); `trainIvfIndex`
+    * is the self-training convenience on top. */
+  def setIvfCentroids(libraryId: String, centroids: Seq[(Long, Seq[Float])]): Unit = {
+    val lib = getLibrary(libraryId)
+    if (lib.index_kind != IndexKindIvf)
+      throw ValidationError(s"library index_kind is ${lib.index_kind}, not $IndexKindIvf")
+    if (centroids.isEmpty) throw ValidationError("need at least one centroid")
+    if (centroids.map(_._1).distinct.size != centroids.size)
+      throw ValidationError("duplicate centroid ids")
+    centroids.foreach { case (cid, v) =>
+      if (v.length != lib.embedding_dimension)
+        throw ValidationError(
+          s"centroid $cid dimension ${v.length} != library dimension ${lib.embedding_dimension}")
+      if (v.exists(f => f.isNaN || f.isInfinite))
+        throw ValidationError(s"centroid $cid must be finite")
+    }
+    cellModels += libraryId -> centroids.sortBy(_._1)
+      .map { case (cid, v) => IvfIndex.Centroid(cid, v.toArray) }
+    // re-derive the stored cells of everything already ingested (one
+    // projection over this library's partition — no shuffle)
+    chunks = chunks.toDF()
+      .withColumn("bucket",
+        when(col("library_id") === libraryId, cellColumn(libraryId))
+          .otherwise(col("bucket")))
+      .as[ChunkRow]
+    touchLibrary(libraryId, now())
+    markDirty(libraryId)
+    afterMutation()
+  }
+
+  /** Train a k-means centroid model on the library's own chunks (one scan
+    * per sweep, C-row shuffles — IvfIndex.train) and install it. Returns
+    * the model so a caller can persist/replay it. */
+  def trainIvfIndex(libraryId: String, c: Int, iters: Int = 5,
+                    seed: Long = 42L): Seq[(Long, Seq[Float])] = {
+    val lib = getLibrary(libraryId)
+    if (lib.index_kind != IndexKindIvf)
+      throw ValidationError(s"library index_kind is ${lib.index_kind}, not $IndexKindIvf")
+    if (chunkCount(libraryId) == 0)
+      throw ValidationError("cannot train an IVF index on an empty library")
+    val model = IvfIndex.train(
+      chunks.where(col("library_id") === libraryId).toDF(),
+      col("embedding"), c, iters, seed)
+    val asPairs = model.map(ct => ct.id -> ct.vec.toSeq)
+    setIvfCentroids(libraryId, asPairs)
+    asPairs
+  }
+
+  // -------------------------------------------------------------------
   // Search (§3.1: api.py:279-293 -> services.py:164-181 ->
   // vector_store.py:230-259 -> indexes.py search)
   // -------------------------------------------------------------------
-  /** `multiProbe`: on an LSH library, also probe every bucket at Hamming
-    * distance 1 from the query's — the recall/latency dial
-    * (LshIndex.searchMultiProbe; measured recall lift in LshSpec). A
-    * reference user gets single-bucket semantics by default. */
+  /** `probe` (LSH libraries): how wide the bucket probe goes.
+    *   - ProbeAdaptive (DEFAULT): query-directed adaptive probing
+    *     (LshIndex.searchAdaptive) — buckets in flipped-margin-cost order
+    *     until k * AdaptiveMultiplier candidates; measured recall@10 0.90
+    *     at sf0.1 vs 0.30 single-bucket. The candidate target is O(k),
+    *     independent of table size.
+    *   - ProbeMulti: fixed Hamming-1 probe set (recall 0.54).
+    *   - ProbeSingle: the reference's strict single-bucket two-phase
+    *     semantics (indexes.py:206-234) — parity mode.
+    * `nprobe` (IVF libraries): how many nearest cells to scan; falls back
+    * to the full (allow-set) scan when the probed cells hold < k
+    * candidates, the same two-phase contract as LSH. An IVF library with
+    * no centroid model yet searches exactly (flat). */
   def search(libraryId: String, query: Seq[Float], k: Int,
              filters: Map[String, Any] = Map.empty,
-             multiProbe: Boolean = false): DataFrame = {
+             probe: String = ProbeAdaptive,
+             nprobe: Int = DefaultIvfNProbe): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
+    if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
+    if (nprobe <= 0) throw SearchError("nprobe must be > 0")
     if (query.length != lib.embedding_dimension)
       throw SearchError(
         s"query dimension ${query.length} != library dimension ${lib.embedding_dimension}")
@@ -595,26 +699,39 @@ final class VectorEngine private (val spark: SparkSession) {
     if (filters.nonEmpty && scoped.limit(1).count() == 0)
       return spark.emptyDataset[(String, Double)].toDF("chunk_id", "distance")
     val qvec = array(query.map(f => lit(f)): _*).cast("array<float>")
+    def flatScan(base: DataFrame): DataFrame =
+      base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
+        .withColumn("distance",
+          round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+            + lit(0.0d))
+        .select(col("id"), col("distance"))
+        .orderBy(col("distance"), col("id"))
+        .limit(k)
     val result =
       if (lib.index_kind == IndexKindLsh) {
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
         val q = spark.range(1).select(qvec.as("qvec"),
           lshBucket(qvec, m).as("qbucket"))
-        if (multiProbe)
-          LshIndex.searchMultiProbe(scoped.toDF(), q, "embedding",
-            lib.distance_metric, k, m.length, idCol = "id")
-        else
-          LshIndex.searchTwoPhase(scoped.toDF(), q, "embedding",
-            lib.distance_metric, k, idCol = "id")
-      } else {
-        scoped.toDF().crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
-          .withColumn("distance",
-            round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
-              + lit(0.0d))
-          .select(col("id"), col("distance"))
-          .orderBy(col("distance"), col("id"))
-          .limit(k)
-      }
+        probe match {
+          case ProbeAdaptive =>
+            LshIndex.searchAdaptive(scoped.toDF(), query, m,
+              lib.distance_metric, k, idCol = "id")
+          case ProbeMulti =>
+            LshIndex.searchMultiProbe(scoped.toDF(), q, "embedding",
+              lib.distance_metric, k, m.length, idCol = "id")
+          case _ =>
+            LshIndex.searchTwoPhase(scoped.toDF(), q, "embedding",
+              lib.distance_metric, k, idCol = "id")
+        }
+      } else if (lib.index_kind == IndexKindIvf && cellModels.contains(libraryId)) {
+        val probed = IvfIndex.nearestCentroids(query.toArray,
+          cellModels(libraryId), nprobe)
+        val cand = scoped.toDF().where(col("bucket").isin(probed: _*))
+        // two-phase: early-stop candidate count, full scan when < k
+        val enough = cand.limit(k).count() >= k
+        flatScan(if (enough) cand else scoped.toDF())
+      } else
+        flatScan(scoped.toDF())
     result.withColumnRenamed("id", "chunk_id")
   }
 
@@ -631,9 +748,12 @@ final class VectorEngine private (val spark: SparkSession) {
     * query's candidate set ever funnels through a single reduce slot. */
   def searchBatch(libraryId: String, queries: Seq[(Long, Seq[Float])], k: Int,
                   filters: Map[String, Any] = Map.empty,
-                  multiProbe: Boolean = false): DataFrame = {
+                  probe: String = ProbeAdaptive,
+                  nprobe: Int = DefaultIvfNProbe): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
+    if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
+    if (nprobe <= 0) throw SearchError("nprobe must be > 0")
     val emptyOut = spark.emptyDataset[(Long, String, Double)]
       .toDF("query_id", "chunk_id", "distance")
     if (queries.isEmpty) return emptyOut
@@ -647,46 +767,81 @@ final class VectorEngine private (val spark: SparkSession) {
       .toDF()
     val qDf = queries.toDF("query_id", "qvec")
       .withColumn("qvec", col("qvec").cast("array<float>"))
-    val pairs: DataFrame =
-      if (lib.index_kind == IndexKindLsh) {
+    // Probe plan: a (query_id, qvec, qbucket) frame joined on the stored
+    // index-key column, plus whether the per-query `< k` count/fallback
+    // pass is still needed. Adaptive probing doesn't need it: its prefix
+    // guarantees >= min(|allow-set|, k) candidates per query by
+    // construction, which is exactly what the fallback would deliver.
+    val probePlan: Option[(DataFrame, Boolean)] = lib.index_kind match {
+      case IndexKindLsh =>
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
-        // multiProbe: each query probes its bucket AND every Hamming-1
-        // neighbor (P+1 distinct values — a chunk matches at most one
-        // probe per query, so no candidate duplicates); the fallback side
-        // always uses the UN-exploded query set.
-        val qbSingle = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
-        val qb =
-          if (multiProbe)
-            qbSingle.withColumn("qbucket", explode(
-              array((lit(0L) +: m.indices.map(i => lit(1L << i)))
-                .map(mask => col("qbucket").bitwiseXOR(mask)): _*)))
-          else qbSingle
-        // The count pass re-runs the probe join but over a COLUMN-PRUNED
-        // scan (bucket only — no embedding bytes): the expensive width is
-        // read once, in the result plan below. No caching, so repeated
-        // batch searches leave no storage residue behind.
-        val counts = scoped.select(col("bucket"))
-          .join(broadcast(qb.select(col("query_id"), col("qbucket"))),
-            col("bucket") === col("qbucket"))
-          .groupBy("query_id").count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val cand = scoped.join(broadcast(qb), col("bucket") === col("qbucket"))
-          .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
-        val bucketQs = queries.map(_._1).filter(counts.getOrElse(_, 0L) >= k)
-        val fallbackQs = queries.map(_._1).filterNot(bucketQs.toSet)
-        val parts = Seq(
-          if (bucketQs.nonEmpty)
-            Some(cand.where(col("query_id").isin(bucketQs: _*)))
-          else None,
-          if (fallbackQs.nonEmpty)
-            Some(scoped.crossJoin(
-                broadcast(qDf.where(col("query_id").isin(fallbackQs: _*))))
-              .select(col("query_id"), col("id"), col("embedding"), col("qvec")))
-          else None).flatten
-        parts.reduce(_ unionByName _)
-      } else
+        probe match {
+          case ProbeAdaptive =>
+            // ONE tiny histogram aggregate serves every query's probe set
+            val hist = scoped.groupBy("bucket").count().collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+            val target = math.max(k.toLong,
+              k.toLong * LshIndex.AdaptiveMultiplier)
+            val pairs = queries.flatMap { case (qid, q) =>
+              val ms = LshIndex.margins(m, q)
+              LshIndex.probePrefix(hist, LshIndex.bucketOf(ms), ms, target)
+                .map(b => (qid, b))
+            }
+            Some((qDf.join(broadcast(pairs.toDF("query_id", "qbucket")),
+              Seq("query_id")), false))
+          case ProbeMulti =>
+            // each query probes its bucket AND every Hamming-1 neighbor
+            // (P+1 distinct values — a chunk matches at most one probe per
+            // query, so no candidate duplicates)
+            val qb = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
+              .withColumn("qbucket", explode(
+                array((lit(0L) +: m.indices.map(i => lit(1L << i)))
+                  .map(mask => col("qbucket").bitwiseXOR(mask)): _*)))
+            Some((qb, true))
+          case _ =>
+            Some((qDf.withColumn("qbucket", lshBucket(col("qvec"), m)), true))
+        }
+      case IndexKindIvf if cellModels.contains(libraryId) =>
+        val cs = cellModels(libraryId)
+        val pairs = queries.flatMap { case (qid, q) =>
+          IvfIndex.nearestCentroids(q.toArray, cs, nprobe).map(c => (qid, c))
+        }
+        Some((qDf.join(broadcast(pairs.toDF("query_id", "qbucket")),
+          Seq("query_id")), true))
+      case _ => None
+    }
+    val pairs: DataFrame = probePlan match {
+      case None =>
         scoped.crossJoin(broadcast(qDf))
           .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
+      case Some((qb, needTwoPhase)) =>
+        val cand = scoped.join(broadcast(qb), col("bucket") === col("qbucket"))
+          .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
+        if (!needTwoPhase) cand
+        else {
+          // The count pass re-runs the probe join but over a COLUMN-PRUNED
+          // scan (bucket only — no embedding bytes): the expensive width is
+          // read once, in the result plan below. No caching, so repeated
+          // batch searches leave no storage residue behind.
+          val counts = scoped.select(col("bucket"))
+            .join(broadcast(qb.select(col("query_id"), col("qbucket"))),
+              col("bucket") === col("qbucket"))
+            .groupBy("query_id").count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val bucketQs = queries.map(_._1).filter(counts.getOrElse(_, 0L) >= k)
+          val fallbackQs = queries.map(_._1).filterNot(bucketQs.toSet)
+          val parts = Seq(
+            if (bucketQs.nonEmpty)
+              Some(cand.where(col("query_id").isin(bucketQs: _*)))
+            else None,
+            if (fallbackQs.nonEmpty)
+              Some(scoped.crossJoin(
+                  broadcast(qDf.where(col("query_id").isin(fallbackQs: _*))))
+                .select(col("query_id"), col("id"), col("embedding"), col("qvec")))
+            else None).flatten
+          parts.reduce(_ unionByName _)
+        }
+    }
     val scored = pairs
       .withColumn("distance",
         round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
@@ -726,6 +881,10 @@ final class VectorEngine private (val spark: SparkSession) {
       docs.toDF().write.mode("overwrite").parquet(s"$base/documents.parquet")
       matrices.values.toSeq.toDS().toDF().write.mode("overwrite")
         .parquet(s"$base/matrices.parquet")
+      cellModels.toSeq
+        .flatMap { case (lid, cs) => cs.map(ct => CentroidRow(lid, ct.id, ct.vec.toSeq)) }
+        .toDS().toDF().write.mode("overwrite")
+        .parquet(s"$base/centroids.parquet")
       val chunksPath = s"$dir/chunks"
       val out = chunks.toDF()
       // does the live chunks plan reference files under THIS dir?
@@ -834,18 +993,35 @@ final class VectorEngine private (val spark: SparkSession) {
     chunks = readChunksTable(dir)
     matrices = spark.read.parquet(s"$base/matrices.parquet").as[MatrixRow]
       .collect().map(m => m.library_id -> m).toMap
+    // centroids.parquet may be absent in state dirs written before the IVF
+    // index existed — treat as "no IVF models", not an error
+    val centPath = new org.apache.hadoop.fs.Path(s"$base/centroids.parquet")
+    val centFs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cellModels =
+      if (!centFs.exists(centPath)) Map.empty
+      else spark.read.parquet(s"$base/centroids.parquet").as[CentroidRow]
+        .collect().groupBy(_.library_id)
+        .map { case (lid, rows) =>
+          lid -> rows.sortBy(_.cid)
+            .map(r => IvfIndex.Centroid(r.cid, r.vec.toArray)).toSeq
+        }
     lastSaveDir = Some(dir)
     lastSaveHadChunks = !chunks.isEmpty
     dirtyLibs = Set.empty
-    // S5 cold-start rebuild: bucket is re-derivable from the persisted
-    // matrix; recompute for LSH libraries so a stale/absent bucket column
-    // can never poison the probe (disk_store.py:86-98).
-    val lshLibs = libs.collect().filter(_.index_kind == IndexKindLsh)
-    if (lshLibs.nonEmpty) {
-      val bucketCol = lshLibs.foldLeft(lit(null).cast("long")) { (acc, l) =>
-        when(col("library_id") === l.id,
-          lshBucket(col("embedding"), matrices(l.id).matrix.map(_.toArray).toArray))
-          .otherwise(acc)
+    // S5 cold-start rebuild: the index-key column is re-derivable from the
+    // persisted index metadata (LSH matrix / IVF centroids); recompute so
+    // a stale/absent bucket column can never poison a probe
+    // (disk_store.py:86-98).
+    val idxLibs = libs.collect().filter(l =>
+      l.index_kind == IndexKindLsh ||
+        (l.index_kind == IndexKindIvf && cellModels.contains(l.id)))
+    if (idxLibs.nonEmpty) {
+      val bucketCol = idxLibs.foldLeft(lit(null).cast("long")) { (acc, l) =>
+        val keyExpr =
+          if (l.index_kind == IndexKindLsh)
+            lshBucket(col("embedding"), matrices(l.id).matrix.map(_.toArray).toArray)
+          else cellColumn(l.id)
+        when(col("library_id") === l.id, keyExpr).otherwise(acc)
       }
       chunks = chunks.toDF().withColumn("bucket", bucketCol).as[ChunkRow]
     }
@@ -873,12 +1049,28 @@ object VectorEngine {
   val DefaultLshSeed = 42L
   val IndexKindFlat = "flat"
   val IndexKindLsh = "random_projection"
-  val SupportedIndexKinds: Set[String] = Set(IndexKindFlat, IndexKindLsh)
+  val IndexKindIvf = "ivf"
+  val SupportedIndexKinds: Set[String] =
+    Set(IndexKindFlat, IndexKindLsh, IndexKindIvf)
+
+  /** LSH probe modes for `search`/`searchBatch` (adaptive is the default;
+    * single-bucket is the reference's strict parity semantics). */
+  val ProbeSingle = "single"
+  val ProbeMulti = "multiprobe"
+  val ProbeAdaptive = "adaptive"
+  val SupportedProbes: Set[String] = Set(ProbeSingle, ProbeMulti, ProbeAdaptive)
+
+  /** Default number of IVF cells probed by `search` on an ivf library. */
+  val DefaultIvfNProbe = 4
 
   /** Persisted LSH projection matrix (S4 — indexes.py:262-321 persists the
     * matrix; here it is a row in the matrices table). */
   final case class MatrixRow(library_id: String, num_projections: Int,
                              dim: Int, seed: Long, matrix: Seq[Seq[Double]])
+
+  /** Persisted IVF centroid model row (one row per centroid — the ivf
+    * analog of MatrixRow, saved as `centroids.parquet`). */
+  final case class CentroidRow(library_id: String, cid: Long, vec: Seq[Float])
 
   /** Fresh empty engine. */
   def create(spark: SparkSession): VectorEngine = new VectorEngine(spark)

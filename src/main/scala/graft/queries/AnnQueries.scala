@@ -12,23 +12,30 @@ import graft.operators.IvfIndex
   */
 object AnnQueries {
 
-  /** Deterministic centroid sample: vec_id % 7 == 1 — 72 centroids at the
-    * driver's verify scale (sf0.01), exercising the reference-object cell
-    * expression at C >= 64 where the round-2 per-centroid literal design
-    * broke codegen. (The oracle must replay assignment, so the gate uses a
-    * deterministic sample; k-means `train` is spec-checked via measured
-    * recall instead — IvfSpec.) */
-  private val CentroidMod = 7
+  /** FIXED-C centroid model from the committed fixture
+    * (fixtures/ivf_centroids.parquet — 64 centroids trained ONCE by
+    * `graft.tools.MakeFixtures` via IvfIndex.train): the gate's driver
+    * data is O(C x dim) — 64 x 64 floats — at EVERY scale factor, and the
+    * DuckDB oracle reads the same parquet bytes, so cell assignment and
+    * probe selection replay bit-identically. (The previous `vec_id % 7`
+    * sample collected n/7 of the table to the driver — an O(n)
+    * scale-killer the fixture replaces. k-means `train` itself is
+    * spec-checked via measured recall — IvfSpec.) */
+  private[queries] val FixturePath = "/root/repo/fixtures/ivf_centroids.parquet"
+  private[queries] val FixtureSql =
+    s"read_parquet('$FixturePath/*.parquet')"
   private val NProbe = 3
   private val K = 10
 
-  private val ivfTopk: QueryFn = (s, dir) => {
-    val emb = table(s, dir, "embeddings")
-    val centroids = emb.where(pmod(col("vec_id"), lit(CentroidMod)) === 1)
-      .select(col("vec_id"), col("embedding"))
+  private[queries] def fixtureCentroids(s: org.apache.spark.sql.SparkSession): Seq[IvfIndex.Centroid] =
+    s.read.parquet(FixturePath)
       .collect()
       .map(r => IvfIndex.Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq.sortBy(_.id)
+
+  private val ivfTopk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val centroids = fixtureCentroids(s)
     val query = emb.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     // cell is STORED at ingest (withCell), search filters the stored column
@@ -39,8 +46,7 @@ object AnnQueries {
 
   private val ivfTopkSql: String = {
     val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
-    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-       |           FROM embeddings WHERE vec_id % $CentroidMod = 1),
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM $FixtureSql),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |a AS (SELECT e.vec_id, e.v, c.cid,
        |        row_number() OVER (PARTITION BY e.vec_id
@@ -101,11 +107,7 @@ object AnnQueries {
     * — every stage of the funnel is gated. */
   private val ivfSq8Topk: QueryFn = (s, dir) => {
     val emb = table(s, dir, "embeddings")
-    val centroids = emb.where(pmod(col("vec_id"), lit(CentroidMod)) === 1)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => IvfIndex.Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_.id)
+    val centroids = fixtureCentroids(s)
     val query = emb.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val indexed = graft.operators.Quantization.encode(
@@ -117,8 +119,7 @@ object AnnQueries {
   }
 
   private val ivfSq8TopkSql: String =
-    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-       |           FROM embeddings WHERE vec_id % $CentroidMod = 1),
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM $FixtureSql),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |             list_min(embedding::DOUBLE[]) AS mn,
        |             list_max(embedding::DOUBLE[]) AS mx

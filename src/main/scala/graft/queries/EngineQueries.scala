@@ -16,7 +16,9 @@ import graft.engine._
 object EngineQueries {
 
   /** Build an engine holding the embeddings table as one library:
-    * documents doc-<label>, chunks c<vec_id>; then cascade-delete doc-7. */
+    * documents doc-<label>, chunks c<vec_id>; then cascade-delete doc-7.
+    * An `ivf` library gets the committed fixture centroid model installed
+    * BEFORE ingest, so bulk ingest derives and stores the cell column. */
   private def buildEngine(s: SparkSession, dir: String, kind: String,
                           deleteDoc7: Boolean): (VectorEngine, String) = {
     val eng = VectorEngine.create(s)
@@ -24,6 +26,9 @@ object EngineQueries {
       indexKind = kind, id = Some("lib0"),
       lshProjections = LshQueries.config.numProjections,
       lshSeed = LshQueries.config.seed)
+    if (kind == VectorEngine.IndexKindIvf)
+      eng.setIvfCentroids(lib.id,
+        AnnQueries.fixtureCentroids(s).map(c => c.id -> c.vec.toSeq))
     eng.addDocumentsDf(lib.id, table(s, dir, "embeddings")
       .select(concat(lit("doc-"), col("label")).as("id"))
       .distinct()
@@ -80,8 +85,12 @@ object EngineQueries {
 
   /** Same round-trip for a random_projection library: the persisted
     * projection matrix must reproduce identical buckets after reopen (S4 +
-    * S5), and the bucketed probe must agree with the oracle's two-phase
-    * SQL at any scale. */
+    * S5). The facade's DEFAULT probe is now ADAPTIVE, so the oracle
+    * replays the full query-directed selection (margins -> costed
+    * histogram -> prefix cut at k * AdaptiveMultiplier) over the chunk
+    * ids — at small scale factors the prefix covers every bucket (= the
+    * exhaustive fallback), at larger ones it is genuinely partial; the
+    * replay is correct either way. */
   private val lshPersisted: QueryFn = (s, dir) => {
     val (eng, lib) = buildEngine(s, dir, VectorEngine.IndexKindLsh, deleteDoc7 = false)
     val state = java.nio.file.Files.createTempDirectory("graft-lifecycle-lsh").toString
@@ -91,25 +100,15 @@ object EngineQueries {
   }
 
   private val lshPersistedSql: String =
-    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${LshQueries.bucketSql("embedding::DOUBLE[]")} AS qb
-       |           FROM embeddings WHERE vec_id = 0),
-       |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v,
-       |             ${LshQueries.bucketSql("embedding::DOUBLE[]")} AS b
-       |      FROM embeddings),
-       |cand AS (SELECT e.chunk_id, e.v, q.qv FROM e, q WHERE e.b = q.qb),
-       |base AS (
-       |  SELECT chunk_id, v, qv FROM cand WHERE (SELECT count(*) FROM cand) >= 10
-       |  UNION ALL
-       |  SELECT e.chunk_id, e.v, q.qv FROM e, q WHERE (SELECT count(*) FROM cand) < 10
-       |)
-       |SELECT chunk_id, round(${VectorSearchQueries.distSql("cosine", "v", "qv")}, 6) + 0 AS distance
-       |FROM base ORDER BY distance, chunk_id LIMIT 10""".stripMargin
+    LshQueries.adaptiveSql("'c' || vec_id", "chunk_id",
+      10L * graft.operators.LshIndex.AdaptiveMultiplier, 10)
 
-  /** Facade batch search on an LSH library: 4 queries in ONE plan, with
-    * the two-phase bucket-probe/fallback decided PER QUERY. The oracle
-    * replays per-query candidate counts and the conditional fallback in
-    * SQL, so whichever phase each query takes at any scale factor, both
-    * sides agree. */
+  /** Facade batch search on an LSH library: 4 queries in ONE plan, each
+    * with its own ADAPTIVE probe set (the facade default). The oracle
+    * replays the per-query selection — per-query margins/costs over the
+    * shared bucket histogram, a PARTITION BY query_id cumulative prefix
+    * cut, then per-query top-k — so each query's data-dependent probe set
+    * is gated at any scale factor. */
   private val batchSearch: QueryFn = (s, dir) => {
     val (eng, lib) = buildEngine(s, dir, VectorEngine.IndexKindLsh, deleteDoc7 = false)
     val qs = table(s, dir, "embeddings").where(col("vec_id") < 4)
@@ -121,19 +120,22 @@ object EngineQueries {
   private val batchSearchSql: String = {
     val bucket = LshQueries.bucketSql("embedding::DOUBLE[]")
     val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, $bucket AS qb
+    val target = 5L * graft.operators.LshIndex.AdaptiveMultiplier
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, $bucket AS qb,
+       |           ${LshQueries.marginColsSql}
        |           FROM embeddings WHERE vec_id < 4),
        |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v, $bucket AS b
        |      FROM embeddings),
-       |cand AS (SELECT q.query_id, e.chunk_id, e.v, q.qv FROM e JOIN q ON e.b = q.qb),
-       |counts AS (SELECT query_id, count(*) AS n FROM cand GROUP BY query_id),
-       |base AS (
-       |  SELECT c.query_id, c.chunk_id, c.v, c.qv
-       |  FROM cand c JOIN counts t ON c.query_id = t.query_id WHERE t.n >= 5
-       |  UNION ALL
-       |  SELECT q.query_id, e.chunk_id, e.v, q.qv FROM e, q
-       |  WHERE coalesce((SELECT n FROM counts WHERE counts.query_id = q.query_id), 0) < 5
-       |),
+       |hist AS (SELECT b, count(*) AS n FROM e GROUP BY b),
+       |cost AS (SELECT q.query_id, h.b, h.n, ${LshQueries.costSql} AS cost FROM hist h, q),
+       |sel AS (SELECT query_id, b FROM (
+       |          SELECT query_id, b, n, cost,
+       |                 sum(n) OVER (PARTITION BY query_id ORDER BY cost, b
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_before
+       |          FROM cost) WHERE cum_before < $target),
+       |base AS (SELECT q.query_id, e.chunk_id, e.v, q.qv
+       |         FROM e JOIN sel ON e.b = sel.b
+       |                JOIN q ON q.query_id = sel.query_id),
        |r AS (SELECT query_id, chunk_id, round($cos, 6) + 0 AS distance,
        |        row_number() OVER (PARTITION BY query_id
        |                           ORDER BY round($cos, 6) + 0, chunk_id) AS rn
@@ -142,10 +144,50 @@ object EngineQueries {
        |ORDER BY query_id, distance, chunk_id""".stripMargin
   }
 
+  /** Full persistence round-trip for an IVF library (the scale index as a
+    * first-class library index_kind): fixture centroid model installed at
+    * create time, cells stored at bulk ingest, model persisted as
+    * centroids.parquet beside the LSH matrices, cells re-derived on
+    * reopen, then an nprobe-cell probe search with the `< k` exhaustive
+    * fallback. The oracle replays cell assignment, probe selection, the
+    * conditional fallback, and scoring from the same fixture parquet. */
+  private val ivfPersisted: QueryFn = (s, dir) => {
+    val (eng, lib) = buildEngine(s, dir, VectorEngine.IndexKindIvf, deleteDoc7 = false)
+    val state = java.nio.file.Files.createTempDirectory("graft-lifecycle-ivf").toString
+    eng.save(state)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.search(lib, queryVec(s, dir), k = 10)
+  }
+
+  private val ivfPersistedSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.FixtureSql}),
+       |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT e.chunk_id, e.v, c.cid,
+       |        row_number() OVER (PARTITION BY e.chunk_id
+       |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |      FROM e, c),
+       |cell AS (SELECT chunk_id, v, cid FROM a WHERE rn = 1),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT ${VectorEngine.DefaultIvfNProbe}),
+       |cand AS (SELECT cell.chunk_id, cell.v, q.qv FROM cell, q
+       |         WHERE cid IN (SELECT cid FROM probe)),
+       |base AS (
+       |  SELECT chunk_id, v, qv FROM cand WHERE (SELECT count(*) FROM cand) >= 10
+       |  UNION ALL
+       |  SELECT cell.chunk_id, cell.v, q.qv FROM cell, q
+       |  WHERE (SELECT count(*) FROM cand) < 10
+       |)
+       |SELECT chunk_id, round($cos, 6) + 0 AS distance
+       |FROM base ORDER BY distance, chunk_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
+    Q("lifecycle_ivf_persisted", ivfPersisted, Some(ivfPersistedSql)),
     Q("lifecycle_batch_search", batchSearch, Some(batchSearchSql)),
   )
 }

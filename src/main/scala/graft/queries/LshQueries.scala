@@ -116,32 +116,46 @@ object LshQueries {
       multiplier = AdaptiveGateMult)
   }
 
-  private val lshAdaptiveSql: String = {
-    val target = 10L * AdaptiveGateMult
-    val marginCols = cfg.matrix.zipWithIndex.map { case (row, i) =>
+  /** Margin columns of the single query row (vec_id = 0): m_i = P_i . qv,
+    * same element order as LshIndex.margins. */
+  private[queries] def marginColsSql: String =
+    cfg.matrix.zipWithIndex.map { case (row, i) =>
       s"${VectorSearchQueries.dotSql("embedding::DOUBLE[]", rowLit(row))} AS m$i"
-    }.mkString(",\n       |           ".stripMargin)
-    // same term order as LshIndex.probePrefix's loop: i ascending, each
-    // non-flipped bit contributing an exact +0
-    val costExpr = cfg.matrix.indices.map { i =>
+    }.mkString(", ")
+
+  /** Flip-cost of bucket `h.b` vs query bucket `q.qb`: same term order as
+    * LshIndex.probePrefix's loop (i ascending, each non-flipped bit
+    * contributing an exact +0). */
+  private[queries] def costSql: String =
+    cfg.matrix.indices.map { i =>
       s"(CASE WHEN (xor(h.b, q.qb) & ${1L << i}) <> 0 THEN abs(q.m$i) ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Full adaptive-probe replay over the embeddings table, parameterized
+    * on the output id expression so the engine-lifecycle gate (chunk ids
+    * 'c' || vec_id) reuses it: margins -> costed bucket histogram ->
+    * (cost, bucket)-ordered cumulative prefix cut -> exact top-k over the
+    * selected buckets. */
+  private[queries] def adaptiveSql(idSql: String, idAlias: String,
+                                   target: Long, k: Int): String =
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${bucketSql("embedding::DOUBLE[]")} AS qb,
-       |           $marginCols
+       |           $marginColsSql
        |           FROM embeddings WHERE vec_id = 0),
-       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${bucketSql("embedding::DOUBLE[]")} AS b
+       |e AS (SELECT $idSql AS $idAlias, embedding::DOUBLE[] AS v, ${bucketSql("embedding::DOUBLE[]")} AS b
        |      FROM embeddings),
        |hist AS (SELECT b, count(*) AS n FROM e GROUP BY b),
-       |cost AS (SELECT h.b, h.n, $costExpr AS cost FROM hist h, q),
+       |cost AS (SELECT h.b, h.n, $costSql AS cost FROM hist h, q),
        |sel AS (SELECT b FROM (
        |          SELECT b, n, cost,
        |                 sum(n) OVER (ORDER BY cost, b
        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_before
        |          FROM cost) WHERE cum_before < $target)
-       |SELECT vec_id, round(${VectorSearchQueries.distSql("cosine", "v", "qv")}, 6) + 0 AS distance
+       |SELECT $idAlias, round(${VectorSearchQueries.distSql("cosine", "v", "qv")}, 6) + 0 AS distance
        |FROM e, q WHERE e.b IN (SELECT b FROM sel)
-       |ORDER BY distance, vec_id LIMIT 10""".stripMargin
-  }
+       |ORDER BY distance, $idAlias LIMIT $k""".stripMargin
+
+  private val lshAdaptiveSql: String =
+    adaptiveSql("vec_id", "vec_id", 10L * AdaptiveGateMult, 10)
 
   val all: Seq[Q] = Seq(
     Q("knn_lsh_bucket", lshBucket, Some(lshSql(10, ""))),

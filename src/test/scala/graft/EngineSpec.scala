@@ -368,25 +368,26 @@ class EngineSpec extends AnyFunSuite {
     // k=1 keeps both paths on the bucket probe (no fallback): the
     // multi-probe candidate set contains the single-bucket one, so its
     // top-1 distance can only be <= the single-bucket top-1 distance
-    val single = e.search(lib, q, 1).collect().map(_.getDouble(1)).head
-    val multi = e.search(lib, q, 1, multiProbe = true)
+    val single = e.search(lib, q, 1, probe = VectorEngine.ProbeSingle)
+      .collect().map(_.getDouble(1)).head
+    val multi = e.search(lib, q, 1, probe = VectorEngine.ProbeMulti)
       .collect().map(_.getDouble(1)).head
     assert(multi <= single)
     // with k >= corpus both paths fall back and agree exactly
-    assert(e.search(lib, q, 10, multiProbe = true).collect().toSeq ==
+    assert(e.search(lib, q, 10, probe = VectorEngine.ProbeMulti).collect().toSeq ==
       e.search(lib, q, 10).collect().toSeq)
     // flat library: flag is a no-op
     val (ef, libF, _) = freshWithData("flat")
-    assert(ef.search(libF, q, 3, multiProbe = true).collect().toSeq ==
+    assert(ef.search(libF, q, 3, probe = VectorEngine.ProbeMulti).collect().toSeq ==
       ef.search(libF, q, 3).collect().toSeq)
     // batch parity: searchBatch(multiProbe) == per-query search(multiProbe)
     val (eb, libB, _) = freshWithData("random_projection")
     val qs = Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 0.9, 0.1, 0))
-    val batch = eb.searchBatch(libB, qs, k = 2, multiProbe = true).collect()
+    val batch = eb.searchBatch(libB, qs, k = 2, probe = VectorEngine.ProbeMulti).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
     qs.foreach { case (qid, qv) =>
-      val one = eb.search(libB, qv, 2, multiProbe = true).collect()
+      val one = eb.search(libB, qv, 2, probe = VectorEngine.ProbeMulti).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       assert(batch(qid) == one, s"multiProbe batch query=$qid")
     }
@@ -534,6 +535,59 @@ class EngineSpec extends AnyFunSuite {
     // ~4 jobs; the round-2 shape ran THREE separate actions (validation
     // aggregate, orphan count, prepared.count) and landed near double this.
     assert(jobs <= 5, s"expected <= 5 jobs for bulk ingest, got $jobs")
+  }
+
+  test("ivf library: explicit centroid model, stored cells, nprobe search " +
+    "with < k fallback, batch parity, persistence round-trip, self-train") {
+    val (e, lib, doc) = freshWithData("ivf")
+    // un-trained ivf library searches exactly (flat)
+    assert(e.search(lib, vec(1, 0, 0, 0), 2).collect()
+      .map(_.getString(0)).toSeq == Seq("c0", "c1"))
+    // model guards
+    intercept[ValidationError] { e.setIvfCentroids(lib, Seq.empty) }
+    intercept[ValidationError] { e.setIvfCentroids(lib, Seq(0L -> vec(1, 0))) }
+    intercept[ValidationError] {
+      e.setIvfCentroids(lib, Seq(0L -> vec(1, 0, 0, 0), 0L -> vec(0, 1, 0, 0)))
+    }
+    val flatLib = e.createLibrary("notivf", dim = 4)
+    intercept[ValidationError] {
+      e.setIvfCentroids(flatLib.id, Seq(0L -> vec(1, 0, 0, 0)))
+    }
+    // 2-cell model: c0,c1 land in cell 0; c2,c3 in cell 1
+    e.setIvfCentroids(lib, Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 0.5, 0.5, 0)))
+    // nprobe=1 scans only cell 0 (2 candidates >= k=2, no fallback)
+    assert(e.search(lib, vec(1, 0, 0, 0), k = 2, nprobe = 1).collect()
+      .map(_.getString(0)).toSeq == Seq("c0", "c1"))
+    // k=3 > cell population -> exhaustive fallback, exact flat order
+    assert(e.search(lib, vec(1, 0, 0, 0), k = 3, nprobe = 1).collect()
+      .map(_.getString(0)).toSeq == Seq("c0", "c1", "c2"))
+    // single-row add derives the cell via the driver twin
+    e.addChunk(doc, ChunkInput("e", vec(0, 0.6, 0.4, 0), id = Some("c4")))
+    assert(e.search(lib, vec(0, 0.6, 0.4, 0), k = 1, nprobe = 1).collect()
+      .head.getString(0) == "c4")
+    // batch parity with per-query search at the same nprobe
+    val qs = Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 1, 0, 0))
+    val batch = e.searchBatch(lib, qs, k = 2, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val one = e.search(lib, q, 2, nprobe = 1).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == one, s"ivf batch query=$qid")
+    }
+    // save -> reopen: centroids.parquet persisted, cells re-derived, and
+    // probe search on the reopened engine is identical
+    val dir = Files.tmp("graft-ivf")
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    assert(e2.search(lib, vec(1, 0, 0, 0), 3, nprobe = 1).collect().toSeq ==
+      e.search(lib, vec(1, 0, 0, 0), 3, nprobe = 1).collect().toSeq)
+    // self-training installs a usable model (recall quality is IvfSpec's
+    // job; here: the trained engine still answers searches)
+    val model = e2.trainIvfIndex(lib, c = 2, iters = 2)
+    assert(model.size == 2)
+    assert(e2.search(lib, vec(1, 0, 0, 0), k = 5).count() == 5)
+    intercept[ValidationError] { e2.trainIvfIndex(flatLib.id, c = 2) }
   }
 
   private object Files {
