@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis.tokens
+
+/** Parameterized lexical retrieval: BM25 scoring and reciprocal-rank
+  * fusion, the lexical half of a hybrid-search stack. Promoted from the
+  * bench-query shapes so a caller can score ANY (id, text) frame with
+  * their own query terms — the gate queries (`text_bm25_topk`,
+  * `search_hybrid_rrf`) are now thin wrappers over these.
+  *
+  * Scale shapes (unchanged from the gated originals):
+  *   - bm25: explode -> filter(query terms) -> ONE (doc, term) groupBy —
+  *     term-frequency rows exist only for query terms, so the shuffle is
+  *     O(matches), never O(corpus vocabulary); document-frequency is a
+  *     |terms|-row driver collect.
+  *   - hybridRrf: each ranker contributes only its top-`candidates` via
+  *     TakeOrderedAndProject (no global window over the corpus); ranks are
+  *     assigned within those tiny sets and fusion is a candidates^2-bounded
+  *     full-outer join.
+  *
+  * Cross-engine float determinism (the oracle hashes bytes): the only
+  * transcendental (ln in idf) is rounded to 6dp driver-side; per-term
+  * scores pivot to FIXED columns summed in term order, so float addition
+  * order is deterministic; RRF is integer-rank arithmetic plus one rounded
+  * division sum in fixed order.
+  */
+object Lexical {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+  val DefaultRrfK = 60
+  val DefaultCandidates = 50
+
+  /** BM25 (Robertson/Spärck Jones, Lucene-style +1-inside-the-log idf)
+    * score of every row of `df` against `terms`.
+    *
+    * @param df      corpus frame holding `idCol` and `textCol`
+    * @param terms   query terms (matched against whitespace-split
+    *                lowercased tokens — TextAnalysis.tokens)
+    * @return (idCol, score) for EVERY document (docs matching no term
+    *         score 0.0) — callers rank/limit on top
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(terms.nonEmpty, "need at least one BM25 query term")
+    require(terms.distinct.size == terms.size, "duplicate BM25 query terms")
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val lens = toks.select(col(idCol), size(col("t")).as("len"))
+      .localCheckpoint()
+    val stats = lens.agg(count(lit(1)), avg(col("len"))).head()
+    val nDocs = stats.getLong(0).toDouble
+    if (nDocs == 0.0) {
+      import spark.implicits._
+      return Seq.empty[(String, Double)].toDF(idCol, "score")
+    }
+    val avgLen = stats.getDouble(1)
+    // tf is TINY (query-term rows only) and consumed twice (df collect +
+    // the final plan) — materialize it once
+    val tf = toks.select(col(idCol), explode(col("t")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfMap = tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(term: String): Double = {
+      val dfT = dfMap.getOrElse(term, 0L).toDouble
+      BigDecimal(math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+    }
+    val piv = tf.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+    val termScore = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(lit(idf(t)) * col(s"tf$i") /
+        (col(s"tf$i") + lit(k1) * (lit(1.0) - lit(b)
+          + lit(b) * col("len") / lit(avgLen))), lit(0.0d))
+    }
+    lens.join(piv, Seq(idCol), "left")
+      .withColumn("score", round(termScore.reduceLeft(_ + _), 6) + lit(0.0d))
+      .select(col(idCol), col("score"))
+  }
+
+  /** Rank the top-`n` rows of a scored frame: limit FIRST
+    * (TakeOrderedAndProject — per-partition top-n, k-row driver merge),
+    * so the rank window only ever sees n rows. Rank is 1-based
+    * row_number over (score direction, idCol) — a total order. */
+  def topRanks(scored: DataFrame, idCol: String, scoreCol: String,
+               ascending: Boolean, n: Int, rankName: String): DataFrame = {
+    val ord =
+      if (ascending) Seq(col(scoreCol), col(idCol))
+      else Seq(col(scoreCol).desc, col(idCol))
+    scored.orderBy(ord: _*).limit(n)
+      .withColumn(rankName, row_number().over(Window.orderBy(ord: _*)))
+      .select(col(idCol), col(rankName))
+  }
+
+  /** Reciprocal-rank fusion of a lexical ranking (higher score = better)
+    * and a vector ranking (lower distance = better):
+    * rrf = 1/(rrfK + lex_rank) + 1/(rrfK + vec_rank), fixed add order.
+    *
+    * @param lexScores (idCol, scoreCol) frame, e.g. `bm25` output
+    * @param vecScores (idCol, distanceCol) frame, e.g. a k-NN distance scan
+    * @return top-`k` (idCol, rrf), rrf descending, ties by id
+    */
+  def hybridRrf(lexScores: DataFrame, vecScores: DataFrame, idCol: String,
+                k: Int, candidates: Int = DefaultCandidates,
+                rrfK: Int = DefaultRrfK, lexScoreCol: String = "score",
+                vecScoreCol: String = "distance"): DataFrame = {
+    require(k > 0 && candidates >= k, "need k > 0 and candidates >= k")
+    val lr = topRanks(lexScores, idCol, lexScoreCol, ascending = false,
+      candidates, "lrank")
+    val vr = topRanks(vecScores, idCol, vecScoreCol, ascending = true,
+      candidates, "vrank")
+    lr.join(vr, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0d)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0d)), 6)
+        + lit(0.0d))
+      .select(col(idCol), col("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -197,43 +197,14 @@ object TextQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
-  /** (doc_id, score) for every document — shared by the top-k query and
-    * the hybrid RRF fusion. */
+  /** (doc_id, score) for every document — the parameterized operator
+    * (operators.Lexical.bm25) applied with the gate's fixed query; shared
+    * by the top-k query and the hybrid RRF fusion. LexicalSpec exercises
+    * the operator with DIFFERENT terms/corpora than this constant. */
   private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
-                                  dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = table(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    val lens = toks.select(col("doc_id"), size(col("t")).as("len"))
-      .localCheckpoint()
-    val Array(nDocs, avgLen) = lens.agg(count(lit(1)), avg(col("len")))
-      .head() match { case r => Array(r.getLong(0).toDouble, r.getDouble(1)) }
-    // tf is TINY (query-term rows only) and consumed three times (df
-    // collect, pivot, and the final plan) — materialize it once, same
-    // for the per-doc lens frame (stats aggregate + final join).
-    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
-      .where(col("term").isin(Bm25Query: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dfMap = tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    def idf(term: String): Double = {
-      val df = dfMap.getOrElse(term, 0L).toDouble
-      BigDecimal(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val tfAggs = Bm25Query.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("tf"))).as(s"tf$i")
-    }
-    val piv = tf.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
-    val termScore = Bm25Query.zipWithIndex.map { case (t, i) =>
-      coalesce(lit(idf(t)) * col(s"tf$i") /
-        (col(s"tf$i") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
-          + lit(Bm25B) * col("len") / lit(avgLen))), lit(0.0d))
-    }
-    lens.join(piv, Seq("doc_id"), "left")
-      .withColumn("score", round(termScore.reduceLeft(_ + _), 6) + lit(0.0d))
-      .select(col("doc_id"), col("score"))
-  }
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Lexical.bm25(table(s, dir, "documents"),
+      "doc_id", "text", Bm25Query, k1 = Bm25K1, b = Bm25B)
 
   private val bm25: QueryFn = (s, dir) =>
     bm25Scores(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)
@@ -286,31 +257,19 @@ object TextQueries {
   private val RrfCandidates = 50
 
   private val hybridRrf: QueryFn = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val emb = table(s, dir, "embeddings")
-    val lexTop = bm25Scores(s, dir)
+    // both rankers restricted to the embedded subset (see scaladoc above)
+    val lexScores = bm25Scores(s, dir)
       .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      .orderBy(col("score").desc, col("doc_id")).limit(RrfCandidates)
-      .withColumn("lrank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("lrank"))
     val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
-    val vecTop = emb
+    val vecScores = emb
       .withColumn("distance",
         round(graft.functions.VectorExpressions.cosineDistance(col("embedding"),
           array(qv.map(x => lit(x)): _*).cast("array<float>")), 6) + lit(0.0d))
-      .orderBy(col("distance"), col("vec_id")).limit(RrfCandidates)
-      .withColumn("vrank", row_number().over(
-        Window.orderBy(col("distance"), col("vec_id"))))
-      .select(col("vec_id").as("doc_id"), col("vrank"))
-    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0d)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0d)), 6) + lit(0.0d))
-      .select(col("doc_id"), col("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(10)
+      .select(col("vec_id").as("doc_id"), col("distance"))
+    graft.operators.Lexical.hybridRrf(lexScores, vecScores, "doc_id",
+      k = 10, candidates = RrfCandidates, rrfK = RrfK)
   }
 
   private val hybridRrfSql: String = {

@@ -196,4 +196,48 @@ class StreamingSpec extends AnyFunSuite {
       s"scan read $scannedFiles of $allFiles files — not pruned")
     assert(scan.toString.contains("PartitionFilters"))
   }
+
+  test("chunk-stream ingest e2e through the facade: MemoryStream -> " +
+    "foreachBatch -> addChunksDf, no dupes on replay, post-stream search") {
+    import graft.engine._
+    implicit val sqlCtx = spark.sqlContext
+    val e = VectorEngine.create(spark)
+    e.createLibrary("stream-lib", dim = 2, id = Some("slib"))
+    val doc = e.createDocument("slib", "sdoc")
+    val mem = MemoryStream[(String, String, String, Seq[Float], Int)]
+    val streamDf = mem.toDF()
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chunk-ckpt").toString
+    val q = streamDf.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // at-least-once source: drop within-batch duplicates and rows the
+        // engine already holds (anti-join on chunk id), then ONE atomic
+        // bulk append — an empty remainder is addChunksDf's clean no-op
+        val fresh = batch.dropDuplicates("id")
+          .join(e.chunksDf.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("metadata", typedLit(Map.empty[String, String]))
+        e.addChunksDf("slib", fresh)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(("s0", doc.id, "t0", Seq(1f, 0f), 0),
+        ("s1", doc.id, "t1", Seq(0f, 1f), 1))
+      q.processAllAvailable()
+      assert(e.chunkCount("slib") == 2)
+      // replayed s1 (at-least-once redelivery) + genuinely new s2
+      mem.addData(("s1", doc.id, "t1", Seq(0f, 1f), 1),
+        ("s2", doc.id, "t2", Seq(0.9f, 0.1f), 2))
+      q.processAllAvailable()
+      // a pure-replay batch is a no-op end to end
+      mem.addData(("s0", doc.id, "t0", Seq(1f, 0f), 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(e.chunkCount("slib") == 3)
+    assert(e.getChunk("s1").text == "t1")
+    // post-stream search sees exactly the streamed corpus
+    assert(e.search("slib", Seq(1f, 0f), k = 2).collect()
+      .map(_.getString(0)).toSeq == Seq("s0", "s2"))
+  }
 }
