@@ -42,6 +42,20 @@ final class VectorEngine private (val spark: SparkSession) {
     * metadata exactly like the LSH matrix: O(C x dim), persisted beside it,
     * and the stored `bucket` column holds the chunk's CELL id. */
   private var cellModels: Map[String, Seq[IvfIndex.Centroid]] = Map.empty
+  /** Per-library LSH (bucket -> count) histogram — the THIRD piece of index
+    * metadata (<= 2^P rows per library, like the matrix is P x dim): the
+    * adaptive probe's input, maintained INCREMENTALLY by every chunk
+    * mutation whose buckets are driver-known (single adds, patches, single
+    * deletes) and by one O(batch) aggregate per bulk ingest — so the
+    * default search path never aggregates the chunks table. Persisted at
+    * save beside the matrices, loaded on open. */
+  private var hists: Map[String, Map[Long, Long]] = Map.empty
+  /** Libraries whose histogram needs a recompute: cascade deletes remove an
+    * unbounded, driver-unknown set of buckets, so they mark the library
+    * stale and the next read rebuilds it with ONE column-pruned aggregate
+    * over that library's partition (amortized: once per cascade, not per
+    * search). */
+  private var staleHists: Set[String] = Set.empty
 
   // -------------------------------------------------------------------
   // Read-only views (the query surface)
@@ -108,6 +122,36 @@ final class VectorEngine private (val spark: SparkSession) {
 
   private def markDirty(libraryId: String): Unit = dirtyLibs += libraryId
 
+  /** Apply driver-known (bucket -> count-delta) updates to a library's
+    * histogram. A no-op for libraries without one (flat/ivf); zero-count
+    * buckets are dropped so the map stays <= |occupied buckets|. */
+  private def histUpdate(libId: String, deltas: Iterable[(Long, Long)]): Unit =
+    hists.get(libId).foreach { h =>
+      val next = deltas.foldLeft(h) { case (m, (b, d)) =>
+        val n = m.getOrElse(b, 0L) + d
+        if (n <= 0L) m - b else m.updated(b, n)
+      }
+      hists += libId -> next
+    }
+
+  private def histRecompute(libId: String): Map[Long, Long] =
+    chunks.where(col("library_id") === libId && col("bucket").isNotNull)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The library's LSH (bucket -> count) histogram — index metadata, NOT a
+    * table aggregate: O(1) when clean; the first read after a cascade
+    * delete (or after opening a pre-histogram state dir) rebuilds it with
+    * one column-pruned aggregate over the library's partition. Empty for
+    * non-LSH libraries. */
+  def bucketHistogram(libraryId: String): Map[Long, Long] = {
+    if (staleHists(libraryId)) {
+      hists += libraryId -> histRecompute(libraryId)
+      staleHists -= libraryId
+    }
+    hists.getOrElse(libraryId, Map.empty)
+  }
+
   private def afterMutation(): Unit = {
     mutationsSinceCompact += 1
     if (mutationsSinceCompact >= CompactEvery) {
@@ -173,6 +217,7 @@ final class VectorEngine private (val spark: SparkSession) {
         lshProjections != DefaultLshProjections || lshSeed != DefaultLshSeed)
       matrices += lid -> MatrixRow(lid, lshProjections, dim, lshSeed,
         projectionMatrix(lshProjections, dim, lshSeed).map(_.toSeq).toSeq)
+    if (indexKind == IndexKindLsh) hists += lid -> Map.empty
     afterMutation()
     row
   }
@@ -230,6 +275,11 @@ final class VectorEngine private (val spark: SparkSession) {
           projectionMatrix(np, next.embedding_dimension, seed)
             .map(_.toSeq).toSeq)
       }
+      // the library is empty here, so the new index kind's histogram starts
+      // empty (and a flip away from LSH drops it)
+      hists = if (next.index_kind == IndexKindLsh) hists.updated(id, Map.empty)
+              else hists - id
+      staleHists -= id
     }
     afterMutation()
     next
@@ -244,6 +294,8 @@ final class VectorEngine private (val spark: SparkSession) {
     chunks = chunks.where(col("library_id") =!= id).as[ChunkRow]
     matrices -= id
     cellModels -= id
+    hists -= id
+    staleHists -= id
     markDirty(id)
     afterMutation()
   }
@@ -338,11 +390,15 @@ final class VectorEngine private (val spark: SparkSession) {
     next
   }
 
-  /** Cascade delete document -> chunks (vector_store.py:131-147). */
+  /** Cascade delete document -> chunks (vector_store.py:131-147). The
+    * removed chunks' buckets are not driver-known, so the library's LSH
+    * histogram is marked stale (rebuilt once on next read) rather than
+    * aggregated eagerly here — deletes stay lazy. */
   def deleteDocument(id: String): Unit = {
     val cur = getDocument(id)
     docs = docs.where(col("id") =!= id).as[DocumentRow]
     chunks = chunks.where(col("document_id") =!= id).as[ChunkRow]
+    if (hists.contains(cur.library_id)) staleHists += cur.library_id
     touchLibrary(cur.library_id, now()) // decrement counters bump the library
     markDirty(cur.library_id)
     afterMutation()
@@ -435,6 +491,8 @@ final class VectorEngine private (val spark: SparkSession) {
         encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)), t, t)
     }
     chunks = chunks.unionByName(rows.toDS())
+    histUpdate(lib.id, rows.flatMap(_.bucket).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong })
     touchDocument(doc.id, t)   // increment_chunk_count bumps the document...
     touchLibrary(lib.id, t)    // ...and the library (entities.py:93-99,160-166)
     markDirty(lib.id)
@@ -519,6 +577,11 @@ final class VectorEngine private (val spark: SparkSession) {
       lit(t).as("created_at"),
       lit(t).as("updated_at")).as[ChunkRow]
     chunks = chunks.unionByName(prepared)
+    // histogram upkeep: ONE O(batch) aggregate over the ingested rows (the
+    // batch frame, never the chunks table) keeps the LSH histogram exact
+    if (hists.contains(libraryId))
+      histUpdate(libraryId, prepared.groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)))
     // set-based parent refresh: every document referenced by the batch gets
     // its updated_at bumped (reference increments its chunk_count per row),
     // as does the library — no driver row loop.
@@ -583,6 +646,8 @@ final class VectorEngine private (val spark: SparkSession) {
       bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
       updated_at = now())
     chunks = replaceById(chunks, id, next)
+    histUpdate(cur.library_id,
+      cur.bucket.map(_ -> -1L).toSeq ++ next.bucket.map(_ -> 1L))
     markDirty(cur.library_id)
     afterMutation()
     next
@@ -591,6 +656,7 @@ final class VectorEngine private (val spark: SparkSession) {
   def deleteChunk(id: String): Unit = {
     val cur = getChunk(id)
     chunks = chunks.where(col("id") =!= id).as[ChunkRow]
+    histUpdate(cur.library_id, cur.bucket.map(_ -> -1L).toSeq)
     val t = now()
     touchDocument(cur.document_id, t) // decrement_chunk_count bumps parents
     touchLibrary(cur.library_id, t)
@@ -671,24 +737,41 @@ final class VectorEngine private (val spark: SparkSession) {
   /** `probe` (LSH libraries): how wide the bucket probe goes.
     *   - ProbeAdaptive (DEFAULT): query-directed adaptive probing
     *     (LshIndex.searchAdaptive) — buckets in flipped-margin-cost order
-    *     until k * AdaptiveMultiplier candidates; measured recall@10 0.90
+    *     until k * `adaptiveMultiplier` candidates; measured recall@10 0.90
     *     at sf0.1 vs 0.30 single-bucket. The candidate target is O(k),
-    *     independent of table size.
+    *     independent of table size. The probe set comes from the
+    *     MAINTAINED per-library histogram (bucketHistogram) when there is
+    *     no metadata filter — zero Spark actions before the probe scan; a
+    *     filtered search aggregates the ALLOW-SET's histogram instead (the
+    *     persisted one counts rows the filter excludes, which would
+    *     under-probe), a scan the filter evaluation pays anyway.
     *   - ProbeMulti: fixed Hamming-1 probe set (recall 0.54).
     *   - ProbeSingle: the reference's strict single-bucket two-phase
     *     semantics (indexes.py:206-234) — parity mode.
+    * `adaptiveMultiplier`: the adaptive candidate budget as a multiple of
+    * k — 150 is tuned on near-random synthetic vectors (the hardest case
+    * for sign-bit LSH); a clustered real corpus may want it lower, a
+    * recall-critical one higher. Ignored by the other probe modes.
     * `nprobe` (IVF libraries): how many nearest cells to scan; falls back
     * to the full (allow-set) scan when the probed cells hold < k
     * candidates, the same two-phase contract as LSH. An IVF library with
     * no centroid model yet searches exactly (flat). */
+  /** Histogram feeding an adaptive probe: the maintained index metadata
+    * (no Spark action) for an unfiltered search; None for a filtered one,
+    * so the probe recomputes over the allow-set. */
+  private def adaptiveHist(libraryId: String, filters: Map[String, Any]): Option[Seq[(Long, Long)]] =
+    if (filters.isEmpty) Some(bucketHistogram(libraryId).toSeq) else None
+
   def search(libraryId: String, query: Seq[Float], k: Int,
              filters: Map[String, Any] = Map.empty,
              probe: String = ProbeAdaptive,
-             nprobe: Int = DefaultIvfNProbe): DataFrame = {
+             nprobe: Int = DefaultIvfNProbe,
+             adaptiveMultiplier: Int = LshIndex.AdaptiveMultiplier): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
+    if (adaptiveMultiplier <= 0) throw SearchError("adaptiveMultiplier must be > 0")
     if (query.length != lib.embedding_dimension)
       throw SearchError(
         s"query dimension ${query.length} != library dimension ${lib.embedding_dimension}")
@@ -715,7 +798,8 @@ final class VectorEngine private (val spark: SparkSession) {
         probe match {
           case ProbeAdaptive =>
             LshIndex.searchAdaptive(scoped.toDF(), query, m,
-              lib.distance_metric, k, idCol = "id")
+              lib.distance_metric, k, multiplier = adaptiveMultiplier,
+              idCol = "id", hist = adaptiveHist(libraryId, filters))
           case ProbeMulti =>
             LshIndex.searchMultiProbe(scoped.toDF(), q, "embedding",
               lib.distance_metric, k, m.length, idCol = "id")
@@ -749,11 +833,13 @@ final class VectorEngine private (val spark: SparkSession) {
   def searchBatch(libraryId: String, queries: Seq[(Long, Seq[Float])], k: Int,
                   filters: Map[String, Any] = Map.empty,
                   probe: String = ProbeAdaptive,
-                  nprobe: Int = DefaultIvfNProbe): DataFrame = {
+                  nprobe: Int = DefaultIvfNProbe,
+                  adaptiveMultiplier: Int = LshIndex.AdaptiveMultiplier): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
+    if (adaptiveMultiplier <= 0) throw SearchError("adaptiveMultiplier must be > 0")
     val emptyOut = spark.emptyDataset[(Long, String, Double)]
       .toDF("query_id", "chunk_id", "distance")
     if (queries.isEmpty) return emptyOut
@@ -777,11 +863,12 @@ final class VectorEngine private (val spark: SparkSession) {
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
         probe match {
           case ProbeAdaptive =>
-            // ONE tiny histogram aggregate serves every query's probe set
-            val hist = scoped.groupBy("bucket").count().collect()
-              .map(r => r.getLong(0) -> r.getLong(1)).toSeq
-            val target = math.max(k.toLong,
-              k.toLong * LshIndex.AdaptiveMultiplier)
+            // the MAINTAINED histogram serves every query's probe set (a
+            // filtered batch aggregates the allow-set's instead)
+            val hist = adaptiveHist(libraryId, filters).getOrElse(
+              scoped.groupBy("bucket").count().collect()
+                .map(r => r.getLong(0) -> r.getLong(1)).toSeq)
+            val target = math.max(k.toLong, k.toLong * adaptiveMultiplier)
             val pairs = queries.flatMap { case (qid, q) =>
               val ms = LshIndex.margins(m, q)
               LshIndex.probePrefix(hist, LshIndex.bucketOf(ms), ms, target)
@@ -885,6 +972,14 @@ final class VectorEngine private (val spark: SparkSession) {
         .flatMap { case (lid, cs) => cs.map(ct => CentroidRow(lid, ct.id, ct.vec.toSeq)) }
         .toDS().toDF().write.mode("overwrite")
         .parquet(s"$base/centroids.parquet")
+      // flush stale histograms (once per cascade-deleted library), then
+      // persist them as index metadata beside the matrices — a reopened
+      // engine's adaptive probes never aggregate the chunks table
+      staleHists.foreach(bucketHistogram)
+      hists.toSeq
+        .flatMap { case (lid, h) => h.toSeq.map { case (b, n) => HistRow(lid, b, n) } }
+        .toDS().toDF().write.mode("overwrite")
+        .parquet(s"$base/histograms.parquet")
       val chunksPath = s"$dir/chunks"
       val out = chunks.toDF()
       // does the live chunks plan reference files under THIS dir?
@@ -1008,11 +1103,30 @@ final class VectorEngine private (val spark: SparkSession) {
     lastSaveDir = Some(dir)
     lastSaveHadChunks = !chunks.isEmpty
     dirtyLibs = Set.empty
+    val allLibs = libs.collect()
+    // Histogram index metadata: read the persisted table when present; a
+    // pre-histogram state dir marks every LSH library stale instead, so
+    // the first adaptive read rebuilds it (one aggregate, once). Every LSH
+    // library gets an entry either way — hists membership is what marks a
+    // library's histogram as maintained.
+    val lshIds = allLibs.filter(_.index_kind == IndexKindLsh).map(_.id)
+    val histPath = new org.apache.hadoop.fs.Path(s"$base/histograms.parquet")
+    val histFs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (histFs.exists(histPath)) {
+      val loaded = spark.read.parquet(s"$base/histograms.parquet").as[HistRow]
+        .collect().groupBy(_.library_id)
+        .map { case (lid, rows) => lid -> rows.map(r => r.bucket -> r.n).toMap }
+      hists = lshIds.map(lid => lid -> loaded.getOrElse(lid, Map.empty[Long, Long])).toMap
+      staleHists = Set.empty
+    } else {
+      hists = lshIds.map(_ -> Map.empty[Long, Long]).toMap
+      staleHists = lshIds.toSet
+    }
     // S5 cold-start rebuild: the index-key column is re-derivable from the
     // persisted index metadata (LSH matrix / IVF centroids); recompute so
     // a stale/absent bucket column can never poison a probe
     // (disk_store.py:86-98).
-    val idxLibs = libs.collect().filter(l =>
+    val idxLibs = allLibs.filter(l =>
       l.index_kind == IndexKindLsh ||
         (l.index_kind == IndexKindIvf && cellModels.contains(l.id)))
     if (idxLibs.nonEmpty) {
@@ -1071,6 +1185,10 @@ object VectorEngine {
   /** Persisted IVF centroid model row (one row per centroid — the ivf
     * analog of MatrixRow, saved as `centroids.parquet`). */
   final case class CentroidRow(library_id: String, cid: Long, vec: Seq[Float])
+
+  /** Persisted LSH bucket-histogram row (<= 2^P per library, saved as
+    * `histograms.parquet` — the adaptive probe's index metadata). */
+  final case class HistRow(library_id: String, bucket: Long, n: Long)
 
   /** Fresh empty engine. */
   def create(spark: SparkSession): VectorEngine = new VectorEngine(spark)

@@ -48,9 +48,12 @@ object Lexical {
     require(terms.nonEmpty, "need at least one BM25 query term")
     require(terms.distinct.size == terms.size, "duplicate BM25 query terms")
     val spark = df.sparkSession
+    // lens is O(corpus) wide-as-two-columns and consumed twice (the stats
+    // aggregate + the final join): RECOMPUTED, not materialized — a
+    // localCheckpoint here would push corpus-sized blocks into executor
+    // storage on every call for the price of one cheap tokenize pass
     val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
     val lens = toks.select(col(idCol), size(col("t")).as("len"))
-      .localCheckpoint()
     val stats = lens.agg(count(lit(1)), avg(col("len"))).head()
     val nDocs = stats.getLong(0).toDouble
     if (nDocs == 0.0) {

@@ -142,16 +142,26 @@ object LshIndex {
     * `isin` filter — partition-prunable at scale, like every other probe
     * here), exact distances, top-k. The query vector arrives driver-side
     * (the facade's search signature), so margins and the probe set are
-    * driver math; the only extra action is the histogram aggregate. */
+    * driver math.
+    *
+    * @param hist the (bucket -> count) histogram of `indexed`, when the
+    *             caller maintains it as index metadata (the engine does —
+    *             VectorEngine.bucketHistogram); None recomputes it with a
+    *             full (column-pruned) aggregate, which is fine for one-off
+    *             operator use but NOT per-search at scale — with a
+    *             maintained histogram this method runs ZERO Spark actions
+    *             and the returned plan reads only the probed buckets. */
   def searchAdaptive(indexed: DataFrame, q: Seq[Float],
                      matrix: Array[Array[Double]], metric: String, k: Int,
                      multiplier: Int = AdaptiveMultiplier,
                      idCol: String = "vec_id",
-                     embCol: String = "embedding"): DataFrame = {
+                     embCol: String = "embedding",
+                     hist: Option[Seq[(Long, Long)]] = None): DataFrame = {
     val ms = margins(matrix, q)
-    val hist = indexed.groupBy("bucket").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
-    val sel = probePrefix(hist, bucketOf(ms), ms,
+    val h = hist.getOrElse(
+      indexed.groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq)
+    val sel = probePrefix(h, bucketOf(ms), ms,
       math.max(k.toLong, k.toLong * multiplier))
     val qvec = array(q.map(x => lit(x)): _*).cast("array<float>")
     indexed.where(col("bucket").isin(sel: _*))

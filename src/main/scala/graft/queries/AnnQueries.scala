@@ -21,7 +21,12 @@ object AnnQueries {
     * sample collected n/7 of the table to the driver — an O(n)
     * scale-killer the fixture replaces. k-means `train` itself is
     * spec-checked via measured recall — IvfSpec.) */
-  private[queries] val FixturePath = "/root/repo/fixtures/ivf_centroids.parquet"
+  private[queries] val FixturePath: String = {
+    val dir = sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .getOrElse(new java.io.File("fixtures").getAbsolutePath)
+    s"$dir/ivf_centroids.parquet"
+  }
   private[queries] val FixtureSql =
     s"read_parquet('$FixturePath/*.parquet')"
   private val NProbe = 3
@@ -29,6 +34,7 @@ object AnnQueries {
 
   private[queries] def fixtureCentroids(s: org.apache.spark.sql.SparkSession): Seq[IvfIndex.Centroid] =
     s.read.parquet(FixturePath)
+      .select("cid", "cv") // by NAME — robust to fixture column reordering
       .collect()
       .map(r => IvfIndex.Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq.sortBy(_.id)

@@ -18,6 +18,11 @@ import graft.operators.IvfIndex
   * scale factor (cell assignment is replayed from it, never retrained).
   *
   * Usage: `sbt "runMain graft.tools.MakeFixtures [sfDir] [outPath]"`.
+  *
+  * Gates resolve the fixture via `-Dgraft.fixtures.dir=...` /
+  * `GRAFT_FIXTURES_DIR`, defaulting to `<cwd>/fixtures` — run Spark jobs
+  * and the oracle from the repo root (or set the property) so both engines
+  * read the same parquet bytes from any checkout location.
   */
 object MakeFixtures {
   val Cells = 64

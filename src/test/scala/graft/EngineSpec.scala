@@ -590,6 +590,72 @@ class EngineSpec extends AnyFunSuite {
     intercept[ValidationError] { e2.trainIvfIndex(flatLib.id, c = 2) }
   }
 
+  test("LSH bucket histogram is maintained index metadata: matches a " +
+    "recompute across adds, bulk ingest, patches, deletes, cascades, reopen") {
+    val (e, lib, doc) = freshWithData("random_projection")
+    def recomputed(eng: VectorEngine): Map[Long, Long] =
+      eng.chunksDf.where(org.apache.spark.sql.functions.col("library_id") === lib)
+        .groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e.bucketHistogram(lib) == recomputed(e))
+    import spark.implicits._
+    e.addChunksDf(lib, Seq(("h1", doc, "t", Seq(0f, 0f, 1f, 1f),
+      Map.empty[String, String], 5))
+      .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index"))
+    assert(e.bucketHistogram(lib) == recomputed(e))
+    e.patchChunk("c0", embedding = Some(vec(-1, 0, 0, 0))) // bucket moves
+    assert(e.bucketHistogram(lib) == recomputed(e))
+    e.deleteChunk("c1")
+    assert(e.bucketHistogram(lib) == recomputed(e))
+    // cascade delete: buckets not driver-known -> stale -> rebuilt on read
+    val d2 = e.createDocument(lib, "d2")
+    e.addChunk(d2.id, ChunkInput("x", vec(0, 1, 1, 0), id = Some("h2")))
+    e.deleteDocument(d2.id)
+    assert(e.bucketHistogram(lib) == recomputed(e))
+    // persistence: reopened engine reads histograms.parquet, same map
+    val dir = Files.tmp("graft-hist")
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    assert(e2.bucketHistogram(lib) == e.bucketHistogram(lib))
+    assert(e2.bucketHistogram(lib) == recomputed(e2))
+    // non-LSH library has no histogram
+    val (ef, libF, _) = freshWithData("flat")
+    assert(ef.bucketHistogram(libF).isEmpty)
+  }
+
+  test("adaptive search on a clean histogram launches ZERO Spark jobs " +
+    "(the default probe path never aggregates the chunks table)") {
+    val (e, lib, _) = freshWithData("random_projection")
+    e.bucketHistogram(lib) // clean by construction; read it once anyway
+    spark.sparkContext.setJobGroup("adaptive-lazy", "EngineSpec")
+    val df = try e.search(lib, vec(1, 0, 0, 0), 2)
+             finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(500) // let the listener bus drain before reading the store
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("adaptive-lazy")
+    assert(jobs.isEmpty, s"adaptive search launched jobs ${jobs.mkString(",")}")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("c0", "c1"))
+  }
+
+  test("facade exposes the adaptive probe budget: a larger multiplier " +
+    "probes a superset; a saturating one equals flat search; guards") {
+    val (e, lib, _) = freshWithData("random_projection")
+    val q = vec(0.9, 0.05, 0, 0)
+    val d1 = e.search(lib, q, 1, adaptiveMultiplier = 1).collect().head.getDouble(1)
+    val d4 = e.search(lib, q, 1, adaptiveMultiplier = 4).collect().head.getDouble(1)
+    assert(d4 <= d1) // superset probe can only improve the top-1
+    val (ef, libF, _) = freshWithData("flat")
+    assert(e.search(lib, q, 3, adaptiveMultiplier = 1000).collect().toSeq ==
+      ef.search(libF, q, 3).collect().toSeq)
+    intercept[SearchError] { e.search(lib, q, 1, adaptiveMultiplier = 0) }
+    intercept[SearchError] { e.searchBatch(lib, Seq(0L -> q), 1, adaptiveMultiplier = -1) }
+    // batch parity at a non-default budget
+    val batch = e.searchBatch(lib, Seq(0L -> q), 2, adaptiveMultiplier = 2).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val single = e.search(lib, q, 2, adaptiveMultiplier = 2).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(batch == single)
+  }
+
   private object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString
