@@ -5,6 +5,10 @@ import java.sql.Timestamp
 /** Canonical engine schemas (SURVEY.md §1.4) as case classes — the typed
   * `Dataset` surface of the three entity tables. Metadata values use the
   * typed-prefix encoding (graft.functions.MetadataFunctions). */
+/** `storage` is the vector representation kept per chunk: "float32" (the
+  * reference's only option) or "sq8" — uint8 scalar-quantized codes stored
+  * BESIDE the float32 embedding at ingest, searched two-phase (approx on
+  * codes, exact rescore). Immutable after create. */
 final case class LibraryRow(
     id: String,
     name: String,
@@ -13,6 +17,7 @@ final case class LibraryRow(
     embedding_dimension: Int,
     distance_metric: String,
     index_kind: String,
+    storage: String,
     created_at: Timestamp,
     updated_at: Timestamp)
 
@@ -25,8 +30,11 @@ final case class DocumentRow(
     updated_at: Timestamp)
 
 /** `library_id` is denormalized onto chunks for partition pruning
-  * (SURVEY.md §1.4); `bucket` is non-null only in random_projection
-  * libraries. */
+  * (SURVEY.md §1.4); `bucket` is non-null only in random_projection /
+  * ivf-with-model libraries; `qmin`/`qmax`/`codes` are non-null only in
+  * storage="sq8" libraries (the per-row SQ8 quantization — kept in-row so
+  * the approximate search phase is pure column pruning: it reads the int8
+  * codes and never the float32 embedding bytes). */
 final case class ChunkRow(
     id: String,
     document_id: String,
@@ -36,6 +44,9 @@ final case class ChunkRow(
     metadata: Map[String, String],
     chunk_index: Int,
     bucket: Option[Long],
+    qmin: Option[Double],
+    qmax: Option[Double],
+    codes: Option[Seq[Int]],
     created_at: Timestamp,
     updated_at: Timestamp)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.{MetadataFunctions, VectorExpressions}
-import graft.operators.{IvfIndex, LshIndex}
+import graft.operators.{IvfIndex, LshIndex, Quantization}
 import java.sql.Timestamp
 import java.nio.file.{Files, Paths}
 
@@ -194,7 +194,8 @@ final class VectorEngine private (val spark: SparkSession) {
                     metadata: Map[String, Any] = Map.empty,
                     id: Option[String] = None,
                     lshProjections: Int = DefaultLshProjections,
-                    lshSeed: Long = DefaultLshSeed): LibraryRow = {
+                    lshSeed: Long = DefaultLshSeed,
+                    storage: String = StorageFloat32): LibraryRow = {
     requireName(name, "library")
     requireDescription(description)
     if (dim <= 0) throw ValidationError("embedding_dimension must be > 0")
@@ -202,12 +203,18 @@ final class VectorEngine private (val spark: SparkSession) {
       throw ValidationError(s"unknown distance metric: $metric")
     if (!SupportedIndexKinds(indexKind))
       throw ValidationError(s"unknown index kind: $indexKind")
+    if (!SupportedStorage(storage))
+      throw ValidationError(s"unknown storage: $storage")
+    if (storage == StorageSq8 && metric != "euclidean")
+      throw ValidationError("sq8 storage requires the euclidean metric")
+    if (storage == StorageSq8 && indexKind == IndexKindLsh)
+      throw ValidationError("sq8 storage requires a flat or ivf index kind")
     val lid = id.getOrElse(newId())
     if (findLibrary(lid).isDefined)
       throw ConflictError(s"library already exists: $lid")
     val t = now()
     val row = LibraryRow(lid, name, description, encodeMeta(metadata),
-      dim, metric, indexKind, t, t)
+      dim, metric, indexKind, storage, t, t)
     libs = libs.unionByName(Seq(row).toDS())
     // The MatrixRow doubles as the remembered LSH configuration: recorded
     // for LSH libraries AND for flat libraries created with non-default
@@ -253,6 +260,14 @@ final class VectorEngine private (val spark: SparkSession) {
       throw ValidationError(s"unknown distance metric: $m"))
     indexKind.foreach(k => if (!SupportedIndexKinds(k))
       throw ValidationError(s"unknown index kind: $k"))
+    // storage is immutable; patches must keep its invariants (sq8 =>
+    // euclidean metric, flat/ivf index kind)
+    if (cur.storage == StorageSq8) {
+      if (metric.exists(_ != "euclidean"))
+        throw ValidationError("sq8 storage requires the euclidean metric")
+      if (indexKind.contains(IndexKindLsh))
+        throw ValidationError("sq8 storage requires a flat or ivf index kind")
+    }
     val next = cur.copy(
       name = name.getOrElse(cur.name),
       description = description.getOrElse(cur.description),
@@ -462,6 +477,25 @@ final class VectorEngine private (val spark: SparkSession) {
       case _ => None
     }
 
+  /** Driver-side SQ8 encoder for single-row adds — the bit-identical twin
+    * of Quantization.encode's Column expressions (same double arithmetic,
+    * same floor(+0.5) rounding), so a chunk added singly and one ingested
+    * in bulk carry identical codes. */
+  private def sq8EncodeLocal(v: Seq[Float]): (Double, Double, Seq[Int]) = {
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    v.foreach { f =>
+      val d = f.toDouble
+      if (d < mn) mn = d
+      if (d > mx) mx = d
+    }
+    val codes =
+      if (mx == mn) v.map(_ => 0)
+      else v.map(f =>
+        math.floor((f.toDouble - mn) * 255.0 / (mx - mn) + 0.5).toInt)
+    (mn, mx, codes)
+  }
+
   /** The IVF cell column for a library with a centroid model. */
   private def cellColumn(libId: String): Column = {
     val cs = cellModels(libId)
@@ -487,8 +521,11 @@ final class VectorEngine private (val spark: SparkSession) {
     val bucketFn = bucketOf(lib.id, lib.index_kind)
     val t = now()
     val rows = batch.map { c =>
+      val enc = if (lib.storage == StorageSq8) Some(sq8EncodeLocal(c.embedding))
+                else None
       ChunkRow(c.id.getOrElse(newId()), doc.id, lib.id, c.text, c.embedding,
-        encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)), t, t)
+        encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)),
+        enc.map(_._1), enc.map(_._2), enc.map(_._3), t, t)
     }
     chunks = chunks.unionByName(rows.toDS())
     histUpdate(lib.id, rows.flatMap(_.bucket).groupBy(identity)
@@ -565,7 +602,7 @@ final class VectorEngine private (val spark: SparkSession) {
       else if (lib.index_kind == IndexKindIvf && cellModels.contains(libraryId))
         cellColumn(libraryId)
       else lit(null).cast("long")
-    val prepared = df.select(
+    val base = df.select(
       col("id").cast("string"),
       col("document_id").cast("string"),
       lit(libraryId).as("library_id"),
@@ -573,9 +610,20 @@ final class VectorEngine private (val spark: SparkSession) {
       col("embedding").cast("array<float>"),
       col("metadata").cast("map<string,string>"),
       col("chunk_index").cast("int"),
-      bucketCol.as("bucket"),
-      lit(t).as("created_at"),
-      lit(t).as("updated_at")).as[ChunkRow]
+      bucketCol.as("bucket"))
+    // sq8 libraries derive the quantized representation INSIDE the ingest
+    // plan (Quantization.encode — same expressions the oracle replays);
+    // float32 libraries carry nulls.
+    val withCodes =
+      if (lib.storage == StorageSq8) Quantization.encode(base, col("embedding"))
+      else base
+        .withColumn("qmin", lit(null).cast("double"))
+        .withColumn("qmax", lit(null).cast("double"))
+        .withColumn("codes", lit(null).cast("array<int>"))
+    val prepared = withCodes
+      .withColumn("created_at", lit(t))
+      .withColumn("updated_at", lit(t))
+      .as[ChunkRow]
     chunks = chunks.unionByName(prepared)
     // histogram upkeep: ONE O(batch) aggregate over the ingested rows (the
     // batch frame, never the chunks table) keeps the LSH histogram exact
@@ -638,12 +686,15 @@ final class VectorEngine private (val spark: SparkSession) {
       chunkIndex = chunkIndex.getOrElse(cur.chunk_index))
     validateChunk(probe, lib.embedding_dimension)
     val newEmb = embedding.getOrElse(cur.embedding)
+    val enc = if (lib.storage == StorageSq8) Some(sq8EncodeLocal(newEmb))
+              else None
     val next = cur.copy(
       text = text.getOrElse(cur.text),
       embedding = newEmb,
       metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
       chunk_index = chunkIndex.getOrElse(cur.chunk_index),
       bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
+      qmin = enc.map(_._1), qmax = enc.map(_._2), codes = enc.map(_._3),
       updated_at = now())
     chunks = replaceById(chunks, id, next)
     histUpdate(cur.library_id,
@@ -766,12 +817,14 @@ final class VectorEngine private (val spark: SparkSession) {
              filters: Map[String, Any] = Map.empty,
              probe: String = ProbeAdaptive,
              nprobe: Int = DefaultIvfNProbe,
-             adaptiveMultiplier: Int = LshIndex.AdaptiveMultiplier): DataFrame = {
+             adaptiveMultiplier: Int = LshIndex.AdaptiveMultiplier,
+             rescore: Int = DefaultSq8Rescore): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
     if (adaptiveMultiplier <= 0) throw SearchError("adaptiveMultiplier must be > 0")
+    if (rescore <= 0) throw SearchError("rescore must be > 0")
     if (query.length != lib.embedding_dimension)
       throw SearchError(
         s"query dimension ${query.length} != library dimension ${lib.embedding_dimension}")
@@ -782,8 +835,17 @@ final class VectorEngine private (val spark: SparkSession) {
     if (filters.nonEmpty && scoped.limit(1).count() == 0)
       return spark.emptyDataset[(String, Double)].toDF("chunk_id", "distance")
     val qvec = array(query.map(f => lit(f)): _*).cast("array<float>")
+    // A storage="sq8" library scans TWO-PHASE wherever a float32 one would
+    // scan flat: approximate top-R over the stored uint8 codes (column
+    // pruning — the float32 embedding bytes are never read in phase 1),
+    // exact rescore of the R survivors. Literally Quantization.search over
+    // the same base the flat scan would read, so an ivf+sq8 library runs
+    // the full funnel: cell prune -> codes scan -> O(R) rescore.
     def flatScan(base: DataFrame): DataFrame =
-      base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
+      if (lib.storage == StorageSq8)
+        Quantization.search(base.toDF(), "embedding", "id", query.toArray,
+          k, math.max(k, rescore))
+      else base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
         .withColumn("distance",
           round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
             + lit(0.0d))
@@ -834,12 +896,14 @@ final class VectorEngine private (val spark: SparkSession) {
                   filters: Map[String, Any] = Map.empty,
                   probe: String = ProbeAdaptive,
                   nprobe: Int = DefaultIvfNProbe,
-                  adaptiveMultiplier: Int = LshIndex.AdaptiveMultiplier): DataFrame = {
+                  adaptiveMultiplier: Int = LshIndex.AdaptiveMultiplier,
+                  rescore: Int = DefaultSq8Rescore): DataFrame = {
     val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
     if (adaptiveMultiplier <= 0) throw SearchError("adaptiveMultiplier must be > 0")
+    if (rescore <= 0) throw SearchError("rescore must be > 0")
     val emptyOut = spark.emptyDataset[(Long, String, Double)]
       .toDF("query_id", "chunk_id", "distance")
     if (queries.isEmpty) return emptyOut
@@ -897,13 +961,21 @@ final class VectorEngine private (val spark: SparkSession) {
           Seq("query_id")), true))
       case _ => None
     }
+    // phase-1 width is storage-dependent: an sq8 library's approximate
+    // pass reads the compact columns (codes/qmin/qmax) and NEVER the
+    // float32 embedding bytes — those are read once, for the O(Q x R)
+    // rescore survivors only.
+    val dataCols: Seq[Column] =
+      if (lib.storage == StorageSq8)
+        Seq(col("codes"), col("qmin"), col("qmax"))
+      else Seq(col("embedding"))
+    val pairCols = Seq(col("query_id"), col("id")) ++ dataCols :+ col("qvec")
     val pairs: DataFrame = probePlan match {
       case None =>
-        scoped.crossJoin(broadcast(qDf))
-          .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
+        scoped.crossJoin(broadcast(qDf)).select(pairCols: _*)
       case Some((qb, needTwoPhase)) =>
         val cand = scoped.join(broadcast(qb), col("bucket") === col("qbucket"))
-          .select(col("query_id"), col("id"), col("embedding"), col("qvec"))
+          .select(pairCols: _*)
         if (!needTwoPhase) cand
         else {
           // The count pass re-runs the probe join but over a COLUMN-PRUNED
@@ -924,16 +996,37 @@ final class VectorEngine private (val spark: SparkSession) {
             if (fallbackQs.nonEmpty)
               Some(scoped.crossJoin(
                   broadcast(qDf.where(col("query_id").isin(fallbackQs: _*))))
-                .select(col("query_id"), col("id"), col("embedding"), col("qvec")))
+                .select(pairCols: _*))
             else None).flatten
           parts.reduce(_ unionByName _)
         }
     }
-    val scored = pairs
-      .withColumn("distance",
-        round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
-          + lit(0.0d))
-      .select(col("query_id"), col("id"), col("distance"))
+    val scored =
+      if (lib.storage == StorageSq8) {
+        // batch two-phase: approx top-R per query on the codes (the salted
+        // TopK reduction, like the exact phase), then ONE exact-rescore
+        // join touching O(Q x R) embedding rows. Bit-identical to Q single
+        // sq8 searches (EngineSpec locks this).
+        val r = math.max(k, rescore)
+        val approx = pairs
+          .withColumn("approx", VectorExpressions.sq8EuclideanBatch(
+            col("codes"), col("qmin"), col("qmax"), col("qvec")))
+          .select(col("query_id"), col("id"), col("approx"))
+        val survivors = graft.operators.TopK
+          .perGroup(approx, "query_id", "approx", "id", r)
+          .select(col("query_id"), col("id"))
+        scoped.select(col("id"), col("embedding"))
+          .join(broadcast(survivors), Seq("id"))
+          .join(broadcast(qDf), Seq("query_id"))
+          .withColumn("distance",
+            round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+              + lit(0.0d))
+          .select(col("query_id"), col("id"), col("distance"))
+      } else pairs
+        .withColumn("distance",
+          round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+            + lit(0.0d))
+        .select(col("query_id"), col("id"), col("distance"))
     graft.operators.TopK.perGroup(scored, "query_id", "distance", "id", k)
       .withColumnRenamed("id", "chunk_id")
       .orderBy(col("query_id"), col("distance"), col("chunk_id"))
@@ -1072,9 +1165,17 @@ final class VectorEngine private (val spark: SparkSession) {
       chunksBackingDir = Some(dir)
       // partition-column type inference could read a numeric-looking
       // library_id back as INT — pin it to string
-      spark.read.parquet(s"$dir/chunks")
+      var df = spark.read.parquet(s"$dir/chunks")
         .withColumn("library_id", col("library_id").cast("string"))
-        .as[ChunkRow]
+      // state dirs written before sq8 storage existed lack the code
+      // columns — null-fill them (only float32 libraries can live there)
+      if (!df.columns.contains("qmin"))
+        df = df.withColumn("qmin", lit(null).cast("double"))
+      if (!df.columns.contains("qmax"))
+        df = df.withColumn("qmax", lit(null).cast("double"))
+      if (!df.columns.contains("codes"))
+        df = df.withColumn("codes", lit(null).cast("array<int>"))
+      df.as[ChunkRow]
     }
   }
 
@@ -1083,7 +1184,11 @@ final class VectorEngine private (val spark: SparkSession) {
       try Files.readString(Paths.get(s"$dir/MANIFEST")).trim
       catch { case e: Exception => throw StorageError(s"no engine state at $dir: ${e.getMessage}") }
     val base = s"$dir/$version"
-    libs = spark.read.parquet(s"$base/libraries.parquet").as[LibraryRow]
+    val libsRaw = spark.read.parquet(s"$base/libraries.parquet")
+    // pre-sq8 state dirs have no storage column: everything was float32
+    libs = (if (libsRaw.columns.contains("storage")) libsRaw
+            else libsRaw.withColumn("storage", lit(StorageFloat32)))
+      .as[LibraryRow]
     docs = spark.read.parquet(s"$base/documents.parquet").as[DocumentRow]
     chunks = readChunksTable(dir)
     matrices = spark.read.parquet(s"$base/matrices.parquet").as[MatrixRow]
@@ -1166,6 +1271,22 @@ object VectorEngine {
   val IndexKindIvf = "ivf"
   val SupportedIndexKinds: Set[String] =
     Set(IndexKindFlat, IndexKindLsh, IndexKindIvf)
+
+  /** Vector storage options. `sq8` stores uint8 scalar-quantized codes
+    * beside the float32 embedding at ingest and searches TWO-PHASE
+    * (approximate top-R over the codes only — 1/4 the scanned bytes —
+    * then an exact rescore of the R survivors); requires the euclidean
+    * metric (the quantized kernel is euclidean) and a flat or ivf index
+    * kind (under LSH the adaptive probe already bounds candidates to
+    * O(k), so quantizing the probe scan buys little). Immutable. */
+  val StorageFloat32 = "float32"
+  val StorageSq8 = "sq8"
+  val SupportedStorage: Set[String] = Set(StorageFloat32, StorageSq8)
+
+  /** Default SQ8 rescore depth: the approximate phase keeps
+    * max(k, rescore) candidates for the exact phase (recall@10 = 1.0 at
+    * R=50 on the driver's synthetic vectors — BENCH recall line). */
+  val DefaultSq8Rescore = 50
 
   /** LSH probe modes for `search`/`searchBatch` (adaptive is the default;
     * single-bucket is the reference's strict parity semantics). */

@@ -410,6 +410,76 @@ case class Sq8EuclideanExpr(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** Batch variant of Sq8EuclideanExpr: the query vector is a fourth COLUMN
+  * (array<float> — the batch-search qvec joined onto each candidate row)
+  * instead of a per-query constant. The loop is the same decode-subtract-
+  * square fold, term for term, so a batch search and Q single searches
+  * produce bit-identical approximate distances (QuantizationSpec locks
+  * this). */
+case class Sq8EuclideanBatchExpr(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def prettyName: String = "sq8_euclidean_batch"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            DoubleType, DoubleType, ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<int> codes, double min, double max, " +
+          s"array<float> query), got (${first.dataType.simpleString}, " +
+          s"${second.dataType.simpleString}, ${third.dataType.simpleString}, " +
+          s"${fourth.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(codesAny: Any, mnAny: Any, mxAny: Any,
+                            qAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val q = qAny.asInstanceOf[ArrayData]
+    if (codes.numElements() != q.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${codes.numElements()} vs ${q.numElements()})")
+    val mn = mnAny.asInstanceOf[Double]
+    val scale = mxAny.asInstanceOf[Double] - mn
+    var acc = 0.0d; var i = 0
+    while (i < codes.numElements()) {
+      val dec = mn + (codes.getInt(i).toDouble * scale) / 255.0
+      val d = q.getFloat(i).toDouble - dec
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, mn, mx, q) => {
+      val n = ctx.freshName("n"); val scale = ctx.freshName("scale")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val dec = ctx.freshName("dec"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $codes.numElements();
+         |if ($n != $q.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $n + " vs " + $q.numElements() + ")");
+         |}
+         |double $scale = $mx - $mn;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dec = $mn + ((double) $codes.getInt($i) * $scale) / 255.0;
+         |  double $d = (double) $q.getFloat($i) - $dec;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression, fo: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = fo)
+}
+
 object VectorExpressions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -424,6 +494,10 @@ object VectorExpressions {
   def sq8Euclidean(codes: Column, mn: Column, mx: Column,
                    query: Array[Float]): Column =
     c(Sq8EuclideanExpr(e(codes), e(mn), e(mx), query))
+
+  def sq8EuclideanBatch(codes: Column, mn: Column, mx: Column,
+                        query: Column): Column =
+    c(Sq8EuclideanBatchExpr(e(codes), e(mn), e(mx), e(query)))
 
   def cosineDistance(v: Column, q: Column): Column =
     c(CosineDistanceExpr(e(v), e(q)))

@@ -20,12 +20,15 @@ object EngineQueries {
     * An `ivf` library gets the committed fixture centroid model installed
     * BEFORE ingest, so bulk ingest derives and stores the cell column. */
   private def buildEngine(s: SparkSession, dir: String, kind: String,
-                          deleteDoc7: Boolean): (VectorEngine, String) = {
+                          deleteDoc7: Boolean,
+                          metric: String = "cosine",
+                          storage: String = VectorEngine.StorageFloat32): (VectorEngine, String) = {
     val eng = VectorEngine.create(s)
-    val lib = eng.createLibrary("embeddings", dim = 64, metric = "cosine",
+    val lib = eng.createLibrary("embeddings", dim = 64, metric = metric,
       indexKind = kind, id = Some("lib0"),
       lshProjections = LshQueries.config.numProjections,
-      lshSeed = LshQueries.config.seed)
+      lshSeed = LshQueries.config.seed,
+      storage = storage)
     if (kind == VectorEngine.IndexKindIvf)
       eng.setIvfCentroids(lib.id,
         AnnQueries.fixtureCentroids(s).map(c => c.id -> c.vec.toSeq))
@@ -183,11 +186,70 @@ object EngineQueries {
        |FROM base ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }
 
+  /** Full persistence round-trip for an ivf library with storage="sq8" —
+    * the billion-vector library shape: uint8 codes derived INSIDE the bulk
+    * ingest plan and persisted in-row, cells + centroid model persisted as
+    * before, then a reopened `search()` runs the whole funnel — nprobe
+    * cell prune (with the `< k` exhaustive fallback), approximate top-R
+    * over the codes only, exact O(R) rescore. The oracle replays every
+    * stage: cell assignment, probe selection, the fallback decision, the
+    * encode, the approx cut, and the rescore. */
+  private val ivfSq8Persisted: QueryFn = (s, dir) => {
+    val (eng, lib) = buildEngine(s, dir, VectorEngine.IndexKindIvf,
+      deleteDoc7 = false, metric = "euclidean",
+      storage = VectorEngine.StorageSq8)
+    val state = java.nio.file.Files.createTempDirectory("graft-lifecycle-sq8").toString
+    eng.save(state)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.search(lib, queryVec(s, dir), k = 10)
+  }
+
+  private val ivfSq8PersistedSql: String = {
+    val nprobe = VectorEngine.DefaultIvfNProbe
+    val r = VectorEngine.DefaultSq8Rescore
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.FixtureSql}),
+       |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v,
+       |             list_min(embedding::DOUBLE[]) AS mn,
+       |             list_max(embedding::DOUBLE[]) AS mx
+       |      FROM embeddings),
+       |a AS (SELECT e.chunk_id, e.v, e.mn, e.mx, c.cid,
+       |        row_number() OVER (PARTITION BY e.chunk_id
+       |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |      FROM e, c),
+       |cell AS (SELECT chunk_id, v, mn, mx, cid FROM a WHERE rn = 1),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $nprobe),
+       |cand AS (SELECT chunk_id, v, mn, mx FROM cell
+       |         WHERE cid IN (SELECT cid FROM probe)),
+       |base AS (
+       |  SELECT chunk_id, v, mn, mx FROM cand
+       |  WHERE (SELECT count(*) FROM cand) >= 10
+       |  UNION ALL
+       |  SELECT chunk_id, v, mn, mx FROM cell
+       |  WHERE (SELECT count(*) FROM cand) < 10
+       |),
+       |enc AS (SELECT chunk_id, v, mn, mx,
+       |          CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+       |               ELSE list_transform(v, x ->
+       |                 floor((x - mn) * 255.0 / (mx - mn) + 0.5)::INT) END AS codes
+       |        FROM base),
+       |d AS (SELECT enc.chunk_id,
+       |        list_distance(list_transform(codes, cc ->
+       |          mn + (cc * (mx - mn)) / 255.0), qv) AS approx
+       |      FROM enc, q),
+       |r AS (SELECT chunk_id FROM d ORDER BY approx, chunk_id LIMIT $r)
+       |SELECT base.chunk_id, round(list_distance(base.v, q.qv), 6) + 0 AS distance
+       |FROM base, q WHERE base.chunk_id IN (SELECT chunk_id FROM r)
+       |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
     Q("lifecycle_ivf_persisted", ivfPersisted, Some(ivfPersistedSql)),
+    Q("lifecycle_ivf_sq8_persisted", ivfSq8Persisted, Some(ivfSq8PersistedSql)),
     Q("lifecycle_batch_search", batchSearch, Some(batchSearchSql)),
   )
 }

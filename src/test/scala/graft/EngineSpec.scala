@@ -656,6 +656,87 @@ class EngineSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("sq8 storage library: create/patch guards, codes derived at ingest " +
+    "(single-row twin == bulk plan), two-phase search == flat search, " +
+    "batch parity, patch recompute, persistence round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = VectorEngine.create(spark)
+    // create-time invariants
+    intercept[ValidationError] { e.createLibrary("s", 4, storage = "sq4") }
+    intercept[ValidationError] {
+      e.createLibrary("s", 4, metric = "cosine", storage = VectorEngine.StorageSq8)
+    }
+    intercept[ValidationError] {
+      e.createLibrary("s", 4, metric = "euclidean",
+        indexKind = VectorEngine.IndexKindLsh, storage = VectorEngine.StorageSq8)
+    }
+    val lib = e.createLibrary("s", dim = 4, metric = "euclidean",
+      storage = VectorEngine.StorageSq8)
+    // patches must preserve the sq8 invariants
+    intercept[ValidationError] { e.patchLibrary(lib.id, metric = Some("cosine")) }
+    intercept[ValidationError] {
+      e.patchLibrary(lib.id, indexKind = Some(VectorEngine.IndexKindLsh))
+    }
+    val doc = e.createDocument(lib.id, "doc")
+    // single-row adds derive codes via the driver twin...
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("a", vec(1, 0, 0, 0), Map.empty, 0, Some("c0")),
+      ChunkInput("b", vec(0.9, 0.1, 0, 0), Map.empty, 1, Some("c1")),
+      ChunkInput("c", vec(0, 1, 0, 0), Map.empty, 2, Some("c2"))))
+    // ...bulk ingest derives them inside the plan: same embedding, same codes
+    e.addChunksDf(lib.id,
+      Seq(("c3", doc.id, "d", vec(1, 0, 0, 0), Map.empty[String, String], 3))
+        .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index"))
+    val byId = e.chunksDf.select("id", "qmin", "qmax", "codes").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getSeq[Int](3).toSeq)).toMap
+    assert(byId("c0") == byId("c3"), "single-row twin != bulk plan codes")
+    assert(byId.values.forall(_._3.forall(c => c >= 0 && c <= 255)))
+    // two-phase search == flat euclidean search (R saturates at this size)
+    val ef = VectorEngine.create(spark)
+    val libF = ef.createLibrary("f", dim = 4, metric = "euclidean")
+    val docF = ef.createDocument(libF.id, "doc")
+    ef.addChunksBatch(docF.id, Seq(
+      ChunkInput("a", vec(1, 0, 0, 0), Map.empty, 0, Some("c0")),
+      ChunkInput("b", vec(0.9, 0.1, 0, 0), Map.empty, 1, Some("c1")),
+      ChunkInput("c", vec(0, 1, 0, 0), Map.empty, 2, Some("c2")),
+      ChunkInput("d", vec(1, 0, 0, 0), Map.empty, 3, Some("c3"))))
+    val q = vec(0.95, 0.05, 0, 0)
+    assert(e.search(lib.id, q, 4).collect().toSeq ==
+      ef.search(libF.id, q, 4).collect().toSeq)
+    intercept[SearchError] { e.search(lib.id, q, 2, rescore = 0) }
+    // batch == per-query single searches
+    val qs = Seq(0L -> q, 1L -> vec(0, 1, 0, 0))
+    val batch = e.searchBatch(lib.id, qs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      val one = e.search(lib.id, qv, 2).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == one, s"sq8 batch query=$qid")
+    }
+    // patching the embedding recomputes the codes
+    e.patchChunk("c2", embedding = Some(vec(2, 0, 0, 0)))
+    val patched = e.getChunk("c2")
+    assert(patched.qmin.contains(0.0d) && patched.qmax.contains(2.0d))
+    assert(patched.codes.map(_.toSeq).contains(Seq(255, 0, 0, 0)))
+    // persistence: codes ride the chunks parquet; reopened search identical
+    val dir = Files.tmp("graft-sq8")
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    assert(e2.getLibrary(lib.id).storage == VectorEngine.StorageSq8)
+    assert(e2.search(lib.id, q, 4).collect().toSeq ==
+      e.search(lib.id, q, 4).collect().toSeq)
+    // a float32 library's all-null code columns round-trip through the
+    // partitioned chunks parquet
+    val (eOld, libOld, _) = freshWithData("flat")
+    val dirOld = Files.tmp("graft-float32")
+    eOld.save(dirOld)
+    assert(VectorEngine.open(spark, dirOld)
+      .search(libOld, vec(1, 0, 0, 0), 2).count() == 2)
+  }
+
   private object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString

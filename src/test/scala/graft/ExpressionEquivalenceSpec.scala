@@ -65,6 +65,21 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     })
   }
 
+  test("sq8 batch kernel (query as COLUMN) == per-query constant kernel, " +
+    "bit for bit") {
+    import graft.operators.Quantization
+    val encoded = Quantization.encode(vecs, col("v"))
+    val rows = encoded.select(
+      graft.functions.VectorExpressions.sq8EuclideanBatch(
+        col("codes"), col("qmin"), col("qmax"), qCol).as("b"),
+      graft.functions.VectorExpressions.sq8Euclidean(
+        col("codes"), col("qmin"), col("qmax"), q.toArray).as("s"))
+      .as[(Double, Double)].collect()
+    assert(rows.forall { case (b, s) =>
+      java.lang.Double.doubleToRawLongBits(b) == java.lang.Double.doubleToRawLongBits(s)
+    })
+  }
+
   test("dot-product expression == HOF composition, bit for bit") {
     val rows = vecs.select(dotProductDistance(col("v"), qCol).as("e"),
       (-hofDot(col("v"), qCol)).as("h")).as[(Double, Double)].collect()
