@@ -205,8 +205,6 @@ final class VectorEngine private (val spark: SparkSession) {
       throw ValidationError(s"unknown index kind: $indexKind")
     if (!SupportedStorage(storage))
       throw ValidationError(s"unknown storage: $storage")
-    if (storage == StorageSq8 && metric != "euclidean")
-      throw ValidationError("sq8 storage requires the euclidean metric")
     if (storage == StorageSq8 && indexKind == IndexKindLsh)
       throw ValidationError("sq8 storage requires a flat or ivf index kind")
     val lid = id.getOrElse(newId())
@@ -261,13 +259,11 @@ final class VectorEngine private (val spark: SparkSession) {
     indexKind.foreach(k => if (!SupportedIndexKinds(k))
       throw ValidationError(s"unknown index kind: $k"))
     // storage is immutable; patches must keep its invariants (sq8 =>
-    // euclidean metric, flat/ivf index kind)
-    if (cur.storage == StorageSq8) {
-      if (metric.exists(_ != "euclidean"))
-        throw ValidationError("sq8 storage requires the euclidean metric")
-      if (indexKind.contains(IndexKindLsh))
-        throw ValidationError("sq8 storage requires a flat or ivf index kind")
-    }
+    // flat/ivf index kind). A METRIC change on an sq8 library is fine:
+    // the stored codes encode the raw vector, independent of metric, so
+    // the approximate kernel just scores the new metric over them.
+    if (cur.storage == StorageSq8 && indexKind.contains(IndexKindLsh))
+      throw ValidationError("sq8 storage requires a flat or ivf index kind")
     val next = cur.copy(
       name = name.getOrElse(cur.name),
       description = description.getOrElse(cur.description),
@@ -844,7 +840,7 @@ final class VectorEngine private (val spark: SparkSession) {
     def flatScan(base: DataFrame): DataFrame =
       if (lib.storage == StorageSq8)
         Quantization.search(base.toDF(), "embedding", "id", query.toArray,
-          k, math.max(k, rescore))
+          k, math.max(k, rescore), lib.distance_metric)
       else base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
         .withColumn("distance",
           round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
@@ -1009,8 +1005,9 @@ final class VectorEngine private (val spark: SparkSession) {
         // sq8 searches (EngineSpec locks this).
         val r = math.max(k, rescore)
         val approx = pairs
-          .withColumn("approx", VectorExpressions.sq8EuclideanBatch(
-            col("codes"), col("qmin"), col("qmax"), col("qvec")))
+          .withColumn("approx", VectorExpressions.sq8DistanceBatch(
+            col("codes"), col("qmin"), col("qmax"), col("qvec"),
+            lib.distance_metric))
           .select(col("query_id"), col("id"), col("approx"))
         val survivors = graft.operators.TopK
           .perGroup(approx, "query_id", "approx", "id", r)
@@ -1275,10 +1272,12 @@ object VectorEngine {
   /** Vector storage options. `sq8` stores uint8 scalar-quantized codes
     * beside the float32 embedding at ingest and searches TWO-PHASE
     * (approximate top-R over the codes only — 1/4 the scanned bytes —
-    * then an exact rescore of the R survivors); requires the euclidean
-    * metric (the quantized kernel is euclidean) and a flat or ivf index
-    * kind (under LSH the adaptive probe already bounds candidates to
-    * O(k), so quantizing the probe scan buys little). Immutable. */
+    * then an exact rescore of the R survivors). Works under EVERY
+    * supported metric — the approximate kernel scores the library metric
+    * over the decoded codes (Sq8Fold), so the reference's default
+    * (cosine) gets the compact-scan path too. Requires a flat or ivf
+    * index kind (under LSH the adaptive probe already bounds candidates
+    * to O(k), so quantizing the probe scan buys little). Immutable. */
   val StorageFloat32 = "float32"
   val StorageSq8 = "sq8"
   val SupportedStorage: Set[String] = Set(StorageFloat32, StorageSq8)

@@ -336,24 +336,116 @@ case class NearestCellExpr(child: Expression, ids: Array[Long],
     copy(child = c)
 }
 
-/** SQ8 asymmetric euclidean distance: decode-and-accumulate in ONE fused
-  * loop — query (float32) vs a scalar-quantized vector (uint8 codes in an
-  * int array + per-vector min/max). Decode is
-  * `mn + (code * (mx - mn)) / 255.0` per element, exactly the expression
-  * an SQL oracle writes, so the approximate distances (and therefore the
-  * candidate SET a rescore pass sees) are reproducible bit-for-bit.
+/** Shared fold bodies for the SQ8 asymmetric distance kernels: the
+  * approximate phase scores the library METRIC over the DECODED vector
+  * (`dec_i = mn + (code_i * (mx - mn)) / 255.0` — exactly the expression
+  * an SQL oracle writes), so every metric the engine supports gets the
+  * compact-scan path and the approximate distances (and therefore the
+  * candidate SET a rescore pass sees) stay reproducible bit-for-bit.
   *
-  * The query vector rides as ONE reference object (per-query constant);
-  * children are the three stored columns. Accumulation mirrors
-  * EuclideanDistanceExpr: per-element double subtract/square, left-to-
-  * right, sqrt at the end. */
-case class Sq8EuclideanExpr(first: Expression, second: Expression,
-                            third: Expression, query: Array[Float])
+  * The cosine fold keeps THREE independent accumulators in one loop
+  * (mirroring CosineDistanceExpr — fusing independent IEEE folds cannot
+  * change any result vs three separate SQL sums); codes are
+  * metric-independent, so a library's stored representation never needs
+  * re-encoding when its metric differs or changes. */
+private[functions] object Sq8Fold {
+  val Metrics: Set[String] = Set("euclidean", "cosine", "dot_product")
+
+  /** Interpreted twin: fold metric over (decoded codes, query-element fn). */
+  def compute(metric: String, codes: ArrayData, mn: Double, scale: Double,
+              q: Int => Double): Double = {
+    val n = codes.numElements()
+    metric match {
+      case "euclidean" =>
+        var acc = 0.0d; var i = 0
+        while (i < n) {
+          val dec = mn + (codes.getInt(i).toDouble * scale) / 255.0
+          val d = q(i) - dec
+          acc += d * d; i += 1
+        }
+        math.sqrt(acc)
+      case "dot_product" =>
+        var acc = 0.0d; var i = 0
+        while (i < n) {
+          val dec = mn + (codes.getInt(i).toDouble * scale) / 255.0
+          acc += dec * q(i); i += 1
+        }
+        -acc
+      case _ => // cosine
+        var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+        while (i < n) {
+          val dec = mn + (codes.getInt(i).toDouble * scale) / 255.0
+          val y = q(i)
+          dot += dec * y; na += dec * dec; nb += y * y; i += 1
+        }
+        val d1 = math.sqrt(na); val d2 = math.sqrt(nb)
+        if (d1 == 0.0d || d2 == 0.0d) Double.PositiveInfinity
+        else 1.0d - dot / (d1 * d2)
+    }
+  }
+
+  /** Java loop body: `qElem(i)` is the Java expression for query element i
+    * as a double; assigns the metric result to `res`. */
+  def genLoop(ctx: CodegenContext, metric: String, codes: String, n: String,
+              mn: String, scale: String, qElem: String => String,
+              res: String): String = {
+    val i = ctx.freshName("i"); val dec = ctx.freshName("dec")
+    metric match {
+      case "euclidean" =>
+        val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $dec = $mn + ((double) $codes.getInt($i) * $scale) / 255.0;
+           |  double $d = ${qElem(i)} - $dec;
+           |  $acc += $d * $d;
+           |}
+           |$res = java.lang.Math.sqrt($acc);
+           |""".stripMargin
+      case "dot_product" =>
+        val acc = ctx.freshName("acc")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $dec = $mn + ((double) $codes.getInt($i) * $scale) / 255.0;
+           |  $acc += $dec * ${qElem(i)};
+           |}
+           |$res = -$acc;
+           |""".stripMargin
+      case _ => // cosine
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val y = ctx.freshName("y")
+        val d1 = ctx.freshName("d1"); val d2 = ctx.freshName("d2")
+        s"""
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $dec = $mn + ((double) $codes.getInt($i) * $scale) / 255.0;
+           |  double $y = ${qElem(i)};
+           |  $dot += $dec * $y; $na += $dec * $dec; $nb += $y * $y;
+           |}
+           |double $d1 = java.lang.Math.sqrt($na);
+           |double $d2 = java.lang.Math.sqrt($nb);
+           |$res = ($d1 == 0.0 || $d2 == 0.0)
+           |  ? Double.POSITIVE_INFINITY : 1.0 - $dot / ($d1 * $d2);
+           |""".stripMargin
+    }
+  }
+}
+
+/** SQ8 asymmetric distance: decode-and-accumulate in ONE fused loop —
+  * query (float32) vs a scalar-quantized vector (uint8 codes in an int
+  * array + per-vector min/max), scored with the library `metric`
+  * (Sq8Fold). The query vector rides as ONE reference object (per-query
+  * constant); children are the three stored columns. */
+case class Sq8DistanceExpr(first: Expression, second: Expression,
+                           third: Expression, query: Array[Float],
+                           metric: String)
   extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   require(query.nonEmpty, "query must be non-empty")
+  require(Sq8Fold.Metrics(metric), s"unknown sq8 metric: $metric")
 
-  override def prettyName: String = "sq8_euclidean"
+  override def prettyName: String = s"sq8_$metric"
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -373,21 +465,13 @@ case class Sq8EuclideanExpr(first: Expression, second: Expression,
         s"$prettyName: dimension mismatch (${codes.numElements()} vs ${query.length})")
     val mn = mnAny.asInstanceOf[Double]
     val scale = mxAny.asInstanceOf[Double] - mn
-    var acc = 0.0d; var i = 0
-    while (i < codes.numElements()) {
-      val dec = mn + (codes.getInt(i).toDouble * scale) / 255.0
-      val d = query(i).toDouble - dec
-      acc += d * d; i += 1
-    }
-    math.sqrt(acc)
+    Sq8Fold.compute(metric, codes, mn, scale, i => query(i).toDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (codes, mn, mx) => {
       val q = ctx.addReferenceObj("sq8Query", query, "float[]")
       val n = ctx.freshName("n"); val scale = ctx.freshName("scale")
-      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
-      val dec = ctx.freshName("dec"); val d = ctx.freshName("d")
       s"""
          |int $n = $codes.numElements();
          |if ($n != $q.length) {
@@ -395,14 +479,9 @@ case class Sq8EuclideanExpr(first: Expression, second: Expression,
          |    "$prettyName: dimension mismatch (" + $n + " vs " + $q.length + ")");
          |}
          |double $scale = $mx - $mn;
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $dec = $mn + ((double) $codes.getInt($i) * $scale) / 255.0;
-         |  double $d = (double) $q[$i] - $dec;
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
-         |""".stripMargin
+         |""".stripMargin +
+        Sq8Fold.genLoop(ctx, metric, codes, n, mn, scale,
+          i => s"(double) $q[$i]", ev.value)
     })
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
@@ -410,17 +489,20 @@ case class Sq8EuclideanExpr(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
-/** Batch variant of Sq8EuclideanExpr: the query vector is a fourth COLUMN
+/** Batch variant of Sq8DistanceExpr: the query vector is a fourth COLUMN
   * (array<float> — the batch-search qvec joined onto each candidate row)
-  * instead of a per-query constant. The loop is the same decode-subtract-
-  * square fold, term for term, so a batch search and Q single searches
-  * produce bit-identical approximate distances (QuantizationSpec locks
+  * instead of a per-query constant. The loop is the same Sq8Fold body,
+  * term for term, so a batch search and Q single searches produce
+  * bit-identical approximate distances (ExpressionEquivalenceSpec locks
   * this). */
-case class Sq8EuclideanBatchExpr(first: Expression, second: Expression,
-                                 third: Expression, fourth: Expression)
+case class Sq8DistanceBatchExpr(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression,
+                                metric: String)
   extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
 
-  override def prettyName: String = "sq8_euclidean_batch"
+  require(Sq8Fold.Metrics(metric), s"unknown sq8 metric: $metric")
+
+  override def prettyName: String = s"sq8_${metric}_batch"
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -444,20 +526,12 @@ case class Sq8EuclideanBatchExpr(first: Expression, second: Expression,
         s"$prettyName: dimension mismatch (${codes.numElements()} vs ${q.numElements()})")
     val mn = mnAny.asInstanceOf[Double]
     val scale = mxAny.asInstanceOf[Double] - mn
-    var acc = 0.0d; var i = 0
-    while (i < codes.numElements()) {
-      val dec = mn + (codes.getInt(i).toDouble * scale) / 255.0
-      val d = q.getFloat(i).toDouble - dec
-      acc += d * d; i += 1
-    }
-    math.sqrt(acc)
+    Sq8Fold.compute(metric, codes, mn, scale, i => q.getFloat(i).toDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (codes, mn, mx, q) => {
       val n = ctx.freshName("n"); val scale = ctx.freshName("scale")
-      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
-      val dec = ctx.freshName("dec"); val d = ctx.freshName("d")
       s"""
          |int $n = $codes.numElements();
          |if ($n != $q.numElements()) {
@@ -465,14 +539,9 @@ case class Sq8EuclideanBatchExpr(first: Expression, second: Expression,
          |    "$prettyName: dimension mismatch (" + $n + " vs " + $q.numElements() + ")");
          |}
          |double $scale = $mx - $mn;
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $dec = $mn + ((double) $codes.getInt($i) * $scale) / 255.0;
-         |  double $d = (double) $q.getFloat($i) - $dec;
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
-         |""".stripMargin
+         |""".stripMargin +
+        Sq8Fold.genLoop(ctx, metric, codes, n, mn, scale,
+          i => s"(double) $q.getFloat($i)", ev.value)
     })
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
@@ -491,13 +560,13 @@ object VectorExpressions {
                   centroids: Array[Array[Float]]): Column =
     c(NearestCellExpr(e(v), ids, centroids))
 
-  def sq8Euclidean(codes: Column, mn: Column, mx: Column,
-                   query: Array[Float]): Column =
-    c(Sq8EuclideanExpr(e(codes), e(mn), e(mx), query))
+  def sq8Distance(codes: Column, mn: Column, mx: Column,
+                  query: Array[Float], metric: String = "euclidean"): Column =
+    c(Sq8DistanceExpr(e(codes), e(mn), e(mx), query, metric))
 
-  def sq8EuclideanBatch(codes: Column, mn: Column, mx: Column,
-                        query: Column): Column =
-    c(Sq8EuclideanBatchExpr(e(codes), e(mn), e(mx), e(query)))
+  def sq8DistanceBatch(codes: Column, mn: Column, mx: Column,
+                       query: Column, metric: String = "euclidean"): Column =
+    c(Sq8DistanceBatchExpr(e(codes), e(mn), e(mx), e(query), metric))
 
   def cosineDistance(v: Column, q: Column): Column =
     c(CosineDistanceExpr(e(v), e(q)))

@@ -17,10 +17,13 @@ import graft.functions.VectorExpressions
   *
   * Search is TWO-PHASE, the shape that matters at 100 TB:
   *   1. approximate top-R over the COMPACT columns only (id, codes,
-  *      min, max — the full embedding is never read), distance by the
-  *      fused codegen kernel Sq8EuclideanExpr;
-  *   2. exact rescore of the R survivors — a broadcast semi-join back to
-  *      the full table touches R rows of float32 data, then top-k.
+  *      min, max — the full embedding is never read), the library METRIC
+  *      scored over the decoded codes by the fused codegen kernel
+  *      Sq8DistanceExpr (codes are metric-independent: the same stored
+  *      representation serves euclidean, cosine, and dot_product);
+  *   2. exact rescore of the R survivors with the SAME metric — a
+  *      broadcast semi-join back to the full table touches R rows of
+  *      float32 data, then top-k.
   * At scale phase 1 scans 1/4 the bytes of a flat scan (plus pruned
   * columns), and phase 2's read is O(R), not O(table).
   */
@@ -44,25 +47,27 @@ object Quantization {
               + lit(0.5)).cast("int"))))
   }
 
-  /** Two-phase quantized search: approximate euclidean top-`rescore` on
-    * the codes, exact euclidean top-`k` on the survivors.
+  /** Two-phase quantized search: approximate `metric` top-`rescore` on
+    * the codes, exact `metric` top-`k` on the survivors.
     * Output: (idCol, distance), distance = round(exact, 6) + 0.0. */
   def search(encoded: DataFrame, embCol: String, idCol: String,
-             query: Array[Float], k: Int, rescore: Int): DataFrame = {
+             query: Array[Float], k: Int, rescore: Int,
+             metric: String = "euclidean"): DataFrame = {
     require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
     // phase 1 reads ONLY the compact representation
     val candidates = encoded
       .select(col(idCol), col("codes"), col("qmin"), col("qmax"))
       .withColumn("approx",
-        VectorExpressions.sq8Euclidean(col("codes"), col("qmin"), col("qmax"), query))
+        VectorExpressions.sq8Distance(col("codes"), col("qmin"), col("qmax"),
+          query, metric))
       .orderBy(col("approx"), col(idCol))
       .limit(rescore)
       .select(col(idCol))
     // phase 2: exact distances for the R survivors only
     encoded.join(broadcast(candidates), Seq(idCol), "left_semi")
       .withColumn("distance",
-        round(VectorExpressions.euclideanDistance(col(embCol), litVec(query)), 6)
-          + lit(0.0d))
+        round(graft.functions.VectorFunctions.distance(metric)(
+          col(embCol), litVec(query)), 6) + lit(0.0d))
       .select(col(idCol), col("distance"))
       .orderBy(col("distance"), col(idCol))
       .limit(k)

@@ -103,6 +103,42 @@ object AnnQueries {
        |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
 
+  /** SQ8 under the COSINE metric — the reference's DEFAULT metric on the
+    * compact-scan path: same codes (metric-independent), the approximate
+    * phase scores cosine over the DECODED codes, the rescore is exact
+    * cosine. The oracle replays the decode and both cosine formulas. */
+  private val sq8Cosine: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val encoded = graft.operators.Quantization.encode(emb, col("embedding"))
+    graft.operators.Quantization.search(encoded, "embedding", "vec_id",
+      query, K, Rescore, metric = "cosine")
+  }
+
+  private val sq8CosineSql: String = {
+    val approxCos = VectorSearchQueries.distSql("cosine", "dec", "qv")
+    val exactCos = VectorSearchQueries.distSql("cosine", "e.v", "q.qv")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |                  list_min(embedding::DOUBLE[]) AS mn,
+       |                  list_max(embedding::DOUBLE[]) AS mx
+       |           FROM embeddings),
+       |c AS (SELECT vec_id, mn, mx,
+       |        CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+       |             ELSE list_transform(v, x ->
+       |               floor((x - mn) * 255.0 / (mx - mn) + 0.5)::INT) END AS codes
+       |      FROM e),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dc AS (SELECT c.vec_id, list_transform(codes, cc ->
+       |         mn + (cc * (mx - mn)) / 255.0) AS dec, qv
+       |       FROM c, q),
+       |d AS (SELECT vec_id, $approxCos AS approx FROM dc),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT e.vec_id, round($exactCos, 6) + 0 AS distance
+       |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
   /** IVF x SQ8 COMPOSITION — the billion-vector search shape: the stored
     * cell column prunes the scan to nprobe/C of the rows, the uint8 codes
     * cut the scanned bytes of that remainder 4x, and only the R approx
@@ -156,6 +192,7 @@ object AnnQueries {
   val all: Seq[Q] = Seq(
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
+    Q("ann_sq8_cosine", sq8Cosine, Some(sq8CosineSql)),
     Q("ann_ivf_sq8_topk", ivfSq8Topk, Some(ivfSq8TopkSql)),
   )
 }

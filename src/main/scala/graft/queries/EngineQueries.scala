@@ -186,17 +186,20 @@ object EngineQueries {
        |FROM base ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }
 
-  /** Full persistence round-trip for an ivf library with storage="sq8" —
-    * the billion-vector library shape: uint8 codes derived INSIDE the bulk
+  /** Full persistence round-trip for an ivf library with storage="sq8"
+    * under the COSINE metric (the reference's DEFAULT) — the
+    * billion-vector library shape: uint8 codes derived INSIDE the bulk
     * ingest plan and persisted in-row, cells + centroid model persisted as
     * before, then a reopened `search()` runs the whole funnel — nprobe
-    * cell prune (with the `< k` exhaustive fallback), approximate top-R
-    * over the codes only, exact O(R) rescore. The oracle replays every
-    * stage: cell assignment, probe selection, the fallback decision, the
-    * encode, the approx cut, and the rescore. */
+    * cell prune (with the `< k` exhaustive fallback), approximate COSINE
+    * top-R over the decoded codes only, exact O(R) cosine rescore. The
+    * oracle replays every stage: cell assignment, probe selection, the
+    * fallback decision, the encode, the approx cut, and the rescore.
+    * (Euclidean sq8 stays gated at the operator level: ann_sq8_topk,
+    * ann_ivf_sq8_topk.) */
   private val ivfSq8Persisted: QueryFn = (s, dir) => {
     val (eng, lib) = buildEngine(s, dir, VectorEngine.IndexKindIvf,
-      deleteDoc7 = false, metric = "euclidean",
+      deleteDoc7 = false, metric = "cosine",
       storage = VectorEngine.StorageSq8)
     val state = java.nio.file.Files.createTempDirectory("graft-lifecycle-sq8").toString
     eng.save(state)
@@ -207,6 +210,8 @@ object EngineQueries {
   private val ivfSq8PersistedSql: String = {
     val nprobe = VectorEngine.DefaultIvfNProbe
     val r = VectorEngine.DefaultSq8Rescore
+    val approxCos = VectorSearchQueries.distSql("cosine", "dec", "qv")
+    val exactCos = VectorSearchQueries.distSql("cosine", "base.v", "q.qv")
     s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.FixtureSql}),
        |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v,
        |             list_min(embedding::DOUBLE[]) AS mn,
@@ -234,12 +239,12 @@ object EngineQueries {
        |               ELSE list_transform(v, x ->
        |                 floor((x - mn) * 255.0 / (mx - mn) + 0.5)::INT) END AS codes
        |        FROM base),
-       |d AS (SELECT enc.chunk_id,
-       |        list_distance(list_transform(codes, cc ->
-       |          mn + (cc * (mx - mn)) / 255.0), qv) AS approx
-       |      FROM enc, q),
+       |dc AS (SELECT enc.chunk_id, list_transform(codes, cc ->
+       |         mn + (cc * (mx - mn)) / 255.0) AS dec, qv
+       |       FROM enc, q),
+       |d AS (SELECT chunk_id, $approxCos AS approx FROM dc),
        |r AS (SELECT chunk_id FROM d ORDER BY approx, chunk_id LIMIT $r)
-       |SELECT base.chunk_id, round(list_distance(base.v, q.qv), 6) + 0 AS distance
+       |SELECT base.chunk_id, round($exactCos, 6) + 0 AS distance
        |FROM base, q WHERE base.chunk_id IN (SELECT chunk_id FROM r)
        |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }

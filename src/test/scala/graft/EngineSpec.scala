@@ -665,16 +665,13 @@ class EngineSpec extends AnyFunSuite {
     // create-time invariants
     intercept[ValidationError] { e.createLibrary("s", 4, storage = "sq4") }
     intercept[ValidationError] {
-      e.createLibrary("s", 4, metric = "cosine", storage = VectorEngine.StorageSq8)
-    }
-    intercept[ValidationError] {
       e.createLibrary("s", 4, metric = "euclidean",
         indexKind = VectorEngine.IndexKindLsh, storage = VectorEngine.StorageSq8)
     }
     val lib = e.createLibrary("s", dim = 4, metric = "euclidean",
       storage = VectorEngine.StorageSq8)
-    // patches must preserve the sq8 invariants
-    intercept[ValidationError] { e.patchLibrary(lib.id, metric = Some("cosine")) }
+    // patches must preserve the sq8 invariants (metric changes are FINE:
+    // codes encode the raw vector, independent of metric)
     intercept[ValidationError] {
       e.patchLibrary(lib.id, indexKind = Some(VectorEngine.IndexKindLsh))
     }
@@ -735,6 +732,46 @@ class EngineSpec extends AnyFunSuite {
     eOld.save(dirOld)
     assert(VectorEngine.open(spark, dirOld)
       .search(libOld, vec(1, 0, 0, 0), 2).count() == 2)
+  }
+
+  test("sq8 storage under the cosine (default) and dot_product metrics: " +
+    "two-phase search == flat search, batch parity, metric patch allowed") {
+    def populate(e: VectorEngine, lib: String): Unit = {
+      val doc = e.createDocument(lib, "doc")
+      e.addChunksBatch(doc.id, Seq(
+        ChunkInput("a", vec(1, 0, 0, 0), Map.empty, 0, Some("c0")),
+        ChunkInput("b", vec(0.9, 0.1, 0, 0), Map.empty, 1, Some("c1")),
+        ChunkInput("c", vec(0, 1, 0, 0), Map.empty, 2, Some("c2")),
+        ChunkInput("d", vec(0.5, 0.5, 0.5, 0.5), Map.empty, 3, Some("c3")),
+        ChunkInput("e", vec(2, 0, 0, 0), Map.empty, 4, Some("c4"))))
+    }
+    val q = vec(0.95, 0.05, 0, 0)
+    for (metric <- Seq("cosine", "dot_product")) {
+      val e = VectorEngine.create(spark)
+      // the reference's DEFAULT metric must accept the compact storage path
+      val lib = e.createLibrary("s", dim = 4, metric = metric,
+        storage = VectorEngine.StorageSq8)
+      populate(e, lib.id)
+      val ef = VectorEngine.create(spark)
+      val libF = ef.createLibrary("f", dim = 4, metric = metric)
+      populate(ef, libF.id)
+      // R saturates at this size, so two-phase must equal the flat scan
+      assert(e.search(lib.id, q, 5).collect().toSeq ==
+        ef.search(libF.id, q, 5).collect().toSeq, s"metric=$metric")
+      // batch == per-query single searches
+      val qs = Seq(0L -> q, 1L -> vec(0, 1, 0, 0))
+      val batch = e.searchBatch(lib.id, qs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      qs.foreach { case (qid, qv) =>
+        val one = e.search(lib.id, qv, 3).collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == one, s"sq8 batch metric=$metric query=$qid")
+      }
+      // a metric change on an sq8 library is allowed (codes are raw-vector)
+      e.patchLibrary(lib.id, metric = Some("euclidean"))
+      assert(e.search(lib.id, q, 1).collect().nonEmpty)
+    }
   }
 
   private object Files {

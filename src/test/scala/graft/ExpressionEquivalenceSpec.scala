@@ -48,16 +48,17 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     })
   }
 
+  private def sq8Decoded = transform(col("codes"), cc =>
+    col("qmin") + (cc.cast("double") * (col("qmax") - col("qmin"))) / lit(255.0))
+
   test("sq8 asymmetric euclidean expression == decode-then-HOF, bit for bit") {
     import graft.operators.Quantization
     val encoded = Quantization.encode(vecs, col("v"))
-    val decoded = transform(col("codes"), cc =>
-      col("qmin") + (cc.cast("double") * (col("qmax") - col("qmin"))) / lit(255.0))
     val hof = sqrt(aggregate(
-      zip_with(qCol.cast("array<double>"), decoded, (a, b) => (a - b) * (a - b)),
+      zip_with(qCol.cast("array<double>"), sq8Decoded, (a, b) => (a - b) * (a - b)),
       lit(0.0d), _ + _))
     val rows = encoded.select(
-      graft.functions.VectorExpressions.sq8Euclidean(
+      graft.functions.VectorExpressions.sq8Distance(
         col("codes"), col("qmin"), col("qmax"), q.toArray).as("e"),
       hof.as("h")).as[(Double, Double)].collect()
     assert(rows.forall { case (e, h) =>
@@ -65,19 +66,47 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     })
   }
 
-  test("sq8 batch kernel (query as COLUMN) == per-query constant kernel, " +
-    "bit for bit") {
+  test("sq8 cosine / dot kernels == decode-then-HOF, bit for bit") {
     import graft.operators.Quantization
     val encoded = Quantization.encode(vecs, col("v"))
+    val qd = qCol.cast("array<double>")
+    def hofDotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+    val dotH = -hofDotD(sq8Decoded, qd)
+    val cosH = {
+      val d1 = sqrt(hofDotD(sq8Decoded, sq8Decoded))
+      val d2 = sqrt(hofDotD(qd, qd))
+      when(d1 === 0.0d || d2 === 0.0d, lit(Double.PositiveInfinity))
+        .otherwise(lit(1.0d) - hofDotD(sq8Decoded, qd) / (d1 * d2))
+    }
     val rows = encoded.select(
-      graft.functions.VectorExpressions.sq8EuclideanBatch(
-        col("codes"), col("qmin"), col("qmax"), qCol).as("b"),
-      graft.functions.VectorExpressions.sq8Euclidean(
-        col("codes"), col("qmin"), col("qmax"), q.toArray).as("s"))
-      .as[(Double, Double)].collect()
-    assert(rows.forall { case (b, s) =>
-      java.lang.Double.doubleToRawLongBits(b) == java.lang.Double.doubleToRawLongBits(s)
+      graft.functions.VectorExpressions.sq8Distance(
+        col("codes"), col("qmin"), col("qmax"), q.toArray, "cosine").as("ce"),
+      cosH.as("ch"),
+      graft.functions.VectorExpressions.sq8Distance(
+        col("codes"), col("qmin"), col("qmax"), q.toArray, "dot_product").as("de"),
+      dotH.as("dh")).as[(Double, Double, Double, Double)].collect()
+    assert(rows.forall { case (ce, ch, de, dh) =>
+      java.lang.Double.doubleToRawLongBits(ce) == java.lang.Double.doubleToRawLongBits(ch) &&
+        java.lang.Double.doubleToRawLongBits(de) == java.lang.Double.doubleToRawLongBits(dh)
     })
+  }
+
+  test("sq8 batch kernel (query as COLUMN) == per-query constant kernel, " +
+    "bit for bit, every metric") {
+    import graft.operators.Quantization
+    val encoded = Quantization.encode(vecs, col("v"))
+    for (metric <- Seq("euclidean", "cosine", "dot_product")) {
+      val rows = encoded.select(
+        graft.functions.VectorExpressions.sq8DistanceBatch(
+          col("codes"), col("qmin"), col("qmax"), qCol, metric).as("b"),
+        graft.functions.VectorExpressions.sq8Distance(
+          col("codes"), col("qmin"), col("qmax"), q.toArray, metric).as("s"))
+        .as[(Double, Double)].collect()
+      assert(rows.forall { case (b, s) =>
+        java.lang.Double.doubleToRawLongBits(b) == java.lang.Double.doubleToRawLongBits(s)
+      }, s"metric=$metric")
+    }
   }
 
   test("dot-product expression == HOF composition, bit for bit") {

@@ -65,6 +65,30 @@ class QuantizationSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"recall@10 $recall%.3f < 0.95")
   }
 
+  test("sq8 search: recall@10 under the COSINE (default) metric at sf0.01 (R=50)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
+    val queries = emb.where(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val recalls = queries.map { case (_, q) =>
+      val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
+      val flat = emb
+        .withColumn("distance", round(
+          graft.functions.VectorExpressions.cosineDistance(col("embedding"), qCol),
+          6) + lit(0.0d))
+        .orderBy("distance", "vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val sq8 = Quantization.search(encoded, "embedding", "vec_id", q,
+        k = 10, rescore = 50, metric = "cosine")
+        .select("vec_id").as[Long].collect().toSet
+      (flat intersect sq8).size.toDouble / flat.size
+    }
+    val recall = recalls.sum / recalls.length
+    info(f"SQ8 cosine recall@10 over ${queries.length} queries: $recall%.3f")
+    assert(recall >= 0.95, f"cosine recall@10 $recall%.3f < 0.95")
+  }
+
   test("search guards: k > 0, rescore >= k") {
     val df = Quantization.encode(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"), col("v"))
     intercept[IllegalArgumentException] {
