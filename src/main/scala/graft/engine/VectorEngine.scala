@@ -1046,6 +1046,18 @@ final class VectorEngine private (val spark: SparkSession) {
     * A save to a NEW directory (or one whose previous save had no chunks)
     * falls back to a full write.
     *
+    * Within each library partition the rows are CLUSTERED BY THE INDEX
+    * KEY (`sortWithinPartitions("library_id", "bucket")` — a local sort,
+    * no shuffle; leading with the partition column also satisfies the
+    * partitioned writer's required ordering so it inserts no second sort
+    * that would scramble the clustering): every parquet row group then
+    * covers a narrow bucket range, so a reopened engine's probe
+    * (`bucket isin (...)` / `bucket === cell`) skips non-matching row
+    * groups via the footer min/max stats instead of scanning the whole
+    * library partition — at 100 TB the difference between a probe and a
+    * full scan. Load trusts the stored key column for the same reason
+    * (see `rebuildIndexKeys`).
+    *
     * Tradeoff, stated: the incremental chunk write is not atomic with the
     * MANIFEST flip (the reference has the same property — it rewrites its
     * .npy in place, disk_store.py:329-332); what it buys is O(changed)
@@ -1106,7 +1118,8 @@ final class VectorEngine private (val spark: SparkSession) {
             true)
         }
         if (dirtyWithRows.nonEmpty)
-          snapshot.foreach(_.write.mode("overwrite")
+          snapshot.foreach(_.sortWithinPartitions("library_id", "bucket")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("library_id")
             .parquet(chunksPath))
@@ -1119,7 +1132,8 @@ final class VectorEngine private (val spark: SparkSession) {
         // the files first, like the incremental branch.
         val src = if (selfBacked) out.localCheckpoint() else out
         val empty = src.isEmpty
-        val writer = src.write.mode("overwrite")
+        val writer = src.sortWithinPartitions("library_id", "bucket")
+          .write.mode("overwrite")
         (if (empty) writer else writer.partitionBy("library_id"))
           .parquet(chunksPath)
         lastSaveHadChunks = !empty
@@ -1224,10 +1238,29 @@ final class VectorEngine private (val spark: SparkSession) {
       hists = lshIds.map(_ -> Map.empty[Long, Long]).toMap
       staleHists = lshIds.toSet
     }
-    // S5 cold-start rebuild: the index-key column is re-derivable from the
-    // persisted index metadata (LSH matrix / IVF centroids); recompute so
-    // a stale/absent bucket column can never poison a probe
-    // (disk_store.py:86-98).
+    // The STORED index-key column is trusted on load: buckets/cells are
+    // derived by the same kernels at ingest and written in the same save
+    // as the matrix/centroid metadata they derive from, so inside the
+    // engine-owned state dir they cannot drift apart. Trusting the column
+    // is what makes reopened probes IO-prunable — a recomputed
+    // `withColumn("bucket", expr)` would shadow the parquet column and no
+    // probe filter could ever reach the row-group min/max stats the
+    // bucket-clustered save layout exists for (every post-reopen scan
+    // would also pay P x dim FLOPs per row, forever). An externally
+    // produced/edited state dir can be healed explicitly with
+    // `rebuildIndexKeys()` (S5 — disk_store.py:86-98 made rebuild-on-load
+    // mandatory because the reference persists its index dict separately
+    // from the vectors; here they travel in one table).
+  }
+
+  /** S5 explicit cold-start rebuild: re-derive every indexed library's
+    * stored key column (LSH bucket / IVF cell) from the persisted index
+    * metadata, and mark LSH histograms for recompute. Loading TRUSTS the
+    * stored keys (they are written by the same save as the metadata);
+    * call this to heal a state dir produced or modified outside the
+    * engine. One narrow projection — no shuffle. */
+  def rebuildIndexKeys(): Unit = {
+    val allLibs = libs.collect()
     val idxLibs = allLibs.filter(l =>
       l.index_kind == IndexKindLsh ||
         (l.index_kind == IndexKindIvf && cellModels.contains(l.id)))
@@ -1240,6 +1273,11 @@ final class VectorEngine private (val spark: SparkSession) {
         when(col("library_id") === l.id, keyExpr).otherwise(acc)
       }
       chunks = chunks.toDF().withColumn("bucket", bucketCol).as[ChunkRow]
+      idxLibs.foreach { l =>
+        if (hists.contains(l.id)) staleHists += l.id
+        markDirty(l.id)
+      }
+      afterMutation()
     }
   }
 
