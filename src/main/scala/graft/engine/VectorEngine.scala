@@ -616,13 +616,22 @@ final class VectorEngine private (val spark: SparkSession) {
         .withColumn("qmin", lit(null).cast("double"))
         .withColumn("qmax", lit(null).cast("double"))
         .withColumn("codes", lit(null).cast("array<int>"))
-    val prepared = withCodes
+    val derived = withCodes
       .withColumn("created_at", lit(t))
       .withColumn("updated_at", lit(t))
       .as[ChunkRow]
+    // For histogram-maintained (LSH) libraries the batch is PINNED
+    // (localCheckpoint — O(batch), distributed) so the histogram aggregate
+    // below and the rows the chunks table keeps are the SAME
+    // materialization: aggregating a re-execution of the caller's
+    // DataFrame would silently desync the histogram on a
+    // non-deterministic input df and skew every later adaptive probe.
+    val prepared =
+      if (hists.contains(libraryId)) derived.localCheckpoint() else derived
     chunks = chunks.unionByName(prepared)
     // histogram upkeep: ONE O(batch) aggregate over the ingested rows (the
-    // batch frame, never the chunks table) keeps the LSH histogram exact
+    // pinned batch frame, never the chunks table) keeps the LSH histogram
+    // exact
     if (hists.contains(libraryId))
       histUpdate(libraryId, prepared.groupBy("bucket").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)))

@@ -630,7 +630,8 @@ class EngineSpec extends AnyFunSuite {
     spark.sparkContext.setJobGroup("adaptive-lazy", "EngineSpec")
     val df = try e.search(lib, vec(1, 0, 0, 0), 2)
              finally spark.sparkContext.clearJobGroup()
-    Thread.sleep(500) // let the listener bus drain before reading the store
+    // deterministic drain (bounded) — a fixed sleep flakes on loaded CI
+    org.apache.spark.GraftTestListenerBus.drain(spark.sparkContext)
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("adaptive-lazy")
     assert(jobs.isEmpty, s"adaptive search launched jobs ${jobs.mkString(",")}")
     assert(df.collect().map(_.getString(0)).toSeq == Seq("c0", "c1"))
@@ -772,6 +773,33 @@ class EngineSpec extends AnyFunSuite {
       e.patchLibrary(lib.id, metric = Some("euclidean"))
       assert(e.search(lib.id, q, 1).collect().nonEmpty)
     }
+  }
+
+  test("bulk-ingest histogram derives from the MATERIALIZED batch: a " +
+    "non-deterministic input df cannot desync it from the stored table") {
+    import org.apache.spark.sql.functions._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("nd", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh, lshProjections = 4, lshSeed = 123L)
+    val doc = e.createDocument(lib.id, "d")
+    // genuinely non-deterministic across EXECUTIONS (rand() re-seeds per
+    // plan, not per action — a closure-backed UDF does not)
+    val nd = udf(() => scala.util.Random.nextFloat() * 2f - 1f)
+      .asNondeterministic()
+    val df = spark.range(64).select(
+      concat(lit("nd"), col("id")).as("id"),
+      lit(doc.id).as("document_id"),
+      lit("x").as("text"),
+      array((0 until 4).map(_ => nd()): _*).as("embedding"),
+      typedLit(Map.empty[String, String]).as("metadata"),
+      col("id").cast("int").as("chunk_index"))
+    e.addChunksDf(lib.id, df)
+    val stored = e.chunksDf
+      .where(col("library_id") === lib.id)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e.bucketHistogram(lib.id) == stored,
+      "histogram desynced from the materialized chunks table")
   }
 
   private object Files {
