@@ -87,6 +87,28 @@ object LshIndex {
     * exact search. */
   val AdaptiveMultiplier = 150
 
+  /** Ceiling on how many (bucket, count) rows an adaptive probe may pull
+    * to the driver when it has NO maintained histogram (the filtered-
+    * search path aggregates the allow-set's histogram — a scan the filter
+    * evaluation pays anyway, but the COLLECT must stay bounded: lshBucket
+    * permits up to 62 projections, and a broad filter on a high-P library
+    * would otherwise ship O(occupied buckets) rows to the driver). Past
+    * the cap the search falls back to fixed Hamming-1 multi-probe with
+    * the `< k` exhaustive fallback — still correct, just not
+    * query-directed. 4096 = every histogram at the default P=8 (<= 256
+    * buckets) and up to P=12 collects in full; beyond that the driver
+    * cost would start to matter. */
+  val MaxAdaptiveHistBuckets = 4096
+
+  /** The (bucket -> count) histogram of `indexed`, collected only if it
+    * has at most `cap` distinct buckets; None past the cap (the collect
+    * itself never ships more than cap + 1 rows). */
+  def boundedHistogram(indexed: DataFrame, cap: Int): Option[Seq[(Long, Long)]] = {
+    val rows = indexed.groupBy("bucket").count().limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some(rows.map(r => r.getLong(0) -> r.getLong(1)).toSeq)
+  }
+
   /** Per-projection signed margins of a query vector: margin_i = P_i . q,
     * accumulated double left-to-right — the same fold the bucket kernel
     * uses, so `bucketOf(margins)` reproduces the stored bucket bit-for-bit
@@ -147,20 +169,30 @@ object LshIndex {
     * @param hist the (bucket -> count) histogram of `indexed`, when the
     *             caller maintains it as index metadata (the engine does —
     *             VectorEngine.bucketHistogram); None recomputes it with a
-    *             full (column-pruned) aggregate, which is fine for one-off
-    *             operator use but NOT per-search at scale — with a
-    *             maintained histogram this method runs ZERO Spark actions
-    *             and the returned plan reads only the probed buckets. */
+    *             column-pruned aggregate whose driver collect is BOUNDED
+    *             by `maxHistBuckets` — past the bound the search falls
+    *             back to fixed Hamming-1 multi-probe (searchMultiProbe,
+    *             with its `< k` exhaustive fallback) instead of shipping
+    *             an unbounded histogram to the driver. With a maintained
+    *             histogram this method runs ZERO Spark actions and the
+    *             returned plan reads only the probed buckets. */
   def searchAdaptive(indexed: DataFrame, q: Seq[Float],
                      matrix: Array[Array[Double]], metric: String, k: Int,
                      multiplier: Int = AdaptiveMultiplier,
                      idCol: String = "vec_id",
                      embCol: String = "embedding",
-                     hist: Option[Seq[(Long, Long)]] = None): DataFrame = {
+                     hist: Option[Seq[(Long, Long)]] = None,
+                     maxHistBuckets: Int = MaxAdaptiveHistBuckets): DataFrame = {
     val ms = margins(matrix, q)
-    val h = hist.getOrElse(
-      indexed.groupBy("bucket").count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toSeq)
+    val h = hist.orElse(boundedHistogram(indexed, maxHistBuckets))
+      .getOrElse {
+        // histogram too wide to collect: fixed multi-probe fallback
+        val qvec0 = array(q.map(x => lit(x)): _*).cast("array<float>")
+        val query = indexed.sparkSession.range(1)
+          .select(qvec0.as("qvec"), lshBucket(qvec0, matrix).as("qbucket"))
+        return searchMultiProbe(indexed, query, embCol, metric, k,
+          matrix.length, idCol)
+      }
     val sel = probePrefix(h, bucketOf(ms), ms,
       math.max(k.toLong, k.toLong * multiplier))
     val qvec = array(q.map(x => lit(x)): _*).cast("array<float>")
