@@ -560,12 +560,15 @@ object VectorExpressions {
                   centroids: Array[Array[Float]]): Column =
     c(NearestCellExpr(e(v), ids, centroids))
 
+  // `metric` is required (no default): the kernel scores the LIBRARY
+  // metric over the decoded codes — a forgotten argument must not
+  // silently fall back to euclidean.
   def sq8Distance(codes: Column, mn: Column, mx: Column,
-                  query: Array[Float], metric: String = "euclidean"): Column =
+                  query: Array[Float], metric: String): Column =
     c(Sq8DistanceExpr(e(codes), e(mn), e(mx), query, metric))
 
   def sq8DistanceBatch(codes: Column, mn: Column, mx: Column,
-                       query: Column, metric: String = "euclidean"): Column =
+                       query: Column, metric: String): Column =
     c(Sq8DistanceBatchExpr(e(codes), e(mn), e(mx), e(query), metric))
 
   def cosineDistance(v: Column, q: Column): Column =

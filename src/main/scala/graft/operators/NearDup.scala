@@ -263,6 +263,62 @@ object NearDup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("distance"))
   }
 
+  /** INCREMENTAL embedding near-dup — the growing-corpus shape of
+    * [[embeddingNearDupPairs]]: which ARRIVING vectors sit within cosine
+    * `threshold` of any EXISTING vector. The existing side's `bucket`
+    * column is the corpus's persisted LSH index artifact — pass
+    * `existingBucket` to reuse it (the engine stores exactly this column
+    * beside the embedding); when absent it is derived with the same
+    * kernel.
+    *
+    * Scale shape: the arriving micro-batch is replicated to its
+    * multi-probe set (own bucket + every Hamming-1 neighbour — (P+1)x a
+    * SMALL batch) and BROADCAST, so the corpus side is never shuffled and
+    * never replicated: per-batch cost is one corpus scan streamed against
+    * a broadcast hash table — O(batch x collisions) pair work — and on
+    * the engine's bucket-clustered at-rest layout the scan's `bucket`
+    * equi-condition is row-group-prunable. Existing x existing and
+    * arriving x arriving pairs are never formed (the reason this beats
+    * re-running the batch operator on corpus+batch every time). For a
+    * fixed (existing, arriving) row pair at most one probe value equals
+    * the existing row's bucket, so no pair is emitted twice.
+    *
+    * Output: (arriving_id, existing_id, distance) — every confirmed
+    * reason-to-drop pair, distance rounded exactly like
+    * [[embeddingNearDupPairs]]. */
+  def incrementalEmbeddingNearDupPairs(existing: DataFrame, arriving: DataFrame,
+                                       id: Column, emb: Column,
+                                       matrix: Array[Array[Double]],
+                                       threshold: Double,
+                                       existingBucket: Option[Column] = None,
+                                       multiProbe: Boolean = true): DataFrame = {
+    import graft.functions.VectorExpressions
+    def nrm(c: Column) = sqrt(VectorExpressions.dotProduct(c, c))
+    val ex = existing.select(id.as("id"), emb.as("emb"),
+        existingBucket.getOrElse(VectorExpressions.lshBucket(emb, matrix))
+          .as("bucket"))
+      .withColumn("nrm", nrm(col("emb")))
+    val probes =
+      if (multiProbe)
+        array((lit(0L) +: matrix.indices.map(i => lit(1L << i)))
+          .map(m => col("bucket").bitwiseXOR(m)): _*)
+      else array(col("bucket"))
+    val arr = arriving.select(id.as("id"), emb.as("emb"))
+      .withColumn("bucket", VectorExpressions.lshBucket(col("emb"), matrix))
+      .withColumn("nrm", nrm(col("emb")))
+      .withColumn("probe", explode(probes))
+    val rawDist = when(col("e.nrm") === 0.0d || col("a.nrm") === 0.0d,
+        lit(Double.PositiveInfinity))
+      .otherwise(lit(1.0d) -
+        VectorExpressions.dotProduct(col("e.emb"), col("a.emb")) /
+          (col("e.nrm") * col("a.nrm")))
+    ex.as("e").join(broadcast(arr.as("a")), col("e.bucket") === col("a.probe"))
+      .withColumn("distance", round(rawDist, 6) + lit(0.0d))
+      .where(col("distance") <= threshold)
+      .select(col("a.id").as("arriving_id"), col("e.id").as("existing_id"),
+        col("distance"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, banded: the
     * fingerprint is split into `numBands` sub-keys; by pigeonhole any pair
     * within maxHamming <= numBands - 1 shares at least one exact sub-key,

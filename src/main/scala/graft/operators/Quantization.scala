@@ -49,10 +49,15 @@ object Quantization {
 
   /** Two-phase quantized search: approximate `metric` top-`rescore` on
     * the codes, exact `metric` top-`k` on the survivors.
-    * Output: (idCol, distance), distance = round(exact, 6) + 0.0. */
+    * Output: (idCol, distance), distance = round(exact, 6) + 0.0.
+    *
+    * `metric` has NO default on purpose: both phases score with it, so a
+    * caller that forgot to thread the library metric through would
+    * silently rank under the wrong metric — the signature makes that a
+    * compile error instead. */
   def search(encoded: DataFrame, embCol: String, idCol: String,
              query: Array[Float], k: Int, rescore: Int,
-             metric: String = "euclidean"): DataFrame = {
+             metric: String): DataFrame = {
     require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
     // phase 1 reads ONLY the compact representation
     val candidates = encoded

@@ -80,7 +80,7 @@ object AnnQueries {
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val encoded = graft.operators.Quantization.encode(emb, col("embedding"))
     graft.operators.Quantization.search(encoded, "embedding", "vec_id",
-      query, K, Rescore)
+      query, K, Rescore, metric = "euclidean")
   }
 
   private val sq8TopkSql: String =
@@ -157,7 +157,7 @@ object AnnQueries {
     val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
     graft.operators.Quantization.search(
       indexed.where(col("cell").isin(probed: _*)),
-      "embedding", "vec_id", query, K, Rescore)
+      "embedding", "vec_id", query, K, Rescore, metric = "euclidean")
   }
 
   private val ivfSq8TopkSql: String =

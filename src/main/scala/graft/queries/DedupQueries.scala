@@ -244,9 +244,46 @@ object DedupQueries {
        |    AND j >= 0.5)
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental EMBEDDING dedup: vectors 0..IncrSplit-1 are the indexed
+    * corpus (their stored bucket column is the reused index artifact),
+    * IncrSplit+ an arriving batch; every (arriving, existing) pair within
+    * cosine 0.6 under the multi-probe contract is a reason-to-drop. The
+    * oracle inlines the seeded projection matrix and replays the blocking
+    * as bit_count(xor) <= 1 over the cross split — gating bucket
+    * assignment, the probe contract, AND the distances. */
+  private val incrementalEmbedding: QueryFn = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    // the corpus side arrives WITH its stored bucket column, exactly as a
+    // reopened engine would hand it over
+    val existing = e.where(col("vec_id") < IncrSplit)
+      .withColumn("bucket", lshBucket(col("embedding"), LshQueries.config.matrix))
+    NearDup.incrementalEmbeddingNearDupPairs(
+        existing, e.where(col("vec_id") >= IncrSplit),
+        col("vec_id"), col("embedding"), LshQueries.config.matrix,
+        threshold = 0.6, existingBucket = Some(col("bucket")))
+      .select(col("arriving_id"), col("existing_id"), col("distance"))
+      .orderBy(col("arriving_id"), col("existing_id"))
+  }
+
+  private val incrementalEmbeddingSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "x.v", "a.v")
+    val bucket = LshQueries.bucketSql("embedding::DOUBLE[]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |                  ($bucket)::BIGINT AS b
+       |           FROM embeddings)
+       |SELECT a.vec_id AS arriving_id, x.vec_id AS existing_id,
+       |  round($cos, 6) + 0 AS distance
+       |FROM e x JOIN e a
+       |  ON x.vec_id < $IncrSplit AND a.vec_id >= $IncrSplit
+       | AND bit_count(xor(x.b, a.b)) <= 1
+       |WHERE round($cos, 6) + 0 <= 0.6
+       |ORDER BY arriving_id, existing_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
     Q("dedup_incremental_survivors", incrementalSurvivors, Some(incrementalSurvivorsSql)),
+    Q("dedup_incremental_embedding", incrementalEmbedding, Some(incrementalEmbeddingSql)),
     Q("dedup_exact_survivors", exactSurvivors, Some(exactSurvivorsSql)),
     Q("dedup_near_pairs", nearPairs, Some(nearPairsSql)),
     Q("dedup_near_survivors", nearSurvivors, Some(nearSurvivorsSql)),

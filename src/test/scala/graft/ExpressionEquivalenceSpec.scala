@@ -59,7 +59,7 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
       lit(0.0d), _ + _))
     val rows = encoded.select(
       graft.functions.VectorExpressions.sq8Distance(
-        col("codes"), col("qmin"), col("qmax"), q.toArray).as("e"),
+        col("codes"), col("qmin"), col("qmax"), q.toArray, "euclidean").as("e"),
       hof.as("h")).as[(Double, Double)].collect()
     assert(rows.forall { case (e, h) =>
       java.lang.Double.doubleToRawLongBits(e) == java.lang.Double.doubleToRawLongBits(h)

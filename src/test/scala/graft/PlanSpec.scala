@@ -62,6 +62,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_incremental_embedding: the arriving probe set is BROADCAST " +
+    "— the corpus side is never shuffled, never replicated, never crossed") {
+    val p = plan("dedup_incremental_embedding")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ann_ivf_topk: cell assignment is ONE expression node (reference-" +
     "object centroids), not per-centroid literal structs") {
     val p = plan("ann_ivf_topk")
@@ -84,7 +93,7 @@ class PlanSpec extends AnyFunSuite {
     val q = emb.where(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     val result = graft.operators.Quantization.search(
-      stored, "embedding", "vec_id", q, k = 10, rescore = 50)
+      stored, "embedding", "vec_id", q, k = 10, rescore = 50, metric = "euclidean")
     val p = result.queryExecution.executedPlan.toString
     assert(p.contains("sq8_euclidean"))
     assert(p.contains("TakeOrderedAndProject"))

@@ -40,62 +40,42 @@ class QuantizationSpec extends AnyFunSuite {
     assert(worst <= 0.5 + 1e-9, s"worst error $worst steps > half a step")
   }
 
-  test("sq8 search: recall@10 vs exact flat search at sf0.01 (R=50)") {
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
-    val queries = emb.where(col("vec_id") < 20)
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    val recalls = queries.map { case (_, q) =>
-      val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
-      val flat = emb
-        .withColumn("distance", round(
-          graft.functions.VectorExpressions.euclideanDistance(col("embedding"), qCol),
-          6) + lit(0.0d))
-        .orderBy("distance", "vec_id").limit(10)
-        .select("vec_id").as[Long].collect().toSet
-      val sq8 = Quantization.search(encoded, "embedding", "vec_id", q,
-        k = 10, rescore = 50)
-        .select("vec_id").as[Long].collect().toSet
-      (flat intersect sq8).size.toDouble / flat.size
+  // One recall gate per supported metric — euclidean, the reference's
+  // default (cosine), AND dot_product — so a ranking-quality regression
+  // in any kernel path is caught, not just the two a query happens to use.
+  for (metric <- Seq("euclidean", "cosine", "dot_product"))
+    test(s"sq8 search: recall@10 vs exact flat search at sf0.01 (R=50, $metric)") {
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
+      val queries = emb.where(col("vec_id") < 20)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val recalls = queries.map { case (_, q) =>
+        val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
+        val flat = emb
+          .withColumn("distance", round(
+            graft.functions.VectorFunctions.distance(metric)(col("embedding"), qCol),
+            6) + lit(0.0d))
+          .orderBy("distance", "vec_id").limit(10)
+          .select("vec_id").as[Long].collect().toSet
+        val sq8 = Quantization.search(encoded, "embedding", "vec_id", q,
+          k = 10, rescore = 50, metric = metric)
+          .select("vec_id").as[Long].collect().toSet
+        (flat intersect sq8).size.toDouble / flat.size
+      }
+      val recall = recalls.sum / recalls.length
+      info(f"SQ8 $metric recall@10 over ${queries.length} queries: $recall%.3f")
+      // 8-bit codes + 5x rescore headroom: near-exact is the expectation
+      assert(recall >= 0.95, f"$metric recall@10 $recall%.3f < 0.95")
     }
-    val recall = recalls.sum / recalls.length
-    info(f"SQ8 recall@10 over ${queries.length} queries: $recall%.3f")
-    // 8-bit codes + 5x rescore headroom: near-exact is the expectation
-    assert(recall >= 0.95, f"recall@10 $recall%.3f < 0.95")
-  }
-
-  test("sq8 search: recall@10 under the COSINE (default) metric at sf0.01 (R=50)") {
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
-    val queries = emb.where(col("vec_id") < 20)
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    val recalls = queries.map { case (_, q) =>
-      val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
-      val flat = emb
-        .withColumn("distance", round(
-          graft.functions.VectorExpressions.cosineDistance(col("embedding"), qCol),
-          6) + lit(0.0d))
-        .orderBy("distance", "vec_id").limit(10)
-        .select("vec_id").as[Long].collect().toSet
-      val sq8 = Quantization.search(encoded, "embedding", "vec_id", q,
-        k = 10, rescore = 50, metric = "cosine")
-        .select("vec_id").as[Long].collect().toSet
-      (flat intersect sq8).size.toDouble / flat.size
-    }
-    val recall = recalls.sum / recalls.length
-    info(f"SQ8 cosine recall@10 over ${queries.length} queries: $recall%.3f")
-    assert(recall >= 0.95, f"cosine recall@10 $recall%.3f < 0.95")
-  }
 
   test("search guards: k > 0, rescore >= k") {
     val df = Quantization.encode(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"), col("v"))
     intercept[IllegalArgumentException] {
-      Quantization.search(df, "v", "id", Array(1.0f, 2.0f), k = 0, rescore = 5)
+      Quantization.search(df, "v", "id", Array(1.0f, 2.0f), k = 0, rescore = 5, metric = "euclidean")
     }
     intercept[IllegalArgumentException] {
-      Quantization.search(df, "v", "id", Array(1.0f, 2.0f), k = 10, rescore = 5)
+      Quantization.search(df, "v", "id", Array(1.0f, 2.0f), k = 10, rescore = 5, metric = "euclidean")
     }
   }
 }
