@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.{MetadataFunctions, VectorExpressions}
-import graft.operators.{IvfIndex, LshIndex, Quantization}
+import graft.operators.{IvfIndex, LshIndex, NearDup, Quantization}
 import java.sql.Timestamp
 import java.nio.file.{Files, Paths}
 
@@ -1048,6 +1048,51 @@ final class VectorEngine private (val spark: SparkSession,
     graft.operators.TopK.perGroup(scored, "query_id", "distance", "id", k)
       .withColumnRenamed("id", "chunk_id")
       .orderBy(col("query_id"), col("distance"), col("chunk_id"))
+  }
+
+  /** Incremental near-duplicate detection against a library — the
+    * pre-ingest dedup gate of a continuously growing corpus: which rows
+    * of `batch` (columns `id`, `embedding`) sit within cosine `threshold`
+    * of an EXISTING chunk. The blocking reuses the library's persisted
+    * projection matrix and the chunks table's STORED bucket column
+    * verbatim (the corpus is never re-hashed); the arriving batch is
+    * replicated to its Hamming-1 probe set and BROADCAST, so per batch
+    * the corpus partition is scanned once — never shuffled, never
+    * replicated (NearDup.incrementalEmbeddingNearDupPairs).
+    *
+    * Near-duplication is defined by COSINE distance whatever the
+    * library's search metric: corpus dedup asks "same content?", and
+    * magnitude differences don't make two embeddings different content.
+    * Requires a random_projection library (flat/ivf store no sign-bit
+    * bucket to block on). Output: (batch_id, chunk_id, distance), every
+    * confirmed reason-to-drop pair. */
+  def nearDuplicates(libraryId: String, batch: DataFrame,
+                     threshold: Double): DataFrame = {
+    val lib = getLibrary(libraryId)
+    if (threshold < 0.0d) throw SearchError("threshold must be >= 0")
+    if (lib.index_kind != IndexKindLsh)
+      throw SearchError(
+        s"nearDuplicates requires a random_projection library; " +
+          s"index_kind '${lib.index_kind}' stores no bucket to block on")
+    val dim = lib.embedding_dimension
+    // same set-based guard as addChunksDf: ONE column-pruned aggregate
+    // over the (small) batch, so a wrong-dimension row fails loudly
+    // instead of hashing garbage
+    val badDim = batch
+      .select(coalesce(sum(when(size(col("embedding")) === dim, 0)
+        .otherwise(1)), lit(0L)).as("bad"))
+      .head().getAs[Long]("bad")
+    if (badDim > 0)
+      throw ValidationError(s"embedding dimension != library dimension $dim")
+    val m = matrices(libraryId).matrix.map(_.toArray).toArray
+    NearDup.incrementalEmbeddingNearDupPairs(
+        chunks.where(col("library_id") === libraryId).toDF(),
+        batch.select(col("id"), col("embedding").cast("array<float>")),
+        col("id"), col("embedding"), m, threshold,
+        existingBucket = Some(col("bucket")))
+      .withColumnRenamed("arriving_id", "batch_id")
+      .withColumnRenamed("existing_id", "chunk_id")
+      .orderBy(col("batch_id"), col("distance"), col("chunk_id"))
   }
 
   // -------------------------------------------------------------------

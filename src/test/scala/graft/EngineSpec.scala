@@ -775,6 +775,34 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDuplicates: stored-bucket blocking gates an arriving batch " +
+    "(copies found at 0.0, scaled copies too); kind/dim/threshold guards") {
+    import spark.implicits._
+    val (e, lib, _) = freshWithData("random_projection")
+    val batch = Seq(
+      ("b0", Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // exact copy of c0
+      ("b1", Seq(0.0f, 0.0f, 0.0f, 1.0f))   // orthogonal to every chunk
+    ).toDF("id", "embedding")
+    val got = e.nearDuplicates(lib, batch, threshold = 0.05)
+      .select("batch_id", "chunk_id", "distance")
+      .as[(String, String, Double)].collect()
+    assert(got.exists(r => r._1 == "b0" && r._2 == "c0" && r._3 == 0.0d))
+    assert(!got.exists(_._1 == "b1"), "orthogonal vector is not a near-dup")
+    // cosine contract: a SCALED copy is the same content
+    val scaled = Seq(("b2", Seq(2.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "embedding")
+    val got2 = e.nearDuplicates(lib, scaled, threshold = 0.0)
+      .select("batch_id", "chunk_id", "distance")
+      .as[(String, String, Double)].collect()
+    assert(got2.exists(r => r._1 == "b2" && r._2 == "c0" && r._3 == 0.0d))
+    intercept[SearchError] { e.nearDuplicates(lib, batch, threshold = -0.1) }
+    val (ef, libF, _) = freshWithData("flat")
+    intercept[SearchError] { ef.nearDuplicates(libF, batch, threshold = 0.5) }
+    intercept[ValidationError] {
+      e.nearDuplicates(lib, Seq(("x", Seq(1.0f, 0.0f))).toDF("id", "embedding"),
+        threshold = 0.5)
+    }
+  }
+
   test("bulk-ingest histogram derives from the MATERIALIZED batch: a " +
     "non-deterministic input df cannot desync it from the stored table") {
     import org.apache.spark.sql.functions._
