@@ -153,6 +153,19 @@ final class VectorEngine private (val spark: SparkSession,
     hists.getOrElse(libraryId, Map.empty)
   }
 
+  /** The library's seeded LSH projection matrix — index metadata, like
+    * [[bucketHistogram]] (it is persisted openly as matrices.parquet):
+    * exposed so pipeline layers can run the SAME blocking the engine uses
+    * (e.g. intra-batch near-dup with NearDup.embeddingNearDupPairs)
+    * without re-deriving the matrix from the seed. */
+  def lshProjectionMatrix(libraryId: String): Array[Array[Double]] = {
+    val lib = getLibrary(libraryId)
+    if (lib.index_kind != IndexKindLsh)
+      throw SearchError(
+        s"library $libraryId (index_kind '${lib.index_kind}') has no projection matrix")
+    matrices(libraryId).matrix.map(_.toArray).toArray
+  }
+
   private def afterMutation(): Unit = {
     mutationsSinceCompact += 1
     if (mutationsSinceCompact >= CompactEvery) {

@@ -110,4 +110,58 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, sinkDir) }
       .start()
+
+  /** DEDUP-GATED micro-batch chunk ingest — the continuously-crawled-
+    * corpus pipeline stage: each batch (addChunksDf's column contract —
+    * id, document_id, text, embedding, metadata, chunk_index) is
+    *   1. replay-deduped: within-batch on id, then anti-joined against
+    *      the chunk ids the engine already holds (at-least-once sources
+    *      redeliver EXACT rows — same ids);
+    *   2. near-dup gated vs the CORPUS: `VectorEngine.nearDuplicates`
+    *      (stored-bucket blocking, broadcast probe set — the corpus is
+    *      scanned once per batch, never shuffled) drops every arriving
+    *      chunk within cosine `threshold` of an existing one;
+    *   3. near-dup gated WITHIN the batch, keep-first: two distinct
+    *      crawls of the same page in one micro-batch would both pass the
+    *      corpus gate (neither is in the corpus yet) — the intra-batch
+    *      pass (NearDup.embeddingNearDupPairs under the SAME projection
+    *      matrix, via VectorEngine.lshProjectionMatrix) drops any row
+    *      near-duplicating a smaller-id row of the same batch;
+    *   4. bulk-appended atomically (an empty remainder is a clean no-op).
+    * Per-batch cost: O(batch) pinning + one corpus scan + an
+    * O(batch x collisions) self-join — never O(corpus^2), never a corpus
+    * shuffle. Returns the number of chunks actually ingested. */
+  def ingestDedupGatedBatch(engine: graft.engine.VectorEngine,
+                            libraryId: String, batch: DataFrame,
+                            threshold: Double): Long = {
+    val replayFree = batch.dropDuplicates("id")
+      .join(engine.chunksDf.select(col("id")), Seq("id"), "left_anti")
+      // pinned once (O(batch), distributed): consumed by the corpus gate,
+      // the intra-batch gate, and the ingest below
+      .localCheckpoint()
+    val corpusLosers = engine.nearDuplicates(libraryId, replayFree, threshold)
+      .select(col("batch_id").as("id")).distinct()
+    val intraLosers = graft.operators.NearDup.embeddingNearDupPairs(
+        replayFree, col("id"), col("embedding"),
+        engine.lshProjectionMatrix(libraryId), threshold)
+      .select(col("id_b").as("id")).distinct()
+    val fresh = replayFree
+      .join(corpusLosers.unionByName(intraLosers).distinct(),
+        Seq("id"), "left_anti")
+    engine.addChunksDf(libraryId, fresh)
+  }
+
+  /** Start the dedup-gated chunk ingest as a stream (foreachBatch:
+    * exactly-once per micro-batch on checkpointed offsets; the gates make
+    * redelivery AND re-crawl both no-ops). */
+  def startDedupGatedChunkIngest(engine: graft.engine.VectorEngine,
+                                 libraryId: String, stream: DataFrame,
+                                 threshold: Double,
+                                 checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestDedupGatedBatch(engine, libraryId, batch, threshold); ()
+      }
+      .start()
 }

@@ -197,6 +197,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(scan.toString.contains("PartitionFilters"))
   }
 
+  test("dedup-GATED chunk-stream ingest: corpus near-dups, intra-batch " +
+    "near-dups and replays are all dropped; novel chunks land searchable") {
+    import graft.engine._
+    implicit val sqlCtx = spark.sqlContext
+    val e = VectorEngine.create(spark)
+    e.createLibrary("gated", dim = 4, id = Some("glib"),
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 7L)
+    val doc = e.createDocument("glib", "gdoc")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("corpus", Seq(1f, 0f, 0f, 0f), Map.empty, 0, Some("c0"))))
+    val mem = MemoryStream[(String, String, String, Seq[Float], Int)]
+    val streamDf = mem.toDF()
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gated-ckpt").toString
+    val q = StreamingIngest.startDedupGatedChunkIngest(
+      e, "glib", streamDf, threshold = 0.05, ckpt)
+    try {
+      // s0 near-dups the CORPUS (scaled copy of c0) -> corpus gate;
+      // s1 is novel -> lands; s2 near-dups s1 IN THE SAME BATCH (neither
+      // is in the corpus yet) -> intra-batch keep-first gate
+      mem.addData(
+        ("s0", doc.id, "t0", Seq(2f, 0f, 0f, 0f), 0),
+        ("s1", doc.id, "t1", Seq(0f, 0f, 1f, 0f), 1),
+        ("s2", doc.id, "t2", Seq(0f, 0f, 0.99f, 0.1f), 2))
+      q.processAllAvailable()
+      assert(e.chunkCount("glib") == 2) // c0 + s1
+      // s1 redelivered (at-least-once) -> replay gate; s3 near-dups the
+      // NOW-INGESTED s1 -> corpus gate sees last batch's survivor;
+      // s4 is novel -> lands
+      mem.addData(
+        ("s1", doc.id, "t1", Seq(0f, 0f, 1f, 0f), 1),
+        ("s3", doc.id, "t3", Seq(0f, 0f, 1f, 0.01f), 3),
+        ("s4", doc.id, "t4", Seq(0f, 1f, 0f, 0f), 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(e.chunkCount("glib") == 3) // c0 + s1 + s4
+    assert(e.search("glib", Seq(0f, 0f, 1f, 0f), k = 1).collect()
+      .map(_.getString(0)).toSeq == Seq("s1"))
+    // the batch-mode body reports how many rows actually landed
+    import spark.implicits._
+    val direct = Seq(("s5", doc.id, "t5", Seq(0f, 1f, 0.01f, 0f), 5),
+        ("s6", doc.id, "t6", Seq(0.5f, 0.5f, 0.5f, 0.5f), 6))
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    // s5 near-dups s4; s6 is novel
+    assert(StreamingIngest.ingestDedupGatedBatch(e, "glib", direct, 0.05) == 1L)
+    assert(e.chunkCount("glib") == 4)
+  }
+
   test("chunk-stream ingest e2e through the facade: MemoryStream -> " +
     "foreachBatch -> addChunksDf, no dupes on replay, post-stream search") {
     import graft.engine._
