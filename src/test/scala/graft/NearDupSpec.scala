@@ -126,6 +126,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.3f < 0.5")
   }
 
+  test("incrementalEmbeddingNearDupPairs == the cross-split slice of the " +
+    "batch operator's pairs (same blocking, same confirm)") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val matrix = VectorFunctions.projectionMatrix(4, 64, 42L)
+    val Split = 300L
+    val incr = incrementalEmbeddingNearDupPairs(
+        emb.where($"vec_id" < Split), emb.where($"vec_id" >= Split),
+        col("vec_id"), col("embedding"), matrix, threshold = 0.6)
+      .select($"existing_id", $"arriving_id")
+      .as[(Long, Long)].collect().toSet
+    // the batch operator on the WHOLE table, restricted to cross-split
+    // pairs: both block on hamming(bucket) <= 1 and confirm with the same
+    // rounded cosine, so the slices must agree exactly
+    val full = embeddingNearDupPairs(emb, col("vec_id"), col("embedding"),
+        matrix, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter(p => p._1 < Split && p._2 >= Split).toSet
+    assert(incr == full)
+    assert(incr.nonEmpty, "trivially-empty slice would prove nothing")
+  }
+
   test("incrementalEmbeddingNearDupPairs: a stored bucket column is " +
     "trusted verbatim and an identical arriving vector is always found") {
     import graft.functions.{VectorExpressions, VectorFunctions}
