@@ -109,9 +109,13 @@ object GraftSettings {
            envFile: Option[Path] = Some(Paths.get(".env")),
            overrides: Map[String, String] = Map.empty): GraftSettings = {
     val fileVals = envFile.map(parseEnvFile).getOrElse(Map.empty)
+    // A key SET to an empty value is not "unset": silently treating it as
+    // absent would both mask a valid lower-precedence value (env "" hiding
+    // a good .env entry) and bypass validation — it flows through and
+    // fails the field's check loudly instead.
     def get(key: String): Option[String] =
       overrides.get(key).orElse(env.get(key)).orElse(fileVals.get(key))
-        .map(_.trim).filter(_.nonEmpty)
+        .map(_.trim)
     def getInt(key: String): Option[Int] = get(key).map { v =>
       try v.toInt
       catch { case _: NumberFormatException =>
@@ -135,7 +139,9 @@ object GraftSettings {
         throw ValidationError(s"$EnvLogLevel: unknown log level '$raw'")
       mapped
     }
-    GraftSettings(storage, get(EnvStateDir).getOrElse(Defaults.stateDir),
-      probe, mult, cap, level)
+    val stateDir = get(EnvStateDir).getOrElse(Defaults.stateDir)
+    if (stateDir.isEmpty)
+      throw ValidationError(s"$EnvStateDir must be a non-empty path")
+    GraftSettings(storage, stateDir, probe, mult, cap, level)
   }
 }

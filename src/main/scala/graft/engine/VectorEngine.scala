@@ -965,9 +965,8 @@ final class VectorEngine private (val spark: SparkSession,
                   Seq("query_id")), false))
               case None =>
                 val qb = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
-                  .withColumn("qbucket", explode(
-                    array((lit(0L) +: m.indices.map(i => lit(1L << i)))
-                      .map(mask => col("qbucket").bitwiseXOR(mask)): _*)))
+                  .withColumn("qbucket",
+                    explode(LshIndex.hamming1Probes(col("qbucket"), m.length)))
                 Some((qb, true))
             }
           case ProbeMulti =>
@@ -975,9 +974,8 @@ final class VectorEngine private (val spark: SparkSession,
             // (P+1 distinct values — a chunk matches at most one probe per
             // query, so no candidate duplicates)
             val qb = qDf.withColumn("qbucket", lshBucket(col("qvec"), m))
-              .withColumn("qbucket", explode(
-                array((lit(0L) +: m.indices.map(i => lit(1L << i)))
-                  .map(mask => col("qbucket").bitwiseXOR(mask)): _*)))
+              .withColumn("qbucket",
+                explode(LshIndex.hamming1Probes(col("qbucket"), m.length)))
             Some((qb, true))
           case _ =>
             Some((qDf.withColumn("qbucket", lshBucket(col("qvec"), m)), true))
@@ -1141,10 +1139,6 @@ final class VectorEngine private (val spark: SparkSession,
     * MANIFEST flip (the reference has the same property — it rewrites its
     * .npy in place, disk_store.py:329-332); what it buys is O(changed)
     * save cost, the only viable shape at scale. */
-  /** Save to the configured state directory (settings.stateDir — the
-    * reference's disk store writes to Settings.data_dir the same way). */
-  def save(): Unit = save(settings.stateDir)
-
   def save(dir: String): Unit = {
     val version = "v" + System.nanoTime()
     val base = s"$dir/$version"
@@ -1243,6 +1237,12 @@ final class VectorEngine private (val spark: SparkSession,
     * deleting every partition; a MISSING directory is not our layout and
     * fails loudly (never silently loaded as zero chunks); any other read
     * error propagates. */
+  /** Save to the engine's state directory (settings.stateDir — the
+    * reference's disk store writes to Settings.data_dir the same way;
+    * `open(spark, dir)` pins it to the opened directory, so a no-arg
+    * save always writes back where the state came from). */
+  def save(): Unit = save(settings.stateDir)
+
   private def readChunksTable(dir: String): Dataset[ChunkRow] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/chunks")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1438,7 +1438,10 @@ object VectorEngine {
 
   /** Reopen persisted state (S3/S5 cold start). */
   def open(spark: SparkSession, dir: String): VectorEngine =
-    open(spark, dir, GraftSettings.Defaults)
+    // stateDir pinned to the OPENED directory: a later no-arg save()
+    // must write back where the state was loaded from, not the global
+    // default (which would silently fork the state into ./data)
+    open(spark, dir, GraftSettings.Defaults.copy(stateDir = dir))
 
   def open(spark: SparkSession, dir: String,
            settings: GraftSettings): VectorEngine = {

@@ -67,9 +67,8 @@ object LshIndex {
   def searchMultiProbe(indexed: DataFrame, query: DataFrame, embCol: String,
                        metric: String, k: Int, numProjections: Int,
                        idCol: String = "vec_id"): DataFrame = {
-    val probes = array((lit(0L) +: (0 until numProjections).map(i => lit(1L << i)))
-      .map(m => col("qbucket").bitwiseXOR(m)): _*)
-    val probed = query.withColumn("probe", explode(probes)).drop("qbucket")
+    val probed = query.withColumn("probe",
+      explode(hamming1Probes(col("qbucket"), numProjections))).drop("qbucket")
     val cand = indexed.join(broadcast(probed), indexed("bucket") === col("probe"))
       .drop("probe")
     finish(cand, indexed, query, embCol, metric, k, idCol)
@@ -102,12 +101,24 @@ object LshIndex {
 
   /** The (bucket -> count) histogram of `indexed`, collected only if it
     * has at most `cap` distinct buckets; None past the cap (the collect
-    * itself never ships more than cap + 1 rows). */
+    * itself never ships more than cap + 1 rows). The saturating +1 keeps
+    * cap = Int.MaxValue (valid per settings validation: any positive int)
+    * from overflowing into a negative — hence rejected — limit. */
   def boundedHistogram(indexed: DataFrame, cap: Int): Option[Seq[(Long, Long)]] = {
-    val rows = indexed.groupBy("bucket").count().limit(cap + 1).collect()
+    val lim = if (cap == Int.MaxValue) Int.MaxValue else cap + 1
+    val rows = indexed.groupBy("bucket").count().limit(lim).collect()
     if (rows.length > cap) None
     else Some(rows.map(r => r.getLong(0) -> r.getLong(1)).toSeq)
   }
+
+  /** The Hamming-<=1 probe set of a bucket expression: the bucket itself
+    * plus every value at one flipped projection bit — THE multi-probe
+    * contract, shared by every path that blocks or probes on sign-bit
+    * buckets (single/batch search, batch and incremental embedding
+    * near-dup), so the paths cannot silently diverge. */
+  def hamming1Probes(bucket: Column, numProjections: Int): Column =
+    array((lit(0L) +: (0 until numProjections).map(i => lit(1L << i)))
+      .map(m => bucket.bitwiseXOR(m)): _*)
 
   /** Per-projection signed margins of a query vector: margin_i = P_i . q,
     * accumulated double left-to-right — the same fold the bucket kernel

@@ -244,9 +244,7 @@ object NearDup {
     val a = base.withColumn("salt",
       pmod(hash(col("id")), lit(salt)).cast("long"))
     val probes =
-      if (multiProbe)
-        array((lit(0L) +: matrix.indices.map(i => lit(1L << i)))
-          .map(m => col("bucket").bitwiseXOR(m)): _*)
+      if (multiProbe) LshIndex.hamming1Probes(col("bucket"), matrix.length)
       else array(col("bucket"))
     val b = base.withColumn("probe", explode(probes))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1)).cast("array<bigint>")))
@@ -299,9 +297,7 @@ object NearDup {
           .as("bucket"))
       .withColumn("nrm", nrm(col("emb")))
     val probes =
-      if (multiProbe)
-        array((lit(0L) +: matrix.indices.map(i => lit(1L << i)))
-          .map(m => col("bucket").bitwiseXOR(m)): _*)
+      if (multiProbe) LshIndex.hamming1Probes(col("bucket"), matrix.length)
       else array(col("bucket"))
     val arr = arriving.select(id.as("id"), emb.as("emb"))
       .withColumn("bucket", VectorExpressions.lshBucket(col("emb"), matrix))

@@ -126,7 +126,14 @@ object StreamingIngest {
     *      corpus gate (neither is in the corpus yet) — the intra-batch
     *      pass (NearDup.embeddingNearDupPairs under the SAME projection
     *      matrix, via VectorEngine.lshProjectionMatrix) drops any row
-    *      near-duplicating a smaller-id row of the same batch;
+    *      near-duplicating a smaller-id row. It runs over the CORPUS
+    *      GATE'S SURVIVORS, not the raw batch: a row whose only near
+    *      neighbour was itself dropped by the corpus gate must still
+    *      land — otherwise content within threshold of NOTHING in the
+    *      corpus would silently vanish. (One-pass approximation, stated:
+    *      within a surviving A < B < C chain where B near-dups A and C
+    *      near-dups B only, C is dropped even though a sequential greedy
+    *      pass would re-admit it once B went — the conservative side.)
     *   4. bulk-appended atomically (an empty remainder is a clean no-op).
     * Per-batch cost: O(batch) pinning + one corpus scan + an
     * O(batch x collisions) self-join — never O(corpus^2), never a corpus
@@ -136,18 +143,23 @@ object StreamingIngest {
                             threshold: Double): Long = {
     val replayFree = batch.dropDuplicates("id")
       .join(engine.chunksDf.select(col("id")), Seq("id"), "left_anti")
-      // pinned once (O(batch), distributed): consumed by the corpus gate,
-      // the intra-batch gate, and the ingest below
+      // pinned once (O(batch), distributed): consumed by the corpus gate
+      // and the survivor set below
       .localCheckpoint()
     val corpusLosers = engine.nearDuplicates(libraryId, replayFree, threshold)
       .select(col("batch_id").as("id")).distinct()
+    val corpusSurvivors = replayFree.join(corpusLosers, Seq("id"), "left_anti")
+      // pinned: consumed by the self-join's two sides and the final ingest
+      .localCheckpoint()
     val intraLosers = graft.operators.NearDup.embeddingNearDupPairs(
-        replayFree, col("id"), col("embedding"),
+        corpusSurvivors, col("id"), col("embedding"),
         engine.lshProjectionMatrix(libraryId), threshold)
       .select(col("id_b").as("id")).distinct()
-    val fresh = replayFree
-      .join(corpusLosers.unionByName(intraLosers).distinct(),
-        Seq("id"), "left_anti")
+    val fresh = corpusSurvivors.join(intraLosers, Seq("id"), "left_anti")
+      // pinned: addChunksDf runs several actions over its input
+      // (validation aggregate, histogram upkeep, parent refresh) — the
+      // gate joins above must run once per batch, not once per action
+      .localCheckpoint()
     engine.addChunksDf(libraryId, fresh)
   }
 

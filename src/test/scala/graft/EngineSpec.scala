@@ -775,6 +775,22 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("no-arg save() after open(spark, dir) writes back to the OPENED " +
+    "dir, not the global default state dir") {
+    val (e, lib, doc) = freshWithData()
+    val dir = java.nio.file.Files.createTempDirectory("graft-saveback").toString
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    val d2 = e2.listDocuments(lib).items.head.id
+    e2.addChunksBatch(d2, Seq(
+      ChunkInput("late", vec(0.5, 0.5, 0, 0), Map.empty, 9, Some("c9"))))
+    e2.save() // must persist into `dir` — the directory the state came from
+    val e3 = VectorEngine.open(spark, dir)
+    assert(e3.chunkCount(lib) == 5)
+    assert(e3.getChunk("c9").text == "late")
+    assert(doc == d2)
+  }
+
   test("nearDuplicates: stored-bucket blocking gates an arriving batch " +
     "(copies found at 0.0, scaled copies too); kind/dim/threshold guards") {
     import spark.implicits._

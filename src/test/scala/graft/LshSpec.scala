@@ -41,6 +41,16 @@ class LshSpec extends AnyFunSuite {
     assert(bucketsOf(base) == bucketsOf(scaled))
   }
 
+  test("boundedHistogram accepts cap = Int.MaxValue without overflowing " +
+    "the limit (any positive cap is valid per settings validation)") {
+    val indexed = LshIndex.withBucket(
+      vecs(32).toDF("vec_id", "embedding"),
+      org.apache.spark.sql.functions.col("embedding"),
+      LshIndex.Config(4, 8, 42L))
+    val h = LshIndex.boundedHistogram(indexed, Int.MaxValue)
+    assert(h.nonEmpty && h.get.map(_._2).sum == 32L)
+  }
+
   test("bucket hash rejects empty and oversized matrices") {
     intercept[IllegalArgumentException] {
       lshBucket(col("v"), Array.empty[Array[Double]])

@@ -68,6 +68,18 @@ class SettingsSpec extends AnyFunSuite {
     assert(s.logLevel.contains("WARN")) // WARNING (python) -> WARN (log4j)
   }
 
+  test("a key SET to an empty value fails validation instead of silently " +
+    "masking lower-precedence values with the default") {
+    def bad(k: String) = intercept[ValidationError] {
+      GraftSettings.load(env = Map(k -> ""), envFile = None)
+    }
+    bad(GraftSettings.EnvDefaultProbe)
+    bad(GraftSettings.EnvStorageType)
+    bad(GraftSettings.EnvAdaptiveMultiplier)
+    bad(GraftSettings.EnvStateDir)
+    bad(GraftSettings.EnvLogLevel)
+  }
+
   test("boot(): disk storage creates fresh when the state dir is empty, " +
     "REOPENS it when it holds saved state; save() writes to the " +
     "configured dir (config.py storage_type/data_dir + ensure_data_dir)") {

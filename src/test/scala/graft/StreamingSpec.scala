@@ -247,6 +247,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.chunkCount("glib") == 4)
   }
 
+  test("dedup gate: a row whose only near neighbour was itself dropped " +
+    "by the corpus gate still lands (intra-batch pass sees survivors only)") {
+    import graft.engine._
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    e.createLibrary("chain", dim = 4, id = Some("chlib"),
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 7L)
+    val doc = e.createDocument("chlib", "chdoc")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("c", Seq(1f, 0f, 0f, 0f), Map.empty, 0, Some("c0"))))
+    // a1 at 15 deg from c0 (cos dist 0.034 <= 0.05) -> corpus gate drops;
+    // a2 at 30 deg (0.134 from c0, 0.034 from a1) -> near NOTHING that
+    // remains: must land, even though (a1, a2) is an intra-batch pair
+    def ang(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat, 0f, 0f)
+    val batch = Seq(("a1", doc.id, "t1", ang(15), 1),
+        ("a2", doc.id, "t2", ang(30), 2))
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    assert(StreamingIngest.ingestDedupGatedBatch(e, "chlib", batch, 0.05) == 1L)
+    assert(e.chunkCount("chlib") == 2)
+    assert(e.getChunk("a2").text == "t2")
+    intercept[NotFoundError] { e.getChunk("a1") }
+  }
+
   test("chunk-stream ingest e2e through the facade: MemoryStream -> " +
     "foreachBatch -> addChunksDf, no dupes on replay, post-stream search") {
     import graft.engine._
