@@ -1095,11 +1095,10 @@ final class VectorEngine private (val spark: SparkSession,
       .head().getAs[Long]("bad")
     if (badDim > 0)
       throw ValidationError(s"embedding dimension != library dimension $dim")
-    val m = matrices(libraryId).matrix.map(_.toArray).toArray
     NearDup.incrementalEmbeddingNearDupPairs(
         chunks.where(col("library_id") === libraryId).toDF(),
         batch.select(col("id"), col("embedding").cast("array<float>")),
-        col("id"), col("embedding"), m, threshold,
+        col("id"), col("embedding"), lshProjectionMatrix(libraryId), threshold,
         existingBucket = Some(col("bucket")))
       .withColumnRenamed("arriving_id", "batch_id")
       .withColumnRenamed("existing_id", "chunk_id")

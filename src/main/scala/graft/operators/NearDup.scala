@@ -203,6 +203,23 @@ object NearDup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Rounded cosine pair distance between the `l`- and `r`-aliased sides
+    * of a joined pair frame (each side carrying `emb` + precomputed `nrm`
+    * columns): +Inf on a zero norm, ONE fused dot product per pair,
+    * `round(raw, 6) + 0.0` — the distance contract shared by the batch
+    * and incremental embedding near-dup variants (the threshold compares
+    * the ROUNDED value, so results reproduce bit-for-bit across
+    * engines; IEEE -0.0 is normalized away). */
+  private def pairDistance(l: String, r: String): Column = {
+    import graft.functions.VectorExpressions
+    val raw = when(col(s"$l.nrm") === 0.0d || col(s"$r.nrm") === 0.0d,
+        lit(Double.PositiveInfinity))
+      .otherwise(lit(1.0d) -
+        VectorExpressions.dotProduct(col(s"$l.emb"), col(s"$r.emb")) /
+          (col(s"$l.nrm") * col(s"$r.nrm")))
+    round(raw, 6) + lit(0.0d)
+  }
+
   /** Embedding-cosine near-dup pairs with NO blocking column required: the
     * block key is a derived sign-bit LSH bucket of the embedding itself
     * (the same kernel the vector index uses), so the operator runs on any
@@ -248,15 +265,10 @@ object NearDup {
       else array(col("bucket"))
     val b = base.withColumn("probe", explode(probes))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1)).cast("array<bigint>")))
-    val rawDist = when(col("a.nrm") === 0.0d || col("b.nrm") === 0.0d,
-        lit(Double.PositiveInfinity))
-      .otherwise(lit(1.0d) -
-        VectorExpressions.dotProduct(col("a.emb"), col("b.emb")) /
-          (col("a.nrm") * col("b.nrm")))
     a.as("a").join(b.as("b"),
         col("a.bucket") === col("b.probe") && col("a.salt") === col("b.salt") &&
           col("a.id") < col("b.id"))
-      .withColumn("distance", round(rawDist, 6) + lit(0.0d))
+      .withColumn("distance", pairDistance("a", "b"))
       .where(col("distance") <= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("distance"))
   }
@@ -303,13 +315,8 @@ object NearDup {
       .withColumn("bucket", VectorExpressions.lshBucket(col("emb"), matrix))
       .withColumn("nrm", nrm(col("emb")))
       .withColumn("probe", explode(probes))
-    val rawDist = when(col("e.nrm") === 0.0d || col("a.nrm") === 0.0d,
-        lit(Double.PositiveInfinity))
-      .otherwise(lit(1.0d) -
-        VectorExpressions.dotProduct(col("e.emb"), col("a.emb")) /
-          (col("e.nrm") * col("a.nrm")))
     ex.as("e").join(broadcast(arr.as("a")), col("e.bucket") === col("a.probe"))
-      .withColumn("distance", round(rawDist, 6) + lit(0.0d))
+      .withColumn("distance", pairDistance("e", "a"))
       .where(col("distance") <= threshold)
       .select(col("a.id").as("arriving_id"), col("e.id").as("existing_id"),
         col("distance"))

@@ -155,11 +155,11 @@ object StreamingIngest {
         corpusSurvivors, col("id"), col("embedding"),
         engine.lshProjectionMatrix(libraryId), threshold)
       .select(col("id_b").as("id")).distinct()
+    // no third pin: with corpusSurvivors materialized, re-executing this
+    // anti-join per addChunksDf action costs O(batch) — the corpus scan
+    // behind corpusLosers never re-runs — and addChunksDf pins its own
+    // derived batch for the histogram path anyway
     val fresh = corpusSurvivors.join(intraLosers, Seq("id"), "left_anti")
-      // pinned: addChunksDf runs several actions over its input
-      // (validation aggregate, histogram upkeep, parent refresh) — the
-      // gate joins above must run once per batch, not once per action
-      .localCheckpoint()
     engine.addChunksDf(libraryId, fresh)
   }
 
