@@ -82,11 +82,16 @@ object Bench {
 
     val model = IvfIndex.train(emb, col("embedding"), c = 8, iters = 3)
     val cells = IvfIndex.withCell(emb, col("embedding"), model).localCheckpoint()
-    val ivf = avg(queries.map { case (id, q) =>
-      val got = topIds(IvfIndex.search(cells, "embedding", "vec_id", model, q,
-        nprobe = 6, "cosine", 10))
-      (flatCos(id) intersect got).size.toDouble / flatCos(id).size
-    })
+    // nprobe sweep, same rationale as the multiplier sweep: cell-quality
+    // regressions show as a recall drop at FIXED probe width
+    val ivfSweep = Seq(2, 4, 6).map { np =>
+      np -> avg(queries.map { case (id, q) =>
+        val got = topIds(IvfIndex.search(cells, "embedding", "vec_id", model, q,
+          nprobe = np, "cosine", 10))
+        (flatCos(id) intersect got).size.toDouble / flatCos(id).size
+      })
+    }.toMap
+    val ivf = ivfSweep(6)
 
     val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
     val sq8 = avg(queries.map { case (id, q) =>
@@ -94,11 +99,26 @@ object Bench {
         k = 10, rescore = 50, metric = "euclidean"))
       (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
     })
+
+    // PQ at 32x compression (M=8, K=16): trained here (seeded, same
+    // params as the committed fixture) so the number tracks codebook
+    // quality at THIS scale factor
+    val pqModel = graft.operators.ProductQuantization.train(
+      emb, col("embedding"), dim = 64, numSub = 8, k = 16, iters = 3)
+    val pqEncoded = graft.operators.ProductQuantization.encode(
+      emb, col("embedding"), pqModel).localCheckpoint()
+    val pq = avg(queries.map { case (id, q) =>
+      val got = topIds(graft.operators.ProductQuantization.search(
+        pqEncoded, "embedding", "vec_id", pqModel, q, k = 10, rescore = 50))
+      (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
+    })
     // 4dp is plenty for a 10-query recall average, and keeps the compact
     // stdout line (8 recall keys now) safely under its 500-char budget
     (Map("lsh_bucket" -> lsh, "lsh_multiprobe" -> lshMp,
-      "lsh_adaptive" -> lshAd, "ivf_c8_nprobe6" -> ivf, "sq8_r50" -> sq8) ++
-      lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r })
+      "lsh_adaptive" -> lshAd, "ivf_c8_nprobe6" -> ivf, "sq8_r50" -> sq8,
+      "pq_m8k16_r50" -> pq) ++
+      lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r } ++
+      ivfSweep.map { case (np, r) => s"ivf_c8_nprobe$np" -> r })
       .map { case (k, v) => k -> math.rint(v * 10000) / 10000 }
   }
 

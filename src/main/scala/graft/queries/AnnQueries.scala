@@ -189,8 +189,76 @@ object AnnQueries {
        |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
 
+  /** PRODUCT QUANTIZATION (PQ) search — the compression rung past SQ8:
+    * stored per-subspace codes (committed codebook fixture, trained once
+    * by MakeFixtures like the IVF centroids), asymmetric-distance (ADC)
+    * approximate top-R scanning ONLY the codes, exact euclidean rescore.
+    * The oracle replays every stage — per-subspace argmin encoding, the
+    * LUT arithmetic (explicit left-associated + chains so every double
+    * adds in the same order as the Scala loop), the R candidate cut, and
+    * the rescore — so the quantizer and the candidate SET are gated, not
+    * just the final distances. */
+  private val PqSub = graft.tools.MakeFixtures.PqSub
+  private[queries] val PqFixturePath: String = {
+    val dir = sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .getOrElse(new java.io.File("fixtures").getAbsolutePath)
+    s"$dir/pq_codebooks.parquet"
+  }
+  private[queries] val PqFixtureSql =
+    s"read_parquet('$PqFixturePath/*.parquet')"
+
+  private[graft] def fixturePqModel(
+      s: org.apache.spark.sql.SparkSession): graft.operators.ProductQuantization.Model = {
+    val rows = s.read.parquet(PqFixturePath)
+      .select("sub", "cid", "cv")
+      .collect()
+      .map(r => (r.getInt(0), IvfIndex.Centroid(r.getLong(1), r.getSeq[Float](2).toArray)))
+    (0 until PqSub).map(m =>
+      rows.filter(_._1 == m).map(_._2).sortBy(_.id).toSeq)
+  }
+
+  private val pqTopk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val model = fixturePqModel(s)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val encoded = graft.operators.ProductQuantization.encode(
+      emb, col("embedding"), model)
+    graft.operators.ProductQuantization.search(encoded, "embedding", "vec_id",
+      model, query, K, Rescore)
+  }
+
+  private val pqTopkSql: String = {
+    val dsub = 64 / PqSub
+    // left-associated + chains: the SQL parser and the Scala fold add in
+    // the same ascending order, so the doubles agree bit-for-bit
+    val termChain = (1 to dsub)
+      .map(i => s"(qs[$i]-cv[$i])*(qs[$i]-cv[$i])").mkString(" + ")
+    val approxChain = (1 to PqSub).map(m => s"ts[$m]").mkString(" + ")
+    s"""WITH cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqFixtureSql),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |a AS (SELECT e.vec_id, cb.sub, cb.cid, cb.cv,
+       |        row_number() OVER (PARTITION BY e.vec_id, cb.sub
+       |          ORDER BY list_distance(list_slice(e.v, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
+       |      FROM e, cb),
+       |sel AS (SELECT vec_id, sub, cv FROM a WHERE rn = 1),
+       |t0 AS (SELECT sel.vec_id, sel.sub, sel.cv,
+       |         list_slice(q.qv, sel.sub*$dsub+1, sel.sub*$dsub+$dsub) AS qs
+       |       FROM sel, q),
+       |t AS (SELECT vec_id, sub, $termChain AS term FROM t0),
+       |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
+       |d AS (SELECT vec_id, $approxChain AS approx FROM l),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) + 0 AS distance
+       |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
+    Q("ann_pq_topk", pqTopk, Some(pqTopkSql)),
     Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
     Q("ann_sq8_cosine", sq8Cosine, Some(sq8CosineSql)),
     Q("ann_ivf_sq8_topk", ivfSq8Topk, Some(ivfSq8TopkSql)),

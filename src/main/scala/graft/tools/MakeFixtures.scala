@@ -28,6 +28,12 @@ object MakeFixtures {
   val Cells = 64
   val Iters = 3
   val Seed = 42L
+  // PQ codebook fixture: 8 subspaces x 16 centroids over dim 64 (dsub=8).
+  // K=16 keeps the oracle's argmin replay cheap at sf0.01; a production
+  // deployment would use K=256 (one byte per code) — the operator takes
+  // both, only the committed gate constants are small.
+  val PqSub = 8
+  val PqK = 16
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -46,6 +52,17 @@ object MakeFixtures {
       .select(col("cid"), col("cv").cast("array<float>").as("cv"))
       .coalesce(1).write.mode("overwrite").parquet(out)
     println(s"wrote ${model.size} centroids (dim ${model.head.vec.length}) to $out")
+    val pqOut = if (args.length > 2) args(2) else "fixtures/pq_codebooks.parquet"
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val pq = graft.operators.ProductQuantization.train(
+      emb, col("embedding"), dim, PqSub, PqK, iters = Iters, seed = Seed)
+    pq.zipWithIndex.flatMap { case (cb, m) =>
+      cb.map(c => (m, c.id, c.vec.toSeq))
+    }.toDF("sub", "cid", "cv")
+      .select(col("sub"), col("cid"), col("cv").cast("array<float>").as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(pqOut)
+    println(s"wrote ${pq.size} x ${pq.head.size} PQ codebooks to $pqOut")
     spark.stop()
   }
 }

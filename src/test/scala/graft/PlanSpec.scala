@@ -107,6 +107,30 @@ class PlanSpec extends AnyFunSuite {
     assert(result.count() == 10)
   }
 
+  test("pq search on a STORED-codes table: the ADC phase scans only " +
+    "pq_codes (numSub bytes-ish per row, not dim x 4); rescore is a " +
+    "broadcast semi-join") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.queries.AnnQueries.fixturePqModel(spark)
+    graft.operators.ProductQuantization.encode(emb, col("embedding"), model)
+      .select("vec_id", "embedding", "pq_codes")
+      .write.mode("overwrite").parquet(s"$tmp/encoded")
+    val stored = spark.read.parquet(s"$tmp/encoded")
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val result = graft.operators.ProductQuantization.search(
+      stored, "embedding", "vec_id", model, q, k = 10, rescore = 50)
+    val p = result.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("pq_codes") && !l.contains("embedding")),
+      s"no codes-only scan — the ADC phase reads full vectors:\n${scans.mkString("\n")}")
+    assert(result.count() == 10)
+  }
+
   test("events_interval_join: equi-join on the key with the time range as " +
     "a post-filter — never a nested loop over the pair space") {
     val p = plan("events_interval_join")
