@@ -256,9 +256,67 @@ object AnnQueries {
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
   }
 
+  /** IVF x PQ COMPOSITION — the canonical billion-vector index (FAISS's
+    * IVFPQ): the stored cell column prunes the scan to nprobe/C of the
+    * rows, the PQ codes cut the scanned bytes of that remainder ~32x, and
+    * only the R ADC survivors are rescored against full float32 vectors.
+    * Literally `withCell` + cell filter feeding
+    * `ProductQuantization.search` — operator composition, no new code;
+    * the oracle replays cell assignment, probe selection, the per-
+    * subspace encode, the ADC cut, and the rescore. */
+  private val ivfPqTopk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val centroids = fixtureCentroids(s)
+    val model = fixturePqModel(s)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val indexed = graft.operators.ProductQuantization.encode(
+      IvfIndex.withCell(emb, col("embedding"), centroids),
+      col("embedding"), model)
+    val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
+    graft.operators.ProductQuantization.search(
+      indexed.where(col("cell").isin(probed: _*)),
+      "embedding", "vec_id", model, query, K, Rescore)
+  }
+
+  private val ivfPqTopkSql: String = {
+    val dsub = 64 / PqSub
+    val termChain = (1 to dsub)
+      .map(i => s"(qs[$i]-cv[$i])*(qs[$i]-cv[$i])").mkString(" + ")
+    val approxChain = (1 to PqSub).map(m => s"ts[$m]").mkString(" + ")
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM $FixtureSql),
+       |cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqFixtureSql),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |ca AS (SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |       FROM e, c),
+       |cell AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe),
+       |p AS (SELECT vec_id, v FROM cell WHERE cid IN (SELECT cid FROM probe)),
+       |a AS (SELECT p.vec_id, cb.sub, cb.cid, cb.cv,
+       |        row_number() OVER (PARTITION BY p.vec_id, cb.sub
+       |          ORDER BY list_distance(list_slice(p.v, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
+       |      FROM p, cb),
+       |sel AS (SELECT vec_id, sub, cv FROM a WHERE rn = 1),
+       |t0 AS (SELECT sel.vec_id, sel.sub, sel.cv,
+       |         list_slice(q.qv, sel.sub*$dsub+1, sel.sub*$dsub+$dsub) AS qs
+       |       FROM sel, q),
+       |t AS (SELECT vec_id, sub, $termChain AS term FROM t0),
+       |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
+       |d AS (SELECT vec_id, $approxChain AS approx FROM l),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT p.vec_id, round(list_distance(p.v, q.qv), 6) + 0 AS distance
+       |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     Q("ann_pq_topk", pqTopk, Some(pqTopkSql)),
+    Q("ann_ivf_pq_topk", ivfPqTopk, Some(ivfPqTopkSql)),
     Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
     Q("ann_sq8_cosine", sq8Cosine, Some(sq8CosineSql)),
     Q("ann_ivf_sq8_topk", ivfSq8Topk, Some(ivfSq8TopkSql)),
