@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.{MetadataFunctions, VectorExpressions}
-import graft.operators.{IvfIndex, LshIndex, NearDup, Quantization}
+import graft.operators.{IvfIndex, LshIndex, NearDup, ProductQuantization, Quantization}
 import java.sql.Timestamp
 import java.nio.file.{Files, Paths}
 
@@ -39,6 +39,9 @@ final class VectorEngine private (val spark: SparkSession,
   private var chunks: Dataset[ChunkRow] = spark.emptyDataset[ChunkRow]
   /** Per-library LSH projection matrix (only for index_kind=random_projection). */
   private var matrices: Map[String, MatrixRow] = Map.empty
+  // storage="pq" codebooks, keyed by library — index metadata like the
+  // IVF centroid models (persisted as pq_codebooks.parquet)
+  private var pqModels: Map[String, ProductQuantization.Model] = Map.empty
   /** Per-library IVF centroid model (only for index_kind=ivf) — index
     * metadata exactly like the LSH matrix: O(C x dim), persisted beside it,
     * and the stored `bucket` column holds the chunk's CELL id. */
@@ -221,6 +224,12 @@ final class VectorEngine private (val spark: SparkSession,
       throw ValidationError(s"unknown storage: $storage")
     if (storage == StorageSq8 && indexKind == IndexKindLsh)
       throw ValidationError("sq8 storage requires a flat or ivf index kind")
+    if (storage == StoragePq && indexKind == IndexKindLsh)
+      throw ValidationError("pq storage requires a flat or ivf index kind")
+    // ADC sums per-subspace squared L2 terms — the decomposition that
+    // makes PQ work only exists for euclidean
+    if (storage == StoragePq && metric != "euclidean")
+      throw ValidationError("pq storage requires the euclidean metric")
     val lid = id.getOrElse(newId())
     if (findLibrary(lid).isDefined)
       throw ConflictError(s"library already exists: $lid")
@@ -278,6 +287,12 @@ final class VectorEngine private (val spark: SparkSession,
     // the approximate kernel just scores the new metric over them.
     if (cur.storage == StorageSq8 && indexKind.contains(IndexKindLsh))
       throw ValidationError("sq8 storage requires a flat or ivf index kind")
+    if (cur.storage == StoragePq && indexKind.contains(IndexKindLsh))
+      throw ValidationError("pq storage requires a flat or ivf index kind")
+    // unlike sq8 (metric-independent codes), pq codes only rank under
+    // euclidean — the metric is pinned at creation
+    if (cur.storage == StoragePq && metric.exists(_ != "euclidean"))
+      throw ValidationError("pq storage requires the euclidean metric")
     val next = cur.copy(
       name = name.getOrElse(cur.name),
       description = description.getOrElse(cur.description),
@@ -533,9 +548,16 @@ final class VectorEngine private (val spark: SparkSession,
     val rows = batch.map { c =>
       val enc = if (lib.storage == StorageSq8) Some(sq8EncodeLocal(c.embedding))
                 else None
+      val pqCodes =
+        if (lib.storage == StoragePq)
+          Some(ProductQuantization.encodeLocal(
+            pqModels.getOrElse(lib.id, throw ValidationError(
+              "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest")),
+            c.embedding))
+        else None
       ChunkRow(c.id.getOrElse(newId()), doc.id, lib.id, c.text, c.embedding,
         encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)),
-        enc.map(_._1), enc.map(_._2), enc.map(_._3), t, t)
+        enc.map(_._1), enc.map(_._2), enc.map(_._3).orElse(pqCodes), t, t)
     }
     chunks = chunks.unionByName(rows.toDS())
     histUpdate(lib.id, rows.flatMap(_.bucket).groupBy(identity)
@@ -626,6 +648,18 @@ final class VectorEngine private (val spark: SparkSession,
     // float32 libraries carry nulls.
     val withCodes =
       if (lib.storage == StorageSq8) Quantization.encode(base, col("embedding"))
+      else if (lib.storage == StoragePq) base
+        // PQ codes live in the shared `codes` column (qmin/qmax stay
+        // null — the library row's storage kind says how to read them);
+        // ingest REQUIRES installed codebooks, like ivf requires a model
+        // before cells can be derived
+        .withColumn("qmin", lit(null).cast("double"))
+        .withColumn("qmax", lit(null).cast("double"))
+        .withColumn("codes",
+          ProductQuantization.codesColumn(col("embedding"),
+            pqModels.getOrElse(libraryId, throw ValidationError(
+              "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest")))
+            .cast("array<int>"))
       else base
         .withColumn("qmin", lit(null).cast("double"))
         .withColumn("qmax", lit(null).cast("double"))
@@ -800,6 +834,78 @@ final class VectorEngine private (val spark: SparkSession,
     asPairs
   }
 
+  /** Install the PQ codebooks of a storage="pq" library — index metadata
+    * exactly like setIvfCentroids: validated, then the stored codes of
+    * everything already ingested are re-derived in one projection (no
+    * shuffle). `codebooks` rows are (sub, cid, vec); subs must be
+    * contiguous from 0, every subspace the same K with distinct cids, and
+    * numSub must divide the library dimension. */
+  def setPqCodebooks(libraryId: String,
+                     codebooks: Seq[(Int, Long, Seq[Float])]): Unit = {
+    val lib = getLibrary(libraryId)
+    if (lib.storage != StoragePq)
+      throw ValidationError(s"library storage is ${lib.storage}, not $StoragePq")
+    if (codebooks.isEmpty) throw ValidationError("need at least one codebook row")
+    val bySub = codebooks.groupBy(_._1)
+    val numSub = bySub.size
+    if (bySub.keySet != (0 until numSub).toSet)
+      throw ValidationError(s"subspaces must be contiguous 0..${numSub - 1}")
+    if (lib.embedding_dimension % numSub != 0)
+      throw ValidationError(
+        s"numSub $numSub must divide library dimension ${lib.embedding_dimension}")
+    val dsub = lib.embedding_dimension / numSub
+    if (bySub.values.map(_.size).toSet.size != 1)
+      throw ValidationError("every subspace needs the same number of centroids")
+    codebooks.foreach { case (m, cid, v) =>
+      if (v.length != dsub)
+        throw ValidationError(
+          s"codebook ($m, $cid) dimension ${v.length} != subvector dimension $dsub")
+      if (v.exists(f => f.isNaN || f.isInfinite))
+        throw ValidationError(s"codebook ($m, $cid) must be finite")
+    }
+    bySub.foreach { case (m, rows) =>
+      if (rows.map(_._2).distinct.size != rows.size)
+        throw ValidationError(s"duplicate centroid ids in subspace $m")
+    }
+    val model: ProductQuantization.Model = (0 until numSub).map(m =>
+      bySub(m).sortBy(_._2)
+        .map { case (_, cid, v) => IvfIndex.Centroid(cid, v.toArray) })
+    pqModels += libraryId -> model
+    // re-derive the stored codes of everything already ingested (one
+    // projection over this library's partition — no shuffle)
+    chunks = chunks.toDF()
+      .withColumn("codes",
+        when(col("library_id") === libraryId,
+          ProductQuantization.codesColumn(col("embedding"), model)
+            .cast("array<int>"))
+          .otherwise(col("codes")))
+      .as[ChunkRow]
+    touchLibrary(libraryId, now())
+    markDirty(libraryId)
+    afterMutation()
+  }
+
+  /** Train per-subspace PQ codebooks on the library's own chunks (seeded
+    * k-means per slice — ProductQuantization.train) and install them.
+    * Returns the (sub, cid, vec) rows so a caller can persist/replay. */
+  def trainPqCodebooks(libraryId: String, numSub: Int, k: Int,
+                       iters: Int = 3,
+                       seed: Long = 42L): Seq[(Int, Long, Seq[Float])] = {
+    val lib = getLibrary(libraryId)
+    if (lib.storage != StoragePq)
+      throw ValidationError(s"library storage is ${lib.storage}, not $StoragePq")
+    if (chunkCount(libraryId) == 0)
+      throw ValidationError("cannot train PQ codebooks on an empty library")
+    val model = ProductQuantization.train(
+      chunks.where(col("library_id") === libraryId).toDF(),
+      col("embedding"), lib.embedding_dimension, numSub, k, iters, seed)
+    val rows = model.zipWithIndex.flatMap { case (cb, m) =>
+      cb.map(c => (m, c.id, c.vec.toSeq))
+    }
+    setPqCodebooks(libraryId, rows)
+    rows
+  }
+
   // -------------------------------------------------------------------
   // Search (§3.1: api.py:279-293 -> services.py:164-181 ->
   // vector_store.py:230-259 -> indexes.py search)
@@ -864,6 +970,12 @@ final class VectorEngine private (val spark: SparkSession,
       if (lib.storage == StorageSq8)
         Quantization.search(base.toDF(), "embedding", "id", query.toArray,
           k, math.max(k, rescore), lib.distance_metric)
+      else if (lib.storage == StoragePq && pqModels.contains(libraryId))
+        // same two-phase shape: ADC over the stored codes (compact-only
+        // scan), exact euclidean rescore of the R survivors
+        ProductQuantization.search(base.toDF(), "embedding", "id",
+          pqModels(libraryId), query.toArray, k, math.max(k, rescore),
+          codesCol = "codes")
       else base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
         .withColumn("distance",
           round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
@@ -996,6 +1108,8 @@ final class VectorEngine private (val spark: SparkSession,
     val dataCols: Seq[Column] =
       if (lib.storage == StorageSq8)
         Seq(col("codes"), col("qmin"), col("qmax"))
+      else if (lib.storage == StoragePq && pqModels.contains(libraryId))
+        Seq(col("codes"))
       else Seq(col("embedding"))
     val pairCols = Seq(col("query_id"), col("id")) ++ dataCols :+ col("qvec")
     val pairs: DataFrame = probePlan match {
@@ -1040,6 +1154,36 @@ final class VectorEngine private (val spark: SparkSession,
           .withColumn("approx", VectorExpressions.sq8DistanceBatch(
             col("codes"), col("qmin"), col("qmax"), col("qvec"),
             lib.distance_metric))
+          .select(col("query_id"), col("id"), col("approx"))
+        val survivors = graft.operators.TopK
+          .perGroup(approx, "query_id", "approx", "id", r)
+          .select(col("query_id"), col("id"))
+        scoped.select(col("id"), col("embedding"))
+          .join(broadcast(survivors), Seq("id"))
+          .join(broadcast(qDf), Seq("query_id"))
+          .withColumn("distance",
+            round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+              + lit(0.0d))
+          .select(col("query_id"), col("id"), col("distance"))
+      } else if (lib.storage == StoragePq && pqModels.contains(libraryId)) {
+        // batch ADC: each query's M x K lookup table rides in as a
+        // broadcast column (the same doubles the single-query path embeds
+        // as literals, added in the same order — batch results are
+        // bit-identical to Q single searches, like sq8), approx top-R per
+        // query on the codes, ONE exact-rescore join for O(Q x R) rows
+        val model = pqModels(libraryId)
+        val r = math.max(k, rescore)
+        val luts = queries.map { case (qid, q) =>
+          (qid, ProductQuantization.adcLut(model, q.toArray)
+            .map(_.toSeq).toSeq)
+        }
+        val lutDf = broadcast(luts.toDF("query_id", "__lut"))
+        val approxCol = model.indices.map { m =>
+          element_at(element_at(col("__lut"), m + 1),
+            col("codes").getItem(m).cast("int") + lit(1))
+        }.reduce(_ + _)
+        val approx = pairs.join(lutDf, Seq("query_id"))
+          .withColumn("approx", approxCol)
           .select(col("query_id"), col("id"), col("approx"))
         val survivors = graft.operators.TopK
           .perGroup(approx, "query_id", "approx", "id", r)
@@ -1150,6 +1294,12 @@ final class VectorEngine private (val spark: SparkSession,
         .flatMap { case (lid, cs) => cs.map(ct => CentroidRow(lid, ct.id, ct.vec.toSeq)) }
         .toDS().toDF().write.mode("overwrite")
         .parquet(s"$base/centroids.parquet")
+      pqModels.toSeq
+        .flatMap { case (lid, model) =>
+          model.zipWithIndex.flatMap { case (cb, m) =>
+            cb.map(c => PqRow(lid, m, c.id, c.vec.toSeq)) } }
+        .toDS().toDF().write.mode("overwrite")
+        .parquet(s"$base/pq_codebooks.parquet")
       // flush stale histograms (once per cascade-deleted library), then
       // persist them as index metadata beside the matrices — a reopened
       // engine's adaptive probes never aggregate the chunks table
@@ -1298,6 +1448,20 @@ final class VectorEngine private (val spark: SparkSession,
           lid -> rows.sortBy(_.cid)
             .map(r => IvfIndex.Centroid(r.cid, r.vec.toArray)).toSeq
         }
+    // pq_codebooks.parquet may be absent in state dirs written before PQ
+    // storage existed — treat as "no PQ models", not an error
+    val pqPath = new org.apache.hadoop.fs.Path(s"$base/pq_codebooks.parquet")
+    val pqFs = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pqModels =
+      if (!pqFs.exists(pqPath)) Map.empty
+      else spark.read.parquet(s"$base/pq_codebooks.parquet").as[PqRow]
+        .collect().groupBy(_.library_id)
+        .map { case (lid, rows) =>
+          val bySub = rows.groupBy(_.sub)
+          lid -> (0 until bySub.size).map(m =>
+            bySub(m).sortBy(_.cid)
+              .map(r => IvfIndex.Centroid(r.cid, r.vec.toArray)).toSeq)
+        }
     lastSaveDir = Some(dir)
     lastSaveHadChunks = !chunks.isEmpty
     dirtyLibs = Set.empty
@@ -1361,6 +1525,22 @@ final class VectorEngine private (val spark: SparkSession,
       }
       afterMutation()
     }
+    // pq codes are derived index keys too: heal them from the installed
+    // codebooks the same way (sq8 codes need no healing — they derive
+    // from the vector alone and are written by the same ingest plan)
+    val pqLibs = allLibs.filter(l =>
+      l.storage == StoragePq && pqModels.contains(l.id))
+    if (pqLibs.nonEmpty) {
+      val codesCol = pqLibs.foldLeft(col("codes")) { (acc, l) =>
+        when(col("library_id") === l.id,
+          ProductQuantization.codesColumn(col("embedding"), pqModels(l.id))
+            .cast("array<int>"))
+          .otherwise(acc)
+      }
+      chunks = chunks.toDF().withColumn("codes", codesCol).as[ChunkRow]
+      pqLibs.foreach(l => markDirty(l.id))
+      afterMutation()
+    }
   }
 
   // -------------------------------------------------------------------
@@ -1400,7 +1580,8 @@ object VectorEngine {
     * to O(k), so quantizing the probe scan buys little). Immutable. */
   val StorageFloat32 = "float32"
   val StorageSq8 = "sq8"
-  val SupportedStorage: Set[String] = Set(StorageFloat32, StorageSq8)
+  val StoragePq = "pq"
+  val SupportedStorage: Set[String] = Set(StorageFloat32, StorageSq8, StoragePq)
 
   /** Default SQ8 rescore depth: the approximate phase keeps
     * max(k, rescore) candidates for the exact phase (recall@10 = 1.0 at
@@ -1425,6 +1606,11 @@ object VectorEngine {
   /** Persisted IVF centroid model row (one row per centroid — the ivf
     * analog of MatrixRow, saved as `centroids.parquet`). */
   final case class CentroidRow(library_id: String, cid: Long, vec: Seq[Float])
+
+  /** Persisted PQ codebook row (one per (library, subspace, centroid) —
+    * the pq analog of CentroidRow, saved as `pq_codebooks.parquet`). */
+  final case class PqRow(library_id: String, sub: Int, cid: Long,
+                         vec: Seq[Float])
 
   /** Persisted LSH bucket-histogram row (<= 2^P per library, saved as
     * `histograms.parquet` — the adaptive probe's index metadata). */

@@ -61,16 +61,43 @@ object ProductQuantization {
     }
   }
 
-  /** Stored-codes column: `pq_codes[m]` = nearest centroid id of subvector
+  /** The codes expression: element m = nearest centroid id of subvector
     * m (array<bigint>, one fused argmin kernel per subspace). */
-  def encode(df: DataFrame, emb: Column, model: Model): DataFrame = {
+  def codesColumn(emb: Column, model: Model): Column = {
     val dsub = model.head.head.vec.length
-    val codes = model.zipWithIndex.map { case (cb, m) =>
+    array(model.zipWithIndex.map { case (cb, m) =>
       val sorted = cb.sortBy(_.id)
       VectorExpressions.nearestCell(slice(emb, m * dsub + 1, dsub),
         sorted.map(_.id).toArray, sorted.map(_.vec).toArray)
+    }: _*)
+  }
+
+  /** Stored-codes column under the conventional `pq_codes` name. */
+  def encode(df: DataFrame, emb: Column, model: Model): DataFrame =
+    df.withColumn("pq_codes", codesColumn(emb, model))
+
+  /** Driver-side twin of [[codesColumn]] for single-row adds — the same
+    * per-subspace sqrt'd-distance argmin with strict < (smallest cid wins
+    * ties) as the NearestCellExpr kernel, so a chunk added singly and one
+    * ingested in bulk carry identical codes. */
+  def encodeLocal(model: Model, v: Seq[Float]): Seq[Int] = {
+    val dsub = model.head.head.vec.length
+    model.zipWithIndex.map { case (cb, m) =>
+      var best = Double.PositiveInfinity
+      var bestId = 0L
+      cb.sortBy(_.id).foreach { c =>
+        var acc = 0.0d
+        var i = 0
+        while (i < dsub) {
+          val d = v(m * dsub + i).toDouble - c.vec(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        val dist = math.sqrt(acc)
+        if (dist < best) { best = dist; bestId = c.id }
+      }
+      bestId.toInt
     }
-    df.withColumn("pq_codes", array(codes: _*))
   }
 
   /** ADC lookup table: lut(m)(c) = squared L2 distance of query subvector
@@ -101,17 +128,17 @@ object ProductQuantization {
     * every other search path). Output: (idCol, distance). */
   def search(encoded: DataFrame, embCol: String, idCol: String,
              model: Model, query: Array[Float], k: Int,
-             rescore: Int): DataFrame = {
+             rescore: Int, codesCol: String = "pq_codes"): DataFrame = {
     require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
     val lut = adcLut(model, query)
     // sum over subspaces, ascending m, left-associated — the oracle's
     // explicit + chain adds in the same order
     val approx = lut.zipWithIndex.map { case (l, m) =>
       element_at(array(l.toIndexedSeq.map(lit): _*),
-        col("pq_codes").getItem(m).cast("int") + lit(1))
+        col(codesCol).getItem(m).cast("int") + lit(1))
     }.reduce(_ + _)
     val candidates = encoded
-      .select(col(idCol), col("pq_codes"))
+      .select(col(idCol), col(codesCol))
       .withColumn("approx", approx)
       .orderBy(col("approx"), col(idCol))
       .limit(rescore)

@@ -218,6 +218,13 @@ object AnnQueries {
       rows.filter(_._1 == m).map(_._2).sortBy(_.id).toSeq)
   }
 
+  /** The fixture codebooks as setPqCodebooks rows. */
+  private[queries] def fixturePqRows(
+      s: org.apache.spark.sql.SparkSession): Seq[(Int, Long, Seq[Float])] =
+    fixturePqModel(s).zipWithIndex.flatMap { case (cb, m) =>
+      cb.map(c => (m, c.id, c.vec.toSeq))
+    }
+
   private val pqTopk: QueryFn = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     val model = fixturePqModel(s)

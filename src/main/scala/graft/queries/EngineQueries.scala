@@ -32,6 +32,8 @@ object EngineQueries {
     if (kind == VectorEngine.IndexKindIvf)
       eng.setIvfCentroids(lib.id,
         AnnQueries.fixtureCentroids(s).map(c => c.id -> c.vec.toSeq))
+    if (storage == VectorEngine.StoragePq)
+      eng.setPqCodebooks(lib.id, AnnQueries.fixturePqRows(s))
     eng.addDocumentsDf(lib.id, table(s, dir, "embeddings")
       .select(concat(lit("doc-"), col("label")).as("id"))
       .distinct()
@@ -270,6 +272,64 @@ object EngineQueries {
        |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }
 
+  /** Full persistence round-trip for an ivf library with storage="pq" —
+    * the IVFPQ engine shape: codebooks installed BEFORE ingest (codes
+    * derived inside the bulk-ingest plan and persisted in-row in the
+    * shared codes column), centroid model + codebooks persisted as index
+    * metadata, then a reopened `search()` runs the full funnel — nprobe
+    * cell prune (with the `< k` exhaustive fallback), ADC top-R over the
+    * stored codes only, exact O(R) euclidean rescore. The oracle replays
+    * every stage. */
+  private val ivfPqPersisted: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindIvf,
+      deleteDoc7 = false, metric = "euclidean", storage = VectorEngine.StoragePq)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.search(lib, queryVec(s, dir), k = 10)
+  }
+
+  private val ivfPqPersistedSql: String = {
+    val nprobe = VectorEngine.DefaultIvfNProbe
+    val r = VectorEngine.DefaultSq8Rescore
+    val dsub = 8
+    val numSub = 8
+    val termChain = (1 to dsub)
+      .map(i => s"(qs[$i]-cv[$i])*(qs[$i]-cv[$i])").mkString(" + ")
+    val approxChain = (1 to numSub).map(m => s"ts[$m]").mkString(" + ")
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.FixtureSql}),
+       |cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.PqFixtureSql}),
+       |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a0 AS (SELECT e.chunk_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.chunk_id
+       |                            ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |       FROM e, c),
+       |cell AS (SELECT chunk_id, v, cid FROM a0 WHERE rn = 1),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $nprobe),
+       |cand AS (SELECT chunk_id, v FROM cell
+       |         WHERE cid IN (SELECT cid FROM probe)),
+       |base AS (
+       |  SELECT chunk_id, v FROM cand WHERE (SELECT count(*) FROM cand) >= 10
+       |  UNION ALL
+       |  SELECT chunk_id, v FROM cell WHERE (SELECT count(*) FROM cand) < 10
+       |),
+       |a AS (SELECT base.chunk_id, cb.sub, cb.cid, cb.cv,
+       |        row_number() OVER (PARTITION BY base.chunk_id, cb.sub
+       |          ORDER BY list_distance(list_slice(base.v, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
+       |      FROM base, cb),
+       |sel AS (SELECT chunk_id, sub, cv FROM a WHERE rn = 1),
+       |t0 AS (SELECT sel.chunk_id, sel.sub, sel.cv,
+       |         list_slice(q.qv, sel.sub*$dsub+1, sel.sub*$dsub+$dsub) AS qs
+       |       FROM sel, q),
+       |t AS (SELECT chunk_id, sub, $termChain AS term FROM t0),
+       |l AS (SELECT chunk_id, list(term ORDER BY sub) AS ts FROM t GROUP BY chunk_id),
+       |d AS (SELECT chunk_id, $approxChain AS approx FROM l),
+       |r AS (SELECT chunk_id FROM d ORDER BY approx, chunk_id LIMIT $r)
+       |SELECT base.chunk_id, round(list_distance(base.v, q.qv), 6) + 0 AS distance
+       |FROM base, q WHERE base.chunk_id IN (SELECT chunk_id FROM r)
+       |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
@@ -279,6 +339,7 @@ object EngineQueries {
       Some(ivfSq8PersistedSql("cosine"))),
     Q("lifecycle_ivf_sq8_euclidean", ivfSq8Persisted("euclidean"),
       Some(ivfSq8PersistedSql("euclidean"))),
+    Q("lifecycle_ivf_pq_persisted", ivfPqPersisted, Some(ivfPqPersistedSql)),
     Q("lifecycle_batch_search", batchSearch, Some(batchSearchSql)),
   )
 }

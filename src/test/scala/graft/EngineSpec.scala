@@ -791,6 +791,66 @@ class EngineSpec extends AnyFunSuite {
     assert(doc == d2)
   }
 
+  test("pq storage library: create/patch guards, codebooks before ingest, " +
+    "single == bulk codes, search after save/reopen, batch == single") {
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    // guards: euclidean-only, flat/ivf-only, codebooks required pre-ingest
+    intercept[ValidationError] {
+      e.createLibrary("bad", dim = 4, metric = "cosine", storage = "pq")
+    }
+    intercept[ValidationError] {
+      e.createLibrary("bad", dim = 4, metric = "euclidean",
+        indexKind = "random_projection", storage = "pq")
+    }
+    val lib = e.createLibrary("pqlib", dim = 4, metric = "euclidean",
+      storage = "pq", id = Some("pql"))
+    val doc = e.createDocument("pql", "pqdoc")
+    intercept[ValidationError] {
+      e.addChunksBatch(doc.id, Seq(
+        ChunkInput("x", vec(1, 0, 0, 0), Map.empty, 0, Some("px"))))
+    }
+    // 2 subspaces x 2 centroids over dim 4
+    e.setPqCodebooks("pql", Seq(
+      (0, 0L, Seq(1.0f, 0.0f)), (0, 1L, Seq(0.0f, 1.0f)),
+      (1, 0L, Seq(1.0f, 0.0f)), (1, 1L, Seq(0.0f, 1.0f))))
+    intercept[ValidationError] { // metric change is pinned for pq
+      e.patchLibrary("pql", metric = Some("cosine"))
+    }
+    // one chunk singly, three in bulk — codes must agree path-to-path
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("a", vec(1, 0, 1, 0), Map.empty, 0, Some("p0"))))
+    e.addChunksDf("pql", Seq(
+      ("p1", doc.id, "b", Seq(0.9f, 0.1f, 0.9f, 0.1f),
+        Map.empty[String, String], 1),
+      ("p2", doc.id, "c", Seq(0f, 1f, 0f, 1f),
+        Map.empty[String, String], 2),
+      ("p3", doc.id, "d", Seq(0.1f, 0.9f, 0.2f, 0.8f),
+        Map.empty[String, String], 3))
+      .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index"))
+    val codes = e.chunksDf.select($"id", $"codes")
+      .as[(String, Seq[Int])].collect().toMap
+    assert(codes("p0") == Seq(0, 0) && codes("p1") == Seq(0, 0))
+    assert(codes("p2") == Seq(1, 1) && codes("p3") == Seq(1, 1))
+    // save -> reopen -> search: codebooks persist as index metadata and
+    // the funnel (ADC over stored codes + exact rescore) still ranks
+    val state = java.nio.file.Files.createTempDirectory("graft-pq-life").toString
+    e.save(state)
+    val e2 = VectorEngine.open(spark, state)
+    val got = e2.search("pql", Seq(1f, 0f, 1f, 0f), k = 2).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("p0", "p1"))
+    // batch search is bit-identical to per-query searches
+    val qs = Seq(0L -> Seq(1f, 0f, 1f, 0f), 1L -> Seq(0f, 1f, 0f, 1f))
+    val batch = e2.searchBatch("pql", qs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val singles = qs.flatMap { case (qid, q) =>
+      e2.search("pql", q, k = 2).collect()
+        .map(r => (qid, r.getString(0), r.getDouble(1)))
+    }
+    assert(batch.sorted == singles.sorted)
+  }
+
   test("nearDuplicates: stored-bucket blocking gates an arriving batch " +
     "(copies found at 0.0, scaled copies too); kind/dim/threshold guards") {
     import spark.implicits._
