@@ -91,7 +91,6 @@ object Bench {
         (flatCos(id) intersect got).size.toDouble / flatCos(id).size
       })
     }.toMap
-    val ivf = ivfSweep(6)
 
     val encoded = Quantization.encode(emb, col("embedding")).localCheckpoint()
     val sq8 = avg(queries.map { case (id, q) =>
@@ -113,9 +112,10 @@ object Bench {
       (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
     })
     // 4dp is plenty for a 10-query recall average, and keeps the compact
-    // stdout line (8 recall keys now) safely under its 500-char budget
+    // stdout line (11 recall keys now, ~400 chars total) under its
+    // 500-char budget; ivf_c8_nprobe6 comes from the sweep
     (Map("lsh_bucket" -> lsh, "lsh_multiprobe" -> lshMp,
-      "lsh_adaptive" -> lshAd, "ivf_c8_nprobe6" -> ivf, "sq8_r50" -> sq8,
+      "lsh_adaptive" -> lshAd, "sq8_r50" -> sq8,
       "pq_m8k16_r50" -> pq) ++
       lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r } ++
       ivfSweep.map { case (np, r) => s"ivf_c8_nprobe$np" -> r })

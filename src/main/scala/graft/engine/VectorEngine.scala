@@ -302,6 +302,11 @@ final class VectorEngine private (val spark: SparkSession,
       index_kind = indexKind.getOrElse(cur.index_kind),
       updated_at = now())
     libs = replaceById(libs, id, next)
+    if (dimChange && cur.storage == StoragePq)
+      // the installed codebooks partition the OLD dimension; the library
+      // is empty (guard above), so drop them and require a re-install
+      // before the next ingest rather than silently mis-encoding
+      pqModels -= id
     if (dimChange || kindChange) { // library is empty: rebuild the index
       // Rebuild with the library's ORIGINAL LSH configuration when one was
       // ever recorded (the MatrixRow remembers num_projections/seed across
@@ -334,6 +339,7 @@ final class VectorEngine private (val spark: SparkSession,
     chunks = chunks.where(col("library_id") =!= id).as[ChunkRow]
     matrices -= id
     cellModels -= id
+    pqModels -= id
     hists -= id
     staleHists -= id
     markDirty(id)
@@ -741,13 +747,20 @@ final class VectorEngine private (val spark: SparkSession,
     val newEmb = embedding.getOrElse(cur.embedding)
     val enc = if (lib.storage == StorageSq8) Some(sq8EncodeLocal(newEmb))
               else None
+    // pq codes are re-derived from the (possibly unchanged) embedding —
+    // a text-only patch must not wipe them to null
+    val pqCodes =
+      if (lib.storage == StoragePq)
+        pqModels.get(lib.id).map(ProductQuantization.encodeLocal(_, newEmb))
+      else None
     val next = cur.copy(
       text = text.getOrElse(cur.text),
       embedding = newEmb,
       metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
       chunk_index = chunkIndex.getOrElse(cur.chunk_index),
       bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
-      qmin = enc.map(_._1), qmax = enc.map(_._2), codes = enc.map(_._3),
+      qmin = enc.map(_._1), qmax = enc.map(_._2),
+      codes = enc.map(_._3).orElse(pqCodes),
       updated_at = now())
     chunks = replaceById(chunks, id, next)
     histUpdate(cur.library_id,
@@ -863,9 +876,15 @@ final class VectorEngine private (val spark: SparkSession,
       if (v.exists(f => f.isNaN || f.isInfinite))
         throw ValidationError(s"codebook ($m, $cid) must be finite")
     }
+    // codes are stored centroid IDS and read back as POSITIONAL indexes
+    // into the id-sorted codebook (the ADC lookup table) — the two agree
+    // only when cids are exactly 0..K-1, so that is a hard requirement,
+    // not a convention
     bySub.foreach { case (m, rows) =>
-      if (rows.map(_._2).distinct.size != rows.size)
-        throw ValidationError(s"duplicate centroid ids in subspace $m")
+      val cids = rows.map(_._2).sorted
+      if (cids != (0L until rows.size.toLong))
+        throw ValidationError(
+          s"subspace $m centroid ids must be exactly 0..${rows.size - 1}")
     }
     val model: ProductQuantization.Model = (0 until numSub).map(m =>
       bySub(m).sortBy(_._2)
@@ -899,8 +918,13 @@ final class VectorEngine private (val spark: SparkSession,
     val model = ProductQuantization.train(
       chunks.where(col("library_id") === libraryId).toDF(),
       col("embedding"), lib.embedding_dimension, numSub, k, iters, seed)
+    // a low-diversity subspace (fewer than k DISTINCT subvectors — e.g.
+    // zero-padded trailing dims) trains fewer centroids; truncate every
+    // codebook to the smallest count so the install invariant (equal K,
+    // cids 0..K-1) holds instead of rejecting our own training output
+    val kEff = model.map(_.size).min
     val rows = model.zipWithIndex.flatMap { case (cb, m) =>
-      cb.map(c => (m, c.id, c.vec.toSeq))
+      cb.sortBy(_.id).take(kEff).map(c => (m, c.id, c.vec.toSeq))
     }
     setPqCodebooks(libraryId, rows)
     rows

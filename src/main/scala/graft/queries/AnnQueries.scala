@@ -21,12 +21,12 @@ object AnnQueries {
     * sample collected n/7 of the table to the driver — an O(n)
     * scale-killer the fixture replaces. k-means `train` itself is
     * spec-checked via measured recall — IvfSpec.) */
-  private[queries] val FixturePath: String = {
-    val dir = sys.props.get("graft.fixtures.dir")
+  private val FixturesDir: String =
+    sys.props.get("graft.fixtures.dir")
       .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
       .getOrElse(new java.io.File("fixtures").getAbsolutePath)
-    s"$dir/ivf_centroids.parquet"
-  }
+  private[queries] val FixturePath: String =
+    s"$FixturesDir/ivf_centroids.parquet"
   private[queries] val FixtureSql =
     s"read_parquet('$FixturePath/*.parquet')"
   private val NProbe = 3
@@ -199,12 +199,8 @@ object AnnQueries {
     * the rescore — so the quantizer and the candidate SET are gated, not
     * just the final distances. */
   private val PqSub = graft.tools.MakeFixtures.PqSub
-  private[queries] val PqFixturePath: String = {
-    val dir = sys.props.get("graft.fixtures.dir")
-      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
-      .getOrElse(new java.io.File("fixtures").getAbsolutePath)
-    s"$dir/pq_codebooks.parquet"
-  }
+  private[queries] val PqFixturePath: String =
+    s"$FixturesDir/pq_codebooks.parquet"
   private[queries] val PqFixtureSql =
     s"read_parquet('$PqFixturePath/*.parquet')"
 

@@ -851,6 +851,52 @@ class EngineSpec extends AnyFunSuite {
     assert(batch.sorted == singles.sorted)
   }
 
+  test("pq storage lifecycle edges: text-only patch keeps codes, delete " +
+    "drops codebooks, non-contiguous cids rejected, dim patch invalidates") {
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val cb = Seq(
+      (0, 0L, Seq(1.0f, 0.0f)), (0, 1L, Seq(0.0f, 1.0f)),
+      (1, 0L, Seq(1.0f, 0.0f)), (1, 1L, Seq(0.0f, 1.0f)))
+    val lib = e.createLibrary("pq2", dim = 4, metric = "euclidean",
+      storage = "pq", id = Some("pq2"))
+    // codes are positional LUT indexes: ids must be exactly 0..K-1
+    intercept[ValidationError] {
+      e.setPqCodebooks("pq2", Seq(
+        (0, 10L, Seq(1.0f, 0.0f)), (0, 20L, Seq(0.0f, 1.0f)),
+        (1, 10L, Seq(1.0f, 0.0f)), (1, 20L, Seq(0.0f, 1.0f))))
+    }
+    e.setPqCodebooks("pq2", cb)
+    val doc = e.createDocument("pq2", "d")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("a", vec(1, 0, 1, 0), Map.empty, 0, Some("q0"))))
+    // a text-only patch must NOT wipe the stored codes to null
+    e.patchChunk("q0", text = Some("renamed"))
+    assert(e.getChunk("q0").codes.contains(Seq(0, 0)))
+    // an embedding patch re-derives them
+    e.patchChunk("q0", embedding = Some(vec(0, 1, 0, 1)))
+    assert(e.getChunk("q0").codes.contains(Seq(1, 1)))
+    // dim patch on the (now emptied) library drops the codebooks: the
+    // next ingest must demand a re-install, not silently mis-encode
+    e.deleteChunk("q0")
+    e.patchLibrary("pq2", dim = Some(8))
+    intercept[ValidationError] {
+      e.addChunksBatch(doc.id, Seq(
+        ChunkInput("b", vec(1, 0, 1, 0, 1, 0, 1, 0), Map.empty, 0, Some("q1"))))
+    }
+    // delete must drop the codebooks with the library — a recreated
+    // library with the same id starts from "no codebooks installed"
+    e.deleteLibrary("pq2")
+    e.createLibrary("pq2b", dim = 4, metric = "euclidean",
+      storage = "pq", id = Some("pq2"))
+    val doc2 = e.createDocument("pq2", "d2")
+    intercept[ValidationError] {
+      e.addChunksBatch(doc2.id, Seq(
+        ChunkInput("c", vec(1, 0, 1, 0), Map.empty, 0, Some("q2"))))
+    }
+    assert(lib.id == "pq2")
+  }
+
   test("nearDuplicates: stored-bucket blocking gates an arriving batch " +
     "(copies found at 0.0, scaled copies too); kind/dim/threshold guards") {
     import spark.implicits._
