@@ -99,24 +99,33 @@ object Bench {
       (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
     })
 
-    // PQ at 32x compression (M=8, K=16): trained here (seeded, same
-    // params as the committed fixture) so the number tracks codebook
-    // quality at THIS scale factor
-    val pqModel = graft.operators.ProductQuantization.train(
-      emb, col("embedding"), dim = 64, numSub = 8, k = 16, iters = 3)
-    val pqEncoded = graft.operators.ProductQuantization.encode(
-      emb, col("embedding"), pqModel).localCheckpoint()
-    val pq = avg(queries.map { case (id, q) =>
-      val got = topIds(graft.operators.ProductQuantization.search(
-        pqEncoded, "embedding", "vec_id", pqModel, q, k = 10, rescore = 50))
-      (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
-    })
+    // PQ at 32x compression, trained here (seeded, same params as the
+    // committed fixture) so the numbers track codebook quality at THIS
+    // scale factor: K=256 (one byte per code — the default, published PQ
+    // practice) next to the K=16 compression-extreme point
+    def pqRecall(numSub: Int, k: Int): Double = {
+      val pqModel = graft.operators.ProductQuantization.train(
+        emb, col("embedding"), dim = 64, numSub = numSub, k = k, iters = 3)
+      val pqEncoded = graft.operators.ProductQuantization.encode(
+        emb, col("embedding"), pqModel).localCheckpoint()
+      avg(queries.map { case (id, q) =>
+        val got = topIds(graft.operators.ProductQuantization.search(
+          pqEncoded, "embedding", "vec_id", pqModel, q, k = 10, rescore = 50))
+        (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
+      })
+    }
     // 4dp is plenty for a 10-query recall average, and keeps the compact
-    // stdout line (11 recall keys now, ~400 chars total) under its
-    // 500-char budget; ivf_c8_nprobe6 comes from the sweep
+    // stdout line (13 recall keys now, ~460 chars total) under its
+    // 500-char budget; ivf_c8_nprobe6 comes from the sweep.
+    // The PQ ladder at R=50: K=16 compression-extreme (32x, recall ~0.5),
+    // the default M=8 K=256 (32x, measured 0.84 at sf0.1 — R=100 lifts it
+    // to ~0.91, R=200 to 1.0), and M=16 K=256 (16x, ~0.98) for the
+    // compression/recall tradeoff the caller actually tunes.
     (Map("lsh_bucket" -> lsh, "lsh_multiprobe" -> lshMp,
       "lsh_adaptive" -> lshAd, "sq8_r50" -> sq8,
-      "pq_m8k16_r50" -> pq) ++
+      "pq_m8k16_r50" -> pqRecall(8, 16),
+      "pq_m8k256_r50" -> pqRecall(8, 256),
+      "pq_m16k256_r50" -> pqRecall(16, 256)) ++
       lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r } ++
       ivfSweep.map { case (np, r) => s"ivf_c8_nprobe$np" -> r })
       .map { case (k, v) => k -> math.rint(v * 10000) / 10000 }

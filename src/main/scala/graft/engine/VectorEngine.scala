@@ -226,10 +226,6 @@ final class VectorEngine private (val spark: SparkSession,
       throw ValidationError("sq8 storage requires a flat or ivf index kind")
     if (storage == StoragePq && indexKind == IndexKindLsh)
       throw ValidationError("pq storage requires a flat or ivf index kind")
-    // ADC sums per-subspace squared L2 terms — the decomposition that
-    // makes PQ work only exists for euclidean
-    if (storage == StoragePq && metric != "euclidean")
-      throw ValidationError("pq storage requires the euclidean metric")
     val lid = id.getOrElse(newId())
     if (findLibrary(lid).isDefined)
       throw ConflictError(s"library already exists: $lid")
@@ -289,10 +285,6 @@ final class VectorEngine private (val spark: SparkSession,
       throw ValidationError("sq8 storage requires a flat or ivf index kind")
     if (cur.storage == StoragePq && indexKind.contains(IndexKindLsh))
       throw ValidationError("pq storage requires a flat or ivf index kind")
-    // unlike sq8 (metric-independent codes), pq codes only rank under
-    // euclidean — the metric is pinned at creation
-    if (cur.storage == StoragePq && metric.exists(_ != "euclidean"))
-      throw ValidationError("pq storage requires the euclidean metric")
     val next = cur.copy(
       name = name.getOrElse(cur.name),
       description = description.getOrElse(cur.description),
@@ -561,9 +553,16 @@ final class VectorEngine private (val spark: SparkSession,
               "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest")),
             c.embedding))
         else None
+      // pq rows carry the L2 norm in the shared qmin slot (the cosine ADC
+      // denominator — stored at ingest like the codes, any metric)
+      val pqNorm =
+        if (lib.storage == StoragePq)
+          Some(ProductQuantization.normLocal(c.embedding))
+        else None
       ChunkRow(c.id.getOrElse(newId()), doc.id, lib.id, c.text, c.embedding,
         encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)),
-        enc.map(_._1), enc.map(_._2), enc.map(_._3).orElse(pqCodes), t, t)
+        enc.map(_._1).orElse(pqNorm), enc.map(_._2),
+        enc.map(_._3).orElse(pqCodes), t, t)
     }
     chunks = chunks.unionByName(rows.toDS())
     histUpdate(lib.id, rows.flatMap(_.bucket).groupBy(identity)
@@ -655,11 +654,12 @@ final class VectorEngine private (val spark: SparkSession,
     val withCodes =
       if (lib.storage == StorageSq8) Quantization.encode(base, col("embedding"))
       else if (lib.storage == StoragePq) base
-        // PQ codes live in the shared `codes` column (qmin/qmax stay
-        // null — the library row's storage kind says how to read them);
-        // ingest REQUIRES installed codebooks, like ivf requires a model
-        // before cells can be derived
-        .withColumn("qmin", lit(null).cast("double"))
+        // PQ codes live in the shared `codes` column and the row's L2
+        // norm in the shared `qmin` slot (the cosine ADC denominator —
+        // the library row's storage kind says how to read them); ingest
+        // REQUIRES installed codebooks, like ivf requires a model before
+        // cells can be derived
+        .withColumn("qmin", ProductQuantization.normColumn(col("embedding")))
         .withColumn("qmax", lit(null).cast("double"))
         .withColumn("codes",
           ProductQuantization.codesColumn(col("embedding"),
@@ -748,10 +748,16 @@ final class VectorEngine private (val spark: SparkSession,
     val enc = if (lib.storage == StorageSq8) Some(sq8EncodeLocal(newEmb))
               else None
     // pq codes are re-derived from the (possibly unchanged) embedding —
-    // a text-only patch must not wipe them to null
+    // a text-only patch must not wipe them to null. A chunk existing on a
+    // pq library IMPLIES installed codebooks (every ingest path requires
+    // them), so an absent model here is corruption — fail loudly like the
+    // ingest paths rather than silently nulling the stored codes.
     val pqCodes =
       if (lib.storage == StoragePq)
-        pqModels.get(lib.id).map(ProductQuantization.encodeLocal(_, newEmb))
+        Some(ProductQuantization.encodeLocal(
+          pqModels.getOrElse(lib.id, throw ValidationError(
+            "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest")),
+          newEmb))
       else None
     val next = cur.copy(
       text = text.getOrElse(cur.text),
@@ -759,7 +765,11 @@ final class VectorEngine private (val spark: SparkSession,
       metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
       chunk_index = chunkIndex.getOrElse(cur.chunk_index),
       bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
-      qmin = enc.map(_._1), qmax = enc.map(_._2),
+      qmin = enc.map(_._1).orElse(
+        if (lib.storage == StoragePq)
+          Some(ProductQuantization.normLocal(newEmb))
+        else None),
+      qmax = enc.map(_._2),
       codes = enc.map(_._3).orElse(pqCodes),
       updated_at = now())
     chunks = replaceById(chunks, id, next)
@@ -913,6 +923,14 @@ final class VectorEngine private (val spark: SparkSession,
     val lib = getLibrary(libraryId)
     if (lib.storage != StoragePq)
       throw ValidationError(s"library storage is ${lib.storage}, not $StoragePq")
+    // argument guards up front, in the endpoint layer's typed error
+    // vocabulary (the operator's own `require`s would surface as bare
+    // IllegalArgumentException, unlike every sibling endpoint)
+    if (numSub <= 0 || lib.embedding_dimension % numSub != 0)
+      throw ValidationError(
+        s"numSub $numSub must be > 0 and divide library dimension ${lib.embedding_dimension}")
+    if (k <= 0) throw ValidationError("k must be > 0")
+    if (iters <= 0) throw ValidationError("iters must be > 0")
     if (chunkCount(libraryId) == 0)
       throw ValidationError("cannot train PQ codebooks on an empty library")
     val model = ProductQuantization.train(
@@ -921,8 +939,14 @@ final class VectorEngine private (val spark: SparkSession,
     // a low-diversity subspace (fewer than k DISTINCT subvectors — e.g.
     // zero-padded trailing dims) trains fewer centroids; truncate every
     // codebook to the smallest count so the install invariant (equal K,
-    // cids 0..K-1) holds instead of rejecting our own training output
+    // cids 0..K-1) holds instead of rejecting our own training output —
+    // and SAY SO, because a caller who asked for k=256 and silently got
+    // 4 would only discover it as a recall cliff
     val kEff = model.map(_.size).min
+    if (kEff < k)
+      org.slf4j.LoggerFactory.getLogger(classOf[VectorEngine]).warn(
+        s"trainPqCodebooks($libraryId): requested k=$k but a low-diversity " +
+          s"subspace trained only $kEff centroids; all codebooks truncated to k=$kEff")
     val rows = model.zipWithIndex.flatMap { case (cb, m) =>
       cb.sortBy(_.id).take(kEff).map(c => (m, c.id, c.vec.toSeq))
     }
@@ -996,10 +1020,12 @@ final class VectorEngine private (val spark: SparkSession,
           k, math.max(k, rescore), lib.distance_metric)
       else if (lib.storage == StoragePq && pqModels.contains(libraryId))
         // same two-phase shape: ADC over the stored codes (compact-only
-        // scan), exact euclidean rescore of the R survivors
+        // scan — plus the stored qmin norm for cosine), exact rescore of
+        // the R survivors under the library metric
         ProductQuantization.search(base.toDF(), "embedding", "id",
           pqModels(libraryId), query.toArray, k, math.max(k, rescore),
-          codesCol = "codes")
+          metric = lib.distance_metric, codesCol = "codes",
+          normCol = Some("qmin"))
       else base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
         .withColumn("distance",
           round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
@@ -1133,7 +1159,8 @@ final class VectorEngine private (val spark: SparkSession,
       if (lib.storage == StorageSq8)
         Seq(col("codes"), col("qmin"), col("qmax"))
       else if (lib.storage == StoragePq && pqModels.contains(libraryId))
-        Seq(col("codes"))
+        Seq(col("codes")) ++
+          (if (lib.distance_metric == "cosine") Seq(col("qmin")) else Nil)
       else Seq(col("embedding"))
     val pairCols = Seq(col("query_id"), col("id")) ++ dataCols :+ col("qvec")
     val pairs: DataFrame = probePlan match {
@@ -1194,18 +1221,31 @@ final class VectorEngine private (val spark: SparkSession,
         // broadcast column (the same doubles the single-query path embeds
         // as literals, added in the same order — batch results are
         // bit-identical to Q single searches, like sq8), approx top-R per
-        // query on the codes, ONE exact-rescore join for O(Q x R) rows
+        // query on the codes, ONE exact-rescore join for O(Q x R) rows.
+        // Cosine additionally divides by the stored qmin norm and the
+        // per-query norm riding in the same broadcast frame.
         val model = pqModels(libraryId)
+        val metric = lib.distance_metric
         val r = math.max(k, rescore)
         val luts = queries.map { case (qid, q) =>
-          (qid, ProductQuantization.adcLut(model, q.toArray)
-            .map(_.toSeq).toSeq)
+          (qid, ProductQuantization.adcLut(model, q.toArray, metric)
+            .map(_.toSeq).toSeq,
+            ProductQuantization.normLocal(q))
         }
-        val lutDf = broadcast(luts.toDF("query_id", "__lut"))
-        val approxCol = model.indices.map { m =>
+        val lutDf = broadcast(luts.toDF("query_id", "__lut", "__qnorm"))
+        val sumLut = model.indices.map { m =>
           element_at(element_at(col("__lut"), m + 1),
             col("codes").getItem(m).cast("int") + lit(1))
         }.reduce(_ + _)
+        val approxCol = metric match {
+          case "cosine" =>
+            // same zero-norm +Inf contract as approxColumn, with the
+            // query norm a COLUMN (per query) instead of a literal
+            when(col("qmin") === lit(0.0d) || col("__qnorm") === lit(0.0d),
+              lit(Double.PositiveInfinity))
+              .otherwise(lit(1.0d) + sumLut / (col("qmin") * col("__qnorm")))
+          case _ => sumLut
+        }
         val approx = pairs.join(lutDf, Seq("query_id"))
           .withColumn("approx", approxCol)
           .select(col("query_id"), col("id"), col("approx"))
@@ -1561,7 +1601,15 @@ final class VectorEngine private (val spark: SparkSession,
             .cast("array<int>"))
           .otherwise(acc)
       }
-      chunks = chunks.toDF().withColumn("codes", codesCol).as[ChunkRow]
+      // the stored qmin norm (cosine ADC denominator) is derived too —
+      // heal it alongside the codes (also upgrades pre-norm state dirs)
+      val normCol = pqLibs.foldLeft(col("qmin")) { (acc, l) =>
+        when(col("library_id") === l.id,
+          ProductQuantization.normColumn(col("embedding")))
+          .otherwise(acc)
+      }
+      chunks = chunks.toDF().withColumn("codes", codesCol)
+        .withColumn("qmin", normCol).as[ChunkRow]
       pqLibs.foreach(l => markDirty(l.id))
       afterMutation()
     }

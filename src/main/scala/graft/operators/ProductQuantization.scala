@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorExpressions
+import graft.functions.{VectorExpressions, VectorFunctions}
 import graft.operators.IvfIndex.Centroid
 
 /** Product quantization (PQ) for embedding columns — the compression rung
@@ -20,32 +20,49 @@ import graft.operators.IvfIndex.Centroid
   *   - ENCODE: one `NearestCellExpr` per subspace over `slice(emb, ...)`
   *     (fused codegen argmin, O(1) plan nodes per subspace), combined
   *     into a stored `pq_codes` array — ingest-time, like the SQ8 codes
-  *     and the LSH bucket column;
+  *     and the LSH bucket column. Code assignment is ALWAYS the L2 argmin
+  *     (minimum reconstruction error), whatever the search metric — the
+  *     same metric-independent-codes contract as SQ8, and FAISS practice;
   *   - SEARCH: asymmetric distance computation (ADC) — the query is NOT
-  *     quantized: a driver-side lookup table lut[m][c] = ||q_m - C_m[c]||²
-  *     (numSub x K doubles, plan literals) turns the approximate distance
-  *     into `numSub` array lookups + adds per row, whole-stage codegen,
+  *     quantized: a driver-side lookup table lut[m][c] (numSub x K
+  *     doubles, plan literals) turns the approximate distance into
+  *     `numSub` array lookups + adds per row, whole-stage codegen,
   *     scanning ONLY the codes column; the top-`rescore` survivors are
   *     rescored exactly against float32, top-k — the same two-phase shape
   *     as `Quantization.search`.
   *
-  * EUCLIDEAN is the metric by construction: ADC sums per-subspace squared
-  * L2 distances, which decompose over concatenated subvectors (cosine/dot
-  * do not decompose against per-subspace codebooks without per-query
-  * normalization terms; the reference metric set stays covered by the
-  * flat/LSH/SQ8 paths). The approximate value omits the final sqrt —
-  * monotonic, so the candidate ORDER is identical and the plan is
-  * cheaper. All LUT arithmetic is double, accumulated ascending (i then
-  * m), so a SQL oracle reproduces every approximate value bit-for-bit
-  * and the candidate SET — not just the final distances — is gated.
+  * METRICS. Squared L2 decomposes over concatenated subvectors, so
+  * euclidean ADC is the textbook LUT of per-subspace squared distances
+  * (the approximate value omits the final sqrt — monotonic, so the
+  * candidate ORDER is identical and the plan is cheaper). Dot product
+  * decomposes EXACTLY as well — dot(q,v) = Σ_m dot(q_m, v_m) — so a LUT
+  * of NEGATED per-subspace dots serves the engine's dot_product distance
+  * (-dot) directly. Cosine does not decompose on its own (the row norm
+  * couples the subspaces), but 1 - dot/(|v||q|) follows from the dot LUT
+  * plus ONE stored per-row norm (`encode(withNorm = true)` writes it at
+  * ingest, like the codes): approx = 1 + Σ_m lut/( |v| |q| ), +Inf on a
+  * zero norm — the same zero-norm contract as cosine_distance itself.
+  * All LUT arithmetic is double, accumulated ascending (i then m), so a
+  * SQL oracle reproduces every approximate value bit-for-bit and the
+  * candidate SET — not just the final distances — is gated.
+  *
+  * MODEL INVARIANT: every codebook in a [[Model]] is id-sorted with cids
+  * exactly 0..K-1. Every construction site enforces it — `train` returns
+  * index-ordered ids, the engine's setPqCodebooks validates + sorts, the
+  * persisted-model load sorts by cid — so the per-row / per-query paths
+  * below index codebooks positionally instead of re-sorting per call.
   */
 object ProductQuantization {
 
-  /** model(m) = subspace m's K centroids (cid 0..K-1, each of dim/numSub). */
+  /** model(m) = subspace m's K centroids, ID-SORTED with cids 0..K-1
+    * (see the Model invariant above). */
   type Model = Seq[Seq[Centroid]]
 
   private def litVec(v: Array[Float]): Column =
     array(v.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")
+
+  /** Metrics ADC can serve (cosine additionally needs the stored norm). */
+  val SupportedMetrics: Set[String] = Set("euclidean", "dot_product", "cosine")
 
   /** Per-subspace codebook training: seeded k-means on each slice. Seeds
     * are decorrelated per subspace (seed + m) so identical subvector
@@ -66,15 +83,25 @@ object ProductQuantization {
   def codesColumn(emb: Column, model: Model): Column = {
     val dsub = model.head.head.vec.length
     array(model.zipWithIndex.map { case (cb, m) =>
-      val sorted = cb.sortBy(_.id)
       VectorExpressions.nearestCell(slice(emb, m * dsub + 1, dsub),
-        sorted.map(_.id).toArray, sorted.map(_.vec).toArray)
+        cb.map(_.id).toArray, cb.map(_.vec).toArray)
     }: _*)
   }
 
-  /** Stored-codes column under the conventional `pq_codes` name. */
-  def encode(df: DataFrame, emb: Column, model: Model): DataFrame =
-    df.withColumn("pq_codes", codesColumn(emb, model))
+  /** The stored row norm a cosine ADC divides by: |v| in double, the same
+    * left-to-right accumulation as `VectorFunctions.l2Norm` (and as the
+    * explicit `sqrt(v[1]*v[1] + ... )` chain a SQL oracle replays). */
+  def normColumn(emb: Column): Column = VectorFunctions.l2Norm(emb)
+
+  /** Stored-codes column under the conventional `pq_codes` name;
+    * `withNorm` additionally stores the row's L2 norm as `pq_norm` (the
+    * cosine ADC denominator — written at ingest like the codes, so the
+    * approximate phase still reads compact columns only). */
+  def encode(df: DataFrame, emb: Column, model: Model,
+             withNorm: Boolean = false): DataFrame = {
+    val coded = df.withColumn("pq_codes", codesColumn(emb, model))
+    if (withNorm) coded.withColumn("pq_norm", normColumn(emb)) else coded
+  }
 
   /** Driver-side twin of [[codesColumn]] for single-row adds — the same
     * per-subspace sqrt'd-distance argmin with strict < (smallest cid wins
@@ -85,7 +112,7 @@ object ProductQuantization {
     model.zipWithIndex.map { case (cb, m) =>
       var best = Double.PositiveInfinity
       var bestId = 0L
-      cb.sortBy(_.id).foreach { c =>
+      cb.foreach { c =>
         var acc = 0.0d
         var i = 0
         while (i < dsub) {
@@ -100,52 +127,101 @@ object ProductQuantization {
     }
   }
 
-  /** ADC lookup table: lut(m)(c) = squared L2 distance of query subvector
-    * m to centroid c of subspace m — double accumulation ascending i,
-    * the exact arithmetic any SQL oracle replays. */
-  def adcLut(model: Model, query: Array[Float]): Array[Array[Double]] = {
+  /** Driver-side twin of [[normColumn]] (same left-to-right double
+    * accumulation) for single-row adds. */
+  def normLocal(v: Seq[Float]): Double = {
+    var acc = 0.0d
+    var i = 0
+    while (i < v.length) {
+      val d = v(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** ADC lookup table. Euclidean: lut(m)(c) = squared L2 distance of
+    * query subvector m to centroid c. Dot_product / cosine: lut(m)(c) =
+    * NEGATED dot of query subvector m with centroid c (their sum over m
+    * is -dot(q, reconstruction) — the engine's dot_product distance of
+    * the reconstruction; cosine divides it by the norms downstream).
+    * Double accumulation ascending i — the exact arithmetic any SQL
+    * oracle replays. */
+  def adcLut(model: Model, query: Array[Float],
+             metric: String = "euclidean"): Array[Array[Double]] = {
+    require(SupportedMetrics(metric), s"unsupported PQ metric: $metric")
     val dsub = model.head.head.vec.length
     require(query.length == dsub * model.length,
       s"query dimension ${query.length} != ${dsub * model.length}")
+    val squared = metric == "euclidean"
     model.zipWithIndex.map { case (cb, m) =>
-      cb.sortBy(_.id).map { c =>
+      cb.map { c =>
         var acc = 0.0d
         var i = 0
         while (i < dsub) {
-          val d = query(m * dsub + i).toDouble - c.vec(i).toDouble
-          acc += d * d
+          val q = query(m * dsub + i).toDouble
+          val cv = c.vec(i).toDouble
+          if (squared) { val d = q - cv; acc += d * d }
+          else acc += q * cv
           i += 1
         }
-        acc
+        if (squared) acc else -acc
       }.toArray
     }.toArray
   }
 
+  /** The approximate-distance column over stored codes given per-subspace
+    * LUT columns summed ascending m (shared by the literal-LUT single
+    * path and the broadcast-LUT batch path, which must stay
+    * bit-identical). For cosine, `norm` is the stored row norm column and
+    * `qnorm` the query's — zero norms rank +Inf, like cosine_distance. */
+  def approxColumn(sumLut: Column, metric: String,
+                   norm: Option[Column], qnorm: Double): Column =
+    metric match {
+      case "cosine" =>
+        val n = norm.getOrElse(throw new IllegalArgumentException(
+          "cosine ADC needs the stored row-norm column (encode withNorm = true)"))
+        when(n === lit(0.0d) || lit(qnorm) === lit(0.0d),
+          lit(Double.PositiveInfinity))
+          .otherwise(lit(1.0d) + sumLut / (n * lit(qnorm)))
+      case _ => sumLut
+    }
+
   /** Two-phase ADC search over a table with STORED `pq_codes`: phase 1
-    * scans ONLY the codes (numSub lookups + adds per row, codegen'd; at
-    * scale that is numSub bytes-ish per row instead of dim x 4), phase 2
-    * rescores the `rescore` survivors exactly (euclidean, rounded like
-    * every other search path). Output: (idCol, distance). */
+    * scans ONLY the compact columns (numSub lookups + adds per row,
+    * codegen'd; at scale that is numSub bytes-ish per row instead of
+    * dim x 4 — plus one stored double for cosine), phase 2 rescores the
+    * `rescore` survivors exactly under `metric` (rounded like every other
+    * search path). Output: (idCol, distance). */
   def search(encoded: DataFrame, embCol: String, idCol: String,
              model: Model, query: Array[Float], k: Int,
-             rescore: Int, codesCol: String = "pq_codes"): DataFrame = {
+             rescore: Int, metric: String = "euclidean",
+             codesCol: String = "pq_codes",
+             normCol: Option[String] = None): DataFrame = {
     require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
-    val lut = adcLut(model, query)
+    require(SupportedMetrics(metric), s"unsupported PQ metric: $metric")
+    val lut = adcLut(model, query, metric)
     // sum over subspaces, ascending m, left-associated — the oracle's
     // explicit + chain adds in the same order
-    val approx = lut.zipWithIndex.map { case (l, m) =>
+    val sumLut = lut.zipWithIndex.map { case (l, m) =>
       element_at(array(l.toIndexedSeq.map(lit): _*),
         col(codesCol).getItem(m).cast("int") + lit(1))
     }.reduce(_ + _)
+    val approx = approxColumn(sumLut, metric,
+      normCol.orElse(if (metric == "cosine") Some("pq_norm") else None)
+        .map(col), normLocal(query.toIndexedSeq))
+    val phase1Cols = Seq(col(idCol), col(codesCol)) ++
+      (if (metric == "cosine")
+        Seq(col(normCol.getOrElse("pq_norm"))) else Nil)
     val candidates = encoded
-      .select(col(idCol), col(codesCol))
+      .select(phase1Cols: _*)
       .withColumn("approx", approx)
       .orderBy(col("approx"), col(idCol))
       .limit(rescore)
       .select(col(idCol))
     encoded.join(broadcast(candidates), Seq(idCol), "left_semi")
       .withColumn("distance",
-        round(graft.functions.VectorFunctions.distance("euclidean")(
+        round(VectorFunctions.distance(metric)(
           col(embCol), litVec(query)), 6) + lit(0.0d))
       .select(col(idCol), col("distance"))
       .orderBy(col("distance"), col(idCol))

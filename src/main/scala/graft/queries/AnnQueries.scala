@@ -242,19 +242,96 @@ object AnnQueries {
     s"""WITH cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqFixtureSql),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |a AS (SELECT e.vec_id, cb.sub, cb.cid, cb.cv,
+       |${pqEncodeCtes(dsub)},
+       |t AS (SELECT vec_id, sub, $termChain AS term FROM t0),
+       |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
+       |d AS (SELECT vec_id, $approxChain AS approx FROM l),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) + 0 AS distance
+       |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
+  /** PQ under DOT_PRODUCT — dot decomposes EXACTLY over subspaces
+    * (dot(q,v) = sum_m dot(q_m, v_m)), so the ADC LUT holds negated
+    * per-subspace dots and their sum IS the engine's dot_product distance
+    * of the reconstruction. Same stored codes as euclidean (L2 argmin
+    * encoding, metric-independent); the oracle replays the encode, the
+    * negated-dot LUT terms, the R cut, and the exact rescore. */
+  private val pqDot: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val model = fixturePqModel(s)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val encoded = graft.operators.ProductQuantization.encode(
+      emb, col("embedding"), model)
+    graft.operators.ProductQuantization.search(encoded, "embedding", "vec_id",
+      model, query, K, Rescore, metric = "dot_product")
+  }
+
+  private def pqEncodeCtes(dsub: Int): String =
+    s"""a AS (SELECT e.vec_id, cb.sub, cb.cid, cb.cv,
        |        row_number() OVER (PARTITION BY e.vec_id, cb.sub
        |          ORDER BY list_distance(list_slice(e.v, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
        |      FROM e, cb),
        |sel AS (SELECT vec_id, sub, cv FROM a WHERE rn = 1),
        |t0 AS (SELECT sel.vec_id, sel.sub, sel.cv,
        |         list_slice(q.qv, sel.sub*$dsub+1, sel.sub*$dsub+$dsub) AS qs
-       |       FROM sel, q),
-       |t AS (SELECT vec_id, sub, $termChain AS term FROM t0),
+       |       FROM sel, q)""".stripMargin
+
+  private val pqDotSql: String = {
+    val dsub = 64 / PqSub
+    val approxChain = (1 to PqSub).map(m => s"ts[$m]").mkString(" + ")
+    s"""WITH cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqFixtureSql),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |${pqEncodeCtes(dsub)},
+       |t AS (SELECT vec_id, sub, -(list_dot_product(qs, cv)) AS term FROM t0),
        |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
        |d AS (SELECT vec_id, $approxChain AS approx FROM l),
        |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
-       |SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) + 0 AS distance
+       |SELECT e.vec_id, round(${VectorSearchQueries.distSql("dot_product", "e.v", "q.qv")}, 6) + 0 AS distance
+       |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
+  /** PQ under COSINE — the reference's DEFAULT metric on the 32x
+    * compressed path: cosine does not decompose by itself (the row norm
+    * couples subspaces), but 1 - dot/(|v||q|) follows from the dot LUT
+    * plus ONE stored per-row norm, written at encode time like the codes
+    * (`pq_norm`; the engine stores it in the shared qmin slot). The
+    * approximate phase reads codes + one double per row — never the
+    * float32 embedding; the oracle replays encode, LUT, the stored-norm
+    * division (zero norms rank +Inf), the R cut, and the exact cosine
+    * rescore. */
+  private val pqCosine: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val model = fixturePqModel(s)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val encoded = graft.operators.ProductQuantization.encode(
+      emb, col("embedding"), model, withNorm = true)
+    graft.operators.ProductQuantization.search(encoded, "embedding", "vec_id",
+      model, query, K, Rescore, metric = "cosine")
+  }
+
+  private val pqCosineSql: String = {
+    val dsub = 64 / PqSub
+    val approxChain = (1 to PqSub).map(m => s"ts[$m]").mkString(" + ")
+    s"""WITH cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqFixtureSql),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |      FROM e WHERE vec_id = 0),
+       |${pqEncodeCtes(dsub)},
+       |t AS (SELECT vec_id, sub, -(list_dot_product(qs, cv)) AS term FROM t0),
+       |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
+       |n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |d AS (SELECT l.vec_id,
+       |        CASE WHEN n.nrm = 0 OR q.qn = 0 THEN 'infinity'::DOUBLE
+       |             ELSE 1 + ($approxChain) / (n.nrm * q.qn) END AS approx
+       |      FROM l, n, q WHERE l.vec_id = n.vec_id),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT e.vec_id, round(${VectorSearchQueries.distSql("cosine", "e.v", "q.qv")}, 6) + 0 AS distance
        |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
   }
@@ -319,6 +396,8 @@ object AnnQueries {
   val all: Seq[Q] = Seq(
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     Q("ann_pq_topk", pqTopk, Some(pqTopkSql)),
+    Q("ann_pq_dot", pqDot, Some(pqDotSql)),
+    Q("ann_pq_cosine", pqCosine, Some(pqCosineSql)),
     Q("ann_ivf_pq_topk", ivfPqTopk, Some(ivfPqTopkSql)),
     Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
     Q("ann_sq8_cosine", sq8Cosine, Some(sq8CosineSql)),

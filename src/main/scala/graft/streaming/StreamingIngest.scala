@@ -141,8 +141,13 @@ object StreamingIngest {
   def ingestDedupGatedBatch(engine: graft.engine.VectorEngine,
                             libraryId: String, batch: DataFrame,
                             threshold: Double): Long = {
+    // replay gate scoped to THE TARGET library's ids: a new row whose id
+    // collides with a chunk in a DIFFERENT library is not a redelivery —
+    // it must reach addChunksDf and fail its id-conflict guard loudly,
+    // not vanish as a "replay"
     val replayFree = batch.dropDuplicates("id")
-      .join(engine.chunksDf.select(col("id")), Seq("id"), "left_anti")
+      .join(engine.chunksDf.where(col("library_id") === libraryId)
+        .select(col("id")), Seq("id"), "left_anti")
       // pinned once (O(batch), distributed): consumed by the corpus gate
       // and the survivor set below
       .localCheckpoint()

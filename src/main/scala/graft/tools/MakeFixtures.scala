@@ -28,12 +28,13 @@ object MakeFixtures {
   val Cells = 64
   val Iters = 3
   val Seed = 42L
-  // PQ codebook fixture: 8 subspaces x 16 centroids over dim 64 (dsub=8).
-  // K=16 keeps the oracle's argmin replay cheap at sf0.01; a production
-  // deployment would use K=256 (one byte per code) — the operator takes
-  // both, only the committed gate constants are small.
+  // PQ codebook fixture: 8 subspaces x 256 centroids over dim 64 (dsub=8)
+  // — K=256 is published PQ practice (one byte per code; Jégou et al.
+  // TPAMI 2011, FAISS IndexPQ default) and what the gates/bench exercise.
+  // The codebook stays trivially broadcastable (8 x 256 x 8 floats); the
+  // K=16 compression-extreme point lives on as a PqSpec test, not a gate.
   val PqSub = 8
-  val PqK = 16
+  val PqK = 256
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -795,10 +795,8 @@ class EngineSpec extends AnyFunSuite {
     "single == bulk codes, search after save/reopen, batch == single") {
     import spark.implicits._
     val e = VectorEngine.create(spark)
-    // guards: euclidean-only, flat/ivf-only, codebooks required pre-ingest
-    intercept[ValidationError] {
-      e.createLibrary("bad", dim = 4, metric = "cosine", storage = "pq")
-    }
+    // guards: flat/ivf-only, codebooks required pre-ingest (all three
+    // metrics are supported since the dot/cosine ADC landed)
     intercept[ValidationError] {
       e.createLibrary("bad", dim = 4, metric = "euclidean",
         indexKind = "random_projection", storage = "pq")
@@ -814,9 +812,11 @@ class EngineSpec extends AnyFunSuite {
     e.setPqCodebooks("pql", Seq(
       (0, 0L, Seq(1.0f, 0.0f)), (0, 1L, Seq(0.0f, 1.0f)),
       (1, 0L, Seq(1.0f, 0.0f)), (1, 1L, Seq(0.0f, 1.0f))))
-    intercept[ValidationError] { // metric change is pinned for pq
-      e.patchLibrary("pql", metric = Some("cosine"))
-    }
+    // a metric change is fine for pq, like sq8: codes are the L2-argmin
+    // encoding of the raw vector (metric-independent) and the stored qmin
+    // norm serves the cosine denominator — flip it and flip it back
+    e.patchLibrary("pql", metric = Some("cosine"))
+    e.patchLibrary("pql", metric = Some("euclidean"))
     // one chunk singly, three in bulk — codes must agree path-to-path
     e.addChunksBatch(doc.id, Seq(
       ChunkInput("a", vec(1, 0, 1, 0), Map.empty, 0, Some("p0"))))
@@ -849,6 +849,60 @@ class EngineSpec extends AnyFunSuite {
         .map(r => (qid, r.getString(0), r.getDouble(1)))
     }
     assert(batch.sorted == singles.sorted)
+  }
+
+  test("pq storage under cosine and dot_product: stored qmin norm, " +
+    "exact agreement with a float32 twin at saturating rescore, " +
+    "batch == single, save/reopen keeps the norm") {
+    import spark.implicits._
+    Seq("cosine", "dot_product").foreach { metric =>
+      val e = VectorEngine.create(spark)
+      val cb = Seq(
+        (0, 0L, Seq(1.0f, 0.0f)), (0, 1L, Seq(0.0f, 1.0f)),
+        (1, 0L, Seq(1.0f, 0.0f)), (1, 1L, Seq(0.0f, 1.0f)))
+      e.createLibrary("pqm", dim = 4, metric = metric,
+        storage = "pq", id = Some("pqm"))
+      e.setPqCodebooks("pqm", cb)
+      // float32 twin library: same rows, flat storage, same metric
+      e.createLibrary("flatm", dim = 4, metric = metric, id = Some("flatm"))
+      val doc = e.createDocument("pqm", "d")
+      val docF = e.createDocument("flatm", "df")
+      val rows = Seq(
+        ("m0", Seq(1f, 0f, 1f, 0f)), ("m1", Seq(0.9f, 0.1f, 0.9f, 0.1f)),
+        ("m2", Seq(0f, 1f, 0f, 1f)), ("m3", Seq(0.1f, 0.9f, 0.2f, 0.8f)))
+      e.addChunksBatch(doc.id, rows.map { case (id, v) =>
+        ChunkInput(id, v, Map.empty, 0, Some(id)) })
+      e.addChunksBatch(docF.id, rows.map { case (id, v) =>
+        ChunkInput(id, v, Map.empty, 0, Some("f" + id)) })
+      // the pq rows carry the stored L2 norm in qmin (cosine denominator)
+      val norms = e.chunksDf.where($"library_id" === "pqm")
+        .select($"id", $"qmin").as[(String, Option[Double])].collect().toMap
+      rows.foreach { case (id, v) =>
+        assert(norms(id).contains(
+          graft.operators.ProductQuantization.normLocal(v)))
+      }
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft-pq-$metric").toString
+      e.save(state)
+      val e2 = VectorEngine.open(spark, state)
+      val q = Seq(1f, 0f, 0.9f, 0.1f)
+      // at rescore >= n the funnel's exact phase sees every row: the pq
+      // result must EQUAL the float32 twin's (ids modulo the f prefix)
+      val pq = e2.search("pqm", q, k = 4, rescore = 10).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val flat = e2.search("flatm", q, k = 4, rescore = 10).collect()
+        .map(r => (r.getString(0).stripPrefix("f"), r.getDouble(1))).toSeq
+      assert(pq == flat, s"$metric pq != flat twin")
+      // batch search is bit-identical to per-query searches
+      val qs = Seq(0L -> q, 1L -> Seq(0f, 1f, 0f, 1f))
+      val batch = e2.searchBatch("pqm", qs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val singles = qs.flatMap { case (qid, qq) =>
+        e2.search("pqm", qq, k = 3).collect()
+          .map(r => (qid, r.getString(0), r.getDouble(1)))
+      }
+      assert(batch.sorted == singles.sorted, s"$metric batch != single")
+    }
   }
 
   test("pq storage lifecycle edges: text-only patch keeps codes, delete " +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{IvfIndex, ProductQuantization => PQ}
+import graft.operators.{ProductQuantization => PQ}
 
 class PqSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -10,25 +10,31 @@ class PqSpec extends AnyFunSuite {
 
   private lazy val emb =
     spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+  // K=256 (one byte per code) is the DEFAULT — published PQ practice
+  // (Jégou et al. TPAMI 2011; FAISS IndexPQ) and what the committed
+  // fixture/gates/bench use. K=16 stays as the compression-extreme point.
   private lazy val model =
+    PQ.train(emb, col("embedding"), dim = 64, numSub = 8, k = 256,
+      iters = 3, seed = 42L)
+  private lazy val model16 =
     PQ.train(emb, col("embedding"), dim = 64, numSub = 8, k = 16,
       iters = 3, seed = 42L)
 
-  test("train: 8 codebooks of 16 centroids, dsub 8; encode: codes in [0,16)") {
-    assert(model.length == 8 && model.forall(_.length == 16))
+  test("train: 8 codebooks of 256 centroids, dsub 8; encode: codes in [0,256)") {
+    assert(model.length == 8 && model.forall(_.length == 256))
     assert(model.forall(_.forall(_.vec.length == 8)))
     val codes = PQ.encode(emb, col("embedding"), model)
       .select(col("pq_codes")).as[Seq[Long]].collect()
     assert(codes.forall(_.length == 8))
-    assert(codes.forall(_.forall(c => c >= 0 && c < 16)))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 256)))
   }
 
   test("ADC approx == squared L2 to the reconstruction, bit for bit " +
     "(per-subspace accumulation order shared by kernel, LUT, and oracle)") {
     val q = emb.where(col("vec_id") === 1)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val lut = PQ.adcLut(model, q)
-    val rows = PQ.encode(emb, col("embedding"), model)
+    val lut = PQ.adcLut(model16, q)
+    val rows = PQ.encode(emb, col("embedding"), model16)
       .where(col("vec_id") < 50)
       .select(col("vec_id"), col("pq_codes"))
       .as[(Long, Seq[Long])].collect()
@@ -38,7 +44,7 @@ class PqSpec extends AnyFunSuite {
       // reconstruction: per-subspace squared L2 to the selected centroid,
       // summed ascending m — the same double order the LUT was built with
       val direct = codes.zipWithIndex.map { case (c, m) =>
-        val cent = model(m).sortBy(_.id).apply(c.toInt).vec
+        val cent = model16(m).apply(c.toInt).vec
         var acc = 0.0d
         cent.indices.foreach { i =>
           val d = q(m * 8 + i).toDouble - cent(i).toDouble
@@ -51,8 +57,43 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
-  test("pq search: recall@10 vs exact flat euclidean at sf0.01 (R=50)") {
-    val encoded = PQ.encode(emb, col("embedding"), model).localCheckpoint()
+  test("dot/cosine ADC == negated dot of the reconstruction (and its " +
+    "norm-divided cosine form), bit for bit") {
+    val q = emb.where(col("vec_id") === 1)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val lutDot = PQ.adcLut(model16, q, "dot_product")
+    val lutCos = PQ.adcLut(model16, q, "cosine")
+    // cosine and dot share the SAME negated-dot LUT (cosine divides by
+    // norms downstream)
+    lutDot.zip(lutCos).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    val rows = PQ.encode(emb, col("embedding"), model16)
+      .where(col("vec_id") < 50)
+      .select(col("vec_id"), col("pq_codes"))
+      .as[(Long, Seq[Long])].collect()
+    rows.foreach { case (_, codes) =>
+      val viaLut = codes.zipWithIndex
+        .map { case (c, m) => lutDot(m)(c.toInt) }.reduce(_ + _)
+      // -dot(q, reconstruction): per-subspace dots accumulated ascending
+      // i then m, negated per subspace — the LUT's exact order
+      val direct = codes.zipWithIndex.map { case (c, m) =>
+        val cent = model16(m).apply(c.toInt).vec
+        var acc = 0.0d
+        cent.indices.foreach { i =>
+          acc += q(m * 8 + i).toDouble * cent(i).toDouble
+        }
+        -acc
+      }.reduce(_ + _)
+      assert(java.lang.Double.doubleToRawLongBits(viaLut) ==
+        java.lang.Double.doubleToRawLongBits(direct))
+    }
+  }
+
+  private def recallAt10(metric: String, pqModel: PQ.Model,
+                         rescore: Int): Double = {
+    val encoded = PQ.encode(emb, col("embedding"), pqModel,
+      withNorm = metric == "cosine").localCheckpoint()
     val queries = emb.where(col("vec_id") < 20)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -60,45 +101,67 @@ class PqSpec extends AnyFunSuite {
       val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
       val flat = emb
         .withColumn("distance", round(
-          graft.functions.VectorExpressions.euclideanDistance(col("embedding"), qCol),
+          graft.functions.VectorFunctions.distance(metric)(col("embedding"), qCol),
           6) + lit(0.0d))
         .orderBy("distance", "vec_id").limit(10)
         .select("vec_id").as[Long].collect().toSet
-      val pq = PQ.search(encoded, "embedding", "vec_id", model, q,
-        k = 10, rescore = 50)
+      val pq = PQ.search(encoded, "embedding", "vec_id", pqModel, q,
+        k = 10, rescore = rescore, metric = metric)
         .select("vec_id").as[Long].collect().toSet
       (flat intersect pq).size.toDouble / flat.size
     }
-    val recall = recalls.sum / recalls.length
-    info(f"PQ (M=8, K=16, R=50) recall@10 over ${queries.length} queries: $recall%.3f")
-    // 32x compression is far lossier than SQ8's 4x — the floor guards the
-    // pipeline (encode/ADC/rescore), not near-exactness
+    recalls.sum / recalls.length
+  }
+
+  test("pq search: recall@10 vs exact flat search at sf0.01, K=256, R=50 " +
+    ">= 0.85 under ALL THREE metrics") {
+    Seq("euclidean", "dot_product", "cosine").foreach { metric =>
+      val recall = recallAt10(metric, model, rescore = 50)
+      info(f"PQ (M=8, K=256, R=50, $metric) recall@10: $recall%.3f")
+      assert(recall >= 0.85, f"$metric recall@10 $recall%.3f < 0.85")
+    }
+  }
+
+  test("pq search: K=16 compression-extreme point still clears the " +
+    "pipeline floor (recall@10 >= 0.5, euclidean)") {
+    val recall = recallAt10("euclidean", model16, rescore = 50)
+    info(f"PQ (M=8, K=16, R=50) recall@10: $recall%.3f")
+    // 4-bit codebooks are far lossier — the floor guards the pipeline
+    // (encode/ADC/rescore), not quality; K=256 is the quality gate above
     assert(recall >= 0.5, f"recall@10 $recall%.3f < 0.5")
   }
 
-  test("guards: dim must divide into numSub; rescore >= k > 0") {
+  test("guards: dim must divide into numSub; rescore >= k > 0; " +
+    "unknown metric; cosine without a norm column") {
     intercept[IllegalArgumentException] {
       PQ.train(emb, col("embedding"), dim = 64, numSub = 7, k = 4)
     }
-    val enc = PQ.encode(emb, col("embedding"), model)
+    val enc = PQ.encode(emb, col("embedding"), model16)
     intercept[IllegalArgumentException] {
-      PQ.search(enc, "embedding", "vec_id", model,
+      PQ.search(enc, "embedding", "vec_id", model16,
         Array.fill(64)(0f), k = 0, rescore = 5)
     }
     intercept[IllegalArgumentException] {
-      PQ.search(enc, "embedding", "vec_id", model,
+      PQ.search(enc, "embedding", "vec_id", model16,
         Array.fill(64)(0f), k = 10, rescore = 5)
     }
     intercept[IllegalArgumentException] {
-      PQ.adcLut(model, Array.fill(63)(0f)) // wrong query dimension
+      PQ.adcLut(model16, Array.fill(63)(0f)) // wrong query dimension
+    }
+    intercept[IllegalArgumentException] {
+      PQ.adcLut(model16, Array.fill(64)(0f), metric = "manhattan")
+    }
+    intercept[IllegalArgumentException] {
+      // cosine needs the stored norm; approxColumn refuses without it
+      PQ.approxColumn(lit(0.0d), "cosine", None, 1.0)
     }
   }
 
   test("committed codebook fixture matches a fresh deterministic train " +
-    "in shape and ids (cid 0..15 per sub, dsub 8)") {
+    "in shape and ids (cid 0..255 per sub, dsub 8)") {
     val fixture = graft.queries.AnnQueries.fixturePqModel(spark)
-    assert(fixture.length == 8 && fixture.forall(_.length == 16))
+    assert(fixture.length == 8 && fixture.forall(_.length == 256))
     assert(fixture.forall(_.forall(_.vec.length == 8)))
-    assert(fixture.forall(cb => cb.map(_.id) == (0L until 16L)))
+    assert(fixture.forall(cb => cb.map(_.id) == (0L until 256L)))
   }
 }
