@@ -526,6 +526,42 @@ final class VectorEngine private (val spark: SparkSession,
       cs.map(_.id).toArray, cs.map(_.vec).toArray)
   }
 
+  /** Whether a pq library's codes are RESIDUAL-encoded (classic IVFADC:
+    * codes quantize `v - centroid(cell)`): exactly when the library is
+    * ivf-indexed AND a centroid model is installed — the same condition
+    * every (re-)derivation site and every search path checks, so stored
+    * codes and their reader always agree. */
+  private def pqResidual(lib: LibraryRow): Boolean =
+    lib.index_kind == IndexKindIvf && cellModels.contains(lib.id)
+
+  /** The stored-codes expression of a pq library: residual codes when
+    * [[pqResidual]] (reading the stored `bucket` cell column), raw codes
+    * otherwise. */
+  private def pqCodesColumnFor(lib: LibraryRow): Column = {
+    val model = pqModels.getOrElse(lib.id, throw ValidationError(
+      "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest"))
+    if (pqResidual(lib))
+      ProductQuantization.residualCodesColumn(col("embedding"), col("bucket"),
+        cellModels(lib.id), model).cast("array<int>")
+    else
+      ProductQuantization.codesColumn(col("embedding"), model)
+        .cast("array<int>")
+  }
+
+  /** Driver-side twin of [[pqCodesColumnFor]] for single-row adds
+    * (`cell` is the row's just-derived bucket value). */
+  private def pqEncodeLocal(lib: LibraryRow, cell: Option[Long],
+                            v: Seq[Float]): Seq[Int] = {
+    val model = pqModels.getOrElse(lib.id, throw ValidationError(
+      "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest"))
+    val input = (pqResidual(lib), cell) match {
+      case (true, Some(c)) =>
+        ProductQuantization.residualLocal(cellModels(lib.id), c, v)
+      case _ => v
+    }
+    ProductQuantization.encodeLocal(model, input)
+  }
+
   /** Atomic batch insert (api.py:354-361, services.py:144-162): <= 1000
     * chunks, one parent document (A5), EVERY row validated before ANY row
     * is inserted — one union = one atomic append. */
@@ -546,12 +582,10 @@ final class VectorEngine private (val spark: SparkSession,
     val rows = batch.map { c =>
       val enc = if (lib.storage == StorageSq8) Some(sq8EncodeLocal(c.embedding))
                 else None
+      val bkt = bucketFn.map(_(c.embedding))
       val pqCodes =
         if (lib.storage == StoragePq)
-          Some(ProductQuantization.encodeLocal(
-            pqModels.getOrElse(lib.id, throw ValidationError(
-              "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest")),
-            c.embedding))
+          Some(pqEncodeLocal(lib, bkt, c.embedding))
         else None
       // pq rows carry the L2 norm in the shared qmin slot (the cosine ADC
       // denominator — stored at ingest like the codes, any metric)
@@ -560,7 +594,7 @@ final class VectorEngine private (val spark: SparkSession,
           Some(ProductQuantization.normLocal(c.embedding))
         else None
       ChunkRow(c.id.getOrElse(newId()), doc.id, lib.id, c.text, c.embedding,
-        encodeMeta(c.metadata), c.chunkIndex, bucketFn.map(_(c.embedding)),
+        encodeMeta(c.metadata), c.chunkIndex, bkt,
         enc.map(_._1).orElse(pqNorm), enc.map(_._2),
         enc.map(_._3).orElse(pqCodes), t, t)
     }
@@ -654,18 +688,15 @@ final class VectorEngine private (val spark: SparkSession,
     val withCodes =
       if (lib.storage == StorageSq8) Quantization.encode(base, col("embedding"))
       else if (lib.storage == StoragePq) base
-        // PQ codes live in the shared `codes` column and the row's L2
-        // norm in the shared `qmin` slot (the cosine ADC denominator —
-        // the library row's storage kind says how to read them); ingest
-        // REQUIRES installed codebooks, like ivf requires a model before
-        // cells can be derived
+        // PQ codes live in the shared `codes` column (RESIDUAL-encoded
+        // off the just-derived bucket cell on an ivf library — classic
+        // IVFADC) and the row's L2 norm in the shared `qmin` slot (the
+        // cosine ADC denominator — the library row's storage kind says
+        // how to read them); ingest REQUIRES installed codebooks, like
+        // ivf requires a model before cells can be derived
         .withColumn("qmin", ProductQuantization.normColumn(col("embedding")))
         .withColumn("qmax", lit(null).cast("double"))
-        .withColumn("codes",
-          ProductQuantization.codesColumn(col("embedding"),
-            pqModels.getOrElse(libraryId, throw ValidationError(
-              "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest")))
-            .cast("array<int>"))
+        .withColumn("codes", pqCodesColumnFor(lib))
       else base
         .withColumn("qmin", lit(null).cast("double"))
         .withColumn("qmax", lit(null).cast("double"))
@@ -752,19 +783,16 @@ final class VectorEngine private (val spark: SparkSession,
     // pq library IMPLIES installed codebooks (every ingest path requires
     // them), so an absent model here is corruption — fail loudly like the
     // ingest paths rather than silently nulling the stored codes.
+    val newBucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb))
     val pqCodes =
-      if (lib.storage == StoragePq)
-        Some(ProductQuantization.encodeLocal(
-          pqModels.getOrElse(lib.id, throw ValidationError(
-            "install PQ codebooks (setPqCodebooks/trainPqCodebooks) before ingest")),
-          newEmb))
+      if (lib.storage == StoragePq) Some(pqEncodeLocal(lib, newBucket, newEmb))
       else None
     val next = cur.copy(
       text = text.getOrElse(cur.text),
       embedding = newEmb,
       metadata = metadata.map(encodeMeta).getOrElse(cur.metadata),
       chunk_index = chunkIndex.getOrElse(cur.chunk_index),
-      bucket = bucketOf(lib.id, lib.index_kind).map(_(newEmb)),
+      bucket = newBucket,
       qmin = enc.map(_._1).orElse(
         if (lib.storage == StoragePq)
           Some(ProductQuantization.normLocal(newEmb))
@@ -834,6 +862,17 @@ final class VectorEngine private (val spark: SparkSession,
         when(col("library_id") === libraryId, cellColumn(libraryId))
           .otherwise(col("bucket")))
       .as[ChunkRow]
+    // a pq library's codes are RESIDUAL off the cell once a centroid
+    // model exists: (re)installing centroids re-bases every residual, so
+    // re-derive the codes too (off the just-updated bucket column) —
+    // otherwise stored codes and the search-time LUTs would disagree on
+    // what the codebooks quantize
+    if (lib.storage == StoragePq && pqModels.contains(libraryId))
+      chunks = chunks.toDF()
+        .withColumn("codes",
+          when(col("library_id") === libraryId, pqCodesColumnFor(lib))
+            .otherwise(col("codes")))
+        .as[ChunkRow]
     touchLibrary(libraryId, now())
     markDirty(libraryId)
     afterMutation()
@@ -901,12 +940,12 @@ final class VectorEngine private (val spark: SparkSession,
         .map { case (_, cid, v) => IvfIndex.Centroid(cid, v.toArray) })
     pqModels += libraryId -> model
     // re-derive the stored codes of everything already ingested (one
-    // projection over this library's partition — no shuffle)
+    // projection over this library's partition — no shuffle; residual
+    // codes off the stored cell column when the library is ivf-indexed
+    // with an installed centroid model)
     chunks = chunks.toDF()
       .withColumn("codes",
-        when(col("library_id") === libraryId,
-          ProductQuantization.codesColumn(col("embedding"), model)
-            .cast("array<int>"))
+        when(col("library_id") === libraryId, pqCodesColumnFor(lib))
           .otherwise(col("codes")))
       .as[ChunkRow]
     touchLibrary(libraryId, now())
@@ -1014,10 +1053,20 @@ final class VectorEngine private (val spark: SparkSession,
     // exact rescore of the R survivors. Literally Quantization.search over
     // the same base the flat scan would read, so an ivf+sq8 library runs
     // the full funnel: cell prune -> codes scan -> O(R) rescore.
-    def flatScan(base: DataFrame): DataFrame =
+    def flatScan(base: DataFrame, pqCells: Seq[Long] = Nil): DataFrame =
       if (lib.storage == StorageSq8)
         Quantization.search(base.toDF(), "embedding", "id", query.toArray,
           k, math.max(k, rescore), lib.distance_metric)
+      else if (lib.storage == StoragePq && pqModels.contains(libraryId) &&
+          pqResidual(lib))
+        // IVFPQ: residual ADC — per-cell LUTs join on the stored cell
+        // (bucket) column; `pqCells` is the probed set (or every cell on
+        // the exhaustive fallback)
+        ProductQuantization.searchResidual(base.toDF(), "embedding", "id",
+          pqModels(libraryId), cellModels(libraryId), pqCells,
+          query.toArray, k, math.max(k, rescore),
+          metric = lib.distance_metric, codesCol = "codes",
+          cellCol = "bucket", normCol = Some("qmin"))
       else if (lib.storage == StoragePq && pqModels.contains(libraryId))
         // same two-phase shape: ADC over the stored codes (compact-only
         // scan — plus the stored qmin norm for cosine), exact rescore of
@@ -1057,7 +1106,8 @@ final class VectorEngine private (val spark: SparkSession,
         val cand = scoped.toDF().where(col("bucket").isin(probed: _*))
         // two-phase: early-stop candidate count, full scan when < k
         val enough = cand.limit(k).count() >= k
-        flatScan(if (enough) cand else scoped.toDF())
+        if (enough) flatScan(cand, probed)
+        else flatScan(scoped.toDF(), cellModels(libraryId).map(_.id))
       } else
         flatScan(scoped.toDF())
     result.withColumnRenamed("id", "chunk_id")
@@ -1104,6 +1154,10 @@ final class VectorEngine private (val spark: SparkSession,
     // pass is still needed. Adaptive probing doesn't need it: its prefix
     // guarantees >= min(|allow-set|, k) candidates per query by
     // construction, which is exactly what the fallback would deliver.
+    // which queries fell back to the full (every-cell) scan in the ivf
+    // two-phase split below: the residual-pq ADC needs per-(query, cell)
+    // LUTs for exactly the cells each query's rows carry
+    var fallbackSet: Set[Long] = Set.empty
     val probePlan: Option[(DataFrame, Boolean)] = lib.index_kind match {
       case IndexKindLsh =>
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
@@ -1160,6 +1214,7 @@ final class VectorEngine private (val spark: SparkSession,
         Seq(col("codes"), col("qmin"), col("qmax"))
       else if (lib.storage == StoragePq && pqModels.contains(libraryId))
         Seq(col("codes")) ++
+          (if (pqResidual(lib)) Seq(col("bucket")) else Nil) ++
           (if (lib.distance_metric == "cosine") Seq(col("qmin")) else Nil)
       else Seq(col("embedding"))
     val pairCols = Seq(col("query_id"), col("id")) ++ dataCols :+ col("qvec")
@@ -1182,6 +1237,7 @@ final class VectorEngine private (val spark: SparkSession,
             .map(r => r.getLong(0) -> r.getLong(1)).toMap
           val bucketQs = queries.map(_._1).filter(counts.getOrElse(_, 0L) >= k)
           val fallbackQs = queries.map(_._1).filterNot(bucketQs.toSet)
+          fallbackSet = fallbackQs.toSet
           val parts = Seq(
             if (bucketQs.nonEmpty)
               Some(cand.where(col("query_id").isin(bucketQs: _*)))
@@ -1214,6 +1270,56 @@ final class VectorEngine private (val spark: SparkSession,
           .join(broadcast(qDf), Seq("query_id"))
           .withColumn("distance",
             round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+              + lit(0.0d))
+          .select(col("query_id"), col("id"), col("distance"))
+      } else if (lib.storage == StoragePq && pqModels.contains(libraryId) &&
+          pqResidual(lib)) {
+        // batch RESIDUAL ADC (IVFPQ): the LUT frame is keyed by
+        // (query_id, cell) — probed cells per query, every cell for the
+        // fallback queries — carrying the same (const, luts) doubles the
+        // single-query path builds, joined on the stored bucket cell, so
+        // batch results stay bit-identical to Q single searches. Per
+        // query the frame is O(nprobe · M · K) doubles (euclidean) or
+        // O(M · K + nprobe) (dot/cosine — the LUT is cell-independent).
+        val model = pqModels(libraryId)
+        val cs = cellModels(libraryId)
+        val metric = lib.distance_metric
+        val r = math.max(k, rescore)
+        val allCells = cs.map(_.id)
+        val lutRows = queries.flatMap { case (qid, q) =>
+          val cells =
+            if (fallbackSet(qid)) allCells
+            else IvfIndex.nearestCentroids(q.toArray, cs, nprobe)
+          val qn = ProductQuantization.normLocal(q)
+          ProductQuantization.residualLutRows(model, cs, cells,
+            q.toArray, metric)
+            .map { case (cell, const, luts) => (qid, cell, const, luts, qn) }
+        }
+        val lutDf = broadcast(
+          lutRows.toDF("query_id", "__cell", "__const", "__lut", "__qnorm"))
+        val sumLut = model.indices.map { m =>
+          element_at(element_at(col("__lut"), m + 1),
+            col("codes").getItem(m).cast("int") + lit(1))
+        }.foldLeft(col("__const"))(_ + _)
+        val approxCol = metric match {
+          case "cosine" =>
+            when(col("qmin") === lit(0.0d) || col("__qnorm") === lit(0.0d),
+              lit(Double.PositiveInfinity))
+              .otherwise(lit(1.0d) + sumLut / (col("qmin") * col("__qnorm")))
+          case _ => sumLut
+        }
+        val approx = pairs.join(lutDf, Seq("query_id"))
+          .where(col("bucket") === col("__cell"))
+          .withColumn("approx", approxCol)
+          .select(col("query_id"), col("id"), col("approx"))
+        val survivors = graft.operators.TopK
+          .perGroup(approx, "query_id", "approx", "id", r)
+          .select(col("query_id"), col("id"))
+        scoped.select(col("id"), col("embedding"))
+          .join(broadcast(survivors), Seq("id"))
+          .join(broadcast(qDf), Seq("query_id"))
+          .withColumn("distance",
+            round(distance(metric)(col("embedding"), col("qvec")), 6)
               + lit(0.0d))
           .select(col("query_id"), col("id"), col("distance"))
       } else if (lib.storage == StoragePq && pqModels.contains(libraryId)) {
@@ -1595,10 +1701,10 @@ final class VectorEngine private (val spark: SparkSession,
     val pqLibs = allLibs.filter(l =>
       l.storage == StoragePq && pqModels.contains(l.id))
     if (pqLibs.nonEmpty) {
+      // residual-aware (pqCodesColumnFor reads the bucket column the
+      // PREVIOUS heal step just re-derived for ivf libraries)
       val codesCol = pqLibs.foldLeft(col("codes")) { (acc, l) =>
-        when(col("library_id") === l.id,
-          ProductQuantization.codesColumn(col("embedding"), pqModels(l.id))
-            .cast("array<int>"))
+        when(col("library_id") === l.id, pqCodesColumnFor(l))
           .otherwise(acc)
       }
       // the stored qmin norm (cosine ADC denominator) is derived too —

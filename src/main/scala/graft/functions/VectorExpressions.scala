@@ -336,6 +336,90 @@ case class NearestCellExpr(child: Expression, ids: Array[Long],
     copy(child = c)
 }
 
+/** IVFPQ residual: `float32(v - centroid(cell))` — the vector each PQ
+  * codebook actually quantizes under residual encoding (classic IVFADC;
+  * Jégou et al. TPAMI 2011 §IV): codebooks span only cell-local variance,
+  * which recovers substantially more recall at identical M/K than
+  * encoding raw vectors.
+  *
+  * The subtraction runs in double (exact on float inputs) and rounds each
+  * element back to float32 — `((v[i] - cv[i])::FLOAT)` in a SQL oracle,
+  * `(v(i).toDouble - c(i).toDouble).toFloat` in the driver twin — so all
+  * three engines agree bit-for-bit on the array the per-subspace argmin
+  * then sees. The centroid table rides as ONE reference object (like
+  * NearestCellExpr); the cell id resolves by binary search over the
+  * sorted id array, so arbitrary (non-contiguous) centroid ids work. An
+  * unknown cell id throws — stored cells always come from this model, so
+  * a miss is corrupt state, not data. */
+case class CellResidualExpr(left: Expression, right: Expression,
+                            ids: Array[Long], centroids: Array[Array[Float]])
+  extends BinaryExpression {
+
+  require(centroids.nonEmpty && ids.length == centroids.length,
+    "need >= 1 centroid and one id per centroid")
+  require(ids.toSeq == ids.toSeq.sorted, "centroid ids must be sorted ascending")
+
+  override def prettyName: String = "cell_residual"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), org.apache.spark.sql.types.LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, bigint), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(emb: Any, cell: Any): Any = {
+    val v = emb.asInstanceOf[ArrayData]
+    val idx = java.util.Arrays.binarySearch(ids, cell.asInstanceOf[Long])
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"$prettyName: unknown cell id $cell")
+    val c = centroids(idx)
+    if (v.numElements() != c.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs ${c.length})")
+    val out = new Array[Float](c.length)
+    var i = 0
+    while (i < c.length) {
+      out(i) = (v.getFloat(i).toDouble - c(i).toDouble).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cell) => {
+      val cents = ctx.addReferenceObj("residCentroids", centroids, "float[][]")
+      val cid = ctx.addReferenceObj("residCellIds", ids, "long[]")
+      val idx = ctx.freshName("idx"); val row = ctx.freshName("row")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      s"""
+         |int $idx = java.util.Arrays.binarySearch($cid, $cell);
+         |if ($idx < 0) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: unknown cell id " + $cell);
+         |}
+         |float[] $row = $cents[$idx];
+         |if ($v.numElements() != $row.length) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $v.numElements() +
+         |    " vs " + $row.length + ")");
+         |}
+         |float[] $out = new float[$row.length];
+         |for (int $i = 0; $i < $row.length; $i++) {
+         |  $out[$i] = (float) ((double) $v.getFloat($i) - (double) $row[$i]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Shared fold bodies for the SQ8 asymmetric distance kernels: the
   * approximate phase scores the library METRIC over the DECODED vector
   * (`dec_i = mn + (code_i * (mx - mn)) / 255.0` — exactly the expression
@@ -559,6 +643,10 @@ object VectorExpressions {
   def nearestCell(v: Column, ids: Array[Long],
                   centroids: Array[Array[Float]]): Column =
     c(NearestCellExpr(e(v), ids, centroids))
+
+  def cellResidual(v: Column, cell: Column, ids: Array[Long],
+                   centroids: Array[Array[Float]]): Column =
+    c(CellResidualExpr(e(v), e(cell), ids, centroids))
 
   // `metric` is required (no default): the kernel scores the LIBRARY
   // metric over the decoded codes — a forgotten argument must not

@@ -187,6 +187,148 @@ object ProductQuantization {
       case _ => sumLut
     }
 
+  // ------------------------------------------------------------------
+  // IVFPQ residual encoding (classic IVFADC — Jégou et al. TPAMI 2011
+  // §IV; FAISS IndexIVFPQ): codes quantize `v - centroid(cell)` instead
+  // of `v`, so the codebooks span only cell-local variance — at
+  // identical M/K that recovers substantially more recall than raw
+  // encoding. The residual is float32 (double subtraction rounded back,
+  // `((v[i]-cv[i])::FLOAT)` in SQL) so the stored-codes argmin is
+  // replayable bit-for-bit; the query-side residual stays pure double
+  // (driver arithmetic, never stored).
+  // ------------------------------------------------------------------
+
+  /** `float32(v - centroid(cell))` — the vector the codebooks quantize
+    * under residual encoding (fused codegen kernel, centroid table rides
+    * as one reference object). */
+  def residualColumn(emb: Column, cell: Column,
+                     centroids: Seq[Centroid]): Column =
+    VectorExpressions.cellResidual(emb, cell,
+      centroids.map(_.id).toArray, centroids.map(_.vec).toArray)
+
+  /** Residual codes: the same per-subspace NearestCellExpr argmin as the
+    * raw path, over the residual column. */
+  def residualCodesColumn(emb: Column, cell: Column,
+                          centroids: Seq[Centroid], model: Model): Column =
+    codesColumn(residualColumn(emb, cell, centroids), model)
+
+  /** Ingest-time stored columns for the IVFPQ shape: `pq_codes` encodes
+    * the cell residual; `withNorm` stores the RAW vector's norm (the
+    * cosine denominator is |v|, not |residual|). */
+  def encodeResidual(df: DataFrame, emb: Column, cell: Column,
+                     centroids: Seq[Centroid], model: Model,
+                     withNorm: Boolean = false): DataFrame = {
+    val coded = df.withColumn("pq_codes",
+      residualCodesColumn(emb, cell, centroids, model))
+    if (withNorm) coded.withColumn("pq_norm", normColumn(emb)) else coded
+  }
+
+  /** Driver-side twin of [[residualColumn]] (same double-subtract +
+    * float32 round) for single-row adds. */
+  def residualLocal(centroids: Seq[Centroid], cell: Long,
+                    v: Seq[Float]): Seq[Float] = {
+    val c = centroids.find(_.id == cell).getOrElse(
+      throw new IllegalArgumentException(s"unknown cell id $cell")).vec
+    require(v.length == c.length,
+      s"dimension mismatch (${v.length} vs ${c.length})")
+    v.indices.map(i => (v(i).toDouble - c(i).toDouble).toFloat)
+  }
+
+  /** The per-cell ADC ingredients of a residual search: for euclidean
+    * the LUT is built on the query residual `q - centroid(cell)` (pure
+    * double) with a zero constant; for dot_product/cosine the negated-dot
+    * LUT is CELL-INDEPENDENT (dot decomposes against the residual
+    * codebook with q itself) and the per-cell constant is
+    * `-dot(q, centroid)` — so approx = const + Σ_m lut[m][code], and
+    * cosine divides by the stored RAW norm downstream. Per query this is
+    * O(nprobe · M · K) doubles for euclidean and O(M · K + nprobe) for
+    * dot/cosine — broadcastable at any realistic nprobe. */
+  def residualLutRows(model: Model, centroids: Seq[Centroid],
+                      cells: Seq[Long], query: Array[Float],
+                      metric: String): Seq[(Long, Double, Seq[Seq[Double]])] = {
+    require(SupportedMetrics(metric), s"unsupported PQ metric: $metric")
+    val byId = centroids.map(c => c.id -> c).toMap
+    if (metric == "euclidean")
+      cells.map { cell =>
+        val cv = byId(cell).vec
+        // the query residual stays PURE DOUBLE (q[i] - cv[i], never
+        // rounded to float32 — only STORED residuals round): the SQL
+        // oracle's (qv[i] - ccv[i]) - cb[i] chain replays this exactly
+        val dsub = model.head.head.vec.length
+        val luts = model.zipWithIndex.map { case (cb, m) =>
+          cb.map { c =>
+            var acc = 0.0d; var i = 0
+            while (i < dsub) {
+              val d = (query(m * dsub + i).toDouble - cv(m * dsub + i).toDouble) -
+                c.vec(i).toDouble
+              acc += d * d; i += 1
+            }
+            acc
+          }
+        }
+        (cell, 0.0d, luts.map(_.toSeq))
+      }
+    else {
+      val lut = adcLut(model, query, metric).map(_.toSeq).toSeq
+      cells.map { cell =>
+        val cv = byId(cell).vec
+        var acc = 0.0d; var i = 0
+        while (i < cv.length) {
+          acc += query(i).toDouble * cv(i).toDouble; i += 1
+        }
+        (cell, -acc, lut)
+      }
+    }
+  }
+
+  /** Two-phase residual ADC search over a table with STORED residual
+    * `pq_codes` and a cell column: the per-cell LUT frame rides in as a
+    * broadcast inner join on the cell (which also prunes the scan to
+    * `cells`), approx = const + Σ_m lut[m][code] summed ascending m
+    * (left-associated from the constant — the order a SQL oracle's
+    * `c + ts[1] + ... + ts[M]` chain replays), exact rescore under
+    * `metric`. Callers pass the PROBED cells (or every cell for an
+    * exhaustive fallback). */
+  def searchResidual(encoded: DataFrame, embCol: String, idCol: String,
+                     model: Model, centroids: Seq[Centroid],
+                     cells: Seq[Long], query: Array[Float], k: Int,
+                     rescore: Int, metric: String = "euclidean",
+                     codesCol: String = "pq_codes",
+                     cellCol: String = "cell",
+                     normCol: Option[String] = None): DataFrame = {
+    require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
+    require(cells.nonEmpty, "need at least one cell to probe")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val lutDf = broadcast(
+      residualLutRows(model, centroids, cells, query, metric)
+        .toDF("__cell", "__const", "__lut"))
+    val sumLut = model.indices.map { m =>
+      element_at(element_at(col("__lut"), m + 1),
+        col(codesCol).getItem(m).cast("int") + lit(1))
+    }.foldLeft(col("__const"))(_ + _)
+    val approx = approxColumn(sumLut, metric,
+      normCol.orElse(if (metric == "cosine") Some("pq_norm") else None)
+        .map(col), normLocal(query.toIndexedSeq))
+    val phase1Cols = Seq(col(idCol), col(codesCol), col(cellCol)) ++
+      (if (metric == "cosine")
+        Seq(col(normCol.getOrElse("pq_norm"))) else Nil)
+    val candidates = encoded
+      .select(phase1Cols: _*)
+      .join(lutDf, col(cellCol) === col("__cell"))
+      .withColumn("approx", approx)
+      .orderBy(col("approx"), col(idCol))
+      .limit(rescore)
+      .select(col(idCol))
+    encoded.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .withColumn("distance",
+        round(VectorFunctions.distance(metric)(
+          col(embCol), litVec(query)), 6) + lit(0.0d))
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
   /** Two-phase ADC search over a table with STORED `pq_codes`: phase 1
     * scans ONLY the compact columns (numSub lookups + adds per row,
     * codegen'd; at scale that is numSub bytes-ish per row instead of

@@ -221,6 +221,30 @@ object AnnQueries {
       cb.map(c => (m, c.id, c.vec.toSeq))
     }
 
+  /** RESIDUAL codebooks (trained by MakeFixtures on float32(v - cell
+    * centroid) under the committed centroid model) — what the IVFPQ
+    * gates install; classic IVFADC. */
+  private[queries] val PqResidualFixturePath: String =
+    s"$FixturesDir/pq_residual_codebooks.parquet"
+  private[queries] val PqResidualFixtureSql =
+    s"read_parquet('$PqResidualFixturePath/*.parquet')"
+
+  private[graft] def fixturePqResidualModel(
+      s: org.apache.spark.sql.SparkSession): graft.operators.ProductQuantization.Model = {
+    val rows = s.read.parquet(PqResidualFixturePath)
+      .select("sub", "cid", "cv")
+      .collect()
+      .map(r => (r.getInt(0), IvfIndex.Centroid(r.getLong(1), r.getSeq[Float](2).toArray)))
+    (0 until PqSub).map(m =>
+      rows.filter(_._1 == m).map(_._2).sortBy(_.id).toSeq)
+  }
+
+  private[queries] def fixturePqResidualRows(
+      s: org.apache.spark.sql.SparkSession): Seq[(Int, Long, Seq[Float])] =
+    fixturePqResidualModel(s).zipWithIndex.flatMap { case (cb, m) =>
+      cb.map(c => (m, c.id, c.vec.toSeq))
+    }
+
   private val pqTopk: QueryFn = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     val model = fixturePqModel(s)
@@ -337,26 +361,28 @@ object AnnQueries {
   }
 
   /** IVF x PQ COMPOSITION — the canonical billion-vector index (FAISS's
-    * IVFPQ): the stored cell column prunes the scan to nprobe/C of the
-    * rows, the PQ codes cut the scanned bytes of that remainder ~32x, and
-    * only the R ADC survivors are rescored against full float32 vectors.
-    * Literally `withCell` + cell filter feeding
-    * `ProductQuantization.search` — operator composition, no new code;
-    * the oracle replays cell assignment, probe selection, the per-
-    * subspace encode, the ADC cut, and the rescore. */
+    * IVFPQ, RESIDUAL-encoded — classic IVFADC): the stored cell column
+    * prunes the scan to nprobe/C of the rows, the PQ codes quantize the
+    * float32 residual `v - centroid(cell)` (codebooks span only
+    * cell-local variance — substantially more recall at identical M/K
+    * than raw encoding), the ADC phase scans codes only with a per-cell
+    * LUT built on the query residual, and only the R survivors are
+    * rescored against full float32 vectors. The oracle replays cell
+    * assignment, probe selection, the float32 residual, the per-subspace
+    * encode, the per-cell residual LUT, the cut, and the rescore. */
   private val ivfPqTopk: QueryFn = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     val centroids = fixtureCentroids(s)
-    val model = fixturePqModel(s)
+    val model = fixturePqResidualModel(s)
     val query = emb.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val indexed = graft.operators.ProductQuantization.encode(
+    val indexed = graft.operators.ProductQuantization.encodeResidual(
       IvfIndex.withCell(emb, col("embedding"), centroids),
-      col("embedding"), model)
+      col("embedding"), col("cell"), centroids, model)
     val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
-    graft.operators.ProductQuantization.search(
+    graft.operators.ProductQuantization.searchResidual(
       indexed.where(col("cell").isin(probed: _*)),
-      "embedding", "vec_id", model, query, K, Rescore)
+      "embedding", "vec_id", model, centroids, probed, query, K, Rescore)
   }
 
   private val ivfPqTopkSql: String = {
@@ -365,7 +391,7 @@ object AnnQueries {
       .map(i => s"(qs[$i]-cv[$i])*(qs[$i]-cv[$i])").mkString(" + ")
     val approxChain = (1 to PqSub).map(m => s"ts[$m]").mkString(" + ")
     s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM $FixtureSql),
-       |cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqFixtureSql),
+       |cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqResidualFixtureSql),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |ca AS (SELECT e.vec_id, e.v, c.cid,
@@ -375,18 +401,24 @@ object AnnQueries {
        |cell AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
        |probe AS (SELECT cid FROM c, q
        |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe),
-       |p AS (SELECT vec_id, v FROM cell WHERE cid IN (SELECT cid FROM probe)),
-       |a AS (SELECT p.vec_id, cb.sub, cb.cid, cb.cv,
-       |        row_number() OVER (PARTITION BY p.vec_id, cb.sub
-       |          ORDER BY list_distance(list_slice(p.v, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
-       |      FROM p, cb),
-       |sel AS (SELECT vec_id, sub, cv FROM a WHERE rn = 1),
+       |p AS (SELECT vec_id, v, cid FROM cell
+       |      WHERE cid IN (SELECT cid FROM probe)),
+       |pr AS (SELECT p.vec_id, p.cid,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(CAST(p.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+       |       FROM p JOIN c ON p.cid = c.cid),
+       |a AS (SELECT pr.vec_id, pr.cid AS pcid, cb.sub, cb.cv,
+       |        row_number() OVER (PARTITION BY pr.vec_id, cb.sub
+       |          ORDER BY list_distance(list_slice(pr.rv, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
+       |      FROM pr, cb),
+       |sel AS (SELECT vec_id, pcid, sub, cv FROM a WHERE rn = 1),
        |t0 AS (SELECT sel.vec_id, sel.sub, sel.cv,
-       |         list_slice(q.qv, sel.sub*$dsub+1, sel.sub*$dsub+$dsub) AS qs
-       |       FROM sel, q),
+       |         list_transform(range(sel.sub*$dsub+1, sel.sub*$dsub+$dsub+1),
+       |           i -> q.qv[i] - c.cv[i]) AS qs
+       |       FROM sel JOIN c ON sel.pcid = c.cid, q),
        |t AS (SELECT vec_id, sub, $termChain AS term FROM t0),
        |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
-       |d AS (SELECT vec_id, $approxChain AS approx FROM l),
+       |d AS (SELECT vec_id, 0.0 + $approxChain AS approx FROM l),
        |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
        |SELECT p.vec_id, round(list_distance(p.v, q.qv), 6) + 0 AS distance
        |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM r)

@@ -33,7 +33,11 @@ object EngineQueries {
       eng.setIvfCentroids(lib.id,
         AnnQueries.fixtureCentroids(s).map(c => c.id -> c.vec.toSeq))
     if (storage == VectorEngine.StoragePq)
-      eng.setPqCodebooks(lib.id, AnnQueries.fixturePqRows(s))
+      // an ivf+pq library residual-encodes (classic IVFADC), so it gets
+      // the codebooks trained on residuals; flat pq gets the raw ones
+      eng.setPqCodebooks(lib.id,
+        if (kind == VectorEngine.IndexKindIvf) AnnQueries.fixturePqResidualRows(s)
+        else AnnQueries.fixturePqRows(s))
     eng.addDocumentsDf(lib.id, table(s, dir, "embeddings")
       .select(concat(lit("doc-"), col("label")).as("id"))
       .distinct()
@@ -273,13 +277,15 @@ object EngineQueries {
   }
 
   /** Full persistence round-trip for an ivf library with storage="pq" —
-    * the IVFPQ engine shape: codebooks installed BEFORE ingest (codes
-    * derived inside the bulk-ingest plan and persisted in-row in the
-    * shared codes column), centroid model + codebooks persisted as index
+    * the IVFPQ engine shape (RESIDUAL-encoded, classic IVFADC): centroid
+    * model + residual codebooks installed BEFORE ingest (codes derived
+    * inside the bulk-ingest plan off the just-derived cell and persisted
+    * in-row in the shared codes column), both persisted as index
     * metadata, then a reopened `search()` runs the full funnel — nprobe
-    * cell prune (with the `< k` exhaustive fallback), ADC top-R over the
-    * stored codes only, exact O(R) euclidean rescore. The oracle replays
-    * every stage. */
+    * cell prune (with the `< k` exhaustive fallback), per-cell
+    * residual-LUT ADC top-R over the stored codes only, exact O(R)
+    * euclidean rescore. The oracle replays every stage, including the
+    * float32 residual each stored code quantizes. */
   private val ivfPqPersisted: QueryFn = (s, dir) => {
     val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindIvf,
       deleteDoc7 = false, metric = "euclidean", storage = VectorEngine.StoragePq)
@@ -296,7 +302,7 @@ object EngineQueries {
       .map(i => s"(qs[$i]-cv[$i])*(qs[$i]-cv[$i])").mkString(" + ")
     val approxChain = (1 to numSub).map(m => s"ts[$m]").mkString(" + ")
     s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.FixtureSql}),
-       |cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.PqFixtureSql}),
+       |cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.PqResidualFixtureSql}),
        |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v FROM embeddings),
        |a0 AS (SELECT e.chunk_id, e.v, c.cid,
        |         row_number() OVER (PARTITION BY e.chunk_id
@@ -306,24 +312,29 @@ object EngineQueries {
        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |probe AS (SELECT cid FROM c, q
        |          ORDER BY list_distance(qv, cv), cid LIMIT $nprobe),
-       |cand AS (SELECT chunk_id, v FROM cell
+       |cand AS (SELECT chunk_id, v, cid FROM cell
        |         WHERE cid IN (SELECT cid FROM probe)),
        |base AS (
-       |  SELECT chunk_id, v FROM cand WHERE (SELECT count(*) FROM cand) >= 10
+       |  SELECT chunk_id, v, cid FROM cand WHERE (SELECT count(*) FROM cand) >= 10
        |  UNION ALL
-       |  SELECT chunk_id, v FROM cell WHERE (SELECT count(*) FROM cand) < 10
+       |  SELECT chunk_id, v, cid FROM cell WHERE (SELECT count(*) FROM cand) < 10
        |),
-       |a AS (SELECT base.chunk_id, cb.sub, cb.cid, cb.cv,
-       |        row_number() OVER (PARTITION BY base.chunk_id, cb.sub
-       |          ORDER BY list_distance(list_slice(base.v, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
-       |      FROM base, cb),
-       |sel AS (SELECT chunk_id, sub, cv FROM a WHERE rn = 1),
+       |pr AS (SELECT base.chunk_id, base.cid,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(CAST(base.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+       |       FROM base JOIN c ON base.cid = c.cid),
+       |a AS (SELECT pr.chunk_id, pr.cid AS pcid, cb.sub, cb.cv,
+       |        row_number() OVER (PARTITION BY pr.chunk_id, cb.sub
+       |          ORDER BY list_distance(list_slice(pr.rv, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
+       |      FROM pr, cb),
+       |sel AS (SELECT chunk_id, pcid, sub, cv FROM a WHERE rn = 1),
        |t0 AS (SELECT sel.chunk_id, sel.sub, sel.cv,
-       |         list_slice(q.qv, sel.sub*$dsub+1, sel.sub*$dsub+$dsub) AS qs
-       |       FROM sel, q),
+       |         list_transform(range(sel.sub*$dsub+1, sel.sub*$dsub+$dsub+1),
+       |           i -> q.qv[i] - c.cv[i]) AS qs
+       |       FROM sel JOIN c ON sel.pcid = c.cid, q),
        |t AS (SELECT chunk_id, sub, $termChain AS term FROM t0),
        |l AS (SELECT chunk_id, list(term ORDER BY sub) AS ts FROM t GROUP BY chunk_id),
-       |d AS (SELECT chunk_id, $approxChain AS approx FROM l),
+       |d AS (SELECT chunk_id, 0.0 + $approxChain AS approx FROM l),
        |r AS (SELECT chunk_id FROM d ORDER BY approx, chunk_id LIMIT $r)
        |SELECT base.chunk_id, round(list_distance(base.v, q.qv), 6) + 0 AS distance
        |FROM base, q WHERE base.chunk_id IN (SELECT chunk_id FROM r)

@@ -64,6 +64,23 @@ object MakeFixtures {
       .select(col("sub"), col("cid"), col("cv").cast("array<float>").as("cv"))
       .coalesce(1).write.mode("overwrite").parquet(pqOut)
     println(s"wrote ${pq.size} x ${pq.head.size} PQ codebooks to $pqOut")
+    // RESIDUAL codebooks (classic IVFADC): trained on float32(v - cell
+    // centroid) under the SAME committed centroid model, for the IVFPQ
+    // gates — codebooks spanning cell-local variance recover more recall
+    // at identical M/K than the raw ones above.
+    val resOut =
+      if (args.length > 3) args(3) else "fixtures/pq_residual_codebooks.parquet"
+    val withCell = IvfIndex.withCell(emb, col("embedding"), model)
+    val residual = graft.operators.ProductQuantization.residualColumn(
+      col("embedding"), col("cell"), model)
+    val pqRes = graft.operators.ProductQuantization.train(
+      withCell, residual, dim, PqSub, PqK, iters = Iters, seed = Seed)
+    pqRes.zipWithIndex.flatMap { case (cb, m) =>
+      cb.map(c => (m, c.id, c.vec.toSeq))
+    }.toDF("sub", "cid", "cv")
+      .select(col("sub"), col("cid"), col("cv").cast("array<float>").as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(resOut)
+    println(s"wrote ${pqRes.size} x ${pqRes.head.size} residual PQ codebooks to $resOut")
     spark.stop()
   }
 }

@@ -905,6 +905,92 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf+pq residual codes: single == bulk == local twin, centroid " +
+    "(re)install re-bases stored codes, reopened funnel search agrees") {
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    e.createLibrary("ivfpq", dim = 4, metric = "euclidean",
+      indexKind = "ivf", storage = "pq", id = Some("ivfpq"))
+    val cents = Seq(0L -> Seq(1.0f, 0.0f, 1.0f, 0.0f),
+      1L -> Seq(0.0f, 1.0f, 0.0f, 1.0f))
+    e.setIvfCentroids("ivfpq", cents)
+    val cb = Seq(
+      (0, 0L, Seq(0.1f, 0.0f)), (0, 1L, Seq(-0.1f, 0.1f)),
+      (1, 0L, Seq(0.1f, 0.0f)), (1, 1L, Seq(-0.1f, 0.1f)))
+    e.setPqCodebooks("ivfpq", cb)
+    val doc = e.createDocument("ivfpq", "d")
+    // one chunk singly, two in bulk
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("a", vec(0.9f, 0.1f, 1.1f, 0.0f), Map.empty, 0, Some("r0"))))
+    e.addChunksDf("ivfpq", Seq(
+      ("r1", doc.id, "b", Seq(1.1f, -0.1f, 0.9f, 0.1f),
+        Map.empty[String, String], 1),
+      ("r2", doc.id, "c", Seq(0.1f, 0.9f, -0.1f, 1.0f),
+        Map.empty[String, String], 2))
+      .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index"))
+    // stored codes must equal the residual local twin for EVERY row,
+    // whichever ingest path wrote it
+    val csModel = cents.map { case (id, v) =>
+      graft.operators.IvfIndex.Centroid(id, v.toArray) }
+    def expectCodes(): Unit = {
+      val rows = e.chunksDf.where($"library_id" === "ivfpq")
+        .select($"id", $"embedding", $"bucket", $"codes")
+        .as[(String, Seq[Float], Option[Long], Seq[Int])].collect()
+      assert(rows.nonEmpty)
+      val model = Seq(
+        Seq(graft.operators.IvfIndex.Centroid(0L, Array(0.1f, 0.0f)),
+          graft.operators.IvfIndex.Centroid(1L, Array(-0.1f, 0.1f))),
+        Seq(graft.operators.IvfIndex.Centroid(0L, Array(0.1f, 0.0f)),
+          graft.operators.IvfIndex.Centroid(1L, Array(-0.1f, 0.1f))))
+      rows.foreach { case (_, v, bucket, codes) =>
+        val resid = graft.operators.ProductQuantization.residualLocal(
+          csModel, bucket.get, v)
+        assert(codes ==
+          graft.operators.ProductQuantization.encodeLocal(model, resid))
+      }
+    }
+    expectCodes()
+    // a centroid RE-install moves the cells -> every residual re-bases
+    e.setIvfCentroids("ivfpq", Seq(0L -> Seq(1.0f, 0.0f, 0.9f, 0.1f),
+      1L -> Seq(0.1f, 1.0f, 0.0f, 0.9f)))
+    val rebased = e.chunksDf.where($"library_id" === "ivfpq")
+      .select($"id", $"embedding", $"bucket", $"codes")
+      .as[(String, Seq[Float], Option[Long], Seq[Int])].collect()
+    val cs2 = Seq(
+      graft.operators.IvfIndex.Centroid(0L, Array(1.0f, 0.0f, 0.9f, 0.1f)),
+      graft.operators.IvfIndex.Centroid(1L, Array(0.1f, 1.0f, 0.0f, 0.9f)))
+    val model2 = Seq(
+      Seq(graft.operators.IvfIndex.Centroid(0L, Array(0.1f, 0.0f)),
+        graft.operators.IvfIndex.Centroid(1L, Array(-0.1f, 0.1f))),
+      Seq(graft.operators.IvfIndex.Centroid(0L, Array(0.1f, 0.0f)),
+        graft.operators.IvfIndex.Centroid(1L, Array(-0.1f, 0.1f))))
+    rebased.foreach { case (_, v, bucket, codes) =>
+      val resid = graft.operators.ProductQuantization.residualLocal(
+        cs2, bucket.get, v)
+      assert(codes ==
+        graft.operators.ProductQuantization.encodeLocal(model2, resid))
+    }
+    // save -> reopen -> funnel search; and batch == single
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-resid").toString
+    e.save(state)
+    val e2 = VectorEngine.open(spark, state)
+    val q = Seq(1f, 0f, 1f, 0f)
+    val got = e2.search("ivfpq", q, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val expected = e.search("ivfpq", q, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    val qs = Seq(0L -> q, 1L -> Seq(0f, 1f, 0f, 1f))
+    val batch = e2.searchBatch("ivfpq", qs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val singles = qs.flatMap { case (qid, qq) =>
+      e2.search("ivfpq", qq, k = 2).collect()
+        .map(r => (qid, r.getString(0), r.getDouble(1)))
+    }
+    assert(batch.sorted == singles.sorted)
+  }
+
   test("pq storage lifecycle edges: text-only patch keeps codes, delete " +
     "drops codebooks, non-contiguous cids rejected, dim patch invalidates") {
     import spark.implicits._

@@ -131,6 +131,84 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall@10 $recall%.3f < 0.5")
   }
 
+  test("residual kernel: CellResidualExpr == driver twin bit-for-bit, " +
+    "and single-row residual codes == bulk residual codes") {
+    import graft.operators.IvfIndex
+    val cs = IvfIndex.train(emb, col("embedding"), c = 16, iters = 2, seed = 7L)
+    val withCell = IvfIndex.withCell(emb, col("embedding"), cs)
+    val rows = withCell
+      .withColumn("rv", PQ.residualColumn(col("embedding"), col("cell"), cs))
+      .where(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("rv"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val cell = r.getLong(2)
+      val rv = r.getSeq[Float](3)
+      assert(rv == PQ.residualLocal(cs, cell, v))
+    }
+    // bulk residual codes == encodeLocal over the local residual
+    val resModel = PQ.train(withCell,
+      PQ.residualColumn(col("embedding"), col("cell"), cs),
+      dim = 64, numSub = 8, k = 16, iters = 2, seed = 7L)
+    val coded = PQ.encodeResidual(withCell, col("embedding"), col("cell"),
+      cs, resModel)
+      .where(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("pq_codes"))
+      .collect()
+    coded.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val cell = r.getLong(2)
+      val codes = r.getSeq[Long](3).map(_.toInt)
+      assert(codes == PQ.encodeLocal(resModel, PQ.residualLocal(cs, cell, v)))
+    }
+  }
+
+  test("IVFPQ: residual encoding recovers more recall than raw encoding " +
+    "at identical M/K (measured, K=16 where the headroom is)") {
+    import graft.operators.IvfIndex
+    val cs = IvfIndex.train(emb, col("embedding"), c = 64, iters = 3, seed = 42L)
+    val withCell = IvfIndex.withCell(emb, col("embedding"), cs).localCheckpoint()
+    val rawModel = model16
+    val resModel = PQ.train(withCell,
+      PQ.residualColumn(col("embedding"), col("cell"), cs),
+      dim = 64, numSub = 8, k = 16, iters = 3, seed = 42L)
+    val rawEnc = PQ.encode(withCell, col("embedding"), rawModel).localCheckpoint()
+    val resEnc = PQ.encodeResidual(withCell, col("embedding"), col("cell"),
+      cs, resModel).localCheckpoint()
+    val queries = emb.where(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def flatTop(q: Array[Float]): Set[Long] = {
+      val qCol = array(q.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
+      emb.withColumn("distance", round(
+        graft.functions.VectorExpressions.euclideanDistance(col("embedding"), qCol),
+        6) + lit(0.0d))
+        .orderBy("distance", "vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    // isolate ENCODING quality: probe every cell (no coverage loss) and
+    // set rescore = k, so the ADC ordering alone decides what survives —
+    // with a generous rescore the exact phase would hide any encoding
+    // difference (every probed candidate gets rescored)
+    val allCells = cs.map(_.id)
+    val (rawR, resR) = queries.map { case (_, q) =>
+      val flat = flatTop(q)
+      val raw = PQ.search(rawEnc,
+        "embedding", "vec_id", rawModel, q, k = 10, rescore = 10)
+        .select("vec_id").as[Long].collect().toSet
+      val res = PQ.searchResidual(resEnc,
+        "embedding", "vec_id", resModel, cs, allCells, q, k = 10, rescore = 10)
+        .select("vec_id").as[Long].collect().toSet
+      ((flat intersect raw).size / 10.0, (flat intersect res).size / 10.0)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)) match {
+      case (a, b) => (a / queries.length, b / queries.length)
+    }
+    info(f"IVFPQ M=8 K=16 R=k recall@10 (pure encoding): raw $rawR%.3f, residual $resR%.3f")
+    assert(resR >= rawR,
+      f"residual recall $resR%.3f should not trail raw $rawR%.3f")
+  }
+
   test("guards: dim must divide into numSub; rescore >= k > 0; " +
     "unknown metric; cosine without a norm column") {
     intercept[IllegalArgumentException] {
