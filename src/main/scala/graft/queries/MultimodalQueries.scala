@@ -186,10 +186,56 @@ object MultimodalQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** DEDUP-GATED streaming ingest under the oracle hash gate (the
+    * StreamingIngest.upsertBatch contract, previously spec-only): a
+    * date-partitioned sink primed with the already-ingested history,
+    * then ONE redelivered micro-batch — an at-least-once source's worst
+    * case: rows the sink already holds (every even id) AND intra-batch
+    * duplicates (ids divisible by 10 arrive twice) — run through the
+    * gates (within-batch dropDuplicates, date-pruned anti-join vs the
+    * sink, one append), and the hourly windowed aggregation over what
+    * the sink then holds. The oracle replays the gates set-theoretically
+    * (DISTINCT → anti-join → union with the primed history) and the same
+    * window aggregation, so a double-insert OR an over-drop flips the
+    * hash. */
+  private val eventsDedupGated: QueryFn = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft-dedup-sink").toString + "/events"
+    StreamingIngest.upsertBatch(ev.where(col("event_id") % 3 =!= 0), sink)
+    val batch = ev.where(col("event_id") % 2 === 0)
+      .unionAll(ev.where(col("event_id") % 10 === 0))
+    StreamingIngest.upsertBatch(batch, sink)
+    StreamingIngest.windowedEventCounts(
+        s.read.parquet(sink)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val eventsDedupGatedSql: String =
+    """WITH sink0 AS (
+      |  SELECT event_id, ts, event_type, value FROM events WHERE event_id % 3 <> 0),
+      |batch AS (
+      |  SELECT event_id, ts, event_type, value FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, ts, event_type, value FROM events WHERE event_id % 10 = 0),
+      |bdedup AS (SELECT DISTINCT event_id, ts, event_type, value FROM batch),
+      |survivors AS (SELECT b.* FROM bdedup b ANTI JOIN sink0 s USING (event_id)),
+      |final AS (SELECT * FROM sink0 UNION ALL SELECT * FROM survivors)
+      |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) + 0 AS total_value
+      |FROM final GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_features", mmFeatures, Some(mmFeaturesSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
+    Q("events_dedup_gated", eventsDedupGated, Some(eventsDedupGatedSql)),
     Q("events_sessionize", sessionize, Some(sessionizeSql)),
     Q("events_sessionize_stateful", sessionizeStateful, Some(sessionizeStatefulSql)),
     Q("events_interval_join", intervalJoin, Some(intervalJoinSql)),
