@@ -344,9 +344,12 @@ object ProductQuantization {
     require(SupportedMetrics(metric), s"unsupported PQ metric: $metric")
     val lut = adcLut(model, query, metric)
     // sum over subspaces, ascending m, left-associated — the oracle's
-    // explicit + chain adds in the same order
+    // explicit + chain adds in the same order. Each subspace's K doubles
+    // ride as ONE array literal (typedLit), not K literal nodes — at
+    // K=256 that keeps the plan at O(M) nodes, like the batch path's
+    // broadcast frame.
     val sumLut = lut.zipWithIndex.map { case (l, m) =>
-      element_at(array(l.toIndexedSeq.map(lit): _*),
+      element_at(typedLit(l.toIndexedSeq),
         col(codesCol).getItem(m).cast("int") + lit(1))
     }.reduce(_ + _)
     val approx = approxColumn(sumLut, metric,

@@ -144,4 +144,72 @@ object PropertySpec extends Properties("graft") {
       got == expect
     }
   }
+
+  /** Per-kind search parity (generalizes the fallback≡flat property to
+    * every compact/partitioned representation): at SATURATING budgets —
+    * rescore >= n, nprobe >= C, every cell probed — the sq8, pq,
+    * residual-IVFPQ, and IVF funnels must return EXACTLY the flat
+    * ranking, for ANY valid model. Codebooks and centroids are therefore
+    * GENERATED, not trained: saturation means approximate ordering can
+    * only select candidates, never rank survivors, so arbitrary (even
+    * adversarial) models cannot change the result — which is precisely
+    * the two-phase contract. */
+  property("sq8/pq/ivfpq/ivf funnels == flat at saturating budgets, " +
+    "for any generated model") = {
+    import graft.operators.{IvfIndex, Quantization, ProductQuantization => PQ}
+    def flatTopKMetric(rows: Seq[(Long, Seq[Float])], q: Seq[Float],
+                       metric: String, k: Int) = {
+      val df = rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      df.crossJoin(broadcast(Seq(Tuple1(q)).toDF("qvec")
+          .select(col("qvec").cast("array<float>").as("qvec"))))
+        .withColumn("distance",
+          round(distance(metric)(col("embedding"), col("qvec")), 6) + lit(0.0d))
+        .select(col("vec_id"), col("distance"))
+        .orderBy(col("distance"), col("vec_id")).limit(k)
+        .as[(Long, Double)].collect().toSeq
+    }
+    val subVecGen: Gen[Array[Float]] =
+      Gen.listOfN(2, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
+    val codebookGen: Gen[PQ.Model] =
+      Gen.listOfN(4, subVecGen).map { cents =>
+        (0 until 2).map(m => (0 until 2).map(c =>
+          IvfIndex.Centroid(c.toLong, cents(m * 2 + c))))
+      }
+    val centroidsGen: Gen[Seq[IvfIndex.Centroid]] =
+      Gen.listOfN(2, vecGen).map(_.zipWithIndex.map { case (v, i) =>
+        IvfIndex.Centroid(i.toLong, v.toArray) })
+    forAll(Gen.listOfN(8, vecGen), nonZeroVec, codebookGen, centroidsGen) {
+      (vs, q, model, cents) =>
+        val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val n = rows.size
+        val df = rows.toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        val qa = q.toArray
+        // sq8 under cosine
+        val sq8 = Quantization.search(Quantization.encode(df, col("embedding")),
+            "embedding", "vec_id", qa, k = 3, rescore = n, metric = "cosine")
+          .as[(Long, Double)].collect().toSeq
+        // pq under cosine (stored norm)
+        val pq = PQ.search(PQ.encode(df, col("embedding"), model, withNorm = true),
+            "embedding", "vec_id", model, qa, k = 3, rescore = n,
+            metric = "cosine")
+          .as[(Long, Double)].collect().toSeq
+        // residual IVFPQ under euclidean, every cell probed
+        val withCell = IvfIndex.withCell(df, col("embedding"), cents)
+        val ivfpq = PQ.searchResidual(
+            PQ.encodeResidual(withCell, col("embedding"), col("cell"), cents, model),
+            "embedding", "vec_id", model, cents, cents.map(_.id), qa,
+            k = 3, rescore = n, metric = "euclidean")
+          .as[(Long, Double)].collect().toSeq
+        // ivf under cosine, nprobe = C
+        val ivf = IvfIndex.search(withCell, "embedding", "vec_id", cents, qa,
+            nprobe = cents.size, "cosine", k = 3)
+          .as[(Long, Double)].collect().toSeq
+        sq8 == flatTopKMetric(rows, q, "cosine", 3) &&
+          pq == flatTopKMetric(rows, q, "cosine", 3) &&
+          ivfpq == flatTopKMetric(rows, q, "euclidean", 3) &&
+          ivf == flatTopKMetric(rows, q, "cosine", 3)
+    }
+  }
 }
