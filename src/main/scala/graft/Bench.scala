@@ -114,8 +114,27 @@ object Bench {
         (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
       })
     }
+    // residual IVFPQ (classic IVFADC) on the sweep's C=8 centroid model:
+    // residual-trained codebooks, nprobe=6 cell prune, per-cell LUT ADC,
+    // R=50 rescore — the full billion-vector funnel's measured recall
+    val ivfpq = {
+      val resModel = graft.operators.ProductQuantization.train(
+        cells, graft.operators.ProductQuantization.residualColumn(
+          col("embedding"), col("cell"), model),
+        dim = 64, numSub = 8, k = 256, iters = 3)
+      val resEnc = graft.operators.ProductQuantization.encodeResidual(
+        cells, col("embedding"), col("cell"), model, resModel).localCheckpoint()
+      avg(queries.map { case (id, q) =>
+        val probed = IvfIndex.nearestCentroids(q, model, 6)
+        val got = topIds(graft.operators.ProductQuantization.searchResidual(
+          resEnc.where(col("cell").isin(probed: _*)),
+          "embedding", "vec_id", resModel, model, probed, q,
+          k = 10, rescore = 50))
+        (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
+      })
+    }
     // 4dp is plenty for a 10-query recall average, and keeps the compact
-    // stdout line (13 recall keys now, ~460 chars total) under its
+    // stdout line (14 recall keys now, ~490 chars total) under its
     // 500-char budget; ivf_c8_nprobe6 comes from the sweep.
     // The PQ ladder at R=50: K=16 compression-extreme (32x, recall ~0.5),
     // the default M=8 K=256 (32x, measured 0.84 at sf0.1 — R=100 lifts it
@@ -125,7 +144,8 @@ object Bench {
       "lsh_adaptive" -> lshAd, "sq8_r50" -> sq8,
       "pq_m8k16_r50" -> pqRecall(8, 16),
       "pq_m8k256_r50" -> pqRecall(8, 256),
-      "pq_m16k256_r50" -> pqRecall(16, 256)) ++
+      "pq_m16k256_r50" -> pqRecall(16, 256),
+      "ivfpq_res_np6_r50" -> ivfpq) ++
       lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r } ++
       ivfSweep.map { case (np, r) => s"ivf_c8_nprobe$np" -> r })
       .map { case (k, v) => k -> math.rint(v * 10000) / 10000 }

@@ -32,7 +32,7 @@ object AnnQueries {
   private val NProbe = 3
   private val K = 10
 
-  private[queries] def fixtureCentroids(s: org.apache.spark.sql.SparkSession): Seq[IvfIndex.Centroid] =
+  private[graft] def fixtureCentroids(s: org.apache.spark.sql.SparkSession): Seq[IvfIndex.Centroid] =
     s.read.parquet(FixturePath)
       .select("cid", "cv") // by NAME — robust to fixture column reordering
       .collect()
@@ -425,8 +425,79 @@ object AnnQueries {
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
   }
 
+  /** Residual IVFPQ under COSINE — the reference's default metric on the
+    * canonical billion-vector index: for dot/cosine the residual ADC's
+    * LUT is CELL-INDEPENDENT (dot decomposes against the residual
+    * codebook with the raw query) and each cell contributes one constant
+    * `-dot(q, centroid)`; cosine divides the (const + LUT) sum by the
+    * stored RAW row norm and the query norm. The oracle replays the
+    * float32 residual encode, the per-cell constant, the shared
+    * negated-dot LUT, the norm division (+Inf on zero norms), the R cut,
+    * and the exact cosine rescore. */
+  private val ivfPqCosine: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val centroids = fixtureCentroids(s)
+    val model = fixturePqResidualModel(s)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val indexed = graft.operators.ProductQuantization.encodeResidual(
+      IvfIndex.withCell(emb, col("embedding"), centroids),
+      col("embedding"), col("cell"), centroids, model, withNorm = true)
+    val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
+    graft.operators.ProductQuantization.searchResidual(
+      indexed.where(col("cell").isin(probed: _*)),
+      "embedding", "vec_id", model, centroids, probed, query, K, Rescore,
+      metric = "cosine")
+  }
+
+  private val ivfPqCosineSql: String = {
+    val dsub = 64 / PqSub
+    val approxChain = (1 to PqSub).map(m => s"ts[$m]").mkString(" + ")
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM $FixtureSql),
+       |cb AS (SELECT sub, cid, cv::DOUBLE[] AS cv FROM $PqResidualFixtureSql),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |      FROM e WHERE vec_id = 0),
+       |ca AS (SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |       FROM e, c),
+       |cell AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe),
+       |p AS (SELECT vec_id, v, cid FROM cell
+       |      WHERE cid IN (SELECT cid FROM probe)),
+       |pr AS (SELECT p.vec_id, p.cid,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(CAST(p.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+       |       FROM p JOIN c ON p.cid = c.cid),
+       |a AS (SELECT pr.vec_id, pr.cid AS pcid, cb.sub, cb.cv,
+       |        row_number() OVER (PARTITION BY pr.vec_id, cb.sub
+       |          ORDER BY list_distance(list_slice(pr.rv, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
+       |      FROM pr, cb),
+       |sel AS (SELECT vec_id, pcid, sub, cv FROM a WHERE rn = 1),
+       |t0 AS (SELECT sel.vec_id, sel.pcid, sel.sub, sel.cv,
+       |         list_slice(q.qv, sel.sub*$dsub+1, sel.sub*$dsub+$dsub) AS qs
+       |       FROM sel, q),
+       |t AS (SELECT vec_id, pcid, sub, -(list_dot_product(qs, cv)) AS term FROM t0),
+       |l AS (SELECT vec_id, pcid, list(term ORDER BY sub) AS ts
+       |      FROM t GROUP BY vec_id, pcid),
+       |cc AS (SELECT l.vec_id, -(list_dot_product(q.qv, c.cv)) AS cconst, l.ts
+       |       FROM l JOIN c ON l.pcid = c.cid, q),
+       |n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |d AS (SELECT cc.vec_id,
+       |        CASE WHEN n.nrm = 0 OR q.qn = 0 THEN 'infinity'::DOUBLE
+       |             ELSE 1 + (cconst + $approxChain) / (n.nrm * q.qn) END AS approx
+       |      FROM cc JOIN n ON cc.vec_id = n.vec_id, q),
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |SELECT p.vec_id, round(${VectorSearchQueries.distSql("cosine", "p.v", "q.qv")}, 6) + 0 AS distance
+       |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ann_ivf_topk", ivfTopk, Some(ivfTopkSql)),
+    Q("ann_ivf_pq_cosine", ivfPqCosine, Some(ivfPqCosineSql)),
     Q("ann_pq_topk", pqTopk, Some(pqTopkSql)),
     Q("ann_pq_dot", pqDot, Some(pqDotSql)),
     Q("ann_pq_cosine", pqCosine, Some(pqCosineSql)),

@@ -131,6 +131,38 @@ class PlanSpec extends AnyFunSuite {
     assert(result.count() == 10)
   }
 
+  test("residual IVFPQ search on a STORED-codes table: the ADC phase " +
+    "scans only pq_codes + cell (never the embedding), the per-cell LUT " +
+    "frame is a broadcast hash join, rescore is a broadcast semi-join") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.queries.AnnQueries.fixtureCentroids(spark)
+    val model = graft.queries.AnnQueries.fixturePqResidualModel(spark)
+    graft.operators.ProductQuantization.encodeResidual(
+        graft.operators.IvfIndex.withCell(emb, col("embedding"), cents),
+        col("embedding"), col("cell"), cents, model)
+      .select("vec_id", "embedding", "cell", "pq_codes")
+      .write.mode("overwrite").parquet(s"$tmp/encoded")
+    val stored = spark.read.parquet(s"$tmp/encoded")
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probed = graft.operators.IvfIndex.nearestCentroids(q, cents, 3)
+    val result = graft.operators.ProductQuantization.searchResidual(
+      stored.where(col("cell").isin(probed: _*)),
+      "embedding", "vec_id", model, cents, probed, q, k = 10, rescore = 50)
+    val p = result.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("pq_codes") && l.contains("cell") &&
+      !l.contains("embedding")),
+      s"no codes+cell-only scan — the ADC phase reads full vectors:\n${scans.mkString("\n")}")
+    assert(result.count() == 10)
+  }
+
   test("events_interval_join: equi-join on the key with the time range as " +
     "a post-filter — never a nested loop over the pair space") {
     val p = plan("events_interval_join")
