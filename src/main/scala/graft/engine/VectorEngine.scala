@@ -299,6 +299,24 @@ final class VectorEngine private (val spark: SparkSession,
       // is empty (guard above), so drop them and require a re-install
       // before the next ingest rather than silently mis-encoding
       pqModels -= id
+    if (dimChange)
+      // the centroid model partitions the OLD dimension too — keeping it
+      // would make the next ingest derive cells from a dimension-
+      // mismatched model (the codegen kernel throws; the local twin must
+      // never be given the chance to disagree)
+      cellModels -= id
+    // a metric flip TO cosine on a pq library must guarantee the stored
+    // qmin norms exist: rows persisted by a pre-norm build carry nulls
+    // there, which would otherwise NULL every ADC approx value (nulls
+    // sort first — silent garbage, not an error). One idempotent
+    // projection over this library's partition, same shape as the heal.
+    if (cur.storage == StoragePq && metric.contains("cosine"))
+      chunks = chunks.toDF()
+        .withColumn("qmin",
+          when(col("library_id") === id,
+            ProductQuantization.normColumn(col("embedding")))
+            .otherwise(col("qmin")))
+        .as[ChunkRow]
     if (dimChange || kindChange) { // library is empty: rebuild the index
       // Rebuild with the library's ORIGINAL LSH configuration when one was
       // ever recorded (the MatrixRow remembers num_projections/seed across
@@ -483,7 +501,13 @@ final class VectorEngine private (val spark: SparkSession,
       case IndexKindIvf =>
         cellModels.get(libId).map { cs =>
           (v: Seq[Float]) => {
-            // twin of NearestCellExpr: strict < keeps the smallest cid on ties
+            // twin of NearestCellExpr: strict < keeps the smallest cid on
+            // ties — and the SAME dimension guard (the kernel throws on a
+            // mismatch; a silent prefix-distance here would let the two
+            // ingest paths derive different cells for the same row)
+            if (v.length != cs.head.vec.length)
+              throw new IllegalArgumentException(
+                s"nearest_cell: dimension mismatch (${v.length} vs ${cs.head.vec.length})")
             var best = Double.PositiveInfinity
             var bestId = cs.head.id
             cs.foreach { c =>
@@ -972,9 +996,21 @@ final class VectorEngine private (val spark: SparkSession,
     if (iters <= 0) throw ValidationError("iters must be > 0")
     if (chunkCount(libraryId) == 0)
       throw ValidationError("cannot train PQ codebooks on an empty library")
+    // a residual library's codebooks must be trained on WHAT THEY WILL
+    // QUANTIZE — the float32 cell residuals (read off the stored bucket
+    // column, which setIvfCentroids keeps current) — not the raw
+    // vectors: raw-trained centroids live far from the near-zero
+    // residual cloud and every code would degenerate to "nearest to the
+    // origin", cratering recall. Same residual condition as every
+    // encode/search site (pqResidual).
+    val trainInput =
+      if (pqResidual(lib))
+        ProductQuantization.residualColumn(col("embedding"), col("bucket"),
+          cellModels(libraryId))
+      else col("embedding")
     val model = ProductQuantization.train(
       chunks.where(col("library_id") === libraryId).toDF(),
-      col("embedding"), lib.embedding_dimension, numSub, k, iters, seed)
+      trainInput, lib.embedding_dimension, numSub, k, iters, seed)
     // a low-diversity subspace (fewer than k DISTINCT subvectors — e.g.
     // zero-padded trailing dims) trains fewer centroids; truncate every
     // codebook to the smallest count so the install invariant (equal K,
@@ -1053,6 +1089,14 @@ final class VectorEngine private (val spark: SparkSession,
     // exact rescore of the R survivors. Literally Quantization.search over
     // the same base the flat scan would read, so an ivf+sq8 library runs
     // the full funnel: cell prune -> codes scan -> O(R) rescore.
+    def exactScan(base: DataFrame): DataFrame =
+      base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
+        .withColumn("distance",
+          round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+            + lit(0.0d))
+        .select(col("id"), col("distance"))
+        .orderBy(col("distance"), col("id"))
+        .limit(k)
     def flatScan(base: DataFrame, pqCells: Seq[Long] = Nil): DataFrame =
       if (lib.storage == StorageSq8)
         Quantization.search(base.toDF(), "embedding", "id", query.toArray,
@@ -1060,8 +1104,12 @@ final class VectorEngine private (val spark: SparkSession,
       else if (lib.storage == StoragePq && pqModels.contains(libraryId) &&
           pqResidual(lib))
         // IVFPQ: residual ADC — per-cell LUTs join on the stored cell
-        // (bucket) column; `pqCells` is the probed set (or every cell on
-        // the exhaustive fallback)
+        // (bucket) column; `pqCells` is the PROBED set only. The
+        // exhaustive `< k` fallback never reaches here (the ivf branch
+        // routes it to exactScan: building per-cell euclidean LUTs for
+        // EVERY cell would be O(C·M·K) driver-built broadcast doubles —
+        // unbounded in C — while the exact scan is the correctness
+        // baseline the fallback exists to guarantee anyway)
         ProductQuantization.searchResidual(base.toDF(), "embedding", "id",
           pqModels(libraryId), cellModels(libraryId), pqCells,
           query.toArray, k, math.max(k, rescore),
@@ -1075,13 +1123,7 @@ final class VectorEngine private (val spark: SparkSession,
           pqModels(libraryId), query.toArray, k, math.max(k, rescore),
           metric = lib.distance_metric, codesCol = "codes",
           normCol = Some("qmin"))
-      else base.crossJoin(broadcast(spark.range(1).select(qvec.as("qvec"))))
-        .withColumn("distance",
-          round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
-            + lit(0.0d))
-        .select(col("id"), col("distance"))
-        .orderBy(col("distance"), col("id"))
-        .limit(k)
+      else exactScan(base)
     val result =
       if (lib.index_kind == IndexKindLsh) {
         val m = matrices(libraryId).matrix.map(_.toArray).toArray
@@ -1104,10 +1146,16 @@ final class VectorEngine private (val spark: SparkSession,
         val probed = IvfIndex.nearestCentroids(query.toArray,
           cellModels(libraryId), nprobe)
         val cand = scoped.toDF().where(col("bucket").isin(probed: _*))
-        // two-phase: early-stop candidate count, full scan when < k
+        // two-phase: early-stop candidate count, full scan when < k. A
+        // residual-pq library's exhaustive fallback is the EXACT scan
+        // (see flatScan's residual note: all-cell LUTs are O(C·M·K)
+        // driver work, and exact is what the fallback guarantees)
         val enough = cand.limit(k).count() >= k
         if (enough) flatScan(cand, probed)
-        else flatScan(scoped.toDF(), cellModels(libraryId).map(_.id))
+        else if (lib.storage == StoragePq && pqModels.contains(libraryId) &&
+            pqResidual(lib))
+          exactScan(scoped.toDF())
+        else flatScan(scoped.toDF())
       } else
         flatScan(scoped.toDF())
     result.withColumnRenamed("id", "chunk_id")
@@ -1285,36 +1333,43 @@ final class VectorEngine private (val spark: SparkSession,
         val cs = cellModels(libraryId)
         val metric = lib.distance_metric
         val r = math.max(k, rescore)
-        val allCells = cs.map(_.id)
-        val lutRows = queries.flatMap { case (qid, q) =>
-          val cells =
-            if (fallbackSet(qid)) allCells
-            else IvfIndex.nearestCentroids(q.toArray, cs, nprobe)
-          val qn = ProductQuantization.normLocal(q)
-          ProductQuantization.residualLutRows(model, cs, cells,
-            q.toArray, metric)
-            .map { case (cell, const, luts) => (qid, cell, const, luts, qn) }
-        }
+        // LUTs only for queries whose rows are cell-pruned; a FALLBACK
+        // query scans every cell, and its exact path below needs no LUT
+        // at all — building per-cell LUTs for all C cells would be
+        // O(C·M·K) driver work per fallback query (the single path's
+        // exactScan note)
+        val lutRows = queries.filterNot(q => fallbackSet(q._1))
+          .flatMap { case (qid, q) =>
+            val cells = IvfIndex.nearestCentroids(q.toArray, cs, nprobe)
+            val qn = ProductQuantization.normLocal(q)
+            ProductQuantization.residualLutRows(model, cs, cells,
+              q.toArray, metric)
+              .map { case (cell, const, luts) => (qid, cell, const, luts, qn) }
+          }
         val lutDf = broadcast(
           lutRows.toDF("query_id", "__cell", "__const", "__lut", "__qnorm"))
         val sumLut = model.indices.map { m =>
           element_at(element_at(col("__lut"), m + 1),
             col("codes").getItem(m).cast("int") + lit(1))
         }.foldLeft(col("__const"))(_ + _)
-        val approxCol = metric match {
-          case "cosine" =>
-            when(col("qmin") === lit(0.0d) || col("__qnorm") === lit(0.0d),
-              lit(Double.PositiveInfinity))
-              .otherwise(lit(1.0d) + sumLut / (col("qmin") * col("__qnorm")))
-          case _ => sumLut
-        }
+        val approxCol = ProductQuantization.approxColumn(sumLut, metric,
+          if (metric == "cosine") Some(col("qmin")) else None, col("__qnorm"))
+        // the inner LUT join keeps only the cell-pruned queries' pairs
         val approx = pairs.join(lutDf, Seq("query_id"))
           .where(col("bucket") === col("__cell"))
           .withColumn("approx", approxCol)
           .select(col("query_id"), col("id"), col("approx"))
-        val survivors = graft.operators.TopK
+        val survApprox = graft.operators.TopK
           .perGroup(approx, "query_id", "approx", "id", r)
           .select(col("query_id"), col("id"))
+        // fallback queries: EVERY candidate survives to the exact rescore
+        // — the batch twin of the single path's exactScan fallback
+        // (identical distance formula, so batch == single stays exact)
+        val survivors =
+          if (fallbackSet.isEmpty) survApprox
+          else survApprox.unionByName(
+            pairs.where(col("query_id").isin(fallbackSet.toSeq: _*))
+              .select(col("query_id"), col("id")))
         scoped.select(col("id"), col("embedding"))
           .join(broadcast(survivors), Seq("id"))
           .join(broadcast(qDf), Seq("query_id"))
@@ -1343,15 +1398,8 @@ final class VectorEngine private (val spark: SparkSession,
           element_at(element_at(col("__lut"), m + 1),
             col("codes").getItem(m).cast("int") + lit(1))
         }.reduce(_ + _)
-        val approxCol = metric match {
-          case "cosine" =>
-            // same zero-norm +Inf contract as approxColumn, with the
-            // query norm a COLUMN (per query) instead of a literal
-            when(col("qmin") === lit(0.0d) || col("__qnorm") === lit(0.0d),
-              lit(Double.PositiveInfinity))
-              .otherwise(lit(1.0d) + sumLut / (col("qmin") * col("__qnorm")))
-          case _ => sumLut
-        }
+        val approxCol = ProductQuantization.approxColumn(sumLut, metric,
+          if (metric == "cosine") Some(col("qmin")) else None, col("__qnorm"))
         val approx = pairs.join(lutDf, Seq("query_id"))
           .withColumn("approx", approxCol)
           .select(col("query_id"), col("id"), col("approx"))

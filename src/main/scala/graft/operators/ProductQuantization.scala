@@ -171,19 +171,21 @@ object ProductQuantization {
   }
 
   /** The approximate-distance column over stored codes given per-subspace
-    * LUT columns summed ascending m (shared by the literal-LUT single
-    * path and the broadcast-LUT batch path, which must stay
-    * bit-identical). For cosine, `norm` is the stored row norm column and
-    * `qnorm` the query's — zero norms rank +Inf, like cosine_distance. */
+    * LUT columns summed ascending m — the ONE home of the cosine
+    * zero-norm contract, shared by the literal-LUT single paths (qnorm a
+    * literal) and the broadcast-LUT batch paths (qnorm a per-query
+    * column), which must stay bit-identical. For cosine, `norm` is the
+    * stored row norm column and `qnorm` the query's — zero norms rank
+    * +Inf, like cosine_distance. */
   def approxColumn(sumLut: Column, metric: String,
-                   norm: Option[Column], qnorm: Double): Column =
+                   norm: Option[Column], qnorm: Column): Column =
     metric match {
       case "cosine" =>
         val n = norm.getOrElse(throw new IllegalArgumentException(
           "cosine ADC needs the stored row-norm column (encode withNorm = true)"))
-        when(n === lit(0.0d) || lit(qnorm) === lit(0.0d),
+        when(n === lit(0.0d) || qnorm === lit(0.0d),
           lit(Double.PositiveInfinity))
-          .otherwise(lit(1.0d) + sumLut / (n * lit(qnorm)))
+          .otherwise(lit(1.0d) + sumLut / (n * qnorm))
       case _ => sumLut
     }
 
@@ -309,7 +311,7 @@ object ProductQuantization {
     }.foldLeft(col("__const"))(_ + _)
     val approx = approxColumn(sumLut, metric,
       normCol.orElse(if (metric == "cosine") Some("pq_norm") else None)
-        .map(col), normLocal(query.toIndexedSeq))
+        .map(col), lit(normLocal(query.toIndexedSeq)))
     val phase1Cols = Seq(col(idCol), col(codesCol), col(cellCol)) ++
       (if (metric == "cosine")
         Seq(col(normCol.getOrElse("pq_norm"))) else Nil)
@@ -354,7 +356,7 @@ object ProductQuantization {
     }.reduce(_ + _)
     val approx = approxColumn(sumLut, metric,
       normCol.orElse(if (metric == "cosine") Some("pq_norm") else None)
-        .map(col), normLocal(query.toIndexedSeq))
+        .map(col), lit(normLocal(query.toIndexedSeq)))
     val phase1Cols = Seq(col(idCol), col(codesCol)) ++
       (if (metric == "cosine")
         Seq(col(normCol.getOrElse("pq_norm"))) else Nil)

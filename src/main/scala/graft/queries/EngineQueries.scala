@@ -319,10 +319,10 @@ object EngineQueries {
        |  UNION ALL
        |  SELECT chunk_id, v, cid FROM cell WHERE (SELECT count(*) FROM cand) < 10
        |),
-       |pr AS (SELECT base.chunk_id, base.cid,
+       |pr AS (SELECT cand.chunk_id, cand.cid,
        |         list_transform(range(1, 65),
-       |           i -> CAST(CAST(base.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
-       |       FROM base JOIN c ON base.cid = c.cid),
+       |           i -> CAST(CAST(cand.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+       |       FROM cand JOIN c ON cand.cid = c.cid),
        |a AS (SELECT pr.chunk_id, pr.cid AS pcid, cb.sub, cb.cv,
        |        row_number() OVER (PARTITION BY pr.chunk_id, cb.sub
        |          ORDER BY list_distance(list_slice(pr.rv, cb.sub*$dsub+1, cb.sub*$dsub+$dsub), cb.cv), cb.cid) AS rn
@@ -335,9 +335,16 @@ object EngineQueries {
        |t AS (SELECT chunk_id, sub, $termChain AS term FROM t0),
        |l AS (SELECT chunk_id, list(term ORDER BY sub) AS ts FROM t GROUP BY chunk_id),
        |d AS (SELECT chunk_id, 0.0 + $approxChain AS approx FROM l),
-       |r AS (SELECT chunk_id FROM d ORDER BY approx, chunk_id LIMIT $r)
+       |r AS (SELECT chunk_id FROM d ORDER BY approx, chunk_id LIMIT $r),
+       |surv AS (
+       |  -- the engine's `< k` fallback is the EXACT scan (no ADC cut):
+       |  -- every row survives to the exact rescore
+       |  SELECT chunk_id FROM r WHERE (SELECT count(*) FROM cand) >= 10
+       |  UNION ALL
+       |  SELECT chunk_id FROM cell WHERE (SELECT count(*) FROM cand) < 10
+       |)
        |SELECT base.chunk_id, round(list_distance(base.v, q.qv), 6) + 0 AS distance
-       |FROM base, q WHERE base.chunk_id IN (SELECT chunk_id FROM r)
+       |FROM base, q WHERE base.chunk_id IN (SELECT chunk_id FROM surv)
        |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }
 

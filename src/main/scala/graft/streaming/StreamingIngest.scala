@@ -74,7 +74,13 @@ object StreamingIngest {
             includeNullDate = rawDates.exists(_ == null)),
           Seq("event_id"), "left_anti")
       } else fresh
-    deduped.write.mode("append").partitionBy("event_date").parquet(sinkDir)
+    // cluster by the partition column before the partitioned write: one
+    // file per (batch, date) instead of one per (task, date) — on an
+    // unbounded sink the small-files count is what degrades every later
+    // read, and a micro-batch rarely spans enough dates to need more
+    // write parallelism than dates
+    deduped.repartition(col("event_date"))
+      .write.mode("append").partitionBy("event_date").parquet(sinkDir)
   }
 
   /** Watermarked STREAM-STREAM interval join: each purchase pairs with

@@ -991,6 +991,36 @@ class EngineSpec extends AnyFunSuite {
     assert(batch.sorted == singles.sorted)
   }
 
+  test("trainPqCodebooks on a residual (ivf+centroids) library trains on " +
+    "RESIDUALS: codebooks live in the near-zero residual cloud even when " +
+    "the raw vectors sit far from the origin") {
+    val e = VectorEngine.create(spark)
+    e.createLibrary("respq", dim = 4, metric = "euclidean",
+      indexKind = "ivf", storage = "pq", id = Some("respq"))
+    // two clusters far from the origin; centroids on the clusters
+    e.setIvfCentroids("respq", Seq(
+      0L -> Seq(5.0f, 5.0f, 5.0f, 5.0f), 1L -> Seq(-5.0f, -5.0f, -5.0f, -5.0f)))
+    // bootstrap codebooks so ingest can derive codes (re-trained below)
+    e.setPqCodebooks("respq", Seq(
+      (0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(1.0f, 1.0f)),
+      (1, 0L, Seq(0.0f, 0.0f)), (1, 1L, Seq(1.0f, 1.0f))))
+    val doc = e.createDocument("respq", "d")
+    val rng = new scala.util.Random(7L)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 5.0f else -5.0f
+      ChunkInput(s"t$i", Seq.fill(4)(base + rng.nextFloat() * 0.5f - 0.25f),
+        Map.empty, i, Some(s"rc$i"))
+    }
+    e.addChunksBatch(doc.id, rows)
+    val trained = e.trainPqCodebooks("respq", numSub = 2, k = 2)
+    // residual-trained centroids quantize v - centroid(cell), a cloud
+    // within ~0.3 of the origin — raw-trained ones would sit near ±5
+    trained.foreach { case (_, _, v) =>
+      assert(v.forall(x => math.abs(x) < 1.0f),
+        s"codebook entry $v is in raw-vector space, not residual space")
+    }
+  }
+
   test("pq storage lifecycle edges: text-only patch keeps codes, delete " +
     "drops codebooks, non-contiguous cids rejected, dim patch invalidates") {
     import spark.implicits._

@@ -231,7 +231,7 @@ class PqSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       // cosine needs the stored norm; approxColumn refuses without it
-      PQ.approxColumn(lit(0.0d), "cosine", None, 1.0)
+      PQ.approxColumn(lit(0.0d), "cosine", None, lit(1.0d))
     }
   }
 
