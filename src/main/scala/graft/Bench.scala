@@ -103,16 +103,18 @@ object Bench {
     // committed fixture) so the numbers track codebook quality at THIS
     // scale factor: K=256 (one byte per code — the default, published PQ
     // practice) next to the K=16 compression-extreme point
-    def pqRecall(numSub: Int, k: Int): Double = {
+    def pqRecall(numSub: Int, k: Int, rescores: Seq[Int]): Seq[(Int, Double)] = {
       val pqModel = graft.operators.ProductQuantization.train(
-        emb, col("embedding"), dim = 64, numSub = numSub, k = k, iters = 3)
+        emb, col("embedding"), dim = 64, numSub = numSub, k = k)
       val pqEncoded = graft.operators.ProductQuantization.encode(
         emb, col("embedding"), pqModel).localCheckpoint()
-      avg(queries.map { case (id, q) =>
-        val got = topIds(graft.operators.ProductQuantization.search(
-          pqEncoded, "embedding", "vec_id", pqModel, q, k = 10, rescore = 50))
-        (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
-      })
+      rescores.map { r =>
+        r -> avg(queries.map { case (id, q) =>
+          val got = topIds(graft.operators.ProductQuantization.search(
+            pqEncoded, "embedding", "vec_id", pqModel, q, k = 10, rescore = r))
+          (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
+        })
+      }
     }
     // residual IVFPQ (classic IVFADC) on the sweep's C=8 centroid model:
     // residual-trained codebooks, nprobe=6 cell prune, per-cell LUT ADC,
@@ -121,7 +123,7 @@ object Bench {
       val resModel = graft.operators.ProductQuantization.train(
         cells, graft.operators.ProductQuantization.residualColumn(
           col("embedding"), col("cell"), model),
-        dim = 64, numSub = 8, k = 256, iters = 3)
+        dim = 64, numSub = 8, k = 256)
       val resEnc = graft.operators.ProductQuantization.encodeResidual(
         cells, col("embedding"), col("cell"), model, resModel).localCheckpoint()
       avg(queries.map { case (id, q) =>
@@ -134,17 +136,22 @@ object Bench {
       })
     }
     // 4dp is plenty for a 10-query recall average, and keeps the compact
-    // stdout line (14 recall keys now, ~490 chars total) under its
+    // stdout line (15 recall keys now, ~470 chars total) under its
     // 500-char budget; ivf_c8_nprobe6 comes from the sweep.
-    // The PQ ladder at R=50: K=16 compression-extreme (32x, recall ~0.5),
-    // the default M=8 K=256 (32x, measured 0.84 at sf0.1 — R=100 lifts it
-    // to ~0.91, R=200 to 1.0), and M=16 K=256 (16x, ~0.98) for the
-    // compression/recall tradeoff the caller actually tunes.
+    // The PQ ladder: K=16 compression-extreme (32x, ~0.55), the default
+    // M=8 K=256 at R=50 AND R=100 (32x; at sf0.1 the R=50 point is
+    // RESCORE-limited, not codebook-limited — R=100 recovers ~0.9, the
+    // dial a deployment turns with corpus size), and M=16 K=256 (16x,
+    // ~0.98) for the compression/recall tradeoff the caller tunes.
+    val pq16 = pqRecall(8, 16, Seq(50)).toMap
+    val pq256 = pqRecall(8, 256, Seq(50, 100)).toMap
+    val pqWide = pqRecall(16, 256, Seq(50)).toMap
     (Map("lsh_bucket" -> lsh, "lsh_multiprobe" -> lshMp,
       "lsh_adaptive" -> lshAd, "sq8_r50" -> sq8,
-      "pq_m8k16_r50" -> pqRecall(8, 16),
-      "pq_m8k256_r50" -> pqRecall(8, 256),
-      "pq_m16k256_r50" -> pqRecall(16, 256),
+      "pq_m8k16_r50" -> pq16(50),
+      "pq_m8k256_r50" -> pq256(50),
+      "pq_m8k256_r100" -> pq256(100),
+      "pq_m16k256_r50" -> pqWide(50),
       "ivfpq_res_np6_r50" -> ivfpq) ++
       lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r } ++
       ivfSweep.map { case (np, r) => s"ivf_c8_nprobe$np" -> r })

@@ -981,7 +981,7 @@ final class VectorEngine private (val spark: SparkSession,
     * k-means per slice — ProductQuantization.train) and install them.
     * Returns the (sub, cid, vec) rows so a caller can persist/replay. */
   def trainPqCodebooks(libraryId: String, numSub: Int, k: Int,
-                       iters: Int = 3,
+                       iters: Int = 25,
                        seed: Long = 42L): Seq[(Int, Long, Seq[Float])] = {
     val lib = getLibrary(libraryId)
     if (lib.storage != StoragePq)

@@ -35,6 +35,10 @@ object MakeFixtures {
   // K=16 compression-extreme point lives on as a PqSpec test, not a gate.
   val PqSub = 8
   val PqK = 256
+  // Local Lloyd passes over the bounded training sample (cheap — see
+  // ProductQuantization.train); `Iters` above stays the DISTRIBUTED
+  // IVF sweep count.
+  val PqIters = 25
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -57,7 +61,7 @@ object MakeFixtures {
     val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
       .head().getInt(0)
     val pq = graft.operators.ProductQuantization.train(
-      emb, col("embedding"), dim, PqSub, PqK, iters = Iters, seed = Seed)
+      emb, col("embedding"), dim, PqSub, PqK, iters = PqIters, seed = Seed)
     pq.zipWithIndex.flatMap { case (cb, m) =>
       cb.map(c => (m, c.id, c.vec.toSeq))
     }.toDF("sub", "cid", "cv")
@@ -74,7 +78,7 @@ object MakeFixtures {
     val residual = graft.operators.ProductQuantization.residualColumn(
       col("embedding"), col("cell"), model)
     val pqRes = graft.operators.ProductQuantization.train(
-      withCell, residual, dim, PqSub, PqK, iters = Iters, seed = Seed)
+      withCell, residual, dim, PqSub, PqK, iters = PqIters, seed = Seed)
     pqRes.zipWithIndex.flatMap { case (cb, m) =>
       cb.map(c => (m, c.id, c.vec.toSeq))
     }.toDF("sub", "cid", "cv")

@@ -15,10 +15,10 @@ class PqSpec extends AnyFunSuite {
   // fixture/gates/bench use. K=16 stays as the compression-extreme point.
   private lazy val model =
     PQ.train(emb, col("embedding"), dim = 64, numSub = 8, k = 256,
-      iters = 3, seed = 42L)
+      seed = 42L)
   private lazy val model16 =
     PQ.train(emb, col("embedding"), dim = 64, numSub = 8, k = 16,
-      iters = 3, seed = 42L)
+      seed = 42L)
 
   test("train: 8 codebooks of 256 centroids, dsub 8; encode: codes in [0,256)") {
     assert(model.length == 8 && model.forall(_.length == 256))
@@ -172,7 +172,7 @@ class PqSpec extends AnyFunSuite {
     val rawModel = model16
     val resModel = PQ.train(withCell,
       PQ.residualColumn(col("embedding"), col("cell"), cs),
-      dim = 64, numSub = 8, k = 16, iters = 3, seed = 42L)
+      dim = 64, numSub = 8, k = 16, seed = 42L)
     val rawEnc = PQ.encode(withCell, col("embedding"), rawModel).localCheckpoint()
     val resEnc = PQ.encodeResidual(withCell, col("embedding"), col("cell"),
       cs, resModel).localCheckpoint()
