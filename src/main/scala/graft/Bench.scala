@@ -118,7 +118,9 @@ object Bench {
     }
     // residual IVFPQ (classic IVFADC) on the sweep's C=8 centroid model:
     // residual-trained codebooks, nprobe=6 cell prune, per-cell LUT ADC,
-    // R=50 rescore — the full billion-vector funnel's measured recall
+    // exact rescore at R=50 and R=100 — the full billion-vector funnel's
+    // measured recall, with the same rescore dial as the flat-PQ ladder
+    // (the np6 IVF ceiling is ~0.9; R closes the ADC gap toward it)
     val ivfpq = {
       val resModel = graft.operators.ProductQuantization.train(
         cells, graft.operators.ProductQuantization.residualColumn(
@@ -126,18 +128,21 @@ object Bench {
         dim = 64, numSub = 8, k = 256)
       val resEnc = graft.operators.ProductQuantization.encodeResidual(
         cells, col("embedding"), col("cell"), model, resModel).localCheckpoint()
-      avg(queries.map { case (id, q) =>
-        val probed = IvfIndex.nearestCentroids(q, model, 6)
-        val got = topIds(graft.operators.ProductQuantization.searchResidual(
-          resEnc.where(col("cell").isin(probed: _*)),
-          "embedding", "vec_id", resModel, model, probed, q,
-          k = 10, rescore = 50))
-        (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
-      })
+      Seq(50, 100).map { r =>
+        r -> avg(queries.map { case (id, q) =>
+          val probed = IvfIndex.nearestCentroids(q, model, 6)
+          val got = topIds(graft.operators.ProductQuantization.searchResidual(
+            resEnc.where(col("cell").isin(probed: _*)),
+            "embedding", "vec_id", resModel, model, probed, q,
+            k = 10, rescore = r))
+          (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
+        })
+      }.toMap
     }
     // 4dp is plenty for a 10-query recall average, and keeps the compact
-    // stdout line (15 recall keys now, ~470 chars total) under its
-    // 500-char budget; ivf_c8_nprobe6 comes from the sweep.
+    // stdout line (16 recall keys now, ~490 chars total) under its
+    // 500-char budget — count characters before adding a key;
+    // ivf_c8_nprobe6 comes from the sweep.
     // The PQ ladder: K=16 compression-extreme (32x, ~0.55), the default
     // M=8 K=256 at R=50 AND R=100 (32x; at sf0.1 the R=50 point is
     // RESCORE-limited, not codebook-limited — R=100 recovers ~0.9, the
@@ -152,7 +157,8 @@ object Bench {
       "pq_m8k256_r50" -> pq256(50),
       "pq_m8k256_r100" -> pq256(100),
       "pq_m16k256_r50" -> pqWide(50),
-      "ivfpq_res_np6_r50" -> ivfpq) ++
+      "ivfpq_res_np6_r50" -> ivfpq(50),
+      "ivfpq_res_np6_r100" -> ivfpq(100)) ++
       lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r } ++
       ivfSweep.map { case (np, r) => s"ivf_c8_nprobe$np" -> r })
       .map { case (k, v) => k -> math.rint(v * 10000) / 10000 }

@@ -902,9 +902,10 @@ final class VectorEngine private (val spark: SparkSession,
     afterMutation()
   }
 
-  /** Train a k-means centroid model on the library's own chunks (one scan
-    * per sweep, C-row shuffles — IvfIndex.train) and install it. Returns
-    * the model so a caller can persist/replay it. */
+  /** Train a k-means centroid model on the library's own chunks (sampled
+    * k-means++ for small C, distributed Lloyd sweeps past the local
+    * budget — IvfIndex.train) and install it. Returns the model so a
+    * caller can persist/replay it. */
   def trainIvfIndex(libraryId: String, c: Int, iters: Int = 5,
                     seed: Long = 42L): Seq[(Long, Seq[Float])] = {
     val lib = getLibrary(libraryId)

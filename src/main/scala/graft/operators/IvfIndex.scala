@@ -49,20 +49,41 @@ object IvfIndex {
   def withCell(df: DataFrame, emb: Column, centroids: Seq[Centroid]): DataFrame =
     df.withColumn("cell", cellColumn(emb, centroids))
 
-  /** Lloyd's k-means over an embedding column, as DataFrame iterations:
-    * per sweep ONE scan — cell assignment is a projection, the update is a
-    * groupBy(cell) with `dim` partial-agg'd AVGs (C groups, so the shuffle
-    * is C rows) — then a driver collect of the C x dim means (tiny, same
-    * budget as collecting the LSH matrix). Empty cells keep their previous
-    * centroid. Init is a deterministic seeded hash-order sample of
-    * distinct vectors, so a stored seed reproduces the same model.
+  /** Seeded k-means over an embedding column, in the regime the training
+    * budget `c * samplePerCentroid` picks:
     *
-    * Means are float64 partial aggregates; their exact low bits depend on
-    * reduction order, which is fine for an INDEX — the stored cell column,
-    * not the centroids, defines what a probe scans. */
+    * SMALL C (budget within KMeans.MaxLocalSample — every coarse
+    * quantizer in this repo): k-means++ + local Lloyd over ONE bounded
+    * content-hash-ordered sample (the published FAISS
+    * `max_points_per_centroid` ~ 256 practice; centroid quality saturates
+    * at a few hundred points per cell). One Spark job, bounded driver
+    * data, fully deterministic under any partitioning.
+    *
+    * HUGE C (tens of thousands of cells, where a meaningful sample
+    * exceeds the local budget): distributed Lloyd sweeps — per sweep ONE
+    * scan (assignment is a projection; the update a groupBy(cell) of
+    * `dim` partial-agg'd AVGs, C groups so the shuffle is C rows) then a
+    * C x dim driver collect. Init is a hash-order sample of distinct
+    * vectors; empty cells keep their previous centroid. Those means are
+    * float64 partial aggregates whose low bits depend on reduction
+    * order — fine for an INDEX: the stored cell column, not the
+    * centroids, defines what a probe scans. */
   def train(df: DataFrame, emb: Column, c: Int, iters: Int = 5,
-            seed: Long = 42L): Seq[Centroid] = {
-    require(c > 0 && iters >= 0, "need c > 0 and iters >= 0")
+            seed: Long = 42L, samplePerCentroid: Int = 256): Seq[Centroid] = {
+    require(c > 0 && iters >= 0 && samplePerCentroid > 0,
+      "need c > 0, iters >= 0, samplePerCentroid > 0")
+    // SMALL C (every coarse quantizer in this repo): k-means++ + local
+    // Lloyd over ONE bounded content-hash sample (see KMeans) — one
+    // Spark job, O(sample x dim) driver data at any corpus size, fully
+    // deterministic under any partitioning. HUGE C (budget past the
+    // local cap) falls through to the distributed Lloyd sweeps below.
+    val budget = c.toLong * samplePerCentroid
+    if (budget <= KMeans.MaxLocalSample) {
+      val sample = KMeans.sampleVectors(df, emb, budget.toInt, seed)
+      require(sample.nonEmpty, "cannot train on an empty table")
+      return KMeans.fit(sample, c, iters, seed)
+        .zipWithIndex.map { case (v, i) => Centroid(i.toLong, v) }.toSeq
+    }
     val vecs = df.select(emb.cast("array<float>").as("emb"))
     val init = vecs.dropDuplicates("emb")
       .withColumn("h", xxhash64(lit(seed), col("emb")))

@@ -88,94 +88,16 @@ object ProductQuantization {
     require(k > 0 && iters >= 0 && samplePerCentroid > 0,
       "need k > 0, iters >= 0, samplePerCentroid > 0")
     val dsub = dim / numSub
-    val sampleN = math.min(k.toLong * samplePerCentroid, 65536L).toInt
-    val sample = df.select(emb.cast("array<float>").as("emb"))
-      .withColumn("h", xxhash64(lit(seed), col("emb")))
-      .orderBy(col("h"))
-      .limit(sampleN)
-      .select("emb").collect().map(_.getSeq[Float](0).toArray)
+    val sampleN = math.min(k.toLong * samplePerCentroid,
+      KMeans.MaxLocalSample.toLong).toInt
+    val sample = KMeans.sampleVectors(df, emb, sampleN, seed)
     require(sample.nonEmpty, "cannot train on an empty table")
     (0 until numSub).map { m =>
       val pts = sample.map(v =>
         java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
-      localKMeans(pts, k, iters, seed + m)
+      KMeans.fit(pts, k, iters, seed + m)
         .zipWithIndex.map { case (v, i) => Centroid(i.toLong, v) }.toSeq
     }
-  }
-
-  /** Seeded k-means++ init + Lloyd on an in-memory point set (the bounded
-    * sample above). Deterministic: java.util.Random's fully-specified
-    * LCG, strict-< argmin (smallest index wins ties — the NearestCellExpr
-    * convention), double accumulation. Returns fewer than k centers when
-    * the points have fewer than k distinct values; empty Lloyd cells keep
-    * their previous center (as IvfIndex.train does). */
-  private def localKMeans(pts: Array[Array[Float]], k: Int, iters: Int,
-                          seed: Long): Array[Array[Float]] = {
-    val rng = new java.util.Random(seed)
-    val n = pts.length
-    val dsub = pts(0).length
-    def d2(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0d; var i = 0
-      while (i < dsub) {
-        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
-      }
-      acc
-    }
-    // k-means++: next center drawn with probability proportional to the
-    // squared distance to the nearest already-chosen center
-    val centers = scala.collection.mutable.ArrayBuffer(pts(rng.nextInt(n)).clone())
-    val minD = Array.fill(n)(Double.PositiveInfinity)
-    var exhausted = false
-    while (centers.length < k && !exhausted) {
-      val last = centers.last
-      var total = 0.0d
-      var i = 0
-      while (i < n) {
-        val d = d2(pts(i), last)
-        if (d < minD(i)) minD(i) = d
-        total += minD(i); i += 1
-      }
-      if (total == 0.0d) exhausted = true // < k distinct points
-      else {
-        var r = rng.nextDouble() * total
-        var j = 0
-        while (j < n - 1 && r >= minD(j)) { r -= minD(j); j += 1 }
-        // float-edge guard: never pick a zero-weight point (a duplicate
-        // of an existing center); total > 0 guarantees a positive one
-        while (minD(j) == 0.0d) j = (j + 1) % n
-        centers += pts(j).clone()
-      }
-    }
-    val kEff = centers.length
-    val cents = centers.toArray
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(kEff, dsub)(0.0d)
-      val counts = new Array[Long](kEff)
-      var i = 0
-      while (i < n) {
-        var best = Double.PositiveInfinity
-        var bi = 0
-        var c = 0
-        while (c < kEff) {
-          val d = d2(pts(i), cents(c))
-          if (d < best) { best = d; bi = c }
-          c += 1
-        }
-        val s = sums(bi)
-        val p = pts(i)
-        var j = 0
-        while (j < dsub) { s(j) += p(j); j += 1 }
-        counts(bi) += 1
-        i += 1
-      }
-      var c = 0
-      while (c < kEff) {
-        if (counts(c) > 0)
-          cents(c) = Array.tabulate(dsub)(j => (sums(c)(j) / counts(c)).toFloat)
-        c += 1
-      }
-    }
-    cents
   }
 
   /** The codes expression: element m = nearest centroid id of subvector

@@ -209,6 +209,30 @@ class PqSpec extends AnyFunSuite {
       f"residual recall $resR%.3f should not trail raw $rawR%.3f")
   }
 
+  test("train is deterministic under repartitioning (content-hash sample " +
+    "+ fully-specified local k-means, no reduction-order dependence)") {
+    val a = PQ.train(emb, col("embedding"), dim = 64, numSub = 4, k = 8,
+      iters = 5, seed = 11L)
+    val b = PQ.train(emb.repartition(17), col("embedding"), dim = 64,
+      numSub = 4, k = 8, iters = 5, seed = 11L)
+    assert(a.map(_.map(c => (c.id, c.vec.toSeq))) ==
+      b.map(_.map(c => (c.id, c.vec.toSeq))))
+  }
+
+  test("train on fewer distinct points than k exhausts k-means++ and " +
+    "returns kEff = distinct codebooks (no duplicate centers)") {
+    import spark.implicits._
+    val three = Seq.tabulate(30)(i => Seq.fill(8)((i % 3).toFloat))
+      .toDF("embedding")
+      .select(col("embedding").cast("array<float>").as("embedding"))
+    val m = PQ.train(three, col("embedding"), dim = 8, numSub = 2, k = 8)
+    m.foreach { cb =>
+      assert(cb.length == 3, s"expected 3 centers, got ${cb.length}")
+      assert(cb.map(_.id) == (0L until 3L))
+      assert(cb.map(_.vec.toSeq).distinct.length == 3)
+    }
+  }
+
   test("guards: dim must divide into numSub; rescore >= k > 0; " +
     "unknown metric; cosine without a norm column") {
     intercept[IllegalArgumentException] {
