@@ -978,8 +978,9 @@ final class VectorEngine private (val spark: SparkSession,
     afterMutation()
   }
 
-  /** Train per-subspace PQ codebooks on the library's own chunks (seeded
-    * k-means per slice — ProductQuantization.train) and install them.
+  /** Train per-subspace PQ codebooks on the library's own chunks (sampled
+    * k-means++ over one bounded weighted draw, distributed sweeps past
+    * the local budget — ProductQuantization.train) and install them.
     * Returns the (sub, cid, vec) rows so a caller can persist/replay. */
   def trainPqCodebooks(libraryId: String, numSub: Int, k: Int,
                        iters: Int = 25,

@@ -54,10 +54,12 @@ object IvfIndex {
     *
     * SMALL C (budget within KMeans.MaxLocalSample — every coarse
     * quantizer in this repo): k-means++ + local Lloyd over ONE bounded
-    * content-hash-ordered sample (the published FAISS
-    * `max_points_per_centroid` ~ 256 practice; centroid quality saturates
-    * at a few hundred points per cell). One Spark job, bounded driver
-    * data, fully deterministic under any partitioning.
+    * weighted sample of DISTINCT vectors in content-hash order (the
+    * published FAISS `max_points_per_centroid` ~ 256 practice; centroid
+    * quality saturates at a few hundred points per cell). One Spark job,
+    * bounded driver data, fully deterministic under any partitioning,
+    * skew-proof (duplicates weight the objective, never crowd out
+    * distinct values).
     *
     * HUGE C (tens of thousands of cells, where a meaningful sample
     * exceeds the local budget): distributed Lloyd sweeps — per sweep ONE
@@ -68,21 +70,23 @@ object IvfIndex {
     * float64 partial aggregates whose low bits depend on reduction
     * order — fine for an INDEX: the stored cell column, not the
     * centroids, defines what a probe scans. */
-  def train(df: DataFrame, emb: Column, c: Int, iters: Int = 5,
+  def train(df: DataFrame, emb: Column, c: Int, iters: Int = 25,
             seed: Long = 42L, samplePerCentroid: Int = 256): Seq[Centroid] = {
     require(c > 0 && iters >= 0 && samplePerCentroid > 0,
       "need c > 0, iters >= 0, samplePerCentroid > 0")
     // SMALL C (every coarse quantizer in this repo): k-means++ + local
-    // Lloyd over ONE bounded content-hash sample (see KMeans) — one
-    // Spark job, O(sample x dim) driver data at any corpus size, fully
-    // deterministic under any partitioning. HUGE C (budget past the
-    // local cap) falls through to the distributed Lloyd sweeps below.
+    // Lloyd over ONE bounded weighted sample of DISTINCT vectors (see
+    // KMeans.sampleWeighted — skew-proof, deterministic under any
+    // partitioning; local passes early-exit on convergence, so the
+    // generous default iters costs only what convergence needs). HUGE C
+    // (budget past the local cap) falls through to the distributed
+    // Lloyd sweeps below — there each pass is a full-table job, so
+    // callers choose iters consciously.
     val budget = c.toLong * samplePerCentroid
     if (budget <= KMeans.MaxLocalSample) {
-      val sample = KMeans.sampleVectors(df, emb, budget.toInt, seed)
+      val (sample, weights) = KMeans.sampleWeighted(df, emb, budget.toInt, seed)
       require(sample.nonEmpty, "cannot train on an empty table")
-      return KMeans.fit(sample, c, iters, seed)
-        .zipWithIndex.map { case (v, i) => Centroid(i.toLong, v) }.toSeq
+      return KMeans.fitCentroids(sample, weights, c, iters, seed)
     }
     val vecs = df.select(emb.cast("array<float>").as("emb"))
     val init = vecs.dropDuplicates("emb")

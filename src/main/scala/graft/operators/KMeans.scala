@@ -2,11 +2,12 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex.Centroid
 
 /** Shared k-means machinery for the two codebook trainers (IVF coarse
   * centroids — `IvfIndex.train` — and per-subspace PQ codebooks —
-  * `ProductQuantization.train`): a bounded deterministic sample draw plus
-  * a seeded local k-means++/Lloyd fit.
+  * `ProductQuantization.train`): a bounded deterministic weighted sample
+  * draw plus a seeded local k-means++/Lloyd fit.
   *
   * WHY sample-based: codebook quality saturates at a few hundred training
   * points per centroid (the published FAISS practice —
@@ -19,35 +20,50 @@ import org.apache.spark.sql.functions._
   * mean aggregation leaves low bits to reduction order. */
 private[graft] object KMeans {
 
-  /** Ceiling on the local training sample (rows). 128k x dim 64 floats
-    * is ~32 MB of driver data — the same budget class as the other
-    * bounded collects (histograms, models). A centroid count whose
+  /** Ceiling on the local training sample (distinct rows). 128k x dim 64
+    * floats is ~32 MB of driver data — the same budget class as the
+    * other bounded collects (histograms, models). A centroid count whose
     * 256-per-centroid budget exceeds this trains distributed instead
-    * (see IvfIndex.train). */
+    * (see IvfIndex.train / ProductQuantization.train — neither clamps
+    * silently). */
   val MaxLocalSample = 131072
 
-  /** Deterministic bounded sample: the `n` rows with the smallest seeded
-    * content hash. Partitioning-independent (the hash is of the VALUE),
-    * one Spark job (TakeOrdered — each partition contributes at most n
-    * rows), and duplicate vectors keep their natural weight, so heavy
-    * values weight the k-means objective exactly as they should. */
-  def sampleVectors(df: DataFrame, emb: Column, n: Int,
-                    seed: Long): Array[Array[Float]] =
-    df.select(emb.cast("array<float>").as("emb"))
+  /** Deterministic bounded WEIGHTED sample: the `n` DISTINCT values with
+    * the smallest seeded content hash, each carrying its exact duplicate
+    * count as weight. Distinct-first matters: hashing raw rows would
+    * include duplicate values as all-or-nothing hash-adjacent groups, so
+    * a handful of heavily duplicated vectors (a zero-vector from a failed
+    * embedder, a default "empty document" embedding) could monopolize the
+    * whole sample and collapse the codebook. Sampling the distinct table
+    * guarantees up to `n` distinct training points whatever the skew,
+    * while the weights keep duplicates' exact pull on the k-means
+    * objective. Partitioning-independent (the hash is of the VALUE), one
+    * Spark job: partial-agg'd groupBy(value) then TakeOrdered(n) on the
+    * hash. */
+  def sampleWeighted(df: DataFrame, emb: Column, n: Int,
+                     seed: Long): (Array[Array[Float]], Array[Long]) = {
+    val rows = df.select(emb.cast("array<float>").as("emb"))
+      .groupBy("emb").agg(count(lit(1)).as("w"))
       .withColumn("h", xxhash64(lit(seed), col("emb")))
       .orderBy(col("h"))
       .limit(n)
-      .select("emb").collect().map(_.getSeq[Float](0).toArray)
+      .select("emb", "w").collect()
+    (rows.map(_.getSeq[Float](0).toArray), rows.map(_.getLong(1)))
+  }
 
-  /** Seeded k-means++ init + Lloyd on an in-memory point set.
+  /** Seeded weighted k-means++ init + Lloyd on an in-memory point set.
     * Deterministic: java.util.Random's fully-specified LCG, strict-<
     * argmin (smallest index wins ties — the NearestCellExpr convention),
     * double accumulation in index order. Returns fewer than k centers
-    * when the points have fewer than k distinct values (k-means++
-    * exhausts the positive-weight points); empty Lloyd cells keep their
-    * previous center. */
-  def fit(pts: Array[Array[Float]], k: Int, iters: Int,
-          seed: Long): Array[Array[Float]] = {
+    * when there are fewer than k distinct points (k-means++ exhausts the
+    * positive-weight mass); empty Lloyd cells keep their previous
+    * center. Lloyd stops early once assignments stabilize (means are
+    * then a fixed point), so a generous `iters` costs only what
+    * convergence needs. */
+  def fit(pts: Array[Array[Float]], weights: Array[Long], k: Int,
+          iters: Int, seed: Long): Array[Array[Float]] = {
+    require(pts.length == weights.length && pts.nonEmpty,
+      "need non-empty points with one weight each")
     val rng = new java.util.Random(seed)
     val n = pts.length
     val dim = pts(0).length
@@ -58,9 +74,17 @@ private[graft] object KMeans {
       }
       acc
     }
-    // k-means++: next center drawn with probability proportional to the
-    // squared distance to the nearest already-chosen center
-    val centers = scala.collection.mutable.ArrayBuffer(pts(rng.nextInt(n)).clone())
+    // weighted k-means++: first center by weight, each next drawn with
+    // probability proportional to weight x squared distance to the
+    // nearest already-chosen center
+    val totalW = weights.map(_.toDouble).sum
+    val first = {
+      var r = rng.nextDouble() * totalW
+      var j = 0
+      while (j < n - 1 && r >= weights(j)) { r -= weights(j); j += 1 }
+      j
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(pts(first).clone())
     val minD = Array.fill(n)(Double.PositiveInfinity)
     var exhausted = false
     while (centers.length < k && !exhausted) {
@@ -70,13 +94,15 @@ private[graft] object KMeans {
       while (i < n) {
         val d = d2(pts(i), last)
         if (d < minD(i)) minD(i) = d
-        total += minD(i); i += 1
+        total += weights(i) * minD(i); i += 1
       }
       if (total == 0.0d) exhausted = true // < k distinct points
       else {
         var r = rng.nextDouble() * total
         var j = 0
-        while (j < n - 1 && r >= minD(j)) { r -= minD(j); j += 1 }
+        while (j < n - 1 && r >= weights(j) * minD(j)) {
+          r -= weights(j) * minD(j); j += 1
+        }
         // float-edge guard: never pick a zero-weight point (a duplicate
         // of an existing center); total > 0 guarantees a positive one
         while (minD(j) == 0.0d) j = (j + 1) % n
@@ -85,9 +111,13 @@ private[graft] object KMeans {
     }
     val kEff = centers.length
     val cents = centers.toArray
-    for (_ <- 0 until iters) {
+    val assign = Array.fill(n)(-1)
+    var pass = 0
+    var changed = true
+    while (pass < iters && changed) {
+      changed = false
       val sums = Array.fill(kEff, dim)(0.0d)
-      val counts = new Array[Long](kEff)
+      val counts = new Array[Double](kEff)
       var i = 0
       while (i < n) {
         var best = Double.PositiveInfinity
@@ -98,20 +128,34 @@ private[graft] object KMeans {
           if (d < best) { best = d; bi = c }
           c += 1
         }
+        if (assign(i) != bi) { assign(i) = bi; changed = true }
         val s = sums(bi)
         val p = pts(i)
+        val w = weights(i).toDouble
         var j = 0
-        while (j < dim) { s(j) += p(j); j += 1 }
-        counts(bi) += 1
+        while (j < dim) { s(j) += w * p(j); j += 1 }
+        counts(bi) += w
         i += 1
       }
-      var c = 0
-      while (c < kEff) {
-        if (counts(c) > 0)
-          cents(c) = Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
-        c += 1
+      if (changed) {
+        var c = 0
+        while (c < kEff) {
+          if (counts(c) > 0)
+            cents(c) = Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+          c += 1
+        }
       }
+      pass += 1
     }
     cents
   }
+
+  /** `fit` wrapped into the index-ordered `Centroid` form every install
+    * site requires (ids exactly 0..kEff-1 — the invariant
+    * `setPqCodebooks`/`setIvfCentroids` validate) — ONE home for the
+    * wrapping instead of each caller re-implementing it. */
+  def fitCentroids(pts: Array[Array[Float]], weights: Array[Long], k: Int,
+                   iters: Int, seed: Long): Seq[Centroid] =
+    fit(pts, weights, k, iters, seed)
+      .zipWithIndex.map { case (v, i) => Centroid(i.toLong, v) }.toSeq
 }

@@ -66,20 +66,28 @@ object ProductQuantization {
   val SupportedMetrics: Set[String] = Set("euclidean", "dot_product", "cosine")
 
   /** Per-subspace codebook training: seeded k-means++ with local Lloyd
-    * refinement over ONE bounded sample of the table — the published PQ
-    * training recipe (FAISS trains on ~`max_points_per_centroid` = 256
-    * points per centroid, not the full corpus: codebook quality saturates
-    * at a few hundred samples per cell while full-corpus sweeps only add
-    * cost). The sample is drawn in content-hash order (deterministic
-    * under any partitioning; duplicate vectors keep their natural
-    * weight), so the collect is O(min(n, 64k) x dim) — bounded at ANY
-    * table size — and the whole train is ONE Spark job instead of
-    * `iters` full-table aggregation sweeps per subspace. Subspace m
-    * trains with seed + m so identical subvector distributions still
-    * draw different inits; `iters` counts local Lloyd passes (cheap —
-    * default saturates k-means on a 64k sample). A subspace with fewer
-    * than k distinct subvectors trains fewer centroids (k-means++
-    * exhausts the positive-weight points), mirroring the old behavior. */
+    * refinement over ONE bounded weighted sample of the table — the
+    * published PQ training recipe (FAISS trains on
+    * ~`max_points_per_centroid` = 256 points per centroid, not the full
+    * corpus: codebook quality saturates at a few hundred samples per
+    * cell while full-corpus sweeps only add cost). The sample is the
+    * min(n_distinct, k x 256) distinct vectors of smallest seeded
+    * content hash, each weighted by its exact duplicate count
+    * (deterministic under any partitioning; skew-proof — see
+    * KMeans.sampleWeighted), so the collect is bounded at ANY table
+    * size and the whole train is ONE Spark job instead of `iters`
+    * full-table aggregation sweeps per subspace. The numSub independent
+    * fits run concurrently on the driver (each a pure function of the
+    * shared sample and its own seed + m, so identical subvector
+    * distributions still draw different inits); `iters` bounds local
+    * Lloyd passes, which early-exit on convergence. A subspace with
+    * fewer than k distinct subvectors trains fewer centroids (k-means++
+    * exhausts the positive-weight mass), mirroring the old behavior.
+    *
+    * A k whose 256-per-centroid budget exceeds the local sample cap
+    * (k > 512 at the default) does NOT silently under-sample: it falls
+    * back to the distributed per-subspace sweeps (`IvfIndex.train` on
+    * each slice — the same budget rule picks its distributed branch). */
   def train(df: DataFrame, emb: Column, dim: Int, numSub: Int, k: Int,
             iters: Int = 25, seed: Long = 42L,
             samplePerCentroid: Int = 256): Model = {
@@ -88,16 +96,26 @@ object ProductQuantization {
     require(k > 0 && iters >= 0 && samplePerCentroid > 0,
       "need k > 0, iters >= 0, samplePerCentroid > 0")
     val dsub = dim / numSub
-    val sampleN = math.min(k.toLong * samplePerCentroid,
-      KMeans.MaxLocalSample.toLong).toInt
-    val sample = KMeans.sampleVectors(df, emb, sampleN, seed)
+    val budget = k.toLong * samplePerCentroid
+    if (budget > KMeans.MaxLocalSample)
+      return (0 until numSub).map { m =>
+        IvfIndex.train(df, slice(emb, m * dsub + 1, dsub), c = k,
+          iters = iters, seed = seed + m,
+          samplePerCentroid = samplePerCentroid)
+      }
+    val (sample, weights) = KMeans.sampleWeighted(df, emb, budget.toInt, seed)
     require(sample.nonEmpty, "cannot train on an empty table")
-    (0 until numSub).map { m =>
-      val pts = sample.map(v =>
-        java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
-      KMeans.fit(pts, k, iters, seed + m)
-        .zipWithIndex.map { case (v, i) => Centroid(i.toLong, v) }.toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until numSub).map { m =>
+      Future {
+        val pts = sample.map(v =>
+          java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
+        KMeans.fitCentroids(pts, weights, k, iters, seed + m)
+      }
     }
+    fits.map(Await.result(_, Duration.Inf))
   }
 
   /** The codes expression: element m = nearest centroid id of subvector

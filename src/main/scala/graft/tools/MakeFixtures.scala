@@ -26,7 +26,11 @@ import graft.operators.IvfIndex
   */
 object MakeFixtures {
   val Cells = 64
-  val Iters = 3
+  // Local Lloyd passes over the bounded training sample — at C=64 and
+  // K=256 BOTH trainers take the local branch (budget within
+  // KMeans.MaxLocalSample), where passes are cheap and early-exit on
+  // convergence, so a generous bound is free.
+  val Iters = 25
   val Seed = 42L
   // PQ codebook fixture: 8 subspaces x 256 centroids over dim 64 (dsub=8)
   // — K=256 is published PQ practice (one byte per code; Jégou et al.
@@ -35,10 +39,6 @@ object MakeFixtures {
   // K=16 compression-extreme point lives on as a PqSpec test, not a gate.
   val PqSub = 8
   val PqK = 256
-  // Local Lloyd passes over the bounded training sample (cheap — see
-  // ProductQuantization.train); `Iters` above stays the DISTRIBUTED
-  // IVF sweep count.
-  val PqIters = 25
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -61,7 +61,7 @@ object MakeFixtures {
     val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
       .head().getInt(0)
     val pq = graft.operators.ProductQuantization.train(
-      emb, col("embedding"), dim, PqSub, PqK, iters = PqIters, seed = Seed)
+      emb, col("embedding"), dim, PqSub, PqK, iters = Iters, seed = Seed)
     pq.zipWithIndex.flatMap { case (cb, m) =>
       cb.map(c => (m, c.id, c.vec.toSeq))
     }.toDF("sub", "cid", "cv")
@@ -78,7 +78,7 @@ object MakeFixtures {
     val residual = graft.operators.ProductQuantization.residualColumn(
       col("embedding"), col("cell"), model)
     val pqRes = graft.operators.ProductQuantization.train(
-      withCell, residual, dim, PqSub, PqK, iters = PqIters, seed = Seed)
+      withCell, residual, dim, PqSub, PqK, iters = Iters, seed = Seed)
     pqRes.zipWithIndex.flatMap { case (cb, m) =>
       cb.map(c => (m, c.id, c.vec.toSeq))
     }.toDF("sub", "cid", "cv")

@@ -72,6 +72,15 @@ class IvfSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("train is deterministic under repartitioning (weighted distinct " +
+    "content-hash sample + fully-specified local k-means)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = IvfIndex.train(emb, col("embedding"), c = 8, seed = 9L)
+    val b = IvfIndex.train(emb.repartition(13), col("embedding"), c = 8,
+      seed = 9L)
+    assert(a.map(c => (c.id, c.vec.toSeq)) == b.map(c => (c.id, c.vec.toSeq)))
+  }
+
   /** The number the reference claims (~95%) but never measures
     * (reference README.md:174-179): recall@10 of a trained IVF index vs
     * flat search, on the real sf0.01 embeddings.

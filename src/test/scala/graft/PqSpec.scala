@@ -233,6 +233,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("train sample is skew-proof: a value duplicated past the whole " +
+    "sample budget cannot monopolize it (distinct-value draw + weights)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3L)
+    // one heavy value (1000 copies — bigger than k=2's 512-row budget)
+    // plus 49 unique vectors; a row-wise hash-order draw could fill the
+    // whole sample with the heavy value's duplicate run
+    val heavy = Seq.fill(1000)(Seq.fill(8)(1.0f))
+    val unique = Seq.fill(49)(Seq.fill(8)(rng.nextFloat() * 10f))
+    val df = (heavy ++ unique).toDF("embedding")
+      .select(col("embedding").cast("array<float>").as("embedding"))
+    val m = PQ.train(df, col("embedding"), dim = 8, numSub = 2, k = 2)
+    m.foreach { cb =>
+      assert(cb.length == 2, s"codebook collapsed to ${cb.length} center(s)")
+      assert(cb.map(_.vec.toSeq).distinct.length == 2)
+    }
+  }
+
   test("guards: dim must divide into numSub; rescore >= k > 0; " +
     "unknown metric; cosine without a norm column") {
     intercept[IllegalArgumentException] {
