@@ -280,6 +280,57 @@ object DedupQueries {
        |ORDER BY arriving_id, existing_id""".stripMargin
   }
 
+  /** Transitive duplicate CLUSTERS: near-dup pairs are edges, a cluster
+    * is a connected component, the canonical doc is the component's min
+    * id. This is the semantics a corpus dedup wants — the greedy
+    * keep-first policy above (`dedup_near_survivors`) KEEPS a doc whose
+    * only matches have larger ids even when those matches chain to a
+    * smaller canonical doc, so chains of drift (A~B, B~C, A!~C) leak
+    * near-dups through pairwise dedup. Every doc gets a component
+    * (isolated docs are their own); the oracle replays the whole
+    * pipeline — shingling, banding, Jaccard confirm, THEN the transitive
+    * closure as a recursive CTE. */
+  private val dedupComponents: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val pairs = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+    val comp = graft.operators.ConnectedComponents.components(
+      pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $jaccardPairs,
+       |e AS MATERIALIZED (SELECT doc_a AS sn, doc_b AS dn FROM p WHERE j >= 0.5
+       |      UNION ALL SELECT doc_b, doc_a FROM p WHERE j >= 0.5),
+       |r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
+       |      UNION
+       |      SELECT e.dn, r.comp FROM r JOIN e ON r.node = e.sn)
+       |SELECT node AS doc_id, min(comp) AS component FROM r
+       |GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** One survivor per duplicate cluster: the docs that ARE their
+    * component's canonical id. */
+  private val clusterSurvivors: QueryFn = (s, dir) =>
+    dedupComponents(s, dir)
+      .where(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  private val clusterSurvivorsSql: String =
+    s"""WITH RECURSIVE $jaccardPairs,
+       |e AS MATERIALIZED (SELECT doc_a AS sn, doc_b AS dn FROM p WHERE j >= 0.5
+       |      UNION ALL SELECT doc_b, doc_a FROM p WHERE j >= 0.5),
+       |r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
+       |      UNION
+       |      SELECT e.dn, r.comp FROM r JOIN e ON r.node = e.sn)
+       |SELECT node AS doc_id FROM r
+       |GROUP BY node HAVING node = min(comp) ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
     Q("dedup_incremental_survivors", incrementalSurvivors, Some(incrementalSurvivorsSql)),
@@ -290,5 +341,7 @@ object DedupQueries {
     Q("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("dedup_embedding_near", embeddingNear, Some(embeddingNearSql)),
     Q("dedup_embedding_near_lsh", embeddingNearLsh, Some(embeddingNearLshSql)),
+    Q("dedup_components", dedupComponents, Some(dedupComponentsSql)),
+    Q("dedup_cluster_survivors", clusterSurvivors, Some(clusterSurvivorsSql)),
   )
 }
