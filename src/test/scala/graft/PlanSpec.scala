@@ -55,6 +55,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_components: the component assignment joins are hash " +
+    "equi-joins, never all-pairs (the per-round propagation join is an " +
+    "equi-join on the node id by construction)") {
+    val p = plan("dedup_components")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dedup_embedding_near_lsh: bucket-blocked self-join is a hash " +
     "equi-join on (bucket, salt), never all-pairs") {
     val p = plan("dedup_embedding_near_lsh")
