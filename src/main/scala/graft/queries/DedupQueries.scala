@@ -287,9 +287,11 @@ object DedupQueries {
     * only matches have larger ids even when those matches chain to a
     * smaller canonical doc, so chains of drift (A~B, B~C, A!~C) leak
     * near-dups through pairwise dedup. Every doc gets a component
-    * (isolated docs are their own); the oracle replays the whole
-    * pipeline — shingling, banding, Jaccard confirm, THEN the transitive
-    * closure as a recursive CTE. */
+    * (isolated docs are their own). The oracle shingles and
+    * exact-Jaccard-confirms ALL pairs — no banding replay, same contract
+    * as the other near-dup rows ([[jaccardPairs]]) — so a banding recall
+    * miss on the Spark side SHOWS UP as a missing edge here; the
+    * transitive closure is then a recursive CTE over those edges. */
   private val dedupComponents: QueryFn = (s, dir) => {
     val docs = table(s, dir, "documents")
     val pairs = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
@@ -303,13 +305,22 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val dedupComponentsSql: String =
-    s"""WITH RECURSIVE $jaccardPairs,
-       |e AS MATERIALIZED (SELECT doc_a AS sn, doc_b AS dn FROM p WHERE j >= 0.5
+  /** Shared transitive-closure fragment over the confirmed pairs `p`:
+    * symmetrized edges `e` (MATERIALIZED, so the recursion re-reads the
+    * stored edge set instead of re-evaluating the all-pairs join per
+    * step — 634 s → 300 s at sf0.1) and reachability `r` seeding every
+    * doc with its own id. ONE definition for both cluster oracles, so a
+    * threshold or closure change cannot desynchronize the two gates. */
+  private val closureCtes: String =
+    s"""e AS MATERIALIZED (SELECT doc_a AS sn, doc_b AS dn FROM p WHERE j >= 0.5
        |      UNION ALL SELECT doc_b, doc_a FROM p WHERE j >= 0.5),
        |r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
        |      UNION
-       |      SELECT e.dn, r.comp FROM r JOIN e ON r.node = e.sn)
+       |      SELECT e.dn, r.comp FROM r JOIN e ON r.node = e.sn)""".stripMargin
+
+  private val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $jaccardPairs,
+       |$closureCtes
        |SELECT node AS doc_id, min(comp) AS component FROM r
        |GROUP BY node ORDER BY doc_id""".stripMargin
 
@@ -323,11 +334,7 @@ object DedupQueries {
 
   private val clusterSurvivorsSql: String =
     s"""WITH RECURSIVE $jaccardPairs,
-       |e AS MATERIALIZED (SELECT doc_a AS sn, doc_b AS dn FROM p WHERE j >= 0.5
-       |      UNION ALL SELECT doc_b, doc_a FROM p WHERE j >= 0.5),
-       |r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
-       |      UNION
-       |      SELECT e.dn, r.comp FROM r JOIN e ON r.node = e.sn)
+       |$closureCtes
        |SELECT node AS doc_id FROM r
        |GROUP BY node HAVING node = min(comp) ORDER BY doc_id""".stripMargin
 

@@ -54,4 +54,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     intercept[IllegalStateException] { run(chain, maxIters = 2) }
     assert(run(chain).values.toSet == Set(1L)) // default bound converges
   }
+
+  test("maxIters sized exactly to the change-round count converges — the " +
+    "certification round is granted beyond the bound, not charged to it") {
+    // path 1-2-3-4-5-6: the min label needs 5 propagation rounds to reach
+    // node 6, so labels change in rounds 1..5 and round 6 only certifies.
+    // maxIters = 5 must therefore PASS (a bound that throws here forces
+    // every caller to secretly size diameter+1).
+    val chain = (1L until 6L).map(i => (i, i + 1))
+    assert(run(chain, maxIters = 5).values.toSet == Set(1L))
+    intercept[IllegalStateException] { run(chain, maxIters = 4) }
+  }
+
+  test("superseded checkpoint generations are released: a run leaves at " +
+    "most one label generation (plus whatever was persisted before) in " +
+    "the block store") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val got = run((1L until 8L).map(i => (i, i + 1))) // 6 change rounds
+    assert(got.values.toSet == Set(1L))
+    val added = sc.getPersistentRDDs.keySet -- before
+    // without release: sym + initial labels + one RDD per round ≈ 9+;
+    // with release: only the returned final generation survives
+    assert(added.size <= 1, s"leaked ${added.size} persisted RDD generations")
+  }
 }

@@ -55,10 +55,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("dedup_components: the component assignment joins are hash " +
-    "equi-joins, never all-pairs (the per-round propagation join is an " +
-    "equi-join on the node id by construction)") {
-    val p = plan("dedup_components")
+  test("ConnectedComponents propagation round: hash equi-join on the " +
+    "node id, never a nested loop — asserted on the ROUND frame itself, " +
+    "because the loop localCheckpoints every round and the caller-facing " +
+    "dedup_components plan shows only the final checkpointed scan (the " +
+    "banded candidate join upstream is locked by the dedup_near_pairs " +
+    "guard above: same operator, same params)") {
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "comp")
+    val p = graft.operators.ConnectedComponents.propagationRound(sym, labels)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
