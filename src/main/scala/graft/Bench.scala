@@ -146,9 +146,11 @@ object Bench {
     // stdout contract); ivf_c8_nprobe6 comes from the sweep.
     // The PQ ladder: K=16 compression-extreme (32x, ~0.55), the default
     // M=8 K=256 at R=50 AND R=100 (32x; at sf0.1 the R=50 point is
-    // RESCORE-limited, not codebook-limited — R=100 recovers ~0.9, the
-    // dial a deployment turns with corpus size), and M=16 K=256 (16x,
-    // ~0.98) for the compression/recall tradeoff the caller tunes.
+    // RESCORE-limited, not codebook-limited — R=100 recovers ~0.9, and
+    // is the ENGINE's storage=pq default short-list depth,
+    // VectorEngine.DefaultPqRescore, per the re-ranking literature's
+    // R = 10·k), and M=16 K=256 (16x, ~0.98) for the compression/recall
+    // tradeoff the caller tunes.
     val pq16 = pqRecall(8, 16, Seq(50)).toMap
     val pq256 = pqRecall(8, 256, Seq(50, 100)).toMap
     val pqWide = pqRecall(16, 256, Seq(50)).toMap

@@ -1068,8 +1068,9 @@ final class VectorEngine private (val spark: SparkSession,
              probe: String = settings.defaultProbe,
              nprobe: Int = DefaultIvfNProbe,
              adaptiveMultiplier: Int = settings.adaptiveMultiplier,
-             rescore: Int = DefaultSq8Rescore): DataFrame = {
+             rescoreOpt: Option[Int] = None): DataFrame = {
     val lib = getLibrary(libraryId)
+    val rescore = rescoreOpt.getOrElse(defaultRescore(lib.storage))
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
@@ -1179,8 +1180,9 @@ final class VectorEngine private (val spark: SparkSession,
                   probe: String = settings.defaultProbe,
                   nprobe: Int = DefaultIvfNProbe,
                   adaptiveMultiplier: Int = settings.adaptiveMultiplier,
-                  rescore: Int = DefaultSq8Rescore): DataFrame = {
+                  rescoreOpt: Option[Int] = None): DataFrame = {
     val lib = getLibrary(libraryId)
+    val rescore = rescoreOpt.getOrElse(defaultRescore(lib.storage))
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
@@ -1811,10 +1813,25 @@ object VectorEngine {
   val StoragePq = "pq"
   val SupportedStorage: Set[String] = Set(StorageFloat32, StorageSq8, StoragePq)
 
-  /** Default SQ8 rescore depth: the approximate phase keeps
-    * max(k, rescore) candidates for the exact phase (recall@10 = 1.0 at
-    * R=50 on the driver's synthetic vectors — BENCH recall line). */
+  /** Default rescore depth PER STORAGE KIND — the approximate phase
+    * keeps max(k, rescore) candidates for the exact phase. SQ8 codes are
+    * near-lossless, so R=50 already measures recall@10 = 1.0 (BENCH
+    * `sq8_r50`). PQ codes are far lossier (8 bytes per vector at M=8),
+    * so its default follows the re-ranking literature's R ≈ 10·k (Jégou,
+    * Tavenard, Douze, Amsaleg, "Searching in one billion vectors:
+    * re-rank with source coding", ICASSP 2011; the same short-list-then-
+    * refine practice as FAISS's IndexRefineFlat k_factor): at sf0.1,
+    * M=8/K=256 measures recall@10 0.93 at R=100 vs 0.83 at R=50 (BENCH
+    * `pq_m8k256_r{50,100}`) — and the exact phase is a broadcast
+    * semi-join over R ids, so the deeper short-list is O(R) extra rows
+    * at ANY corpus size. `search`/`searchBatch` resolve `rescoreOpt =
+    * None` to these via [[defaultRescore]]. */
   val DefaultSq8Rescore = 50
+  val DefaultPqRescore = 100
+
+  /** The storage kind's default rescore depth (see above). */
+  def defaultRescore(storage: String): Int =
+    if (storage == StoragePq) DefaultPqRescore else DefaultSq8Rescore
 
   /** LSH probe modes for `search`/`searchBatch` (adaptive is the default;
     * single-bucket is the reference's strict parity semantics). */

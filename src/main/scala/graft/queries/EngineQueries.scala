@@ -295,7 +295,10 @@ object EngineQueries {
 
   private val ivfPqPersistedSql: String = {
     val nprobe = VectorEngine.DefaultIvfNProbe
-    val r = VectorEngine.DefaultSq8Rescore
+    // the engine default the Spark side's `search(lib, qv, k = 10)`
+    // resolves for a storage=pq library — the oracle replays the SAME
+    // short-list depth or the candidate cut diverges
+    val r = VectorEngine.DefaultPqRescore
     val dsub = 8
     val numSub = 8
     val termChain = (1 to dsub)

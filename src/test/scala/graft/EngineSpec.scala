@@ -703,7 +703,7 @@ class EngineSpec extends AnyFunSuite {
     val q = vec(0.95, 0.05, 0, 0)
     assert(e.search(lib.id, q, 4).collect().toSeq ==
       ef.search(libF.id, q, 4).collect().toSeq)
-    intercept[SearchError] { e.search(lib.id, q, 2, rescore = 0) }
+    intercept[SearchError] { e.search(lib.id, q, 2, rescoreOpt = Some(0)) }
     // batch == per-query single searches
     val qs = Seq(0L -> q, 1L -> vec(0, 1, 0, 0))
     val batch = e.searchBatch(lib.id, qs, k = 2).collect()
@@ -888,9 +888,9 @@ class EngineSpec extends AnyFunSuite {
       val q = Seq(1f, 0f, 0.9f, 0.1f)
       // at rescore >= n the funnel's exact phase sees every row: the pq
       // result must EQUAL the float32 twin's (ids modulo the f prefix)
-      val pq = e2.search("pqm", q, k = 4, rescore = 10).collect()
+      val pq = e2.search("pqm", q, k = 4, rescoreOpt = Some(10)).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
-      val flat = e2.search("flatm", q, k = 4, rescore = 10).collect()
+      val flat = e2.search("flatm", q, k = 4, rescoreOpt = Some(10)).collect()
         .map(r => (r.getString(0).stripPrefix("f"), r.getDouble(1))).toSeq
       assert(pq == flat, s"$metric pq != flat twin")
       // batch search is bit-identical to per-query searches

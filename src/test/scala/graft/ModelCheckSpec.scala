@@ -178,7 +178,7 @@ class ModelCheckSpec extends AnyFunSuite {
       .foreach { lib =>
         val q = randVec()
         val got = e.search(lib, q, k = 5, nprobe = 64,
-          adaptiveMultiplier = 10000, rescore = 100000).collect()
+          adaptiveMultiplier = 10000, rescoreOpt = Some(100000)).collect()
           .map(r => (r.getString(0), r.getDouble(1))).toSeq
         val want = mChunks.values.filter(_.libId == lib)
           .map(c => (c.id, math.rint(cosine(c.emb, q) * 1e6) / 1e6 + 0.0d))
