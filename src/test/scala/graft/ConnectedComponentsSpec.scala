@@ -70,10 +70,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     "most one label generation (plus whatever was persisted before) in " +
     "the block store") {
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    val before = sc.getPersistentRDDs.keySet.toSet
     val got = run((1L until 8L).map(i => (i, i + 1))) // 6 change rounds
     assert(got.values.toSet == Set(1L))
-    val added = sc.getPersistentRDDs.keySet -- before
+    val added = sc.getPersistentRDDs.keySet.filterNot(before)
     // without release: sym + initial labels + one RDD per round ≈ 9+;
     // with release: only the returned final generation survives
     assert(added.size <= 1, s"leaked ${added.size} persisted RDD generations")
