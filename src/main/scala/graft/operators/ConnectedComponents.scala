@@ -78,9 +78,10 @@ object ConnectedComponents {
       sym.select(col("s").as("node"))
         .distinct()
         .withColumn("comp", col("node")))
-    var iters = 0
+    var iters = 0L
     var changed = true
-    while (changed && iters < maxIters + 1) {
+    // long arithmetic: maxIters + 1 must not wrap for maxIters = Int.MaxValue
+    while (changed && iters < maxIters.toLong + 1L) {
       val (next, nextRdd) = checkpointReleasable(propagationRound(sym, labels))
       changed = next.as("n").join(labels.as("o"), Seq("node"))
         .where(col("n.comp") =!= col("o.comp"))
@@ -93,10 +94,13 @@ object ConnectedComponents {
       iters += 1
     }
     symRdd.foreach(_.unpersist(blocking = false))
-    if (changed)
+    if (changed) {
+      // the frame is never returned on this path — release its blocks too
+      labelsRdd.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connected components still changing after $maxIters label-change " +
           "rounds — component diameter exceeds the bound; raise maxIters")
+    }
     labels
   }
 }

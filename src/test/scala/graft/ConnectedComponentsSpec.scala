@@ -48,10 +48,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   test("a round bound too small for the diameter throws instead of " +
-    "returning unconverged labels") {
+    "returning unconverged labels — and the throw path leaks no " +
+    "persisted generation (the unreturned final frame is released too)") {
     // path graph of diameter 5 cannot settle in 2 rounds
     val chain = (1L until 6L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     intercept[IllegalStateException] { run(chain, maxIters = 2) }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.filterNot(before)
+    assert(leaked.isEmpty, s"throw path left ${leaked.size} persisted RDDs")
     assert(run(chain).values.toSet == Set(1L)) // default bound converges
   }
 
@@ -71,10 +75,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     "the block store") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val got = run((1L until 8L).map(i => (i, i + 1))) // 6 change rounds
+    val got = run((1L until 8L).map(i => (i, i + 1))) // 7 change rounds
     assert(got.values.toSet == Set(1L))
     val added = sc.getPersistentRDDs.keySet.filterNot(before)
-    // without release: sym + initial labels + one RDD per round ≈ 9+;
+    // without release: sym + initial labels + one RDD per round ≈ 10+;
     // with release: only the returned final generation survives
     assert(added.size <= 1, s"leaked ${added.size} persisted RDD generations")
   }

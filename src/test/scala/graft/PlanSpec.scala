@@ -71,6 +71,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_components: the caller-facing executed plan (docs left-" +
+    "joined to the final component labels — the round joins are behind " +
+    "checkpoints) is equi-join only, never a nested loop") {
+    val p = plan("dedup_components")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dedup_embedding_near_lsh: bucket-blocked self-join is a hash " +
     "equi-join on (bucket, salt), never all-pairs") {
     val p = plan("dedup_embedding_near_lsh")
