@@ -43,12 +43,17 @@ object EngineQueries {
       .distinct()
       .select(col("id"), col("id").as("name"),
         typedLit(Map.empty[String, String]).as("metadata")))
+    // typed parity metadata on every chunk (the DF bulk path takes
+    // PRE-ENCODED values) so the filtered-funnel rows below can reuse the
+    // same cached states; rows that ignore metadata are unaffected
     val chunkDf = table(s, dir, "embeddings").select(
       concat(lit("c"), col("vec_id")).as("id"),
       concat(lit("doc-"), col("label")).as("document_id"),
       concat(lit("vec "), col("vec_id")).as("text"),
       col("embedding"),
-      typedLit(Map.empty[String, String]).as("metadata"),
+      map(lit("parity"),
+        graft.functions.MetadataFunctions.encodeIntCol(col("vec_id") % 2))
+        .as("metadata"),
       col("vec_id").cast("int").as("chunk_index"))
     eng.addChunksDf(lib.id, chunkDf)
     if (deleteDoc7) eng.deleteDocument("doc-7")
@@ -234,7 +239,7 @@ object EngineQueries {
     eng2.search(lib, queryVec(s, dir), k = 10)
   }
 
-  private def ivfSq8PersistedSql(metric: String): String = {
+  private def ivfSq8PersistedSql(metric: String, eFilter: String = ""): String = {
     val nprobe = VectorEngine.DefaultIvfNProbe
     val r = VectorEngine.DefaultSq8Rescore
     val approxCos = VectorSearchQueries.distSql(metric, "dec", "qv")
@@ -243,7 +248,7 @@ object EngineQueries {
        |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v,
        |             list_min(embedding::DOUBLE[]) AS mn,
        |             list_max(embedding::DOUBLE[]) AS mx
-       |      FROM embeddings),
+       |      FROM embeddings $eFilter),
        |a AS (SELECT e.chunk_id, e.v, e.mn, e.mx, c.cid,
        |        row_number() OVER (PARTITION BY e.chunk_id
        |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
@@ -275,6 +280,45 @@ object EngineQueries {
        |FROM base, q WHERE base.chunk_id IN (SELECT chunk_id FROM r)
        |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }
+
+  /** Metadata-FILTERED search through the full ivf+sq8 funnel (P1 x the
+    * quantized scale path): the typed filter scopes the chunk set BEFORE
+    * the index is consulted, so every later stage — the probed-cell
+    * candidate set, the `< k` fallback decision, the SQ8 approx cut, the
+    * exact rescore — runs on the allow set. The oracle replays the whole
+    * funnel over the filtered rows, so a regression that applied the
+    * filter after the ADC cut (returning fewer than k survivors) or
+    * counted unfiltered candidates in the fallback decision would
+    * hash-mismatch. Reuses the lifecycle_ivf_sq8_persisted built state
+    * (parity metadata is ingested on every chunk). */
+  private val filteredIvfSq8: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindIvf,
+      deleteDoc7 = false, metric = "cosine", storage = VectorEngine.StorageSq8)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.search(lib, queryVec(s, dir), k = 10, filters = Map("parity" -> 0))
+  }
+
+  private val filteredIvfSq8Sql: String =
+    ivfSq8PersistedSql("cosine", eFilter = "WHERE vec_id % 2 = 0")
+
+  /** Metadata-FILTERED adaptive LSH search: with a filter present the
+    * engine has no maintained histogram to trust (it counts rows the
+    * filter excludes, which would under-probe), so it aggregates the
+    * ALLOW-SET's histogram and runs the query-directed prefix cut over
+    * that. The oracle replays margins -> filtered histogram -> cut ->
+    * exact top-k over the filtered buckets. Reuses the
+    * lifecycle_lsh_persisted built state. */
+  private val filteredLshAdaptive: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindLsh,
+      deleteDoc7 = false)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.search(lib, queryVec(s, dir), k = 10, filters = Map("parity" -> 1))
+  }
+
+  private val filteredLshAdaptiveSql: String =
+    LshQueries.adaptiveSql("'c' || vec_id", "chunk_id",
+      10L * graft.operators.LshIndex.AdaptiveMultiplier, 10,
+      eWhere = "WHERE vec_id % 2 = 1")
 
   /** Full persistence round-trip for an ivf library with storage="pq" —
     * the IVFPQ engine shape (RESIDUAL-encoded, classic IVFADC): centroid
@@ -361,6 +405,8 @@ object EngineQueries {
     Q("lifecycle_ivf_sq8_euclidean", ivfSq8Persisted("euclidean"),
       Some(ivfSq8PersistedSql("euclidean"))),
     Q("lifecycle_ivf_pq_persisted", ivfPqPersisted, Some(ivfPqPersistedSql)),
+    Q("lifecycle_filtered_ivf_sq8", filteredIvfSq8, Some(filteredIvfSq8Sql)),
+    Q("lifecycle_filtered_lsh", filteredLshAdaptive, Some(filteredLshAdaptiveSql)),
     Q("lifecycle_batch_search", batchSearch, Some(batchSearchSql)),
   )
 }

@@ -135,14 +135,18 @@ object LshQueries {
     * on the output id expression so the engine-lifecycle gate (chunk ids
     * 'c' || vec_id) reuses it: margins -> costed bucket histogram ->
     * (cost, bucket)-ordered cumulative prefix cut -> exact top-k over the
-    * selected buckets. */
+    * selected buckets. `eWhere` restricts the searched rows — a filtered
+    * search aggregates the ALLOW-SET's histogram (the engine's
+    * adaptiveHist-None path), which this replays by filtering `e` before
+    * the histogram is built. */
   private[queries] def adaptiveSql(idSql: String, idAlias: String,
-                                   target: Long, k: Int): String =
+                                   target: Long, k: Int,
+                                   eWhere: String = ""): String =
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${bucketSql("embedding::DOUBLE[]")} AS qb,
        |           $marginColsSql
        |           FROM embeddings WHERE vec_id = 0),
        |e AS (SELECT $idSql AS $idAlias, embedding::DOUBLE[] AS v, ${bucketSql("embedding::DOUBLE[]")} AS b
-       |      FROM embeddings),
+       |      FROM embeddings $eWhere),
        |hist AS (SELECT b, count(*) AS n FROM e GROUP BY b),
        |cost AS (SELECT h.b, h.n, $costSql AS cost FROM hist h, q),
        |sel AS (SELECT b FROM (

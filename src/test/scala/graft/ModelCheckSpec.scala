@@ -32,7 +32,8 @@ class ModelCheckSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
 
   private case class MChunk(id: String, docId: String, libId: String,
-                            text: String, emb: Seq[Float], idx: Int)
+                            text: String, emb: Seq[Float], idx: Int,
+                            parity: Int)
   private case class MLib(id: String, storage: String, kind: String)
 
   test("300-op random walk over mixed storage/index kinds: engine state " +
@@ -104,9 +105,14 @@ class ModelCheckSpec extends AnyFunSuite {
           pick(mDocs.keys).foreach { doc =>
             val id = fresh("C")
             val v = randVec()
+            // typed metadata on every chunk so the final filtered-search
+            // check has an allow set to cut on
+            val parity = nextId % 2
             e.addChunksBatch(doc, Seq(
-              ChunkInput(s"text $id", v, Map.empty, nextId, Some(id))))
-            mChunks += id -> MChunk(id, doc, mDocs(doc), s"text $id", v, nextId)
+              ChunkInput(s"text $id", v, Map("parity" -> parity), nextId,
+                Some(id))))
+            mChunks += id -> MChunk(id, doc, mDocs(doc), s"text $id", v,
+              nextId, parity)
           }
         case 7 =>
           pick(mChunks.keys).foreach { id =>
@@ -185,6 +191,20 @@ class ModelCheckSpec extends AnyFunSuite {
           .toSeq.sortBy(p => (p._2, p._1)).take(5)
         assert(got.map(_._1) == want.map(_._1),
           s"search ranking in $lib (${mLibs(lib)})")
+        // the same query FILTERED: the typed allow set scopes every
+        // funnel stage (candidate sets, fallback decisions, rescore),
+        // and a parity the library doesn't contain must short-circuit
+        // to empty without consulting the index
+        val gotF = e.search(lib, q, k = 5, filters = Map("parity" -> 0),
+          nprobe = 64, adaptiveMultiplier = 10000,
+          rescoreOpt = Some(100000)).collect()
+          .map(r => r.getString(0)).toSeq
+        val wantF = mChunks.values
+          .filter(c => c.libId == lib && c.parity == 0)
+          .map(c => (c.id, math.rint(cosine(c.emb, q) * 1e6) / 1e6 + 0.0d))
+          .toSeq.sortBy(p => (p._2, p._1)).take(5).map(_._1)
+        assert(gotF == wantF,
+          s"filtered search ranking in $lib (${mLibs(lib)})")
       }
     // the heal must be a visible no-op: stored bucket/codes/norm columns
     // already equal their re-derivation from the installed models
