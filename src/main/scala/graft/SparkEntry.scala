@@ -17,6 +17,7 @@ object SparkEntry {
       AnnQueries.all ++
       MetadataQueries.all ++
       EngineQueries.all ++
+      ImportQueries.all ++
       RelationalQueries.all ++
       DedupQueries.all ++
       TextQueries.all ++

@@ -1774,6 +1774,209 @@ final class VectorEngine private (val spark: SparkSession,
   }
 
   // -------------------------------------------------------------------
+  // Reference-store import (migration off the reference's DiskVectorStore)
+  // -------------------------------------------------------------------
+  /** Import a store written by the REFERENCE's own disk layer
+    * (disk_store.py:37-43 directory layout, :100-116 per-entity JSON,
+    * index sidecars indexes.py:125-146/:262-287) into this engine — the
+    * first thing a user migrating off the reference runs.
+    *
+    * Semantics:
+    *   - Entities are hydrated DISTRIBUTED (spark.read.json over the
+    *     entity directories; a store can hold millions of chunk files) and
+    *     validated SET-BASED before any state is installed — dangling
+    *     document/chunk parents, duplicate ids, dimension mismatches, and
+    *     non-finite embeddings all fail loudly with nothing imported.
+    *   - Metadata keeps the reference's TYPED semantics: each JSON value
+    *     is mapped in-plan to the typed-prefix encoding
+    *     (ReferenceStore.encodeMetaCol), so `{"page": 10}` and
+    *     `{"page": "10"}` stay distinct under filters after import.
+    *   - LSH libraries adopt the sidecar verbatim: the `.projections.npy`
+    *     matrix becomes the library's MatrixRow (future adds/queries hash
+    *     through it) and the stored bucket assignment is TRUSTED, exactly
+    *     like `open` trusts the engine's own stored index keys —
+    *     `rebuildIndexKeys()` is the explicit heal, and the sidecar's
+    *     bucket->count histogram seeds the adaptive probe's metadata.
+    *   - The reference's stored counters (document_count/chunk_count) are
+    *     dropped: counts are derived here and cannot drift (SURVEY §7.4).
+    *   - Timestamps are preserved from the store (ISO-8601 UTC strings).
+    *
+    * Requires an empty engine (migration is whole-store; partial merges
+    * would need id-conflict policy the reference has no answer for). */
+  def importReferenceStore(dir: String): ReferenceStore.ImportSummary = {
+    if (!libs.isEmpty)
+      throw ConflictError("importReferenceStore requires an empty engine")
+    val root = Paths.get(dir)
+    for (sub <- Seq("libraries", "documents", "chunks", "indexes"))
+      if (!Files.isDirectory(root.resolve(sub)))
+        throw StorageError(s"no reference store at $dir (missing $sub/)")
+
+    // ---- libraries: few, driver-validated one by one (like every other
+    // library endpoint)
+    val libsRaw = ReferenceStore
+      .readEntityDir(spark, s"$dir/libraries", ReferenceStore.LibrarySchema)
+      .select(col("id"), col("name"),
+        coalesce(col("description"), lit("")).as("description"),
+        coalesce(ReferenceStore.encodeMetaCol(col("metadata")),
+          map().cast("map<string,string>")).as("metadata"),
+        col("embedding_dimension"), col("distance_metric"), col("index_kind"),
+        lit(StorageFloat32).as("storage"),
+        col("created_at").cast("timestamp").as("created_at"),
+        col("updated_at").cast("timestamp").as("updated_at"))
+      .as[LibraryRow].collect().toSeq
+    libsRaw.foreach { l =>
+      if (l.id == null || l.name == null || l.created_at == null)
+        throw StorageError("reference store: malformed library JSON")
+      if (!SupportedMetrics(l.distance_metric))
+        throw StorageError(
+          s"reference store: unknown distance metric '${l.distance_metric}'")
+      if (!SupportedIndexKinds(l.index_kind))
+        throw StorageError(
+          s"reference store: unknown index kind '${l.index_kind}'")
+      if (l.embedding_dimension <= 0)
+        throw StorageError("reference store: embedding_dimension must be > 0")
+    }
+    if (libsRaw.map(_.id).distinct.size != libsRaw.size)
+      throw StorageError("reference store: duplicate library ids")
+
+    // ---- LSH sidecars: adopt matrix + stored buckets + histogram
+    val lshLibs = libsRaw.filter(_.index_kind == IndexKindLsh)
+    val sidecars = lshLibs.map { l =>
+      val sc = ReferenceStore.readLshSidecar(spark, root.resolve("indexes"), l.id)
+      if (sc.dimension != l.embedding_dimension)
+        throw StorageError(
+          s"reference store: sidecar dimension ${sc.dimension} != library " +
+            s"dimension ${l.embedding_dimension} for ${l.id}")
+      l.id -> sc
+    }.toMap
+    // one global (chunk id -> bucket) relation for the ingest join; chunk
+    // ids are globally unique in the reference's store
+    val bucketPairs: Seq[(String, Long)] = sidecars.values.toSeq.flatMap(sc =>
+      sc.buckets.toSeq.flatMap { case (b, ids) => ids.map(_ -> b) })
+
+    // ---- documents: distributed read + ONE validation aggregate
+    val libIdDim = libsRaw.map(l => (l.id, l.embedding_dimension))
+      .toDF("__lid", "__dim")
+    val docsRaw = ReferenceStore
+      .readEntityDir(spark, s"$dir/documents", ReferenceStore.DocumentSchema)
+    val docsJoined = docsRaw
+      .join(broadcast(libIdDim), col("library_id") === col("__lid"), "left_outer")
+    val dstats = docsJoined.select(
+      count(lit(1)).as("total"),
+      coalesce(count_distinct(col("id")), lit(0L)).as("distinct_ids"),
+      coalesce(sum(when(col("__lid").isNull, 1).otherwise(0)), lit(0L))
+        .as("orphans"),
+      coalesce(sum(when(col("id").isNull || col("name").isNull, 1)
+        .otherwise(0)), lit(0L)).as("malformed")).head()
+    if (dstats.getAs[Long]("malformed") > 0)
+      throw StorageError("reference store: malformed document JSON")
+    if (dstats.getAs[Long]("orphans") > 0)
+      throw StorageError("reference store: document references unknown library")
+    val nDocs = dstats.getAs[Long]("total")
+    if (dstats.getAs[Long]("distinct_ids") != nDocs)
+      throw StorageError("reference store: duplicate document ids")
+    val docsAssembled = docsJoined.select(
+      col("id").cast("string"),
+      col("library_id").cast("string"),
+      col("name").cast("string"),
+      coalesce(ReferenceStore.encodeMetaCol(col("metadata")),
+        map().cast("map<string,string>")).as("metadata"),
+      col("created_at").cast("timestamp").as("created_at"),
+      col("updated_at").cast("timestamp").as("updated_at")).as[DocumentRow]
+
+    // ---- chunks: distributed read; library resolved through the parent
+    // document; LSH buckets adopted via a broadcast join on the sidecar
+    // assignment; ONE validation aggregate before anything is installed
+    val docLib = docsAssembled.select(col("id").as("__did"),
+      col("library_id").as("__dlib"))
+    val bucketDf = bucketPairs.toDF("__bid", "__bucket")
+    val lshIdSeq = lshLibs.map(_.id)
+    val chunksRaw = ReferenceStore
+      .readEntityDir(spark, s"$dir/chunks", ReferenceStore.ChunkSchema)
+    val chunksJoined = chunksRaw
+      .join(docLib, col("document_id") === col("__did"), "left_outer")
+      .join(broadcast(libIdDim), col("__dlib") === col("__lid"), "left_outer")
+      .join(broadcast(bucketDf), col("id") === col("__bid"), "left_outer")
+    val nonFinite = exists(col("embedding"),
+      x => isnan(x) || x === lit(Double.PositiveInfinity) ||
+        x === lit(Double.NegativeInfinity))
+    val isLsh =
+      if (lshIdSeq.isEmpty) lit(false) else col("__dlib").isin(lshIdSeq: _*)
+    val cstats = chunksJoined.select(
+      count(lit(1)).as("total"),
+      coalesce(count_distinct(col("id")), lit(0L)).as("distinct_ids"),
+      coalesce(sum(when(col("__did").isNull, 1).otherwise(0)), lit(0L))
+        .as("orphans"),
+      coalesce(sum(when(size(col("embedding")) =!= col("__dim"), 1)
+        .otherwise(0)), lit(0L)).as("bad_dim"),
+      coalesce(sum(when(nonFinite, 1).otherwise(0)), lit(0L)).as("bad_finite"),
+      coalesce(sum(when(isLsh && col("__bucket").isNull, 1).otherwise(0)),
+        lit(0L)).as("missing_bucket"),
+      coalesce(sum(when(col("__bid").isNotNull, 1).otherwise(0)), lit(0L))
+        .as("sidecar_matched"),
+      coalesce(sum(when(col("id").isNull || col("text").isNull ||
+        col("embedding").isNull, 1).otherwise(0)), lit(0L)).as("malformed"))
+      .head()
+    if (cstats.getAs[Long]("malformed") > 0)
+      throw StorageError("reference store: malformed chunk JSON")
+    if (cstats.getAs[Long]("orphans") > 0)
+      throw StorageError("reference store: chunk references unknown document")
+    val nChunks = cstats.getAs[Long]("total")
+    if (cstats.getAs[Long]("distinct_ids") != nChunks)
+      throw StorageError("reference store: duplicate chunk ids")
+    if (cstats.getAs[Long]("bad_dim") > 0)
+      throw StorageError(
+        "reference store: chunk embedding dimension != library dimension")
+    if (cstats.getAs[Long]("bad_finite") > 0)
+      throw StorageError("reference store: non-finite chunk embedding")
+    if (cstats.getAs[Long]("missing_bucket") > 0)
+      throw StorageError(
+        "reference store: LSH chunk missing from its index sidecar buckets")
+    if (cstats.getAs[Long]("sidecar_matched") < bucketPairs.size)
+      throw StorageError(
+        "reference store: index sidecar references chunks that do not exist")
+    val chunksAssembled = chunksJoined.select(
+      col("id").cast("string"),
+      col("document_id").cast("string"),
+      col("__dlib").as("library_id"),
+      col("text").cast("string"),
+      col("embedding").cast("array<float>").as("embedding"),
+      coalesce(ReferenceStore.encodeMetaCol(col("metadata")),
+        map().cast("map<string,string>")).as("metadata"),
+      coalesce(col("chunk_index"), lit(0)).cast("int").as("chunk_index"),
+      col("__bucket").cast("long").as("bucket"),
+      lit(null).cast("double").as("qmin"),
+      lit(null).cast("double").as("qmax"),
+      lit(null).cast("array<int>").as("codes"),
+      col("created_at").cast("timestamp").as("created_at"),
+      col("updated_at").cast("timestamp").as("updated_at")).as[ChunkRow]
+
+    // ---- install: pin the tables OFF the JSON source files
+    // (localCheckpoint — later actions must not re-parse the store, and
+    // the store must be safe to delete after import), then adopt the
+    // index metadata
+    libs = libsRaw.toDS().localCheckpoint()
+    docs = docsAssembled.localCheckpoint()
+    chunks = chunksAssembled.localCheckpoint()
+    matrices ++= sidecars.map { case (lid, sc) =>
+      lid -> MatrixRow(lid, sc.numProjections, sc.dimension,
+        sc.randomState.getOrElse(-1L),
+        sc.matrix.map(_.map(_.toDouble).toSeq).toSeq)
+    }
+    hists ++= sidecars.map { case (lid, sc) =>
+      lid -> sc.buckets.map { case (b, ids) => b -> ids.size.toLong }
+    }
+    staleHists --= sidecars.keySet
+    cellModels --= libsRaw.map(_.id)
+    pqModels --= libsRaw.map(_.id)
+    libsRaw.foreach(l => markDirty(l.id))
+    chunksBackingDir = None
+    mutationsSinceCompact = 0
+    ReferenceStore.ImportSummary(libsRaw.size.toLong, nDocs, nChunks,
+      sidecars.size)
+  }
+
+  // -------------------------------------------------------------------
   private def page[T](ds: Dataset[T], skip: Int, limit: Int): Page[T] = {
     if (skip < 0 || limit <= 0) throw ValidationError("skip >= 0 and limit > 0 required")
     val total = ds.count()

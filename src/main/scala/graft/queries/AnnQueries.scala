@@ -21,7 +21,7 @@ object AnnQueries {
     * sample collected n/7 of the table to the driver — an O(n)
     * scale-killer the fixture replaces. k-means `train` itself is
     * spec-checked via measured recall — IvfSpec.) */
-  private val FixturesDir: String =
+  private[queries] val FixturesDir: String =
     sys.props.get("graft.fixtures.dir")
       .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
       .getOrElse(new java.io.File("fixtures").getAbsolutePath)

@@ -47,12 +47,10 @@ object MultimodalQueries {
 
   /** Hourly windowed event aggregate (batch twin of the streaming path —
     * identical code, SURVEY.md §2.7). The events parquet stores
-    * TIMESTAMP(NANOS), which Spark only reads as a long — truncate to
-    * micros exactly like DuckDB's default nanos->micros coercion. */
+    * timestamps whose physical type has varied across driver generations —
+    * eventsTable normalizes either representation to TimestampType. */
   private val eventWindows: QueryFn = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTable(s, dir)
     StreamingIngest.windowedEventCounts(ev)
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -70,10 +68,8 @@ object MultimodalQueries {
     * (half-even) than Spark (truncation). */
   private val sessionize: QueryFn = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val GapUs = 1800L * 1000000L
-    val ev = table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTable(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_sess",
@@ -114,9 +110,7 @@ object MultimodalQueries {
   private val sessionizeStateful: QueryFn = (s, dir) => {
     import s.implicits._
     import graft.streaming.StatefulSessionize
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTable(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[StatefulSessionize.SessionEvent]
     StatefulSessionize.sessionizeBatch(ev).toDF()
@@ -146,9 +140,7 @@ object MultimodalQueries {
     * watermarks are no-ops on bounded input): every purchase paired with
     * the same user's clicks in the preceding 30 minutes. */
   private val intervalJoin: QueryFn = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTable(s, dir)
     graft.streaming.StreamingIngest.clickToPurchaseJoin(
         ev.where(col("event_type") === "click"),
         ev.where(col("event_type") === "purchase"),
@@ -169,8 +161,7 @@ object MultimodalQueries {
     * foreachBatch-side pattern for attaching user/customer attributes to
     * a stream) — zero shuffle on the event side, one aggregate. */
   private val eventsEnriched: QueryFn = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = table(s, dir, "events").select(col("user_id"), col("value"))
+    val ev = eventsTable(s, dir).select(col("user_id"), col("value"))
     val cust = table(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
@@ -212,10 +203,8 @@ object MultimodalQueries {
   }
 
   private val eventsDedupGated: QueryFn = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = dedupSinks.getOrElseUpdate(dir, {
-      val ev = table(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTable(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val root = java.nio.file.Files.createTempDirectory("graft-dedup-sink")

@@ -234,9 +234,7 @@ object RelationalQueries {
     * first-class implementation, not a re-derivation. */
   private val asofEvents: QueryFn = (s, dir) => {
     import graft.operators.AsOfJoin
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTable(s, dir)
     val clicks = ev.where(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts").as("click_ts"))
       .agg(max(col("event_id")).as("click_id"))

@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+import java.nio.file.{Files, Paths}
+
+/** Reference-store import (VectorEngine.importReferenceStore) against the
+  * committed `fixtures/refstore` — a store written by the REFERENCE'S OWN
+  * DiskVectorStore (tools/make_refstore.py), so these assertions run on
+  * byte-genuine reference output. The oracle rows (ImportQueries) gate the
+  * search results against DuckDB; this spec covers the engine-state
+  * surface: hydration counts, typed metadata mapping, sidecar adoption,
+  * persistence round-trip, and the failure guards. */
+class ReferenceImportSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Store = "fixtures/refstore"
+
+  private lazy val imported: VectorEngine = {
+    val e = VectorEngine.create(spark)
+    val s = e.importReferenceStore(Store)
+    assert((s.libraries, s.documents, s.chunks, s.lshIndexes) == ((3L, 4L, 58L, 1)))
+    e
+  }
+  private def libIdByName(e: VectorEngine, name: String): String =
+    e.librariesDf.where(col("name") === name).select("id").head().getString(0)
+  private lazy val flatLib = libIdByName(imported, "corpus-flat")
+  private lazy val lshLib = libIdByName(imported, "corpus-lsh")
+  private lazy val emptyLib = libIdByName(imported, "empty-lib")
+
+  test("hydration: libraries, derived counts, empty library, metrics") {
+    val e = imported
+    assert(e.chunkCount(flatLib) == 30 && e.chunkCount(lshLib) == 28 &&
+      e.chunkCount(emptyLib) == 0)
+    assert(e.documentCount(flatLib) == 3 && e.documentCount(lshLib) == 1 &&
+      e.documentCount(emptyLib) == 0)
+    val empty = e.getLibrary(emptyLib)
+    assert(empty.distance_metric == "dot_product" &&
+      empty.index_kind == "flat" && empty.storage == "float32")
+    // the reference store's zero-chunk document hydrates too
+    val f3 = e.documentsDf.where(col("name") === "f3-empty").head()
+    assert(e.chunkCountByDocument(f3.getAs[String]("id")) == 0)
+    // timestamps come from the store, not import time
+    assert(e.getLibrary(flatLib).created_at.toInstant.toString
+      == "2024-01-01T00:00:00Z")
+  }
+
+  test("typed metadata mapping: string/int/float/bool keep their types") {
+    val e = imported
+    // library + document metadata
+    assert(e.getLibrary(flatLib).metadata ==
+      Map("team" -> "s:a", "version" -> "i:1"))
+    val f1 = e.documentsDf.where(col("name") === "f1")
+      .select("metadata").as[Map[String, String]].head()
+    assert(f1 == Map("source" -> "s:web", "crawl" -> "i:3"))
+    // the page-10 chunk carries all four types plus the int-vs-string trap
+    val m = e.chunksDf
+      .where(col("library_id") === flatLib && col("metadata")("page") === "i:10")
+      .select("metadata").as[Map[String, String]].head()
+    assert(m == Map("lang" -> "s:en", "page" -> "i:10", "score" -> "f:2.5",
+      "good" -> "b:true", "page_str" -> "s:10"))
+    // empty metadata hydrates as an empty map, not null
+    val empties = e.chunksDf.where(size(map_keys(col("metadata"))) === 0).count()
+    assert(empties > 0)
+  }
+
+  test("LSH sidecar adoption: matrix, buckets, histogram") {
+    val e = imported
+    val m = e.lshProjectionMatrix(lshLib)
+    assert(m.length == 8 && m.forall(_.length == 64))
+    // the stored bucket column (trusted from the sidecar) agrees with the
+    // engine's own kernel over the adopted matrix on every fixture vector
+    // — numpy's float32 hash and our double-accumulated twin pick the
+    // same sign bits on this data
+    val rows = e.chunksDf.where(col("library_id") === lshLib)
+      .select("embedding", "bucket")
+      .as[(Seq[Float], Long)].collect()
+    assert(rows.length == 28)
+    rows.foreach { case (v, stored) =>
+      var b = 0L
+      for (i <- m.indices) {
+        var acc = 0.0d
+        for (j <- m(i).indices) acc += m(i)(j) * v(j).toDouble
+        if (acc >= 0.0d) b |= 1L << i
+      }
+      assert(b == stored, s"kernel bucket $b != adopted bucket $stored")
+    }
+    // adopted histogram == recompute from the chunks table
+    val recomputed = e.chunksDf
+      .where(col("library_id") === lshLib && col("bucket").isNotNull)
+      .groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(e.bucketHistogram(lshLib) == recomputed)
+  }
+
+  test("persistence round-trip: save + reopen preserves search and index") {
+    val e = imported
+    val qv = e.chunksDf.where(col("library_id") === flatLib)
+      .orderBy("chunk_index", "id").select("embedding").head().getSeq[Float](0)
+    val before = e.search(flatLib, qv, k = 10).collect().toSeq
+    val dir = Files.createTempDirectory("graft-import-spec").toString
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    val after = e2.search(flatLib, qv, k = 10).collect().toSeq
+    assert(before == after)
+    assert(e2.lshProjectionMatrix(lshLib).flatten.toSeq ==
+      e.lshProjectionMatrix(lshLib).flatten.toSeq)
+    assert(e2.bucketHistogram(lshLib) == e.bucketHistogram(lshLib))
+  }
+
+  test("imported engine keeps working: adds land in kernel buckets") {
+    // fresh import (don't mutate the shared lazy engine)
+    val e = VectorEngine.create(spark)
+    e.importReferenceStore(Store)
+    val lsh = libIdByName(e, "corpus-lsh")
+    val doc = e.documentsDf.where(col("library_id") === lsh)
+      .select("id").head().getString(0)
+    val v = Seq.tabulate(64)(i => (math.sin(i + 1) * 0.3).toFloat)
+    val row = e.addChunk(doc, ChunkInput("new chunk", v, Map("k" -> 1), 99))
+    val m = e.lshProjectionMatrix(lsh)
+    var b = 0L
+    for (i <- m.indices) {
+      var acc = 0.0d
+      for (j <- m(i).indices) acc += m(i)(j) * v(j).toDouble
+      if (acc >= 0.0d) b |= 1L << i
+    }
+    assert(row.bucket.contains(b))
+    assert(e.bucketHistogram(lsh).getOrElse(b, 0L) >= 1L)
+    assert(e.chunkCount(lsh) == 29)
+  }
+
+  test("guards: non-empty engine, missing store, malformed npy") {
+    val e = VectorEngine.create(spark)
+    e.createLibrary("occupied", 4)
+    intercept[ConflictError] { e.importReferenceStore(Store) }
+    val e2 = VectorEngine.create(spark)
+    intercept[StorageError] { e2.importReferenceStore("/tmp/nope-refstore") }
+    intercept[StorageError] {
+      ReferenceStore.readNpyMatrix(Paths.get(s"$Store/manifest.json"))
+    }
+  }
+
+  test("npy reader: v1 little-endian f4 round-trip") {
+    // header built by hand to the public numpy format spec
+    val header = "{'descr': '<f4', 'fortran_order': False, 'shape': (2, 3), }"
+    val pad = (64 - (10 + header.length + 1) % 64) % 64
+    val full = header + (" " * pad) + "\n"
+    val bb = java.nio.ByteBuffer
+      .allocate(10 + full.length + 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x93.toByte).put("NUMPY".getBytes("US-ASCII"))
+      .put(1.toByte).put(0.toByte)
+      .putShort(full.length.toShort)
+      .put(full.getBytes("US-ASCII"))
+    Seq(1.5f, -2.25f, 3f, 0f, 42f, -0.5f).foreach(bb.putFloat)
+    val p = Files.createTempFile("npy-spec", ".npy")
+    Files.write(p, bb.array())
+    val m = ReferenceStore.readNpyMatrix(p)
+    assert(m.map(_.toSeq).toSeq ==
+      Seq(Seq(1.5f, -2.25f, 3f), Seq(0f, 42f, -0.5f)))
+  }
+}
