@@ -83,7 +83,17 @@ object Bench {
     val model = IvfIndex.train(emb, col("embedding"), c = 8)
     val cells = IvfIndex.withCell(emb, col("embedding"), model).localCheckpoint()
     // nprobe sweep, same rationale as the multiplier sweep: cell-quality
-    // regressions show as a recall drop at FIXED probe width
+    // regressions show as a recall drop at FIXED probe width.
+    // NARROW-probe points measure which local k-means optimum the seeded
+    // trainer lands in, not code quality: the round-11 variant sweep at
+    // sf0.1 moved np2 0.48 -> 0.60 by seed alone (42 vs 7) with np6
+    // INVARIANT at 0.93, while iters 25 -> 100 and sample 256 -> 2048 per
+    // centroid changed nothing (the fit converges early). That is the
+    // whole story of the r9 -> r10 "np2 0.57 -> 0.48 regression": the
+    // unified trainer reached a different, equally-converged optimum.
+    // The default seed is kept so the lines stay comparable round over
+    // round — read np2/np4 as optimum-placement telemetry, np6 (and the
+    // ivfpq default line) as the quality gates.
     val ivfSweep = Seq(2, 4, 6).map { np =>
       np -> avg(queries.map { case (id, q) =>
         val got = topIds(IvfIndex.search(cells, "embedding", "vec_id", model, q,
@@ -118,9 +128,11 @@ object Bench {
     }
     // residual IVFPQ (classic IVFADC) on the sweep's C=8 centroid model:
     // residual-trained codebooks, nprobe=6 cell prune, per-cell LUT ADC,
-    // exact rescore at R=50 and R=100 — the full billion-vector funnel's
-    // measured recall, with the same rescore dial as the flat-PQ ladder
-    // (the np6 IVF ceiling is ~0.9; R closes the ADC gap toward it)
+    // exact rescore at R=100 and R=150 — R=150 x np6 IS the engine's
+    // residual-pq default (VectorEngine.DefaultIvfPqNProbe/Rescore, the
+    // round-11 sweep: np6/r100 0.88, np6/r150 0.91, np8/r150 0.98), so
+    // the default-config line is the one the gate watches; r100 keeps the
+    // rescore-limited ladder point below it
     val ivfpq = {
       val resModel = graft.operators.ProductQuantization.train(
         cells, graft.operators.ProductQuantization.residualColumn(
@@ -128,7 +140,7 @@ object Bench {
         dim = 64, numSub = 8, k = 256)
       val resEnc = graft.operators.ProductQuantization.encodeResidual(
         cells, col("embedding"), col("cell"), model, resModel).localCheckpoint()
-      Seq(50, 100).map { r =>
+      Seq(100, 150).map { r =>
         r -> avg(queries.map { case (id, q) =>
           val probed = IvfIndex.nearestCentroids(q, model, 6)
           val got = topIds(graft.operators.ProductQuantization.searchResidual(
@@ -160,8 +172,8 @@ object Bench {
       "pq_m8k256_r50" -> pq256(50),
       "pq_m8k256_r100" -> pq256(100),
       "pq_m16k256_r50" -> pqWide(50),
-      "ivfpq_res_np6_r50" -> ivfpq(50),
-      "ivfpq_res_np6_r100" -> ivfpq(100)) ++
+      "ivfpq_res_np6_r100" -> ivfpq(100),
+      "ivfpq_res_np6_r150" -> ivfpq(150)) ++
       lshAdSweep.map { case (m, r) => s"lsh_adaptive_m$m" -> r } ++
       ivfSweep.map { case (np, r) => s"ivf_c8_nprobe$np" -> r })
       .map { case (k, v) => k -> math.rint(v * 10000) / 10000 }

@@ -1066,11 +1066,17 @@ final class VectorEngine private (val spark: SparkSession,
   def search(libraryId: String, query: Seq[Float], k: Int,
              filters: Map[String, Any] = Map.empty,
              probe: String = settings.defaultProbe,
-             nprobe: Int = DefaultIvfNProbe,
+             nprobeOpt: Option[Int] = None,
              adaptiveMultiplier: Int = settings.adaptiveMultiplier,
              rescoreOpt: Option[Int] = None): DataFrame = {
     val lib = getLibrary(libraryId)
-    val rescore = rescoreOpt.getOrElse(defaultRescore(lib.storage))
+    // residual IVFPQ resolves WIDER defaults than its parts (see the
+    // DefaultIvfPq* scaladoc): nprobe 6 + R 150 vs ivf's 4 / flat pq's 100
+    val residualPq = lib.storage == StoragePq && pqResidual(lib)
+    val rescore = rescoreOpt.getOrElse(
+      if (residualPq) DefaultIvfPqRescore else defaultRescore(lib.storage))
+    val nprobe = nprobeOpt.getOrElse(
+      if (residualPq) DefaultIvfPqNProbe else DefaultIvfNProbe)
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
@@ -1178,11 +1184,15 @@ final class VectorEngine private (val spark: SparkSession,
   def searchBatch(libraryId: String, queries: Seq[(Long, Seq[Float])], k: Int,
                   filters: Map[String, Any] = Map.empty,
                   probe: String = settings.defaultProbe,
-                  nprobe: Int = DefaultIvfNProbe,
+                  nprobeOpt: Option[Int] = None,
                   adaptiveMultiplier: Int = settings.adaptiveMultiplier,
                   rescoreOpt: Option[Int] = None): DataFrame = {
     val lib = getLibrary(libraryId)
-    val rescore = rescoreOpt.getOrElse(defaultRescore(lib.storage))
+    val residualPq = lib.storage == StoragePq && pqResidual(lib)
+    val rescore = rescoreOpt.getOrElse(
+      if (residualPq) DefaultIvfPqRescore else defaultRescore(lib.storage))
+    val nprobe = nprobeOpt.getOrElse(
+      if (residualPq) DefaultIvfPqNProbe else DefaultIvfNProbe)
     if (k <= 0) throw SearchError("k must be > 0")
     if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     if (nprobe <= 0) throw SearchError("nprobe must be > 0")
@@ -2028,9 +2038,22 @@ object VectorEngine {
     * `pq_m8k256_r{50,100}`) — and the exact phase is a broadcast
     * semi-join over R ids, so the deeper short-list is O(R) extra rows
     * at ANY corpus size. `search`/`searchBatch` resolve `rescoreOpt =
-    * None` to these via [[defaultRescore]]. */
+    * None` to these via [[defaultRescore]] — except residual IVFPQ,
+    * which resolves the deeper [[DefaultIvfPqRescore]]. */
   val DefaultSq8Rescore = 50
   val DefaultPqRescore = 100
+
+  /** Residual IVFPQ (ivf index x pq storage) defaults — the lossiest
+    * funnel compensates on BOTH dials: the ADC's quantization error sits
+    * ON TOP of cell-pruning misses, so it probes wider (6 vs the plain-ivf
+    * 4) and rescores deeper (150 vs the flat-pq 100 — R ≈ 15·k, the upper
+    * end of the re-ranking literature's practice). Measured at sf0.1
+    * (C=8, M=8, K=256): nprobe6/R100 = 0.88, nprobe6/R150 = 0.91 — the
+    * sweep behind the numbers is the `ivfpq_res_*` BENCH recall lines.
+    * Both extra costs are O(1)-ish at any corpus size: +2 probed cells of
+    * codes-only scan, +50 exact-rescore rows in a broadcast semi-join. */
+  val DefaultIvfPqRescore = 150
+  val DefaultIvfPqNProbe = 6
 
   /** The storage kind's default rescore depth (see above). */
   def defaultRescore(storage: String): Int =

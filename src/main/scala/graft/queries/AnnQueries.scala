@@ -29,7 +29,14 @@ object AnnQueries {
     s"$FixturesDir/ivf_centroids.parquet"
   private[queries] val FixtureSql =
     s"read_parquet('$FixturePath/*.parquet')"
-  private val NProbe = 3
+  // Funnel parameters = the FACADE's defaults (VectorEngine), so every
+  // operator family's oracle row gates exactly the configuration a
+  // `search()` caller gets: plain-ivf/sq8 rows probe DefaultIvfNProbe
+  // cells and rescore DefaultSq8Rescore; flat-pq rows rescore
+  // DefaultPqRescore; residual-ivfpq rows probe DefaultIvfPqNProbe and
+  // rescore DefaultIvfPqRescore.
+  private val NProbe = graft.engine.VectorEngine.DefaultIvfNProbe
+  private val PqNProbe = graft.engine.VectorEngine.DefaultIvfPqNProbe
   private val K = 10
 
   private[graft] def fixtureCentroids(s: org.apache.spark.sql.SparkSession): Seq[IvfIndex.Centroid] =
@@ -72,7 +79,9 @@ object AnnQueries {
     * whole thing — encoding, decode-based approximate distances, the R
     * candidate cut, and the exact rescore — so the quantization contract
     * itself is gated, not just the final distances. */
-  private val Rescore = 50
+  private val Rescore = graft.engine.VectorEngine.DefaultSq8Rescore
+  private val PqRescore = graft.engine.VectorEngine.DefaultPqRescore
+  private val IvfPqRescore = graft.engine.VectorEngine.DefaultIvfPqRescore
 
   private val sq8Topk: QueryFn = (s, dir) => {
     val emb = table(s, dir, "embeddings")
@@ -253,7 +262,7 @@ object AnnQueries {
     val encoded = graft.operators.ProductQuantization.encode(
       emb, col("embedding"), model)
     graft.operators.ProductQuantization.search(encoded, "embedding", "vec_id",
-      model, query, K, Rescore)
+      model, query, K, PqRescore)
   }
 
   private val pqTopkSql: String = {
@@ -270,7 +279,7 @@ object AnnQueries {
        |t AS (SELECT vec_id, sub, $termChain AS term FROM t0),
        |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
        |d AS (SELECT vec_id, $approxChain AS approx FROM l),
-       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $PqRescore)
        |SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) + 0 AS distance
        |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
@@ -290,7 +299,7 @@ object AnnQueries {
     val encoded = graft.operators.ProductQuantization.encode(
       emb, col("embedding"), model)
     graft.operators.ProductQuantization.search(encoded, "embedding", "vec_id",
-      model, query, K, Rescore, metric = "dot_product")
+      model, query, K, PqRescore, metric = "dot_product")
   }
 
   private def pqEncodeCtes(dsub: Int): String =
@@ -313,7 +322,7 @@ object AnnQueries {
        |t AS (SELECT vec_id, sub, -(list_dot_product(qs, cv)) AS term FROM t0),
        |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
        |d AS (SELECT vec_id, $approxChain AS approx FROM l),
-       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $PqRescore)
        |SELECT e.vec_id, round(${VectorSearchQueries.distSql("dot_product", "e.v", "q.qv")}, 6) + 0 AS distance
        |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
@@ -336,7 +345,7 @@ object AnnQueries {
     val encoded = graft.operators.ProductQuantization.encode(
       emb, col("embedding"), model, withNorm = true)
     graft.operators.ProductQuantization.search(encoded, "embedding", "vec_id",
-      model, query, K, Rescore, metric = "cosine")
+      model, query, K, PqRescore, metric = "cosine")
   }
 
   private val pqCosineSql: String = {
@@ -354,7 +363,7 @@ object AnnQueries {
        |        CASE WHEN n.nrm = 0 OR q.qn = 0 THEN 'infinity'::DOUBLE
        |             ELSE 1 + ($approxChain) / (n.nrm * q.qn) END AS approx
        |      FROM l, n, q WHERE l.vec_id = n.vec_id),
-       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $PqRescore)
        |SELECT e.vec_id, round(${VectorSearchQueries.distSql("cosine", "e.v", "q.qv")}, 6) + 0 AS distance
        |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
@@ -379,10 +388,10 @@ object AnnQueries {
     val indexed = graft.operators.ProductQuantization.encodeResidual(
       IvfIndex.withCell(emb, col("embedding"), centroids),
       col("embedding"), col("cell"), centroids, model)
-    val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
+    val probed = IvfIndex.nearestCentroids(query, centroids, PqNProbe)
     graft.operators.ProductQuantization.searchResidual(
       indexed.where(col("cell").isin(probed: _*)),
-      "embedding", "vec_id", model, centroids, probed, query, K, Rescore)
+      "embedding", "vec_id", model, centroids, probed, query, K, IvfPqRescore)
   }
 
   private val ivfPqTopkSql: String = {
@@ -400,7 +409,7 @@ object AnnQueries {
        |       FROM e, c),
        |cell AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
        |probe AS (SELECT cid FROM c, q
-       |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe),
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $PqNProbe),
        |p AS (SELECT vec_id, v, cid FROM cell
        |      WHERE cid IN (SELECT cid FROM probe)),
        |pr AS (SELECT p.vec_id, p.cid,
@@ -419,7 +428,7 @@ object AnnQueries {
        |t AS (SELECT vec_id, sub, $termChain AS term FROM t0),
        |l AS (SELECT vec_id, list(term ORDER BY sub) AS ts FROM t GROUP BY vec_id),
        |d AS (SELECT vec_id, 0.0 + $approxChain AS approx FROM l),
-       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $IvfPqRescore)
        |SELECT p.vec_id, round(list_distance(p.v, q.qv), 6) + 0 AS distance
        |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
@@ -443,10 +452,10 @@ object AnnQueries {
     val indexed = graft.operators.ProductQuantization.encodeResidual(
       IvfIndex.withCell(emb, col("embedding"), centroids),
       col("embedding"), col("cell"), centroids, model, withNorm = true)
-    val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
+    val probed = IvfIndex.nearestCentroids(query, centroids, PqNProbe)
     graft.operators.ProductQuantization.searchResidual(
       indexed.where(col("cell").isin(probed: _*)),
-      "embedding", "vec_id", model, centroids, probed, query, K, Rescore,
+      "embedding", "vec_id", model, centroids, probed, query, K, IvfPqRescore,
       metric = "cosine")
   }
 
@@ -464,7 +473,7 @@ object AnnQueries {
        |       FROM e, c),
        |cell AS (SELECT vec_id, v, cid FROM ca WHERE rn = 1),
        |probe AS (SELECT cid FROM c, q
-       |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe),
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $PqNProbe),
        |p AS (SELECT vec_id, v, cid FROM cell
        |      WHERE cid IN (SELECT cid FROM probe)),
        |pr AS (SELECT p.vec_id, p.cid,
@@ -489,7 +498,7 @@ object AnnQueries {
        |        CASE WHEN n.nrm = 0 OR q.qn = 0 THEN 'infinity'::DOUBLE
        |             ELSE 1 + (cconst + $approxChain) / (n.nrm * q.qn) END AS approx
        |      FROM cc JOIN n ON cc.vec_id = n.vec_id, q),
-       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $Rescore)
+       |r AS (SELECT vec_id FROM d ORDER BY approx, vec_id LIMIT $IvfPqRescore)
        |SELECT p.vec_id, round(${VectorSearchQueries.distSql("cosine", "p.v", "q.qv")}, 6) + 0 AS distance
        |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM r)
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin

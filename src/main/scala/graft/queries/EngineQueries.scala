@@ -338,11 +338,12 @@ object EngineQueries {
   }
 
   private val ivfPqPersistedSql: String = {
-    val nprobe = VectorEngine.DefaultIvfNProbe
-    // the engine default the Spark side's `search(lib, qv, k = 10)`
-    // resolves for a storage=pq library — the oracle replays the SAME
-    // short-list depth or the candidate cut diverges
-    val r = VectorEngine.DefaultPqRescore
+    // the engine defaults the Spark side's `search(lib, qv, k = 10)`
+    // resolves for a RESIDUAL-pq (ivf x pq) library — the oracle replays
+    // the SAME probe width and short-list depth or the candidate cut
+    // diverges
+    val nprobe = VectorEngine.DefaultIvfPqNProbe
+    val r = VectorEngine.DefaultIvfPqRescore
     val dsub = 8
     val numSub = 8
     val termChain = (1 to dsub)

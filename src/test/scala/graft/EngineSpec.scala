@@ -556,22 +556,22 @@ class EngineSpec extends AnyFunSuite {
     // 2-cell model: c0,c1 land in cell 0; c2,c3 in cell 1
     e.setIvfCentroids(lib, Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 0.5, 0.5, 0)))
     // nprobe=1 scans only cell 0 (2 candidates >= k=2, no fallback)
-    assert(e.search(lib, vec(1, 0, 0, 0), k = 2, nprobe = 1).collect()
+    assert(e.search(lib, vec(1, 0, 0, 0), k = 2, nprobeOpt = Some(1)).collect()
       .map(_.getString(0)).toSeq == Seq("c0", "c1"))
     // k=3 > cell population -> exhaustive fallback, exact flat order
-    assert(e.search(lib, vec(1, 0, 0, 0), k = 3, nprobe = 1).collect()
+    assert(e.search(lib, vec(1, 0, 0, 0), k = 3, nprobeOpt = Some(1)).collect()
       .map(_.getString(0)).toSeq == Seq("c0", "c1", "c2"))
     // single-row add derives the cell via the driver twin
     e.addChunk(doc, ChunkInput("e", vec(0, 0.6, 0.4, 0), id = Some("c4")))
-    assert(e.search(lib, vec(0, 0.6, 0.4, 0), k = 1, nprobe = 1).collect()
+    assert(e.search(lib, vec(0, 0.6, 0.4, 0), k = 1, nprobeOpt = Some(1)).collect()
       .head.getString(0) == "c4")
     // batch parity with per-query search at the same nprobe
     val qs = Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 1, 0, 0))
-    val batch = e.searchBatch(lib, qs, k = 2, nprobe = 1).collect()
+    val batch = e.searchBatch(lib, qs, k = 2, nprobeOpt = Some(1)).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
     qs.foreach { case (qid, q) =>
-      val one = e.search(lib, q, 2, nprobe = 1).collect()
+      val one = e.search(lib, q, 2, nprobeOpt = Some(1)).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       assert(batch(qid) == one, s"ivf batch query=$qid")
     }
@@ -580,8 +580,8 @@ class EngineSpec extends AnyFunSuite {
     val dir = Files.tmp("graft-ivf")
     e.save(dir)
     val e2 = VectorEngine.open(spark, dir)
-    assert(e2.search(lib, vec(1, 0, 0, 0), 3, nprobe = 1).collect().toSeq ==
-      e.search(lib, vec(1, 0, 0, 0), 3, nprobe = 1).collect().toSeq)
+    assert(e2.search(lib, vec(1, 0, 0, 0), 3, nprobeOpt = Some(1)).collect().toSeq ==
+      e.search(lib, vec(1, 0, 0, 0), 3, nprobeOpt = Some(1)).collect().toSeq)
     // self-training installs a usable model (recall quality is IvfSpec's
     // job; here: the trained engine still answers searches)
     val model = e2.trainIvfIndex(lib, c = 2, iters = 2)

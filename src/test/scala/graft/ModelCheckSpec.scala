@@ -183,7 +183,7 @@ class ModelCheckSpec extends AnyFunSuite {
     mLibs.keySet.filter(lib => mChunks.values.exists(_.libId == lib))
       .foreach { lib =>
         val q = randVec()
-        val got = e.search(lib, q, k = 5, nprobe = 64,
+        val got = e.search(lib, q, k = 5, nprobeOpt = Some(64),
           adaptiveMultiplier = 10000, rescoreOpt = Some(100000)).collect()
           .map(r => (r.getString(0), r.getDouble(1))).toSeq
         val want = mChunks.values.filter(_.libId == lib)
@@ -196,7 +196,7 @@ class ModelCheckSpec extends AnyFunSuite {
         // and a parity the library doesn't contain must short-circuit
         // to empty without consulting the index
         val gotF = e.search(lib, q, k = 5, filters = Map("parity" -> 0),
-          nprobe = 64, adaptiveMultiplier = 10000,
+          nprobeOpt = Some(64), adaptiveMultiplier = 10000,
           rescoreOpt = Some(100000)).collect()
           .map(r => r.getString(0)).toSeq
         val wantF = mChunks.values

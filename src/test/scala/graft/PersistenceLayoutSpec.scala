@@ -98,7 +98,7 @@ class PersistenceLayoutSpec extends AnyFunSuite {
     val e2 = VectorEngine.open(spark, dir)
 
     val q = (0 until 8).map(i => math.sin(911.0 * (i * 7 + 3)).toFloat)
-    val res = e2.search(lib.id, q, k = 5, nprobe = 1)
+    val res = e2.search(lib.id, q, k = 5, nprobeOpt = Some(1))
     assert(res.collect().length == 5)
     val scan = fileScans(res.queryExecution.executedPlan)
       .filter(_.metadata("PushedFilters").contains("bucket"))
