@@ -19,6 +19,36 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  @volatile private var blackhole = 0L
+
+  /** Host-speed calibration: a FIXED single-thread CPU workload (2^29
+    * xorshift64 rounds folded into a rotate-accumulate), median of three
+    * timed runs after one JIT warm-up. The number has nothing to do with
+    * the engine — it measures the box. Reported as `calibration_sec` so
+    * cross-round bench totals can be normalized mechanically: same-code
+    * totals have measured 34.3→58.2 s across runs on this host purely
+    * from co-tenancy (SURVEY §6), and a per-round hand-measured loop
+    * (2.38→2.84 s on the same fixed workload) was what exonerated the
+    * r10 deltas — this makes that measurement a standing field. */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < (1 << 29)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += java.lang.Long.rotateLeft(x, i & 63)
+        i += 1
+      }
+      blackhole = acc
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm-up, untimed
+    val runs = Seq(once(), once(), once()).sorted
+    math.rint(runs(1) * 10000) / 10000
+  }
+
   /** recall@10 of each approximate search path vs exact flat search on
     * the sf dir's embeddings: LSH bucket probe and k-means IVF under
     * cosine, SQ8 rescored search under euclidean. 10 query vectors. */
@@ -242,9 +272,13 @@ object Bench {
       val r = measureRecall(spark, sfDir)
       r.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     } catch { case e: Throwable => s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
+    // Host-speed yardstick, measured AFTER the timed passes (so its CPU
+    // burn cannot perturb them; co-tenancy drift within one bench run is
+    // what it exists to flag).
+    val calibration = calibrate()
     // Full record (per-query medians + error messages) → BENCH.json file.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"queries":$qs,"errors":$es,"recall_at_10":$recall,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"calibration_sec":$calibration,"queries":$qs,"errors":$es,"recall_at_10":$recall,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     // Compact line (< 500 chars) as the FINAL stdout line: the driver's
     // tail capture is bounded, and a 3 KB line gets truncated from the
@@ -254,7 +288,7 @@ object Bench {
     // on stderr — rather than letting front-truncation corrupt the JSON.
     val sfShort = jstr(new java.io.File(sfDir).getName)
     def line(r: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"runs":3,"recall_at_10":$r,"sf":$sfShort}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"runs":3,"calibration_sec":$calibration,"recall_at_10":$r,"sf":$sfShort}"""
     val compact = line(recall)
     if (compact.length < 500) println(compact)
     else {
