@@ -294,16 +294,19 @@ final class VectorEngine private (val spark: SparkSession,
       index_kind = indexKind.getOrElse(cur.index_kind),
       updated_at = now())
     libs = replaceById(libs, id, next)
-    if (dimChange && cur.storage == StoragePq)
-      // the installed codebooks partition the OLD dimension; the library
-      // is empty (guard above), so drop them and require a re-install
-      // before the next ingest rather than silently mis-encoding
+    if ((dimChange || kindChange) && cur.storage == StoragePq)
+      // the installed codebooks partition the OLD dimension (dim change)
+      // or were trained for the OLD index kind's encoding (kind change:
+      // an ivf+pq library holds RESIDUAL-trained codebooks — flipped to
+      // flat, the next ingest would raw-encode against centroids that
+      // live in the near-zero residual cloud, silently cratering recall).
+      // The library is empty (guard above): drop them and require a
+      // re-install before the next ingest rather than mis-encoding.
       pqModels -= id
-    if (dimChange)
-      // the centroid model partitions the OLD dimension too — keeping it
-      // would make the next ingest derive cells from a dimension-
-      // mismatched model (the codegen kernel throws; the local twin must
-      // never be given the chance to disagree)
+    if (dimChange || kindChange)
+      // the centroid model partitions the OLD dimension (dim change) and
+      // belongs to the OLD ivf index (kind change) — a stale model left
+      // behind would resurface on a later flip back to ivf
       cellModels -= id
     // a metric flip TO cosine on a pq library must guarantee the stored
     // qmin norms exist: rows persisted by a pre-norm build carry nulls
@@ -995,7 +998,9 @@ final class VectorEngine private (val spark: SparkSession,
       throw ValidationError(
         s"numSub $numSub must be > 0 and divide library dimension ${lib.embedding_dimension}")
     if (k <= 0) throw ValidationError("k must be > 0")
-    if (iters <= 0) throw ValidationError("iters must be > 0")
+    // iters == 0 is a valid operator contract (init-only k-means++ fit) —
+    // the endpoint guard matches it instead of being stricter
+    if (iters < 0) throw ValidationError("iters must be >= 0")
     if (chunkCount(libraryId) == 0)
       throw ValidationError("cannot train PQ codebooks on an empty library")
     // a residual library's codebooks must be trained on WHAT THEY WILL

@@ -60,6 +60,18 @@ object ConnectedComponents {
     (cp, rdd)
   }
 
+  /** In-plan non-null guard on the edge endpoints: a null src/dst would
+    * silently vanish through the equi-join and the distinct-node seed,
+    * returning quietly incomplete components — fail loudly instead.
+    * `assert_true` throws on the first offending ROW at execution time
+    * and returns NULL otherwise, so `.where(assert_true(...).isNull)`
+    * keeps every valid row and costs no extra Spark action. */
+  private def requireNonNullEndpoints(edges: DataFrame,
+                                      src: String, dst: String): DataFrame =
+    edges.where(assert_true(
+      col(src).isNotNull && col(dst).isNotNull,
+      lit(s"connected components: null edge endpoint in ($src, $dst)")).isNull)
+
   /** (node, component) for every node appearing in `edges`, where
     * component = the minimum node id in the node's connected component.
     * Nodes not mentioned in any edge are absent (callers union isolated
@@ -67,13 +79,15 @@ object ConnectedComponents {
     * bounds label-CHANGE rounds (≥ the largest component's min-node
     * eccentricity, ≤ its diameter, suffices); one extra certification
     * round runs beyond it. The returned frame is backed by the final
-    * round's local checkpoint (one O(V) generation stays cached). */
+    * round's local checkpoint (one O(V) generation stays cached).
+    * Null edge endpoints throw. */
   def components(edges: DataFrame, src: String, dst: String,
                  maxIters: Int = 20): DataFrame = {
     require(maxIters >= 1, "need maxIters >= 1")
+    val guarded = requireNonNullEndpoints(edges, src, dst)
     val (sym, symRdd) = checkpointReleasable(
-      edges.select(col(src).as("s"), col(dst).as("d"))
-        .unionAll(edges.select(col(dst).as("s"), col(src).as("d"))))
+      guarded.select(col(src).as("s"), col(dst).as("d"))
+        .unionAll(guarded.select(col(dst).as("s"), col(src).as("d"))))
     var (labels, labelsRdd) = checkpointReleasable(
       sym.select(col("s").as("node"))
         .distinct()
@@ -99,8 +113,99 @@ object ConnectedComponents {
       labelsRdd.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connected components still changing after $maxIters label-change " +
-          "rounds — component diameter exceeds the bound; raise maxIters")
+          "rounds — component diameter exceeds the bound; raise maxIters " +
+          "or use componentsStar (O(log n) rounds at any diameter)")
     }
     labels
+  }
+
+  /** Same contract as [[components]] — (node, min-id component) for every
+    * node appearing in `edges` — via alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): the
+    * round count is O(log n) in the WORST case, independent of component
+    * diameter, where hash-min pays one round per hop of the min node's
+    * eccentricity. The per-round cost is the same class — each phase is
+    * one groupBy-min over O(E) rows plus one equi-join back on the
+    * grouping key — so this is the variant for adversarial diameters
+    * (long chains); near-clique dedup graphs converge in 2-3 rounds
+    * either way and hash-min's simpler rounds win there.
+    *
+    *   - large-star: every node u links each LARGER neighbor to the
+    *     minimum of its closed neighborhood m(u) = min(N(u) + u) —
+    *     long paths contract toward small ids without breaking
+    *     connectivity.
+    *   - small-star: with edges held canonical (big, small), every node
+    *     u re-links its smaller neighbors (and itself) to their minimum
+    *     — chains become stars.
+    *
+    * Convergence = the canonical edge set reaches a fixpoint (checked
+    * EXACTLY with two anti-join probes, never a fingerprint); the result
+    * is then a star forest read off directly. Each round's edge set is
+    * localCheckpoint'd and superseded generations are released eagerly,
+    * like the hash-min loop; `maxIters` keeps the LOUD bound semantics
+    * (2·ceil(log2 n) + a margin always suffices — the default covers any
+    * input that fits in a cluster). Null edge endpoints throw. */
+  def componentsStar(edges: DataFrame, src: String, dst: String,
+                     maxIters: Int = 40): DataFrame = {
+    require(maxIters >= 1, "need maxIters >= 1")
+    val guarded = requireNonNullEndpoints(edges, src, dst)
+    // canonical undirected edge set: (u = larger, v = smaller), self-loops
+    // dropped, duplicates collapsed
+    var (e, eRdd) = checkpointReleasable(
+      guarded.select(greatest(col(src), col(dst)).as("u"),
+          least(col(src), col(dst)).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
+    var iters = 0
+    var changed = true
+    while (changed && iters < maxIters) {
+      // ---- large-star over the symmetrized adjacency
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val m1 = sym.groupBy("a")
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      // emit (bigger neighbor b, m(a)) — b > a >= m, so (b, m) is canonical
+      val ls = sym.join(m1, "a").where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // ---- small-star on the canonical (big, small) edges
+      val m2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(m2, "u")
+        .select(col("v").as("x"), col("m"))
+        .unionAll(m2.select(col("u").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+      val (next, nextRdd) = checkpointReleasable(ss)
+      // exact fixpoint test: set equality via two one-row anti-join probes
+      changed =
+        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
+          e.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      eRdd.foreach(_.unpersist(blocking = false))
+      e = next
+      eRdd = nextRdd
+      iters += 1
+    }
+    if (changed) {
+      eRdd.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"componentsStar still changing after $maxIters rounds — " +
+          "O(log n) convergence should never need this many; raise maxIters")
+    }
+    // the fixpoint is a star forest: non-roots carry exactly one edge to
+    // their component min; roots (and nothing else) appear only as `v`.
+    // Every node of the ORIGINAL edge list gets a row, like components().
+    val all = guarded.select(col(src).as("node"))
+      .unionAll(guarded.select(col(dst).as("node")))
+      .distinct()
+    val (out, _) = checkpointReleasable(
+      all.join(e.select(col("u").as("node"), col("v").as("comp")),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("comp")))
+    eRdd.foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -82,4 +82,58 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // with release: only the returned final generation survives
     assert(added.size <= 1, s"leaked ${added.size} persisted RDD generations")
   }
+
+  // ---- large-star/small-star variant (adversarial diameters) ----
+
+  private def runStar(edges: Seq[(Long, Long)], maxIters: Int = 40): Map[Long, Long] =
+    ConnectedComponents.componentsStar(
+        edges.toDF("a", "b"), "a", "b", maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("componentsStar: an adversarially long path converges in the " +
+    "O(log n) bound where hash-min's default diameter bound throws") {
+    // 200-node path: diameter 199 — hash-min needs 199 change rounds
+    val path = (1L until 200L).map(i => (i, i + 1))
+    intercept[IllegalStateException] { run(path) } // default maxIters = 20
+    val got = runStar(path) // default 40 rounds covers log2(200) easily
+    assert(got.size == 200 && got.values.toSet == Set(1L))
+    // and a tight log-scale bound suffices: 2 * ceil(log2 200) = 16
+    assert(runStar(path, maxIters = 16).values.toSet == Set(1L))
+  }
+
+  test("componentsStar ≡ hash-min on random graphs (equivalence property)") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      assert(runStar(edges) == run(edges, maxIters = 80),
+        s"variant mismatch at seed $seed")
+    }
+  }
+
+  test("componentsStar: chains, separate clusters, min against edge " +
+    "direction, self-loop-only nodes") {
+    assert(runStar(Seq((1L, 2L), (2L, 3L), (5L, 6L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(runStar(Seq((9L, 4L), (4L, 2L), (2L, 1L))).values.toSet == Set(1L))
+    // self-loops connect nothing but the node still gets a row
+    assert(runStar(Seq((3L, 3L), (1L, 2L))) ==
+      Map(3L -> 3L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("null edge endpoints throw loudly in both variants instead of " +
+    "silently vanishing through the joins") {
+    val edges = Seq((Some(1L), Some(2L)), (Some(2L), None))
+      .toDF("a", "b")
+    val e1 = intercept[Exception] {
+      ConnectedComponents.components(edges, "a", "b").collect()
+    }
+    assert(e1.getMessage.contains("null edge endpoint") ||
+      Option(e1.getCause).exists(_.getMessage.contains("null edge endpoint")))
+    val e2 = intercept[Exception] {
+      ConnectedComponents.componentsStar(edges, "a", "b").collect()
+    }
+    assert(e2.getMessage.contains("null edge endpoint") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null edge endpoint")))
+  }
 }

@@ -1122,6 +1122,56 @@ class EngineSpec extends AnyFunSuite {
       "histogram desynced from the materialized chunks table")
   }
 
+  test("index-kind flip on an empty pq library drops the installed " +
+    "models: residual-trained codebooks must not raw-encode the next " +
+    "ingest") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("pq", dim = 4, indexKind = "ivf",
+      storage = VectorEngine.StoragePq)
+    e.setIvfCentroids(lib.id, Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 1, 0, 0)))
+    // residual codebooks (trained-for-ivf shape): 2 subspaces of dim 2
+    e.setPqCodebooks(lib.id, Seq(
+      (0, 0L, vec(0, 0)), (0, 1L, vec(0.1, 0.1)),
+      (1, 0L, vec(0, 0)), (1, 1L, vec(0.1, 0.1))))
+    val doc = e.createDocument(lib.id, "d")
+    // flip to flat while empty: BOTH models are stale for the new kind
+    e.patchLibrary(lib.id, indexKind = Some("flat"))
+    val err = intercept[ValidationError] {
+      e.addChunk(doc.id, ChunkInput("x", vec(1, 0, 0, 0)))
+    }
+    assert(err.getMessage.contains("install PQ codebooks"))
+    // flipping back to ivf resurrects nothing either
+    e.patchLibrary(lib.id, indexKind = Some("ivf"))
+    intercept[ValidationError] {
+      e.addChunk(doc.id, ChunkInput("x", vec(1, 0, 0, 0)))
+    }
+    // re-install → ingest works again
+    e.setPqCodebooks(lib.id, Seq(
+      (0, 0L, vec(0, 0)), (0, 1L, vec(1, 0)),
+      (1, 0L, vec(0, 0)), (1, 1L, vec(1, 0))))
+    assert(e.addChunk(doc.id, ChunkInput("x", vec(1, 0, 0, 0))).codes.nonEmpty)
+  }
+
+  test("trainPqCodebooks accepts iters = 0 (init-only fit, the operator " +
+    "contract) and still rejects negatives") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("pq0", dim = 4, storage = VectorEngine.StoragePq)
+    val doc = e.createDocument(lib.id, "d")
+    // ingest needs codebooks first; install trivial ones
+    e.setPqCodebooks(lib.id, Seq(
+      (0, 0L, vec(0, 0)), (0, 1L, vec(1, 1)),
+      (1, 0L, vec(0, 0)), (1, 1L, vec(1, 1))))
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("a", vec(1, 0, 0, 0), id = Some("p0")),
+      ChunkInput("b", vec(0, 1, 1, 0), id = Some("p1")),
+      ChunkInput("c", vec(0, 0, 1, 1), id = Some("p2"))))
+    val rows = e.trainPqCodebooks(lib.id, numSub = 2, k = 2, iters = 0)
+    assert(rows.nonEmpty)
+    intercept[ValidationError] {
+      e.trainPqCodebooks(lib.id, numSub = 2, k = 2, iters = -1)
+    }
+  }
+
   private object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString
