@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * video payloads ride as opaque BINARY columns with typed metadata
   * structs; decode/feature-extraction runs per partition over batches.
   *
-  * The decode step is a STUB — the real codec libraries (image/audio) are
-  * not available in this environment, so `decodeStub` derives
-  * deterministic fake dimensions from a content hash. Everything around
-  * it — the binary column, the metadata schema, the per-partition batch
-  * shape, the frame sampling arithmetic — is real Spark plumbing, tested
-  * and oracle-checked, and the stub swaps for a real codec without
-  * touching the plan structure.
+  * The decode step parses REAL headers for the dependency-free formats —
+  * BMP, PPM/PGM, and WAV parse with zero codec libraries (public format
+  * specs; the reference has no multimodal handling at all) — and falls
+  * back to `decodeStub` for every other payload: compressed codecs
+  * (JPEG/PNG/MP4) need libraries this environment does not ship, so the
+  * stub derives deterministic fake dimensions from a content hash and
+  * stays the documented placeholder a production deployment swaps for a
+  * real decoder. Everything around the dispatch — the binary column, the
+  * metadata schema, the per-partition batch shape, the frame sampling
+  * arithmetic — is identical for both paths; the header parsers are
+  * oracle-gated against an independently generated fixture manifest
+  * (`multimodal_decode_headers`, tools/make_multimodal.py).
   */
 object Multimodal {
 
@@ -24,13 +29,125 @@ object Multimodal {
 
   val FrameBytes = 16
 
-  /** Deterministic fake "decode": dimensions derived from the sha256 of
-    * the payload. REPLACE with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) in production — the signature is the contract. */
+  /** Deterministic fake "decode" for payloads no dependency-free parser
+    * covers: dimensions derived from the sha256 of the payload. REPLACE
+    * with a real codec (e.g. javax.imageio / ffmpeg bindings) in
+    * production — the signature is the contract. */
   def decodeStub(bytes: Array[Byte]): (Int, Int) = {
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
     (1 + (sha(0) & 0x3f), 1 + (sha(1) & 0x3f))
   }
+
+  /** What [[decode]] returns. For images width/height are pixels and
+    * n_frames = 1; for WAV width = channels, height = bits per sample,
+    * n_frames = sample frames; for opaque payloads the stub dims and the
+    * FrameBytes-slicing frame count. */
+  final case class Decoded(modality: String, width: Int, height: Int,
+                           nFrames: Long)
+
+  // ---- little-endian readers (bounds-checked; None = not this format)
+  private def u16(b: Array[Byte], o: Int): Option[Int] =
+    if (o + 2 > b.length) None
+    else Some((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8))
+  private def u32(b: Array[Byte], o: Int): Option[Long] =
+    if (o + 4 > b.length) None
+    else Some(((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24))
+  private def i32(b: Array[Byte], o: Int): Option[Int] =
+    u32(b, o).map(_.toInt)
+
+  /** BMP: "BM" + BITMAPFILEHEADER(14) + info header. BITMAPINFOHEADER
+    * (size >= 40, int32 dims — height < 0 means top-down and |height| is
+    * the pixel height) and the legacy BITMAPCOREHEADER (size 12, uint16
+    * dims) both parse. Public spec: Windows BITMAPFILEHEADER /
+    * BITMAPINFOHEADER layout. */
+  def decodeBmp(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 26 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    u32(b, 14).flatMap {
+      case hs if hs >= 40 =>
+        for {
+          w <- i32(b, 18)
+          h <- i32(b, 22)
+          if w > 0 && h != 0 && h != Int.MinValue
+        } yield Decoded("image/bmp", w, math.abs(h), 1L)
+      case 12 =>
+        for {
+          w <- u16(b, 18)
+          h <- u16(b, 20)
+          if w > 0 && h > 0
+        } yield Decoded("image/bmp", w, h, 1L)
+      case _ => None
+    }
+  }
+
+  /** PPM/PGM (netpbm): "P6"/"P5" magic, then ASCII width/height/maxval
+    * tokens separated by whitespace, with `#` comments allowed between
+    * any tokens. Public spec: netpbm format documentation. */
+  def decodePpm(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 2 || b(0) != 'P'.toByte ||
+        (b(1) != '5'.toByte && b(1) != '6'.toByte)) return None
+    var i = 2
+    def skip(): Unit = {
+      var going = true
+      while (going && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n'.toByte) i += 1 }
+        else if (c.isWhitespace) i += 1
+        else going = false
+      }
+    }
+    def int(): Option[Int] = {
+      skip()
+      val start = i
+      while (i < b.length && (b(i) >= '0'.toByte && b(i) <= '9'.toByte)) i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(b, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- int(); h <- int(); maxval <- int()
+      if w > 0 && h > 0 && maxval > 0 && maxval < 65536
+    } yield Decoded("image/ppm", w, h, 1L)
+  }
+
+  /** WAV: "RIFF....WAVE" then chunked; the "fmt " chunk carries channels
+    * / bits per sample / block align, the "data" chunk's size gives the
+    * sample-frame count. Public spec: RIFF WAVE format. */
+  def decodeWav(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 12 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    var i = 12
+    var channels, bits, blockAlign = 0
+    var dataSize = -1L
+    while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+      val cid = new String(b, i, 4, "US-ASCII")
+      val sz = u32(b, i + 4).getOrElse(return None)
+      if (cid == "fmt " && sz >= 16) {
+        channels = u16(b, i + 8 + 2).getOrElse(0)
+        blockAlign = u16(b, i + 8 + 12).getOrElse(0)
+        bits = u16(b, i + 8 + 14).getOrElse(0)
+      } else if (cid == "data") {
+        // size may exceed the bytes present (streaming writers); clamp
+        dataSize = math.min(sz, (b.length - i - 8).toLong)
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || bits <= 0 || dataSize < 0) return None
+    val ba = if (blockAlign > 0) blockAlign else channels * ((bits + 7) / 8)
+    Some(Decoded("audio/wav", channels, bits, dataSize / ba))
+  }
+
+  /** Dispatch: real header parse for the dependency-free formats, stub
+    * for everything else ("opaque"). A payload whose magic matches but
+    * whose header is malformed falls through to the stub — never a
+    * throw, a decode pipeline must not die on one corrupt asset. */
+  def decode(bytes: Array[Byte]): Decoded =
+    decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodeWav(bytes))
+      .getOrElse {
+        val (w, h) = decodeStub(bytes)
+        Decoded("opaque", w, h,
+          math.ceil(bytes.length.toDouble / FrameBytes).toLong)
+      }
 
   /** Column twin of decodeStub (same sha256-prefix arithmetic) so the
     * whole feature projection can also run without leaving codegen. */
@@ -59,18 +176,21 @@ object Multimodal {
   /** Per-partition decode path (the Scala analog of a batched Pandas UDF):
     * the executor sees an iterator of rows per partition and can hold one
     * codec context per partition — the right shape for native decoders.
-    * Uses decodeStub today. */
+    * Dispatches through [[decode]]: real header parse for BMP/PPM/WAV,
+    * stub for everything else — where the stub wins, the caller's
+    * modality string is kept as the hint (an opaque payload tells us
+    * nothing better). */
   def decodePartitions(ds: Dataset[(Long, String, Array[Byte])]): Dataset[AssetMeta] = {
     implicit val enc: Encoder[AssetMeta] = Encoders.product[AssetMeta]
     ds.mapPartitions { rows =>
       // one digest instance per partition, reused across the batch
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { case (id, modality, bytes) =>
-        val (w, h) = decodeStub(bytes)
+        val d = decode(bytes)
         digest.reset()
         val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-        AssetMeta(id, modality, bytes.length.toLong, sha, w, h,
-          math.ceil(bytes.length.toDouble / FrameBytes).toLong)
+        AssetMeta(id, if (d.modality == "opaque") modality else d.modality,
+          bytes.length.toLong, sha, d.width, d.height, d.nFrames)
       }
     }
   }

@@ -39,6 +39,37 @@ object MultimodalQueries {
         sum(length(col("frame"))).as("total_bytes"))
       .orderBy(col("id"))
 
+  /** REAL header decode over the committed fixture assets
+    * (fixtures/multimodal — BMP / PPM / WAV / opaque bytes written by
+    * tools/make_multimodal.py): the Spark side parses the asset BYTES
+    * with Multimodal.decode through the per-partition codec path, the
+    * oracle reads the generator's manifest — ground truth computed by an
+    * INDEPENDENT implementation (python struct + the stdlib wave
+    * module), so a mis-parsed offset, a missed top-down BMP, a comment
+    * inside a PPM header, or an opaque payload mistaken for a format
+    * all hash-mismatch. */
+  private val MultimodalFixDir = s"${AnnQueries.FixturesDir}/multimodal"
+
+  private val mmDecodeHeaders: QueryFn = (s, _) => {
+    import s.implicits._
+    s.read.format("binaryFile").load(MultimodalFixDir)
+      .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .where(col("name") =!= "manifest.json")
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (name, bytes) =>
+        val d = Multimodal.decode(bytes)
+        (name, d.modality, d.width, d.height, d.nFrames)
+      })
+      .toDF("name", "modality", "width", "height", "n_frames")
+      .orderBy("name")
+  }
+
+  private val mmDecodeHeadersSql: String =
+    s"""SELECT name, modality, width::INT AS width, height::INT AS height,
+       |  n_frames::BIGINT AS n_frames
+       |FROM read_json('$MultimodalFixDir/manifest.json')
+       |ORDER BY name""".stripMargin
+
   private val mmFramesSql: String =
     s"""SELECT doc_id AS id,
        |  ceil(octet_length(text::BLOB)::DOUBLE / ${Multimodal.FrameBytes})::BIGINT AS n_frames,
@@ -240,6 +271,7 @@ object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
     Q("multimodal_features", mmFeatures, Some(mmFeaturesSql)),
+    Q("multimodal_decode_headers", mmDecodeHeaders, Some(mmDecodeHeadersSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
     Q("events_dedup_gated", eventsDedupGated, Some(eventsDedupGatedSql)),

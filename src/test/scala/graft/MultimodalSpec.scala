@@ -44,6 +44,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPartitions == viaColumns)
   }
 
+  // ---- dependency-free header parsers (BMP / PPM / WAV) ----
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"fixtures/multimodal/$name"))
+
+  test("BMP headers parse: bottom-up, top-down (negative height), and " +
+    "the legacy 12-byte core header") {
+    assert(Multimodal.decode(fixture("img_24bit.bmp")) ==
+      Multimodal.Decoded("image/bmp", 17, 9, 1L))
+    assert(Multimodal.decode(fixture("img_topdown.bmp")) ==
+      Multimodal.Decoded("image/bmp", 5, 7, 1L))
+    assert(Multimodal.decode(fixture("img_core.bmp")) ==
+      Multimodal.Decoded("image/bmp", 12, 3, 1L))
+  }
+
+  test("PPM/PGM headers parse, including comments between header tokens") {
+    assert(Multimodal.decode(fixture("img_rgb.ppm")) ==
+      Multimodal.Decoded("image/ppm", 6, 4, 1L))
+    assert(Multimodal.decode(fixture("img_gray.pgm")) ==
+      Multimodal.Decoded("image/ppm", 9, 2, 1L))
+    assert(Multimodal.decode(fixture("img_plain.ppm")) ==
+      Multimodal.Decoded("image/ppm", 3, 5, 1L))
+  }
+
+  test("WAV headers parse: channels, bit depth, sample-frame count") {
+    assert(Multimodal.decode(fixture("audio_stereo16.wav")) ==
+      Multimodal.Decoded("audio/wav", 2, 16, 321L))
+    assert(Multimodal.decode(fixture("audio_mono8.wav")) ==
+      Multimodal.Decoded("audio/wav", 1, 8, 123L))
+  }
+
+  test("non-format and near-miss payloads fall to the documented stub, " +
+    "never throw") {
+    for (name <- Seq("payload.bin", "not_a.bmp")) {
+      val bytes = fixture(name)
+      val d = Multimodal.decode(bytes)
+      assert(d.modality == "opaque")
+      assert((d.width, d.height) == Multimodal.decodeStub(bytes))
+      assert(d.nFrames ==
+        math.ceil(bytes.length.toDouble / Multimodal.FrameBytes).toLong)
+    }
+    // truncated magics and malformed headers must not throw either
+    for (b <- Seq(Array.empty[Byte], "BM".getBytes, "P6".getBytes,
+        "RIFFxxxxWAVE".getBytes, "P6 0 0 255 ".getBytes)) {
+      assert(Multimodal.decode(b).modality == "opaque")
+    }
+  }
+
+  test("decodePartitions keeps the caller's modality hint for opaque " +
+    "payloads and overrides it for recognized formats") {
+    val rows = Seq(
+      (1L, "text", "just some text".getBytes("UTF-8")),
+      (2L, "image", fixture("img_24bit.bmp"))).toDS()
+    val got = Multimodal.decodePartitions(rows).collect()
+      .map(m => m.id -> ((m.modality, m.width, m.height, m.n_frames))).toMap
+    assert(got(1L)._1 == "text")
+    assert(got(2L) == (("image/bmp", 17, 9, 1L)))
+  }
+
   test("frame sampling: slices cover the payload in order, last frame ragged") {
     val frames = Multimodal.sampleFrames(assets.where($"id" === 2),
       col("id"), col("content")).collect()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Generate fixtures/multimodal — small deterministic BMP / PPM / WAV /
+opaque assets plus a manifest of their TRUE properties, computed by an
+INDEPENDENT implementation (python struct packing and the stdlib `wave`
+module), so the Scala header parsers are oracle-gated against ground truth
+they did not produce.
+
+Layout:
+  fixtures/multimodal/<name>            the asset bytes
+  fixtures/multimodal/manifest.json     [{name, modality, width, height,
+                                          n_frames}, ...]
+
+Manifest semantics (mirrors graft.operators.Multimodal.decode):
+  image/bmp, image/ppm: width x height pixels, n_frames = 1
+  audio/wav:            width = channels, height = bits per sample,
+                        n_frames = sample frames (data bytes / block align)
+  opaque:               sha256-derived stub dims (same arithmetic as
+                        Multimodal.decodeStub), n_frames = ceil(bytes/16)
+
+Deterministic: fixed seeds, fixed payloads. Re-running reproduces the
+identical bytes.
+"""
+import hashlib
+import io
+import json
+import math
+import pathlib
+import random
+import struct
+import wave
+
+OUT = pathlib.Path(__file__).resolve().parent.parent / "fixtures" / "multimodal"
+FRAME_BYTES = 16
+
+
+def bmp(width, height, bpp=24, top_down=False, header_size=40):
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (or the legacy
+    12-byte BITMAPCOREHEADER) + zeroed pixel data."""
+    if header_size == 40:
+        row = (width * (bpp // 8) + 3) // 4 * 4
+        data = b"\x00" * (row * height)
+        h = -height if top_down else height
+        info = struct.pack("<IiiHHIIiiII", 40, width, h, 1, bpp, 0,
+                           len(data), 2835, 2835, 0, 0)
+    else:  # BITMAPCOREHEADER: uint16 dims
+        row = (width * (bpp // 8) + 3) // 4 * 4
+        data = b"\x00" * (row * height)
+        info = struct.pack("<IHHHH", 12, width, height, 1, bpp)
+    off = 14 + len(info)
+    head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return head + info + data
+
+
+def ppm(width, height, magic=b"P6", comment=True):
+    """PPM/PGM with an optional comment line inside the header — the
+    parser trap (comments may appear between any header tokens)."""
+    per = 3 if magic == b"P6" else 1
+    body = bytes((x * 7 + 13) % 256 for x in range(width * height * per))
+    hdr = magic + b"\n"
+    if comment:
+        hdr += b"# generated fixture, do not edit\n"
+    hdr += b"%d" % width
+    if comment:
+        hdr += b" # inline comment\n"
+    else:
+        hdr += b" "
+    hdr += b"%d\n255\n" % height
+    return hdr + body
+
+
+def wav(channels, bits, rate, n_frames):
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    rnd = random.Random(1234)
+    w.writeframes(bytes(rnd.randrange(256)
+                        for _ in range(n_frames * channels * (bits // 8))))
+    w.close()
+    return buf.getvalue()
+
+
+def stub_dims(data):
+    sha = hashlib.sha256(data).digest()
+    return 1 + (sha[0] & 0x3F), 1 + (sha[1] & 0x3F)
+
+
+def main():
+    OUT.mkdir(parents=True, exist_ok=True)
+    assets = []
+
+    def put(name, data, modality, width, height, n_frames):
+        (OUT / name).write_bytes(data)
+        assets.append({"name": name, "modality": modality, "width": width,
+                       "height": height, "n_frames": n_frames})
+
+    put("img_24bit.bmp", bmp(17, 9), "image/bmp", 17, 9, 1)
+    put("img_topdown.bmp", bmp(5, 7, top_down=True), "image/bmp", 5, 7, 1)
+    put("img_core.bmp", bmp(12, 3, header_size=12), "image/bmp", 12, 3, 1)
+    put("img_rgb.ppm", ppm(6, 4), "image/ppm", 6, 4, 1)
+    put("img_gray.pgm", ppm(9, 2, magic=b"P5"), "image/ppm", 9, 2, 1)
+    put("img_plain.ppm", ppm(3, 5, comment=False), "image/ppm", 3, 5, 1)
+    put("audio_stereo16.wav", wav(2, 16, 44100, 321), "audio/wav", 2, 16, 321)
+    put("audio_mono8.wav", wav(1, 8, 8000, 123), "audio/wav", 1, 8, 123)
+
+    rnd = random.Random(99)
+    blob = bytes(rnd.randrange(256) for _ in range(1000))
+    w, h = stub_dims(blob)
+    put("payload.bin", blob, "opaque", w, h, math.ceil(len(blob) / FRAME_BYTES))
+    # a near-miss: starts with 'B' but is not a BMP — must fall to opaque
+    tricky = b"BX" + blob[:100]
+    w, h = stub_dims(tricky)
+    put("not_a.bmp", tricky, "opaque", w, h, math.ceil(len(tricky) / FRAME_BYTES))
+
+    (OUT / "manifest.json").write_text(json.dumps(assets, indent=2))
+    print(f"wrote {len(assets)} assets to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
