@@ -117,7 +117,7 @@ object ReferenceStore {
       randomState: Option[Long],
       vectorIds: Seq[String],
       buckets: Map[Long, Seq[String]],
-      matrix: Array[Array[Float]])
+      matrix: Array[Array[Double]])
 
   /** Read one library's LSH sidecar pair (`<lib>.json` +
     * `<lib>.projections.npy`). */
@@ -166,10 +166,12 @@ object ReferenceStore {
   /** Minimal NPY (numpy .npy format v1/v2) matrix reader — little-endian
     * float32/float64, C order, 2-D — the exact shape the reference writes
     * for its projection matrices (indexes.py:285, np.save of an
-    * (num_projections, dimension) float32 array). Public format spec:
+    * (num_projections, dimension) float32 array). Values widen to double
+    * (exact for <f4, identity for <f8 — so an engine-exported <f8
+    * projection matrix round-trips double-exact). Public format spec:
     * numpy/lib/format.py. Driver-side and O(P x dim) — index metadata,
     * not data. */
-  def readNpyMatrix(path: Path): Array[Array[Float]] = {
+  def readNpyMatrix(path: Path): Array[Array[Double]] = {
     val bytes = Files.readAllBytes(path)
     def fail(msg: String): Nothing =
       throw StorageError(s"reference store: $path: $msg")
@@ -200,23 +202,23 @@ object ReferenceStore {
     val dataOff = headerStart + headerLen
     val buf = ByteBuffer.wrap(bytes, dataOff, bytes.length - dataOff)
       .order(ByteOrder.LITTLE_ENDIAN)
-    val out = Array.ofDim[Float](rows, cols)
+    val out = Array.ofDim[Double](rows, cols)
     descr match {
       case "<f4" =>
         if (bytes.length - dataOff < rows.toLong * cols * 4) fail("truncated data")
         val fb = buf.asFloatBuffer()
         var i = 0
         while (i < rows) {
-          fb.get(out(i)); i += 1
+          var j = 0
+          while (j < cols) { out(i)(j) = fb.get().toDouble; j += 1 }
+          i += 1
         }
       case "<f8" =>
         if (bytes.length - dataOff < rows.toLong * cols * 8) fail("truncated data")
         val db = buf.asDoubleBuffer()
         var i = 0
         while (i < rows) {
-          var j = 0
-          while (j < cols) { out(i)(j) = db.get().toFloat; j += 1 }
-          i += 1
+          db.get(out(i)); i += 1
         }
       case d => fail(s"unsupported dtype $d (expected <f4 or <f8)")
     }
@@ -226,4 +228,137 @@ object ReferenceStore {
   /** What [[VectorEngine.importReferenceStore]] returns. */
   final case class ImportSummary(
       libraries: Long, documents: Long, chunks: Long, lshIndexes: Int)
+
+  // -------------------------------------------------------------------
+  // Write side (VectorEngine.exportReferenceStore)
+  // -------------------------------------------------------------------
+
+  /** JSON string escape (same contract as Verify's writer: backslash,
+    * quote, all control chars). */
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Typed-prefix metadata value back to its JSON form — the exact
+    * inverse of the import mapping (and of MetadataFunctions.encodeValue):
+    * `s:` -> JSON string, `i:`/`f:` -> JSON number (the stored text IS a
+    * valid JSON number for every finite value the engine accepts),
+    * `b:` -> JSON boolean. Non-finite floats have no JSON representation
+    * (the reference could never have stored one) — loud error. */
+  def metaValueToJson(v: String): String = {
+    if (v.length < 2 || v.charAt(1) != ':')
+      throw StorageError(s"unprefixed metadata value '$v'")
+    val body = v.substring(2)
+    v.charAt(0) match {
+      case 's' => jsonStr(body)
+      case 'i' => body
+      case 'f' =>
+        if (body == "NaN" || body.endsWith("Infinity"))
+          throw StorageError(s"non-finite metadata value '$v' has no JSON form")
+        body
+      case 'b' => body
+      case _ => throw StorageError(s"unknown metadata type prefix in '$v'")
+    }
+  }
+
+  /** A metadata map as a JSON object (keys sorted for determinism). */
+  def metaToJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}: ${metaValueToJson(v)}" }
+      .mkString("{", ", ", "}")
+
+  /** ISO-8601 UTC instant — pydantic parses any ISO precision, and the
+    * import side casts it back to the identical timestamp. */
+  def isoTs(t: java.sql.Timestamp): String = t.toInstant.toString
+
+  /** Embedding floats as JSON numbers: widening float->double and taking
+    * the shortest double repr reproduces the exact bytes python's json
+    * writes for the same float32 values, so export -> reference ->
+    * re-import is value-exact. */
+  def embeddingToJson(e: Seq[Float]): String =
+    e.map(f => {
+      val d = f.toDouble
+      if (d.isNaN || d.isInfinite)
+        throw StorageError("non-finite embedding value has no JSON form")
+      d.toString // shortest double repr — always a valid JSON number
+    }).mkString("[", ", ", "]")
+
+  /** Minimal NPY v1.0 writer (little-endian, C order, 2-D) — the inverse
+    * of [[readNpyMatrix]]. `descr` is "<f4" for vector payloads (exact:
+    * the engine stores float32) and "<f8" for the adopted projection
+    * matrix (doubles — numpy's load handles either). */
+  def writeNpy(path: Path, rows: Iterator[Array[Float]], dim: Int,
+               descr: String = "<f4"): Long = {
+    try {
+      // NPY needs the shape in the header but the row count is only known
+      // after streaming, so the data lands first after a FIXED 128-byte
+      // header slot and the shape is patched in afterwards (128 bytes
+      // holds any shape this engine can produce).
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.position(128L)
+        val elem = if (descr == "<f8") 8 else 4
+        val buf = ByteBuffer.allocate(dim * elem).order(ByteOrder.LITTLE_ENDIAN)
+        var n = 0L
+        rows.foreach { r =>
+          require(r.length == dim, s"row dim ${r.length} != $dim")
+          buf.clear()
+          if (descr == "<f8") r.foreach(f => buf.putDouble(f.toDouble))
+          else r.foreach(buf.putFloat)
+          buf.flip()
+          while (buf.hasRemaining) ch.write(buf)
+          n += 1
+        }
+        val header =
+          s"{'descr': '$descr', 'fortran_order': False, 'shape': ($n, $dim), }"
+        val padded = header + (" " * (128 - 10 - header.length - 1)) + "\n"
+        require(padded.length == 118, "npy header overflow")
+        val hb = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+        hb.put(0x93.toByte).put("NUMPY".getBytes(StandardCharsets.US_ASCII))
+        hb.put(1.toByte).put(0.toByte)
+        hb.putShort(118.toShort)
+        hb.put(padded.getBytes(StandardCharsets.US_ASCII))
+        hb.flip()
+        ch.position(0L)
+        while (hb.hasRemaining) ch.write(hb)
+        n
+      } finally ch.close()
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: VectorDbError => throw e
+      case e: Exception => throw StorageError(s"npy write failed: ${e.getMessage}")
+    }
+  }
+
+  /** Double-matrix variant for the projection sidecar. */
+  def writeNpyDoubles(path: Path, rows: Seq[Array[Double]]): Unit = {
+    val dim = rows.headOption.map(_.length).getOrElse(0)
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val header =
+        s"{'descr': '<f8', 'fortran_order': False, 'shape': (${rows.length}, $dim), }"
+      val padded = header + (" " * (128 - 10 - header.length - 1)) + "\n"
+      val hb = ByteBuffer.allocate(128 + rows.length * dim * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      hb.put(0x93.toByte).put("NUMPY".getBytes(StandardCharsets.US_ASCII))
+      hb.put(1.toByte).put(0.toByte)
+      hb.putShort(118.toShort)
+      hb.put(padded.getBytes(StandardCharsets.US_ASCII))
+      rows.foreach(_.foreach(hb.putDouble))
+      hb.flip()
+      while (hb.hasRemaining) ch.write(hb)
+    } finally ch.close()
+  }
 }

@@ -1976,7 +1976,7 @@ final class VectorEngine private (val spark: SparkSession,
     matrices ++= sidecars.map { case (lid, sc) =>
       lid -> MatrixRow(lid, sc.numProjections, sc.dimension,
         sc.randomState.getOrElse(-1L),
-        sc.matrix.map(_.map(_.toDouble).toSeq).toSeq)
+        sc.matrix.map(_.toSeq).toSeq)
     }
     hists ++= sidecars.map { case (lid, sc) =>
       lid -> sc.buckets.map { case (b, ids) => b -> ids.size.toLong }
@@ -1989,6 +1989,162 @@ final class VectorEngine private (val spark: SparkSession,
     mutationsSinceCompact = 0
     ReferenceStore.ImportSummary(libsRaw.size.toLong, nDocs, nChunks,
       sidecars.size)
+  }
+
+  /** Export the engine's state AS a reference-format store — the inverse
+    * of [[importReferenceStore]], completing bidirectional migration: a
+    * user can leave the reference, run this engine, and go back (or hand
+    * a store to a reference deployment) without the reference knowing.
+    * Writes the disk_store.py layout: per-entity pretty JSON under
+    * libraries/ documents/ chunks/, index sidecars under indexes/
+    * (flat: vector_ids + a float32 .npy of the vectors; random_projection:
+    * + buckets map and the projection matrix as a `<f8` .npy — numpy
+    * loads either width).
+    *
+    * Faithfulness notes:
+    *   - Typed metadata decodes back to JSON types (i:10 -> 10, s:10 ->
+    *     "10"), counts are derived (they cannot drift), timestamps are
+    *     ISO-8601 UTC.
+    *   - Engine-only concepts the reference lacks DEGRADE LOUDLY (one
+    *     warning each): an ivf library exports as index_kind "flat"
+    *     (cells dropped), sq8/pq storage exports the always-present
+    *     float32 embeddings (codes dropped).
+    *   - The reference's format is one JSON FILE PER ENTITY held fully
+    *     in its process memory — inherently single-node. This export
+    *     therefore streams through the driver (`toLocalIterator`, one
+    *     library at a time for sidecars) and is meant for stores that
+    *     fit the reference, not for 100 TB tables. */
+  def exportReferenceStore(dir: String): ReferenceStore.ImportSummary = {
+    import ReferenceStore.{isoTs, jsonStr, metaToJson, embeddingToJson}
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorEngine])
+    val root = Paths.get(dir)
+    try {
+      for (sub <- Seq("libraries", "documents", "chunks", "indexes"))
+        Files.createDirectories(root.resolve(sub))
+
+      val allLibs = libs.orderBy(col("created_at"), col("id"))
+        .as[LibraryRow].collect()
+      val docCounts = docs.groupBy("library_id").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val chunkCountsByLib = chunks.groupBy("library_id").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val chunkCountsByDoc = chunks.groupBy("document_id").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // ---- libraries
+      allLibs.foreach { l =>
+        val kind =
+          if (l.index_kind == IndexKindIvf) {
+            log.warn(s"exportReferenceStore: library ${l.id} is ivf-indexed; " +
+              "the reference has no ivf — exported as flat (cells dropped)")
+            IndexKindFlat
+          } else l.index_kind
+        if (l.storage != StorageFloat32)
+          log.warn(s"exportReferenceStore: library ${l.id} stores " +
+            s"${l.storage}; exporting the float32 embeddings (codes dropped)")
+        val json =
+          s"""{
+             |  "id": ${jsonStr(l.id)},
+             |  "created_at": ${jsonStr(isoTs(l.created_at))},
+             |  "updated_at": ${jsonStr(isoTs(l.updated_at))},
+             |  "name": ${jsonStr(l.name)},
+             |  "description": ${if (l.description.isEmpty) "null" else jsonStr(l.description)},
+             |  "metadata": ${metaToJson(l.metadata)},
+             |  "document_count": ${docCounts.getOrElse(l.id, 0L)},
+             |  "chunk_count": ${chunkCountsByLib.getOrElse(l.id, 0L)},
+             |  "embedding_dimension": ${l.embedding_dimension},
+             |  "distance_metric": ${jsonStr(l.distance_metric)},
+             |  "index_kind": ${jsonStr(kind)}
+             |}""".stripMargin
+        Files.writeString(root.resolve(s"libraries/${l.id}.json"), json)
+      }
+
+      // ---- documents (streamed — a store can hold many)
+      var nDocs = 0L
+      docs.orderBy(col("id")).toLocalIterator().forEachRemaining { d =>
+        val json =
+          s"""{
+             |  "id": ${jsonStr(d.id)},
+             |  "created_at": ${jsonStr(isoTs(d.created_at))},
+             |  "updated_at": ${jsonStr(isoTs(d.updated_at))},
+             |  "library_id": ${jsonStr(d.library_id)},
+             |  "name": ${jsonStr(d.name)},
+             |  "metadata": ${metaToJson(d.metadata)},
+             |  "chunk_count": ${chunkCountsByDoc.getOrElse(d.id, 0L)}
+             |}""".stripMargin
+        Files.writeString(root.resolve(s"documents/${d.id}.json"), json)
+        nDocs += 1
+      }
+
+      // ---- chunks (streamed)
+      var nChunks = 0L
+      chunks.orderBy(col("id")).toLocalIterator().forEachRemaining { c =>
+        val json =
+          s"""{
+             |  "id": ${jsonStr(c.id)},
+             |  "created_at": ${jsonStr(isoTs(c.created_at))},
+             |  "updated_at": ${jsonStr(isoTs(c.updated_at))},
+             |  "document_id": ${jsonStr(c.document_id)},
+             |  "text": ${jsonStr(c.text)},
+             |  "embedding": ${embeddingToJson(c.embedding)},
+             |  "metadata": ${metaToJson(c.metadata)},
+             |  "chunk_index": ${c.chunk_index}
+             |}""".stripMargin
+        Files.writeString(root.resolve(s"chunks/${c.id}.json"), json)
+        nChunks += 1
+      }
+
+      // ---- index sidecars, one library at a time (vector order pinned
+      // to (created_at, id) — only the id[i] <-> npy-row[i] pairing
+      // matters to the reference's loader)
+      var lshCount = 0
+      allLibs.foreach { l =>
+        val isLsh = l.index_kind == IndexKindLsh
+        val ordered = chunks.where(col("library_id") === l.id)
+          .orderBy(col("created_at"), col("id"))
+          .select(col("id"), col("embedding"), col("bucket"))
+        val ids = scala.collection.mutable.ArrayBuffer[String]()
+        val buckets =
+          scala.collection.mutable.LinkedHashMap[Long, scala.collection.mutable.ArrayBuffer[String]]()
+        val it = ordered.toLocalIterator()
+        val rowIt = new Iterator[Array[Float]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Array[Float] = {
+            val r = it.next()
+            ids += r.getString(0)
+            if (isLsh && !r.isNullAt(2))
+              buckets.getOrElseUpdate(r.getLong(2),
+                scala.collection.mutable.ArrayBuffer[String]()) += r.getString(0)
+            r.getSeq[Float](1).toArray
+          }
+        }
+        val npy = root.resolve(s"indexes/${l.id}.npy")
+        val n = ReferenceStore.writeNpy(npy, rowIt, l.embedding_dimension)
+        if (n == 0) Files.deleteIfExists(npy) // reference: no .npy when empty
+        val sidecar =
+          if (isLsh) {
+            val m = matrices(l.id)
+            ReferenceStore.writeNpyDoubles(
+              root.resolve(s"indexes/${l.id}.projections.npy"),
+              m.matrix.map(_.toArray).toArray.toSeq)
+            lshCount += 1
+            val bucketJson = buckets
+              .map { case (b, bs) =>
+                s"${jsonStr(b.toString)}: ${bs.map(jsonStr).mkString("[", ", ", "]")}"
+              }
+              .mkString("{", ", ", "}")
+            s"""{"dimension": ${l.embedding_dimension}, "num_projections": ${m.num_projections}, "random_state": ${if (m.seed < 0) "null" else m.seed.toString}, "vector_ids": ${ids.map(jsonStr).mkString("[", ", ", "]")}, "buckets": $bucketJson}"""
+          } else
+            s"""{"dimension": ${l.embedding_dimension}, "vector_ids": ${ids.map(jsonStr).mkString("[", ", ", "]")}}"""
+        Files.writeString(root.resolve(s"indexes/${l.id}.json"), sidecar)
+      }
+      ReferenceStore.ImportSummary(allLibs.length.toLong, nDocs, nChunks,
+        lshCount)
+    } catch {
+      case e: VectorDbError => throw e
+      case e: Exception =>
+        throw StorageError(s"export failed: ${e.getMessage}")
+    }
   }
 
   // -------------------------------------------------------------------

@@ -171,11 +171,61 @@ object ImportQueries {
        |SELECT chunk_id, round(list_distance(v, qv), 6) + 0 AS distance
        |FROM c, q ORDER BY distance, chunk_id LIMIT 10""".stripMargin
 
+  /** EXPORT round-trip (bidirectional migration): the fixture store is
+    * imported, EXPORTED back to the reference's on-disk format
+    * (exportReferenceStore — per-entity JSON, sidecars, .npy), and
+    * re-imported into a fresh engine. Every row below queries the
+    * re-imported engine while the oracle still reads the ORIGINAL
+    * committed fixture bytes — any information the export path loses
+    * (an embedding digit, a metadata type, a bucket assignment)
+    * hash-mismatches. */
+  private val exportCache =
+    scala.collection.mutable.HashMap[SparkSession, (VectorEngine, String, String)]()
+
+  private def roundTripped(s: SparkSession): (VectorEngine, String, String) =
+    exportCache.synchronized {
+      exportCache.getOrElseUpdate(s, {
+        val first = VectorEngine.create(s)
+        first.importReferenceStore(RefstoreDir)
+        val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+        first.exportReferenceStore(out)
+        val eng = VectorEngine.create(s)
+        eng.importReferenceStore(out)
+        def libId(name: String): String =
+          eng.librariesDf.where(col("name") === name).select("id")
+            .head().getString(0)
+        (eng, libId("corpus-flat"), libId("corpus-lsh"))
+      })
+    }
+
+  private val exportRoundtrip: QueryFn = (s, _) => {
+    val (eng, flat, _) = roundTripped(s)
+    eng.search(flat, chunkVec(s, "f1"), k = 10)
+  }
+
+  private val exportTypedTrap: QueryFn = (s, _) => {
+    val (eng, flat, _) = roundTripped(s)
+    eng.search(flat, chunkVec(s, "f1"), k = 5,
+      filters = Map("page" -> 10, "score" -> 2.5))
+  }
+
+  private val exportLshBuckets: QueryFn = (s, _) => {
+    val (eng, _, lsh) = roundTripped(s)
+    eng.chunksDf.where(col("library_id") === lsh)
+      .select(col("id").as("chunk_id"), col("bucket"))
+      .orderBy("chunk_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("lifecycle_import_refstore", importSearch, Some(importSearchSql)),
     Q("lifecycle_import_filtered", importFiltered, Some(importFilteredSql)),
     Q("lifecycle_import_typed_trap", importTypedTrap, Some(importTypedTrapSql)),
     Q("lifecycle_import_lsh_buckets", importLshBuckets, Some(importLshBucketsSql)),
     Q("lifecycle_import_lsh_search", importLshSearch, Some(importLshSearchSql)),
+    // export round-trip rows reuse the import oracles verbatim: the
+    // re-imported engine must be indistinguishable from the original
+    Q("lifecycle_export_roundtrip", exportRoundtrip, Some(importSearchSql)),
+    Q("lifecycle_export_typed_trap", exportTypedTrap, Some(importTypedTrapSql)),
+    Q("lifecycle_export_lsh_buckets", exportLshBuckets, Some(importLshBucketsSql)),
   )
 }

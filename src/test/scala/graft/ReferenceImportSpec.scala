@@ -131,6 +131,82 @@ class ReferenceImportSpec extends AnyFunSuite {
     assert(e.chunkCount(lsh) == 29)
   }
 
+  test("export round-trip of a NATIVELY built engine: full state " +
+    "survives engine -> reference format -> engine") {
+    val e = VectorEngine.create(spark)
+    val flat = e.createLibrary("xf", dim = 4, metric = "cosine",
+      metadata = Map("team" -> "x", "n" -> 3))
+    val lsh = e.createLibrary("xl", dim = 4, metric = "euclidean",
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 99L)
+    val d1 = e.createDocument(flat.id, "d1", Map("src" -> "a"))
+    val d2 = e.createDocument(lsh.id, "d2")
+    e.addChunksBatch(d1.id, Seq(
+      ChunkInput("alpha", Seq(1f, 0f, 0f, 0f), Map("page" -> 1, "ok" -> true), 0, Some("x0")),
+      ChunkInput("beta", Seq(0.5f, 0.5f, 0f, 0f), Map("score" -> 0.25), 1, Some("x1"))))
+    e.addChunksBatch(d2.id, Seq(
+      ChunkInput("gamma", Seq(0f, 1f, 0f, 0f), Map("page_str" -> "1"), 0, Some("x2")),
+      ChunkInput("delta", Seq(0f, 0f, 1f, 0.25f), Map.empty, 1, Some("x3"))))
+    val out = Files.createTempDirectory("graft-export-spec").toString
+    e.exportReferenceStore(out)
+    val e2 = VectorEngine.create(spark)
+    val sum = e2.importReferenceStore(out)
+    assert((sum.libraries, sum.documents, sum.chunks, sum.lshIndexes) ==
+      ((2L, 2L, 4L, 1)))
+    // full chunk-state equality (embeddings, typed metadata, buckets,
+    // timestamps survive the JSON round-trip bit-exactly)
+    def rows(x: VectorEngine) = x.chunksDf
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(rows(e2) == rows(e))
+    def libRows(x: VectorEngine) = x.librariesDf
+      .orderBy("id")
+      .drop("description") // engine "" exports as reference null -> ""
+      .collect().map(_.toSeq).toSeq
+    assert(libRows(e2) == libRows(e))
+    // adopted matrix == original seeded matrix, double-exact (the
+    // projections sidecar is written <f8)
+    assert(e2.lshProjectionMatrix(lsh.id).flatten.toSeq ==
+      e.lshProjectionMatrix(lsh.id).flatten.toSeq)
+    assert(e2.bucketHistogram(lsh.id) == e.bucketHistogram(lsh.id))
+    // search parity on both libraries
+    assert(e2.search(flat.id, Seq(1f, 0f, 0f, 0f), 2).collect().toSeq ==
+      e.search(flat.id, Seq(1f, 0f, 0f, 0f), 2).collect().toSeq)
+    assert(e2.search(lsh.id, Seq(0f, 1f, 0f, 0f), 2).collect().toSeq ==
+      e.search(lsh.id, Seq(0f, 1f, 0f, 0f), 2).collect().toSeq)
+  }
+
+  test("export degrades engine-only concepts loudly but usably: an ivf " +
+    "library round-trips as flat with its vectors intact") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("iv", dim = 4, indexKind = "ivf")
+    e.setIvfCentroids(lib.id, Seq(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f)))
+    val d = e.createDocument(lib.id, "d")
+    e.addChunk(d.id, ChunkInput("a", Seq(1f, 0f, 0f, 0f), id = Some("v0")))
+    val out = Files.createTempDirectory("graft-export-ivf").toString
+    e.exportReferenceStore(out)
+    val e2 = VectorEngine.create(spark)
+    e2.importReferenceStore(out)
+    val lib2 = e2.getLibrary(lib.id)
+    assert(lib2.index_kind == "flat") // the reference has no ivf
+    assert(e2.search(lib.id, Seq(1f, 0f, 0f, 0f), 1).collect()
+      .head.getString(0) == "v0")
+  }
+
+  test("npy writer round-trips through the reader: f4 vectors widen " +
+    "exactly, f8 projection matrices survive double-exact") {
+    val p4 = Files.createTempFile("npy-w4", ".npy")
+    val data = Seq(Array(1.5f, -2f, 3f), Array(0.25f, 0f, -0.125f))
+    assert(ReferenceStore.writeNpy(p4, data.iterator, 3) == 2L)
+    assert(ReferenceStore.readNpyMatrix(p4).map(_.toSeq).toSeq ==
+      data.map(_.map(_.toDouble).toSeq))
+    val p8 = Files.createTempFile("npy-w8", ".npy")
+    // a double that does NOT fit float32 exactly must survive — this is
+    // why the exported projection sidecar is written <f8
+    val m = Seq(Array(0.1d, -1.0000000001d), Array(2.5d, 3.75d))
+    ReferenceStore.writeNpyDoubles(p8, m)
+    assert(ReferenceStore.readNpyMatrix(p8).map(_.toSeq).toSeq ==
+      m.map(_.toSeq))
+  }
+
   test("guards: non-empty engine, missing store, malformed npy") {
     val e = VectorEngine.create(spark)
     e.createLibrary("occupied", 4)
