@@ -93,18 +93,35 @@ object ReferenceStore {
     * type (nested object/array/null) is a store the reference could not
     * have written and raises. */
   def encodeMetaCol(raw: Column): Column = {
-    val asMap = parse_json(raw).cast("map<string,variant>")
-    transform_values(asMap, (_, v) => {
+    val parsed = parse_json(raw)
+    val topType = schema_of_variant(parsed)
+    val asMap = parsed.cast("map<string,variant>")
+    val mapped = transform_values(asMap, (_, v) => {
       val t = schema_of_variant(v)
       when(t === "STRING", concat(lit("s:"), v.cast("string")))
         .when(t === "BOOLEAN", concat(lit("b:"), v.cast("string")))
         .when(t.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+          concat(lit("i:"), v.cast("long").cast("string")))
+        // an integer wider than the JSON-int range parses as a scale-0
+        // DECIMAL: it is still an INT to the reference, so keep the
+        // typed-equality contract — the long cast throws (ANSI) on
+        // values no engine long can hold, rather than silently
+        // retyping them to lossy f: doubles
+        .when(t.rlike("^DECIMAL\\([0-9]+,0\\)$"),
           concat(lit("i:"), v.cast("long").cast("string")))
         .when(t === "DOUBLE" || t.startsWith("DECIMAL"),
           concat(lit("f:"), v.cast("double").cast("string")))
         .otherwise(raise_error(concat(
           lit("reference store: unsupported metadata value type "), t)))
     })
+    // a missing field is pydantic's default {}; any non-object JSON value
+    // is a store the reference could not have written — name it instead
+    // of surfacing the map cast's opaque INVALID_VARIANT_CAST
+    when(raw.isNull, map().cast("map<string,string>"))
+      .when(topType.startsWith("OBJECT"), mapped)
+      .otherwise(raise_error(concat(
+        lit("reference store: metadata is not a JSON object but "), topType))
+        .cast("map<string,string>"))
   }
 
   /** A parsed LSH index sidecar: the projection matrix adopted verbatim
@@ -130,8 +147,15 @@ object ReferenceStore {
         s"reference store: missing LSH index sidecar for library $libraryId")
     val row = spark.read.schema(SidecarSchema).option("multiLine", true)
       .json(jsonPath.toString).head()
-    val dim = row.getAs[Int]("dimension")
-    val np = row.getAs[Int]("num_projections")
+    // checked extraction: a structurally corrupt sidecar must fail as a
+    // named StorageError, not a raw NPE out of an Integer unbox
+    def reqInt(field: String): Int =
+      if (row.isNullAt(row.fieldIndex(field)))
+        throw StorageError(
+          s"reference store: sidecar for $libraryId missing '$field'")
+      else row.getAs[Int](field)
+    val dim = reqInt("dimension")
+    val np = reqInt("num_projections")
     // the engine packs the bucket as sign bits of ONE Long (same layout as
     // indexes.py:236-242: bit i = sign of projection i)
     if (np <= 0 || np > 63)
@@ -188,6 +212,8 @@ object ReferenceStore {
         (b.getInt, 12)
       case v => fail(s"unsupported NPY version $v")
     }
+    if (headerLen < 0 || headerStart.toLong + headerLen > bytes.length)
+      fail("truncated or corrupt NPY header")
     val header = new String(bytes, headerStart, headerLen, StandardCharsets.US_ASCII)
     val descr = "'descr':\\s*'([^']+)'".r.findFirstMatchIn(header)
       .map(_.group(1)).getOrElse(fail("no descr in header"))

@@ -1832,8 +1832,7 @@ final class VectorEngine private (val spark: SparkSession,
       .readEntityDir(spark, s"$dir/libraries", ReferenceStore.LibrarySchema)
       .select(col("id"), col("name"),
         coalesce(col("description"), lit("")).as("description"),
-        coalesce(ReferenceStore.encodeMetaCol(col("metadata")),
-          map().cast("map<string,string>")).as("metadata"),
+        ReferenceStore.encodeMetaCol(col("metadata")).as("metadata"),
         col("embedding_dimension"), col("distance_metric"), col("index_kind"),
         lit(StorageFloat32).as("storage"),
         col("created_at").cast("timestamp").as("created_at"),
@@ -1864,10 +1863,14 @@ final class VectorEngine private (val spark: SparkSession,
             s"dimension ${l.embedding_dimension} for ${l.id}")
       l.id -> sc
     }.toMap
-    // one global (chunk id -> bucket) relation for the ingest join; chunk
-    // ids are globally unique in the reference's store
-    val bucketPairs: Seq[(String, Long)] = sidecars.values.toSeq.flatMap(sc =>
-      sc.buckets.toSeq.flatMap { case (b, ids) => ids.map(_ -> b) })
+    // (chunk id, library, bucket) relation for the ingest join — the
+    // LIBRARY is part of the match key, so a corrupt sidecar referencing
+    // a chunk that lives in another library cannot stamp a bucket onto
+    // that foreign chunk and silently pass the existence check
+    val bucketPairs: Seq[(String, String, Long)] = sidecars.toSeq.flatMap {
+      case (lid, sc) =>
+        sc.buckets.toSeq.flatMap { case (b, ids) => ids.map(id => (id, lid, b)) }
+    }
 
     // ---- documents: distributed read + ONE validation aggregate
     val libIdDim = libsRaw.map(l => (l.id, l.embedding_dimension))
@@ -1894,8 +1897,7 @@ final class VectorEngine private (val spark: SparkSession,
       col("id").cast("string"),
       col("library_id").cast("string"),
       col("name").cast("string"),
-      coalesce(ReferenceStore.encodeMetaCol(col("metadata")),
-        map().cast("map<string,string>")).as("metadata"),
+      ReferenceStore.encodeMetaCol(col("metadata")).as("metadata"),
       col("created_at").cast("timestamp").as("created_at"),
       col("updated_at").cast("timestamp").as("updated_at")).as[DocumentRow]
 
@@ -1904,14 +1906,16 @@ final class VectorEngine private (val spark: SparkSession,
     // assignment; ONE validation aggregate before anything is installed
     val docLib = docsAssembled.select(col("id").as("__did"),
       col("library_id").as("__dlib"))
-    val bucketDf = bucketPairs.toDF("__bid", "__bucket")
+    val bucketDf = bucketPairs.toDF("__bid", "__blib", "__bucket")
     val lshIdSeq = lshLibs.map(_.id)
     val chunksRaw = ReferenceStore
       .readEntityDir(spark, s"$dir/chunks", ReferenceStore.ChunkSchema)
     val chunksJoined = chunksRaw
       .join(docLib, col("document_id") === col("__did"), "left_outer")
       .join(broadcast(libIdDim), col("__dlib") === col("__lid"), "left_outer")
-      .join(broadcast(bucketDf), col("id") === col("__bid"), "left_outer")
+      .join(broadcast(bucketDf),
+        col("id") === col("__bid") && col("__dlib") === col("__blib"),
+        "left_outer")
     val nonFinite = exists(col("embedding"),
       x => isnan(x) || x === lit(Double.PositiveInfinity) ||
         x === lit(Double.NegativeInfinity))
@@ -1956,8 +1960,7 @@ final class VectorEngine private (val spark: SparkSession,
       col("__dlib").as("library_id"),
       col("text").cast("string"),
       col("embedding").cast("array<float>").as("embedding"),
-      coalesce(ReferenceStore.encodeMetaCol(col("metadata")),
-        map().cast("map<string,string>")).as("metadata"),
+      ReferenceStore.encodeMetaCol(col("metadata")).as("metadata"),
       coalesce(col("chunk_index"), lit(0)).cast("int").as("chunk_index"),
       col("__bucket").cast("long").as("bucket"),
       lit(null).cast("double").as("qmin"),
@@ -1968,11 +1971,18 @@ final class VectorEngine private (val spark: SparkSession,
 
     // ---- install: pin the tables OFF the JSON source files
     // (localCheckpoint — later actions must not re-parse the store, and
-    // the store must be safe to delete after import), then adopt the
-    // index metadata
-    libs = libsRaw.toDS().localCheckpoint()
-    docs = docsAssembled.localCheckpoint()
-    chunks = chunksAssembled.localCheckpoint()
+    // the store must be safe to delete after import). The checkpoints run
+    // BEFORE any engine field is assigned: the metadata mapping's
+    // raise_error paths fire during materialization (the validation
+    // aggregates prune the metadata column), and a failed import must
+    // leave the engine exactly as it was — empty — not partially
+    // hydrated.
+    val newLibs = libsRaw.toDS().localCheckpoint()
+    val newDocs = docsAssembled.localCheckpoint()
+    val newChunks = chunksAssembled.localCheckpoint()
+    libs = newLibs
+    docs = newDocs
+    chunks = newChunks
     matrices ++= sidecars.map { case (lid, sc) =>
       lid -> MatrixRow(lid, sc.numProjections, sc.dimension,
         sc.randomState.getOrElse(-1L),

@@ -150,6 +150,13 @@ object ConnectedComponents {
                      maxIters: Int = 40): DataFrame = {
     require(maxIters >= 1, "need maxIters >= 1")
     val guarded = requireNonNullEndpoints(edges, src, dst)
+    // the node universe (self-loop-only nodes included) is pinned ONCE up
+    // front — the final readout must not re-execute the caller's whole
+    // edge pipeline (often an expensive band-join) a second time
+    val (allNodes, allNodesRdd) = checkpointReleasable(
+      guarded.select(col(src).as("node"))
+        .unionAll(guarded.select(col(dst).as("node")))
+        .distinct())
     // canonical undirected edge set: (u = larger, v = smaller), self-loops
     // dropped, duplicates collapsed
     var (e, eRdd) = checkpointReleasable(
@@ -191,6 +198,7 @@ object ConnectedComponents {
     }
     if (changed) {
       eRdd.foreach(_.unpersist(blocking = false))
+      allNodesRdd.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"componentsStar still changing after $maxIters rounds — " +
           "O(log n) convergence should never need this many; raise maxIters")
@@ -198,14 +206,12 @@ object ConnectedComponents {
     // the fixpoint is a star forest: non-roots carry exactly one edge to
     // their component min; roots (and nothing else) appear only as `v`.
     // Every node of the ORIGINAL edge list gets a row, like components().
-    val all = guarded.select(col(src).as("node"))
-      .unionAll(guarded.select(col(dst).as("node")))
-      .distinct()
     val (out, _) = checkpointReleasable(
-      all.join(e.select(col("u").as("node"), col("v").as("comp")),
+      allNodes.join(e.select(col("u").as("node"), col("v").as("comp")),
           Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("comp"), col("node")).as("comp")))
     eRdd.foreach(_.unpersist(blocking = false))
+    allNodesRdd.foreach(_.unpersist(blocking = false))
     out
   }
 }

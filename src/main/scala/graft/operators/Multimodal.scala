@@ -116,21 +116,25 @@ object Multimodal {
     if (b.length < 12 ||
         new String(b, 0, 4, "US-ASCII") != "RIFF" ||
         new String(b, 8, 4, "US-ASCII") != "WAVE") return None
-    var i = 12
+    var i = 12L
     var channels, bits, blockAlign = 0
     var dataSize = -1L
     while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
-      val cid = new String(b, i, 4, "US-ASCII")
-      val sz = u32(b, i + 4).getOrElse(return None)
+      val off = i.toInt
+      val cid = new String(b, off, 4, "US-ASCII")
+      val sz = u32(b, off + 4).getOrElse(return None)
       if (cid == "fmt " && sz >= 16) {
-        channels = u16(b, i + 8 + 2).getOrElse(0)
-        blockAlign = u16(b, i + 8 + 12).getOrElse(0)
-        bits = u16(b, i + 8 + 14).getOrElse(0)
+        channels = u16(b, off + 8 + 2).getOrElse(0)
+        blockAlign = u16(b, off + 8 + 12).getOrElse(0)
+        bits = u16(b, off + 8 + 14).getOrElse(0)
       } else if (cid == "data") {
         // size may exceed the bytes present (streaming writers); clamp
-        dataSize = math.min(sz, (b.length - i - 8).toLong)
+        dataSize = math.min(sz, (b.length - i - 8))
       }
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // LONG cursor + unsigned size: a corrupt/adversarial size field
+      // (e.g. 0xFFFFFFF8) must neither loop forever nor drive the cursor
+      // negative — it just walks past the end and the loop stops
+      i += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     if (channels <= 0 || bits <= 0 || dataSize < 0) return None
     val ba = if (blockAlign > 0) blockAlign else channels * ((bits + 7) / 8)

@@ -91,6 +91,14 @@ class MultimodalSpec extends AnyFunSuite {
         "RIFFxxxxWAVE".getBytes, "P6 0 0 255 ".getBytes)) {
       assert(Multimodal.decode(b).modality == "opaque")
     }
+    // adversarial WAV chunk size (0xFFFFFFF8 = -8 as an Int): the chunk
+    // walk must neither loop forever nor throw — the long cursor walks
+    // off the end and the payload degrades to opaque
+    val evil = "RIFF".getBytes ++ Array[Byte](0x24, 0, 0, 0) ++
+      "WAVE".getBytes ++ "junk".getBytes ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array.fill[Byte](32)(0)
+    assert(Multimodal.decode(evil).modality == "opaque")
   }
 
   test("decodePartitions keeps the caller's modality hint for opaque " +

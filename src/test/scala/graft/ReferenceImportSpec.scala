@@ -207,6 +207,55 @@ class ReferenceImportSpec extends AnyFunSuite {
       m.map(_.toSeq))
   }
 
+  test("a metadata value the mapping rejects fails the WHOLE import and " +
+    "leaves the engine empty — never partially hydrated") {
+    // minimal store with one chunk whose metadata holds a JSON array —
+    // a value the reference's Metadata type cannot contain
+    val bad = Files.createTempDirectory("graft-badstore")
+    for (sub <- Seq("libraries", "documents", "chunks", "indexes"))
+      Files.createDirectories(bad.resolve(sub))
+    Files.writeString(bad.resolve("libraries/L1.json"),
+      """{"id": "L1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "name": "l", "description": null,
+        | "metadata": {}, "document_count": 1, "chunk_count": 1,
+        | "embedding_dimension": 2, "distance_metric": "cosine",
+        | "index_kind": "flat"}""".stripMargin)
+    Files.writeString(bad.resolve("documents/D1.json"),
+      """{"id": "D1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "library_id": "L1",
+        | "name": "d", "metadata": {}, "chunk_count": 1}""".stripMargin)
+    Files.writeString(bad.resolve("chunks/C1.json"),
+      """{"id": "C1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "document_id": "D1",
+        | "text": "t", "embedding": [1.0, 0.0],
+        | "metadata": {"tags": ["a", "b"]}, "chunk_index": 0}""".stripMargin)
+    val e = VectorEngine.create(spark)
+    val err = intercept[Exception] { e.importReferenceStore(bad.toString) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("unsupported metadata value type")),
+      s"unexpected error: ${messages(err)}")
+    // the failed import installed NOTHING: the engine is still empty and
+    // a clean retry path (fix the store, import again) remains open
+    assert(e.librariesDf.count() == 0 && e.documentsDf.count() == 0 &&
+      e.chunksDf.count() == 0)
+    // non-object metadata is named too (not the opaque variant-cast
+    // error). A JSON NUMBER exercises the guard: Spark's StringType read
+    // hands scalar fields back as their bare value, which parse_json
+    // still parses ("123" -> BIGINT) — string scalars fail earlier with
+    // the JSON source's own loud malformed-record error.
+    Files.writeString(bad.resolve("chunks/C1.json"),
+      """{"id": "C1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "document_id": "D1",
+        | "text": "t", "embedding": [1.0, 0.0],
+        | "metadata": 123, "chunk_index": 0}""".stripMargin)
+    val err2 = intercept[Exception] { e.importReferenceStore(bad.toString) }
+    assert(messages(err2).exists(_.contains("metadata is not a JSON object")),
+      s"unexpected error: ${messages(err2)}")
+    assert(e.chunksDf.count() == 0)
+  }
+
   test("guards: non-empty engine, missing store, malformed npy") {
     val e = VectorEngine.create(spark)
     e.createLibrary("occupied", 4)
