@@ -174,6 +174,54 @@ class ReferenceImportSpec extends AnyFunSuite {
       e.search(lsh.id, Seq(0f, 1f, 0f, 0f), 2).collect().toSeq)
   }
 
+  test("randomized CRUD walk round-trips through the reference format: " +
+    "whatever state a mutation sequence leaves, export -> import " +
+    "reproduces it exactly") {
+    for (seed <- Seq(11L, 23L)) {
+      val rng = new scala.util.Random(seed)
+      val e = VectorEngine.create(spark)
+      val flat = e.createLibrary(s"wf$seed", dim = 4)
+      val lsh = e.createLibrary(s"wl$seed", dim = 4,
+        indexKind = "random_projection", lshProjections = 4, lshSeed = seed)
+      val docs = Seq(
+        e.createDocument(flat.id, "a"), e.createDocument(flat.id, "b"),
+        e.createDocument(lsh.id, "c"))
+      var n = 0
+      val metas: Seq[Map[String, Any]] = Seq(
+        Map.empty, Map("k" -> 1), Map("k" -> "1"), Map("f" -> 0.5),
+        Map("b" -> true, "s" -> "x"))
+      (1 to 25).foreach { _ =>
+        val d = docs(rng.nextInt(docs.size))
+        rng.nextInt(4) match {
+          case 0 | 1 => // add
+            n += 1
+            e.addChunk(d.id, ChunkInput(s"t$n",
+              Seq.fill(4)(rng.nextFloat() - 0.5f),
+              metas(rng.nextInt(metas.size)), n, Some(s"w$seed-$n")))
+          case 2 if n > 0 => // patch a random existing chunk (if alive)
+            val id = s"w$seed-${1 + rng.nextInt(n)}"
+            try e.patchChunk(id,
+              embedding = Some(Seq.fill(4)(rng.nextFloat() - 0.5f)),
+              metadata = Some(metas(rng.nextInt(metas.size))))
+            catch { case _: NotFoundError => () }
+          case _ if n > 0 => // delete (maybe already gone)
+            val id = s"w$seed-${1 + rng.nextInt(n)}"
+            try e.deleteChunk(id) catch { case _: NotFoundError => () }
+          case _ => ()
+        }
+      }
+      val out = Files.createTempDirectory(s"graft-walk$seed").toString
+      e.exportReferenceStore(out)
+      val e2 = VectorEngine.create(spark)
+      e2.importReferenceStore(out)
+      def state(x: VectorEngine) = (
+        x.chunksDf.orderBy("id").collect().map(_.toSeq).toSeq,
+        x.documentsDf.orderBy("id").collect().map(_.toSeq).toSeq)
+      assert(state(e2) == state(e), s"walk seed $seed diverged")
+      assert(e2.bucketHistogram(lsh.id) == e.bucketHistogram(lsh.id))
+    }
+  }
+
   test("export degrades engine-only concepts loudly but usably: an ivf " +
     "library round-trips as flat with its vectors intact") {
     val e = VectorEngine.create(spark)
