@@ -110,6 +110,25 @@ class ReferenceImportSpec extends AnyFunSuite {
     assert(e2.bucketHistogram(lshLib) == e.bucketHistogram(lshLib))
   }
 
+  test("batch search on an imported store matches per-query search " +
+    "under both index kinds") {
+    val e = imported
+    val qs = e.chunksDf.where(col("library_id") === flatLib)
+      .orderBy("chunk_index", "id").limit(3)
+      .select("embedding").collect().zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Float](0) }.toSeq
+    for (lib <- Seq(flatLib, lshLib)) {
+      val batch = e.searchBatch(lib, qs, k = 4).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      qs.foreach { case (qid, q) =>
+        val one = e.search(lib, q, 4).collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == one, s"lib $lib query $qid")
+      }
+    }
+  }
+
   test("imported engine keeps working: adds land in kernel buckets") {
     // fresh import (don't mutate the shared lazy engine)
     val e = VectorEngine.create(spark)
