@@ -1058,10 +1058,14 @@ final class VectorEngine private (val spark: SparkSession,
     * k — 150 is tuned on near-random synthetic vectors (the hardest case
     * for sign-bit LSH); a clustered real corpus may want it lower, a
     * recall-critical one higher. Ignored by the other probe modes.
-    * `nprobe` (IVF libraries): how many nearest cells to scan; falls back
-    * to the full (allow-set) scan when the probed cells hold < k
-    * candidates, the same two-phase contract as LSH. An IVF library with
-    * no centroid model yet searches exactly (flat). */
+    * `nprobeOpt` (IVF libraries): how many nearest cells to scan; None
+    * resolves the storage-aware default (DefaultIvfNProbe = 4, or
+    * DefaultIvfPqNProbe = 6 for a residual-pq library). Falls back to the
+    * full (allow-set) scan when the probed cells hold < k candidates, the
+    * same two-phase contract as LSH. An IVF library with no centroid
+    * model yet searches exactly (flat).
+    * `rescoreOpt` (sq8/pq storage): the exact-rescore short-list depth;
+    * None resolves defaultRescore / DefaultIvfPqRescore. */
   /** Histogram feeding an adaptive probe: the maintained index metadata
     * (no Spark action) for an unfiltered search; None for a filtered one,
     * so the probe recomputes over the allow-set. */
