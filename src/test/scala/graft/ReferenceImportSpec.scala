@@ -241,6 +241,40 @@ class ReferenceImportSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk round trip from real testdata (sf0.001, 500 chunks): " +
+    "embeddings survive export -> import with search parity") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("bulk", dim = 64, id = Some("bulkLib"))
+    e.addDocumentsDf(lib.id, emb
+      .select(concat(lit("bd-"), col("label")).as("id")).distinct()
+      .select(col("id"), col("id").as("name"),
+        typedLit(Map.empty[String, String]).as("metadata")))
+    e.addChunksDf(lib.id, emb.select(
+      concat(lit("bc"), col("vec_id")).as("id"),
+      concat(lit("bd-"), col("label")).as("document_id"),
+      concat(lit("v "), col("vec_id")).as("text"),
+      col("embedding"),
+      map(lit("vid"),
+        graft.functions.MetadataFunctions.encodeIntCol(col("vec_id")))
+        .as("metadata"),
+      col("vec_id").cast("int").as("chunk_index")))
+    val n = e.chunkCount(lib.id)
+    assert(n == 500, s"expected the sf0.001 embeddings table (500), got $n")
+    val out = Files.createTempDirectory("graft-bulk-export").toString
+    val sum = e.exportReferenceStore(out)
+    assert(sum.chunks == n)
+    val e2 = VectorEngine.create(spark)
+    val sum2 = e2.importReferenceStore(out)
+    assert(sum2.chunks == n && sum2.documents == e.documentCount(lib.id))
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    assert(e2.search(lib.id, qv, k = 10).collect().toSeq ==
+      e.search(lib.id, qv, k = 10).collect().toSeq)
+    // typed metadata survived at scale: spot-check one chunk
+    assert(e2.getChunk("bc42").metadata == Map("vid" -> "i:42"))
+  }
+
   test("export degrades engine-only concepts loudly but usably: an ivf " +
     "library round-trips as flat with its vectors intact") {
     val e = VectorEngine.create(spark)
