@@ -305,6 +305,25 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The SAME clusters through the large-star/small-star variant
+    * (ConnectedComponents.componentsStar — O(log n) rounds at any
+    * component diameter): identical output contract, identical oracle.
+    * Putting the variant under the DuckDB hash gate means both CC
+    * implementations are gated on real data, not only on the spec's
+    * equivalence property. */
+  private val dedupComponentsStar: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val pairs = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+    val comp = graft.operators.ConnectedComponents.componentsStar(
+      pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared transitive-closure fragment over the confirmed pairs `p`:
     * symmetrized edges `e` (MATERIALIZED, so the recursion re-reads the
     * stored edge set instead of re-evaluating the all-pairs join per
@@ -349,6 +368,7 @@ object DedupQueries {
     Q("dedup_embedding_near", embeddingNear, Some(embeddingNearSql)),
     Q("dedup_embedding_near_lsh", embeddingNearLsh, Some(embeddingNearLshSql)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsSql)),
+    Q("dedup_components_star", dedupComponentsStar, Some(dedupComponentsSql)),
     Q("dedup_cluster_survivors", clusterSurvivors, Some(clusterSurvivorsSql)),
   )
 }
