@@ -119,9 +119,100 @@ object NearDup {
     when(union === 0, lit(0.0d)).otherwise(inter.cast("double") / union)
   }
 
-  /** End-to-end near-dup pairs: shingle -> minhash -> banded candidates ->
-    * exact Jaccard confirm at `threshold`. Output: (id_a, id_b, jaccard)
-    * with id_a < id_b.
+  // ---------------- exact-duplicate collapse ----------------
+
+  /** Digest-collapse pre-step shared by every BATCH near-dup variant: one
+    * row per DISTINCT text, keyed by md5 (the same digest
+    * [[Dedup.exactGroups]] shuffles on), carrying the min-id
+    * representative.
+    *
+    * Why this exists: real corpora repeat identical documents millions of
+    * times (boilerplate pages), and every minhash/simhash artifact is a
+    * pure function of the text — so a group of m byte-identical documents
+    * collides in EVERY band and a per-row banded self-join emits
+    * m(m-1)/2 candidate pairs per group before any confirm can run. After
+    * the collapse the banded join sees ONE row per distinct text (the
+    * candidate relation is unchanged: signatures depend only on content,
+    * so rep pair (A,B) shares a band iff every member pair does) and
+    * group members are re-attached afterwards — O(m) star edges via
+    * [[nearDupEdges]], or output-bound pair expansion via [[nearDupPairs]].
+    *
+    * Returns (members, reps): members = (id, grp) for every input row —
+    * narrow (id + 128-bit digest), checkpointed because both expansions
+    * reuse it; reps = (grp, id, text) one row per distinct text with
+    * id = the group's min member id. Partial aggregation collapses the
+    * rep agg map-side, so at most one text copy per group per input
+    * partition ever shuffles. A null text yields a null digest: null
+    * group keys never equi-join, so null-text rows pair with nothing —
+    * exactly the pre-collapse behavior. */
+  private[graft] def collapseByDigest(df: DataFrame, id: Column, text: Column)
+      : (DataFrame, DataFrame) = {
+    val keyed = df.select(id.as("id"), text.as("text"))
+      .withColumn("grp", md5(col("text")))
+    val members = keyed.select(col("id"), col("grp")).localCheckpoint()
+    val reps = keyed.groupBy(col("grp"))
+      .agg(min(col("id")).as("id"), any_value(col("text")).as("text"))
+    (members, reps)
+  }
+
+  /** Re-attach exact-duplicate group members to rep-level results.
+    * crossPairs: (grp_a, grp_b, value) confirmed pairs of DISTINCT texts;
+    * withinGroups: (grp, value) — the groups whose identical-member pairs
+    * qualify, with the value such a pair scores. Output (id_a, id_b,
+    * value) with id_a < id_b; every unordered pair appears exactly once
+    * (groups are disjoint: a cross pair's members come from different
+    * groups, a within pair's from one). Both expansions are equi-joins on
+    * the digest that emit exactly the OUTPUT rows — the quadratic
+    * within-group row count exists only in the pair output itself, which
+    * is inherent to the pair contract; consumers that need only
+    * connectivity or drop decisions take [[nearDupEdges]] instead. */
+  private def expandPairs(members: DataFrame, crossPairs: DataFrame,
+                          withinGroups: DataFrame, valueName: String): DataFrame = {
+    val cross = crossPairs
+      .join(members.select(col("grp").as("grp_a"), col("id").as("__a")), "grp_a")
+      .join(members.select(col("grp").as("grp_b"), col("id").as("__b")), "grp_b")
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col(valueName))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.grp") === col("y.grp") && col("x.id") < col("y.id"))
+      .join(withinGroups.select(col("grp").as("__wg"), col(valueName)),
+        col("x.grp") === col("__wg"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col(valueName))
+    cross.unionByName(within)
+  }
+
+  /** Rep-level minhash near-dup: hashed shingles for DISTINCT texts only
+    * (checkpointed — the band explode and both confirm sides reuse it; at
+    * larger scale this artifact would be written to storage once at
+    * index-build time), banded candidates over reps, exact-Jaccard
+    * confirm. Returns (hashed reps (grp, id, hsh), confirmed rep pairs
+    * (grp_a, grp_b, jaccard)). */
+  private def repNearDupPairs(reps: DataFrame, n: Int, numHashes: Int,
+                              rowsPerBand: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val hashed = reps.select(col("grp"), col("id"),
+      hashedShingles(col("text"), n).as("hsh")).localCheckpoint()
+    val sig = hashed.select(col("grp").as("id"),
+      minhashSignature(col("hsh"), numHashes).as("sig"))
+    val cand = bandedCandidates(sig, "id", "sig", rowsPerBand)
+      .withColumnRenamed("id_a", "grp_a").withColumnRenamed("id_b", "grp_b")
+    val byGrp = hashed.select(col("grp").as("id"), col("hsh"))
+    (hashed, confirmPairs(cand, byGrp, byGrp, "grp_a", "grp_b", threshold))
+  }
+
+  /** The jaccard two identical documents score: 1.0 when the shingle set
+    * is nonempty, 0.0 when empty — the same convention [[jaccard]] uses,
+    * with no per-pair arithmetic. */
+  private def identicalJaccard: Column =
+    when(size(col("hsh")) > 0, lit(1.0d)).otherwise(lit(0.0d))
+
+  /** End-to-end near-dup pairs: exact-duplicate collapse -> shingle ->
+    * minhash -> banded candidates over DISTINCT texts -> exact Jaccard
+    * confirm at `threshold` -> member expansion. Output: (id_a, id_b,
+    * jaccard) with id_a < id_b — identical to the pre-collapse contract
+    * (within-group pairs score the identical-text jaccard; cross-group
+    * member pairs inherit their reps' jaccard, which IS their jaccard).
     *
     * The confirm compares HASHED shingle sets (array<long>), not the
     * string arrays — the Jaccard value is identical (same deterministic
@@ -130,18 +221,52 @@ object NearDup {
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    // localCheckpoint materializes the small per-doc index artifacts
-    // (hashed shingle sets + signatures) so the three consumers below —
-    // band explode, a-side join, b-side join — do not each re-run the
-    // shingling/hashing scan. At larger scale this artifact would be
-    // written to storage once at index-build time (same role as the
-    // chunks table's bucket column).
-    val hashed = df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
-      .localCheckpoint()
-    val sig = hashed.select(col("id"),
-      minhashSignature(col("hsh"), numHashes).as("sig"))
-    val cand = bandedCandidates(sig, "id", "sig", rowsPerBand)
-    confirmPairs(cand, hashed, hashed, "id_a", "id_b", threshold)
+    val (members, reps) = collapseByDigest(df, id, text)
+    val (hashed, repPairs) = repNearDupPairs(reps, n, numHashes, rowsPerBand,
+      threshold)
+    val withinGroups = hashed.select(col("grp"), identicalJaccard.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    expandPairs(members, repPairs, withinGroups, "jaccard")
+  }
+
+  /** Scale-shape near-dup edge set: the SAME connectivity and the SAME
+    * greedy smaller-id drop relation as [[nearDupPairs]]'s full pair set,
+    * in O(m) rows per exact-duplicate group instead of m(m-1)/2:
+    *
+    *   - STAR edges (group min -> each other member) for every group
+    *     whose identical-member jaccard (1.0 nonempty / 0.0 empty)
+    *     clears the threshold, and
+    *   - one REPRESENTATIVE edge (min(A), min(B)) per confirmed
+    *     cross-group pair of distinct texts.
+    *
+    * Equivalence (what the survivors/components consumers rely on):
+    * components — members reach their group min via star edges and
+    * related groups' mins are edged, exactly the full pair graph's
+    * transitive closure. Greedy drop (doc d dropped iff some pair partner
+    * has a smaller id) — a non-min member's star partner is its group min
+    * (< it); a group min's only possible smaller witness in the full
+    * graph is a member of a related group B below min(A), which exists
+    * iff min(B) < min(A), and min(B) is its representative-edge partner.
+    *
+    * Output (id_a, id_b) with id_a < id_b. */
+  def nearDupEdges(df: DataFrame, id: Column, text: Column,
+                   n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    val (members, reps) = collapseByDigest(df, id, text)
+    val (hashed, repPairs) = repNearDupPairs(reps, n, numHashes, rowsPerBand,
+      threshold)
+    val qualifying = hashed.where(identicalJaccard >= threshold)
+      .select(col("grp"), col("id").as("rep"))
+    val star = members.join(qualifying, "grp")
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val repIds = hashed.select(col("grp"), col("id"))
+    val repEdges = repPairs
+      .join(repIds.select(col("grp").as("grp_a"), col("id").as("__a")), "grp_a")
+      .join(repIds.select(col("grp").as("grp_b"), col("id").as("__b")), "grp_b")
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"))
+    star.unionByName(repEdges)
   }
 
   /** Exact-Jaccard confirm shared by the batch and incremental paths:
@@ -251,26 +376,45 @@ object NearDup {
                             matrix: Array[Array[Double]], threshold: Double,
                             salt: Int = 8, multiProbe: Boolean = true): DataFrame = {
     import graft.functions.VectorExpressions
+    // Exact-duplicate collapse, embedding edition: the group key is the
+    // raw vector itself (exact equality — a hashed key could merge two
+    // distinct embeddings and invent distance-0 pairs) and the group id
+    // is the min member id. Identical vectors share a bucket, so a group
+    // of m copies would otherwise meet itself in the bucket join and emit
+    // m(m-1)/2 pairs; after the collapse the join sees one row per
+    // distinct vector. Salting still spreads HOT BUCKETS (many distinct-
+    // but-close vectors) over reduce slots — collapse and salt fix
+    // different skews.
+    val keyed = df.select(id.as("id"), emb.as("emb"))
+    val groups = keyed.groupBy(col("emb")).agg(min(col("id")).as("grp"))
+    val members = keyed.join(groups, "emb").select(col("id"), col("grp"))
+      .localCheckpoint()
     // materialized once: both join sides (and the multi-probe explode)
     // reuse the bucket+norm projection instead of recomputing it per side
-    val base = df.select(id.as("id"), emb.as("emb"))
+    val reps = groups.select(col("grp").as("id"), col("emb"))
       .withColumn("bucket", VectorExpressions.lshBucket(col("emb"), matrix))
       .withColumn("nrm",
         sqrt(VectorExpressions.dotProduct(col("emb"), col("emb"))))
       .localCheckpoint()
-    val a = base.withColumn("salt",
+    val a = reps.withColumn("salt",
       pmod(hash(col("id")), lit(salt)).cast("long"))
     val probes =
       if (multiProbe) LshIndex.hamming1Probes(col("bucket"), matrix.length)
       else array(col("bucket"))
-    val b = base.withColumn("probe", explode(probes))
+    val b = reps.withColumn("probe", explode(probes))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1)).cast("array<bigint>")))
-    a.as("a").join(b.as("b"),
+    val repPairs = a.as("a").join(b.as("b"),
         col("a.bucket") === col("b.probe") && col("a.salt") === col("b.salt") &&
           col("a.id") < col("b.id"))
       .withColumn("distance", pairDistance("a", "b"))
       .where(col("distance") <= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("distance"))
+      .select(col("a.id").as("grp_a"), col("b.id").as("grp_b"), col("distance"))
+    // two identical NONZERO vectors sit at rounded cosine distance exactly
+    // 0.0 (zero-norm pairs are +Inf pre-collapse and stay excluded)
+    val withinGroups = reps
+      .where(col("nrm") > 0.0d && lit(0.0d) <= threshold)
+      .select(col("id").as("grp"), lit(0.0d).as("distance"))
+    expandPairs(members, repPairs, withinGroups, "distance")
   }
 
   /** INCREMENTAL embedding near-dup — the growing-corpus shape of
@@ -332,20 +476,29 @@ object NearDup {
     require(maxHamming <= numBands - 1,
       "pigeonhole guarantee needs maxHamming <= numBands - 1")
     val bandBits = bits / numBands
+    // exact-duplicate collapse: identical texts have identical
+    // fingerprints, so a group of m copies would collide in every band —
+    // band over distinct texts only, expand members back afterwards
+    val (members, reps) = collapseByDigest(df, id, text)
     // materialized once: both sides of the self-join reuse it
-    val sims = df.select(id.as("id"),
-      simhash(hashedShingles(text, shingleN), bits).as("sim"))
+    val sims = reps.select(col("grp"),
+      simhash(hashedShingles(col("text"), shingleN), bits).as("sim"))
       .localCheckpoint()
-    val banded = sims.select(col("id"), col("sim"),
+    val banded = sims.select(col("grp"), col("sim"),
       posexplode(array((0 until numBands).map(k =>
         shiftright(col("sim"), k * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band", "key")))
-    banded.as("x").join(banded.as("y"),
+    val repPairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          col("x.grp") < col("y.grp"))
+      .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"),
         hamming(col("x.sim"), col("y.sim")).cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+    // identical texts: hamming 0 by definition (constant-folded keep test)
+    val withinGroups = sims
+      .where(lit(0) <= lit(maxHamming))
+      .select(col("grp"), lit(0).cast("int").as("hamming"))
+    expandPairs(members, repPairs, withinGroups, "hamming")
   }
 }

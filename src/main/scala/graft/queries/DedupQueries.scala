@@ -95,7 +95,11 @@ object DedupQueries {
     * smaller-id doc (keep-first, the standard corpus-dedup policy). */
   private val nearSurvivors: QueryFn = (s, dir) => {
     val docs = table(s, dir, "documents")
-    val losers = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
+    // the drop decision needs only the O(m)-per-group edge set (star +
+    // representative edges — same greedy smaller-id drop relation as the
+    // full pair list), never the expanded pairs: a group of m identical
+    // boilerplate pages costs m-1 edges here, not m(m-1)/2
+    val losers = NearDup.nearDupEdges(docs, col("doc_id"), col("text"),
       n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5).select(col("id_b"))
     docs.join(losers, docs("doc_id") === col("id_b"), "left_anti")
       .select(col("doc_id")).orderBy(col("doc_id"))
@@ -294,7 +298,10 @@ object DedupQueries {
     * transitive closure is then a recursive CTE over those edges. */
   private val dedupComponents: QueryFn = (s, dir) => {
     val docs = table(s, dir, "documents")
-    val pairs = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
+    // star + representative edges: identical connectivity to the full
+    // pair graph at O(m) edges per exact-duplicate group — the closure
+    // oracle below still replays ALL pairs, gating the equivalence
+    val pairs = NearDup.nearDupEdges(docs, col("doc_id"), col("text"),
       n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
     val comp = graft.operators.ConnectedComponents.components(
       pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
@@ -313,7 +320,7 @@ object DedupQueries {
     * equivalence property. */
   private val dedupComponentsStar: QueryFn = (s, dir) => {
     val docs = table(s, dir, "documents")
-    val pairs = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
+    val pairs = NearDup.nearDupEdges(docs, col("doc_id"), col("text"),
       n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
     val comp = graft.operators.ConnectedComponents.componentsStar(
       pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")

@@ -192,6 +192,163 @@ class NearDupSpec extends AnyFunSuite {
     assert(incr.count() == 0)
   }
 
+  test("exact-duplicate collapse: a 5k-copy group yields O(distinct)-" +
+    "bounded banded candidates and O(m) edges, never O(m^2)") {
+    val m = 5000
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = ((1 to m).map(i => (i.toLong, dupText)) ++ Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of the group
+      (9002L, "one two three four five six seven eight"),
+      (9003L, "totally unrelated content goes right here folks")
+    )).toDF("doc_id", "text")
+    // the banded join runs over DISTINCT texts: 4 reps -> at most C(4,2)
+    // candidates regardless of m (pre-collapse this was >= C(5000,2))
+    val (members, reps) = collapseByDigest(corpus, col("doc_id"), col("text"))
+    assert(members.count() == m + 3 && reps.count() == 4)
+    val sig = reps.select(col("grp").as("id"),
+      minhashSignature(hashedShingles(col("text"), 3), 16).as("sig"))
+    assert(bandedCandidates(sig, "id", "sig", 2).count() <= 6)
+    // edge set: m-1 star edges for the group + rep-level confirmed pairs
+    val edges = nearDupEdges(corpus, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+    val cnt = edges.count()
+    assert(cnt >= m - 1 && cnt <= m + 5, s"edge count $cnt is not O(m)")
+    // the group's star edges all hang off the min id
+    assert(edges.where($"id_b" <= m).where($"id_a" =!= 1L).count() == 0)
+  }
+
+  test("nearDupEdges preserves the greedy drop relation and the " +
+    "components of the full pair graph (interleaved ids across groups)") {
+    // ids deliberately interleaved so group mins differ from global order:
+    // group A = {5, 6}, group B = {2} (near-dup of A), group C = {1, 3},
+    // isolated 9 — the full graph drops 6 (via 5), 5 (via 2), 3 (via 1)
+    val corpus = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (1L, "one two three four five six seven eight"),
+      (3L, "one two three four five six seven eight"),
+      (9L, "totally unrelated content goes right here folks")
+    ).toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      f.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pairs = run(nearDupPairs(corpus, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, rowsPerBand = 1, threshold = 0.5))
+    val edges = run(nearDupEdges(corpus, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, rowsPerBand = 1, threshold = 0.5))
+    assert(pairs == Set((5L, 6L), (2L, 5L), (2L, 6L), (1L, 3L)))
+    assert(edges.subsetOf(pairs), "edges must be a subset of the pairs")
+    // identical greedy losers (drop b iff some a < b pairs with it)
+    assert(pairs.map(_._2) == edges.map(_._2))
+    // identical transitive closure (brute-force union-find)
+    def comps(es: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      Seq(1L, 2L, 3L, 5L, 6L, 9L).foreach(find)
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    assert(comps(pairs) == comps(edges))
+  }
+
+  test("collapsed nearDupPairs equals brute-force all-pairs jaccard on a " +
+    "duplicate-heavy corpus (exact values, empties excluded)") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "one two three four five six seven eight",
+      "a b" // empty trigram set
+    )
+    // 20 copies of text 0, 3 of text 1, 2 each of texts 2-3
+    val corpus = (
+      (1 to 20).map(i => (i.toLong, texts(0))) ++
+      (21 to 23).map(i => (i.toLong, texts(1))) ++
+      Seq((24L, texts(2)), (25L, texts(2)), (26L, texts(3)), (27L, texts(3)))
+    ).toDF("doc_id", "text")
+    val got = nearDupPairs(corpus, col("doc_id"), col("text"),
+        n = 3, numHashes = 16, rowsPerBand = 1, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val h = corpus.select($"doc_id", hashedShingles(col("text"), 3).as("hsh"))
+    val brute = h.as("x").join(h.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        jaccard($"x.hsh", $"y.hsh").as("j"))
+      .where($"j" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.exists { case (a, b, j) => a <= 20 && b <= 20 && j == 1.0 })
+    assert(!got.exists { case (_, b, _) => b >= 26 }, "empty sets never pair")
+  }
+
+  test("collapsed simhashPairs equals brute-force all-pairs hamming on a " +
+    "duplicate-heavy corpus") {
+    val corpus = (
+      (1 to 15).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      Seq((21L, "alpha beta gamma delta epsilon zeta eta iota"),
+          (22L, "one two three four five six seven eight"),
+          (23L, "one two three four five six seven eight"))
+    ).toDF("doc_id", "text")
+    val got = simhashPairs(corpus, col("doc_id"), col("text"),
+        shingleN = 2, bits = 48, numBands = 6, maxHamming = 5)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val h = corpus.select($"doc_id",
+      simhash(hashedShingles(col("text"), 2), 48).as("sim"))
+    val brute = h.as("x").join(h.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        hamming($"x.sim", $"y.sim").cast("int").as("hm"))
+      .where($"hm" <= 5)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force is lossless; banding is pigeonhole-lossless at <= 5 bits
+    assert(got == brute)
+    assert(got.exists { case (a, b, hm) => a <= 15 && b <= 15 && hm == 0 })
+  }
+
+  test("collapsed embeddingNearDupPairs equals the blocking contract " +
+    "(bucket hamming <= 1, rounded cosine) on duplicated vectors") {
+    import graft.functions.{VectorExpressions, VectorFunctions}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where($"vec_id" < 200)
+    // plant exact duplicates: 5 copies of vector 0, 3 of vector 7
+    val dups = emb.where($"vec_id" === 0)
+      .crossJoin(spark.range(1, 6).select(($"id" + 1000L).as("nid")))
+      .select($"nid".as("vec_id"), $"embedding")
+      .unionByName(emb.where($"vec_id" === 7)
+        .crossJoin(spark.range(1, 4).select(($"id" + 2000L).as("nid")))
+        .select($"nid".as("vec_id"), $"embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(dups)
+    val matrix = VectorFunctions.projectionMatrix(4, 64, 42L)
+    val got = embeddingNearDupPairs(corpus, col("vec_id"), col("embedding"),
+        matrix, threshold = 0.6)
+      .select($"id_a", $"id_b", $"distance")
+      .as[(Long, Long, Double)].collect().toSet
+    // the contract, brute-forced: every pair whose buckets differ in at
+    // most one projection sign and whose ROUNDED cosine clears 0.6
+    def nrm(c: org.apache.spark.sql.Column) =
+      sqrt(VectorExpressions.dotProduct(c, c))
+    val w = corpus.select($"vec_id".as("id"), $"embedding".as("e"),
+      VectorExpressions.lshBucket($"embedding", matrix).as("b"))
+    val brute = w.as("x").join(w.as("y"), $"x.id" < $"y.id" &&
+        bit_count($"x.b".bitwiseXOR($"y.b")) <= 1)
+      .withColumn("distance", round(
+        when(nrm($"x.e") === 0.0d || nrm($"y.e") === 0.0d,
+          lit(Double.PositiveInfinity))
+        .otherwise(lit(1.0d) - VectorExpressions.dotProduct($"x.e", $"y.e") /
+          (nrm($"x.e") * nrm($"y.e"))), 6) + lit(0.0d))
+      .where($"distance" <= 0.6)
+      .select($"x.id", $"y.id", $"distance")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    // the planted copies pair with their original at exactly 0.0
+    assert(got.exists { case (a, b, d) => a == 0L && b == 1001L && d == 0.0 })
+  }
+
   test("bandedCandidates never pairs a doc with itself and orders ids") {
     val sh = docs.select(col("doc_id").as("id"),
       minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
