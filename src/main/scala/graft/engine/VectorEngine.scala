@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.{MetadataFunctions, VectorExpressions}
-import graft.operators.{IvfIndex, LshIndex, NearDup, ProductQuantization, Quantization}
+import graft.operators.{IvfIndex, Lexical, LshIndex, NearDup, ProductQuantization, Quantization}
 import java.sql.Timestamp
 import java.nio.file.{Files, Paths}
 
@@ -1444,6 +1444,47 @@ final class VectorEngine private (val spark: SparkSession,
     graft.operators.TopK.perGroup(scored, "query_id", "distance", "id", k)
       .withColumnRenamed("id", "chunk_id")
       .orderBy(col("query_id"), col("distance"), col("chunk_id"))
+  }
+
+  /** HYBRID retrieval at the facade — BM25 lexical ranking over the
+    * library's chunk texts fused with the library's OWN ANN funnel by
+    * reciprocal-rank fusion (no reference analog — extension surface; the
+    * operator halves are `Lexical.bm25` / `Lexical.hybridRrf`, already
+    * gated standalone by `search_hybrid_rrf`).
+    *
+    * The typed metadata filter composes with BOTH rankers (the P1
+    * contract): the lexical corpus is the filtered allow-set — its
+    * document count, average length and document frequencies are computed
+    * over the allow-set only, exactly as if the excluded chunks did not
+    * exist — and the vector ranking is a plain `search` call, which
+    * applies the same filter before its index is consulted. A chunk the
+    * filter excludes can therefore never surface through either leg.
+    *
+    * Each leg contributes its top-`candidates` (TakeOrderedAndProject —
+    * no global window), fusion is a candidates²-bounded full-outer join:
+    * rrf = 1/(rrfK + lex_rank) + 1/(rrfK + vec_rank).
+    * Output: top-`k` (chunk_id, rrf), rrf descending, ties by id. */
+  def searchHybrid(libraryId: String, terms: Seq[String], query: Seq[Float],
+                   k: Int, filters: Map[String, Any] = Map.empty,
+                   candidates: Int = Lexical.DefaultCandidates,
+                   rrfK: Int = Lexical.DefaultRrfK,
+                   probe: String = settings.defaultProbe): DataFrame = {
+    getLibrary(libraryId)
+    if (k <= 0) throw SearchError("k must be > 0")
+    if (candidates < k) throw SearchError("candidates must be >= k")
+    if (terms.isEmpty) throw SearchError("need at least one hybrid query term")
+    if (terms.distinct.size != terms.size)
+      throw SearchError("duplicate hybrid query terms")
+    if (rrfK <= 0) throw SearchError("rrfK must be > 0")
+    val metaPred = MetadataFunctions.filterPredicate(col("metadata"), filters)
+    val lexCorpus = chunks.where(col("library_id") === libraryId)
+      .where(metaPred)
+      .select(col("id").as("chunk_id"), col("text"))
+    val lex = Lexical.bm25(lexCorpus.toDF(), "chunk_id", "text", terms)
+    // the library's own funnel — LSH probe / IVF cells / SQ8 / PQ — with
+    // the same filters, widened to the fusion candidate depth
+    val vec = search(libraryId, query, candidates, filters, probe)
+    Lexical.hybridRrf(lex, vec, "chunk_id", k, candidates, rrfK)
   }
 
   /** Incremental near-duplicate detection against a library — the

@@ -396,8 +396,72 @@ object EngineQueries {
        |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }
 
+  /** Facade HYBRID search through a REOPENED engine (no reference analog
+    * — extension surface): BM25 over the library's chunk texts fused with
+    * the library's exact cosine funnel by RRF, with the typed metadata
+    * filter applied to BOTH rankers (the P1 contract — term '7' matches
+    * chunk c7's text but parity=0 excludes it from the lexical corpus
+    * itself, not just the output). The oracle replays the whole
+    * composition — allow-set BM25 stats (N, avgLen, df over the FILTERED
+    * corpus only), both top-candidates cuts, rank assignment, and the
+    * fused rrf — at the facade's default candidates/rrfK. */
+  private val HybridTerms = Seq("7", "42")
+
+  private val hybridSearch: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindFlat,
+      deleteDoc7 = true)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.searchHybrid(lib, HybridTerms, queryVec(s, dir), k = 10,
+      filters = Map("parity" -> 0))
+  }
+
+  private val hybridSearchSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
+    val (k1, b) = (graft.operators.Lexical.DefaultK1, graft.operators.Lexical.DefaultB)
+    val rrfK = graft.operators.Lexical.DefaultRrfK
+    val cands = graft.operators.Lexical.DefaultCandidates
+    val inList = HybridTerms.map(t => s"'$t'").mkString(", ")
+    val pivCols = HybridTerms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN tf END) AS tf$i"
+    }.mkString(", ")
+    def idfSql(t: String) =
+      s"round(ln((s.n - coalesce((SELECT df FROM df WHERE term = '$t'), 0) + 0.5)" +
+        s" / (coalesce((SELECT df FROM df WHERE term = '$t'), 0) + 0.5) + 1.0), 6)"
+    val scoreTerms = HybridTerms.zipWithIndex.map { case (t, i) =>
+      s"coalesce(${idfSql(t)} * tf$i / (tf$i + $k1 * " +
+        s"(1.0 - $b + $b * len / s.avglen)), 0.0)"
+    }.mkString(" + ")
+    s"""WITH ch AS (SELECT 'c' || vec_id AS chunk_id, 'vec ' || vec_id AS text,
+       |                   embedding::DOUBLE[] AS v
+       |            FROM embeddings WHERE label <> 7 AND vec_id % 2 = 0),
+       |toks AS (SELECT chunk_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM ch),
+       |lens AS (SELECT chunk_id, len(t)::INT AS len FROM toks),
+       |s AS (SELECT count(*)::BIGINT::DOUBLE AS n, avg(len) AS avglen FROM lens),
+       |terms AS (SELECT chunk_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT chunk_id, term, count(*)::BIGINT AS tf FROM terms
+       |       WHERE term IN ($inList) GROUP BY chunk_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |piv AS (SELECT chunk_id, $pivCols FROM tf GROUP BY chunk_id),
+       |bm AS (SELECT l.chunk_id, round($scoreTerms, 6) + 0 AS score
+       |       FROM lens l LEFT JOIN piv USING (chunk_id), s),
+       |lt AS (SELECT chunk_id, score FROM bm ORDER BY score DESC, chunk_id LIMIT $cands),
+       |lr AS (SELECT chunk_id,
+       |         row_number() OVER (ORDER BY score DESC, chunk_id) AS lrank FROM lt),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |vt AS (SELECT chunk_id, round($cos, 6) + 0 AS distance FROM ch, q
+       |       ORDER BY distance, chunk_id LIMIT $cands),
+       |vr AS (SELECT chunk_id,
+       |         row_number() OVER (ORDER BY distance, chunk_id) AS vrank FROM vt)
+       |SELECT coalesce(lr.chunk_id, vr.chunk_id) AS chunk_id,
+       |  round(coalesce(1::DOUBLE / ($rrfK + lrank), 0::DOUBLE)
+       |      + coalesce(1::DOUBLE / ($rrfK + vrank), 0::DOUBLE), 6) + 0 AS rrf
+       |FROM lr FULL OUTER JOIN vr ON lr.chunk_id = vr.chunk_id
+       |ORDER BY rrf DESC, chunk_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
+    Q("lifecycle_hybrid", hybridSearch, Some(hybridSearchSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
     Q("lifecycle_ivf_persisted", ivfPersisted, Some(ivfPersistedSql)),

@@ -1172,6 +1172,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("searchHybrid: the metadata filter composes with BOTH rankers and " +
+    "a chunk winning both legs fuses to the top") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("hy", dim = 4)
+    val doc = e.createDocument(lib.id, "doc")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("apple pie recipe", vec(1, 0, 0, 0), Map("lang" -> "en"), 0, Some("h0")),
+      // h1 matches the lexical term AND sits nearest the query vector —
+      // the filter must exclude it from BOTH legs, not just the output
+      ChunkInput("apple tart", vec(1, 0, 0, 0), Map("lang" -> "fr"), 1, Some("h1")),
+      ChunkInput("banana bread", vec(0, 1, 0, 0), Map("lang" -> "en"), 2, Some("h2")),
+      ChunkInput("car manual", vec(0, 0, 1, 0), Map("lang" -> "en"), 3, Some("h3"))))
+    val got = e.searchHybrid(lib.id, Seq("apple"), vec(1, 0, 0, 0), k = 4,
+        filters = Map("lang" -> "en"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(!got.map(_._1).contains("h1"))
+    assert(got.head._1 == "h0", s"both-legs winner must fuse first: ${got.toSeq}")
+    // full-outer fusion keeps single-leg hits: every allowed chunk surfaces
+    assert(got.map(_._1).toSet == Set("h0", "h2", "h3"))
+    // rrf of the double winner: 1/(60+1) + 1/(60+1), rounded
+    assert(math.abs(got.head._2 - 2.0 / 61.0) < 1e-6)
+    intercept[SearchError] { e.searchHybrid(lib.id, Seq.empty, vec(1, 0, 0, 0), 1) }
+    intercept[SearchError] { e.searchHybrid(lib.id, Seq("a", "a"), vec(1, 0, 0, 0), 1) }
+    intercept[SearchError] {
+      e.searchHybrid(lib.id, Seq("a"), vec(1, 0, 0, 0), 5, candidates = 3)
+    }
+    intercept[SearchError] { e.searchHybrid(lib.id, Seq("a"), vec(1, 0, 0, 0), 0) }
+    intercept[SearchError] {
+      e.searchHybrid(lib.id, Seq("a"), vec(1, 0, 0, 0), 1, rrfK = 0)
+    }
+  }
+
   private object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString
