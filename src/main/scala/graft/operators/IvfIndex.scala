@@ -71,7 +71,8 @@ object IvfIndex {
     * order — fine for an INDEX: the stored cell column, not the
     * centroids, defines what a probe scans. */
   def train(df: DataFrame, emb: Column, c: Int, iters: Int = 25,
-            seed: Long = 42L, samplePerCentroid: Int = 256): Seq[Centroid] = {
+            seed: Long = 42L, samplePerCentroid: Int = 256,
+            restarts: Int = KMeans.DefaultRestarts): Seq[Centroid] = {
     require(c > 0 && iters >= 0 && samplePerCentroid > 0,
       "need c > 0, iters >= 0, samplePerCentroid > 0")
     // SMALL C (every coarse quantizer in this repo): k-means++ + local
@@ -86,7 +87,9 @@ object IvfIndex {
     if (budget <= KMeans.MaxLocalSample) {
       val (sample, weights) = KMeans.sampleWeighted(df, emb, budget.toInt, seed)
       require(sample.nonEmpty, "cannot train on an empty table")
-      return KMeans.fitCentroids(sample, weights, c, iters, seed)
+      // best-of-N seeding (KMeans.DefaultRestarts scaladoc): coarse
+      // centroids are the one fit whose seed placement moves recall
+      return KMeans.fitCentroids(sample, weights, c, iters, seed, restarts)
     }
     val vecs = df.select(emb.cast("array<float>").as("emb"))
     val init = vecs.dropDuplicates("emb")

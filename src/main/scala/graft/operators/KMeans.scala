@@ -150,12 +150,74 @@ private[graft] object KMeans {
     cents
   }
 
-  /** `fit` wrapped into the index-ordered `Centroid` form every install
-    * site requires (ids exactly 0..kEff-1 — the invariant
+  /** Weighted quantization error — the Lloyd objective the fit minimizes:
+    * sum_i w_i * min_c ||p_i - c||². The comparable across restarts. */
+  def quantizationError(pts: Array[Array[Float]], weights: Array[Long],
+                        cents: Array[Array[Float]]): Double = {
+    var acc = 0.0d
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      var best = Double.PositiveInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        var d = 0.0d
+        var j = 0
+        while (j < p.length) {
+          val x = p(j).toDouble - ct(j).toDouble; d += x * x; j += 1
+        }
+        if (d < best) best = d
+        c += 1
+      }
+      acc += weights(i) * best
+      i += 1
+    }
+    acc
+  }
+
+  /** Default restart count for a COARSE quantizer fit (IvfIndex.train).
+    * k-means++ is seed-sensitive: a single unlucky seed placement was
+    * measured to move narrow-probe recall 0.48 -> 0.60 on the same data
+    * (SCALING.md telemetry), and with few centroids one fit is cheap —
+    * N tries over the same bounded sample cost N x driver CPU, zero new
+    * Spark jobs. The window is sized from a measured 16-seed scan at
+    * sf0.1 (c=8): per-seed quantization error spans only ±0.1% (the
+    * "equally-converged optima" the round-11 telemetry described), the
+    * QE minimum of the scan lands at offset 11 and no later seed beats
+    * it — 12 restarts reach that minimum, 8 stop short of it. Selection
+    * is by the Lloyd objective itself, never by downstream recall.
+    * Per-subspace PQ codebook training keeps restarts = 1: it runs
+    * numSub independent fits already (seed variance averages out across
+    * subspaces) and K=256 makes each fit ~50x the coarse one. */
+  val DefaultRestarts = 12
+
+  /** Best-of-N seeding: `restarts` independent k-means++/Lloyd fits over
+    * the SAME sample under derived seeds (seed, seed+1, ...), keeping the
+    * lowest weighted quantization error; strict < keeps the EARLIEST on
+    * ties, so the result is deterministic and `restarts = 1` is exactly
+    * `fit(..., seed)`. */
+  def fitBest(pts: Array[Array[Float]], weights: Array[Long], k: Int,
+              iters: Int, seed: Long, restarts: Int): Array[Array[Float]] = {
+    require(restarts >= 1, "need restarts >= 1")
+    var best: Array[Array[Float]] = null
+    var bestErr = Double.PositiveInfinity
+    var r = 0
+    while (r < restarts) {
+      val cents = fit(pts, weights, k, iters, seed + r)
+      val err = quantizationError(pts, weights, cents)
+      if (best == null || err < bestErr) { best = cents; bestErr = err }
+      r += 1
+    }
+    best
+  }
+
+  /** `fitBest` wrapped into the index-ordered `Centroid` form every
+    * install site requires (ids exactly 0..kEff-1 — the invariant
     * `setPqCodebooks`/`setIvfCentroids` validate) — ONE home for the
     * wrapping instead of each caller re-implementing it. */
   def fitCentroids(pts: Array[Array[Float]], weights: Array[Long], k: Int,
-                   iters: Int, seed: Long): Seq[Centroid] =
-    fit(pts, weights, k, iters, seed)
+                   iters: Int, seed: Long, restarts: Int = 1): Seq[Centroid] =
+    fitBest(pts, weights, k, iters, seed, restarts)
       .zipWithIndex.map { case (v, i) => Centroid(i.toLong, v) }.toSeq
 }

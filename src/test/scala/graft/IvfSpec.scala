@@ -81,6 +81,26 @@ class IvfSpec extends AnyFunSuite {
     assert(a.map(c => (c.id, c.vec.toSeq)) == b.map(c => (c.id, c.vec.toSeq)))
   }
 
+  test("best-of-N seeding: restarts=1 is exactly fit(seed); fitBest " +
+    "returns the minimum quantization error of its window; the trained " +
+    "model never has HIGHER error than the single-seed fit") {
+    import graft.operators.KMeans
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val (pts, w) = KMeans.sampleWeighted(emb, col("embedding"), 2048, 42L)
+    val single = KMeans.fit(pts, w, 8, 25, 42L)
+    val best1 = KMeans.fitBest(pts, w, 8, 25, 42L, restarts = 1)
+    assert(best1.map(_.toSeq).toSeq == single.map(_.toSeq).toSeq)
+    val bestN = KMeans.fitBest(pts, w, 8, 25, 42L, restarts = 6)
+    val errs = (0 until 6).map(r =>
+      KMeans.quantizationError(pts, w, KMeans.fit(pts, w, 8, 25, 42L + r)))
+    assert(KMeans.quantizationError(pts, w, bestN) == errs.min)
+    assert(KMeans.quantizationError(pts, w, bestN) <=
+      KMeans.quantizationError(pts, w, single))
+    intercept[IllegalArgumentException] {
+      KMeans.fitBest(pts, w, 8, 25, 42L, restarts = 0)
+    }
+  }
+
   /** The number the reference claims (~95%) but never measures
     * (reference README.md:174-179): recall@10 of a trained IVF index vs
     * flat search, on the real sf0.01 embeddings.
