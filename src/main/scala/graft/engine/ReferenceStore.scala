@@ -304,9 +304,12 @@ object ReferenceStore {
   def isoTs(t: java.sql.Timestamp): String = t.toInstant.toString
 
   /** Embedding floats as JSON numbers: widening float->double and taking
-    * the shortest double repr reproduces the exact bytes python's json
-    * writes for the same float32 values, so export -> reference ->
-    * re-import is value-exact. */
+    * the shortest double repr gives a JSON number that parses back to the
+    * identical float32, so export -> reference -> re-import is
+    * VALUE-exact. (Not byte-exact: Java and python format some magnitudes
+    * differently — 1.0E22 vs 1e+22 — which parses identically but would
+    * fail a byte diff. The tests and the oracle gate value equality,
+    * which is the contract.) */
   def embeddingToJson(e: Seq[Float]): String =
     e.map(f => {
       val d = f.toDouble
@@ -314,6 +317,29 @@ object ReferenceStore {
         throw StorageError("non-finite embedding value has no JSON form")
       d.toString // shortest double repr — always a valid JSON number
     }).mkString("[", ", ", "]")
+
+  /** The fixed 128-byte NPY v1.0 header for a 2-D little-endian C-order
+    * array (magic + version + HEADERLEN 118 + padded dict) — ONE home
+    * for the layout so both writers share the loud overflow guard: a
+    * shape whose dict exceeds the 117-char slot raises a named
+    * StorageError instead of a padding surprise. Unreachable for any
+    * matrix this engine produces today (a (Long, Int) shape dict tops out
+    * well under the slot), guarded anyway. */
+  private[graft] def npyHeader(descr: String, n: Long, dim: Int): ByteBuffer = {
+    val header =
+      s"{'descr': '$descr', 'fortran_order': False, 'shape': ($n, $dim), }"
+    if (header.length > 117)
+      throw StorageError(
+        s"npy header overflow: shape ($n, $dim) dict exceeds the fixed 128-byte slot")
+    val padded = header + (" " * (128 - 10 - header.length - 1)) + "\n"
+    val hb = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+    hb.put(0x93.toByte).put("NUMPY".getBytes(StandardCharsets.US_ASCII))
+    hb.put(1.toByte).put(0.toByte)
+    hb.putShort(118.toShort)
+    hb.put(padded.getBytes(StandardCharsets.US_ASCII))
+    hb.flip()
+    hb
+  }
 
   /** Minimal NPY v1.0 writer (little-endian, C order, 2-D) — the inverse
     * of [[readNpyMatrix]]. `descr` is "<f4" for vector payloads (exact:
@@ -344,16 +370,7 @@ object ReferenceStore {
           while (buf.hasRemaining) ch.write(buf)
           n += 1
         }
-        val header =
-          s"{'descr': '$descr', 'fortran_order': False, 'shape': ($n, $dim), }"
-        val padded = header + (" " * (128 - 10 - header.length - 1)) + "\n"
-        require(padded.length == 118, "npy header overflow")
-        val hb = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
-        hb.put(0x93.toByte).put("NUMPY".getBytes(StandardCharsets.US_ASCII))
-        hb.put(1.toByte).put(0.toByte)
-        hb.putShort(118.toShort)
-        hb.put(padded.getBytes(StandardCharsets.US_ASCII))
-        hb.flip()
+        val hb = npyHeader(descr, n, dim)
         ch.position(0L)
         while (hb.hasRemaining) ch.write(hb)
         n
@@ -373,18 +390,13 @@ object ReferenceStore {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      val header =
-        s"{'descr': '<f8', 'fortran_order': False, 'shape': (${rows.length}, $dim), }"
-      val padded = header + (" " * (128 - 10 - header.length - 1)) + "\n"
-      val hb = ByteBuffer.allocate(128 + rows.length * dim * 8)
+      val header = npyHeader("<f8", rows.length.toLong, dim)
+      val body = ByteBuffer.allocate(rows.length * dim * 8)
         .order(ByteOrder.LITTLE_ENDIAN)
-      hb.put(0x93.toByte).put("NUMPY".getBytes(StandardCharsets.US_ASCII))
-      hb.put(1.toByte).put(0.toByte)
-      hb.putShort(118.toShort)
-      hb.put(padded.getBytes(StandardCharsets.US_ASCII))
-      rows.foreach(_.foreach(hb.putDouble))
-      hb.flip()
-      while (hb.hasRemaining) ch.write(hb)
+      rows.foreach(_.foreach(body.putDouble))
+      body.flip()
+      while (header.hasRemaining) ch.write(header)
+      while (body.hasRemaining) ch.write(body)
     } finally ch.close()
   }
 }

@@ -1880,11 +1880,15 @@ final class VectorEngine private (val spark: SparkSession,
         ReferenceStore.encodeMetaCol(col("metadata")).as("metadata"),
         col("embedding_dimension"), col("distance_metric"), col("index_kind"),
         lit(StorageFloat32).as("storage"),
-        col("created_at").cast("timestamp").as("created_at"),
-        col("updated_at").cast("timestamp").as("updated_at"))
+        // try_cast: an unparseable timestamp lands in the null check
+        // below as the named malformed-library error, not an ANSI
+        // cast exception mid-collect
+        expr("try_cast(created_at AS timestamp)").as("created_at"),
+        expr("try_cast(updated_at AS timestamp)").as("updated_at"))
       .as[LibraryRow].collect().toSeq
     libsRaw.foreach { l =>
-      if (l.id == null || l.name == null || l.created_at == null)
+      if (l.id == null || l.name == null || l.created_at == null ||
+          l.updated_at == null)
         throw StorageError("reference store: malformed library JSON")
       if (!SupportedMetrics(l.distance_metric))
         throw StorageError(
@@ -1916,6 +1920,17 @@ final class VectorEngine private (val spark: SparkSession,
       case (lid, sc) =>
         sc.buckets.toSeq.flatMap { case (b, ids) => ids.map(id => (id, lid, b)) }
     }
+    // a sidecar listing the same chunk in TWO buckets would duplicate
+    // rows through the bucket join and trip the 'duplicate chunk ids'
+    // check below — which blames the chunk files; fail on the actual
+    // culprit first so the repair points at the sidecar
+    bucketPairs.groupBy(p => (p._1, p._2)).collectFirst {
+      case ((cid, lid), rows) if rows.size > 1 => (cid, lid)
+    }.foreach { case (cid, lid) =>
+      throw StorageError(
+        s"reference store: LSH index sidecar for library '$lid' lists " +
+          s"chunk '$cid' in multiple buckets")
+    }
 
     // ---- documents: distributed read + ONE validation aggregate
     val libIdDim = libsRaw.map(l => (l.id, l.embedding_dimension))
@@ -1929,7 +1944,14 @@ final class VectorEngine private (val spark: SparkSession,
       coalesce(count_distinct(col("id")), lit(0L)).as("distinct_ids"),
       coalesce(sum(when(col("__lid").isNull, 1).otherwise(0)), lit(0L))
         .as("orphans"),
-      coalesce(sum(when(col("id").isNull || col("name").isNull, 1)
+      // timestamps validated HERE (fail-loudly-at-import contract), not
+      // first at export time where a null would surface as a generic NPE;
+      // try_cast (not cast — ANSI cast THROWS mid-aggregate on an
+      // unparseable string) so both missing and garbage timestamps land
+      // in the named malformed count
+      coalesce(sum(when(col("id").isNull || col("name").isNull ||
+        expr("try_cast(created_at AS timestamp)").isNull ||
+        expr("try_cast(updated_at AS timestamp)").isNull, 1)
         .otherwise(0)), lit(0L)).as("malformed")).head()
     if (dstats.getAs[Long]("malformed") > 0)
       throw StorageError("reference store: malformed document JSON")
@@ -1979,7 +2001,10 @@ final class VectorEngine private (val spark: SparkSession,
       coalesce(sum(when(col("__bid").isNotNull, 1).otherwise(0)), lit(0L))
         .as("sidecar_matched"),
       coalesce(sum(when(col("id").isNull || col("text").isNull ||
-        col("embedding").isNull, 1).otherwise(0)), lit(0L)).as("malformed"))
+        col("embedding").isNull ||
+        expr("try_cast(created_at AS timestamp)").isNull ||
+        expr("try_cast(updated_at AS timestamp)").isNull, 1).otherwise(0)),
+        lit(0L)).as("malformed"))
       .head()
     if (cstats.getAs[Long]("malformed") > 0)
       throw StorageError("reference store: malformed chunk JSON")
@@ -2059,7 +2084,12 @@ final class VectorEngine private (val spark: SparkSession,
     * Faithfulness notes:
     *   - Typed metadata decodes back to JSON types (i:10 -> 10, s:10 ->
     *     "10"), counts are derived (they cannot drift), timestamps are
-    *     ISO-8601 UTC.
+    *     ISO-8601 UTC. One lossy corner: the engine stores a MISSING
+    *     library description as "" (the import coalesces null -> ""), and
+    *     the export maps "" back to JSON null — so an explicitly-empty
+    *     description is not distinguishable from an absent one after a
+    *     round trip. Embedding floats are VALUE-exact, not byte-exact
+    *     (ReferenceStore.embeddingToJson scaladoc).
     *   - Engine-only concepts the reference lacks DEGRADE LOUDLY (one
     *     warning each): an ivf library exports as index_kind "flat"
     *     (cells dropped), sq8/pq storage exports the always-present

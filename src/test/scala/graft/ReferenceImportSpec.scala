@@ -368,6 +368,90 @@ class ReferenceImportSpec extends AnyFunSuite {
     }
   }
 
+  test("import validates entity timestamps up front: a document or chunk " +
+    "with a missing/unparseable created_at fails loudly AT IMPORT") {
+    val bad = Files.createTempDirectory("graft-badts")
+    for (sub <- Seq("libraries", "documents", "chunks", "indexes"))
+      Files.createDirectories(bad.resolve(sub))
+    Files.writeString(bad.resolve("libraries/L1.json"),
+      """{"id": "L1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "name": "l", "description": null,
+        | "metadata": {}, "document_count": 1, "chunk_count": 1,
+        | "embedding_dimension": 2, "distance_metric": "cosine",
+        | "index_kind": "flat"}""".stripMargin)
+    // document with NO created_at at all
+    Files.writeString(bad.resolve("documents/D1.json"),
+      """{"id": "D1",
+        | "updated_at": "2024-01-01T00:00:00Z", "library_id": "L1",
+        | "name": "d", "metadata": {}, "chunk_count": 1}""".stripMargin)
+    Files.writeString(bad.resolve("chunks/C1.json"),
+      """{"id": "C1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "document_id": "D1",
+        | "text": "t", "embedding": [1.0, 0.0],
+        | "metadata": {}, "chunk_index": 0}""".stripMargin)
+    val e = VectorEngine.create(spark)
+    val err = intercept[StorageError] { e.importReferenceStore(bad.toString) }
+    assert(err.getMessage.contains("malformed document JSON"))
+    assert(e.librariesDf.count() == 0)
+    // fix the document, break the chunk with an unparseable updated_at
+    Files.writeString(bad.resolve("documents/D1.json"),
+      """{"id": "D1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "library_id": "L1",
+        | "name": "d", "metadata": {}, "chunk_count": 1}""".stripMargin)
+    Files.writeString(bad.resolve("chunks/C1.json"),
+      """{"id": "C1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "not-a-timestamp", "document_id": "D1",
+        | "text": "t", "embedding": [1.0, 0.0],
+        | "metadata": {}, "chunk_index": 0}""".stripMargin)
+    val err2 = intercept[StorageError] { e.importReferenceStore(bad.toString) }
+    assert(err2.getMessage.contains("malformed chunk JSON"))
+    assert(e.chunksDf.count() == 0)
+  }
+
+  test("a corrupt LSH sidecar listing one chunk in two buckets fails " +
+    "with a SIDECAR error, not a misdirected duplicate-chunk-ids error") {
+    val bad = Files.createTempDirectory("graft-badsidecar")
+    for (sub <- Seq("libraries", "documents", "chunks", "indexes"))
+      Files.createDirectories(bad.resolve(sub))
+    Files.writeString(bad.resolve("libraries/L1.json"),
+      """{"id": "L1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "name": "l", "description": null,
+        | "metadata": {}, "document_count": 1, "chunk_count": 1,
+        | "embedding_dimension": 2, "distance_metric": "cosine",
+        | "index_kind": "random_projection"}""".stripMargin)
+    Files.writeString(bad.resolve("documents/D1.json"),
+      """{"id": "D1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "library_id": "L1",
+        | "name": "d", "metadata": {}, "chunk_count": 1}""".stripMargin)
+    Files.writeString(bad.resolve("chunks/C1.json"),
+      """{"id": "C1", "created_at": "2024-01-01T00:00:00Z",
+        | "updated_at": "2024-01-01T00:00:00Z", "document_id": "D1",
+        | "text": "t", "embedding": [1.0, 0.0],
+        | "metadata": {}, "chunk_index": 0}""".stripMargin)
+    // sidecar: C1 in bucket "0" AND bucket "1" — the corruption
+    Files.writeString(bad.resolve("indexes/L1.json"),
+      """{"library_id": "L1", "num_projections": 2, "dimension": 2,
+        | "random_state": 42,
+        | "buckets": {"0": ["C1"], "1": ["C1"]}}""".stripMargin)
+    ReferenceStore.writeNpyDoubles(bad.resolve("indexes/L1.projections.npy"),
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val e = VectorEngine.create(spark)
+    val err = intercept[StorageError] { e.importReferenceStore(bad.toString) }
+    assert(err.getMessage.contains("sidecar") &&
+      err.getMessage.contains("multiple buckets"),
+      s"repair must point at the sidecar: ${err.getMessage}")
+    assert(e.librariesDf.count() == 0)
+  }
+
+  test("shared npy header builder: oversized header dict raises a named " +
+    "StorageError (the loud overflow guard both writers share)") {
+    val hb = ReferenceStore.npyHeader("<f4", 123L, 45)
+    assert(hb.remaining() == 128)
+    intercept[StorageError] {
+      ReferenceStore.npyHeader("<f4" + "x" * 120, 1L, 1)
+    }
+  }
+
   test("npy reader: v1 little-endian f4 round-trip") {
     // header built by hand to the public numpy format spec
     val header = "{'descr': '<f4', 'fortran_order': False, 'shape': (2, 3), }"
