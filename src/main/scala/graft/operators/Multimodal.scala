@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * structs; decode/feature-extraction runs per partition over batches.
   *
   * The decode step parses REAL headers for the dependency-free formats —
-  * BMP, PPM/PGM, and WAV parse with zero codec libraries (public format
-  * specs; the reference has no multimodal handling at all) — and falls
-  * back to `decodeStub` for every other payload: compressed codecs
-  * (JPEG/PNG/MP4) need libraries this environment does not ship, so the
+  * BMP, PPM/PGM, PNG, GIF, and WAV headers parse with zero codec
+  * libraries (public format specs; the reference has no multimodal
+  * handling at all) — and falls back to `decodeStub` for every other
+  * payload: compressed PIXEL data (JPEG decode, PNG's zlib stream,
+  * MP4) needs libraries this environment does not ship, so the
   * stub derives deterministic fake dimensions from a content hash and
   * stays the documented placeholder a production deployment swaps for a
   * real decoder. Everything around the dispatch — the binary column, the
@@ -55,6 +56,11 @@ object Multimodal {
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24))
   private def i32(b: Array[Byte], o: Int): Option[Int] =
     u32(b, o).map(_.toInt)
+  // big-endian (network order) reader — PNG's integer convention
+  private def u32be(b: Array[Byte], o: Int): Option[Long] =
+    if (o + 4 > b.length) None
+    else Some(((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL))
 
   /** BMP: "BM" + BITMAPFILEHEADER(14) + info header. BITMAPINFOHEADER
     * (size >= 40, int32 dims — height < 0 means top-down and |height| is
@@ -109,6 +115,41 @@ object Multimodal {
     } yield Decoded("image/ppm", w, h, 1L)
   }
 
+  /** PNG: the fixed 8-byte signature, then the IHDR chunk — which the
+    * spec requires FIRST: 4-byte big-endian length (13), "IHDR", 4-byte
+    * big-endian width and height (valid range 1..2^31-1). Pixel data
+    * needs zlib and stays stubbed; the header is dependency-free. Public
+    * spec: PNG (ISO/IEC 15948) signature + IHDR layout. */
+  def decodePng(b: Array[Byte]): Option[Decoded] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length < 24 || !sig.indices.forall(i => b(i) == sig(i))) return None
+    if (new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+    for {
+      len <- u32be(b, 8)
+      if len == 13L
+      w <- u32be(b, 16)
+      h <- u32be(b, 20)
+      if w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue
+    } yield Decoded("image/png", w.toInt, h.toInt, 1L)
+  }
+
+  /** GIF: "GIF87a"/"GIF89a" magic, then the logical screen descriptor's
+    * little-endian uint16 width/height at offsets 6/8. (Counting
+    * animation frames would need the full variable-length block walk —
+    * the logical screen is the asset dimension, n_frames stays 1 like
+    * the other image formats.) Public spec: GIF89a specification §18. */
+  def decodeGif(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 10) return None
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    for {
+      w <- u16(b, 6)
+      h <- u16(b, 8)
+      if w > 0 && h > 0
+    } yield Decoded("image/gif", w, h, 1L)
+  }
+
   /** WAV: "RIFF....WAVE" then chunked; the "fmt " chunk carries channels
     * / bits per sample / block align, the "data" chunk's size gives the
     * sample-frame count. Public spec: RIFF WAVE format. */
@@ -146,7 +187,8 @@ object Multimodal {
     * whose header is malformed falls through to the stub — never a
     * throw, a decode pipeline must not die on one corrupt asset. */
   def decode(bytes: Array[Byte]): Decoded =
-    decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodeWav(bytes))
+    decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
+      .orElse(decodeGif(bytes)).orElse(decodeWav(bytes))
       .getOrElse {
         val (w, h) = decodeStub(bytes)
         Decoded("opaque", w, h,

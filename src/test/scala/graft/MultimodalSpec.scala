@@ -69,6 +69,28 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.Decoded("image/ppm", 3, 5, 1L))
   }
 
+  test("PNG headers parse (big-endian IHDR dims); GIF logical screen " +
+    "descriptors parse (little-endian, both spec versions)") {
+    assert(Multimodal.decode(fixture("img_rgba.png")) ==
+      Multimodal.Decoded("image/png", 21, 13, 1L))
+    assert(Multimodal.decode(fixture("img_tall.png")) ==
+      Multimodal.Decoded("image/png", 1, 999, 1L))
+    assert(Multimodal.decode(fixture("img_anim.gif")) ==
+      Multimodal.Decoded("image/gif", 31, 7, 1L))
+    assert(Multimodal.decode(fixture("img_old.gif")) ==
+      Multimodal.Decoded("image/gif", 4, 4, 1L))
+    // near-misses fall to the stub, never throw: a truncated PNG
+    // signature, an IHDR-less chunk stream, a GIF with a zero dimension
+    assert(Multimodal.decode(fixture("not_a.png")).modality == "opaque")
+    val noIhdr = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++
+      Array[Byte](0, 0, 0, 13) ++ "XXXX".getBytes ++ Array.fill[Byte](17)(0)
+    assert(Multimodal.decode(noIhdr).modality == "opaque")
+    val zeroGif = "GIF89a".getBytes ++
+      Array[Byte](0, 0, 5, 0, 0, 0, 0, 0x3b)
+    assert(Multimodal.decode(zeroGif).modality == "opaque")
+  }
+
   test("WAV headers parse: channels, bit depth, sample-frame count") {
     assert(Multimodal.decode(fixture("audio_stereo16.wav")) ==
       Multimodal.Decoded("audio/wav", 2, 16, 321L))

@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Generate fixtures/multimodal — small deterministic BMP / PPM / WAV /
-opaque assets plus a manifest of their TRUE properties, computed by an
-INDEPENDENT implementation (python struct packing and the stdlib `wave`
-module), so the Scala header parsers are oracle-gated against ground truth
-they did not produce.
+"""Generate fixtures/multimodal — small deterministic BMP / PPM / PNG /
+GIF / WAV / opaque assets plus a manifest of their TRUE properties,
+computed by an INDEPENDENT implementation (python struct packing and the
+stdlib `wave`/`zlib` modules), so the Scala header parsers are
+oracle-gated against ground truth they did not produce.
 
 Layout:
   fixtures/multimodal/<name>            the asset bytes
@@ -11,7 +11,8 @@ Layout:
                                           n_frames}, ...]
 
 Manifest semantics (mirrors graft.operators.Multimodal.decode):
-  image/bmp, image/ppm: width x height pixels, n_frames = 1
+  image/bmp, image/ppm,
+  image/png, image/gif: width x height pixels, n_frames = 1
   audio/wav:            width = channels, height = bits per sample,
                         n_frames = sample frames (data bytes / block align)
   opaque:               sha256-derived stub dims (same arithmetic as
@@ -68,6 +69,30 @@ def ppm(width, height, magic=b"P6", comment=True):
     return hdr + body
 
 
+def png(width, height):
+    """Minimal true-color PNG: signature, IHDR (big-endian dims, crc),
+    one zlib IDAT of zeroed scanlines, IEND."""
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00\x00\x00\x00" * width
+                   for _ in range(height))
+    return (sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def gif(width, height, version=b"89a"):
+    """Minimal GIF: magic + logical screen descriptor (little-endian
+    uint16 dims, no global color table) + trailer."""
+    return (b"GIF" + version + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00" + b"\x3b")
+
+
 def wav(channels, bits, rate, n_frames):
     buf = io.BytesIO()
     w = wave.open(buf, "wb")
@@ -101,6 +126,10 @@ def main():
     put("img_rgb.ppm", ppm(6, 4), "image/ppm", 6, 4, 1)
     put("img_gray.pgm", ppm(9, 2, magic=b"P5"), "image/ppm", 9, 2, 1)
     put("img_plain.ppm", ppm(3, 5, comment=False), "image/ppm", 3, 5, 1)
+    put("img_rgba.png", png(21, 13), "image/png", 21, 13, 1)
+    put("img_tall.png", png(1, 999), "image/png", 1, 999, 1)
+    put("img_anim.gif", gif(31, 7), "image/gif", 31, 7, 1)
+    put("img_old.gif", gif(4, 4, version=b"87a"), "image/gif", 4, 4, 1)
     put("audio_stereo16.wav", wav(2, 16, 44100, 321), "audio/wav", 2, 16, 321)
     put("audio_mono8.wav", wav(1, 8, 8000, 123), "audio/wav", 1, 8, 123)
 
@@ -112,6 +141,12 @@ def main():
     tricky = b"BX" + blob[:100]
     w, h = stub_dims(tricky)
     put("not_a.bmp", tricky, "opaque", w, h, math.ceil(len(tricky) / FRAME_BYTES))
+    # PNG near-miss: valid signature, truncated before the IHDR dims —
+    # must fall to opaque, never throw
+    tricky_png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIH"
+    w, h = stub_dims(tricky_png)
+    put("not_a.png", tricky_png, "opaque", w, h,
+        math.ceil(len(tricky_png) / FRAME_BYTES))
 
     (OUT / "manifest.json").write_text(json.dumps(assets, indent=2))
     print(f"wrote {len(assets)} assets to {OUT}")
