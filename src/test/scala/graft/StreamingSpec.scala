@@ -272,6 +272,62 @@ class StreamingSpec extends AnyFunSuite {
     intercept[NotFoundError] { e.getChunk("a1") }
   }
 
+  test("checkpoint recovery: the dedup-gated ingest restarts from a real " +
+    "checkpoint exactly-once — committed batches never re-process, data " +
+    "queued while down is picked up, and the crash window (sink ran, " +
+    "offset commit lost) cannot double-insert") {
+    import graft.engine._
+    implicit val sqlCtx = spark.sqlContext
+    val e = VectorEngine.create(spark)
+    e.createLibrary("rec", dim = 4, id = Some("rlib"),
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 7L)
+    val doc = e.createDocument("rlib", "rdoc")
+    val mem = MemoryStream[(String, String, String, Seq[Float], Int)]
+    val streamDf = mem.toDF()
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ckpt").toString
+    val q1 = StreamingIngest.startDedupGatedChunkIngest(
+      e, "rlib", streamDf, threshold = 0.05, ckpt)
+    try {
+      mem.addData(("r0", doc.id, "t0", Seq(1f, 0f, 0f, 0f), 0),
+        ("r1", doc.id, "t1", Seq(0f, 1f, 0f, 0f), 1))
+      q1.processAllAvailable() // offsets for this batch are COMMITTED
+      assert(e.chunkCount("rlib") == 2)
+    } finally q1.stop() // the kill
+    // While DOWN, rows arrive — and the crash window is simulated
+    // faithfully: the foreachBatch SINK EFFECT for them already ran
+    // (process died after the sink completed but before the offset
+    // commit), so the restarted query WILL re-process exactly these rows
+    val crashRows = Seq(
+      ("r1", doc.id, "t1", Seq(0f, 1f, 0f, 0f), 1), // at-least-once replay
+      ("r2", doc.id, "t2", Seq(0f, 0f, 1f, 0f), 2)) // novel
+    val crashBatch = crashRows
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    assert(StreamingIngest.ingestDedupGatedBatch(
+      e, "rlib", crashBatch, 0.05) == 1L) // only r2 lands
+    assert(e.chunkCount("rlib") == 3)
+    mem.addData(crashRows: _*) // the same rows sit in the source, uncommitted
+    // restart against the SAME checkpoint: committed batch 0 is skipped,
+    // the uncommitted rows re-process, and the replay gate makes the
+    // re-delivery a no-op — the exactly-once contract, observed end to end
+    val q2 = StreamingIngest.startDedupGatedChunkIngest(
+      e, "rlib", streamDf, threshold = 0.05, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(e.chunkCount("rlib") == 3, "restart double-inserted a row")
+      // the recovered query keeps ingesting novel data
+      mem.addData(("r3", doc.id, "t3", Seq(0f, 0f, 0f, 1f), 3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(e.chunkCount("rlib") == 4)
+    assert(e.getChunk("r2").text == "t2" && e.getChunk("r3").text == "t3")
+    // the whole streamed corpus is searchable after recovery
+    assert(e.search("rlib", Seq(0f, 0f, 1f, 0f), k = 1).collect()
+      .map(_.getString(0)).toSeq == Seq("r2"))
+  }
+
   test("chunk-stream ingest e2e through the facade: MemoryStream -> " +
     "foreachBatch -> addChunksDf, no dupes on replay, post-stream search") {
     import graft.engine._
