@@ -83,6 +83,37 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(added.size <= 1, s"leaked ${added.size} persisted RDD generations")
   }
 
+  test("skew stress: a 50k-edge hub-and-spoke mega-component (one hot " +
+    "grouping key) converges in ONE round in both variants with bounded " +
+    "peak storage") {
+    val sc = spark.sparkContext
+    val n = 50000L
+    // every edge lands on node 0: the degenerate-skew shape — 50k rows
+    // funnel through a single groupBy key in every propagation round
+    val hub = spark.range(1L, n + 1L)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    // hash-min: a star has diameter 2 but min-eccentricity 1 — maxIters=1
+    // pins the round count (the loud guard throws if a second
+    // label-change round were needed)
+    val before1 = sc.getPersistentRDDs.keySet.toSet
+    val got = ConnectedComponents.components(hub, "a", "b", maxIters = 1)
+    assert(got.where(col("comp") =!= 0L).limit(1).count() == 0)
+    assert(got.count() == n + 1L)
+    val added1 = sc.getPersistentRDDs.keySet.filterNot(before1)
+    assert(added1.size <= 1,
+      s"hash-min leaked ${added1.size} persisted generations under skew")
+    // large-star/small-star: a star IS the fixpoint form — one round
+    // proves it (maxIters=1 throws otherwise); readout + node universe
+    // may stay pinned, but never one generation per round
+    val before2 = sc.getPersistentRDDs.keySet.toSet
+    val gotStar = ConnectedComponents.componentsStar(hub, "a", "b", maxIters = 1)
+    assert(gotStar.where(col("comp") =!= 0L).limit(1).count() == 0)
+    assert(gotStar.count() == n + 1L)
+    val added2 = sc.getPersistentRDDs.keySet.filterNot(before2)
+    assert(added2.size <= 2,
+      s"componentsStar leaked ${added2.size} persisted generations under skew")
+  }
+
   // ---- large-star/small-star variant (adversarial diameters) ----
 
   private def runStar(edges: Seq[(Long, Long)], maxIters: Int = 40): Map[Long, Long] =
