@@ -297,20 +297,32 @@ object NearDup {
                               id: Column, text: Column, n: Int = 3,
                               numHashes: Int = 16, rowsPerBand: Int = 2,
                               threshold: Double = 0.5): DataFrame = {
-    def index(df: DataFrame) =
-      df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
-        .localCheckpoint()
-    val hx = index(existing)
-    val hy = index(arriving)
-    def sigs(h: DataFrame) = h.select(col("id"),
+    // existing side: per-row signature artifacts, as persisted
+    val hx = existing.select(id.as("id"), hashedShingles(text, n).as("hsh"))
+      .localCheckpoint()
+    // arriving side: exact-duplicate collapse — a crawl batch repeats the
+    // same boilerplate page thousands of times, and every copy carries
+    // the same signature; band DISTINCT arriving texts only, expand the
+    // confirmed matches back over members (output-bound: each expanded
+    // row is a real confirmed pair)
+    val (members, reps) = collapseByDigest(arriving, id, text)
+    val hy = reps.select(col("grp"),
+      hashedShingles(col("text"), n).as("hsh")).localCheckpoint()
+    def sigs(h: DataFrame, key: String) = h.select(col(key).as("id"),
       minhashSignature(col("hsh"), numHashes).as("sig"))
-    val cand = bandKeys(sigs(hx), "id", "sig", rowsPerBand).as("x")
-      .join(bandKeys(sigs(hy), "id", "sig", rowsPerBand).as("y"),
+    val cand = bandKeys(sigs(hx, "id"), "id", "sig", rowsPerBand).as("x")
+      .join(bandKeys(sigs(hy, "grp"), "id", "sig", rowsPerBand).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-      .select(col("x.id").as("existing_id"), col("y.id").as("arriving_id"))
+      .select(col("x.id").as("existing_id"), col("y.id").as("grp"))
       .distinct()
-    confirmPairs(cand, hx, hy, "existing_id", "arriving_id", threshold)
-      .select(col("arriving_id"), col("existing_id"), col("jaccard"))
+    val repPairs = cand
+      .join(hx.select(col("id").as("existing_id"), col("hsh").as("__hsh_l")),
+        "existing_id")
+      .join(hy.select(col("grp"), col("hsh").as("__hsh_r")), "grp")
+      .withColumn("jaccard", jaccard(col("__hsh_l"), col("__hsh_r")))
+      .where(col("jaccard") >= threshold)
+    repPairs.join(members, "grp")
+      .select(col("id").as("arriving_id"), col("existing_id"), col("jaccard"))
   }
 
   /** `bits`-wide SimHash over the hashed shingle set: bit j is set iff the
@@ -455,15 +467,29 @@ object NearDup {
     val probes =
       if (multiProbe) LshIndex.hamming1Probes(col("bucket"), matrix.length)
       else array(col("bucket"))
-    val arr = arriving.select(id.as("id"), emb.as("emb"))
+    // exact-duplicate collapse of the ARRIVING batch (raw-vector key):
+    // identical vectors probe identical buckets, so the broadcast probe
+    // set carries one representative per distinct vector and confirmed
+    // matches expand back over members afterwards — a duplicate-heavy
+    // batch broadcasts and compares O(distinct), not O(batch)
+    val keyed = arriving.select(id.as("id"), emb.as("emb"))
+    val groups = keyed.groupBy(col("emb")).agg(min(col("id")).as("grp"))
+    // broadcast: groups <= the (small) batch — keeps the whole arriving
+    // side shuffle-free, like the probe set itself
+    val members = keyed.join(broadcast(groups), "emb")
+      .select(col("id"), col("grp"))
+    val arr = groups.select(col("grp"), col("emb"))
       .withColumn("bucket", VectorExpressions.lshBucket(col("emb"), matrix))
       .withColumn("nrm", nrm(col("emb")))
       .withColumn("probe", explode(probes))
-    ex.as("e").join(broadcast(arr.as("a")), col("e.bucket") === col("a.probe"))
+    val repPairs = ex.as("e")
+      .join(broadcast(arr.as("a")), col("e.bucket") === col("a.probe"))
       .withColumn("distance", pairDistance("e", "a"))
       .where(col("distance") <= threshold)
-      .select(col("a.id").as("arriving_id"), col("e.id").as("existing_id"),
+      .select(col("a.grp").as("grp"), col("e.id").as("existing_id"),
         col("distance"))
+    repPairs.join(broadcast(members), "grp")
+      .select(col("id").as("arriving_id"), col("existing_id"), col("distance"))
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, banded: the

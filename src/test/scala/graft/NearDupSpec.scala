@@ -349,6 +349,48 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, d) => a == 0L && b == 1001L && d == 0.0 })
   }
 
+  test("incremental variants collapse a duplicate-heavy ARRIVING batch: " +
+    "every copy is still reported against its existing match") {
+    // text: 200 identical arriving copies of a near-dup of doc 1 + 1 novel
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val arriving = ((100 to 299).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta iota")) :+
+      (300L, "totally unrelated content goes right here folks"))
+      .toDF("doc_id", "text")
+    val got = incrementalNearDupPairs(existing, arriving,
+        col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 2,
+        threshold = 0.5)
+      .select($"arriving_id", $"existing_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    // all 200 copies match doc 1 at the SAME jaccard (5 shared of 7
+    // distinct trigrams); the novel doc matches nothing
+    assert(got.length == 200)
+    assert(got.forall { case (a, e, j) =>
+      a >= 100 && a <= 299 && e == 1L && j == got.head._3 })
+    assert(!got.exists(_._1 == 300L))
+    // embeddings: 150 identical arriving copies of an existing vector
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val matrix = VectorFunctions.projectionMatrix(4, 64, 42L)
+    val ex = emb.where($"vec_id" < 300)
+    val arrEmb = emb.where($"vec_id" === 5)
+      .crossJoin(spark.range(150).select(($"id" + 5000L).as("nid")))
+      .select($"nid".as("vec_id"), $"embedding")
+    val gotEmb = incrementalEmbeddingNearDupPairs(ex, arrEmb,
+        col("vec_id"), col("embedding"), matrix, threshold = 0.0)
+      .select($"arriving_id", $"existing_id", $"distance")
+      .as[(Long, Long, Double)].collect()
+    // every copy finds vector 5 at exactly 0.0 (plus any other existing
+    // vector at rounded distance 0.0, identically for every copy)
+    val perArrival = gotEmb.groupBy(_._1).view.mapValues(
+      _.map(r => (r._2, r._3)).toSet).toMap
+    assert(perArrival.keySet == (5000L until 5150L).toSet)
+    assert(perArrival.values.toSet.size == 1, "copies must match identically")
+    assert(perArrival(5000L).contains((5L, 0.0)))
+  }
+
   test("bandedCandidates never pairs a doc with itself and orders ids") {
     val sh = docs.select(col("doc_id").as("id"),
       minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
