@@ -1469,13 +1469,20 @@ final class VectorEngine private (val spark: SparkSession,
                    candidates: Int = Lexical.DefaultCandidates,
                    rrfK: Int = Lexical.DefaultRrfK,
                    probe: String = settings.defaultProbe): DataFrame = {
-    getLibrary(libraryId)
+    val lib = getLibrary(libraryId)
     if (k <= 0) throw SearchError("k must be > 0")
     if (candidates < k) throw SearchError("candidates must be >= k")
     if (terms.isEmpty) throw SearchError("need at least one hybrid query term")
     if (terms.distinct.size != terms.size)
       throw SearchError("duplicate hybrid query terms")
     if (rrfK <= 0) throw SearchError("rrfK must be > 0")
+    // vector-leg argument guards FIRST — the BM25 leg below runs eager
+    // corpus-scale jobs, and a bad dimension/probe must fail before any
+    // of that work, not after it inside search()
+    if (query.length != lib.embedding_dimension)
+      throw SearchError(
+        s"query dimension ${query.length} != library dimension ${lib.embedding_dimension}")
+    if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
     val metaPred = MetadataFunctions.filterPredicate(col("metadata"), filters)
     val lexCorpus = chunks.where(col("library_id") === libraryId)
       .where(metaPred)

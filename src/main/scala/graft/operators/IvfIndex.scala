@@ -69,12 +69,19 @@ object IvfIndex {
     * vectors; empty cells keep their previous centroid. Those means are
     * float64 partial aggregates whose low bits depend on reduction
     * order — fine for an INDEX: the stored cell column, not the
-    * centroids, defines what a probe scans. */
+    * centroids, defines what a probe scans.
+    *
+    * `restarts` (best-of-N seeding) applies to the BOUNDED-SAMPLE branch
+    * only — the distributed huge-C path runs one fit (N full-table Lloyd
+    * sweeps would be N x the cluster cost for a seed question the
+    * sample path answers for free) and WARNS if more were requested, so
+    * the caller is never silently under-seeded. */
   def train(df: DataFrame, emb: Column, c: Int, iters: Int = 25,
             seed: Long = 42L, samplePerCentroid: Int = 256,
             restarts: Int = KMeans.DefaultRestarts): Seq[Centroid] = {
     require(c > 0 && iters >= 0 && samplePerCentroid > 0,
       "need c > 0, iters >= 0, samplePerCentroid > 0")
+    require(restarts >= 1, "need restarts >= 1")
     // SMALL C (every coarse quantizer in this repo): k-means++ + local
     // Lloyd over ONE bounded weighted sample of DISTINCT vectors (see
     // KMeans.sampleWeighted — skew-proof, deterministic under any
@@ -91,6 +98,11 @@ object IvfIndex {
       // centroids are the one fit whose seed placement moves recall
       return KMeans.fitCentroids(sample, weights, c, iters, seed, restarts)
     }
+    if (restarts > 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IvfIndex.train: restarts=$restarts requested but c=$c exceeds the " +
+          "bounded-sample budget — the distributed Lloyd path runs ONE fit " +
+          "(best-of-N seeding applies to the local branch only)")
     val vecs = df.select(emb.cast("array<float>").as("emb"))
     val init = vecs.dropDuplicates("emb")
       .withColumn("h", xxhash64(lit(seed), col("emb")))

@@ -138,18 +138,20 @@ object NearDup {
     * [[nearDupEdges]], or output-bound pair expansion via [[nearDupPairs]].
     *
     * Returns (members, reps): members = (id, grp) for every input row —
-    * narrow (id + 128-bit digest), checkpointed because both expansions
-    * reuse it; reps = (grp, id, text) one row per distinct text with
-    * id = the group's min member id. Partial aggregation collapses the
-    * rep agg map-side, so at most one text copy per group per input
-    * partition ever shuffles. A null text yields a null digest: null
-    * group keys never equi-join, so null-text rows pair with nothing —
-    * exactly the pre-collapse behavior. */
+    * narrow (id + 128-bit digest), NOT materialized here: multi-consumer
+    * callers (the pair expansions read it four times) checkpoint it
+    * themselves, single-consumer callers (edges, the per-micro-batch
+    * incremental path) skip the eager job; reps = (grp, id, text) one
+    * row per distinct text with id = the group's min member id. Partial
+    * aggregation collapses the rep agg map-side, so at most one text
+    * copy per group per input partition ever shuffles. A null text
+    * yields a null digest: null group keys never equi-join, so null-text
+    * rows pair with nothing — exactly the pre-collapse behavior. */
   private[graft] def collapseByDigest(df: DataFrame, id: Column, text: Column)
       : (DataFrame, DataFrame) = {
     val keyed = df.select(id.as("id"), text.as("text"))
       .withColumn("grp", md5(col("text")))
-    val members = keyed.select(col("id"), col("grp")).localCheckpoint()
+    val members = keyed.select(col("id"), col("grp"))
     val reps = keyed.groupBy(col("grp"))
       .agg(min(col("id")).as("id"), any_value(col("text")).as("text"))
     (members, reps)
@@ -221,7 +223,8 @@ object NearDup {
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val (members, reps) = collapseByDigest(df, id, text)
+    val (members0, reps) = collapseByDigest(df, id, text)
+    val members = members0.localCheckpoint() // expandPairs reads it 4x
     val (hashed, repPairs) = repNearDupPairs(reps, n, numHashes, rowsPerBand,
       threshold)
     val withinGroups = hashed.select(col("grp"), identicalJaccard.as("jaccard"))
@@ -505,7 +508,8 @@ object NearDup {
     // exact-duplicate collapse: identical texts have identical
     // fingerprints, so a group of m copies would collide in every band —
     // band over distinct texts only, expand members back afterwards
-    val (members, reps) = collapseByDigest(df, id, text)
+    val (members0, reps) = collapseByDigest(df, id, text)
+    val members = members0.localCheckpoint() // expandPairs reads it 4x
     // materialized once: both sides of the self-join reuse it
     val sims = reps.select(col("grp"),
       simhash(hashedShingles(col("text"), shingleN), bits).as("sim"))
