@@ -95,6 +95,54 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("collapsed nearDupPairs == brute-force pairs and nearDupEdges " +
+    "preserves losers + closure, on random corpora WITH duplicates") = {
+    import graft.operators.NearDup
+    // small word pool => high collision/duplication rate; dupFactor
+    // replicates a prefix of the corpus verbatim under fresh ids
+    val wordPool = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val textGen = Gen.listOfN(5, Gen.oneOf(wordPool)).map(_.mkString(" "))
+    forAll(Gen.listOfN(8, textGen), Gen.chooseNum(1, 4)) { (texts, dupFactor) =>
+      val docs = (texts ++ Seq.fill(dupFactor)(texts.take(3)).flatten)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val pairs = NearDup.nearDupPairs(df, col("doc_id"), col("text"),
+          n = 2, numHashes = 24, rowsPerBand = 1, threshold = 0.5)
+        .select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force over the driver-side corpus
+      val h = df.select($"doc_id",
+        NearDup.hashedShingles(col("text"), 2).as("hsh"))
+      val brute = h.as("x").join(h.as("y"), $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id", $"y.doc_id",
+          NearDup.jaccard($"x.hsh", $"y.hsh").as("j"))
+        .where($"j" >= 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val edges = NearDup.nearDupEdges(df, col("doc_id"), col("text"),
+          n = 2, numHashes = 24, rowsPerBand = 1, threshold = 0.5)
+        .as[(Long, Long)].collect().toSet
+      // greedy losers identical; components identical (union-find)
+      def comps(es: Set[(Long, Long)]): Map[Long, Long] = {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        docs.foreach(d => find(d._1))
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra max rb) = ra min rb
+        }
+        parent.keys.map(k => k -> find(k)).toMap
+      }
+      val pairSet = pairs.map(p => (p._1, p._2))
+      pairs == brute &&
+        edges.subsetOf(pairSet) &&
+        pairSet.map(_._2) == edges.map(_._2) &&
+        comps(pairSet) == comps(edges)
+    }
+  }
+
   property("LSH results come from the true distance ordering, sorted") =
     forAll(Gen.listOfN(12, nonZeroVec)) { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
