@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * structs; decode/feature-extraction runs per partition over batches.
   *
   * The decode step parses REAL headers for the dependency-free formats —
-  * BMP, PPM/PGM, PNG, GIF, and WAV headers parse with zero codec
+  * BMP, PPM/PGM, PNG, GIF, JPEG, and WAV headers parse with zero codec
   * libraries (public format specs; the reference has no multimodal
   * handling at all) — and falls back to `decodeStub` for every other
-  * payload: compressed PIXEL data (JPEG decode, PNG's zlib stream,
-  * MP4) needs libraries this environment does not ship, so the
+  * payload: compressed PIXEL data (JPEG's entropy stream, PNG's zlib
+  * stream, MP4) needs libraries this environment does not ship, so the
   * stub derives deterministic fake dimensions from a content hash and
   * stays the documented placeholder a production deployment swaps for a
   * real decoder. Everything around the dispatch — the binary column, the
@@ -150,6 +150,44 @@ object Multimodal {
     } yield Decoded("image/gif", w, h, 1L)
   }
 
+  /** JPEG: SOI (FFD8) then a marker-segment walk — each segment is
+    * FF <marker> <u16 big-endian length incl. itself>; the frame header
+    * (SOF0..SOF15, minus DHT/DAC/JPG) carries precision(1), height(2),
+    * width(2) big-endian. Fill bytes (repeated FF) and standalone
+    * markers (TEM, RSTn) are skipped; reaching SOS/EOI without a SOF, or
+    * any structural violation, falls back to None. Only the entropy
+    * stream needs a codec — the marker layer parses dependency-free.
+    * Public spec: ITU-T T.81 §B.1-B.2. */
+  def decodeJpeg(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    val sofMarkers = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
+      0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
+    var i = 2L
+    while (i + 4 <= b.length) {
+      val off = i.toInt
+      if ((b(off) & 0xff) != 0xff) return None
+      val m = b(off + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+      else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2) return None
+        if (sofMarkers(m)) {
+          if (off + 9 > b.length) return None
+          val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+          return if (w > 0 && h > 0) Some(Decoded("image/jpeg", w, h, 1L))
+                 else None
+        }
+        // LONG cursor: an adversarial length cannot wrap it negative
+        i += 2L + len
+      }
+    }
+    None
+  }
+
   /** WAV: "RIFF....WAVE" then chunked; the "fmt " chunk carries channels
     * / bits per sample / block align, the "data" chunk's size gives the
     * sample-frame count. Public spec: RIFF WAVE format. */
@@ -188,7 +226,8 @@ object Multimodal {
     * throw, a decode pipeline must not die on one corrupt asset. */
   def decode(bytes: Array[Byte]): Decoded =
     decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
-      .orElse(decodeGif(bytes)).orElse(decodeWav(bytes))
+      .orElse(decodeGif(bytes)).orElse(decodeJpeg(bytes))
+      .orElse(decodeWav(bytes))
       .getOrElse {
         val (w, h) = decodeStub(bytes)
         Decoded("opaque", w, h,

@@ -91,6 +91,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(zeroGif).modality == "opaque")
   }
 
+  test("JPEG frame headers parse via the marker walk: baseline SOF0, " +
+    "progressive SOF2, COM segments skipped; SOF-less streams fall to " +
+    "the stub") {
+    assert(Multimodal.decode(fixture("img_base.jpg")) ==
+      Multimodal.Decoded("image/jpeg", 640, 480, 1L))
+    assert(Multimodal.decode(fixture("img_prog.jpg")) ==
+      Multimodal.Decoded("image/jpeg", 33, 77, 1L))
+    // SOI + COM + EOI, never a SOF: opaque, not a throw
+    assert(Multimodal.decode(fixture("not_a.jpg")).modality == "opaque")
+    // adversarial segment length (0xFFFF) walks off the end harmlessly
+    val evil = Array(0xff, 0xd8, 0xff, 0xe0, 0xff, 0xff).map(_.toByte) ++
+      Array.fill[Byte](16)(0)
+    assert(Multimodal.decode(evil).modality == "opaque")
+    // DHT's C4 marker must NOT be mistaken for a SOF
+    val dhtFirst = Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.decode(dhtFirst).modality == "opaque")
+  }
+
   test("WAV headers parse: channels, bit depth, sample-frame count") {
     assert(Multimodal.decode(fixture("audio_stereo16.wav")) ==
       Multimodal.Decoded("audio/wav", 2, 16, 321L))

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Generate fixtures/multimodal — small deterministic BMP / PPM / PNG /
-GIF / WAV / opaque assets plus a manifest of their TRUE properties,
+GIF / JPEG / WAV / opaque assets plus a manifest of their TRUE properties,
 computed by an INDEPENDENT implementation (python struct packing and the
 stdlib `wave`/`zlib` modules), so the Scala header parsers are
 oracle-gated against ground truth they did not produce.
@@ -11,8 +11,8 @@ Layout:
                                           n_frames}, ...]
 
 Manifest semantics (mirrors graft.operators.Multimodal.decode):
-  image/bmp, image/ppm,
-  image/png, image/gif: width x height pixels, n_frames = 1
+  image/bmp, image/ppm, image/png,
+  image/gif, image/jpeg: width x height pixels, n_frames = 1
   audio/wav:            width = channels, height = bits per sample,
                         n_frames = sample frames (data bytes / block align)
   opaque:               sha256-derived stub dims (same arithmetic as
@@ -86,6 +86,22 @@ def png(width, height):
             + chunk(b"IEND", b""))
 
 
+def jpeg(width, height, progressive=False):
+    """Minimal JPEG header stream: SOI, JFIF APP0, a COM segment (walk
+    exercise), SOF0/SOF2 with the big-endian dims, EOI. No entropy data
+    — the parser under test stops at the frame header."""
+    soi = b"\xff\xd8"
+    jfif = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    com = b"generated fixture, do not edit"
+    comseg = b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com
+    sof_payload = (struct.pack(">BHHB", 8, height, width, 3)
+                   + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = marker + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return soi + app0 + comseg + sof + b"\xff\xd9"
+
+
 def gif(width, height, version=b"89a"):
     """Minimal GIF: magic + logical screen descriptor (little-endian
     uint16 dims, no global color table) + trailer."""
@@ -130,6 +146,8 @@ def main():
     put("img_tall.png", png(1, 999), "image/png", 1, 999, 1)
     put("img_anim.gif", gif(31, 7), "image/gif", 31, 7, 1)
     put("img_old.gif", gif(4, 4, version=b"87a"), "image/gif", 4, 4, 1)
+    put("img_base.jpg", jpeg(640, 480), "image/jpeg", 640, 480, 1)
+    put("img_prog.jpg", jpeg(33, 77, progressive=True), "image/jpeg", 33, 77, 1)
     put("audio_stereo16.wav", wav(2, 16, 44100, 321), "audio/wav", 2, 16, 321)
     put("audio_mono8.wav", wav(1, 8, 8000, 123), "audio/wav", 1, 8, 123)
 
@@ -147,6 +165,11 @@ def main():
     w, h = stub_dims(tricky_png)
     put("not_a.png", tricky_png, "opaque", w, h,
         math.ceil(len(tricky_png) / FRAME_BYTES))
+    # JPEG near-miss: SOI + a segment stream that hits EOI with no SOF
+    tricky_jpg = b"\xff\xd8\xff\xfe" + struct.pack(">H", 6) + b"nope" + b"\xff\xd9"
+    w, h = stub_dims(tricky_jpg)
+    put("not_a.jpg", tricky_jpg, "opaque", w, h,
+        math.ceil(len(tricky_jpg) / FRAME_BYTES))
 
     (OUT / "manifest.json").write_text(json.dumps(assets, indent=2))
     print(f"wrote {len(assets)} assets to {OUT}")
