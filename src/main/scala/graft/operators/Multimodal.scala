@@ -220,6 +220,66 @@ object Multimodal {
     Some(Decoded("audio/wav", channels, bits, dataSize / ba))
   }
 
+  /** MP4 / ISO-BMFF: big-endian (size, fourcc) box walk — a top-level
+    * `ftyp` brand box, then `moov` > `trak` > `tkhd`, whose 16.16
+    * fixed-point width/height give the presentation dimensions (the
+    * first trak with nonzero dims wins: audio traks carry zeros).
+    * size == 1 reads the 64-bit largesize; size == 0 extends to the end
+    * of the enclosure; a malformed size (smaller than its own header,
+    * or overflowing) aborts to None. Only the sample DATA needs a codec
+    * — the box layer parses dependency-free. Public spec: ISO/IEC
+    * 14496-12 (box structure; tkhd layout). */
+  def decodeMp4(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 12 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    // all child boxes of [start, end) with the given fourcc, as
+    // (payloadStart, payloadEnd) ranges; malformed sizes end the walk
+    def children(start: Long, end: Long, target: String): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val off = i.toInt
+        (u32be(b, off), Some(new String(b, off + 4, 4, "US-ASCII"))) match {
+          case (Some(sz0), Some(typ)) =>
+            var hdr = 8L
+            val sz: Long =
+              if (sz0 == 1L) {
+                hdr = 16L
+                (u32be(b, off + 8), u32be(b, off + 12)) match {
+                  case (Some(hi), Some(lo)) => (hi << 32) | lo
+                  case _ => -1L
+                }
+              } else if (sz0 == 0L) end - i
+              else sz0
+            if (sz < hdr) ok = false
+            else {
+              if (typ == target) out += ((i + hdr, math.min(i + sz, end)))
+              i += sz
+            }
+          case _ => ok = false
+        }
+      }
+      out.toSeq
+    }
+    def tkhdDims(ks: Long, ke: Long): Option[(Int, Int)] = {
+      if (ks >= ke || ke > b.length) return None
+      val version = b(ks.toInt) & 0xff
+      val base = ks + (if (version == 1) 84L else 76L)
+      if (base + 8L > ke) return None
+      for {
+        w <- u32be(b, base.toInt)
+        h <- u32be(b, (base + 4L).toInt)
+        if (w >> 16) > 0 && (h >> 16) > 0
+      } yield ((w >> 16).toInt, (h >> 16).toInt)
+    }
+    (for {
+      (ms, me) <- children(0L, b.length.toLong, "moov")
+      (ts, te) <- children(ms, me, "trak")
+      (ks, ke) <- children(ts, te, "tkhd")
+      dims <- tkhdDims(ks, ke)
+    } yield Decoded("video/mp4", dims._1, dims._2, 1L)).headOption
+  }
+
   /** Dispatch: real header parse for the dependency-free formats, stub
     * for everything else ("opaque"). A payload whose magic matches but
     * whose header is malformed falls through to the stub — never a
@@ -227,7 +287,7 @@ object Multimodal {
   def decode(bytes: Array[Byte]): Decoded =
     decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
       .orElse(decodeGif(bytes)).orElse(decodeJpeg(bytes))
-      .orElse(decodeWav(bytes))
+      .orElse(decodeMp4(bytes)).orElse(decodeWav(bytes))
       .getOrElse {
         val (w, h) = decodeStub(bytes)
         Decoded("opaque", w, h,

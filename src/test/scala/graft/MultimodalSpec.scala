@@ -110,6 +110,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(dhtFirst).modality == "opaque")
   }
 
+  test("MP4 box walk parses tkhd dimensions: the first NONZERO-dims trak " +
+    "wins (audio traks carry zeros), 64-bit largesize boxes walk too") {
+    assert(Multimodal.decode(fixture("vid_basic.mp4")) ==
+      Multimodal.Decoded("video/mp4", 1920, 1080, 1L))
+    assert(Multimodal.decode(fixture("vid_large.mp4")) ==
+      Multimodal.Decoded("video/mp4", 64, 36, 1L))
+    // ftyp with no moov: opaque, not a throw
+    val noMoov = fixture("vid_basic.mp4").take(24)
+    assert(Multimodal.decode(noMoov).modality == "opaque")
+    // adversarial box size (0xFFFFFFFF) aborts the walk harmlessly
+    val evil = fixture("vid_basic.mp4").take(24) ++
+      Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) ++ "moov".getBytes ++
+      Array.fill[Byte](16)(0)
+    assert(Multimodal.decode(evil).modality == "opaque")
+  }
+
   test("WAV headers parse: channels, bit depth, sample-frame count") {
     assert(Multimodal.decode(fixture("audio_stereo16.wav")) ==
       Multimodal.Decoded("audio/wav", 2, 16, 321L))

@@ -143,6 +143,25 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("multimodal decode never throws on arbitrary bytes, whatever " +
+    "magic they open with (a decode pipeline must not die on one corrupt " +
+    "asset)") = {
+    import graft.operators.Multimodal
+    val magicGen: Gen[Seq[Byte]] = Gen.oneOf(Seq(
+      Seq.empty[Byte],
+      "BM".getBytes.toSeq, "P6".getBytes.toSeq, "P5".getBytes.toSeq,
+      "GIF89a".getBytes.toSeq, "GIF87a".getBytes.toSeq,
+      Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Seq(0xff, 0xd8, 0xff).map(_.toByte),
+      "RIFFxxxxWAVE".getBytes.toSeq,
+      (Seq[Byte](0, 0, 0, 20) ++ "ftyp".getBytes.toSeq)))
+    forAll(magicGen,
+      Gen.listOfN(48, Gen.chooseNum(-128, 127).map(_.toByte))) { (m, tail) =>
+      val d = Multimodal.decode((m ++ tail).toArray)
+      d.nFrames >= 0 && d.width >= 0 && d.height >= 0
+    }
+  }
+
   property("LSH results come from the true distance ordering, sorted") =
     forAll(Gen.listOfN(12, nonZeroVec)) { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }

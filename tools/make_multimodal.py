@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Generate fixtures/multimodal — small deterministic BMP / PPM / PNG /
-GIF / JPEG / WAV / opaque assets plus a manifest of their TRUE properties,
+GIF / JPEG / MP4 / WAV / opaque assets plus a manifest of their TRUE properties,
 computed by an INDEPENDENT implementation (python struct packing and the
 stdlib `wave`/`zlib` modules), so the Scala header parsers are
 oracle-gated against ground truth they did not produce.
@@ -11,8 +11,8 @@ Layout:
                                           n_frames}, ...]
 
 Manifest semantics (mirrors graft.operators.Multimodal.decode):
-  image/bmp, image/ppm, image/png,
-  image/gif, image/jpeg: width x height pixels, n_frames = 1
+  image/bmp, image/ppm, image/png, image/gif,
+  image/jpeg, video/mp4: width x height pixels, n_frames = 1
   audio/wav:            width = channels, height = bits per sample,
                         n_frames = sample frames (data bytes / block align)
   opaque:               sha256-derived stub dims (same arithmetic as
@@ -102,6 +102,40 @@ def jpeg(width, height, progressive=False):
     return soi + app0 + comseg + sof + b"\xff\xd9"
 
 
+def mp4(width, height, largesize=False):
+    """Minimal ISO-BMFF stream: ftyp + moov(mvhd + audio trak with zero
+    dims + video trak whose tkhd carries the 16.16 fixed-point dims).
+    The audio-first ordering exercises the first-nonzero-trak rule;
+    largesize wraps moov in a 64-bit size=1 box header."""
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def box64(typ, payload):
+        return (struct.pack(">I", 1) + typ
+                + struct.pack(">Q", 16 + len(payload)) + payload)
+
+    def tkhd(w, h, volume):
+        matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                             0, 0, 0x40000000)
+        return box(b"tkhd", b"\x00\x00\x00\x07"
+                   + struct.pack(">IIII", 0, 0, 1, 0)      # times, id, rsvd
+                   + struct.pack(">I", 1000)               # duration
+                   + b"\x00" * 8                           # reserved
+                   + struct.pack(">hhhh", 0, 0, volume, 0) # layer/alt/vol/rsvd
+                   + matrix
+                   + struct.pack(">II", w << 16, h << 16))
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00"
+               + struct.pack(">IIII", 0, 0, 1000, 3000)
+               + struct.pack(">I", 0x00010000) + b"\x00" * 76)
+    audio_trak = box(b"trak", tkhd(0, 0, 0x0100))
+    video_trak = box(b"trak", tkhd(width, height, 0))
+    payload = mvhd + audio_trak + video_trak
+    moov = box64(b"moov", payload) if largesize else box(b"moov", payload)
+    return ftyp + moov
+
+
 def gif(width, height, version=b"89a"):
     """Minimal GIF: magic + logical screen descriptor (little-endian
     uint16 dims, no global color table) + trailer."""
@@ -148,6 +182,8 @@ def main():
     put("img_old.gif", gif(4, 4, version=b"87a"), "image/gif", 4, 4, 1)
     put("img_base.jpg", jpeg(640, 480), "image/jpeg", 640, 480, 1)
     put("img_prog.jpg", jpeg(33, 77, progressive=True), "image/jpeg", 33, 77, 1)
+    put("vid_basic.mp4", mp4(1920, 1080), "video/mp4", 1920, 1080, 1)
+    put("vid_large.mp4", mp4(64, 36, largesize=True), "video/mp4", 64, 36, 1)
     put("audio_stereo16.wav", wav(2, 16, 44100, 321), "audio/wav", 2, 16, 321)
     put("audio_mono8.wav", wav(1, 8, 8000, 123), "audio/wav", 1, 8, 123)
 
