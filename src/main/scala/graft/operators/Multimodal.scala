@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * structs; decode/feature-extraction runs per partition over batches.
   *
   * The decode step parses REAL headers for the dependency-free formats —
-  * BMP, PPM/PGM, PNG, GIF, JPEG, and WAV headers parse with zero codec
-  * libraries (public format specs; the reference has no multimodal
+  * BMP, PPM/PGM, PNG, GIF, JPEG, MP4, and WAV headers parse with zero
+  * codec libraries (public format specs; the reference has no multimodal
   * handling at all) — and falls back to `decodeStub` for every other
-  * payload: compressed PIXEL data (JPEG's entropy stream, PNG's zlib
-  * stream, MP4) needs libraries this environment does not ship, so the
+  * payload: compressed SAMPLE data (JPEG's entropy stream, PNG's zlib
+  * stream, MP4 media tracks) needs libraries this environment does not
+  * ship, so the
   * stub derives deterministic fake dimensions from a content hash and
   * stays the documented placeholder a production deployment swaps for a
   * real decoder. Everything around the dispatch — the binary column, the
@@ -158,11 +159,14 @@ object Multimodal {
     * any structural violation, falls back to None. Only the entropy
     * stream needs a codec — the marker layer parses dependency-free.
     * Public spec: ITU-T T.81 §B.1-B.2. */
+  // frame-header markers (SOF0..15 minus DHT C4 / JPG C8 / DAC CC) —
+  // object-level: decodeJpeg runs per asset on the partition hot path
+  private val SofMarkers = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
+    0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
+
   def decodeJpeg(b: Array[Byte]): Option[Decoded] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
-    val sofMarkers = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
-      0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
     var i = 2L
     while (i + 4 <= b.length) {
       val off = i.toInt
@@ -174,8 +178,11 @@ object Multimodal {
       else {
         val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
         if (len < 2) return None
-        if (sofMarkers(m)) {
-          if (off + 9 > b.length) return None
+        if (SofMarkers(m)) {
+          // the segment's OWN declared length must cover the frame
+          // parameters (2 len + 1 precision + 2 height + 2 width), or
+          // the dims read would come from the NEXT segment's bytes
+          if (len < 7 || off + 9 > b.length) return None
           val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
           val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
           return if (w > 0 && h > 0) Some(Decoded("image/jpeg", w, h, 1L))
@@ -254,7 +261,11 @@ object Multimodal {
             if (sz < hdr) ok = false
             else {
               if (typ == target) out += ((i + hdr, math.min(i + sz, end)))
-              i += sz
+              // advance ONLY when the whole box fits the enclosure: a
+              // size past the end (or a largesize near Long.MaxValue)
+              // would wrap the cursor and read garbage offsets
+              if (sz > end - i) ok = false
+              else i += sz
             }
           case _ => ok = false
         }
@@ -264,7 +275,10 @@ object Multimodal {
     def tkhdDims(ks: Long, ke: Long): Option[(Int, Int)] = {
       if (ks >= ke || ke > b.length) return None
       val version = b(ks.toInt) & 0xff
-      val base = ks + (if (version == 1) 84L else 76L)
+      // v1 widens creation/modification times AND duration to 8 bytes:
+      // 4 version/flags + 36 times/id/reserved/duration + 8 reserved +
+      // 8 layer/alt/volume/reserved + 36 matrix = 88 (v0: 76)
+      val base = ks + (if (version == 1) 88L else 76L)
       if (base + 8L > ke) return None
       for {
         w <- u32be(b, base.toInt)
@@ -321,10 +335,10 @@ object Multimodal {
   /** Per-partition decode path (the Scala analog of a batched Pandas UDF):
     * the executor sees an iterator of rows per partition and can hold one
     * codec context per partition — the right shape for native decoders.
-    * Dispatches through [[decode]]: real header parse for BMP/PPM/WAV,
-    * stub for everything else — where the stub wins, the caller's
-    * modality string is kept as the hint (an opaque payload tells us
-    * nothing better). */
+    * Dispatches through [[decode]]: real header parse for
+    * BMP/PPM/PNG/GIF/JPEG/MP4/WAV, stub for everything else — where the
+    * stub wins, the caller's modality string is kept as the hint (an
+    * opaque payload tells us nothing better). */
   def decodePartitions(ds: Dataset[(Long, String, Array[Byte])]): Dataset[AssetMeta] = {
     implicit val enc: Encoder[AssetMeta] = Encoders.product[AssetMeta]
     ds.mapPartitions { rows =>

@@ -124,6 +124,23 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) ++ "moov".getBytes ++
       Array.fill[Byte](16)(0)
     assert(Multimodal.decode(evil).modality == "opaque")
+    // version-1 tkhd (64-bit times/duration) shifts the dims by 12 bytes
+    assert(Multimodal.decode(fixture("vid_v1.mp4")) ==
+      Multimodal.Decoded("video/mp4", 256, 144, 1L))
+    // largesize near Long.MaxValue must not wrap the cursor into
+    // negative offsets (never-throw contract under adversarial sizes)
+    val wrap = fixture("vid_basic.mp4").take(28) ++
+      Array(0x00, 0x00, 0x00, 0x01).map(_.toByte) ++ "moov".getBytes ++
+      Array(0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xf8).map(_.toByte) ++
+      Array.fill[Byte](32)(0)
+    assert(Multimodal.decode(wrap).modality == "opaque")
+  }
+
+  test("JPEG: a SOF segment whose declared length cannot hold the frame " +
+    "parameters falls to the stub instead of reading the next segment") {
+    val evil = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02, 0x00, 0x10,
+      0x00, 0x10).map(_.toByte) ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.decode(evil).modality == "opaque")
   }
 
   test("WAV headers parse: channels, bit depth, sample-frame count") {

@@ -102,11 +102,12 @@ def jpeg(width, height, progressive=False):
     return soi + app0 + comseg + sof + b"\xff\xd9"
 
 
-def mp4(width, height, largesize=False):
+def mp4(width, height, largesize=False, tkhd_version=0):
     """Minimal ISO-BMFF stream: ftyp + moov(mvhd + audio trak with zero
     dims + video trak whose tkhd carries the 16.16 fixed-point dims).
     The audio-first ordering exercises the first-nonzero-trak rule;
-    largesize wraps moov in a 64-bit size=1 box header."""
+    largesize wraps moov in a 64-bit size=1 box header; tkhd_version=1
+    exercises the widened 64-bit time/duration layout."""
     def box(typ, payload):
         return struct.pack(">I", 8 + len(payload)) + typ + payload
 
@@ -114,12 +115,19 @@ def mp4(width, height, largesize=False):
         return (struct.pack(">I", 1) + typ
                 + struct.pack(">Q", 16 + len(payload)) + payload)
 
-    def tkhd(w, h, volume):
+    def tkhd(w, h, volume, version=0):
         matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
                              0, 0, 0x40000000)
-        return box(b"tkhd", b"\x00\x00\x00\x07"
-                   + struct.pack(">IIII", 0, 0, 1, 0)      # times, id, rsvd
-                   + struct.pack(">I", 1000)               # duration
+        if version == 1:
+            # v1 widens creation/modification times AND duration to 64-bit
+            head = (b"\x01\x00\x00\x07"
+                    + struct.pack(">QQII", 0, 0, 1, 0)     # times, id, rsvd
+                    + struct.pack(">Q", 1000))             # duration
+        else:
+            head = (b"\x00\x00\x00\x07"
+                    + struct.pack(">IIII", 0, 0, 1, 0)     # times, id, rsvd
+                    + struct.pack(">I", 1000))             # duration
+        return box(b"tkhd", head
                    + b"\x00" * 8                           # reserved
                    + struct.pack(">hhhh", 0, 0, volume, 0) # layer/alt/vol/rsvd
                    + matrix
@@ -129,8 +137,8 @@ def mp4(width, height, largesize=False):
     mvhd = box(b"mvhd", b"\x00\x00\x00\x00"
                + struct.pack(">IIII", 0, 0, 1000, 3000)
                + struct.pack(">I", 0x00010000) + b"\x00" * 76)
-    audio_trak = box(b"trak", tkhd(0, 0, 0x0100))
-    video_trak = box(b"trak", tkhd(width, height, 0))
+    audio_trak = box(b"trak", tkhd(0, 0, 0x0100, version=tkhd_version))
+    video_trak = box(b"trak", tkhd(width, height, 0, version=tkhd_version))
     payload = mvhd + audio_trak + video_trak
     moov = box64(b"moov", payload) if largesize else box(b"moov", payload)
     return ftyp + moov
@@ -184,6 +192,7 @@ def main():
     put("img_prog.jpg", jpeg(33, 77, progressive=True), "image/jpeg", 33, 77, 1)
     put("vid_basic.mp4", mp4(1920, 1080), "video/mp4", 1920, 1080, 1)
     put("vid_large.mp4", mp4(64, 36, largesize=True), "video/mp4", 64, 36, 1)
+    put("vid_v1.mp4", mp4(256, 144, tkhd_version=1), "video/mp4", 256, 144, 1)
     put("audio_stereo16.wav", wav(2, 16, 44100, 321), "audio/wav", 2, 16, 321)
     put("audio_mono8.wav", wav(1, 8, 8000, 123), "audio/wav", 1, 8, 123)
 
