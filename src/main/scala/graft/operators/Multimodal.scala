@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * structs; decode/feature-extraction runs per partition over batches.
   *
   * The decode step parses REAL headers for the dependency-free formats —
-  * BMP, PPM/PGM, PNG, GIF, JPEG, MP4, and WAV headers parse with zero
-  * codec libraries (public format specs; the reference has no multimodal
-  * handling at all) — and falls back to `decodeStub` for every other
-  * payload: compressed SAMPLE data (JPEG's entropy stream, PNG's zlib
-  * stream, MP4 media tracks) needs libraries this environment does not
-  * ship, so the
+  * BMP, PPM/PGM, PNG, GIF, JPEG, MP4, WAV, and FLAC headers parse with
+  * zero codec libraries (public format specs; the reference has no
+  * multimodal handling at all) — and falls back to `decodeStub` for
+  * every other payload: compressed SAMPLE data (JPEG's entropy stream,
+  * PNG's zlib stream, MP4 media tracks, FLAC frames) needs libraries
+  * this environment does not ship, so the
   * stub derives deterministic fake dimensions from a content hash and
   * stays the documented placeholder a production deployment swaps for a
   * real decoder. Everything around the dispatch — the binary column, the
@@ -227,6 +227,28 @@ object Multimodal {
     Some(Decoded("audio/wav", channels, bits, dataSize / ba))
   }
 
+  /** FLAC: "fLaC" magic, then metadata blocks — the spec requires
+    * STREAMINFO first (type 0, 34 bytes). Sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5) and total samples (36) are
+    * bit-packed big-endian at payload offset 10. Output contract matches
+    * WAV: width = channels, height = bits per sample, n_frames = total
+    * sample frames. Only the frame data needs a codec. Public spec:
+    * FLAC format, STREAMINFO block. */
+  def decodeFlac(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 42 || new String(b, 0, 4, "US-ASCII") != "fLaC") return None
+    val btype = b(4) & 0x7f
+    val blen = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (btype != 0 || blen < 34) return None
+    val b20 = b(20) & 0xff
+    val rate = ((b(18) & 0xff) << 12) | ((b(19) & 0xff) << 4) | (b20 >> 4)
+    val channels = ((b20 >> 1) & 0x7) + 1
+    val bps = (((b20 & 0x1) << 4) | ((b(21) & 0xff) >> 4)) + 1
+    val samples = ((b(21) & 0xfL) << 32) | ((b(22) & 0xffL) << 24) |
+      ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 8) | (b(25) & 0xffL)
+    if (rate <= 0) None // 0 is invalid per spec; dims below are +1-coded
+    else Some(Decoded("audio/flac", channels, bps, samples))
+  }
+
   /** MP4 / ISO-BMFF: big-endian (size, fourcc) box walk — a top-level
     * `ftyp` brand box, then `moov` > `trak` > `tkhd`, whose 16.16
     * fixed-point width/height give the presentation dimensions (the
@@ -302,6 +324,7 @@ object Multimodal {
     decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
       .orElse(decodeGif(bytes)).orElse(decodeJpeg(bytes))
       .orElse(decodeMp4(bytes)).orElse(decodeWav(bytes))
+      .orElse(decodeFlac(bytes))
       .getOrElse {
         val (w, h) = decodeStub(bytes)
         Decoded("opaque", w, h,

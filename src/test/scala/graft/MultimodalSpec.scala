@@ -150,6 +150,24 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.Decoded("audio/wav", 1, 8, 123L))
   }
 
+  test("FLAC STREAMINFO parses: bit-packed channels, bit depth, total " +
+    "samples; zero-rate or truncated blocks fall to the stub") {
+    assert(Multimodal.decode(fixture("audio_stereo.flac")) ==
+      Multimodal.Decoded("audio/flac", 2, 16, 88200L))
+    assert(Multimodal.decode(fixture("audio_hires.flac")) ==
+      Multimodal.Decoded("audio/flac", 1, 24, 12345L))
+    // truncated right after the magic: opaque, never a throw
+    assert(Multimodal.decode("fLaC".getBytes).modality == "opaque")
+    // a non-STREAMINFO first block violates the spec -> stub
+    val badType = fixture("audio_stereo.flac").clone()
+    badType(4) = (0x80 | 4).toByte // VORBIS_COMMENT first
+    assert(Multimodal.decode(badType).modality == "opaque")
+    // zero sample rate is invalid per spec -> stub
+    val zeroRate = fixture("audio_stereo.flac").clone()
+    zeroRate(18) = 0; zeroRate(19) = 0; zeroRate(20) = (zeroRate(20) & 0x0f).toByte
+    assert(Multimodal.decode(zeroRate).modality == "opaque")
+  }
+
   test("non-format and near-miss payloads fall to the documented stub, " +
     "never throw") {
     for (name <- Seq("payload.bin", "not_a.bmp")) {

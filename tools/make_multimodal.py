@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Generate fixtures/multimodal — small deterministic BMP / PPM / PNG /
-GIF / JPEG / MP4 / WAV / opaque assets plus a manifest of their TRUE properties,
+GIF / JPEG / MP4 / WAV / FLAC / opaque assets plus a manifest of their TRUE properties,
 computed by an INDEPENDENT implementation (python struct packing and the
 stdlib `wave`/`zlib` modules), so the Scala header parsers are
 oracle-gated against ground truth they did not produce.
@@ -15,6 +15,8 @@ Manifest semantics (mirrors graft.operators.Multimodal.decode):
   image/jpeg, video/mp4: width x height pixels, n_frames = 1
   audio/wav:            width = channels, height = bits per sample,
                         n_frames = sample frames (data bytes / block align)
+  audio/flac:           width = channels, height = bits per sample,
+                        n_frames = STREAMINFO total samples
   opaque:               sha256-derived stub dims (same arithmetic as
                         Multimodal.decodeStub), n_frames = ceil(bytes/16)
 
@@ -164,6 +166,19 @@ def wav(channels, bits, rate, n_frames):
     return buf.getvalue()
 
 
+def flac(channels, bits, rate, n_samples):
+    """Minimal FLAC: magic + a last-flagged STREAMINFO metadata block
+    with the bit-packed rate/channels/bps/total-samples fields. No frame
+    data — the parser under test reads STREAMINFO only."""
+    streaminfo = (struct.pack(">HH", 4096, 4096)
+                  + (0).to_bytes(3, "big") * 2)
+    packed = ((rate << 44) | ((channels - 1) << 41)
+              | ((bits - 1) << 36) | n_samples)
+    streaminfo += packed.to_bytes(8, "big") + b"\x00" * 16
+    return (b"fLaC" + bytes([0x80])
+            + len(streaminfo).to_bytes(3, "big") + streaminfo)
+
+
 def stub_dims(data):
     sha = hashlib.sha256(data).digest()
     return 1 + (sha[0] & 0x3F), 1 + (sha[1] & 0x3F)
@@ -195,6 +210,10 @@ def main():
     put("vid_v1.mp4", mp4(256, 144, tkhd_version=1), "video/mp4", 256, 144, 1)
     put("audio_stereo16.wav", wav(2, 16, 44100, 321), "audio/wav", 2, 16, 321)
     put("audio_mono8.wav", wav(1, 8, 8000, 123), "audio/wav", 1, 8, 123)
+    put("audio_stereo.flac", flac(2, 16, 44100, 88200),
+        "audio/flac", 2, 16, 88200)
+    put("audio_hires.flac", flac(1, 24, 96000, 12345),
+        "audio/flac", 1, 24, 12345)
 
     rnd = random.Random(99)
     blob = bytes(rnd.randrange(256) for _ in range(1000))
