@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * structs; decode/feature-extraction runs per partition over batches.
   *
   * The decode step parses REAL headers for the dependency-free formats —
-  * BMP, PPM/PGM, PNG, GIF, JPEG, MP4, WAV, and FLAC headers parse with
-  * zero codec libraries (public format specs; the reference has no
-  * multimodal handling at all) — and falls back to `decodeStub` for
+  * BMP, PPM/PGM, PNG, GIF, JPEG, WebP, TIFF, MP4, WAV, and FLAC headers
+  * parse with zero codec libraries (public format specs; the reference
+  * has no multimodal handling at all) — and falls back to `decodeStub` for
   * every other payload: compressed SAMPLE data (JPEG's entropy stream,
   * PNG's zlib stream, MP4 media tracks, FLAC frames) needs libraries
   * this environment does not ship, so the
@@ -57,7 +57,10 @@ object Multimodal {
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24))
   private def i32(b: Array[Byte], o: Int): Option[Int] =
     u32(b, o).map(_.toInt)
-  // big-endian (network order) reader — PNG's integer convention
+  // big-endian (network order) readers — PNG/TIFF-MM integer convention
+  private def u16be(b: Array[Byte], o: Int): Option[Int] =
+    if (o + 2 > b.length) None
+    else Some(((b(o) & 0xff) << 8) | (b(o + 1) & 0xff))
   private def u32be(b: Array[Byte], o: Int): Option[Long] =
     if (o + 4 > b.length) None
     else Some(((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
@@ -195,6 +198,103 @@ object Multimodal {
     None
   }
 
+  /** WebP: the RIFF container ("RIFF" <size> "WEBP") whose FIRST chunk
+    * the spec pins to the image header — one of three variants, each
+    * with its own dimension encoding:
+    *   - "VP8 " (lossy): 3-byte frame tag, the 9D 01 2A start code,
+    *     then 14-bit width/height in two little-endian uint16s;
+    *   - "VP8L" (lossless): the 2F signature byte, then width−1 and
+    *     height−1 as consecutive 14-bit fields of a little-endian
+    *     32-bit word;
+    *   - "VP8X" (extended): 4 flag/reserved bytes, then 24-bit
+    *     little-endian canvas width−1 / height−1.
+    * Only the compressed image data needs a codec — the header layer
+    * parses dependency-free. Public spec: WebP container + VP8/VP8L
+    * bitstream documentation (RFC 9649). */
+  def decodeWebp(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 21 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WEBP") return None
+    new String(b, 12, 4, "US-ASCII") match {
+      case "VP8 " =>
+        // payload at 20: frame tag (3), start code 9D 01 2A (3), dims
+        if (b.length < 30 || (b(23) & 0xff) != 0x9d ||
+            (b(24) & 0xff) != 0x01 || (b(25) & 0xff) != 0x2a) None
+        else for {
+          w0 <- u16(b, 26); h0 <- u16(b, 28)
+          w = w0 & 0x3fff; h = h0 & 0x3fff
+          if w > 0 && h > 0
+        } yield Decoded("image/webp", w, h, 1L)
+      case "VP8L" =>
+        if (b.length < 25 || (b(20) & 0xff) != 0x2f) None
+        else {
+          val v = ((b(21) & 0xffL)) | ((b(22) & 0xffL) << 8) |
+            ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 24)
+          // bits 0-13 = width-1, 14-27 = height-1, 28 = alpha, 29-31 =
+          // version (must be 0 per spec)
+          if ((v >>> 29) != 0L) None
+          else Some(Decoded("image/webp", (v & 0x3fff).toInt + 1,
+            ((v >> 14) & 0x3fff).toInt + 1, 1L))
+        }
+      case "VP8X" =>
+        if (b.length < 30) None
+        else {
+          val w = ((b(24) & 0xff) | ((b(25) & 0xff) << 8) |
+            ((b(26) & 0xff) << 16)) + 1
+          val h = ((b(27) & 0xff) | ((b(28) & 0xff) << 8) |
+            ((b(29) & 0xff) << 16)) + 1
+          Some(Decoded("image/webp", w, h, 1L))
+        }
+      case _ => None
+    }
+  }
+
+  /** TIFF: a 2-byte endianness tag ("II" little / "MM" big), the magic
+    * 42 in that byte order, then a u32 offset to the first IFD — a u16
+    * entry count followed by 12-byte entries (tag, type, count, value).
+    * Width is tag 256, height tag 257, each a count-1 SHORT(3) or
+    * LONG(4) whose value sits left-justified in the entry's 4-byte
+    * value field. Strip data needs no walk — the first IFD carries the
+    * dims. Public spec: TIFF 6.0 §2 (image file header / IFD layout).
+    * Multi-page files read page one, n_frames stays 1 like the other
+    * image formats. */
+  def decodeTiff(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 8) return None
+    val le = b(0) == 'I'.toByte && b(1) == 'I'.toByte
+    val be = b(0) == 'M'.toByte && b(1) == 'M'.toByte
+    if (!le && !be) return None
+    def rd16(o: Int): Option[Int] = if (le) u16(b, o) else u16be(b, o)
+    def rd32(o: Int): Option[Long] = if (le) u32(b, o) else u32be(b, o)
+    if (!rd16(2).contains(42)) return None
+    for {
+      ifdOff <- rd32(4)
+      if ifdOff >= 8L && ifdOff + 2L <= b.length
+      n <- rd16(ifdOff.toInt)
+      dims <- {
+        var width, height = -1L
+        var i = 0
+        while (i < n && ifdOff + 2L + 12L * (i + 1) <= b.length) {
+          val e = (ifdOff + 2L + 12L * i).toInt
+          (rd16(e), rd16(e + 2)) match {
+            case (Some(tag), Some(typ)) if tag == 256 || tag == 257 =>
+              // count-1 SHORT/LONG values are inline (left-justified)
+              val v: Long =
+                if (typ == 3) rd16(e + 8).map(_.toLong).getOrElse(-1L)
+                else if (typ == 4) rd32(e + 8).getOrElse(-1L)
+                else -1L
+              if (tag == 256) width = v else height = v
+            case _ => ()
+          }
+          i += 1
+        }
+        if (width > 0 && width <= Int.MaxValue &&
+            height > 0 && height <= Int.MaxValue)
+          Some((width.toInt, height.toInt))
+        else None
+      }
+    } yield Decoded("image/tiff", dims._1, dims._2, 1L)
+  }
+
   /** WAV: "RIFF....WAVE" then chunked; the "fmt " chunk carries channels
     * / bits per sample / block align, the "data" chunk's size gives the
     * sample-frame count. Public spec: RIFF WAVE format. */
@@ -323,6 +423,7 @@ object Multimodal {
   def decode(bytes: Array[Byte]): Decoded =
     decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
       .orElse(decodeGif(bytes)).orElse(decodeJpeg(bytes))
+      .orElse(decodeWebp(bytes)).orElse(decodeTiff(bytes))
       .orElse(decodeMp4(bytes)).orElse(decodeWav(bytes))
       .orElse(decodeFlac(bytes))
       .getOrElse {

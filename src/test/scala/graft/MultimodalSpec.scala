@@ -143,6 +143,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(evil).modality == "opaque")
   }
 
+  test("WebP headers parse: lossy 14-bit dims, lossless bit-packed " +
+    "dims-1, extended 24-bit canvas; corrupt start codes fall to the stub") {
+    assert(Multimodal.decode(fixture("img_lossy.webp")) ==
+      Multimodal.Decoded("image/webp", 160, 120, 1L))
+    assert(Multimodal.decode(fixture("img_lossless.webp")) ==
+      Multimodal.Decoded("image/webp", 300, 200, 1L))
+    assert(Multimodal.decode(fixture("img_ext.webp")) ==
+      Multimodal.Decoded("image/webp", 70000, 3, 1L))
+    // VP8 chunk with a corrupt start code: opaque, never dims from the tag
+    assert(Multimodal.decode(fixture("not_a.webp")).modality == "opaque")
+    // VP8L with nonzero version bits violates the spec -> stub
+    val badVer = fixture("img_lossless.webp").clone()
+    badVer(24) = (badVer(24) | 0xe0).toByte
+    assert(Multimodal.decode(badVer).modality == "opaque")
+    // unknown first chunk in a WEBP container -> stub
+    val unk = fixture("img_lossy.webp").clone()
+    unk(12) = 'X'.toByte
+    assert(Multimodal.decode(unk).modality == "opaque")
+    // truncated after the fourcc: opaque, never a throw
+    assert(Multimodal.decode(
+      fixture("img_lossy.webp").take(16)).modality == "opaque")
+  }
+
+  test("TIFF IFDs parse in both byte orders, SHORT and LONG dims, " +
+    "unrelated tags skipped; bad magic or truncated IFDs fall to the stub") {
+    assert(Multimodal.decode(fixture("img_le.tif")) ==
+      Multimodal.Decoded("image/tiff", 88, 44, 1L))
+    assert(Multimodal.decode(fixture("img_be.tif")) ==
+      Multimodal.Decoded("image/tiff", 13, 57, 1L))
+    assert(Multimodal.decode(fixture("img_wide.tif")) ==
+      Multimodal.Decoded("image/tiff", 100000, 2, 1L))
+    // "II" with magic 43: opaque
+    assert(Multimodal.decode(fixture("not_a.tif")).modality == "opaque")
+    // IFD offset pointing past the end: opaque, never a throw
+    val farIfd = fixture("img_le.tif").clone()
+    farIfd(4) = 0xff.toByte; farIfd(5) = 0xff.toByte
+    assert(Multimodal.decode(farIfd).modality == "opaque")
+    // IFD truncated after the width entry: the walk stops at the end
+    // and (missing a height) degrades to opaque, never a throw
+    val truncated = fixture("img_le.tif").take(8 + 2 + 12)
+    assert(Multimodal.decode(truncated).modality == "opaque")
+  }
+
   test("WAV headers parse: channels, bit depth, sample-frame count") {
     assert(Multimodal.decode(fixture("audio_stereo16.wav")) ==
       Multimodal.Decoded("audio/wav", 2, 16, 321L))

@@ -154,6 +154,11 @@ object PropertySpec extends Properties("graft") {
       Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       Seq(0xff, 0xd8, 0xff).map(_.toByte),
       "RIFFxxxxWAVE".getBytes.toSeq,
+      "RIFFxxxxWEBPVP8 ".getBytes.toSeq,
+      "RIFFxxxxWEBPVP8L".getBytes.toSeq,
+      "RIFFxxxxWEBPVP8X".getBytes.toSeq,
+      ("II".getBytes.toSeq :+ 42.toByte :+ 0.toByte),
+      ("MM".getBytes.toSeq :+ 0.toByte :+ 42.toByte),
       (Seq[Byte](0, 0, 0, 20) ++ "ftyp".getBytes.toSeq)))
     forAll(magicGen,
       Gen.listOfN(48, Gen.chooseNum(-128, 127).map(_.toByte))) { (m, tail) =>

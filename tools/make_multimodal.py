@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Generate fixtures/multimodal — small deterministic BMP / PPM / PNG /
-GIF / JPEG / MP4 / WAV / FLAC / opaque assets plus a manifest of their TRUE properties,
+GIF / JPEG / WebP / TIFF / MP4 / WAV / FLAC / opaque assets plus a manifest of their TRUE properties,
 computed by an INDEPENDENT implementation (python struct packing and the
 stdlib `wave`/`zlib` modules), so the Scala header parsers are
 oracle-gated against ground truth they did not produce.
@@ -11,8 +11,8 @@ Layout:
                                           n_frames}, ...]
 
 Manifest semantics (mirrors graft.operators.Multimodal.decode):
-  image/bmp, image/ppm, image/png, image/gif,
-  image/jpeg, video/mp4: width x height pixels, n_frames = 1
+  image/bmp, image/ppm, image/png, image/gif, image/jpeg,
+  image/webp, image/tiff, video/mp4: width x height pixels, n_frames = 1
   audio/wav:            width = channels, height = bits per sample,
                         n_frames = sample frames (data bytes / block align)
   audio/flac:           width = channels, height = bits per sample,
@@ -146,6 +146,49 @@ def mp4(width, height, largesize=False, tkhd_version=0):
     return ftyp + moov
 
 
+def webp(width, height, variant="lossy"):
+    """Minimal WebP: RIFF container with one image-header chunk — lossy
+    (VP8 frame tag + start code + 14-bit dims), lossless (VP8L signature
+    + bit-packed dims-1) or extended (VP8X 24-bit canvas dims-1)."""
+    if variant == "lossy":
+        payload = (b"\x30\x00\x00" + b"\x9d\x01\x2a"
+                   + struct.pack("<HH", width, height))
+        fourcc = b"VP8 "
+    elif variant == "lossless":
+        bits = (width - 1) | ((height - 1) << 14)  # version bits stay 0
+        payload = b"\x2f" + struct.pack("<I", bits)
+        fourcc = b"VP8L"
+    else:  # extended
+        payload = (b"\x00" + b"\x00\x00\x00"
+                   + (width - 1).to_bytes(3, "little")
+                   + (height - 1).to_bytes(3, "little"))
+        fourcc = b"VP8X"
+    chunk = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def tiff(width, height, big_endian=False, wide_width=False):
+    """Minimal TIFF: header + one IFD whose entries carry the count-1
+    SHORT (or LONG, for the wide_width trap) dims left-justified in the
+    value field, plus an unrelated entry the walk must skip."""
+    e = ">" if big_endian else "<"
+
+    def entry(tag, typ, val):
+        v = (struct.pack(e + "H", val) + b"\x00\x00" if typ == 3
+             else struct.pack(e + "I", val))
+        return struct.pack(e + "HHI", tag, typ, 1) + v
+
+    wtype = 4 if wide_width else 3
+    entries = (entry(256, wtype, width) + entry(257, 3, height)
+               + entry(277, 3, 3))  # SamplesPerPixel: must be skipped
+    ifd = struct.pack(e + "H", 3) + entries + struct.pack(e + "I", 0)
+    hdr = ((b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+           + struct.pack(e + "I", 8))
+    return hdr + ifd
+
+
 def gif(width, height, version=b"89a"):
     """Minimal GIF: magic + logical screen descriptor (little-endian
     uint16 dims, no global color table) + trailer."""
@@ -205,6 +248,15 @@ def main():
     put("img_old.gif", gif(4, 4, version=b"87a"), "image/gif", 4, 4, 1)
     put("img_base.jpg", jpeg(640, 480), "image/jpeg", 640, 480, 1)
     put("img_prog.jpg", jpeg(33, 77, progressive=True), "image/jpeg", 33, 77, 1)
+    put("img_lossy.webp", webp(160, 120), "image/webp", 160, 120, 1)
+    put("img_lossless.webp", webp(300, 200, variant="lossless"),
+        "image/webp", 300, 200, 1)
+    put("img_ext.webp", webp(70000, 3, variant="extended"),
+        "image/webp", 70000, 3, 1)
+    put("img_le.tif", tiff(88, 44), "image/tiff", 88, 44, 1)
+    put("img_be.tif", tiff(13, 57, big_endian=True), "image/tiff", 13, 57, 1)
+    put("img_wide.tif", tiff(100000, 2, wide_width=True),
+        "image/tiff", 100000, 2, 1)
     put("vid_basic.mp4", mp4(1920, 1080), "video/mp4", 1920, 1080, 1)
     put("vid_large.mp4", mp4(64, 36, largesize=True), "video/mp4", 64, 36, 1)
     put("vid_v1.mp4", mp4(256, 144, tkhd_version=1), "video/mp4", 256, 144, 1)
@@ -234,6 +286,19 @@ def main():
     w, h = stub_dims(tricky_jpg)
     put("not_a.jpg", tricky_jpg, "opaque", w, h,
         math.ceil(len(tricky_jpg) / FRAME_BYTES))
+    # WebP near-miss: valid RIFF/WEBP container, corrupt VP8 start code —
+    # must fall to opaque, not misread dims from the frame tag bytes
+    bad_webp = bytearray(webp(160, 120))
+    bad_webp[23] = 0x00
+    bad_webp = bytes(bad_webp)
+    w, h = stub_dims(bad_webp)
+    put("not_a.webp", bad_webp, "opaque", w, h,
+        math.ceil(len(bad_webp) / FRAME_BYTES))
+    # TIFF near-miss: "II" endian tag but magic 43 — must fall to opaque
+    bad_tif = b"II" + struct.pack("<H", 43) + struct.pack("<I", 8) + b"\x00\x00"
+    w, h = stub_dims(bad_tif)
+    put("not_a.tif", bad_tif, "opaque", w, h,
+        math.ceil(len(bad_tif) / FRAME_BYTES))
 
     (OUT / "manifest.json").write_text(json.dumps(assets, indent=2))
     print(f"wrote {len(assets)} assets to {OUT}")
