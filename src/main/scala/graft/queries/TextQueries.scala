@@ -184,6 +184,42 @@ object TextQueries {
        |FROM (SELECT doc_id, $tokSql AS t FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Overlapping token-window chunking — the documents→chunks front
+    * half of the reference's chunk model (the inverse of
+    * `window_doc_reconstruct`): 6-token windows with a 2-token overlap,
+    * one output row per chunk. The oracle replays the window rule
+    * (`1 + ceil(max(0, n-max)/stride)` chunks, stride-spaced starts,
+    * list-sliced chunk text) in SQL, so an off-by-one in the start
+    * arithmetic, a lost trailing chunk, or a wrong overlap all
+    * hash-mismatch. Case is PRESERVED (chunks feed an embedder);
+    * the pure-projection plan shape is asserted in PlanSpec. */
+  private val ChunkMax = 6
+  private val ChunkOverlap = 2
+
+  private val chunkOverlap: QueryFn = (s, dir) =>
+    graft.operators.TextChunker.chunk(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        maxTokens = ChunkMax, overlap = ChunkOverlap)
+      .orderBy(col("id"), col("chunk_index"))
+
+  private val chunkOverlapSql: String = {
+    val stride = ChunkMax - ChunkOverlap
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |shaped AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    (1 + ceil(greatest(0, len(t) - $ChunkMax)::DOUBLE / $stride))::INT AS n_chunks
+       |  FROM toks),
+       |idx AS (
+       |  SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS k FROM shaped)
+       |SELECT doc_id AS id, k::INT AS chunk_index,
+       |  (k * $stride)::INT AS start_token,
+       |  array_to_string(t[k * $stride + 1 : least(k * $stride + $ChunkMax, n)], ' ') AS chunk_text,
+       |  least($ChunkMax, n - k * $stride)::INT AS n_tokens
+       |FROM idx ORDER BY id, chunk_index""".stripMargin
+  }
+
   /** BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene-style
     * +1-inside-the-log idf) for a fixed 3-term query — retrieval without
     * embeddings, the lexical half of a hybrid-search stack. Shapes:
@@ -302,6 +338,7 @@ object TextQueries {
     Q("text_langid", langId, Some(langIdSql)),
     Q("pipeline_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("text_fingerprint", fingerprintQ, Some(fingerprintSql)),
+    Q("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     Q("window_doc_reconstruct", docReconstruct, Some(docReconstructSql)),
   )
 }

@@ -49,6 +49,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
   }
 
+  test("text_chunk_overlap: chunking is a pure projection — no exchange " +
+    "before the output sort (100 TB chunks for the cost of one scan)") {
+    val p = plan("text_chunk_overlap")
+    // exactly the one exchange the deterministic ORDER BY adds; the
+    // chunk computation itself (tokenize -> window -> posexplode) must
+    // not shuffle, aggregate, or join
+    assert(p.split("Exchange").length - 1 == 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+    assert(p.contains("Generate explode") || p.contains("Generate posexplode"), p)
+  }
+
   test("dedup_near_pairs: band join is a hash equi-join, not a nested loop") {
     val p = plan("dedup_near_pairs")
     assert(!p.contains("CartesianProduct"))
