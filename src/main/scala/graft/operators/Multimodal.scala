@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * structs; decode/feature-extraction runs per partition over batches.
   *
   * The decode step parses REAL headers for the dependency-free formats —
-  * BMP, PPM/PGM, PNG, GIF, JPEG, WebP, TIFF, MP4, WAV, and FLAC headers
-  * parse with zero codec libraries (public format specs; the reference
-  * has no multimodal handling at all) — and falls back to `decodeStub` for
+  * BMP, PPM/PGM, PNG, GIF, JPEG, WebP, TIFF, MP4, WAV, FLAC, and
+  * Ogg (Opus/Vorbis) headers parse with zero codec libraries (public
+  * format specs; the reference has no multimodal handling at all) —
+  * and falls back to `decodeStub` for
   * every other payload: compressed SAMPLE data (JPEG's entropy stream,
   * PNG's zlib stream, MP4 media tracks, FLAC frames) needs libraries
   * this environment does not ship, so the
@@ -349,6 +350,69 @@ object Multimodal {
     else Some(Decoded("audio/flac", channels, bps, samples))
   }
 
+  /** Ogg (Opus / Vorbis): "OggS" page walk — each page header carries a
+    * signed 64-bit little-endian granule position, a 32-bit serial, and
+    * a lacing table (n_segments + per-segment sizes) that gives the
+    * payload length, so pages parse with zero codec work. The FIRST
+    * page's payload identifies the codec: "OpusHead" (channel count at
+    * offset 9) or the Vorbis identification header (packet type 1 +
+    * "vorbis", channels at offset 11). Total duration is the LAST
+    * readable page's granule position (PCM samples: at 48 kHz for Opus
+    * per RFC 7845 §4, at the stream rate for Vorbis) — reported as
+    * n_frames. Lossy codecs have no intrinsic bit depth, so height is 0
+    * (the WAV/FLAC bits-per-sample slot does not apply). Page CRCs are
+    * NOT validated — this is a header parse, not an integrity check.
+    * Truncated or malformed trailing pages end the walk; the granule
+    * seen so far stands. Public specs: RFC 3533 (Ogg), RFC 7845
+    * (Ogg/Opus), Vorbis I specification §4.2.2. */
+  def decodeOgg(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 28 || new String(b, 0, 4, "US-ASCII") != "OggS") return None
+    // (payloadStart, payloadLen, granule, nextPage) for the page at off
+    def page(off: Long): Option[(Long, Long, Long, Long)] = {
+      if (off + 27 > b.length ||
+          new String(b, off.toInt, 4, "US-ASCII") != "OggS" ||
+          b(off.toInt + 4) != 0) return None // stream structure version 0
+      val o = off.toInt
+      var granule = 0L
+      var i = 0
+      while (i < 8) { granule |= (b(o + 6 + i) & 0xffL) << (8 * i); i += 1 }
+      val nseg = b(o + 26) & 0xff
+      if (off + 27 + nseg > b.length) return None
+      var payloadLen = 0L
+      var s = 0
+      while (s < nseg) { payloadLen += (b(o + 27 + s) & 0xff); s += 1 }
+      val payloadStart = off + 27 + nseg
+      if (payloadStart + payloadLen > b.length) return None
+      Some((payloadStart, payloadLen, granule, payloadStart + payloadLen))
+    }
+    val first = page(0L).getOrElse(return None)
+    val (ps, pl, _, _) = first
+    val p = ps.toInt
+    val codec: Option[(String, Int)] =
+      if (pl >= 19 && new String(b, p, 8, "US-ASCII") == "OpusHead")
+        Some(("audio/opus", b(p + 9) & 0xff))
+      else if (pl >= 16 && b(p) == 1.toByte &&
+               new String(b, p + 1, 6, "US-ASCII") == "vorbis")
+        Some(("audio/vorbis", b(p + 11) & 0xff))
+      else None
+    codec.flatMap { case (modality, channels) =>
+      if (channels <= 0) None
+      else {
+        var lastGranule = 0L
+        var cursor = 0L
+        var going = true
+        while (going) page(cursor) match {
+          case Some((_, _, g, next)) =>
+            // -1 marks a continuation page with no completed packet
+            if (g >= 0L) lastGranule = g
+            cursor = next
+          case None => going = false
+        }
+        Some(Decoded(modality, channels, 0, lastGranule))
+      }
+    }
+  }
+
   /** MP4 / ISO-BMFF: big-endian (size, fourcc) box walk — a top-level
     * `ftyp` brand box, then `moov` > `trak` > `tkhd`, whose 16.16
     * fixed-point width/height give the presentation dimensions (the
@@ -425,7 +489,7 @@ object Multimodal {
       .orElse(decodeGif(bytes)).orElse(decodeJpeg(bytes))
       .orElse(decodeWebp(bytes)).orElse(decodeTiff(bytes))
       .orElse(decodeMp4(bytes)).orElse(decodeWav(bytes))
-      .orElse(decodeFlac(bytes))
+      .orElse(decodeFlac(bytes)).orElse(decodeOgg(bytes))
       .getOrElse {
         val (w, h) = decodeStub(bytes)
         Decoded("opaque", w, h,

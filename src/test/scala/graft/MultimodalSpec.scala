@@ -211,6 +211,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(zeroRate).modality == "opaque")
   }
 
+  test("Ogg page walks parse Opus and Vorbis identification headers; " +
+    "the final granule gives the duration; unknown codecs fall to the stub") {
+    assert(Multimodal.decode(fixture("audio_voice.opus")) ==
+      Multimodal.Decoded("audio/opus", 1, 0, 144000L))
+    assert(Multimodal.decode(fixture("audio_music.opus")) ==
+      Multimodal.Decoded("audio/opus", 2, 0, 960000L))
+    // Vorbis fixture carries a >255-byte page (multi-segment lacing)
+    assert(Multimodal.decode(fixture("audio_song.ogg")) ==
+      Multimodal.Decoded("audio/vorbis", 2, 0, 220500L))
+    // valid page, unknown codec payload -> stub
+    assert(Multimodal.decode(fixture("not_an.ogg")).modality == "opaque")
+    // truncating the stream mid-page keeps the last readable granule:
+    // cutting the final (data) page of the voice fixture leaves the
+    // header pages only -> granule 0, channels still parse
+    val full = fixture("audio_voice.opus")
+    assert(Multimodal.decode(full.take(full.length - 10)) ==
+      Multimodal.Decoded("audio/opus", 1, 0, 0L))
+    // truncated before the first page completes: opaque, never a throw
+    assert(Multimodal.decode("OggS".getBytes).modality == "opaque")
+    assert(Multimodal.decode(full.take(30)).modality == "opaque")
+  }
+
   test("non-format and near-miss payloads fall to the documented stub, " +
     "never throw") {
     for (name <- Seq("payload.bin", "not_a.bmp")) {

@@ -159,6 +159,7 @@ object PropertySpec extends Properties("graft") {
       "RIFFxxxxWEBPVP8X".getBytes.toSeq,
       ("II".getBytes.toSeq :+ 42.toByte :+ 0.toByte),
       ("MM".getBytes.toSeq :+ 0.toByte :+ 42.toByte),
+      ("OggS".getBytes.toSeq :+ 0.toByte),
       (Seq[Byte](0, 0, 0, 20) ++ "ftyp".getBytes.toSeq)))
     forAll(magicGen,
       Gen.listOfN(48, Gen.chooseNum(-128, 127).map(_.toByte))) { (m, tail) =>

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Generate fixtures/multimodal — small deterministic BMP / PPM / PNG /
-GIF / JPEG / WebP / TIFF / MP4 / WAV / FLAC / opaque assets plus a manifest of their TRUE properties,
+GIF / JPEG / WebP / TIFF / MP4 / WAV / FLAC / Ogg(Opus,Vorbis) / opaque assets plus a manifest of their TRUE properties,
 computed by an INDEPENDENT implementation (python struct packing and the
 stdlib `wave`/`zlib` modules), so the Scala header parsers are
 oracle-gated against ground truth they did not produce.
@@ -17,6 +17,8 @@ Manifest semantics (mirrors graft.operators.Multimodal.decode):
                         n_frames = sample frames (data bytes / block align)
   audio/flac:           width = channels, height = bits per sample,
                         n_frames = STREAMINFO total samples
+  audio/opus, audio/vorbis: width = channels, height = 0 (lossy codecs
+                        have no bit depth), n_frames = final page granule
   opaque:               sha256-derived stub dims (same arithmetic as
                         Multimodal.decodeStub), n_frames = ceil(bytes/16)
 
@@ -222,6 +224,43 @@ def flac(channels, bits, rate, n_samples):
             + len(streaminfo).to_bytes(3, "big") + streaminfo)
 
 
+def ogg_page(payload, granule, serial=1, seq=0, header_type=0):
+    """One Ogg page (RFC 3533): zeroed CRC — the parser under test reads
+    headers only and documents that CRCs are not validated."""
+    segs = []
+    n = len(payload)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (b"OggS" + bytes([0, header_type]) + struct.pack("<q", granule)
+            + struct.pack("<III", serial, seq, 0)
+            + bytes([len(segs)]) + bytes(segs) + payload)
+
+
+def ogg_opus(channels, rate, pre_skip, samples):
+    """Minimal Ogg/Opus stream: OpusHead BOS page, OpusTags page, one
+    data page whose granule position carries the total 48 kHz sample
+    count (RFC 7845)."""
+    head = (b"OpusHead" + bytes([1, channels]) + struct.pack("<H", pre_skip)
+            + struct.pack("<I", rate) + struct.pack("<h", 0) + bytes([0]))
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" + struct.pack("<I", 0)
+    return (ogg_page(head, 0, header_type=2)
+            + ogg_page(tags, 0, seq=1)
+            + ogg_page(b"\x00" * 20, samples, seq=2, header_type=4))
+
+
+def ogg_vorbis(channels, rate, samples):
+    """Minimal Ogg/Vorbis stream: identification-header BOS page plus a
+    data page carrying the final granule (total samples at the stream
+    rate). A >255-byte payload exercises multi-segment lacing."""
+    ident = (bytes([1]) + b"vorbis" + struct.pack("<I", 0)
+             + bytes([channels]) + struct.pack("<I", rate)
+             + struct.pack("<iii", 0, 128000, 0) + bytes([0xB8, 0x01]))
+    return (ogg_page(ident, 0, header_type=2)
+            + ogg_page(b"\x00" * 300, samples, seq=1, header_type=4))
+
+
 def stub_dims(data):
     sha = hashlib.sha256(data).digest()
     return 1 + (sha[0] & 0x3F), 1 + (sha[1] & 0x3F)
@@ -266,6 +305,13 @@ def main():
         "audio/flac", 2, 16, 88200)
     put("audio_hires.flac", flac(1, 24, 96000, 12345),
         "audio/flac", 1, 24, 12345)
+    # lossy codecs have no bit depth: height = 0, n_frames = final granule
+    put("audio_voice.opus", ogg_opus(1, 16000, 312, 144000),
+        "audio/opus", 1, 0, 144000)
+    put("audio_music.opus", ogg_opus(2, 48000, 312, 960000),
+        "audio/opus", 2, 0, 960000)
+    put("audio_song.ogg", ogg_vorbis(2, 44100, 220500),
+        "audio/vorbis", 2, 0, 220500)
 
     rnd = random.Random(99)
     blob = bytes(rnd.randrange(256) for _ in range(1000))
@@ -299,6 +345,12 @@ def main():
     w, h = stub_dims(bad_tif)
     put("not_a.tif", bad_tif, "opaque", w, h,
         math.ceil(len(bad_tif) / FRAME_BYTES))
+    # Ogg near-miss: a valid first page whose payload is neither OpusHead
+    # nor a Vorbis identification header — must fall to opaque
+    bad_ogg = ogg_page(b"FLACmeta" + b"\x00" * 16, 0, header_type=2)
+    w, h = stub_dims(bad_ogg)
+    put("not_an.ogg", bad_ogg, "opaque", w, h,
+        math.ceil(len(bad_ogg) / FRAME_BYTES))
 
     (OUT / "manifest.json").write_text(json.dumps(assets, indent=2))
     print(f"wrote {len(assets)} assets to {OUT}")
