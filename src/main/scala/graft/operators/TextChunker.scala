@@ -66,4 +66,61 @@ object TextChunker {
         col("c.chunk_text").as("chunk_text"),
         col("c.n_tokens").as("n_tokens"))
   }
+
+  /** Sentence pattern shared with any SQL oracle: greedy runs of
+    * non-terminator characters plus their trailing `.!?` terminators —
+    * deliberately lookaround-free so RE2 engines (DuckDB) and Java
+    * regex agree byte-for-byte. */
+  val SentencePattern = "[^.!?]+[.!?]*"
+
+  /** Sentence-aligned chunking: documents split into sentences
+    * (SentencePattern), sentences packed into budget-bucketed chunks —
+    * a sentence lands in the chunk where its first token falls
+    * (`floor(tokens_before / budgetTokens)`), so sentences are ATOMIC:
+    * no sentence is ever split across chunks, and a sentence longer
+    * than the budget occupies its bucket alone rather than being cut.
+    * Bucket indices are then renumbered densely per document (an
+    * over-budget sentence can make `floor` skip bucket values).
+    *
+    * Scale shape: one narrow shuffle keyed by document for the running
+    * token count (the window), one aggregation keyed by (document,
+    * bucket) for reassembly — both scale with document cardinality,
+    * never corpus size; the final renumber window runs over chunk rows
+    * (output-sized). Compare [[chunk]], which is shuffle-free but cuts
+    * mid-sentence.
+    *
+    * Output: (id, chunk_index, chunk_text, n_sentences, n_tokens) with
+    * chunk_text = trimmed sentences joined by single spaces in document
+    * order. A document with no sentence matches (empty text) emits no
+    * rows. */
+  def chunkBySentences(df: DataFrame, id: Column, text: Column,
+                       budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val sents = df.select(id.as("id"), posexplode(
+        regexp_extract_all(text, lit(SentencePattern), lit(0)))
+        .as(Seq("sent_index", "sentence")))
+      .withColumn("n_toks",
+        size(split(trim(col("sentence")), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sent_index"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = sents
+      .withColumn("bucket",
+        floor((sum(col("n_toks")).over(w) - col("n_toks")) / budgetTokens))
+    val chunks = bucketed.groupBy(col("id"), col("bucket"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_index"),
+            trim(col("sentence")).as("s")))),
+          c => c.getField("s"))).as("chunk_text"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("n_toks")).as("n_tokens"))
+    val renumber = Window.partitionBy(col("id")).orderBy(col("bucket"))
+    chunks
+      .withColumn("chunk_index",
+        (row_number().over(renumber) - 1).cast("int"))
+      .select(col("id"), col("chunk_index"), col("chunk_text"),
+        col("n_sentences"), col("n_tokens"))
+  }
 }

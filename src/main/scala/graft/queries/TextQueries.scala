@@ -220,6 +220,50 @@ object TextQueries {
        |FROM idx ORDER BY id, chunk_index""".stripMargin
   }
 
+  /** Sentence-aligned chunking: sentences packed into 40-token budget
+    * buckets (a sentence is atomic — it lands where its first token
+    * falls), buckets renumbered densely per document. The oracle
+    * replays the whole pipeline — the shared lookaround-free sentence
+    * regex, the running token count, the bucket floor, the ordered
+    * reassembly and the dense renumber — in SQL, so a sentence split
+    * across chunks, an off-by-one in the running sum, or a lost
+    * over-budget sentence all hash-mismatch. */
+  private val SentenceBudget = 40
+
+  private val chunkSentences: QueryFn = (s, dir) =>
+    graft.operators.TextChunker.chunkBySentences(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        budgetTokens = SentenceBudget)
+      .orderBy(col("id"), col("chunk_index"))
+
+  private val chunkSentencesSql: String = {
+    val pat = graft.operators.TextChunker.SentencePattern
+    s"""WITH sents AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(regexp_extract_all(text, '$pat')) + 1)) AS i,
+       |    unnest(regexp_extract_all(text, '$pat')) AS s
+       |  FROM documents),
+       |counted AS (
+       |  SELECT doc_id, i, s,
+       |    len(string_split_regex(trim(s), '\\s+'))::BIGINT AS n_toks
+       |  FROM sents),
+       |bucketed AS (
+       |  SELECT *, floor((sum(n_toks) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+       |      / $SentenceBudget)::BIGINT AS bucket
+       |  FROM counted),
+       |chunks AS (
+       |  SELECT doc_id, bucket,
+       |    string_agg(trim(s), ' ' ORDER BY i) AS chunk_text,
+       |    count(*) AS n_sentences, sum(n_toks)::BIGINT AS n_tokens
+       |  FROM bucketed GROUP BY doc_id, bucket)
+       |SELECT doc_id AS id,
+       |  (row_number() OVER (PARTITION BY doc_id ORDER BY bucket) - 1)::INT
+       |    AS chunk_index,
+       |  chunk_text, n_sentences, n_tokens
+       |FROM chunks ORDER BY id, chunk_index""".stripMargin
+  }
+
   /** BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene-style
     * +1-inside-the-log idf) for a fixed 3-term query — retrieval without
     * embeddings, the lexical half of a hybrid-search stack. Shapes:
@@ -339,6 +383,7 @@ object TextQueries {
     Q("pipeline_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("text_fingerprint", fingerprintQ, Some(fingerprintSql)),
     Q("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
+    Q("text_chunk_sentences", chunkSentences, Some(chunkSentencesSql)),
     Q("window_doc_reconstruct", docReconstruct, Some(docReconstructSql)),
   )
 }

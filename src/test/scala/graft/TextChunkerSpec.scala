@@ -76,6 +76,57 @@ class TextChunkerSpec extends AnyFunSuite {
       Chunk(0, 0, "a b", 2), Chunk(1, 2, "c d", 2), Chunk(2, 4, "e", 1)))
   }
 
+  private case class SChunk(index: Int, text: String, nSents: Long, nToks: Long)
+
+  private def sentChunks(text: String, budget: Int): Seq[SChunk] =
+    TextChunker.chunkBySentences(Seq((1L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), budget)
+      .orderBy("chunk_index")
+      .collect()
+      .map(r => SChunk(r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+
+  test("sentence chunking: sentences are atomic — each lands in the " +
+    "bucket of its first token, never split") {
+    // 3 sentences of 4/4/3 tokens with budget 6: s1 starts at 0 (bucket
+    // 0), s2 at 4 (bucket 0), s3 at 8 (bucket 1)
+    val got = sentChunks(
+      "One two three four. Five six seven eight. Nine ten eleven.", 6)
+    assert(got == Seq(
+      SChunk(0, "One two three four. Five six seven eight.", 2, 8),
+      SChunk(1, "Nine ten eleven.", 1, 3)))
+  }
+
+  test("sentence chunking: an over-budget sentence occupies its bucket " +
+    "alone and chunk indices stay dense") {
+    // s1 = 7 tokens (budget 3): bucket floor skips values 1..2; the
+    // renumber must keep chunk_index dense 0,1
+    val got = sentChunks("a b c d e f g. h i.", 3)
+    assert(got.map(_.index) == Seq(0, 1))
+    assert(got(0).text == "a b c d e f g." && got(0).nToks == 7)
+    assert(got(1).text == "h i." && got(1).nToks == 2)
+  }
+
+  test("sentence chunking: terminator runs and terminator-free tails " +
+    "both count as sentences; empty text emits no rows") {
+    val got = sentChunks("Really?! Yes... no terminator tail", 100)
+    assert(got.length == 1 && got.head.nSents == 3)
+    assert(got.head.text == "Really?! Yes... no terminator tail")
+    assert(sentChunks("", 10).isEmpty)
+  }
+
+  test("sentence chunking: multi-doc bucketing is per-document") {
+    val df = Seq((1L, "a b. c d."), (2L, "e f g h i j. k."))
+      .toDF("doc_id", "text")
+    val got = TextChunker.chunkBySentences(df, col("doc_id"), col("text"), 4)
+      .orderBy("id", "chunk_index")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "a b. c d."),
+      (2L, 0, "e f g h i j."), (2L, 1, "k.")))
+  }
+
   test("invalid parameters are rejected loudly") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
@@ -83,6 +134,9 @@ class TextChunkerSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       TextChunker.chunk(df, col("doc_id"), col("text"), 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextChunker.chunkBySentences(df, col("doc_id"), col("text"), 0)
     }
   }
 }
