@@ -306,7 +306,18 @@ object Bench {
           "id_a", "id_b")),
       Stress("embedding_near_lsh", s =>
         NearDup.embeddingNearDupPairs(s.enc, col("vec_id"), col("embedding"),
-          s.nearMatrix, threshold = 0.6)))
+          s.nearMatrix, threshold = 0.6)),
+      // the two-phase prefix sum: the stage that would be a
+      // single-partition window naively — shards sized to the corpus
+      Stress("pack_sequences", s =>
+        graft.operators.TrainingData.packAssignments(s.docs, col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+")), budget = 64L,
+          shards = 32)),
+      // benchmark side FIXED (eval sets don't grow with the corpus);
+      // the corpus side is the inflated scan
+      Stress("decontaminate", s =>
+        graft.operators.TrainingData.contaminationHits(s.docs, col("doc_id"),
+          col("text"), docs1, col("text"), n = 4)))
 
     // by-name: construction is INSIDE the clock — iterative operators
     // (connected components) run their rounds eagerly while building

@@ -72,8 +72,41 @@ object TextHash {
     out
   }
 
+  /** Non-distinct contiguous word n-grams — the repetition-signal twin of
+    * [[hashedShingles]]: same trim/lowercase/split contract, every
+    * occurrence kept (repetition measures exactly the duplication the
+    * shingle set throws away), grams joined with a single space. */
+  private[functions] def ngrams(text: String, n: Int): Array[UTF8String] = {
+    val trimmed = {
+      var st = 0; var en = text.length
+      while (st < en && text.charAt(st) == ' ') st += 1
+      while (en > st && text.charAt(en - 1) == ' ') en -= 1
+      text.substring(st, en)
+    }
+    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < n) return Array.empty
+    val out = new Array[UTF8String](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    out
+  }
+
   def hashedShinglesCol(text: Column, n: Int): Column =
     ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text), n))
+
+  def ngramsCol(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramsExpr(ColumnBridge.expression(text), n))
 
   def minhashSignatureCol(hsh: Column, numHashes: Int): Column =
     ColumnBridge.column(MinhashSignatureExpr(ColumnBridge.expression(hsh), numHashes))
@@ -98,6 +131,28 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       TextHash.hashedShingles(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class NgramsExpr(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n-gram size must be >= 1")
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.ngrams(input.asInstanceOf[UTF8String].toString, n)
+        .asInstanceOf[Array[Any]])
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup: benchmark
+  * decontamination, token-budget sequence packing, deterministic split
+  * assignment, and intra-document repetition signals.
+  *
+  * These are the LLM-pipeline stages the reference has no analog for
+  * (builder brief; SURVEY.md §2.9) — each is designed shuffle-first for
+  * the 100 TB shape and each carries arithmetic a SQL oracle can replay
+  * exactly (md5-derived hashes, integer window sums, IEEE divisions).
+  */
+object TrainingData {
+
+  // ---------------- benchmark decontamination ----------------
+
+  /** Per-document contamination hits against a benchmark/eval corpus: for
+    * every corpus document sharing at least one word `n`-gram with ANY
+    * benchmark document, the number of distinct shared `n`-grams.
+    * Documents with zero hits are absent (the common case — the caller
+    * anti-joins to drop contaminated docs, so absence IS the clean set).
+    *
+    * This is the standard eval-set decontamination pass (n-gram collision
+    * against held-out benchmarks) run before training-set freezes.
+    *
+    * Scale shape: the benchmark side is SMALL by construction (eval sets
+    * are MBs; the corpus is the 100 TB side), so its distinct shingle
+    * hashes are broadcast — the corpus is scanned once, its exploded
+    * shingles hash-joined map-side against the broadcast set, and the
+    * only shuffle is the final per-doc count (partial-aggregated, at most
+    * one row per (doc, partition)). The corpus is never repartitioned and
+    * never self-joined. Shingles are the 60-bit md5-derived hashes shared
+    * with [[NearDup]] ([[NearDup.hashedShingles]]), so the broadcast set
+    * is 8 bytes per benchmark n-gram and any SQL oracle can recompute
+    * every stage.
+    *
+    * Output: (id, n_hits) — one row per contaminated corpus document. */
+  def contaminationHits(corpus: DataFrame, id: Column, text: Column,
+                        benchmark: DataFrame, benchText: Column,
+                        n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(NearDup.hashedShingles(benchText, n)).as("h"))
+      .distinct()
+    corpus.select(id.as("id"), explode(NearDup.hashedShingles(text, n)).as("h"))
+      .join(broadcast(benchGrams), "h")
+      // hashedShingles is distinct per doc, so count(*) = distinct shared
+      // n-grams without a count(distinct) shuffle
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  // ---------------- token-budget sequence packing ----------------
+
+  /** Concat-and-chunk packing assignments: documents are concatenated in
+    * ascending numeric-id order into one global token stream, and the
+    * stream is cut every `budget` tokens into fixed-size training
+    * sequences (the standard pretraining batch layout — a document may
+    * straddle a sequence boundary). For each document:
+    *
+    *   - `offset`    global token offset of its first token
+    *   - `seq_first` sequence index holding that token (offset / budget)
+    *   - `seq_pos`   position within that sequence (offset % budget)
+    *   - `seq_last`  sequence index of its LAST token (empty docs:
+    *                 seq_first — they occupy no tokens)
+    *
+    * Scale shape — the global prefix sum is the crux: a bare
+    * `Window.orderBy(id)` computes it on ONE partition (the classic
+    * driver-shaped scale-killer). Instead, a two-phase distributed
+    * prefix sum: (1) ids are bucketed into `shards` ORDER-PRESERVING
+    * ranges (boundaries from approx quantiles — boundary placement
+    * affects only physical grouping, never the output: any monotone cut
+    * yields the same global offsets); (2) each shard computes its local
+    * exclusive cumsum under a PARTITIONED window while the per-shard
+    * totals (exactly `shards` rows) are rolled into exclusive shard
+    * bases and broadcast back. Every stage is O(rows/shards) per task.
+    *
+    * Contract: `id` must be numeric (quantile boundaries) and unique
+    * (ties would make the concatenation order — hence offsets —
+    * ambiguous). `nTokens` must be non-negative. */
+  def packAssignments(df: DataFrame, id: Column, nTokens: Column,
+                      budget: Long, shards: Int = 32): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val keyed = df.select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+    val bounds =
+      if (shards == 1) Array.empty[Double]
+      else keyed.stat.approxQuantile("id",
+        (1 until shards).map(_.toDouble / shards).toArray, 0.001)
+    // shard = number of boundaries strictly below id — monotone in id, so
+    // (shard asc, id asc) IS global id order. One shallow higher-order
+    // expression over a boundary-array literal: a folded when-chain
+    // nests S-1 levels deep and overflows Catalyst's recursive converter
+    // at a few hundred shards
+    val shardCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*),
+        b => col("id").cast("double") > b))
+    val sharded = keyed.withColumn("shard", shardCol)
+    // exactly `shards` rows: the only driver-sized structure in the plan
+    val totals = sharded.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+    val baseW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = broadcast(totals
+      .withColumn("shard_base", coalesce(sum(col("shard_total")).over(baseW), lit(0L)))
+      .select(col("shard"), col("shard_base")))
+    val localW = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("local_off", coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+      .join(bases, "shard")
+      .withColumn("offset", col("shard_base") + col("local_off"))
+      .withColumn("seq_first", (col("offset") / budget).cast("long"))
+      .withColumn("seq_pos", col("offset") % budget)
+      .withColumn("seq_last",
+        ((col("offset") + greatest(col("n_tokens"), lit(1L)) - 1) / budget)
+          .cast("long"))
+      .select(col("id"), col("n_tokens"), col("offset"),
+        col("seq_first"), col("seq_pos"), col("seq_last"))
+  }
+
+  // ---------------- deterministic split assignment ----------------
+
+  /** Stable hash bucket in [0, buckets) for split assignment: the first 8
+    * hex chars of md5 of the id's canonical string form. md5 (not Spark's
+    * murmur `hash()`) so the assignment is engine-portable — any system
+    * holding the id reproduces the split without Spark (the DuckDB twin
+    * is `('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % buckets`). */
+  def splitBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Deterministic train/val/test label from the id alone — membership is
+    * a pure function of the id, so re-runs, backfills, and other engines
+    * agree row-by-row with no stored assignment table, and new documents
+    * never reshuffle old ones (the property random-split lacks).
+    * `trainPct` + `valPct` must leave room for test. */
+  def assignSplit(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "split percentages must partition [0, 100)")
+    val b = splitBucket(id, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  // ---------------- mixture rebalancing ----------------
+
+  /** Deterministic down-sampling to a TARGET DOMAIN MIXTURE: given desired
+    * proportions per group value (web/books/code/…), keep the largest
+    * corpus whose group shares match `targets`, selecting rows by the
+    * same md5-bucket rule as [[assignSplit]] so membership is a pure
+    * function of (id, targets) — re-runs agree row-by-row and no
+    * assignment table exists.
+    *
+    * The feasible cap is min over targeted groups of n_g / target_g
+    * (the binding group keeps everything, rate exactly 1); each group g
+    * then keeps rows with bucket < floor(rate_g · buckets), giving
+    * E[kept_g] = target_g · cap. Groups absent from `targets` are
+    * dropped (target 0). Hash-threshold selection is approximate in
+    * COUNT (binomial around the target share) but exact in RULE — the
+    * property that matters for reproducibility and for the SQL oracle.
+    *
+    * Scale shape: one tiny groupBy-count (G rows — the only aggregated
+    * state), rates derived in-plan and broadcast-joined back, then a
+    * stateless filter on the scan. The corpus is read once and never
+    * repartitioned. */
+  def mixtureSample(df: DataFrame, id: Column, group: Column,
+                    targets: Map[String, Double],
+                    buckets: Int = 1000000): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive proportions")
+    val targetCol = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, t)) => when(col("__grp") === g, lit(t)).otherwise(acc)
+    }
+    val counts = df.select(group.as("__grp"))
+      .groupBy(col("__grp")).agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__target", targetCol)
+      .where(col("__target").isNotNull)
+    val cap = counts.agg(min(col("__n") / col("__target")).as("__cap"))
+    val rates = counts.crossJoin(cap)
+      .select(col("__grp"),
+        least(lit(1.0d), col("__target") * col("__cap") / col("__n"))
+          .as("__rate"))
+    df.withColumn("__grp", group)
+      .join(broadcast(rates), "__grp")
+      .where(splitBucket(id, buckets) < floor(col("__rate") * buckets))
+      .drop("__grp", "__rate")
+  }
+
+  // ---------------- weighted sampling ----------------
+
+  /** Deterministic weighted sampling without replacement, top-`k` of the
+    * Efraimidis-Spirakis keys: row i gets u_i uniform in (0, 1] from the
+    * md5 bucket of its id and key ln(u_i)/w_i — a monotone transform of
+    * the classic u^(1/w), kept in log space so the arithmetic is exact
+    * enough for cross-engine replay. Higher-weight rows are
+    * proportionally likelier to rank in the top k (A-ES reservoir
+    * semantics), yet the draw is a pure function of the id, so backfills
+    * reproduce the same sample.
+    *
+    * Scale shape: one stateless projection + global top-k
+    * (TakeOrderedAndProject: per-partition heaps, k-row merge — no
+    * shuffle of the corpus). Weights must be strictly positive — guarded
+    * IN-PLAN and loudly: a zero weight makes the key NaN, and NaN sorts
+    * greatest under Spark's ordering, so a silent zero-weight row would
+    * ALWAYS win a sample slot. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val u = (splitBucket(id, 1 << 30).cast("double") + 1.0d) /
+      lit((1 << 30).toDouble)
+    val w = when(weight.isNull || weight.cast("double") <= 0.0d,
+        raise_error(concat(lit("weightedSample: nonpositive weight for id "),
+          id.cast("string"))))
+      .otherwise(weight.cast("double"))
+    df.withColumn("__key", log(u) / w)
+      .orderBy(col("__key").desc, id)
+      .limit(k)
+      .drop("__key")
+  }
+
+  // ---------------- intra-document repetition signals ----------------
+
+  /** Contiguous word `n`-grams WITH duplicates — unlike
+    * [[NearDup.shingles]] this keeps every occurrence, because repetition
+    * signals measure exactly the duplication `shingles`' distinct throws
+    * away. Backed by the JIT kernel
+    * (`graft.functions.TextHash.ngramsCol`): the equivalent
+    * transform/element_at composition evaluates interpreted and
+    * re-derives the token array per element — measured 6.1 s vs sub-second
+    * for `text_repetition` at sf0.1 (the same trap
+    * [[NearDup.hashedShingles]] documents). */
+  def ngrams(text: Column, n: Int): Column =
+    graft.functions.TextHash.ngramsCol(text, n)
+
+  /** Per-document repetition quality signals over word `n`-grams (the
+    * Gopher-style repetition filters: boilerplate and degenerate text
+    * show up as a dominant n-gram or a collapsed distinct ratio long
+    * before a human label would):
+    *
+    *   - `top_ngram_frac` occurrences of the most frequent n-gram /
+    *     total n-grams (ties don't matter — only the max count is read)
+    *   - `dup_ngram_frac` fraction of n-gram occurrences that are
+    *     repeats: 1 - distinct/total
+    *
+    * Scale shape: ONE shuffle on (id, gram) with map-side partial
+    * counts, then a per-id rollup — both keys are high-cardinality, so
+    * the work spreads over every reducer; nothing is collected and no
+    * per-doc data structure exceeds its own n-gram multiset. Documents
+    * with fewer than `n` tokens have no n-grams and are absent from the
+    * output (nothing to measure).
+    *
+    * Fractions are `round(x, 6) + 0.0` — the same cross-engine
+    * bit-reproducibility contract as [[NearDup]]'s distances. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+                      n: Int = 2): DataFrame = {
+    def frac(c: Column): Column = round(c, 6) + lit(0.0d)
+    df.select(id.as("id"), explode(ngrams(text, n)).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("id"),
+        frac(col("max_cnt").cast("double") / col("total")).as("top_ngram_frac"),
+        frac(lit(1.0d) - col("n_distinct").cast("double") / col("total"))
+          .as("dup_ngram_frac"))
+  }
+}

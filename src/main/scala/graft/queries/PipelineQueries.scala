@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{NearDup, TextAnalysis}
+import graft.operators.{NearDup, TextAnalysis, TrainingData}
 import graft.operators.TextAnalysis._
 
 /** The composite training-data pipeline — what the whole engine exists
@@ -58,7 +58,139 @@ object PipelineQueries {
        |FROM scored WHERE quality >= $QualityMin AND lang = 'en'""".stripMargin
   }
 
+  /** Benchmark decontamination: treat source 'src0' as the held-out eval
+    * set and report, for every OTHER document, the number of distinct
+    * 4-grams it shares with any eval document (the pre-training
+    * decontamination pass; 4 — not the 8+ a real-text pipeline would use
+    * — because this corpus's ~30-word vocabulary makes longer grams
+    * vanishingly rare: at sf0.01, n=5 flags 2 docs, n=4 flags 49, a gate
+    * actually exercising the join). The oracle re-derives the same md5
+    * shingle hashes and replays the overlap in SQL. */
+  private val decontaminate: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    TrainingData.contaminationHits(
+        docs.where(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.where(col("source") === "src0"), col("text"), n = 4)
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql: String = {
+    val gram4 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+    s"""WITH g AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(
+       |      list_distinct(CASE WHEN len(t) >= 4
+       |        THEN list_transform(range(1, len(t) - 2), i -> $gram4)
+       |        ELSE []::VARCHAR[] END),
+       |      s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)) AS hsh
+       |  FROM (SELECT doc_id, source, ${TextQueries.tokSql} AS t FROM documents)),
+       |b AS (SELECT DISTINCT unnest(hsh) AS h FROM g WHERE source = 'src0'),
+       |c AS (SELECT doc_id, unnest(hsh) AS h FROM g WHERE source <> 'src0')
+       |SELECT c.doc_id, count(*) AS n_hits
+       |FROM c JOIN b USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Concat-and-chunk sequence packing at a 64-token budget over the
+    * whitespace token counts, documents concatenated in doc_id order.
+    * The oracle is ONE global window cumsum (fine for DuckDB's single
+    * node); the engine under test computes the identical offsets with
+    * the sharded two-phase prefix sum — the gate proves the distributed
+    * decomposition is exact. */
+  private val packSequences: QueryFn = (s, dir) =>
+    TrainingData.packAssignments(table(s, dir, "documents"),
+        col("doc_id"), size(tokens(col("text"))), budget = 64L, shards = 8)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("offset").as("tok_offset"), col("seq_first"), col("seq_pos"),
+        col("seq_last"))
+      .orderBy(col("doc_id"))
+
+  private val packSequencesSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS tok_offset
+       |  FROM n)
+       |SELECT doc_id, n_tokens, tok_offset,
+       |  tok_offset // 64 AS seq_first,
+       |  tok_offset % 64 AS seq_pos,
+       |  (tok_offset + greatest(n_tokens, 1) - 1) // 64 AS seq_last
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Deterministic md5-bucket train/val/test assignment (90/5/5): the
+    * split is a pure function of doc_id, so any engine — here DuckDB —
+    * reproduces membership row-by-row with no stored assignment. */
+  private val splitAssign: QueryFn = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TrainingData.assignSplit(col("doc_id"), trainPct = 90, valPct = 5)
+          .as("split"))
+      .orderBy(col("doc_id"))
+
+  private val splitAssignSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Domain-mixture rebalancing to en 0.4 / de 0.2 / es 0.2 / zh 0.2 —
+    * fr is deliberately untargeted (dropped) and de is the binding group
+    * (rate 1.0 path). The oracle recomputes the cap, the per-group
+    * rates, and the md5-bucket keep rule in SQL. */
+  private val mixtureSample: QueryFn = (s, dir) =>
+    TrainingData.mixtureSample(table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val mixtureSampleSql: String =
+    """WITH tgt(lang, target) AS (VALUES
+      |    ('en', 0.4::DOUBLE), ('de', 0.2::DOUBLE),
+      |    ('es', 0.2::DOUBLE), ('zh', 0.2::DOUBLE)),
+      |cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+      |cap AS (SELECT min(n / target) AS cap FROM cnt JOIN tgt USING (lang)),
+      |rates AS (SELECT lang, least(1.0::DOUBLE, target * cap / n) AS rate
+      |          FROM cnt JOIN tgt USING (lang), cap)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates r USING (lang)
+      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+      |      < floor(r.rate * 1000000)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic weighted sampling (Efraimidis-Spirakis top-k in log
+    * space), weight = document length in chars: longer documents are
+    * proportionally likelier to be drawn, and the draw replays from the
+    * ids alone. ln is already proven bit-compatible across engines by
+    * the BM25 oracle row. */
+  private val weightedSample: QueryFn = (s, dir) =>
+    TrainingData.weightedSample(table(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), k = 100)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val weightedSampleSql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+      |        % 1073741824 + 1) / 1073741824.0) / n_chars::DOUBLE AS key
+      |  FROM documents
+      |  ORDER BY key DESC, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pipeline_training_set", trainingSet, Some(trainingSetSql)),
+    Q("pipeline_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("pipeline_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
+    Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    Q("pipeline_weighted_sample", weightedSample, Some(weightedSampleSql)),
   )
 }

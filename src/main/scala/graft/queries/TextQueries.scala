@@ -373,8 +373,32 @@ object TextQueries {
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Gopher-style repetition signals over word bigrams: dominant-bigram
+    * fraction and duplicate-bigram fraction per document (the boilerplate
+    * / degenerate-text filters). The oracle replays the full
+    * explode-count-rollup in SQL. */
+  private val repetition: QueryFn = (s, dir) =>
+    graft.operators.TrainingData.repetitionStats(
+        table(s, dir, "documents"), col("doc_id"), col("text"), n = 2)
+      .select(col("id").as("doc_id"), col("top_ngram_frac"),
+        col("dup_ngram_frac"))
+      .orderBy(col("doc_id"))
+
+  private val repetitionSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |      ELSE []::VARCHAR[] END) AS gram
+       |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE, 6) + 0 AS top_ngram_frac,
+       |  round(1.0 - count(*)::DOUBLE / sum(cnt)::DOUBLE, 6) + 0 AS dup_ngram_frac
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),
     Q("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("text_term_stats", termStats, Some(termStatsSql)),

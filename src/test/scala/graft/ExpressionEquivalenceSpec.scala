@@ -137,6 +137,27 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  // HOF twin of TrainingData.ngrams: NON-distinct contiguous grams
+  private def hofNgrams(text: org.apache.spark.sql.Column, n: Int) = {
+    val t = split(trim(lower(text)), "\\s+")
+    if (n == 1) t
+    else when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("ngrams expression == HOF composition (values and order, " +
+    "duplicates kept)") {
+    for (n <- Seq(1, 2, 3)) {
+      val rows = texts.select(
+        graft.operators.TrainingData.ngrams(col("text"), n).as("e"),
+        hofNgrams(col("text"), n).as("h"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (e, h) => assert(e == h, s"n=$n") }
+    }
+  }
+
   test("minhash signature expression == per-hash affine HOF") {
     val hof = array((0 until 8).map { i =>
       val (a, b) = NearDup.minhashCoeffs(i)

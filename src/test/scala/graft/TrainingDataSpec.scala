@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TrainingData
+
+class TrainingDataSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------- contamination ----------------
+
+  private val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon"),
+    (101L, "one two three four five six"),
+  ).toDF("id", "text")
+
+  private val corpus = Seq(
+    (1L, "prefix alpha beta gamma delta suffix"),       // shares 1 4-gram
+    (2L, "one two three four five something else"),     // shares 2 4-grams
+    (3L, "totally unrelated words appear in this doc"), // clean
+    (4L, "alpha beta gamma delta epsilon"),             // exact bench text
+  ).toDF("id", "text")
+
+  test("contaminationHits counts distinct shared n-grams; clean docs absent") {
+    val hits = TrainingData.contaminationHits(corpus, col("id"), col("text"),
+        bench, col("text"), n = 4)
+      .as[(Long, Long)].collect().toMap
+    // doc 1: "alpha beta gamma delta"; doc 2: "one two three four",
+    // "two three four five"; doc 4: both 4-grams of the 5-token bench doc
+    assert(hits == Map(1L -> 1L, 2L -> 2L, 4L -> 2L))
+  }
+
+  test("contamination repeats in ONE doc count once (distinct shingles)") {
+    val rep = Seq((9L, "alpha beta gamma delta and alpha beta gamma delta"))
+      .toDF("id", "text")
+    val hits = TrainingData.contaminationHits(rep, col("id"), col("text"),
+        bench, col("text"), n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(9L -> 1L))
+  }
+
+  test("contamination plan: benchmark side broadcast, corpus never " +
+    "self-joined or repartitioned before the match") {
+    val p = TrainingData.contaminationHits(corpus, col("id"), col("text"),
+        bench, col("text"), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"))
+  }
+
+  // ---------------- sequence packing ----------------
+
+  private def referencePack(rows: Seq[(Long, Long)], budget: Long)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    var off = 0L
+    rows.sortBy(_._1).map { case (id, n) =>
+      val first = off / budget
+      val pos = off % budget
+      val last = (off + math.max(n, 1L) - 1) / budget
+      val r = id -> (off, first, pos, last)
+      off += n
+      r
+    }.toMap
+  }
+
+  test("packAssignments matches a sequential concat-and-chunk reference, " +
+    "including boundary-straddling and empty docs") {
+    val rows = Seq(1L -> 10L, 2L -> 0L, 3L -> 25L, 4L -> 7L, 5L -> 64L,
+      6L -> 1L, 7L -> 130L, 8L -> 3L)
+    val got = TrainingData.packAssignments(rows.toDF("id", "n"),
+        col("id"), col("n"), budget = 32L, shards = 3)
+      .select("id", "offset", "seq_first", "seq_pos", "seq_last")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == referencePack(rows, 32L))
+  }
+
+  test("packAssignments is shard-count invariant (boundaries never change " +
+    "the offsets)") {
+    val rows = (1L to 200L).map(i => i -> (i % 13))
+    val df = rows.toDF("id", "n")
+    val expected = referencePack(rows, 50L)
+    for (shards <- Seq(1, 4, 64, 500)) {
+      val got = TrainingData.packAssignments(df, col("id"), col("n"),
+          budget = 50L, shards = shards)
+        .select("id", "offset", "seq_first", "seq_pos", "seq_last")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      assert(got == expected, s"shards=$shards")
+    }
+  }
+
+  test("packAssignments plan: the corpus-sized window is PARTITIONED by " +
+    "shard (the single-partition global window is the scale-killer this " +
+    "operator exists to avoid)") {
+    val df = (1L to 100L).map(i => i -> i).toDF("id", "n")
+    val p = TrainingData.packAssignments(df, col("id"), col("n"),
+        budget = 10L, shards = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"))
+  }
+
+  test("packAssignments rejects non-positive budget and shards") {
+    val df = Seq(1L -> 1L).toDF("id", "n")
+    intercept[IllegalArgumentException] {
+      TrainingData.packAssignments(df, col("id"), col("n"), budget = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.packAssignments(df, col("id"), col("n"), budget = 1L,
+        shards = 0)
+    }
+  }
+
+  // ---------------- split assignment ----------------
+
+  test("assignSplit matches an independent md5 recomputation per id") {
+    val ids = (0L until 50L).toDF("id")
+    val got = ids.select(col("id"),
+        TrainingData.assignSplit(col("id"), 90, 5).as("s"))
+      .as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expected(id: Long): String = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    (0L until 50L).foreach(id => assert(got(id) == expected(id), s"id=$id"))
+  }
+
+  test("assignSplit fractions land near 90/5/5 and every label appears") {
+    val counts = (0L until 2000L).toDF("id")
+      .groupBy(TrainingData.assignSplit(col("id")).as("s")).count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 1800L) < 100)
+    assert(counts("val") > 40 && counts("test") > 40)
+  }
+
+  test("assignSplit validates percentages") {
+    intercept[IllegalArgumentException] {
+      TrainingData.assignSplit(col("id"), trainPct = 95, valPct = 5)
+    }
+  }
+
+  // ---------------- mixture + weighted sampling ----------------
+
+  private def md5Bucket(id: Long, buckets: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  test("mixtureSample matches an independent recomputation of cap, rates, " +
+    "and the md5 keep rule; untargeted groups are dropped") {
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 10 < 6) "a" else if (i % 10 < 9) "b" else "c"))
+    val df = rows.toDF("id", "g")
+    val targets = Map("a" -> 0.5, "b" -> 0.5) // c untargeted
+    val got = TrainingData.mixtureSample(df, col("id"), col("g"), targets)
+      .select("id").as[Long].collect().toSet
+    // independent reference: n_a=180, n_b=90 -> cap = min(360, 180) = 180
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val cap = targets.map { case (g, t) => counts(g) / t }.min
+    val expected = rows.filter { case (id, g) =>
+      targets.get(g).exists { t =>
+        val rate = math.min(1.0, t * cap / counts(g))
+        md5Bucket(id, 1000000L) < math.floor(rate * 1000000).toLong
+      }
+    }.map(_._1).toSet
+    assert(got == expected)
+    assert(!got.exists(id => rows(id.toInt)._2 == "c"))
+    // group b is binding (rate 1.0): every b row survives
+    assert(rows.filter(_._2 == "b").map(_._1).toSet.subsetOf(got))
+  }
+
+  test("weightedSample matches an independent top-k of ln(u)/w keys and " +
+    "favors heavy rows") {
+    val rows = (0L until 400L).map(i => (i, if (i < 200) 1L else 50L))
+    val df = rows.toDF("id", "w")
+    val got = TrainingData.weightedSample(df, col("id"), col("w"), k = 80)
+      .select("id").as[Long].collect().toSet
+    val expected = rows.map { case (id, w) =>
+      val u = (md5Bucket(id, 1L << 30) + 1.0) / (1L << 30).toDouble
+      (id, math.log(u) / w)
+    }.sortBy { case (id, key) => (-key, id) }.take(80).map(_._1).toSet
+    assert(got == expected)
+    // 50x-weighted rows should dominate an 80-of-400 draw
+    assert(got.count(_ >= 200L) > 60)
+  }
+
+  test("weightedSample with k >= n keeps everything") {
+    val df = Seq(1L -> 5L, 2L -> 1L).toDF("id", "w")
+    assert(TrainingData.weightedSample(df, col("id"), col("w"), k = 10)
+      .count() == 2)
+  }
+
+  test("weightedSample throws loudly on a nonpositive weight (a silent " +
+    "NaN key would always win a slot under Spark's NaN-greatest ordering)") {
+    val df = Seq(1L -> 5L, 2L -> 0L).toDF("id", "w")
+    val e = intercept[Exception] {
+      TrainingData.weightedSample(df, col("id"), col("w"), k = 1).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("nonpositive weight"))
+  }
+
+  // ---------------- repetition signals ----------------
+
+  test("repetitionStats: degenerate, clean, and too-short docs") {
+    val docs = Seq(
+      (1L, "a a a a"),          // bigrams: 3x "a a" -> top 1.0, dup 2/3
+      (2L, "w x y z"),          // 3 distinct bigrams -> top 1/3, dup 0
+      (3L, "single"),           // no bigrams -> absent
+      (4L, "b c b c b c"),      // "b c" x3 + "c b" x2 -> top 0.6, dup 0.6
+    ).toDF("id", "text")
+    val got = TrainingData.repetitionStats(docs, col("id"), col("text"), n = 2)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == (1.0, 0.666667))
+    assert(got(2L) == (0.333333, 0.0))
+    assert(got(4L) == (0.6, 0.6))
+  }
+}
