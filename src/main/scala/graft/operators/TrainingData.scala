@@ -222,6 +222,61 @@ object TrainingData {
       .drop("__key")
   }
 
+  // ---------------- unigram-LM quality scoring ----------------
+
+  /** Corpus-trained unigram language-model score per document: train
+    * token probabilities on the corpus itself (MLE count/total over the
+    * top-`vocabCap` terms; out-of-vocabulary tokens take the 1/total
+    * floor), then score each document by its mean token log-probability —
+    * the classic perplexity-style quality filter (gibberish scores far
+    * below the corpus norm, degenerate boilerplate far above it).
+    *
+    * Scale shape: two aggregations — global term counts (output bounded
+    * by `vocabCap` after the top-k cut, so the broadcast model is
+    * bounded no matter how large the real vocabulary grows) and
+    * (doc, term) counts (high-cardinality keys, map-side partials) —
+    * plus a broadcast join of the model. Nothing corpus-sized is
+    * collected or re-shuffled.
+    *
+    * Determinism (the cross-engine contract): the per-document sum folds
+    * LEFT-TO-RIGHT over contributions SORTED BY TERM — float addition is
+    * not associative, so an unordered SUM would differ in the last ULP
+    * between engines and break hash gates. Any SQL oracle replays the
+    * identical fold (DuckDB: `list_reduce(list_prepend(0.0,
+    * list(contrib ORDER BY term)), (a, b) -> a + b)`).
+    *
+    * Output: (id, n_tokens, avg_logprob) with avg_logprob rounded to 6
+    * (the [[NearDup]] reproducibility convention). */
+  def unigramLogProbs(df: DataFrame, id: Column, text: Column,
+                      vocabCap: Int = 65536): DataFrame = {
+    require(vocabCap > 0, "vocabCap must be positive")
+    val exploded = df.select(id.as("id"),
+      explode(TextAnalysis.tokens(text)).as("term"))
+    val termCounts = exploded.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = termCounts.agg(sum(col("c")).as("total"))
+    val vocab = termCounts
+      .orderBy(col("c").desc, col("term")).limit(vocabCap)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), log(col("c") / col("total")).as("lp"))
+    val perDocTerm = exploded.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val contribs = perDocTerm
+      .join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("term"), col("cnt"),
+        (col("cnt") * coalesce(col("lp"), log(lit(1.0d) / col("total"))))
+          .as("contrib"))
+    contribs.groupBy(col("id"))
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("contrib")))),
+            x => x.getField("contrib")),
+          lit(0.0d), (acc, x) => acc + x).as("__s"))
+      .select(col("id"), col("n_tokens"),
+        (round(col("__s") / col("n_tokens"), 6) + lit(0.0d)).as("avg_logprob"))
+  }
+
   // ---------------- intra-document repetition signals ----------------
 
   /** Contiguous word `n`-grams WITH duplicates — unlike

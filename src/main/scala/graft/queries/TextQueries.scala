@@ -396,9 +396,40 @@ object TextQueries {
        |  round(1.0 - count(*)::DOUBLE / sum(cnt)::DOUBLE, 6) + 0 AS dup_ngram_frac
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus-trained unigram-LM quality score at a 20-term vocabulary cap
+    * (the full vocab is 31, so the OOV floor path is genuinely
+    * exercised). The oracle retrains the same model and replays the
+    * SAME deterministic term-sorted left fold — an unordered SUM would
+    * drift in the last ULP. */
+  private val lmQuality: QueryFn = (s, dir) =>
+    graft.operators.TrainingData.unigramLogProbs(
+        table(s, dir, "documents"), col("doc_id"), col("text"), vocabCap = 20)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
+      .orderBy(col("doc_id"))
+
+  private val lmQualitySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |tc AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(c)::DOUBLE AS total FROM tc),
+       |vocab AS (SELECT term, ln(c / (SELECT total FROM tot)) AS lp
+       |          FROM tc ORDER BY c DESC, term LIMIT 20),
+       |dt AS (SELECT doc_id, term, count(*)::DOUBLE AS cnt
+       |       FROM tok GROUP BY 1, 2),
+       |ctb AS (SELECT d.doc_id, d.term, d.cnt,
+       |         d.cnt * coalesce(v.lp, (SELECT ln(1.0 / total) FROM tot))
+       |           AS contrib
+       |       FROM dt d LEFT JOIN vocab v USING (term)),
+       |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list(contrib ORDER BY term)), (a, b) -> a + b) AS s
+       |       FROM ctb GROUP BY 1)
+       |SELECT doc_id, n_tokens, round(s / n_tokens, 6) + 0 AS avg_logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
+    Q("text_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),
     Q("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("text_term_stats", termStats, Some(termStatsSql)),

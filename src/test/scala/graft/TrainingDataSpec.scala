@@ -207,6 +207,57 @@ class TrainingDataSpec extends AnyFunSuite {
       e.getMessage.contains("nonpositive weight"))
   }
 
+  // ---------------- unigram-LM quality ----------------
+
+  test("unigramLogProbs matches an independent Scala recomputation, " +
+    "including the OOV floor under a vocab cap") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "b c c c"),
+      (3L, "a z"), // z is rare -> OOV at cap 3
+    ).toDF("id", "text")
+    val got = TrainingData.unigramLogProbs(docs, col("id"), col("text"),
+        vocabCap = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // reference: counts a=3 b=2 c=3 z=1, total=9; vocab top-3 by
+    // (count desc, term asc) = a, c, b; z -> floor ln(1/9)
+    val toks = Map(1L -> Seq("a", "a", "b"), 2L -> Seq("b", "c", "c", "c"),
+      3L -> Seq("a", "z"))
+    val counts = toks.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toDouble).toMap
+    val total = counts.values.sum
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(3).toMap
+    def lp(t: String): Double =
+      vocab.get(t).map(c => math.log(c / total))
+        .getOrElse(math.log(1.0 / total))
+    toks.foreach { case (id, ts) =>
+      // same fold order as the operator: contributions sorted by term
+      val s = ts.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, o) => o.size * lp(t) }.foldLeft(0.0)(_ + _)
+      val expected = math.rint(s / ts.size * 1e6) / 1e6 + 0.0
+      assert(got(id) == ((ts.size.toLong, expected)), s"id=$id")
+    }
+  }
+
+  test("unigramLogProbs: a uniform doc of the top term scores highest") {
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the rare1 rare2 rare3"),
+    ).toDF("id", "text")
+    val got = TrainingData.unigramLogProbs(docs, col("id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("unigramLogProbs validates vocabCap") {
+    val df = Seq(1L -> "a").toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TrainingData.unigramLogProbs(df, col("id"), col("text"), vocabCap = 0)
+    }
+  }
+
   // ---------------- repetition signals ----------------
 
   test("repetitionStats: degenerate, clean, and too-short docs") {
