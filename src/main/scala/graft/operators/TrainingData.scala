@@ -222,6 +222,47 @@ object TrainingData {
       .drop("__key")
   }
 
+  // ---------------- corpus-frequent boilerplate detection ----------------
+
+  /** Per-document boilerplate fraction: the share of a document's
+    * distinct word `n`-grams that occur in at least `minDocFreq`
+    * documents corpus-wide (the C4-style repeated-span signal —
+    * navigation chrome, license headers, and template text recur across
+    * documents while organic content does not).
+    *
+    * Scale shape: the corpus-common gram set is PROVABLY bounded —
+    * sum of doc-frequencies equals total gram occurrences G, so at most
+    * G / minDocFreq grams can clear the threshold — which is what makes
+    * it broadcast-safe at any corpus size (pick minDocFreq so
+    * G/minDocFreq fits a broadcast; at web scale that is exactly the
+    * heavy-hitter set you care about). Two aggregations: gram doc
+    * frequency (8-byte hashed keys, map-side partials) cut to the common
+    * set and broadcast, then per-doc hit counts joined back map-side.
+    * The corpus text is scanned once per pass and never self-joined.
+    *
+    * Output: (id, n_grams, common_frac) — one row per document;
+    * documents with fewer than `n` tokens have no grams and score 0.0.
+    * Fraction rounded to 6, the cross-engine convention. */
+  def boilerplateFraction(df: DataFrame, id: Column, text: Column,
+                          n: Int = 3, minDocFreq: Int = 5): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be at least 2")
+    val docs = df.select(id.as("id"), NearDup.hashedShingles(text, n).as("hsh"))
+    val exploded = docs.select(col("id"), explode(col("hsh")).as("h"))
+    // hsh is distinct per doc, so count(*) per h IS the doc frequency
+    val common = exploded.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("h"))
+    val hits = exploded.join(broadcast(common), "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
+    docs.join(hits, Seq("id"), "left")
+      .select(col("id"), size(col("hsh")).cast("long").as("n_grams"),
+        when(size(col("hsh")) === 0, lit(0.0d))
+          .otherwise(round(coalesce(col("__hits"), lit(0L)).cast("double") /
+            size(col("hsh")), 6) + lit(0.0d))
+          .as("common_frac"))
+  }
+
   // ---------------- unigram-LM quality scoring ----------------
 
   /** Corpus-trained unigram language-model score per document: train

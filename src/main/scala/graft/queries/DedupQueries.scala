@@ -32,7 +32,7 @@ object DedupQueries {
   /** DuckDB twin of NearDup.shingles(text, 3) hashed with seededHash(0)
     * — the confirm compares hashed trigram sets, exactly like the Spark
     * operator. */
-  private val hashedTrigramSets: String =
+  private[queries] val hashedTrigramSets: String =
     s"""SELECT doc_id, list_distinct(list_transform(sh, s -> ${hashSql(0, "s")})) AS hsh
        |  FROM (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])

@@ -185,8 +185,81 @@ object PipelineQueries {
       |  ORDER BY key DESC, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  /** The FULL curation composition — what a real pre-training freeze
+    * runs: exclude the eval source itself, quality-gate, keep the target
+    * language, drop near-duplicates (greedy keep-first over the whole
+    * corpus), and drop every document contaminated by eval 4-grams. One
+    * row proving the decontamination stage composes with the rest of
+    * the pipeline exactly like its standalone gate. */
+  private val cleanTrainingSet: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val corpus = docs.where(col("source") =!= "src0")
+    val t = tokens(col("text"))
+    val losers = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+      .select(col("id_b"))
+    val contaminated = TrainingData.contaminationHits(
+      corpus, col("doc_id"), col("text"),
+      docs.where(col("source") === "src0"), col("text"), n = 4)
+      .select(col("id"))
+    corpus
+      .where(qualityScore(t) >= QualityMin)
+      .where(predictedLang(t) === "en")
+      .join(losers, corpus("doc_id") === col("id_b"), "left_anti")
+      .join(contaminated, corpus("doc_id") === col("id"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(ceil(length(trim(col("text"))).cast("double") / 4.0).cast("long"))
+          .as("total_tokens_est"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  private val cleanTrainingSetSql: String = {
+    val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    def score(words: Seq[String]) =
+      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
+    val whens = scores.zipWithIndex.init.map { case ((lang, sc), i) =>
+      val later = scores.drop(i + 1).map(o => s"$sc >= ${o._2}").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }.mkString(" ")
+    val gram4 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+    s"""WITH ${DedupQueries.jaccardPairs},
+       |g4 AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(
+       |      list_distinct(CASE WHEN len(t) >= 4
+       |        THEN list_transform(range(1, len(t) - 2), i -> $gram4)
+       |        ELSE []::VARCHAR[] END),
+       |      s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)) AS hsh
+       |  FROM (SELECT doc_id, source, ${TextQueries.tokSql} AS t FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(hsh) AS h FROM g4 WHERE source = 'src0'),
+       |contaminated AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, unnest(hsh) AS h FROM g4 WHERE source <> 'src0') c
+       |  JOIN bench USING (h)),
+       |keep AS (
+       |  SELECT doc_id, text, n_chars, ${TextQueries.tokSql} AS t
+       |  FROM documents
+       |  WHERE source <> 'src0'
+       |    AND doc_id NOT IN (SELECT doc_b FROM p WHERE j >= 0.5)
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |scored AS (
+       |  SELECT doc_id, text, n_chars,
+       |    0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
+       |    0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
+       |    0.3 * least(len(t)::DOUBLE / 100.0, 1.0) AS quality,
+       |    CASE $whens ELSE '${LangProfiles.last._1}' END AS lang
+       |  FROM keep)
+       |SELECT count(*) AS n_docs,
+       |  sum(ceil(len(trim(text))::DOUBLE / 4.0)::BIGINT)::BIGINT AS total_tokens_est,
+       |  sum(n_chars)::BIGINT AS total_chars
+       |FROM scored WHERE quality >= $QualityMin AND lang = 'en'""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pipeline_training_set", trainingSet, Some(trainingSetSql)),
+    Q("pipeline_clean_training_set", cleanTrainingSet, Some(cleanTrainingSetSql)),
     Q("pipeline_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("pipeline_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),

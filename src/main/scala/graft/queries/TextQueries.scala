@@ -426,10 +426,35 @@ object TextQueries {
        |SELECT doc_id, n_tokens, round(s / n_tokens, 6) + 0 AS avg_logprob
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** C4-style boilerplate fraction over trigrams at doc-freq >= 5 (151
+    * of 16k distinct trigrams clear it at sf0.01 — a real common set).
+    * The oracle re-derives the same hashed trigram sets, the same
+    * doc-frequency cut, and the same hit fractions. */
+  private val boilerplate: QueryFn = (s, dir) =>
+    graft.operators.TrainingData.boilerplateFraction(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, minDocFreq = 5)
+      .select(col("id").as("doc_id"), col("n_grams"), col("common_frac"))
+      .orderBy(col("doc_id"))
+
+  private val boilerplateSql: String =
+    s"""WITH s AS (${DedupQueries.hashedTrigramSets}),
+       |e AS (SELECT doc_id, unnest(hsh) AS h FROM s),
+       |cm AS (SELECT h FROM (SELECT h, count(*) AS df FROM e GROUP BY 1)
+       |       WHERE df >= 5),
+       |ht AS (SELECT doc_id, count(*) AS hits
+       |       FROM e JOIN cm USING (h) GROUP BY 1)
+       |SELECT s.doc_id, len(s.hsh)::BIGINT AS n_grams,
+       |  CASE WHEN len(s.hsh) = 0 THEN 0.0::DOUBLE
+       |       ELSE round(coalesce(ht.hits, 0)::DOUBLE / len(s.hsh), 6) + 0
+       |       END AS common_frac
+       |FROM s LEFT JOIN ht USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_lm_quality", lmQuality, Some(lmQualitySql)),
+    Q("text_boilerplate", boilerplate, Some(boilerplateSql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),
     Q("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("text_term_stats", termStats, Some(termStatsSql)),

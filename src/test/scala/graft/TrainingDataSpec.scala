@@ -207,6 +207,48 @@ class TrainingDataSpec extends AnyFunSuite {
       e.getMessage.contains("nonpositive weight"))
   }
 
+  // ---------------- boilerplate fraction ----------------
+
+  test("boilerplateFraction flags corpus-common n-grams and scores " +
+    "gram-less docs 0.0") {
+    // "x y z" appears in 3 docs (clears minDocFreq=3); each doc's other
+    // grams are unique to it
+    val docs = Seq(
+      (1L, "x y z only here alpha"),   // grams: 4, common: "x y z" = 1
+      (2L, "x y z unrelated beta tail"),
+      (3L, "prefix words x y z"),      // grams: 3, common: 1
+      (4L, "nothing shared at all here"),
+      (5L, "too short"),               // < 3 tokens -> no grams
+    ).toDF("id", "text")
+    val got = TrainingData.boilerplateFraction(docs, col("id"), col("text"),
+        n = 3, minDocFreq = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((4L, 0.25)))
+    assert(got(2L) == ((4L, 0.25)))
+    assert(got(3L) == ((3L, 0.333333)))
+    assert(got(4L) == ((3L, 0.0)))
+    assert(got(5L) == ((0L, 0.0)))
+  }
+
+  test("boilerplateFraction plan: the common set joins broadcast; the " +
+    "corpus is never self-joined") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("id", "text")
+    val p = TrainingData.boilerplateFraction(docs, col("id"), col("text"),
+        n = 3, minDocFreq = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("boilerplateFraction validates minDocFreq") {
+    val df = Seq(1L -> "a b c").toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TrainingData.boilerplateFraction(df, col("id"), col("text"),
+        minDocFreq = 1)
+    }
+  }
+
   // ---------------- unigram-LM quality ----------------
 
   test("unigramLogProbs matches an independent Scala recomputation, " +
