@@ -35,20 +35,39 @@ object TextHash {
     v >>> 4
   }
 
-  /** Distinct hashed word n-gram shingles of one text — the Scala twin of
-    * NearDup.shingles(text, n) + seededHash(0, _): trim spaces (ASCII
-    * 0x20 only, matching Spark/DuckDB trim), lowercase, split on \s+.
-    * ASCII assumption documented at NearDup.shingles: the two paths can
+  /** ONE tokenization for every text kernel in this file — trim spaces
+    * (ASCII 0x20 only, matching Spark/DuckDB trim), lowercase, split on
+    * \s+. Shared so the shingle and n-gram kernels cannot drift apart:
+    * the DuckDB oracles replay one tokenization contract, not two.
+    * ASCII assumption documented at NearDup.shingles; the paths can
     * diverge on non-ASCII case mappings; ExpressionEquivalenceSpec locks
     * them equal on the supported (ASCII) domain. */
-  private[functions] def hashedShingles(text: String, n: Int): Array[Long] = {
+  private def tokenize(text: String): Array[String] = {
     val trimmed = {
       var st = 0; var en = text.length
       while (st < en && text.charAt(st) == ' ') st += 1
       while (en > st && text.charAt(en - 1) == ' ') en -= 1
       text.substring(st, en)
     }
-    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+  }
+
+  /** Append the space-joined gram toks(i..i+n-1) to `sb` (which may
+    * already hold a prefix, e.g. the hash seed). */
+  private def appendGram(sb: java.lang.StringBuilder, toks: Array[String],
+                         i: Int, n: Int): Unit = {
+    var k = 0
+    while (k < n) {
+      if (k > 0) sb.append(' ')
+      sb.append(toks(i + k))
+      k += 1
+    }
+  }
+
+  /** Distinct hashed word n-gram shingles of one text — the Scala twin of
+    * NearDup.shingles(text, n) + seededHash(0, _). */
+  private[functions] def hashedShingles(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
     if (toks.length < n) return Array.empty
     val digest = java.security.MessageDigest.getInstance("MD5")
     val seen = new java.util.LinkedHashSet[Long]()
@@ -57,12 +76,7 @@ object TextHash {
     while (i <= toks.length - n) {
       sb.setLength(0)
       sb.append("0:")
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(i + k))
-        k += 1
-      }
+      appendGram(sb, toks, i, n)
       seen.add(md5Prefix60(digest, sb.toString))
       i += 1
     }
@@ -73,29 +87,18 @@ object TextHash {
   }
 
   /** Non-distinct contiguous word n-grams — the repetition-signal twin of
-    * [[hashedShingles]]: same trim/lowercase/split contract, every
-    * occurrence kept (repetition measures exactly the duplication the
-    * shingle set throws away), grams joined with a single space. */
+    * [[hashedShingles]]: same [[tokenize]] contract by construction,
+    * every occurrence kept (repetition measures exactly the duplication
+    * the shingle set throws away), grams joined with a single space. */
   private[functions] def ngrams(text: String, n: Int): Array[UTF8String] = {
-    val trimmed = {
-      var st = 0; var en = text.length
-      while (st < en && text.charAt(st) == ' ') st += 1
-      while (en > st && text.charAt(en - 1) == ' ') en -= 1
-      text.substring(st, en)
-    }
-    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = tokenize(text)
     if (toks.length < n) return Array.empty
     val out = new Array[UTF8String](toks.length - n + 1)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i <= toks.length - n) {
       sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(i + k))
-        k += 1
-      }
+      appendGram(sb, toks, i, n)
       out(i) = UTF8String.fromString(sb.toString)
       i += 1
     }

@@ -113,24 +113,42 @@ object TrainingData {
       .withColumn("local_off", coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
       .join(bases, "shard")
       .withColumn("offset", col("shard_base") + col("local_off"))
-      .withColumn("seq_first", (col("offset") / budget).cast("long"))
+      // integer DIV, not double division: long/long promotes to double,
+      // and past 2^53 a k*budget-1 offset rounds UP to exactly k — an
+      // off-by-one sequence index at precisely the scale this operator
+      // exists for
+      .withColumn("seq_first", expr(s"offset DIV ${budget}L"))
       .withColumn("seq_pos", col("offset") % budget)
       .withColumn("seq_last",
-        ((col("offset") + greatest(col("n_tokens"), lit(1L)) - 1) / budget)
-          .cast("long"))
+        expr(s"(offset + greatest(n_tokens, 1L) - 1) DIV ${budget}L"))
       .select(col("id"), col("n_tokens"), col("offset"),
         col("seq_first"), col("seq_pos"), col("seq_last"))
   }
 
   // ---------------- deterministic split assignment ----------------
 
-  /** Stable hash bucket in [0, buckets) for split assignment: the first 8
-    * hex chars of md5 of the id's canonical string form. md5 (not Spark's
-    * murmur `hash()`) so the assignment is engine-portable — any system
-    * holding the id reproduces the split without Spark (the DuckDB twin
-    * is `('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % buckets`). */
+  /** Stable hash bucket in [0, buckets): the first 8 hex chars of
+    * md5(salt + id). md5 (not Spark's murmur `hash()`) so the assignment
+    * is engine-portable — any system holding the id reproduces it
+    * without Spark (the DuckDB twin is
+    * `('0x' || substr(md5('<salt>' || id::VARCHAR), 1, 8))::BIGINT %
+    * buckets`).
+    *
+    * The SALT is load-bearing: every deterministic-selection operator
+    * here derives randomness from this hash, and two stages salted
+    * identically are perfectly correlated, not independent — e.g. an
+    * unsalted mixture filter at keep-rate r ≤ 90/10⁶ followed by an
+    * unsalted 90/5/5 split would leave val and test EMPTY (the
+    * survivors' buckets are exactly the low ones the split labels
+    * 'train'). Each operator passes its own purpose salt, restoring
+    * pairwise independence of composed stages. */
+  def hashBucket(salt: String, id: Column, buckets: Long): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** [[hashBucket]] under the split salt ("split:"). */
   def splitBucket(id: Column, buckets: Int = 100): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    hashBucket("split:", id, buckets.toLong)
 
   /** Deterministic train/val/test label from the id alone — membership is
     * a pure function of the id, so re-runs, backfills, and other engines
@@ -166,7 +184,11 @@ object TrainingData {
     * Scale shape: one tiny groupBy-count (G rows — the only aggregated
     * state), rates derived in-plan and broadcast-joined back, then a
     * stateless filter on the scan. The corpus is read once and never
-    * repartitioned. */
+    * repartitioned. A targeted group with ZERO corpus rows throws
+    * loudly at execution (in-plan guard): silently ignoring it would
+    * un-constrain the cap and ship a mixture nothing like the request
+    * (the documented formula gives cap 0 — an empty result — not
+    * "rebalance among whatever is present"). */
   def mixtureSample(df: DataFrame, id: Column, group: Column,
                     targets: Map[String, Double],
                     buckets: Int = 1000000): DataFrame = {
@@ -179,14 +201,21 @@ object TrainingData {
       .groupBy(col("__grp")).agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__target", targetCol)
       .where(col("__target").isNotNull)
-    val cap = counts.agg(min(col("__n") / col("__target")).as("__cap"))
+    val cap = counts
+      .agg(min(col("__n") / col("__target")).as("__cap"),
+        count(lit(1)).as("__present"))
+      .select(when(col("__present") =!= targets.size,
+          raise_error(lit("mixtureSample: a targeted group has no corpus " +
+            "rows — the requested mixture is infeasible")))
+        .otherwise(col("__cap")).as("__cap"))
     val rates = counts.crossJoin(cap)
       .select(col("__grp"),
         least(lit(1.0d), col("__target") * col("__cap") / col("__n"))
           .as("__rate"))
     df.withColumn("__grp", group)
       .join(broadcast(rates), "__grp")
-      .where(splitBucket(id, buckets) < floor(col("__rate") * buckets))
+      .where(hashBucket("mix:", id, buckets.toLong) <
+        floor(col("__rate") * buckets))
       .drop("__grp", "__rate")
   }
 
@@ -210,11 +239,12 @@ object TrainingData {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      k: Int): DataFrame = {
     require(k > 0, "sample size must be positive")
-    val u = (splitBucket(id, 1 << 30).cast("double") + 1.0d) /
-      lit((1 << 30).toDouble)
-    val w = when(weight.isNull || weight.cast("double") <= 0.0d,
-        raise_error(concat(lit("weightedSample: nonpositive weight for id "),
-          id.cast("string"))))
+    val u = (hashBucket("samp:", id, 1L << 30).cast("double") + 1.0d) /
+      lit((1L << 30).toDouble)
+    val w = when(weight.isNull || isnan(weight.cast("double")) ||
+        weight.cast("double") <= 0.0d,
+        raise_error(concat(lit("weightedSample: nonpositive or NaN weight " +
+          "for id "), id.cast("string"))))
       .otherwise(weight.cast("double"))
     df.withColumn("__key", log(u) / w)
       .orderBy(col("__key").desc, id)
@@ -255,11 +285,15 @@ object TrainingData {
       .select(col("h"))
     val hits = exploded.join(broadcast(common), "h")
       .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
-    docs.join(hits, Seq("id"), "left")
-      .select(col("id"), size(col("hsh")).cast("long").as("n_grams"),
-        when(size(col("hsh")) === 0, lit(0.0d))
+    // project the gram COUNT before the join: joining the full hashed
+    // arrays would shuffle 8 bytes per gram per row just to take size()
+    // afterwards
+    docs.select(col("id"), size(col("hsh")).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        when(col("n_grams") === 0, lit(0.0d))
           .otherwise(round(coalesce(col("__hits"), lit(0L)).cast("double") /
-            size(col("hsh")), 6) + lit(0.0d))
+            col("n_grams"), 6) + lit(0.0d))
           .as("common_frac"))
   }
 

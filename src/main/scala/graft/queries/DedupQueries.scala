@@ -18,7 +18,7 @@ object DedupQueries {
   // ---------------- shared DuckDB fragments ----------------
 
   /** DuckDB twin of NearDup.seededHash. */
-  private def hashSql(seed: Int, s: String): String =
+  private[queries] def hashSql(seed: Int, s: String): String =
     s"('0x' || substr(md5('$seed:' || $s), 1, 15))::BIGINT"
 
   /** DuckDB twin of NearDup.shingles(text, 2) over documents. */

@@ -13,6 +13,46 @@ object PipelineQueries {
 
   private val QualityMin = 0.68
 
+  /** DuckDB twin of NearDup.hashedShingles(text, 4) per (doc, source) —
+    * ONE SQL home for the 4-gram hash contract, shared by the
+    * decontamination gate and the clean-training-set composition (a
+    * drifted copy would silently split the two oracles). */
+  private val hashedGram4Sets: String = {
+    val gram4 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+    s"""SELECT doc_id, source,
+       |    list_distinct(list_transform(
+       |      list_distinct(CASE WHEN len(t) >= 4
+       |        THEN list_transform(range(1, len(t) - 2), i -> $gram4)
+       |        ELSE []::VARCHAR[] END),
+       |      s -> ${DedupQueries.hashSql(0, "s")})) AS hsh
+       |  FROM (SELECT doc_id, source, ${TextQueries.tokSql} AS t FROM documents)""".stripMargin
+  }
+
+  /** Quality + language scoring CTE and the totals tail, shared by both
+    * training-set rows; expects a `keep(doc_id, text, n_chars, t)`
+    * relation in scope. */
+  private val scoredTotalsSql: String = {
+    val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    def score(words: Seq[String]) =
+      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
+    val whens = scores.zipWithIndex.init.map { case ((lang, sc), i) =>
+      val later = scores.drop(i + 1).map(o => s"$sc >= ${o._2}").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }.mkString(" ")
+    s"""scored AS (
+       |  SELECT doc_id, text, n_chars,
+       |    0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
+       |    0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
+       |    0.3 * least(len(t)::DOUBLE / 100.0, 1.0) AS quality,
+       |    CASE $whens ELSE '${LangProfiles.last._1}' END AS lang
+       |  FROM keep)
+       |SELECT count(*) AS n_docs,
+       |  sum(ceil(len(trim(text))::DOUBLE / 4.0)::BIGINT)::BIGINT AS total_tokens_est,
+       |  sum(n_chars)::BIGINT AS total_chars
+       |FROM scored WHERE quality >= $QualityMin AND lang = 'en'""".stripMargin
+  }
+
   private val trainingSet: QueryFn = (s, dir) => {
     val docs = table(s, dir, "documents")
     val t = tokens(col("text"))
@@ -30,33 +70,14 @@ object PipelineQueries {
         sum(col("n_chars")).as("total_chars"))
   }
 
-  private val trainingSetSql: String = {
-    val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
-    def score(words: Seq[String]) =
-      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
-    val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
-    val whens = scores.zipWithIndex.init.map { case ((lang, sc), i) =>
-      val later = scores.drop(i + 1).map(o => s"$sc >= ${o._2}").mkString(" AND ")
-      s"WHEN $later THEN '$lang'"
-    }.mkString(" ")
+  private val trainingSetSql: String =
     s"""WITH ${DedupQueries.jaccardPairs},
        |keep AS (
        |  SELECT doc_id, text, n_chars,
        |    ${TextQueries.tokSql} AS t
        |  FROM documents
        |  WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE j >= 0.5)),
-       |scored AS (
-       |  SELECT doc_id, text, n_chars,
-       |    0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
-       |    0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
-       |    0.3 * least(len(t)::DOUBLE / 100.0, 1.0) AS quality,
-       |    CASE $whens ELSE '${LangProfiles.last._1}' END AS lang
-       |  FROM keep)
-       |SELECT count(*) AS n_docs,
-       |  sum(ceil(len(trim(text))::DOUBLE / 4.0)::BIGINT)::BIGINT AS total_tokens_est,
-       |  sum(n_chars)::BIGINT AS total_chars
-       |FROM scored WHERE quality >= $QualityMin AND lang = 'en'""".stripMargin
-  }
+       |$scoredTotalsSql""".stripMargin
 
   /** Benchmark decontamination: treat source 'src0' as the held-out eval
     * set and report, for every OTHER document, the number of distinct
@@ -75,21 +96,12 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val decontaminateSql: String = {
-    val gram4 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
-    s"""WITH g AS (
-       |  SELECT doc_id, source,
-       |    list_distinct(list_transform(
-       |      list_distinct(CASE WHEN len(t) >= 4
-       |        THEN list_transform(range(1, len(t) - 2), i -> $gram4)
-       |        ELSE []::VARCHAR[] END),
-       |      s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)) AS hsh
-       |  FROM (SELECT doc_id, source, ${TextQueries.tokSql} AS t FROM documents)),
+  private val decontaminateSql: String =
+    s"""WITH g AS ($hashedGram4Sets),
        |b AS (SELECT DISTINCT unnest(hsh) AS h FROM g WHERE source = 'src0'),
        |c AS (SELECT doc_id, unnest(hsh) AS h FROM g WHERE source <> 'src0')
        |SELECT c.doc_id, count(*) AS n_hits
        |FROM c JOIN b USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   /** Concat-and-chunk sequence packing at a 64-token budget over the
     * whitespace token counts, documents concatenated in doc_id order.
@@ -136,7 +148,8 @@ object PipelineQueries {
       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM (SELECT doc_id, lang,
-      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |        ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+      |          % 100 AS b
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -161,7 +174,8 @@ object PipelineQueries {
       |          FROM cnt JOIN tgt USING (lang), cap)
       |SELECT d.doc_id, d.lang
       |FROM documents d JOIN rates r USING (lang)
-      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+      |WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      |        % 1000000
       |      < floor(r.rate * 1000000)
       |ORDER BY doc_id""".stripMargin
 
@@ -179,7 +193,7 @@ object PipelineQueries {
   private val weightedSampleSql: String =
     """SELECT doc_id, n_chars FROM (
       |  SELECT doc_id, n_chars,
-      |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+      |    ln((('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::BIGINT
       |        % 1073741824 + 1) / 1073741824.0) / n_chars::DOUBLE AS key
       |  FROM documents
       |  ORDER BY key DESC, doc_id LIMIT 100)
@@ -214,25 +228,9 @@ object PipelineQueries {
         sum(col("n_chars")).as("total_chars"))
   }
 
-  private val cleanTrainingSetSql: String = {
-    val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
-    def score(words: Seq[String]) =
-      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
-    val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
-    val whens = scores.zipWithIndex.init.map { case ((lang, sc), i) =>
-      val later = scores.drop(i + 1).map(o => s"$sc >= ${o._2}").mkString(" AND ")
-      s"WHEN $later THEN '$lang'"
-    }.mkString(" ")
-    val gram4 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+  private val cleanTrainingSetSql: String =
     s"""WITH ${DedupQueries.jaccardPairs},
-       |g4 AS (
-       |  SELECT doc_id, source,
-       |    list_distinct(list_transform(
-       |      list_distinct(CASE WHEN len(t) >= 4
-       |        THEN list_transform(range(1, len(t) - 2), i -> $gram4)
-       |        ELSE []::VARCHAR[] END),
-       |      s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)) AS hsh
-       |  FROM (SELECT doc_id, source, ${TextQueries.tokSql} AS t FROM documents)),
+       |g4 AS ($hashedGram4Sets),
        |bench AS (SELECT DISTINCT unnest(hsh) AS h FROM g4 WHERE source = 'src0'),
        |contaminated AS (
        |  SELECT DISTINCT c.doc_id
@@ -244,18 +242,7 @@ object PipelineQueries {
        |  WHERE source <> 'src0'
        |    AND doc_id NOT IN (SELECT doc_b FROM p WHERE j >= 0.5)
        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |scored AS (
-       |  SELECT doc_id, text, n_chars,
-       |    0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
-       |    0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
-       |    0.3 * least(len(t)::DOUBLE / 100.0, 1.0) AS quality,
-       |    CASE $whens ELSE '${LangProfiles.last._1}' END AS lang
-       |  FROM keep)
-       |SELECT count(*) AS n_docs,
-       |  sum(ceil(len(trim(text))::DOUBLE / 4.0)::BIGINT)::BIGINT AS total_tokens_est,
-       |  sum(n_chars)::BIGINT AS total_chars
-       |FROM scored WHERE quality >= $QualityMin AND lang = 'en'""".stripMargin
-  }
+       |$scoredTotalsSql""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("pipeline_training_set", trainingSet, Some(trainingSetSql)),

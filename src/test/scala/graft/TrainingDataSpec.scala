@@ -119,11 +119,8 @@ class TrainingDataSpec extends AnyFunSuite {
     val got = ids.select(col("id"),
         TrainingData.assignSplit(col("id"), 90, 5).as("s"))
       .as[(Long, String)].collect().toMap
-    val md = java.security.MessageDigest.getInstance("MD5")
     def expected(id: Long): String = {
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 8)
-      val b = java.lang.Long.parseLong(hex, 16) % 100
+      val b = md5Bucket("split:", id, 100L)
       if (b < 90) "train" else if (b < 95) "val" else "test"
     }
     (0L until 50L).foreach(id => assert(got(id) == expected(id), s"id=$id"))
@@ -146,9 +143,9 @@ class TrainingDataSpec extends AnyFunSuite {
 
   // ---------------- mixture + weighted sampling ----------------
 
-  private def md5Bucket(id: Long, buckets: Long): Long = {
+  private def md5Bucket(salt: String, id: Long, buckets: Long): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(id.toString.getBytes("UTF-8"))
+    val hex = md.digest((salt + id.toString).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)
     java.lang.Long.parseLong(hex, 16) % buckets
   }
@@ -167,13 +164,36 @@ class TrainingDataSpec extends AnyFunSuite {
     val expected = rows.filter { case (id, g) =>
       targets.get(g).exists { t =>
         val rate = math.min(1.0, t * cap / counts(g))
-        md5Bucket(id, 1000000L) < math.floor(rate * 1000000).toLong
+        md5Bucket("mix:", id, 1000000L) < math.floor(rate * 1000000).toLong
       }
     }.map(_._1).toSet
     assert(got == expected)
     assert(!got.exists(id => rows(id.toInt)._2 == "c"))
     // group b is binding (rate 1.0): every b row survives
     assert(rows.filter(_._2 == "b").map(_._1).toSet.subsetOf(got))
+  }
+
+  test("mixtureSample throws loudly when a targeted group has no corpus " +
+    "rows (silently dropping the constraint would ship the wrong mixture)") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val e = intercept[Exception] {
+      TrainingData.mixtureSample(df, col("id"), col("g"),
+        Map("a" -> 0.5, "zz" -> 0.5)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no corpus rows"))
+  }
+
+  test("composed selection stages are pairwise independent (purpose " +
+    "salts): a harsh mixture filter does not starve val/test splits") {
+    // unsalted, survivors of bucket < t under one hash would ALL land in
+    // 'train' under the same hash; purpose salts decorrelate the stages
+    val ids = (0L until 5000L)
+    val kept = ids.filter(id => md5Bucket("mix:", id, 1000000L) < 50000)
+    val splits = kept.map(id => md5Bucket("split:", id, 100L))
+    assert(kept.nonEmpty)
+    assert(splits.exists(_ >= 95), "test split empty -> correlated hashes")
+    assert(splits.exists(b => b >= 90 && b < 95),
+      "val split empty -> correlated hashes")
   }
 
   test("weightedSample matches an independent top-k of ln(u)/w keys and " +
@@ -183,7 +203,7 @@ class TrainingDataSpec extends AnyFunSuite {
     val got = TrainingData.weightedSample(df, col("id"), col("w"), k = 80)
       .select("id").as[Long].collect().toSet
     val expected = rows.map { case (id, w) =>
-      val u = (md5Bucket(id, 1L << 30) + 1.0) / (1L << 30).toDouble
+      val u = (md5Bucket("samp:", id, 1L << 30) + 1.0) / (1L << 30).toDouble
       (id, math.log(u) / w)
     }.sortBy { case (id, key) => (-key, id) }.take(80).map(_._1).toSet
     assert(got == expected)
@@ -204,7 +224,17 @@ class TrainingDataSpec extends AnyFunSuite {
       TrainingData.weightedSample(df, col("id"), col("w"), k = 1).collect()
     }
     assert(e.getMessage != null &&
-      e.getMessage.contains("nonpositive weight"))
+      e.getMessage.contains("nonpositive or NaN weight"))
+  }
+
+  test("weightedSample throws loudly on a NaN weight too — NaN passes " +
+    "neither <= 0 nor isNull, the guard needs isnan explicitly") {
+    val df = Seq(1L -> 5.0, 2L -> Double.NaN).toDF("id", "w")
+    val e = intercept[Exception] {
+      TrainingData.weightedSample(df, col("id"), col("w"), k = 1).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("nonpositive or NaN weight"))
   }
 
   // ---------------- boilerplate fraction ----------------
