@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.{MetadataFunctions, VectorExpressions}
-import graft.operators.{IvfIndex, Lexical, LshIndex, NearDup, ProductQuantization, Quantization}
+import graft.operators.{IvfIndex, Lexical, LshIndex, NearDup, ProductQuantization, Quantization, TrainingData}
 import java.sql.Timestamp
 import java.nio.file.{Files, Paths}
 
@@ -1536,6 +1536,28 @@ final class VectorEngine private (val spark: SparkSession,
       .withColumnRenamed("arriving_id", "batch_id")
       .withColumnRenamed("existing_id", "chunk_id")
       .orderBy(col("batch_id"), col("distance"), col("chunk_id"))
+  }
+
+  /** Facade decontamination audit over a managed library: every chunk of
+    * `libraryId` sharing at least one word `n`-gram with the benchmark
+    * texts, with the distinct shared-gram count (the pre-release check
+    * that eval content never leaked into a serving corpus — the TEXT
+    * twin of [[nearDuplicates]]'s embedding gate). Works on any
+    * index_kind: the gate reads only chunk text.
+    *
+    * Scale shape is [[graft.operators.TrainingData.contaminationHits]]'s:
+    * benchmark shingles broadcast, the library partition scanned once,
+    * one partial-aggregated count shuffle. Output:
+    * (chunk_id, n_hits), ordered. */
+  def contaminatedChunks(libraryId: String, benchmark: DataFrame,
+                         benchText: Column, n: Int = 8): DataFrame = {
+    getLibrary(libraryId)
+    if (n < 1) throw ValidationError("n-gram size must be >= 1")
+    TrainingData.contaminationHits(
+        chunks.where(col("library_id") === libraryId).toDF(),
+        col("id"), col("text"), benchmark, benchText, n)
+      .withColumnRenamed("id", "chunk_id")
+      .orderBy(col("chunk_id"))
   }
 
   // -------------------------------------------------------------------

@@ -40,17 +40,29 @@ object TrainingData {
     * Output: (id, n_hits) — one row per contaminated corpus document. */
   def contaminationHits(corpus: DataFrame, id: Column, text: Column,
                         benchmark: DataFrame, benchText: Column,
-                        n: Int = 5): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(NearDup.hashedShingles(benchText, n)).as("h"))
+                        n: Int = 5): DataFrame =
+    contaminationHitsAgainst(corpus, id, text,
+      benchmarkShingles(benchmark, benchText, n), n)
+
+  /** The benchmark's distinct hashed `n`-gram set — the PRECOMPUTABLE
+    * half of [[contaminationHits]]: a streaming or repeated-batch caller
+    * derives it once (and pins it with localCheckpoint) instead of
+    * re-shingling the eval set per micro-batch. Output: (h). */
+  def benchmarkShingles(benchmark: DataFrame, text: Column,
+                        n: Int): DataFrame =
+    benchmark.select(explode(NearDup.hashedShingles(text, n)).as("h"))
       .distinct()
+
+  /** [[contaminationHits]] against an already-derived
+    * [[benchmarkShingles]] frame. */
+  def contaminationHitsAgainst(corpus: DataFrame, id: Column, text: Column,
+                               benchGrams: DataFrame, n: Int): DataFrame =
     corpus.select(id.as("id"), explode(NearDup.hashedShingles(text, n)).as("h"))
       .join(broadcast(benchGrams), "h")
       // hashedShingles is distinct per doc, so count(*) = distinct shared
       // n-grams without a count(distinct) shuffle
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"))
-  }
 
   // ---------------- token-budget sequence packing ----------------
 

@@ -244,8 +244,50 @@ object PipelineQueries {
        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
        |$scoredTotalsSql""".stripMargin
 
+  /** Facade decontamination audit through a MANAGED library: ingest the
+    * non-eval documents as chunks of one engine library, then ask the
+    * engine which chunks share eval 4-grams — the serving-corpus
+    * pre-release check, gated by the same SQL contract as the operator
+    * row (chunk ids are 'd'||doc_id, so the oracle maps directly). */
+  private val lifecycleDecontaminate: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val eng = graft.engine.VectorEngine.create(s)
+    val lib = eng.createLibrary("decon-corpus", dim = 4, id = Some("declib"))
+    eng.addDocumentsDf(lib.id, s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("alldocs", "alldocs",
+        Map.empty[String, String])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("metadata",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))))))
+    eng.addChunksDf(lib.id, docs.where(col("source") =!= "src0").select(
+      concat(lit("d"), col("doc_id")).as("id"),
+      lit("alldocs").as("document_id"),
+      col("text"),
+      array(col("doc_id").cast("float"), lit(0f), lit(0f), lit(0f))
+        .as("embedding"),
+      typedLit(Map.empty[String, String]).as("metadata"),
+      col("doc_id").cast("int").as("chunk_index")))
+    eng.contaminatedChunks(lib.id, docs.where(col("source") === "src0"),
+      col("text"), n = 4)
+  }
+
+  private val lifecycleDecontaminateSql: String =
+    s"""WITH g AS ($hashedGram4Sets),
+       |b AS (SELECT DISTINCT unnest(hsh) AS h FROM g WHERE source = 'src0'),
+       |c AS (SELECT doc_id, unnest(hsh) AS h FROM g WHERE source <> 'src0')
+       |SELECT 'd' || c.doc_id AS chunk_id, count(*) AS n_hits
+       |FROM c JOIN b USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pipeline_training_set", trainingSet, Some(trainingSetSql)),
+    Q("lifecycle_decontaminate", lifecycleDecontaminate,
+      Some(lifecycleDecontaminateSql)),
     Q("pipeline_clean_training_set", cleanTrainingSet, Some(cleanTrainingSetSql)),
     Q("pipeline_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("pipeline_pack_sequences", packSequences, Some(packSequencesSql)),

@@ -187,4 +187,42 @@ object StreamingIngest {
         ingestDedupGatedBatch(engine, libraryId, batch, threshold); ()
       }
       .start()
+
+  /** CURATION-GATED micro-batch ingest — [[ingestDedupGatedBatch]] with a
+    * DECONTAMINATION gate in front: arriving chunks sharing any word
+    * `n`-gram with the held-out benchmark set are dropped before the
+    * dedup gates run (the streaming shape of the pre-training
+    * decontamination pass — eval content must never enter the corpus,
+    * including via a crawl that picked up a benchmark page).
+    *
+    * `benchGrams` is the PRECOMPUTED benchmark shingle set
+    * ([[graft.operators.TrainingData.benchmarkShingles]], pinned by the
+    * caller): the eval set is fixed for the life of the stream, so it is
+    * shingled once, not once per micro-batch. Per-batch cost of the new
+    * gate: one map-side broadcast join over the batch's shingles — the
+    * corpus is untouched by it. */
+  def ingestCurationGatedBatch(engine: graft.engine.VectorEngine,
+                               libraryId: String, batch: DataFrame,
+                               threshold: Double, benchGrams: DataFrame,
+                               n: Int): Long = {
+    val contaminated = graft.operators.TrainingData.contaminationHitsAgainst(
+        batch, col("id"), col("text"), benchGrams, n)
+      .select(col("id"))
+    val clean = batch.join(contaminated, Seq("id"), "left_anti")
+    ingestDedupGatedBatch(engine, libraryId, clean, threshold)
+  }
+
+  /** Start the curation-gated chunk ingest as a stream. */
+  def startCurationGatedChunkIngest(engine: graft.engine.VectorEngine,
+                                    libraryId: String, stream: DataFrame,
+                                    threshold: Double, benchGrams: DataFrame,
+                                    n: Int,
+                                    checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestCurationGatedBatch(engine, libraryId, batch, threshold,
+          benchGrams, n); ()
+      }
+      .start()
 }

@@ -1204,6 +1204,33 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminatedChunks: facade decontamination audit over a managed " +
+    "library — eval-overlapping chunks flagged with hit counts, clean " +
+    "chunks absent, any index_kind, guards loud") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("audited", dim = 4)
+    val doc = e.createDocument(lib.id, "doc")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("page quoting the secret eval question verbatim",
+        vec(1, 0, 0, 0), Map.empty, 0, Some("k0")),
+      ChunkInput("entirely organic unrelated content here",
+        vec(0, 1, 0, 0), Map.empty, 1, Some("k1"))))
+    val bench = Seq("the secret eval question").toDF("text")
+    val got = e.contaminatedChunks(lib.id, bench, col("text"), n = 3)
+      .as[(String, Long)].collect().toMap
+    // bench trigrams: "the secret eval", "secret eval question" — k0
+    // contains both, k1 none
+    assert(got == Map("k0" -> 2L))
+    intercept[NotFoundError] {
+      e.contaminatedChunks("nope", bench, col("text"), n = 3)
+    }
+    intercept[ValidationError] {
+      e.contaminatedChunks(lib.id, bench, col("text"), n = 0)
+    }
+  }
+
   private object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString

@@ -285,4 +285,61 @@ object PropertySpec extends Properties("graft") {
           ivf == flatTopKMetric(rows, q, "cosine", 3)
     }
   }
+
+  property("packAssignments == the sequential concat-and-chunk reference " +
+    "for random token counts, budgets, and shard counts") = {
+    import graft.operators.TrainingData
+    val rowsGen: Gen[List[Long]] =
+      Gen.chooseNum(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 200L)))
+    forAll(rowsGen, Gen.chooseNum(1L, 64L), Gen.chooseNum(1, 9)) {
+      (counts, budget, shards) =>
+        val rows = counts.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        var off = 0L
+        val expected = rows.map { case (id, n) =>
+          val r = (id, off, off / budget, off % budget,
+            (off + math.max(n, 1L) - 1) / budget)
+          off += n
+          r
+        }.toSet
+        val got = TrainingData.packAssignments(rows.toDF("id", "n"),
+            col("id"), col("n"), budget = budget, shards = shards)
+          .select("id", "offset", "seq_first", "seq_pos", "seq_last")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        got == expected
+    }
+  }
+
+  property("mixtureSample keeps exactly the rows its documented rule " +
+    "selects, for random group shapes and targets") = {
+    import graft.operators.TrainingData
+    val groupsGen: Gen[List[String]] =
+      Gen.chooseNum(4, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    forAll(groupsGen, Gen.chooseNum(0.1, 0.9)) { (gs, tA) =>
+      // ensure both targeted groups exist (the operator loudly rejects
+      // an absent targeted group — separately spec'd)
+      val all = gs ++ List("a", "b")
+      val rows = all.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      val targets = Map("a" -> tA, "b" -> (1.0 - tA))
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val cap = targets.map { case (g, t) => counts(g) / t }.min
+      def md5Bucket(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(("mix:" + id.toString).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        java.lang.Long.parseLong(hex, 16) % 1000000L
+      }
+      val expected = rows.filter { case (id, g) =>
+        targets.get(g).exists { t =>
+          val rate = math.min(1.0, t * cap / counts(g))
+          md5Bucket(id) < math.floor(rate * 1000000).toLong
+        }
+      }.map(_._1).toSet
+      val got = TrainingData.mixtureSample(rows.toDF("id", "g"),
+          col("id"), col("g"), targets)
+        .select("id").as[Long].collect().toSet
+      got == expected
+    }
+  }
 }

@@ -371,4 +371,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.search("slib", Seq(1f, 0f), k = 2).collect()
       .map(_.getString(0)).toSeq == Seq("s0", "s2"))
   }
+
+  test("curation-GATED chunk-stream ingest: benchmark-contaminated chunks " +
+    "are dropped before the dedup gates; clean novel chunks land; the " +
+    "precomputed benchmark shingle set is reused across batches") {
+    import graft.engine._
+    import graft.operators.TrainingData
+    implicit val sqlCtx = spark.sqlContext
+    val e = VectorEngine.create(spark)
+    e.createLibrary("cur", dim = 4, id = Some("clib"),
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 7L)
+    val doc = e.createDocument("clib", "cdoc")
+    // the held-out eval set, shingled ONCE for the life of the stream
+    val benchGrams = TrainingData.benchmarkShingles(
+      Seq("the secret benchmark question about spark").toDF("text"),
+      col("text"), n = 3).localCheckpoint()
+    val mem = MemoryStream[(String, String, String, Seq[Float], Int)]
+    val streamDf = mem.toDF()
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString
+    val q = StreamingIngest.startCurationGatedChunkIngest(
+      e, "clib", streamDf, threshold = 0.05, benchGrams, n = 3, ckpt)
+    try {
+      // c0 contains a benchmark trigram -> contamination gate drops it
+      // even though it is embedding-novel; c1 is clean and lands
+      mem.addData(
+        ("c0", doc.id, "crawl page with the secret benchmark question inside",
+          Seq(1f, 0f, 0f, 0f), 0),
+        ("c1", doc.id, "perfectly clean organic content", Seq(0f, 1f, 0f, 0f), 1))
+      q.processAllAvailable()
+      assert(e.chunkCount("clib") == 1)
+      assert(e.getChunk("c1").text == "perfectly clean organic content")
+      // second batch: the gate still works (same precomputed set), and
+      // the dedup gates still run AFTER it — c3 near-dups c1 and drops
+      mem.addData(
+        ("c2", doc.id, "another secret benchmark question copy",
+          Seq(0f, 0f, 1f, 0f), 2),
+        ("c3", doc.id, "near dup of c1", Seq(0f, 1f, 0.01f, 0f), 3),
+        ("c4", doc.id, "clean and novel", Seq(0f, 0f, 0f, 1f), 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(e.chunkCount("clib") == 2) // c1 + c4
+    assert(e.getChunk("c4").text == "clean and novel")
+  }
 }
