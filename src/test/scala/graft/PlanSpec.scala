@@ -205,6 +205,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pipeline_decontaminate: the benchmark side broadcasts; the corpus " +
+    "is never sort-merge- or nested-loop-joined") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("pipeline_pack_sequences: the corpus-sized prefix-sum window is " +
+    "partitioned by shard, never a single global window") {
+    val p = plan("pipeline_pack_sequences")
+    assert(p.contains("hashpartitioning(shard"))
+  }
+
+  test("pipeline_weighted_sample: global top-k runs as " +
+    "TakeOrderedAndProject (per-partition heaps), not a full sort") {
+    val p = plan("pipeline_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("reopened engine scans partition-prune to the searched library") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val e = VectorEngine.create(spark)
