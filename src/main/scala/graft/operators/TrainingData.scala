@@ -54,7 +54,13 @@ object TrainingData {
       .distinct()
 
   /** [[contaminationHits]] against an already-derived
-    * [[benchmarkShingles]] frame. */
+    * [[benchmarkShingles]] frame.
+    *
+    * PRECONDITION: `benchGrams` must be DISTINCT on `h` (as
+    * [[benchmarkShingles]] guarantees). A non-distinct gram frame
+    * multiplies join rows and inflates `n_hits` — harmless for callers
+    * that only anti-join on the ids, wrong for anyone consuming the
+    * counts. */
   def contaminationHitsAgainst(corpus: DataFrame, id: Column, text: Column,
                                benchGrams: DataFrame, n: Int): DataFrame =
     corpus.select(id.as("id"), explode(NearDup.hashedShingles(text, n)).as("h"))
@@ -91,7 +97,15 @@ object TrainingData {
     *
     * Contract: `id` must be numeric (quantile boundaries) and unique
     * (ties would make the concatenation order — hence offsets —
-    * ambiguous). `nTokens` must be non-negative. */
+    * ambiguous). `nTokens` must be non-negative.
+    *
+    * Cost note: the quantile boundary pre-pass is an EAGER extra scan of
+    * the (id, n_tokens) projection before the main plan runs — two scans
+    * total. At the 100 TB shape, cache or localCheckpoint that two-column
+    * projection before calling (it is ~16 bytes/row), or accept the
+    * second columnar scan — boundary placement only affects physical
+    * grouping, so a stale or sampled projection would even be safe for
+    * the boundaries themselves. */
   def packAssignments(df: DataFrame, id: Column, nTokens: Column,
                       budget: Long, shards: Int = 32): DataFrame = {
     require(budget > 0, "pack budget must be positive")
@@ -186,7 +200,12 @@ object TrainingData {
     * assignment table exists.
     *
     * The feasible cap is min over targeted groups of n_g / target_g
-    * (the binding group keeps everything, rate exactly 1); each group g
+    * (the binding group keeps everything — its rate is within one
+    * bucket of 1.0: t·cap/n is computed in floating point, so a
+    * non-dyadic target can land 1 ulp below 1 and floor(rate·buckets)
+    * then excludes the single topmost bucket, dropping ~1/buckets of
+    * the binding group; the SQL oracle shares the identical IEEE
+    * arithmetic, so selections still agree row-by-row); each group g
     * then keeps rows with bucket < floor(rate_g · buckets), giving
     * E[kept_g] = target_g · cap. Groups absent from `targets` are
     * dropped (target 0). Hash-threshold selection is approximate in
@@ -253,11 +272,16 @@ object TrainingData {
     require(k > 0, "sample size must be positive")
     val u = (hashBucket("samp:", id, 1L << 30).cast("double") + 1.0d) /
       lit((1L << 30).toDouble)
-    val w = when(weight.isNull || isnan(weight.cast("double")) ||
-        weight.cast("double") <= 0.0d,
-        raise_error(concat(lit("weightedSample: nonpositive or NaN weight " +
-          "for id "), id.cast("string"))))
-      .otherwise(weight.cast("double"))
+    // guard the CASTED value: a non-numeric string weight try_casts to
+    // null (isNull on the raw column would miss it — null <=> false
+    // through the three-valued comparisons — and the row would silently
+    // get a null key instead of raising; try_cast rather than cast so
+    // ANSI mode raises OUR message, not a generic CAST_INVALID_INPUT)
+    val wd = weight.try_cast("double")
+    val w = when(wd.isNull || isnan(wd) || wd <= 0.0d,
+        raise_error(concat(lit("weightedSample: nonpositive, NaN, or " +
+          "non-numeric weight for id "), id.cast("string"))))
+      .otherwise(wd)
     df.withColumn("__key", log(u) / w)
       .orderBy(col("__key").desc, id)
       .limit(k)

@@ -224,7 +224,7 @@ class TrainingDataSpec extends AnyFunSuite {
       TrainingData.weightedSample(df, col("id"), col("w"), k = 1).collect()
     }
     assert(e.getMessage != null &&
-      e.getMessage.contains("nonpositive or NaN weight"))
+      e.getMessage.contains("non-numeric weight"))
   }
 
   test("weightedSample throws loudly on a NaN weight too — NaN passes " +
@@ -234,7 +234,17 @@ class TrainingDataSpec extends AnyFunSuite {
       TrainingData.weightedSample(df, col("id"), col("w"), k = 1).collect()
     }
     assert(e.getMessage != null &&
-      e.getMessage.contains("nonpositive or NaN weight"))
+      e.getMessage.contains("non-numeric weight"))
+  }
+
+  test("weightedSample throws loudly on a NON-NUMERIC string weight — the " +
+    "cast yields null, which isNull on the RAW column would miss") {
+    val df = Seq(1L -> "5.0", 2L -> "heavy").toDF("id", "w")
+    val e = intercept[Exception] {
+      TrainingData.weightedSample(df, col("id"), col("w"), k = 1).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("non-numeric weight"))
   }
 
   // ---------------- boilerplate fraction ----------------
