@@ -70,6 +70,35 @@ object MultimodalQueries {
        |FROM read_json('$MultimodalFixDir/manifest.json')
        |ORDER BY name""".stripMargin
 
+  /** REAL raster decode over the same fixtures: true pixel dimensions
+    * plus the canonical RGBA pixel checksum (sha256 over R,G,B,A bytes
+    * row-major) from Multimodal.decodePixels — pure-Scala PPM/PNG/BMP
+    * decoders first, JDK ImageIO fallback. The oracle reads the
+    * manifest's pixel ground truth, computed by the python generator
+    * from the SOURCE pixel arrays its encoders were fed — so a wrong
+    * defilter, a missed bottom-up row flip, a palette misread, or a
+    * decode that should have failed but "succeeded" (header-only JPEG,
+    * strip-less TIFF — manifest nulls) all hash-mismatch. */
+  private val mmDecodePixels: QueryFn = (s, _) => {
+    import s.implicits._
+    Multimodal.decodePixelPartitions(
+        s.read.format("binaryFile").load(MultimodalFixDir)
+          .select(element_at(split(col("path"), "/"), -1).as("name"),
+            col("content"))
+          .where(col("name") =!= "manifest.json")
+          .as[(String, Array[Byte])])
+      .toDF()
+      .select(col("name"), col("pixel_width"), col("pixel_height"),
+        col("pixel_sha"))
+      .orderBy("name")
+  }
+
+  private val mmDecodePixelsSql: String =
+    s"""SELECT name, pixel_width::INT AS pixel_width,
+       |  pixel_height::INT AS pixel_height, pixel_sha
+       |FROM read_json('$MultimodalFixDir/manifest.json')
+       |ORDER BY name""".stripMargin
+
   private val mmFramesSql: String =
     s"""SELECT doc_id AS id,
        |  ceil(octet_length(text::BLOB)::DOUBLE / ${Multimodal.FrameBytes})::BIGINT AS n_frames,
@@ -272,6 +301,7 @@ object MultimodalQueries {
   val all: Seq[Q] = Seq(
     Q("multimodal_features", mmFeatures, Some(mmFeaturesSql)),
     Q("multimodal_decode_headers", mmDecodeHeaders, Some(mmDecodeHeadersSql)),
+    Q("multimodal_decode_pixels", mmDecodePixels, Some(mmDecodePixelsSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
     Q("events_dedup_gated", eventsDedupGated, Some(eventsDedupGatedSql)),

@@ -269,6 +269,100 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == (("image/bmp", 17, 9, 1L)))
   }
 
+  // canonical pixel checksum, re-implemented here independently of the
+  // (private) production helper: sha256 over R,G,B,A bytes row-major
+  private def rgbaSha(w: Int, h: Int, argb: (Int, Int) => Int): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = argb(x, y)
+      d.update(Array(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+        (p & 0xff).toByte, ((p >>> 24) & 0xff).toByte))
+    }
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  test("decodePixels routes each fixture to the right decoder: pure " +
+    "PPM/PNG/BMP paths, ImageIO for paletted BMP, None for rasterless " +
+    "payloads") {
+    def src(name: String): Option[String] =
+      Multimodal.decodePixels(fixture(name)).map(_.source)
+    for (n <- Seq("img_rgba.png", "img_tall.png", "img_gray.png",
+        "img_rgb.png", "img_pal.png", "img_grayalpha.png"))
+      assert(src(n).contains("png-jdk"), n)
+    for (n <- Seq("img_24bit.bmp", "img_topdown.bmp", "img_core.bmp"))
+      assert(src(n).contains("bmp"), n)
+    for (n <- Seq("img_rgb.ppm", "img_gray.pgm", "img_plain.ppm"))
+      assert(src(n).contains("ppm"), n)
+    assert(src("img_pal8.bmp").contains("imageio"))
+    // header-only JPEG/GIF (no entropy/LZW data), audio, video, opaque,
+    // truncated PNG: no decodable raster — None, never a throw
+    for (n <- Seq("img_base.jpg", "img_anim.gif", "audio_stereo16.wav",
+        "audio_stereo.flac", "vid_basic.mp4", "payload.bin", "not_a.png",
+        "img_lossy.webp"))
+      assert(src(n).isEmpty, n)
+  }
+
+  test("the pure PNG decoder (Inflater + defilter) agrees byte-for-byte " +
+    "with the JDK ImageIO reader on the color fixtures (gray fixtures: " +
+    "dims only — getRGB applies an ICC gray->sRGB transform, while the " +
+    "canonical contract, shared by the manifest ground truth and the " +
+    "pure decoder, is the identity v,v,v)") {
+    for (n <- Seq("img_rgba.png", "img_tall.png", "img_gray.png",
+        "img_rgb.png", "img_pal.png", "img_grayalpha.png")) {
+      val b = fixture(n)
+      val pure = Multimodal.decodePngPixels(b)
+      val iio = Multimodal.decodePixelsImageIO(b)
+      assert(pure.isDefined && iio.isDefined, n)
+      assert(pure.get.width == iio.get.width &&
+        pure.get.height == iio.get.height, n)
+      if (!n.contains("gray"))
+        assert(pure.get.sha == iio.get.sha,
+          s"$n: pure-JDK defilter diverges from ImageIO")
+    }
+  }
+
+  test("REAL JPEG and GIF rasters (written by ImageIO itself) decode " +
+    "through the fallback: dims always, bit-exact pixels for the " +
+    "lossless format") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(23, 17, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 23)
+      img.setRGB(x, y, ((x * 7 + y * 13) % 256 << 16) |
+        ((x * 31 + y * 3) % 256 << 8) | ((x * 5 + y * 11) % 256))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val jpg = Multimodal.decodePixels(enc("jpg"))
+    assert(jpg.exists(p => p.width == 23 && p.height == 17 &&
+      p.source == "imageio"))
+    // GIF is lossless modulo palette quantization; decode dims + a sha
+    // that matches re-reading ImageIO's own bytes (stability), and the
+    // header walk agrees with the raster dims
+    val gifBytes = enc("gif")
+    val gif = Multimodal.decodePixels(gifBytes)
+    assert(gif.exists(p => p.width == 23 && p.height == 17 &&
+      p.source == "imageio"))
+    val again = Multimodal.decodePixels(gifBytes)
+    assert(gif.get.sha == again.get.sha)
+    assert(Multimodal.decode(gifBytes).modality == "image/gif")
+  }
+
+  test("decodePixelPartitions yields null pixel fields for rasterless " +
+    "assets and manifest-true checksums for decodable ones") {
+    val rows = Seq(
+      ("a.png", fixture("img_rgba.png")),
+      ("b.wav", fixture("audio_stereo16.wav"))).toDS()
+    val got = Multimodal.decodePixelPartitions(rows).collect()
+      .map(m => m.name -> m).toMap
+    assert(got("b.wav").pixel_sha.isEmpty &&
+      got("b.wav").pixel_width.isEmpty)
+    assert(got("a.png").pixel_width.contains(21) &&
+      got("a.png").pixel_height.contains(13) &&
+      got("a.png").pixel_source.contains("png-jdk"))
+  }
+
   test("frame sampling: slices cover the payload in order, last frame ragged") {
     val frames = Multimodal.sampleFrames(assets.where($"id" === 2),
       col("id"), col("content")).collect()

@@ -163,7 +163,12 @@ object PropertySpec extends Properties("graft") {
       (Seq[Byte](0, 0, 0, 20) ++ "ftyp".getBytes.toSeq)))
     forAll(magicGen,
       Gen.listOfN(48, Gen.chooseNum(-128, 127).map(_.toByte))) { (m, tail) =>
-      val d = Multimodal.decode((m ++ tail).toArray)
+      val bytes = (m ++ tail).toArray
+      val d = Multimodal.decode(bytes)
+      // the PIXEL path must be equally crash-proof: arbitrary bytes
+      // behind any magic either decode or yield None, never throw
+      val px = Multimodal.decodePixels(bytes)
+      px.forall(p => p.width > 0 && p.height > 0 && p.sha.length == 64) &&
       d.nFrames >= 0 && d.width >= 0 && d.height >= 0
     }
   }

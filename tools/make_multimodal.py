@@ -22,6 +22,15 @@ Manifest semantics (mirrors graft.operators.Multimodal.decode):
   opaque:               sha256-derived stub dims (same arithmetic as
                         Multimodal.decodeStub), n_frames = ceil(bytes/16)
 
+PIXEL ground truth (gates graft.operators.Multimodal.decodePixels): for
+every asset whose RASTER is decodable losslessly, the manifest also
+carries pixel_width / pixel_height / pixel_sha — sha256 over the
+decoded pixels as RGBA bytes (R,G,B,A per pixel, row-major, top-down),
+computed here from the SOURCE pixel arrays the encoders below were fed
+(never by decoding — the decoder under test must reproduce the input).
+Assets with no losslessly decodable raster (header-only JPEG/GIF,
+audio, video, opaque, WebP/TIFF without strip data) carry nulls.
+
 Deterministic: fixed seeds, fixed payloads. Re-running reproduces the
 identical bytes.
 """
@@ -38,29 +47,87 @@ OUT = pathlib.Path(__file__).resolve().parent.parent / "fixtures" / "multimodal"
 FRAME_BYTES = 16
 
 
+def rgb_at(x, y):
+    """Deterministic per-pixel RGB pattern shared by the raster formats."""
+    return ((x * 7 + y * 13) % 256, (x * 31 + y * 3) % 256,
+            (x * 5 + y * 11) % 256)
+
+
+def rgba_sha(rgba):
+    """Canonical pixel checksum: sha256 over R,G,B,A bytes row-major."""
+    return hashlib.sha256(bytes(rgba)).hexdigest()
+
+
 def bmp(width, height, bpp=24, top_down=False, header_size=40):
     """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (or the legacy
-    12-byte BITMAPCOREHEADER) + zeroed pixel data."""
+    12-byte BITMAPCOREHEADER) + patterned 24-bit pixel data. Returns
+    (bytes, rgba) — rgba is the top-down RGBA ground truth (the file
+    stores rows bottom-up in BGR unless top_down)."""
+    assert bpp == 24
+    rowsz = (width * 3 + 3) // 4 * 4
+    rows = []
+    rgba = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = rgb_at(x, y)
+            row += bytes((b, g, r))
+            rgba += [r, g, b, 255]
+        row += b"\x00" * (rowsz - len(row))
+        rows.append(bytes(row))
+    stored = rows if top_down else list(reversed(rows))
+    data = b"".join(stored)
     if header_size == 40:
-        row = (width * (bpp // 8) + 3) // 4 * 4
-        data = b"\x00" * (row * height)
         h = -height if top_down else height
         info = struct.pack("<IiiHHIIiiII", 40, width, h, 1, bpp, 0,
                            len(data), 2835, 2835, 0, 0)
-    else:  # BITMAPCOREHEADER: uint16 dims
-        row = (width * (bpp // 8) + 3) // 4 * 4
-        data = b"\x00" * (row * height)
+    else:  # BITMAPCOREHEADER: uint16 dims, always bottom-up
+        assert not top_down
         info = struct.pack("<IHHHH", 12, width, height, 1, bpp)
     off = 14 + len(info)
     head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
-    return head + info + data
+    return head + info + data, rgba
+
+
+def bmp8(width, height):
+    """8-bit paletted BMP (BITMAPINFOHEADER + 256-entry BGRA color
+    table): the raster the pure-Scala 24bpp decoder does NOT cover, so
+    it exercises the ImageIO fallback. Returns (bytes, rgba)."""
+    palette = [((i * 3) % 256, (i * 7) % 256, (i * 11) % 256)
+               for i in range(256)]
+    table = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+    rowsz = (width + 3) // 4 * 4
+    rows = []
+    rgba = []
+    for y in range(height):
+        idx = [(x * 5 + y * 9) % 256 for x in range(width)]
+        rows.append(bytes(idx) + b"\x00" * (rowsz - width))
+        for i in idx:
+            r, g, b = palette[i]
+            rgba += [r, g, b, 255]
+    data = b"".join(reversed(rows))  # bottom-up
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                       len(data), 2835, 2835, 256, 0)
+    off = 14 + len(info) + len(table)
+    head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return head + info + table + data, rgba
 
 
 def ppm(width, height, magic=b"P6", comment=True):
     """PPM/PGM with an optional comment line inside the header — the
-    parser trap (comments may appear between any header tokens)."""
+    parser trap (comments may appear between any header tokens).
+    Returns (bytes, rgba): P6 bytes are raw RGB triples; P5 grey v
+    reads back as (v,v,v,255)."""
     per = 3 if magic == b"P6" else 1
     body = bytes((x * 7 + 13) % 256 for x in range(width * height * per))
+    rgba = []
+    if per == 3:
+        for i in range(width * height):
+            r, g, b = body[3 * i], body[3 * i + 1], body[3 * i + 2]
+            rgba += [r, g, b, 255]
+    else:
+        for v in body:
+            rgba += [v, v, v, 255]
     hdr = magic + b"\n"
     if comment:
         hdr += b"# generated fixture, do not edit\n"
@@ -70,24 +137,86 @@ def ppm(width, height, magic=b"P6", comment=True):
     else:
         hdr += b" "
     hdr += b"%d\n255\n" % height
-    return hdr + body
+    return hdr + body, rgba
 
 
-def png(width, height):
-    """Minimal true-color PNG: signature, IHDR (big-endian dims, crc),
-    one zlib IDAT of zeroed scanlines, IEND."""
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png(width, height, color_type=6, filters=None, palette=None):
+    """PNG with REAL patterned raster data: signature, IHDR, optional
+    PLTE, one zlib IDAT of per-row-filtered scanlines (filter types
+    cycle through `filters`, exercising Sub/Up/Average/Paeth on the
+    decoder side), IEND. color_type: 0 grey, 2 RGB, 3 palette,
+    4 grey+alpha, 6 RGBA — all bit depth 8. Returns (bytes, rgba)."""
     import zlib
 
     def chunk(typ, data):
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    filters = filters or [0]
+    raws = []
+    rgba = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = rgb_at(x, y)
+            a = (x * 17 + y * 29) % 256
+            if color_type == 0:
+                row.append(r)
+                rgba += [r, r, r, 255]
+            elif color_type == 2:
+                row += bytes((r, g, b))
+                rgba += [r, g, b, 255]
+            elif color_type == 3:
+                i = (x * 5 + y * 9) % len(palette)
+                row.append(i)
+                pr, pg, pb = palette[i]
+                rgba += [pr, pg, pb, 255]
+            elif color_type == 4:
+                row += bytes((r, a))
+                rgba += [r, r, r, a]
+            else:
+                row += bytes((r, g, b, a))
+                rgba += [r, g, b, a]
+        raws.append(bytes(row))
+    stream = bytearray()
+    for y, raw in enumerate(raws):
+        f = filters[y % len(filters)]
+        prior = raws[y - 1] if y > 0 else bytes(len(raw))
+        out = bytearray()
+        for i, v in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                out.append(v)
+            elif f == 1:
+                out.append((v - left) % 256)
+            elif f == 2:
+                out.append((v - up) % 256)
+            elif f == 3:
+                out.append((v - (left + up) // 2) % 256)
+            else:
+                out.append((v - _paeth(left, up, ul)) % 256)
+        stream.append(f)
+        stream += out
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
-    raw = b"".join(b"\x00" + b"\x00\x00\x00\x00" * width
-                   for _ in range(height))
-    return (sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b""))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = (chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+            if color_type == 3 else b"")
+    return (sig + chunk(b"IHDR", ihdr) + plte
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")), rgba
 
 
 def jpeg(width, height, progressive=False):
@@ -270,19 +399,44 @@ def main():
     OUT.mkdir(parents=True, exist_ok=True)
     assets = []
 
-    def put(name, data, modality, width, height, n_frames):
+    def put(name, data, modality, width, height, n_frames, rgba=None):
         (OUT / name).write_bytes(data)
-        assets.append({"name": name, "modality": modality, "width": width,
-                       "height": height, "n_frames": n_frames})
+        entry = {"name": name, "modality": modality, "width": width,
+                 "height": height, "n_frames": n_frames,
+                 "pixel_width": None, "pixel_height": None,
+                 "pixel_sha": None}
+        if rgba is not None:
+            entry["pixel_width"] = width
+            entry["pixel_height"] = height
+            entry["pixel_sha"] = rgba_sha(rgba)
+        assets.append(entry)
 
-    put("img_24bit.bmp", bmp(17, 9), "image/bmp", 17, 9, 1)
-    put("img_topdown.bmp", bmp(5, 7, top_down=True), "image/bmp", 5, 7, 1)
-    put("img_core.bmp", bmp(12, 3, header_size=12), "image/bmp", 12, 3, 1)
-    put("img_rgb.ppm", ppm(6, 4), "image/ppm", 6, 4, 1)
-    put("img_gray.pgm", ppm(9, 2, magic=b"P5"), "image/ppm", 9, 2, 1)
-    put("img_plain.ppm", ppm(3, 5, comment=False), "image/ppm", 3, 5, 1)
-    put("img_rgba.png", png(21, 13), "image/png", 21, 13, 1)
-    put("img_tall.png", png(1, 999), "image/png", 1, 999, 1)
+    def put_px(name, data_rgba, modality, width, height, n_frames):
+        data, rgba = data_rgba
+        put(name, data, modality, width, height, n_frames, rgba=rgba)
+
+    put_px("img_24bit.bmp", bmp(17, 9), "image/bmp", 17, 9, 1)
+    put_px("img_topdown.bmp", bmp(5, 7, top_down=True), "image/bmp", 5, 7, 1)
+    put_px("img_core.bmp", bmp(12, 3, header_size=12), "image/bmp", 12, 3, 1)
+    put_px("img_pal8.bmp", bmp8(11, 6), "image/bmp", 11, 6, 1)
+    put_px("img_rgb.ppm", ppm(6, 4), "image/ppm", 6, 4, 1)
+    put_px("img_gray.pgm", ppm(9, 2, magic=b"P5"), "image/ppm", 9, 2, 1)
+    put_px("img_plain.ppm", ppm(3, 5, comment=False), "image/ppm", 3, 5, 1)
+    put_px("img_rgba.png", png(21, 13, filters=[0, 1, 2, 3, 4]),
+           "image/png", 21, 13, 1)
+    put_px("img_tall.png", png(1, 999, filters=[2, 4]),
+           "image/png", 1, 999, 1)
+    put_px("img_gray.png", png(15, 8, color_type=0, filters=[1, 3]),
+           "image/png", 15, 8, 1)
+    put_px("img_rgb.png", png(19, 11, color_type=2, filters=[4, 1, 2]),
+           "image/png", 19, 11, 1)
+    put_px("img_pal.png",
+           png(14, 9, color_type=3, filters=[0, 1],
+               palette=[((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+                        for i in range(64)]),
+           "image/png", 14, 9, 1)
+    put_px("img_grayalpha.png", png(10, 12, color_type=4, filters=[3, 4, 2]),
+           "image/png", 10, 12, 1)
     put("img_anim.gif", gif(31, 7), "image/gif", 31, 7, 1)
     put("img_old.gif", gif(4, 4, version=b"87a"), "image/gif", 4, 4, 1)
     put("img_base.jpg", jpeg(640, 480), "image/jpeg", 640, 480, 1)
