@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-trained byte-pair-encoding tokenizer — the
+  * subword token counter a pretraining pipeline budgets with (whitespace
+  * tokens over-count code/CJK and under-count long compounds; packing
+  * budgets, mixture caps, and repetition windows all want SUBWORD
+  * counts). No reference analog (the reference tokenizes nothing);
+  * the algorithm is the classic BPE of Sennrich et al. 2016 trained at
+  * the word level, with every rule pinned so a SQL oracle can replay
+  * BOTH training and application exactly:
+  *
+  *   - words: [[TextAnalysis.tokens]] (whitespace split of the
+  *     lowercased, trimmed text)
+  *   - trainable words: printable-ASCII only (`^[!-~]+$`) — character
+  *     identity, comparison order, and concatenation are then identical
+  *     across engines (UTF-16 vs UTF-8 code-unit differences vanish)
+  *   - training vocabulary: top-`vocabTop` trainable word types by
+  *     (count DESC, term ASC)
+  *   - each iteration merges the adjacent token pair with the highest
+  *     occurrence-weighted count (ties: smallest left, then smallest
+  *     right, binary string order), stopping early when no pair occurs
+  *     at least twice; merging replaces pair occurrences LEFT-TO-RIGHT,
+  *     non-overlapping (the exact semantics of a string `replace` over
+  *     sentinel-wrapped tokens — which is how the SQL oracle replays it)
+  *   - application: every word applies the merge list in rank order with
+  *     the same replace semantics; non-trainable words count one token
+  *     per code point
+  *
+  * Scale shape: training state is the top-`vocabTop` word-count table —
+  * BOUNDED driver memory by construction (the same discipline as
+  * [[TrainingData.unigramLogProbs]]'s vocabCap broadcast; classic BPE
+  * trainers are dictionary-based for the same reason), reached by one
+  * corpus-scan aggregation + a vocabTop-row TakeOrderedAndProject.
+  * Application never collects: distinct terms tokenize per-partition
+  * with the merge list in the task closure, then join back to the
+  * (doc, term) counts on the high-cardinality term key. The corpus text
+  * is scanned once per pass and never shuffled.
+  */
+object BpeTokenizer {
+
+  val DefaultVocabTop = 2048
+  val DefaultMerges = 32
+  val TrainableRe = "^[!-~]+$"
+
+  /** One learned merge: at `rank`, adjacent tokens (`lhs`, `rhs`)
+    * combine into `lhs + rhs`. */
+  final case class Merge(rank: Int, lhs: String, rhs: String)
+
+  /** One left-to-right, non-overlapping pass merging adjacent (a, b)
+    * into a+b — the token-array twin of `replace` over
+    * sentinel-wrapped tokens (both consume matched tokens and rescan
+    * from the character after the replacement). */
+  def mergeOnce(toks: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Train the merge list on `df`'s text corpus. One distributed
+    * aggregation (word-type counts, map-side partials) cut to
+    * `vocabTop` rows via TakeOrderedAndProject, then a driver loop over
+    * that BOUNDED table — the only driver-sized state, ≤ vocabTop rows
+    * regardless of corpus size. */
+  def trainMerges(df: DataFrame, text: Column,
+                  vocabTop: Int = DefaultVocabTop,
+                  numMerges: Int = DefaultMerges): Seq[Merge] = {
+    require(vocabTop > 0, "vocabTop must be positive")
+    require(numMerges >= 0, "numMerges must be non-negative")
+    val top = df.select(explode(TextAnalysis.tokens(text)).as("term"))
+      .where(col("term").rlike(TrainableRe))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabTop)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var state: Array[(Array[String], Long)] =
+      top.map { case (t, c) => (t.toCharArray.map(_.toString), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val weights = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((toks, c) <- state) {
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          weights(k) = weights.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      // max by (weight DESC, lhs ASC, rhs ASC); pairs seen fewer than
+      // twice never merge (they would only memorize hapaxes)
+      val best = weights.iterator.filter(_._2 >= 2L)
+        .reduceOption { (x, y) =>
+          val ((xa, xb), xw) = x; val ((ya, yb), yw) = y
+          val yWins = yw > xw || (yw == xw &&
+            (ya < xa || (ya == xa && yb < xb)))
+          if (yWins) y else x
+        }
+      best match {
+        case None => done = true
+        case Some(((a, b), _)) =>
+          merges += Merge(merges.length + 1, a, b)
+          state = state.map { case (t, c) => (mergeOnce(t, a, b), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Subword token count of one word under a trained merge list:
+    * trainable words split to characters and apply every merge in rank
+    * order; anything else (non-ASCII, control chars, empty) counts one
+    * token per code point. */
+  def tokenCountOf(term: String, merges: Seq[Merge]): Long =
+    if (term.matches(TrainableRe)) {
+      var toks = term.toCharArray.map(_.toString)
+      merges.foreach(m => toks = mergeOnce(toks, m.lhs, m.rhs))
+      toks.length.toLong
+    } else term.codePointCount(0, term.length).toLong
+
+  /** Per-document token budget under a trained merge list:
+    * (id, n_tokens, n_bpe_tokens) — whitespace-token count and the
+    * subword count that a packing/budgeting stage should use.
+    *
+    * Scale shape: (doc, term) counts aggregate with map-side partials;
+    * the DISTINCT term set (vocabulary-sized, not corpus-sized)
+    * tokenizes per-partition with the merge list riding the task
+    * closure; the join back to the per-doc counts is an equi-join on
+    * the high-cardinality term key. Nothing is collected. */
+  def tokenCounts(df: DataFrame, id: Column, text: Column,
+                  merges: Seq[Merge]): DataFrame = {
+    val exploded = df.select(id.as("id"),
+      explode(TextAnalysis.tokens(text)).as("term"))
+    val perDocTerm = exploded.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val termBpe = perDocTerm.select(col("term")).distinct()
+      .select(col("term")).as(Encoders.STRING)
+      .mapPartitions(_.map(t => (t, tokenCountOf(t, merges))))(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF("term", "nbpe")
+    perDocTerm.join(termBpe, "term")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("nbpe")).as("n_bpe_tokens"))
+  }
+}

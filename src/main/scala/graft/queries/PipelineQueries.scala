@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{NearDup, TextAnalysis, TrainingData}
+import graft.operators.{BpeTokenizer, NearDup, TextAnalysis, TrainingData}
 import graft.operators.TextAnalysis._
 
 /** The composite training-data pipeline — what the whole engine exists
@@ -132,6 +132,151 @@ object PipelineQueries {
        |  tok_offset % 64 AS seq_pos,
        |  (tok_offset + greatest(n_tokens, 1) - 1) // 64 AS seq_last
        |FROM o ORDER BY doc_id""".stripMargin
+
+  // ---------------- BPE tokenizer oracles ----------------
+  //
+  // The SQL below replays the ENTIRE BpeTokenizer contract in DuckDB —
+  // training included: each merge iteration is a chained CTE triple
+  // (pair counts over the wrapped-token strings, the argmax pick, the
+  // string-replace application), so a drifted tie-break, a wrong
+  // replace order, or a miscounted overlapping pair all hash-mismatch.
+  // Tokens travel as sentinel-wrapped strings chr(2)||tok||chr(3); a
+  // merge of (a,b) is replace(s, w(a)||w(b), w(a||b)) — exactly the
+  // left-to-right non-overlapping semantics BpeTokenizer.mergeOnce
+  // implements on token arrays. MATERIALIZED is load-bearing: default
+  // CTE inlining re-expands w{k-1} three times per iteration (3^M
+  // blow-up); materialization makes the chain linear.
+
+  private val BpeV = BpeTokenizer.DefaultVocabTop
+  private val BpeM = BpeTokenizer.DefaultMerges
+
+  /** chr(2)-wrapped token string of a `term` column. */
+  private val bpeWrap: String =
+    "list_aggregate([chr(2)||c||chr(3) for c in string_split(term, '')], " +
+      "'string_agg', '')"
+
+  /** Training CTEs: toks/wc/w0 plus (p{k}, m{k}, w{k}) per iteration. */
+  private val bpeTrainCtes: String = {
+    val head =
+      s"""toks AS MATERIALIZED (
+         |  SELECT doc_id AS id, unnest(${TextQueries.tokSql}) AS term
+         |  FROM documents),
+         |wc AS MATERIALIZED (
+         |  SELECT term, count(*)::BIGINT AS cnt FROM toks
+         |  WHERE regexp_matches(term, '^[!-~]+${"$"}') GROUP BY term),
+         |w0 AS MATERIALIZED (
+         |  SELECT term, cnt, $bpeWrap AS s
+         |  FROM (SELECT term, cnt FROM wc ORDER BY cnt DESC, term LIMIT $BpeV))""".stripMargin
+    val iters = (1 to BpeM).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i+1] AS b, sum(cnt)::BIGINT AS w
+         |  FROM (SELECT cnt, string_split(s[2:len(s)-1], chr(3)||chr(2)) AS l
+         |        FROM w${k - 1}),
+         |       unnest(range(1, len(l))) AS t(i)
+         |  GROUP BY a, b),
+         |m$k AS MATERIALIZED (
+         |  SELECT a, b FROM p$k WHERE w >= 2 ORDER BY w DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT term, cnt,
+         |    replace(s,
+         |      coalesce((SELECT chr(2)||a||chr(3)||chr(2)||b||chr(3) FROM m$k), chr(1)),
+         |      coalesce((SELECT chr(2)||a||b||chr(3) FROM m$k), chr(1))) AS s
+         |  FROM w${k - 1})""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** Application CTEs over every distinct corpus term, ending in
+    * bpe(id, n_tokens, n_bpe_tokens). */
+  private val bpeApplyCtes: String = {
+    val a0 =
+      s"""a0 AS MATERIALIZED (
+         |  SELECT term,
+         |    CASE WHEN regexp_matches(term, '^[!-~]+${"$"}') THEN $bpeWrap END AS s
+         |  FROM (SELECT DISTINCT term FROM toks))""".stripMargin
+    val iters = (1 to BpeM).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT term,
+         |    replace(s,
+         |      coalesce((SELECT chr(2)||a||chr(3)||chr(2)||b||chr(3) FROM m$k), chr(1)),
+         |      coalesce((SELECT chr(2)||a||b||chr(3) FROM m$k), chr(1))) AS s
+         |  FROM a${k - 1})""".stripMargin
+    }
+    val tail =
+      s"""termbpe AS (
+         |  SELECT term,
+         |    CASE WHEN s IS NULL THEN length(term)
+         |         ELSE length(s) - length(replace(s, chr(2), '')) END::BIGINT AS nbpe
+         |  FROM a$BpeM),
+         |perdoc AS (SELECT id, term, count(*)::BIGINT AS c FROM toks GROUP BY id, term),
+         |bpe AS (
+         |  SELECT id, sum(c)::BIGINT AS n_tokens,
+         |    sum(c * nbpe)::BIGINT AS n_bpe_tokens
+         |  FROM perdoc JOIN termbpe USING (term) GROUP BY id)""".stripMargin
+    (a0 +: iters :+ tail).mkString(",\n")
+  }
+
+  /** The learned merge table itself — gates TRAINING: pair counting over
+    * the top-V vocabulary, the (weight DESC, lhs, rhs) argmax, the
+    * replace-application between iterations, and the min-count-2 early
+    * stop all replayed blind by the SQL. */
+  private val bpeMerges: QueryFn = (s, dir) => {
+    val merges = BpeTokenizer.trainMerges(
+      table(s, dir, "documents"), col("text"))
+    s.createDataFrame(merges).orderBy(col("rank"))
+  }
+
+  private val bpeMergesSql: String = {
+    val union = (1 to BpeM)
+      .map(k => s"SELECT $k::INT AS rank, a AS lhs, b AS rhs FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH $bpeTrainCtes\nSELECT * FROM (\n$union\n) ORDER BY rank"
+  }
+
+  /** Per-document subword budgets — gates APPLICATION over the FULL
+    * vocabulary (including words outside the training top-V, which
+    * still merge, and non-trainable words, which count code points). */
+  private val bpeTokens: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val merges = BpeTokenizer.trainMerges(docs, col("text"))
+    BpeTokenizer.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .orderBy(col("id"))
+  }
+
+  private val bpeTokensSql: String =
+    s"WITH $bpeTrainCtes,\n$bpeApplyCtes\n" +
+      "SELECT id, n_tokens, n_bpe_tokens FROM bpe ORDER BY id"
+
+  /** Sequence packing over BPE counts — the two-phase distributed
+    * prefix sum budgeting SUBWORD tokens (what a real pretraining batch
+    * layout cuts on), vs the single-global-window oracle. */
+  private val packBpe: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val merges = BpeTokenizer.trainMerges(docs, col("text"))
+    val counts = BpeTokenizer.tokenCounts(docs, col("doc_id"), col("text"),
+      merges)
+    TrainingData.packAssignments(counts, col("id"), col("n_bpe_tokens"),
+        budget = 256L, shards = 8)
+      .select(col("id"), col("n_tokens").as("n_bpe_tokens"),
+        col("offset").as("tok_offset"), col("seq_first"), col("seq_pos"),
+        col("seq_last"))
+      .orderBy(col("id"))
+  }
+
+  private val packBpeSql: String =
+    s"""WITH $bpeTrainCtes,
+       |$bpeApplyCtes,
+       |o AS (
+       |  SELECT id, n_bpe_tokens,
+       |    coalesce(SUM(n_bpe_tokens) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS tok_offset
+       |  FROM bpe)
+       |SELECT id, n_bpe_tokens, tok_offset,
+       |  tok_offset // 256 AS seq_first,
+       |  tok_offset % 256 AS seq_pos,
+       |  (tok_offset + greatest(n_bpe_tokens, 1) - 1) // 256 AS seq_last
+       |FROM o ORDER BY id""".stripMargin
 
   /** Deterministic md5-bucket train/val/test assignment (90/5/5): the
     * split is a pure function of doc_id, so any engine — here DuckDB —
@@ -291,6 +436,9 @@ object PipelineQueries {
     Q("pipeline_clean_training_set", cleanTrainingSet, Some(cleanTrainingSetSql)),
     Q("pipeline_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("pipeline_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("pipeline_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    Q("pipeline_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    Q("pipeline_pack_bpe", packBpe, Some(packBpeSql)),
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_weighted_sample", weightedSample, Some(weightedSampleSql)),
