@@ -151,6 +151,81 @@ object TrainingData {
         col("seq_first"), col("seq_pos"), col("seq_last"))
   }
 
+  // ---------------- training-shard sink ----------------
+
+  /** Per-(sequence, document) slice rows from a [[packAssignments]]
+    * frame — the materialized layout of the packed token stream: one
+    * row for every (training sequence, contributing document) pair,
+    * with the document-relative slice it contributes.
+    *
+    *   - `seq`         sequence index
+    *   - `id`          contributing document
+    *   - `slice_start` first contributed token, document-relative
+    *   - `slice_len`   tokens contributed to THIS sequence
+    *   - `seq_pos`     where the slice lands inside the sequence
+    *
+    * Token-less documents are dropped (they contribute no slice).
+    * Scale shape: a pure projection + explode whose fan-out is
+    * output-bound — each document yields exactly its spanned-sequence
+    * count (n_tokens/budget + at most 2), never a cross join. */
+  def sequenceRows(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    packed.where(col("n_tokens") > 0)
+      .select(col("id"), col("n_tokens"), col("offset"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .withColumn("__start", greatest(col("offset"), col("seq") * budget))
+      .withColumn("__end",
+        least(col("offset") + col("n_tokens"), (col("seq") + 1) * budget))
+      .select(col("seq"), col("id"),
+        (col("__start") - col("offset")).as("slice_start"),
+        (col("__end") - col("__start")).as("slice_len"),
+        (col("__start") - col("seq") * budget).as("seq_pos"))
+  }
+
+  /** The LAST MILE of the packing pipeline: write [[sequenceRows]] as
+    * fixed-size Parquet training shards and return the per-shard
+    * manifest. Shard assignment is deterministic arithmetic — shard =
+    * seq DIV `seqsPerShard` — so every shard except the last holds
+    * exactly `seqsPerShard` training sequences, re-runs place every row
+    * identically, and any engine recomputes the layout from the ids
+    * alone (no stored assignment).
+    *
+    * Layout: parquet files under `outDir/shard=N`, rows sorted by (seq, id)
+    * within files, file row counts capped by `maxRecordsPerFile` (the
+    * reader-side memory bound). The manifest — (shard, n_rows, n_seqs,
+    * n_tokens), written to `outDir/_graft_manifest` as parquet — is
+    * aggregated from the WRITTEN files, not the input plan: the sink is
+    * the ground truth a training job consumes.
+    *
+    * Scale shape: one range-shuffle on the monotone shard key (range
+    * partitioning keeps shards contiguous, so a shard's files land in
+    * one task and maxRecordsPerFile splits locally), a local sort, and
+    * a manifest aggregation over the written data. The manifest is
+    * O(#shards) rows and stays distributed end-to-end. */
+  def writeShards(seqRows: DataFrame, outDir: String, seqsPerShard: Int,
+                  maxRecordsPerFile: Int = 1 << 20): DataFrame = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    seqRows
+      .withColumn("shard", expr(s"seq DIV ${seqsPerShard}L"))
+      .repartitionByRange(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"), col("id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .parquet(outDir)
+    val manifest = seqRows.sparkSession.read.parquet(outDir)
+      // the partition column reads back as its narrowest inferred type;
+      // pin long so the manifest schema is run-invariant
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("seq")).as("n_seqs"),
+        sum(col("slice_len")).as("n_tokens"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_graft_manifest")
+    manifest
+  }
+
   // ---------------- deterministic split assignment ----------------
 
   /** Stable hash bucket in [0, buckets): the first 8 hex chars of

@@ -278,6 +278,66 @@ object PipelineQueries {
        |  (tok_offset + greatest(n_bpe_tokens, 1) - 1) // 256 AS seq_last
        |FROM o ORDER BY id""".stripMargin
 
+  /** The training-shard SINK, gated end-to-end: pack the corpus at a
+    * 64-token budget, explode the packed stream into per-(sequence,
+    * document) slice rows, WRITE them as fixed-size parquet shards
+    * (8 sequences per shard, shard = seq DIV 8), then aggregate the
+    * manifest from the files the sink actually wrote. The oracle
+    * recomputes offsets with one global window, replays the
+    * slice/shard arithmetic in SQL, and aggregates the same manifest —
+    * so a mis-sliced boundary token, a doc dropped in the write, or a
+    * wrong shard assignment all hash-mismatch against bytes that went
+    * through a real parquet roundtrip.
+    *
+    * One sink per (process, sf dir), same rationale as the dedup sink:
+    * content is deterministic, the bench runs every query 4x. */
+  private val shardSinks =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private val writeShards: QueryFn = (s, dir) => {
+    val sink = shardSinks.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft-shard-sink")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrfDir(root.toFile)))
+      val packed = TrainingData.packAssignments(table(s, dir, "documents"),
+        col("doc_id"), size(tokens(col("text"))), budget = 64L, shards = 8)
+      val path = root.toString + "/shards"
+      TrainingData.writeShards(
+        TrainingData.sequenceRows(packed, budget = 64L), path,
+        seqsPerShard = 8)
+      path
+    })
+    s.read.parquet(s"$sink/_graft_manifest").orderBy(col("shard"))
+  }
+
+  private def rmrfDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrfDir))
+    f.delete(); ()
+  }
+
+  private val writeShardsSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS tok_offset
+       |  FROM n),
+       |r AS (
+       |  SELECT doc_id, tok_offset, n_tokens,
+       |    unnest(range(tok_offset // 64,
+       |                 (tok_offset + n_tokens - 1) // 64 + 1)) AS seq
+       |  FROM o WHERE n_tokens > 0),
+       |sl AS (
+       |  SELECT seq // 8 AS shard, seq,
+       |    least(tok_offset + n_tokens, (seq + 1) * 64)
+       |      - greatest(tok_offset, seq * 64) AS slice_len
+       |  FROM r)
+       |SELECT shard, count(*) AS n_rows, count(DISTINCT seq) AS n_seqs,
+       |  sum(slice_len)::BIGINT AS n_tokens
+       |FROM sl GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Deterministic md5-bucket train/val/test assignment (90/5/5): the
     * split is a pure function of doc_id, so any engine — here DuckDB —
     * reproduces membership row-by-row with no stored assignment. */
@@ -439,6 +499,7 @@ object PipelineQueries {
     Q("pipeline_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("pipeline_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("pipeline_pack_bpe", packBpe, Some(packBpeSql)),
+    Q("pipeline_write_shards", writeShards, Some(writeShardsSql)),
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_weighted_sample", weightedSample, Some(weightedSampleSql)),

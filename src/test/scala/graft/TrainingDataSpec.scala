@@ -114,6 +114,83 @@ class TrainingDataSpec extends AnyFunSuite {
 
   // ---------------- split assignment ----------------
 
+  // ---------------- training-shard sink ----------------
+
+  test("sequenceRows slices cover every sequence exactly to the budget " +
+    "(except the last) and conserve every token") {
+    val rows = (1L to 60L).map(i => (i, (i % 7) + 1)) // 60 docs, 1..7 toks
+    val packed = TrainingData.packAssignments(rows.toDF("id", "n"),
+      col("id"), col("n"), budget = 16L, shards = 4)
+    val sl = TrainingData.sequenceRows(packed, budget = 16L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val totalTokens = rows.map(_._2).sum
+    assert(sl.map(_._4).sum == totalTokens) // slice_len conserves tokens
+    val perSeq = sl.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (seq, tok) =>
+      if (seq < lastSeq) assert(tok == 16L, s"seq $seq underfilled")
+      else assert(tok > 0L && tok <= 16L)
+    }
+    // slice positions tile each sequence contiguously from 0
+    sl.groupBy(_._1).foreach { case (_, slices) =>
+      val sorted = slices.sortBy(_._5)
+      assert(sorted.head._5 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._4 == b._5)
+        case _ => ()
+      }
+    }
+  }
+
+  test("writeShards: every shard except the last holds exactly " +
+    "seqsPerShard sequences, maxRecordsPerFile bounds file sizes, and " +
+    "the manifest is deterministic across re-runs") {
+    val rows = (1L to 80L).map(i => (i, (i % 5) + 2))
+    val packed = TrainingData.packAssignments(rows.toDF("id", "n"),
+      col("id"), col("n"), budget = 16L, shards = 4)
+    val seqRows = TrainingData.sequenceRows(packed, budget = 16L)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val m1 = TrainingData.writeShards(seqRows, s"$dir/a", seqsPerShard = 4,
+      maxRecordsPerFile = 10).orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val lastShard = m1.map(_._1).max
+    m1.foreach { case (shard, nRows, nSeqs, _) =>
+      if (shard < lastShard) assert(nSeqs == 4L, s"shard $shard")
+      else assert(nSeqs >= 1L && nSeqs <= 4L)
+      assert(nRows >= nSeqs) // every sequence has at least one slice
+    }
+    assert(m1.map(_._4).sum == rows.map(_._2).sum) // manifest conserves tokens
+    // physical layout: partition dirs per shard, files under the cap
+    val shardDirs = new java.io.File(s"$dir/a").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == m1.length)
+    for (d <- shardDirs; f <- d.listFiles() if f.getName.endsWith(".parquet")) {
+      val cnt = spark.read.parquet(f.getAbsolutePath).count()
+      assert(cnt <= 10L, s"${f.getName} exceeds maxRecordsPerFile")
+    }
+    // the written bytes reproduce the manifest, and a second run of the
+    // whole sink yields the identical manifest
+    val m2 = TrainingData.writeShards(seqRows, s"$dir/b", seqsPerShard = 4,
+      maxRecordsPerFile = 10).orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(m1 == m2)
+    val persisted = spark.read.parquet(s"$dir/a/_graft_manifest")
+      .orderBy("shard").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(persisted == m1)
+  }
+
+  test("writeShards validates arguments") {
+    val packed = TrainingData.packAssignments(
+      Seq((1L, 3L)).toDF("id", "n"), col("id"), col("n"), budget = 4L)
+    val sr = TrainingData.sequenceRows(packed, budget = 4L)
+    intercept[IllegalArgumentException] {
+      TrainingData.writeShards(sr, "/tmp/x", seqsPerShard = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.sequenceRows(packed, budget = 0L)
+    }
+  }
+
   test("assignSplit matches an independent md5 recomputation per id") {
     val ids = (0L until 50L).toDF("id")
     val got = ids.select(col("id"),
