@@ -1494,6 +1494,61 @@ final class VectorEngine private (val spark: SparkSession,
     Lexical.hybridRrf(lex, vec, "chunk_id", k, candidates, rrfK)
   }
 
+  /** BATCH hybrid retrieval — the reranking-pipeline shape: a caller
+    * sending thousands of (terms, vector) queries must not pay one
+    * corpus-lifecycle per query. ONE BM25 statistics pass serves every
+    * query (corpus length stats and union-term document frequencies
+    * computed once — [[graft.operators.Lexical.bm25Batch]]), the vector
+    * leg is the existing vectorized [[searchBatch]] funnel, and fusion
+    * runs per query through the salted per-group top-k window.
+    *
+    * Semantics per query are EXACTLY [[searchHybrid]]'s: the same typed
+    * metadata filter composes with BOTH legs, each leg contributes its
+    * top-`candidates`, rrf = 1/(rrfK + lex_rank) + 1/(rrfK + vec_rank).
+    * Output: (query_id, chunk_id, rrf), top-`k` per query, ordered by
+    * (query_id, rrf DESC, chunk_id). */
+  def searchHybridBatch(libraryId: String,
+                        queries: Seq[(Long, Seq[String], Seq[Float])], k: Int,
+                        filters: Map[String, Any] = Map.empty,
+                        candidates: Int = Lexical.DefaultCandidates,
+                        rrfK: Int = Lexical.DefaultRrfK,
+                        probe: String = settings.defaultProbe): DataFrame = {
+    val lib = getLibrary(libraryId)
+    if (k <= 0) throw SearchError("k must be > 0")
+    if (candidates < k) throw SearchError("candidates must be >= k")
+    if (rrfK <= 0) throw SearchError("rrfK must be > 0")
+    if (!SupportedProbes(probe)) throw SearchError(s"unknown probe mode: $probe")
+    if (queries.map(_._1).distinct.size != queries.size)
+      throw SearchError("duplicate hybrid query ids")
+    // every per-query guard fires BEFORE any eager corpus work, same
+    // rationale as searchHybrid's guard ordering
+    queries.foreach { case (qid, terms, q) =>
+      if (terms.isEmpty)
+        throw SearchError(s"query $qid needs at least one hybrid query term")
+      if (terms.distinct.size != terms.size)
+        throw SearchError(s"query $qid has duplicate hybrid query terms")
+      if (q.length != lib.embedding_dimension)
+        throw SearchError(
+          s"query $qid dimension ${q.length} != library dimension ${lib.embedding_dimension}")
+    }
+    if (queries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, String, Double)]
+        .toDF("query_id", "chunk_id", "rrf")
+    }
+    val metaPred = MetadataFunctions.filterPredicate(col("metadata"), filters)
+    val lexCorpus = chunks.where(col("library_id") === libraryId)
+      .where(metaPred)
+      .select(col("id").as("chunk_id"), col("text"))
+    val lex = Lexical.bm25Batch(lexCorpus.toDF(), "chunk_id", "text",
+      queries.map(q => (q._1, q._2)))
+    val vec = searchBatch(libraryId, queries.map(q => (q._1, q._3)),
+      candidates, filters, probe)
+    Lexical.hybridRrfBatch(lex, vec, "query_id", "chunk_id", k, candidates,
+        rrfK)
+      .orderBy(col("query_id"), col("rrf").desc, col("chunk_id"))
+  }
+
   /** Incremental near-duplicate detection against a library — the
     * pre-ingest dedup gate of a continuously growing corpus: which rows
     * of `batch` (columns `id`, `embedding`) sit within cosine `threshold`

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis.tokens
@@ -86,6 +86,127 @@ object Lexical {
     lens.join(piv, Seq(idCol), "left")
       .withColumn("score", round(termScore.reduceLeft(_ + _), 6) + lit(0.0d))
       .select(col(idCol), col("score"))
+  }
+
+  /** BATCH BM25: score every corpus row against EVERY query in ONE
+    * corpus scan — the reranking-pipeline shape (thousands of queries
+    * against one corpus must not mean thousands of tokenize passes).
+    * The corpus statistics (doc count, average length) and the
+    * document frequencies of the UNION of all query terms are computed
+    * once and shared; per-query scores are then sibling columns of a
+    * single projection, exploded to (query_id, id, score) rows.
+    *
+    * Per-query scores are IDENTICAL to [[bm25]]'s (same 6dp idf
+    * rounding, same fixed-order term fold over the query's own terms) —
+    * the batch is an execution strategy, not a semantic variant
+    * (LexicalSpec pins the equality).
+    *
+    * Scale shape: one tokenize scan; tf rows exist only for union-term
+    * matches (O(matches), never O(corpus vocabulary)); document
+    * frequency is a |union terms|-row driver collect; the explode
+    * multiplies the SCORED frame by Q — streaming through codegen into
+    * the per-group top-k, never materialized.
+    *
+    * @param queries (query_id, terms) — ids unique, each term list
+    *                non-empty and duplicate-free
+    * @return (query_id, idCol, score) for every (query, document) pair
+    */
+  def bm25Batch(df: DataFrame, idCol: String, textCol: String,
+                queries: Seq[(Long, Seq[String])],
+                k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(queries.nonEmpty, "need at least one BM25 query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate BM25 query ids")
+    queries.foreach { case (qid, terms) =>
+      require(terms.nonEmpty, s"query $qid needs at least one BM25 term")
+      require(terms.distinct.size == terms.size,
+        s"query $qid has duplicate BM25 terms")
+    }
+    val spark = df.sparkSession
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val lens = toks.select(col(idCol), size(col("t")).as("len"))
+    val stats = lens.agg(count(lit(1)), avg(col("len"))).head()
+    val nDocs = stats.getLong(0).toDouble
+    if (nDocs == 0.0) {
+      import spark.implicits._
+      return Seq.empty[(Long, String, Double)]
+        .toDF("query_id", idCol, "score")
+    }
+    val avgLen = stats.getDouble(1)
+    val tf = toks.select(col(idCol), explode(col("t")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfMap = tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(term: String): Double = {
+      val dfT = dfMap.getOrElse(term, 0L).toDouble
+      BigDecimal(math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val termIdx = allTerms.zipWithIndex.toMap
+    val tfAggs = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+    }
+    val piv = tf.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+    def termScore(t: String): Column = {
+      val i = termIdx(t)
+      coalesce(lit(idf(t)) * col(s"tf$i") /
+        (col(s"tf$i") + lit(k1) * (lit(1.0) - lit(b)
+          + lit(b) * col("len") / lit(avgLen))), lit(0.0d))
+    }
+    val qStructs = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        (round(terms.map(termScore).reduceLeft(_ + _), 6) + lit(0.0d))
+          .as("score"))
+    }
+    lens.join(piv, Seq(idCol), "left")
+      .select(col(idCol), explode(array(qStructs: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        col("__q.score").as("score"))
+  }
+
+  /** Per-group twin of [[topRanks]]: top-`n` rows of each group via the
+    * salted two-phase window ([[graft.operators.TopK.perGroup]] — no
+    * single-reducer funnel), then 1-based ranks inside the surviving
+    * n-row groups. */
+  def topRanksBatch(scored: DataFrame, groupCol: String, idCol: String,
+                    scoreCol: String, ascending: Boolean, n: Int,
+                    rankName: String): DataFrame = {
+    val ord = if (ascending) col(scoreCol) else negate(col(scoreCol))
+    val limited = graft.operators.TopK.perGroup(
+      scored.withColumn("__ord", ord), groupCol, "__ord", idCol, n)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__ord"), col(idCol))
+    limited.withColumn(rankName, row_number().over(w))
+      .select(col(groupCol), col(idCol), col(rankName))
+  }
+
+  /** Batch reciprocal-rank fusion: [[hybridRrf]] per group in one plan.
+    * Each leg contributes its per-group top-`candidates`; fusion is a
+    * (group, id) full-outer join bounded by Q x candidates rows; the
+    * final top-`k` is again the salted per-group window. Output:
+    * (groupCol, idCol, rrf). */
+  def hybridRrfBatch(lexScores: DataFrame, vecScores: DataFrame,
+                     groupCol: String, idCol: String, k: Int,
+                     candidates: Int = DefaultCandidates,
+                     rrfK: Int = DefaultRrfK, lexScoreCol: String = "score",
+                     vecScoreCol: String = "distance"): DataFrame = {
+    require(k > 0 && candidates >= k, "need k > 0 and candidates >= k")
+    val lr = topRanksBatch(lexScores, groupCol, idCol, lexScoreCol,
+      ascending = false, candidates, "lrank")
+    val vr = topRanksBatch(vecScores, groupCol, idCol, vecScoreCol,
+      ascending = true, candidates, "vrank")
+    val fused = lr.join(vr, Seq(groupCol, idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0d)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0d)), 6)
+        + lit(0.0d))
+    graft.operators.TopK.perGroup(
+        fused.withColumn("__ord", negate(col("rrf"))), groupCol, "__ord",
+        idCol, k)
+      .select(col(groupCol), col(idCol), col("rrf"))
   }
 
   /** Rank the top-`n` rows of a scored frame: limit FIRST

@@ -459,9 +459,93 @@ object EngineQueries {
        |ORDER BY rrf DESC, chunk_id LIMIT 10""".stripMargin
   }
 
+  /** BATCH hybrid retrieval through a REOPENED engine: three queries
+    * with distinct term sets and query vectors share one BM25 stats
+    * pass and one vectorized distance funnel, fused per query. The
+    * oracle replays each query's BM25 (document frequencies over the
+    * UNION of all six terms — computed once, exactly like the engine),
+    * its distance ranking, and its fusion independently, then unions
+    * the per-query top-10s — so cross-query contamination (a stats pass
+    * leaking one query's terms into another's score, a rank computed
+    * over the wrong group) hash-mismatches. */
+  private val HybridBatch: Seq[(Long, Seq[String], Long)] = Seq(
+    (0L, Seq("7", "42"), 0L),
+    (1L, Seq("vec", "100"), 1L),
+    (2L, Seq("2", "17", "42"), 2L))
+
+  private val hybridBatchSearch: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindFlat,
+      deleteDoc7 = true)
+    val eng2 = VectorEngine.open(s, state)
+    val vecs = table(s, dir, "embeddings")
+      .where(col("vec_id").isin(HybridBatch.map(_._3): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    eng2.searchHybridBatch(lib,
+      HybridBatch.map { case (qid, terms, vid) => (qid, terms, vecs(vid)) },
+      k = 10, filters = Map("parity" -> 0))
+  }
+
+  private val hybridBatchSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
+    val (k1, b) = (graft.operators.Lexical.DefaultK1,
+      graft.operators.Lexical.DefaultB)
+    val rrfK = graft.operators.Lexical.DefaultRrfK
+    val cands = graft.operators.Lexical.DefaultCandidates
+    val allTerms = HybridBatch.flatMap(_._2).distinct
+    val idx = allTerms.zipWithIndex.toMap
+    val inList = allTerms.map(t => s"'$t'").mkString(", ")
+    val pivCols = allTerms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN tf END) AS tf$i"
+    }.mkString(", ")
+    def idfSql(t: String) =
+      s"round(ln((s.n - coalesce((SELECT df FROM df WHERE term = '$t'), 0) + 0.5)" +
+        s" / (coalesce((SELECT df FROM df WHERE term = '$t'), 0) + 0.5) + 1.0), 6)"
+    def scoreTerms(terms: Seq[String]) = terms.map { t =>
+      val i = idx(t)
+      s"coalesce(${idfSql(t)} * tf$i / (tf$i + $k1 * " +
+        s"(1.0 - $b + $b * len / s.avglen)), 0.0)"
+    }.mkString(" + ")
+    val perQuery = HybridBatch.map { case (qid, terms, vid) =>
+      s"""bm$qid AS (SELECT l.chunk_id, round(${scoreTerms(terms)}, 6) + 0 AS score
+         |       FROM lens l LEFT JOIN piv USING (chunk_id), s),
+         |lt$qid AS (SELECT chunk_id, score FROM bm$qid ORDER BY score DESC, chunk_id LIMIT $cands),
+         |lr$qid AS (SELECT chunk_id,
+         |         row_number() OVER (ORDER BY score DESC, chunk_id) AS lrank FROM lt$qid),
+         |q$qid AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $vid),
+         |vt$qid AS (SELECT chunk_id, round($cos, 6) + 0 AS distance FROM ch, q$qid
+         |       ORDER BY distance, chunk_id LIMIT $cands),
+         |vr$qid AS (SELECT chunk_id,
+         |         row_number() OVER (ORDER BY distance, chunk_id) AS vrank FROM vt$qid),
+         |f$qid AS (SELECT $qid::BIGINT AS query_id,
+         |         coalesce(lr$qid.chunk_id, vr$qid.chunk_id) AS chunk_id,
+         |         round(coalesce(1::DOUBLE / ($rrfK + lrank), 0::DOUBLE)
+         |             + coalesce(1::DOUBLE / ($rrfK + vrank), 0::DOUBLE), 6) + 0 AS rrf
+         |       FROM lr$qid FULL OUTER JOIN vr$qid ON lr$qid.chunk_id = vr$qid.chunk_id
+         |       ORDER BY rrf DESC, chunk_id LIMIT 10)""".stripMargin
+    }.mkString(",\n")
+    val union = HybridBatch.map(q => s"SELECT * FROM f${q._1}")
+      .mkString(" UNION ALL ")
+    s"""WITH ch AS (SELECT 'c' || vec_id AS chunk_id, 'vec ' || vec_id AS text,
+       |                   embedding::DOUBLE[] AS v
+       |            FROM embeddings WHERE label <> 7 AND vec_id % 2 = 0),
+       |toks AS (SELECT chunk_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM ch),
+       |lens AS (SELECT chunk_id, len(t)::INT AS len FROM toks),
+       |s AS (SELECT count(*)::BIGINT::DOUBLE AS n, avg(len) AS avglen FROM lens),
+       |terms AS (SELECT chunk_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT chunk_id, term, count(*)::BIGINT AS tf FROM terms
+       |       WHERE term IN ($inList) GROUP BY chunk_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |piv AS (SELECT chunk_id, $pivCols FROM tf GROUP BY chunk_id),
+       |$perQuery
+       |SELECT * FROM ($union)
+       |ORDER BY query_id, rrf DESC, chunk_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_hybrid", hybridSearch, Some(hybridSearchSql)),
+    Q("lifecycle_hybrid_batch", hybridBatchSearch, Some(hybridBatchSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
     Q("lifecycle_ivf_persisted", ivfPersisted, Some(ivfPersistedSql)),

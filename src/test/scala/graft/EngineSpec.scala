@@ -1204,6 +1204,55 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("searchHybridBatch: per-query results equal single searchHybrid, " +
+    "the filter composes with both legs of every query, and per-query " +
+    "guards fire before any corpus work") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("hyb", dim = 4)
+    val doc = e.createDocument(lib.id, "doc")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("apple pie recipe", vec(1, 0, 0, 0), Map("lang" -> "en"), 0, Some("b0")),
+      ChunkInput("apple tart", vec(1, 0, 0, 0), Map("lang" -> "fr"), 1, Some("b1")),
+      ChunkInput("banana bread", vec(0, 1, 0, 0), Map("lang" -> "en"), 2, Some("b2")),
+      ChunkInput("car manual", vec(0, 0, 1, 0), Map("lang" -> "en"), 3, Some("b3"))))
+    val queries = Seq(
+      (10L, Seq("apple"), vec(1, 0, 0, 0)),
+      (20L, Seq("banana", "car"), vec(0, 1, 0, 0)))
+    val got = e.searchHybridBatch(lib.id, queries, k = 4,
+        filters = Map("lang" -> "en"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(!got.keySet.map(_._2).contains("b1")) // filtered from every query
+    for ((qid, terms, q) <- queries) {
+      val single = e.searchHybrid(lib.id, terms, q, k = 4,
+          filters = Map("lang" -> "en"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.filter(_._1._1 == qid).map { case ((_, id), v) => id -> v }
+        == single, s"query $qid diverges from searchHybrid")
+    }
+    // guards: duplicate qids, per-query empty/duplicate terms, dim
+    intercept[SearchError] {
+      e.searchHybridBatch(lib.id,
+        Seq((1L, Seq("a"), vec(1, 0, 0, 0)), (1L, Seq("b"), vec(1, 0, 0, 0))), 1)
+    }
+    intercept[SearchError] {
+      e.searchHybridBatch(lib.id, Seq((1L, Seq.empty, vec(1, 0, 0, 0))), 1)
+    }
+    intercept[SearchError] {
+      e.searchHybridBatch(lib.id, Seq((1L, Seq("a", "a"), vec(1, 0, 0, 0))), 1)
+    }
+    intercept[SearchError] {
+      e.searchHybridBatch(lib.id, Seq((1L, Seq("a"), Seq(1f, 0f))), 1)
+    }
+    intercept[SearchError] {
+      e.searchHybridBatch(lib.id, Seq((1L, Seq("a"), vec(1, 0, 0, 0))), 0)
+    }
+    // empty query list: empty result, correct schema, no job
+    val empty = e.searchHybridBatch(lib.id, Seq.empty, 1)
+    assert(empty.columns.toSeq == Seq("query_id", "chunk_id", "rrf"))
+    assert(empty.count() == 0)
+  }
+
   test("contaminatedChunks: facade decontamination audit over a managed " +
     "library — eval-overlapping chunks flagged with hit counts, clean " +
     "chunks absent, any index_kind, guards loud") {

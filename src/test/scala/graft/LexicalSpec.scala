@@ -82,4 +82,59 @@ class LexicalSpec extends AnyFunSuite {
       Lexical.hybridRrf(lex, vec, "id", k = 5, candidates = 3)
     }
   }
+
+  test("bm25Batch: each query's scores equal the single-query bm25 " +
+    "exactly (the batch is an execution strategy, not a variant)") {
+    val queries = Seq(1L -> Seq("spark", "data"), 2L -> Seq("gardens"),
+      3L -> Seq("cluster", "quiet", "missing"))
+    val batch = Lexical.bm25Batch(corpus, "id", "text", queries)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    for ((qid, terms) <- queries) {
+      val single = Lexical.bm25(corpus, "id", "text", terms)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      single.foreach { case (id, sc) =>
+        assert(batch((qid, id)) == sc, s"query $qid doc $id")
+      }
+    }
+    // guards: empty query list, duplicate ids, per-query term guards
+    intercept[IllegalArgumentException] {
+      Lexical.bm25Batch(corpus, "id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Lexical.bm25Batch(corpus, "id", "text",
+        Seq(1L -> Seq("a"), 1L -> Seq("b")))
+    }
+    intercept[IllegalArgumentException] {
+      Lexical.bm25Batch(corpus, "id", "text", Seq(1L -> Seq.empty[String]))
+    }
+    intercept[IllegalArgumentException] {
+      Lexical.bm25Batch(corpus, "id", "text", Seq(1L -> Seq("a", "a")))
+    }
+    // empty corpus: zero rows, no NaN
+    assert(Lexical.bm25Batch(corpus.where(lit(false)), "id", "text",
+      queries).count() == 0)
+  }
+
+  test("hybridRrfBatch fuses each group exactly like per-query hybridRrf") {
+    val lex = Seq((1L, "a", 5.0), (1L, "b", 4.0), (1L, "c", 3.0),
+      (2L, "b", 9.0), (2L, "d", 1.0))
+      .toDF("qid", "id", "score")
+    val vec = Seq((1L, "a", 0.1), (1L, "e", 0.2),
+      (2L, "d", 0.05), (2L, "b", 0.5))
+      .toDF("qid", "id", "distance")
+    val batch = Lexical.hybridRrfBatch(lex, vec, "qid", "id", k = 10,
+        candidates = 10, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    for (q <- Seq(1L, 2L)) {
+      val single = Lexical.hybridRrf(
+          lex.where(col("qid") === q).drop("qid"),
+          vec.where(col("qid") === q).drop("qid"),
+          "id", k = 10, candidates = 10, rrfK = 60)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(batch.filter(_._1._1 == q).map { case ((_, id), v) => id -> v } ==
+        single, s"group $q")
+    }
+  }
 }
