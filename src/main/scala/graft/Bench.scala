@@ -50,14 +50,20 @@ object Bench {
   }
 
   /** recall@10 of each approximate search path vs exact flat search on
-    * the sf dir's embeddings: LSH bucket probe and k-means IVF under
-    * cosine, SQ8 rescored search under euclidean. 10 query vectors. */
-  private def measureRecall(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    * the given embedding frame: LSH bucket probe and k-means IVF under
+    * cosine, SQ8 rescored search under euclidean. 10 query vectors.
+    * Runs once on the sf dir's (near-uniform) embeddings and once on the
+    * CLUSTERED synthetic table — the uniform panel tracks round-over-
+    * round drift on the committed data, the clustered one is the honest
+    * telemetry for the shapes real embedding spaces have (bucketed
+    * methods only help when there are buckets worth probing). */
+  private def measureRecall(spark: SparkSession,
+                            embedFrame: org.apache.spark.sql.DataFrame): Map[String, Double] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.operators.{IvfIndex, LshIndex, Quantization}
     import graft.functions.VectorExpressions
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = embedFrame
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val queries = emb.where(col("vec_id") < 10).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
@@ -408,10 +414,20 @@ object Bench {
     // reference claims ~95% for but never measures): each approximate
     // path vs exact flat search under its own metric, 10 queries.
     // Never fails the bench — reported best-effort.
-    val recall = try {
-      val r = measureRecall(spark, sfDir)
+    def recallJson(frame: => org.apache.spark.sql.DataFrame): String = try {
+      val r = measureRecall(spark, frame)
       r.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     } catch { case e: Throwable => s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
+    val recall = recallJson(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    // the CLUSTERED panel (full BENCH.json record only — the compact
+    // stdout line keeps its 500-char budget): same row count as the sf
+    // table, 32 Gaussian clusters in the same 64 dims, RecallSpec pins
+    // the >= 0.9 defaults on this shape
+    val recallClustered = recallJson {
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      graft.tools.SyntheticEmbeddings.clustered(spark, math.max(n, 500L),
+        dim = 64, clusters = 32)
+    }
     // 10x scale-stress (skippable for quick local iterations with
     // SPARK_GRAFT_STRESS=0; measured after the timed passes so its burn
     // cannot perturb them). Best-effort like recall: a stress failure is
@@ -429,7 +445,7 @@ object Bench {
     val calibration = calibrate()
     // Full record (per-query medians + error messages) → BENCH.json file.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"calibration_sec":$calibration,"queries":$qs,"errors":$es,"recall_at_10":$recall,"stress":$stress,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"calibration_sec":$calibration,"queries":$qs,"errors":$es,"recall_at_10":$recall,"recall_at_10_clustered":$recallClustered,"stress":$stress,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     // Compact line (< 500 chars) as the FINAL stdout line: the driver's
     // tail capture is bounded, and a 3 KB line gets truncated from the
