@@ -1615,6 +1615,99 @@ final class VectorEngine private (val spark: SparkSession,
       .orderBy(col("chunk_id"))
   }
 
+  /** The CURATION COMPOSITION at the facade — what the streaming path
+    * (`StreamingIngest.ingestCurationGatedBatch`) already gives a
+    * stream, for batch callers who until now composed it by hand: raw
+    * documents are CHUNKED (overlapping token windows,
+    * [[graft.operators.TextChunker.chunk]]), chunks pass the QUALITY
+    * gate (TextAnalysis.qualityScore >= `qualityMin`) and the
+    * REPETITION gate (bigram dup_ngram_frac <= `maxDupNgramFrac`;
+    * chunks too short to have bigrams pass), survivors are
+    * DECONTAMINATED against the benchmark's word `n`-grams, then
+    * EMBEDDED by the caller-supplied `embed` stage (the engine stores
+    * vectors, it does not model them — a deployment plugs its encoder
+    * here) and run through the streaming path's own DEDUP-GATED ingest
+    * (replay + corpus near-dup + intra-batch near-dup, then one atomic
+    * append).
+    *
+    * Chunk identity is deterministic — `<docId>-c<chunkIndex>` — so
+    * re-running the same crawl batch is a no-op via the replay gate,
+    * exactly like a redelivered micro-batch.
+    *
+    * Scale shape per call: the document batch is chunked and pinned
+    * once (O(batch)); each gate is one pass over the (shrinking) batch
+    * with only broadcast-sized state (the benchmark shingle set, the
+    * per-stage counts); the corpus is touched exactly once, by the
+    * near-dup gate's bucket-blocked scan — never shuffled. Requires a
+    * random_projection library (the near-dup gate blocks on the stored
+    * sign-bit buckets).
+    *
+    * @param embed stage adding an `embedding` column to its input (all
+    *              other columns must pass through untouched)
+    * @return per-stage accounting (chunked / after quality / after
+    *         decontamination / actually ingested) */
+  def curateAndIngest(libraryId: String, documentId: String, docs: DataFrame,
+                      docId: Column, text: Column,
+                      embed: DataFrame => DataFrame,
+                      benchmark: DataFrame, benchText: Column,
+                      maxTokens: Int = 64, overlap: Int = 0,
+                      qualityMin: Double = 0.0,
+                      maxDupNgramFrac: Double = 1.0,
+                      n: Int = 8,
+                      threshold: Double = 0.05): VectorEngine.CurationReport = {
+    val lib = getLibrary(libraryId)
+    val doc = getDocument(documentId)
+    if (doc.library_id != libraryId)
+      throw ValidationError(
+        s"document $documentId belongs to library ${doc.library_id}, not $libraryId")
+    if (lib.index_kind != IndexKindLsh)
+      throw ValidationError(
+        "curateAndIngest requires a random_projection library " +
+          s"(the near-dup gate blocks on stored buckets); got '${lib.index_kind}'")
+    if (n < 1) throw ValidationError("n-gram size must be >= 1")
+    if (qualityMin < 0.0) throw ValidationError("qualityMin must be >= 0")
+    if (maxDupNgramFrac < 0.0 || maxDupNgramFrac > 1.0)
+      throw ValidationError("maxDupNgramFrac must be in [0, 1]")
+    if (threshold < 0.0) throw ValidationError("threshold must be >= 0")
+    val chunked = graft.operators.TextChunker
+      .chunk(docs, docId, text, maxTokens, overlap)
+      .select(
+        concat(col("id").cast("string"), lit("-c"), col("chunk_index"))
+          .as("id"),
+        col("chunk_index").cast("int").as("chunk_index"),
+        col("chunk_text").as("text"))
+      .localCheckpoint() // pinned once, consumed by every gate + count
+    val nChunks = chunked.count()
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val rep = TrainingData.repetitionStats(chunked, col("id"), col("text"),
+        n = 2)
+      .select(col("id"), col("dup_ngram_frac"))
+    val kept = chunked
+      .where(graft.operators.TextAnalysis.qualityScore(toks) >= qualityMin)
+      .join(rep, Seq("id"), "left")
+      .where(coalesce(col("dup_ngram_frac"), lit(0.0d)) <= maxDupNgramFrac)
+      .drop("dup_ngram_frac")
+      .localCheckpoint()
+    val nQuality = kept.count()
+    val benchGrams = TrainingData.benchmarkShingles(benchmark, benchText, n)
+      .localCheckpoint() // eval sets are MBs; shingled once per call
+    val contaminated = TrainingData.contaminationHitsAgainst(
+        kept, col("id"), col("text"), benchGrams, n)
+      .select(col("id"))
+    val clean = kept.join(contaminated, Seq("id"), "left_anti")
+      .localCheckpoint()
+    val nClean = clean.count()
+    val withEmb = embed(clean)
+    if (!withEmb.columns.contains("embedding"))
+      throw ValidationError("embed stage must add an 'embedding' column")
+    val batch = withEmb.select(col("id"),
+      lit(documentId).as("document_id"), col("text"), col("embedding"),
+      typedLit(Map.empty[String, String]).as("metadata"), col("chunk_index"))
+    val nIngested = graft.streaming.StreamingIngest.ingestDedupGatedBatch(
+      this, libraryId, batch, threshold)
+    VectorEngine.CurationReport(nChunks, nQuality, nClean, nIngested)
+  }
+
   // -------------------------------------------------------------------
   // Persistence (S2-S5: disk_store.py:100-162, indexes.py:125-162 —
   // semantics, not byte layout: versioned Parquet + matrix table)
@@ -2329,6 +2422,13 @@ final class VectorEngine private (val spark: SparkSession,
 }
 
 object VectorEngine {
+  /** Per-stage accounting of one [[VectorEngine.curateAndIngest]] run —
+    * the observability a curation freeze wants (how much each gate cut),
+    * at one O(batch) aggregate per stage. */
+  final case class CurationReport(n_chunks: Long, n_after_quality: Long,
+                                  n_after_decontamination: Long,
+                                  n_ingested: Long)
+
   val MaxTextLen = 10000          // entities.py:42
   val MaxNameLen = 255            // entities.py:81-86
   val MaxDescriptionLen = 1000    // entities.py:107-117

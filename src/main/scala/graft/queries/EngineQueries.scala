@@ -542,7 +542,98 @@ object EngineQueries {
        |ORDER BY query_id, rrf DESC, chunk_id""".stripMargin
   }
 
+  /** The batch curation composition at the facade, end-to-end through a
+    * MANAGED library: raw documents (minus the eval source) are chunked
+    * into overlapping 6-token windows, quality- and repetition-gated,
+    * decontaminated against the eval source's 4-grams, embedded by a
+    * deterministic per-chunk stage, and ingested through the streaming
+    * path's dedup gates. The oracle replays chunking, BOTH gates
+    * (quality score arithmetic and the bigram dup fraction), and the
+    * decontamination overlap in SQL and predicts the exact surviving
+    * chunk rows — so a drifted gate threshold, a mis-derived chunk id,
+    * or an over/under-aggressive ingest gate all hash-mismatch. The
+    * dedup gates are pass-through BY CONSTRUCTION here (distinct
+    * xxhash-derived embeddings at threshold 0) — their cutting behavior
+    * is gated by events_dedup_gated / dedup_incremental_embedding. */
+  private val CurateMax = 6
+  private val CurateOverlap = 2
+  private val CurateQualityMin = 0.6
+  private val CurateMaxDup = 0.5
+
+  private val curateIngest: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val eng = VectorEngine.create(s)
+    val lib = eng.createLibrary("curated", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh, id = Some("curlib"))
+    val doc = eng.createDocument(lib.id, "crawl-batch")
+    eng.curateAndIngest(lib.id, doc.id,
+      docs.where(col("source") =!= "src0"), col("doc_id"), col("text"),
+      embed = df => df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*)),
+      benchmark = docs.where(col("source") === "src0"),
+      benchText = col("text"),
+      maxTokens = CurateMax, overlap = CurateOverlap,
+      qualityMin = CurateQualityMin, maxDupNgramFrac = CurateMaxDup,
+      n = 4, threshold = 0.0)
+    eng.chunksDf.where(col("library_id") === lib.id)
+      .select(col("id").as("chunk_id"), col("chunk_index"), col("text"))
+      .orderBy(col("chunk_id"))
+  }
+
+  private val curateIngestSql: String = {
+    val stride = CurateMax - CurateOverlap
+    val stops = graft.operators.TextAnalysis.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    val gram4 = "tq[i] || ' ' || tq[i+1] || ' ' || tq[i+2] || ' ' || tq[i+3]"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE source <> 'src0'),
+       |shaped AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    (1 + ceil(greatest(0, len(t) - $CurateMax)::DOUBLE / $stride))::INT AS n_chunks
+       |  FROM toks),
+       |idx AS (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS k FROM shaped),
+       |chunks AS (
+       |  SELECT doc_id || '-c' || k AS chunk_id, k::INT AS chunk_index,
+       |    array_to_string(t[k * $stride + 1 : least(k * $stride + $CurateMax, n)], ' ') AS text
+       |  FROM idx),
+       |ctoks AS (
+       |  SELECT chunk_id, chunk_index, text,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS tq
+       |  FROM chunks),
+       |gated AS (
+       |  SELECT chunk_id, chunk_index, text, tq FROM ctoks
+       |  WHERE 0.3 * (len(list_distinct(tq))::DOUBLE / len(tq)) +
+       |        0.4 * (1.0 - len(list_filter(tq, x -> x IN ($stops)))::DOUBLE / len(tq)) +
+       |        0.3 * least(len(tq)::DOUBLE / 100.0, 1.0) >= $CurateQualityMin
+       |    AND (len(tq) < 2 OR
+       |      round(1.0 - len(list_distinct(list_transform(range(1, len(tq)),
+       |            i -> tq[i] || ' ' || tq[i+1])))::DOUBLE / (len(tq) - 1), 6) + 0
+       |        <= $CurateMaxDup)),
+       |bench AS (
+       |  SELECT DISTINCT unnest(list_transform(
+       |    list_distinct(CASE WHEN len(tq) >= 4
+       |      THEN list_transform(range(1, len(tq) - 2), i -> $gram4)
+       |      ELSE []::VARCHAR[] END),
+       |    s -> ${DedupQueries.hashSql(0, "s")})) AS h
+       |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS tq
+       |        FROM documents WHERE source = 'src0')),
+       |cgrams AS (
+       |  SELECT chunk_id, unnest(list_transform(
+       |    list_distinct(CASE WHEN len(tq) >= 4
+       |      THEN list_transform(range(1, len(tq) - 2), i -> $gram4)
+       |      ELSE []::VARCHAR[] END),
+       |    s -> ${DedupQueries.hashSql(0, "s")})) AS h
+       |  FROM gated),
+       |contaminated AS (SELECT DISTINCT chunk_id FROM cgrams JOIN bench USING (h))
+       |SELECT chunk_id, chunk_index, text
+       |FROM gated ANTI JOIN contaminated USING (chunk_id)
+       |ORDER BY chunk_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("lifecycle_curate_ingest", curateIngest, Some(curateIngestSql)),
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_hybrid", hybridSearch, Some(hybridSearchSql)),
     Q("lifecycle_hybrid_batch", hybridBatchSearch, Some(hybridBatchSql)),

@@ -1253,6 +1253,71 @@ class EngineSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("curateAndIngest: chunk -> quality -> repetition -> decontaminate " +
+    "-> dedup-gated ingest composes end-to-end, reports per-stage " +
+    "counts, and re-running the same batch is a no-op") {
+    import org.apache.spark.sql.functions.{array, col, lit, pmod, xxhash64}
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("cur", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val doc = e.createDocument(lib.id, "crawl")
+    val docs = Seq(
+      // clean: two 4-token chunks at maxTokens=4/overlap=0
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // degenerate repetition: bigram dup_ngram_frac = 1 - 1/3 = 0.67
+      (2L, "spam spam spam spam"),
+      // contaminated: chunk 0 IS the benchmark 4-gram (a gram spanning
+      // a chunk boundary is invisible to chunk-level decontamination)
+      (3L, "held out eval fourgram suffix pad pad pad"),
+      // low quality: all stopwords (stopword ratio 1 kills the score)
+      (4L, "the of to and")).toDF("id", "text")
+    val bench = Seq("held out eval fourgram").toDF("text")
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*))
+    val r = e.curateAndIngest(lib.id, doc.id, docs, col("id"), col("text"),
+      embed, bench, col("text"), maxTokens = 4, overlap = 0,
+      qualityMin = 0.5, maxDupNgramFrac = 0.5, n = 4, threshold = 0.0)
+    // doc1 -> 2 chunks, doc2 -> 1, doc3 -> 2, doc4 -> 1 = 6 chunked
+    assert(r.n_chunks == 6L, r)
+    // quality+repetition cut doc2's chunk (dup 0.67) and doc4's (score
+    // 0.3*0.25 + 0.4*0 + 0.3*0.04 = 0.087)
+    assert(r.n_after_quality == 4L, r)
+    // decontamination cuts doc3's FIRST chunk (holds the eval 4-gram);
+    // its second chunk has no 4-gram overlap
+    assert(r.n_after_decontamination == 3L, r)
+    assert(r.n_ingested == 3L, r)
+    val stored = e.chunksDf.where(col("library_id") === lib.id)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(stored == Set("1-c0", "1-c1", "3-c1"))
+    // replay: the same crawl batch again is a complete no-op
+    val again = e.curateAndIngest(lib.id, doc.id, docs, col("id"),
+      col("text"), embed, bench, col("text"), maxTokens = 4, overlap = 0,
+      qualityMin = 0.5, maxDupNgramFrac = 0.5, n = 4, threshold = 0.0)
+    assert(again.n_after_decontamination == 3L && again.n_ingested == 0L)
+    // guards
+    intercept[ValidationError] {
+      e.curateAndIngest(lib.id, doc.id, docs, col("id"), col("text"),
+        embed, bench, col("text"), n = 0)
+    }
+    intercept[ValidationError] {
+      e.curateAndIngest(lib.id, doc.id, docs, col("id"), col("text"),
+        df => df, bench, col("text")) // embed stage adds no embedding
+    }
+    val flatLib = e.createLibrary("flat-cur", dim = 4)
+    val flatDoc = e.createDocument(flatLib.id, "d")
+    intercept[ValidationError] { // needs a random_projection library
+      e.curateAndIngest(flatLib.id, flatDoc.id, docs, col("id"),
+        col("text"), embed, bench, col("text"))
+    }
+    intercept[ValidationError] { // document belongs to the other library
+      e.curateAndIngest(lib.id, flatDoc.id, docs, col("id"), col("text"),
+        embed, bench, col("text"))
+    }
+  }
+
   test("contaminatedChunks: facade decontamination audit over a managed " +
     "library — eval-overlapping chunks flagged with hit counts, clean " +
     "chunks absent, any index_kind, guards loud") {
