@@ -225,6 +225,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("pipeline_bpe_tokens: BPE application is equi-join only — the " +
+    "corpus text is never shuffled, the term join never a nested loop") {
+    val p = plan("pipeline_bpe_tokens")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the only joins are hash equi-joins on the term / id keys
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // map-side partial aggregation on the high-cardinality keys
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("shard sink write plan: ONE range shuffle on the monotone shard " +
+    "key, local sort, no join/aggregate in the write path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val packed = graft.operators.TrainingData.packAssignments(
+      (1L to 50L).map(i => (i, (i % 5) + 1)).toDF("id", "n"),
+      col("id"), col("n"), budget = 16L, shards = 4)
+    val seqRows = graft.operators.TrainingData.sequenceRows(packed, 16L)
+      .localCheckpoint() // isolate the SINK plan from the packing plan
+    val writePlan = seqRows
+      .withColumn("shard", expr("seq DIV 4L"))
+      .repartitionByRange(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(writePlan.contains("rangepartitioning(shard"), writePlan)
+    assert(!writePlan.contains("Join") && !writePlan.contains("HashAggregate"),
+      writePlan)
+  }
+
+  test("lifecycle_hybrid_batch: per-query top-k runs as partial window-" +
+    "group limits on the query key — never a global window or nested loop " +
+    "over Q x corpus") {
+    val p = plan("lifecycle_hybrid_batch")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("hashpartitioning(query_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("reopened engine scans partition-prune to the searched library") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val e = VectorEngine.create(spark)
