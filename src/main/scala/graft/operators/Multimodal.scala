@@ -748,6 +748,39 @@ object Multimodal {
     Some(PixelDecoded(w, h, shaHex(d), "png-jdk"))
   }
 
+  /** Decoded audio SAMPLES: stream layout plus the canonical sample
+    * checksum — sha256 over the raw PCM bytes exactly as stored (the
+    * fixture manifest's python `wave` writer computes the same from the
+    * frames it wrote). */
+  final case class SamplesDecoded(channels: Int, bits: Int, nFrames: Long,
+                                  sha: String)
+
+  /** WAV PCM sample decode, pure Scala: the RIFF chunk walk of
+    * [[decodeWav]] plus the data chunk's raw PCM bytes — WAV sample
+    * data is UNCOMPRESSED, so unlike FLAC/Ogg/MP4 it needs no codec and
+    * the audio payload verifies end-to-end just like the image rasters.
+    * Oversized declared data sizes clamp to the bytes present (the
+    * same streaming-writer tolerance as the header path). */
+  def decodeWavSamples(b: Array[Byte]): Option[SamplesDecoded] = {
+    val hdr = decodeWav(b).getOrElse(return None)
+    // re-walk to the data chunk (decodeWav returns only derived fields)
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val off = i.toInt
+      val cid = new String(b, off, 4, "US-ASCII")
+      val sz = u32(b, off + 4).getOrElse(return None)
+      if (cid == "data") {
+        val len = math.min(sz, b.length - i - 8).toInt
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+        d.update(b, off + 8, len)
+        return Some(SamplesDecoded(hdr.width, hdr.height, hdr.nFrames,
+          shaHex(d)))
+      }
+      i += 8L + sz + (sz & 1L)
+    }
+    None
+  }
+
   // the ImageIO disk cache would write temp files per decode on every
   // executor — in-memory streams only
   private lazy val imageIoInit: Unit =

@@ -99,6 +99,30 @@ object MultimodalQueries {
        |FROM read_json('$MultimodalFixDir/manifest.json')
        |ORDER BY name""".stripMargin
 
+  /** REAL audio-sample decode: WAV PCM payloads are uncompressed, so
+    * the sample bytes verify end-to-end (sha256 over the raw PCM as the
+    * python `wave` writer emitted it) just like the image rasters;
+    * every entropy-coded payload (FLAC/Ogg/MP4 samples) stays null —
+    * a decode that "succeeded" on one would hash-mismatch the manifest
+    * nulls. */
+  private val mmDecodeSamples: QueryFn = (s, _) => {
+    import s.implicits._
+    s.read.format("binaryFile").load(MultimodalFixDir)
+      .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .where(col("name") =!= "manifest.json")
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (name, bytes) =>
+        (name, Multimodal.decodeWavSamples(bytes).map(_.sha))
+      })
+      .toDF("name", "sample_sha")
+      .orderBy("name")
+  }
+
+  private val mmDecodeSamplesSql: String =
+    s"""SELECT name, sample_sha
+       |FROM read_json('$MultimodalFixDir/manifest.json')
+       |ORDER BY name""".stripMargin
+
   private val mmFramesSql: String =
     s"""SELECT doc_id AS id,
        |  ceil(octet_length(text::BLOB)::DOUBLE / ${Multimodal.FrameBytes})::BIGINT AS n_frames,
@@ -302,6 +326,7 @@ object MultimodalQueries {
     Q("multimodal_features", mmFeatures, Some(mmFeaturesSql)),
     Q("multimodal_decode_headers", mmDecodeHeaders, Some(mmDecodeHeadersSql)),
     Q("multimodal_decode_pixels", mmDecodePixels, Some(mmDecodePixelsSql)),
+    Q("multimodal_decode_samples", mmDecodeSamples, Some(mmDecodeSamplesSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),
     Q("events_dedup_gated", eventsDedupGated, Some(eventsDedupGatedSql)),

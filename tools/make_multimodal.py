@@ -30,6 +30,9 @@ computed here from the SOURCE pixel arrays the encoders below were fed
 (never by decoding — the decoder under test must reproduce the input).
 Assets with no losslessly decodable raster (header-only JPEG/GIF,
 audio, video, opaque, WebP/TIFF without strip data) carry nulls.
+WAV assets additionally carry sample_sha — sha256 over the raw PCM
+payload as written (WAV samples are uncompressed, so the audio payload
+verifies end-to-end like the image rasters); everything else nulls.
 
 Deterministic: fixed seeds, fixed payloads. Re-running reproduces the
 identical bytes.
@@ -328,16 +331,21 @@ def gif(width, height, version=b"89a"):
 
 
 def wav(channels, bits, rate, n_frames):
+    """Returns (bytes, pcm) — pcm is the raw sample payload, whose
+    sha256 is the manifest's sample ground truth (WAV PCM is
+    uncompressed, so the audio payload verifies end-to-end like the
+    image rasters)."""
     buf = io.BytesIO()
     w = wave.open(buf, "wb")
     w.setnchannels(channels)
     w.setsampwidth(bits // 8)
     w.setframerate(rate)
     rnd = random.Random(1234)
-    w.writeframes(bytes(rnd.randrange(256)
-                        for _ in range(n_frames * channels * (bits // 8))))
+    pcm = bytes(rnd.randrange(256)
+                for _ in range(n_frames * channels * (bits // 8)))
+    w.writeframes(pcm)
     w.close()
-    return buf.getvalue()
+    return buf.getvalue(), pcm
 
 
 def flac(channels, bits, rate, n_samples):
@@ -399,16 +407,19 @@ def main():
     OUT.mkdir(parents=True, exist_ok=True)
     assets = []
 
-    def put(name, data, modality, width, height, n_frames, rgba=None):
+    def put(name, data, modality, width, height, n_frames, rgba=None,
+            pcm=None):
         (OUT / name).write_bytes(data)
         entry = {"name": name, "modality": modality, "width": width,
                  "height": height, "n_frames": n_frames,
                  "pixel_width": None, "pixel_height": None,
-                 "pixel_sha": None}
+                 "pixel_sha": None, "sample_sha": None}
         if rgba is not None:
             entry["pixel_width"] = width
             entry["pixel_height"] = height
             entry["pixel_sha"] = rgba_sha(rgba)
+        if pcm is not None:
+            entry["sample_sha"] = hashlib.sha256(pcm).hexdigest()
         assets.append(entry)
 
     def put_px(name, data_rgba, modality, width, height, n_frames):
@@ -453,8 +464,10 @@ def main():
     put("vid_basic.mp4", mp4(1920, 1080), "video/mp4", 1920, 1080, 1)
     put("vid_large.mp4", mp4(64, 36, largesize=True), "video/mp4", 64, 36, 1)
     put("vid_v1.mp4", mp4(256, 144, tkhd_version=1), "video/mp4", 256, 144, 1)
-    put("audio_stereo16.wav", wav(2, 16, 44100, 321), "audio/wav", 2, 16, 321)
-    put("audio_mono8.wav", wav(1, 8, 8000, 123), "audio/wav", 1, 8, 123)
+    wav1, pcm1 = wav(2, 16, 44100, 321)
+    put("audio_stereo16.wav", wav1, "audio/wav", 2, 16, 321, pcm=pcm1)
+    wav2, pcm2 = wav(1, 8, 8000, 123)
+    put("audio_mono8.wav", wav2, "audio/wav", 1, 8, 123, pcm=pcm2)
     put("audio_stereo.flac", flac(2, 16, 44100, 88200),
         "audio/flac", 2, 16, 88200)
     put("audio_hires.flac", flac(1, 24, 96000, 12345),
