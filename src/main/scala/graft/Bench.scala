@@ -279,6 +279,10 @@ object Bench {
     val nearMatrix1 = VectorFunctions.projectionMatrix(nearP1, dim, 42L)
     val nearMatrixN = VectorFunctions.projectionMatrix(nearPN, dim, 42L)
     val ivfModel = IvfIndex.train(emb1, col("embedding"), c = 8)
+    // BPE merges trained once on the base corpus (a tokenizer is an
+    // ingest-time artifact; what scales is APPLICATION)
+    val bpeMerges = graft.operators.BpeTokenizer.trainMerges(docs1,
+      col("text"))
 
     // per-scale ingest-time artifacts, built untimed
     def prepared(emb: DataFrame) = (
@@ -323,7 +327,28 @@ object Bench {
       // the corpus side is the inflated scan
       Stress("decontaminate", s =>
         graft.operators.TrainingData.contaminationHits(s.docs, col("doc_id"),
-          col("text"), docs1, col("text"), n = 4)))
+          col("text"), docs1, col("text"), n = 4)),
+      // BPE application over the inflated corpus with a FIXED merge
+      // list (the model is trained once, like the IVF centroids above):
+      // the distinct-terms tokenize + term equi-join must scale with
+      // the corpus scan, never with vocabulary^2. EXACT-copy inflation
+      // leaves the distinct term set unchanged — the corpus-side
+      // (doc, term) aggregation is what inflates.
+      Stress("bpe_token_counts", s =>
+        graft.operators.BpeTokenizer.tokenCounts(s.docs, col("doc_id"),
+          col("text"), bpeMerges)),
+      // the sink's assignment plan: pack -> slice rows -> shard key +
+      // range shuffle + local sort (everything the writer executes
+      // except the parquet encode itself, which would measure the disk)
+      Stress("shard_assignments", s => {
+        val packed = graft.operators.TrainingData.packAssignments(s.docs,
+          col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")),
+          budget = 64L, shards = 32)
+        graft.operators.TrainingData.sequenceRows(packed, budget = 64L)
+          .withColumn("shard", expr("seq DIV 8L"))
+          .repartitionByRange(col("shard"))
+          .sortWithinPartitions(col("shard"), col("seq"), col("id"))
+      }))
 
     // by-name: construction is INSIDE the clock — iterative operators
     // (connected components) run their rounds eagerly while building
