@@ -173,6 +173,45 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("BPE mergeOnce == sentinel-wrapped string replace — the exact " +
+    "equivalence the SQL oracle's training/application replay rests on") = {
+    import graft.operators.BpeTokenizer
+    val tokGen = Gen.oneOf("a", "b", "ab", "ba", "x", "aa")
+    forAll(Gen.listOfN(12, tokGen), tokGen, tokGen) { (toks, a, b) =>
+      val viaArray = BpeTokenizer.mergeOnce(toks.toArray, a, b).toSeq
+      // the oracle's formulation: wrap each token in ..,
+      // replace the wrapped pair left-to-right (Java replace == SQL
+      // replace: non-overlapping, leftmost-first), unwrap
+      def wrap(ts: Seq[String]) = ts.map(t => "\u0002" + t + "\u0003").mkString
+      val replaced = wrap(toks).replace(wrap(Seq(a, b)), wrap(Seq(a + b)))
+      val viaString =
+        if (replaced.isEmpty) Seq.empty[String]
+        else replaced.stripPrefix("\u0002").stripSuffix("\u0003")
+          .split("\u0003\u0002", -1).toSeq
+      viaArray == viaString
+    }
+  }
+
+  property("BPE token counts are bounded: 1 <= n <= |word| for trainable " +
+    "words, code points otherwise. (Application is deliberately ONE pass " +
+    "in rank order, not a fixed point: a later merge can recreate an " +
+    "earlier merge's pair \u2014 merges [(ab,c),(a,b)] on 'abc' \u2014 and " +
+    "both engines replay the identical single pass.)") = {
+    import graft.operators.BpeTokenizer
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val mergeGen = Gen.listOfN(3,
+      Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(2)),
+        Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(2))))
+      .map(_.zipWithIndex.map { case ((a, b), i) =>
+        BpeTokenizer.Merge(i + 1, a, b)
+      })
+    forAll(wordGen, mergeGen) { (w, merges) =>
+      val n = BpeTokenizer.tokenCountOf(w, merges)
+      n >= 1 && n <= w.length &&
+        BpeTokenizer.tokenCountOf("\u65e5\u672c\u8a9e", merges) == 3L
+    }
+  }
+
   property("LSH results come from the true distance ordering, sorted") =
     forAll(Gen.listOfN(12, nonZeroVec)) { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
