@@ -114,16 +114,23 @@ object BpeTokenizer {
     merges.toSeq
   }
 
-  /** Subword token count of one word under a trained merge list:
-    * trainable words split to characters and apply every merge in rank
-    * order; anything else (non-ASCII, control chars, empty) counts one
-    * token per code point. */
-  def tokenCountOf(term: String, merges: Seq[Merge]): Long =
+  /** Subword tokens of one word under a trained merge list: trainable
+    * words split to characters and apply every merge in rank order;
+    * anything else (non-ASCII, control chars) yields one token per CODE
+    * POINT (code points, not UTF-16 units — the cross-engine contract
+    * with DuckDB's codepoint semantics); the empty word yields no
+    * tokens. */
+  def tokenize(term: String, merges: Seq[Merge]): Array[String] =
     if (term.matches(TrainableRe)) {
       var toks = term.toCharArray.map(_.toString)
       merges.foreach(m => toks = mergeOnce(toks, m.lhs, m.rhs))
-      toks.length.toLong
-    } else term.codePointCount(0, term.length).toLong
+      toks
+    } else term.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+
+  /** Subword token count of one word — `tokenize(term).length`. */
+  def tokenCountOf(term: String, merges: Seq[Merge]): Long =
+    tokenize(term, merges).length.toLong
 
   /** Per-document token budget under a trained merge list:
     * (id, n_tokens, n_bpe_tokens) — whitespace-token count and the
@@ -134,6 +141,34 @@ object BpeTokenizer {
     * tokenizes per-partition with the merge list riding the task
     * closure; the join back to the per-doc counts is an equi-join on
     * the high-cardinality term key. Nothing is collected. */
+  /** Per-document SUBWORD TOKEN SEQUENCES under a trained merge list:
+    * (id, toks array<string>) — every word's subtokens in word order,
+    * the real tokenized stream a packing stage cuts into training
+    * sequences.
+    *
+    * Scale shape: words explode with their positions; the DISTINCT term
+    * set tokenizes per-partition (vocabulary-sized, merge list in the
+    * task closure) and equi-joins back on the term key; per-document
+    * reassembly is one aggregation whose state is bounded by the
+    * document's own token array (the same bound any per-doc operator
+    * carries). Nothing is collected. */
+  def encodedTokens(df: DataFrame, id: Column, text: Column,
+                    merges: Seq[Merge]): DataFrame = {
+    val words = df.select(id.as("id"),
+      posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+    val session = df.sparkSession
+    import session.implicits._
+    val termToks = words.select(col("term")).distinct()
+      .as[String]
+      .mapPartitions(_.map(t => (t, tokenize(t, merges).toSeq)))
+      .toDF("term", "tl")
+    words.join(termToks, "term")
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("tl")))),
+        x => x.getField("tl"))).as("toks"))
+  }
+
   def tokenCounts(df: DataFrame, id: Column, text: Column,
                   merges: Seq[Merge]): DataFrame = {
     val exploded = df.select(id.as("id"),

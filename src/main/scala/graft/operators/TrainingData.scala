@@ -182,6 +182,42 @@ object TrainingData {
         (col("__start") - col("seq") * budget).as("seq_pos"))
   }
 
+  /** Packed sequence PAYLOADS — the materialized training sequences
+    * themselves, not just assignments: given per-document token ARRAYS
+    * (whitespace tokens, or [[BpeTokenizer.encodedTokens]] subwords),
+    * concatenate in ascending id order and cut every `budget` tokens:
+    * one row per training sequence, with its tokens in stream order.
+    *
+    *   - `seq`      sequence index
+    *   - `n_tokens` tokens in this sequence (= budget except the last)
+    *   - `tokens`   the token array, in global stream order
+    *
+    * Scale shape: offsets come from [[packAssignments]]'s two-phase
+    * prefix sum (never a global window); the token explode is
+    * output-bound (one row per corpus token — the volume a sequence
+    * writer necessarily materializes); assembly is ONE shuffle keyed by
+    * the high-cardinality `seq`, and per-sequence state is bounded by
+    * `budget` tokens. `toks` must not be null (empty arrays are fine —
+    * they occupy no tokens and appear in no sequence). */
+  def packedTokenSequences(df: DataFrame, id: Column, toks: Column,
+                           budget: Long, shards: Int = 32): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    val docs = df.select(id.as("id"), toks.as("__toks"))
+    val offsets = packAssignments(docs, col("id"), size(col("__toks")),
+        budget, shards)
+      .select(col("id"), col("offset"))
+    docs.join(offsets, "id")
+      .select(col("id"), col("offset"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .withColumn("__g", col("offset") + col("__pos"))
+      .withColumn("seq", expr(s"__g DIV ${budget}L"))
+      .withColumn("__spos", col("__g") % budget)
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct(col("__spos"), col("__tok")))),
+          x => x.getField("__tok")).as("tokens"))
+  }
+
   /** The LAST MILE of the packing pipeline: write [[sequenceRows]] as
     * fixed-size Parquet training shards and return the per-shard
     * manifest. Shard assignment is deterministic arithmetic — shard =
@@ -203,13 +239,20 @@ object TrainingData {
     * a manifest aggregation over the written data. The manifest is
     * O(#shards) rows and stays distributed end-to-end. */
   def writeShards(seqRows: DataFrame, outDir: String, seqsPerShard: Int,
-                  maxRecordsPerFile: Int = 1 << 20): DataFrame = {
+                  maxRecordsPerFile: Int = 1 << 20,
+                  tokenCol: String = "slice_len"): DataFrame = {
     require(seqsPerShard > 0, "seqsPerShard must be positive")
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    // a [[sequenceRows]] frame sorts within (seq) by the contributing
+    // doc id; a [[packedTokenSequences]] payload frame (one row per
+    // sequence) has no id — seq alone is already a total order there
+    val tieBreak =
+      if (seqRows.columns.contains("id")) Seq(col("seq"), col("id"))
+      else Seq(col("seq"))
     seqRows
       .withColumn("shard", expr(s"seq DIV ${seqsPerShard}L"))
       .repartitionByRange(col("shard"))
-      .sortWithinPartitions(col("shard"), col("seq"), col("id"))
+      .sortWithinPartitions(col("shard") +: tieBreak: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("shard")
@@ -220,7 +263,7 @@ object TrainingData {
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("seq")).as("n_seqs"),
-        sum(col("slice_len")).as("n_tokens"))
+        sum(col(tokenCol)).as("n_tokens"))
     manifest.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_graft_manifest")
     manifest

@@ -278,6 +278,86 @@ object PipelineQueries {
        |  (tok_offset + greatest(n_bpe_tokens, 1) - 1) // 256 AS seq_last
        |FROM o ORDER BY id""".stripMargin
 
+  /** Packed sequence PAYLOADS over whitespace tokens: the materialized
+    * training sequences themselves — the corpus concatenated in doc_id
+    * order and cut every 64 tokens, one row per sequence with its token
+    * stream. Gated by content: md5 over the space-joined tokens, so a
+    * single out-of-order, dropped, or boundary-misplaced token anywhere
+    * in the stream flips a sequence hash. The engine assembles with the
+    * two-phase prefix sum + a seq-keyed shuffle; the oracle replays
+    * with one global window and ordered aggregation. */
+  private val packPayloads: QueryFn = (s, dir) =>
+    TrainingData.packedTokenSequences(table(s, dir, "documents"),
+        col("doc_id"), tokens(col("text")), budget = 64L, shards = 8)
+      .select(col("seq"), col("n_tokens"),
+        md5(concat_ws(" ", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("seq"))
+
+  private val packPayloadsSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, ${TextQueries.tokSql} AS t FROM documents),
+       |o AS (
+       |  SELECT doc_id, t,
+       |    coalesce(SUM(len(t)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS tok_offset
+       |  FROM n),
+       |e AS (
+       |  SELECT (tok_offset + i - 1) // 64 AS seq,
+       |         (tok_offset + i - 1) % 64 AS spos, t[i] AS tk
+       |  FROM o, unnest(range(1, len(t) + 1)) AS u(i))
+       |SELECT seq, count(*)::BIGINT AS n_tokens,
+       |  md5(string_agg(tk, ' ' ORDER BY spos)) AS tokens_md5
+       |FROM e GROUP BY seq ORDER BY seq""".stripMargin
+
+  /** The same payloads over BPE SUBWORD tokens — the full real
+    * pipeline: train merges on the corpus, tokenize every document
+    * (out-of-vocab words still merge; non-ASCII words split to code
+    * points), pack the subword stream. The oracle replays training, the
+    * per-term token lists (splitting the sentinel-wrapped strings back
+    * into tokens), per-document reassembly in word order, the offset
+    * window, and the sequence cut — entirely blind. */
+  private val packPayloadsBpe: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val merges = BpeTokenizer.trainMerges(docs, col("text"))
+    val encoded = BpeTokenizer.encodedTokens(docs, col("doc_id"),
+      col("text"), merges)
+    TrainingData.packedTokenSequences(encoded, col("id"), col("toks"),
+        budget = 64L, shards = 8)
+      .select(col("seq"), col("n_tokens"),
+        md5(concat_ws(" ", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("seq"))
+  }
+
+  private val packPayloadsBpeSql: String =
+    s"""WITH $bpeTrainCtes,
+       |$bpeApplyCtes,
+       |termtoks AS (
+       |  SELECT term,
+       |    CASE WHEN s IS NULL THEN string_split(term, '')
+       |         ELSE string_split(s[2:len(s)-1], chr(3)||chr(2)) END AS tl
+       |  FROM a$BpeM),
+       |words AS (
+       |  SELECT id, i AS pos, t[i] AS term
+       |  FROM (SELECT doc_id AS id, ${TextQueries.tokSql} AS t FROM documents),
+       |       unnest(range(1, len(t) + 1)) AS u(i)),
+       |dt AS (
+       |  SELECT id, flatten(list(tl ORDER BY pos)) AS dtoks
+       |  FROM words JOIN termtoks USING (term) GROUP BY id),
+       |od AS (
+       |  SELECT id, dtoks,
+       |    coalesce(SUM(len(dtoks)) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS tok_offset
+       |  FROM dt),
+       |ex AS (
+       |  SELECT (tok_offset + i - 1) // 64 AS seq,
+       |         (tok_offset + i - 1) % 64 AS spos, dtoks[i] AS tk
+       |  FROM od, unnest(range(1, len(dtoks) + 1)) AS u(i))
+       |SELECT seq, count(*)::BIGINT AS n_tokens,
+       |  md5(string_agg(tk, ' ' ORDER BY spos)) AS tokens_md5
+       |FROM ex GROUP BY seq ORDER BY seq""".stripMargin
+
   /** The training-shard SINK, gated end-to-end: pack the corpus at a
     * 64-token budget, explode the packed stream into per-(sequence,
     * document) slice rows, WRITE them as fixed-size parquet shards
@@ -500,6 +580,8 @@ object PipelineQueries {
     Q("pipeline_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("pipeline_pack_bpe", packBpe, Some(packBpeSql)),
     Q("pipeline_write_shards", writeShards, Some(writeShardsSql)),
+    Q("pipeline_pack_payloads", packPayloads, Some(packPayloadsSql)),
+    Q("pipeline_pack_payloads_bpe", packPayloadsBpe, Some(packPayloadsBpeSql)),
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_weighted_sample", weightedSample, Some(weightedSampleSql)),

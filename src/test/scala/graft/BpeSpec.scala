@@ -74,6 +74,27 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeTokenizer.tokenCountOf("the", merges) == 1L)
   }
 
+  test("tokenize concatenates back to the word; encodedTokens flattens " +
+    "subtokens in word order (distributed == driver-side)") {
+    val docs = Seq(
+      (1L, "the cat the cat sat"),
+      (2L, "Héllo the"),
+      (3L, "the the the the")).toDF("id", "text")
+    val merges = BpeTokenizer.trainMerges(docs, col("text"), numMerges = 6)
+    // reassembly invariant: subtokens concatenate to the original word
+    for (w <- Seq("the", "cat", "hello", "héllo", "unseen"))
+      assert(BpeTokenizer.tokenize(w, merges).mkString == w)
+    val got = BpeTokenizer.encodedTokens(docs, col("id"), col("text"), merges)
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    val expected = Seq(
+      (1L, "the cat the cat sat"), (2L, "héllo the"),
+      (3L, "the the the the")).map { case (id, t) =>
+      (id, t.split(" ").toSeq.flatMap(w =>
+        BpeTokenizer.tokenize(w, merges).toSeq))
+    }
+    assert(got == expected)
+  }
+
   test("training is deterministic: two runs over a shuffled corpus " +
     "yield identical merge lists") {
     val base = (0 until 50).map(i => s"alpha beta gamma delta w$i")

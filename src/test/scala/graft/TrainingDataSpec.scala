@@ -179,6 +179,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(persisted == m1)
   }
 
+  test("packedTokenSequences materializes the exact global token stream: " +
+    "budget-full sequences, stream order, token conservation") {
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until ((i % 4) + 1).toInt).map(j => s"w$i-$j")))
+    val df = docs.toDF("id", "toks")
+    val got = TrainingData.packedTokenSequences(df, col("id"), col("toks"),
+        budget = 8L, shards = 4)
+      .orderBy("seq").as[(Long, Long, Seq[String])].collect().toSeq
+    val stream = docs.sortBy(_._1).flatMap(_._2)
+    val expected = stream.zipWithIndex.groupBy(_._2 / 8).toSeq.sortBy(_._1)
+      .map { case (s, toks) =>
+        (s.toLong, toks.length.toLong, toks.map(_._1))
+      }
+    assert(got == expected)
+    got.init.foreach { case (_, n, t) => assert(n == 8L && t.length == 8) }
+    assert(got.map(_._3.size).sum == stream.length)
+  }
+
+  test("writeShards writes PAYLOAD shards too (one row per sequence, " +
+    "seq-only sort key, tokenCol=n_tokens manifest)") {
+    val docs = (1L to 40L).map(i => (i, Seq.tabulate(((i % 3) + 1).toInt)(
+      j => s"t$i-$j")))
+    val seqs = TrainingData.packedTokenSequences(docs.toDF("id", "toks"),
+      col("id"), col("toks"), budget = 8L, shards = 2)
+    val dir = java.nio.file.Files.createTempDirectory("payload-shards")
+      .toString
+    val manifest = TrainingData.writeShards(seqs, dir, seqsPerShard = 3,
+        tokenCol = "n_tokens")
+      .orderBy("shard").as[(Long, Long, Long, Long)].collect().toSeq
+    // one row per sequence: n_rows == n_seqs in every shard
+    manifest.foreach { case (_, nRows, nSeqs, _) => assert(nRows == nSeqs) }
+    assert(manifest.map(_._4).sum == docs.map(_._2.size).sum)
+    // the written payload rows round-trip with their token arrays
+    val back = spark.read.parquet(dir)
+      .select("seq", "n_tokens", "tokens")
+      .orderBy("seq").as[(Long, Long, Seq[String])].collect()
+    assert(back.length == manifest.map(_._2).sum)
+    back.foreach { case (_, n, t) => assert(n == t.size) }
+  }
+
   test("writeShards validates arguments") {
     val packed = TrainingData.packAssignments(
       Seq((1L, 3L)).toDF("id", "n"), col("id"), col("n"), budget = 4L)
