@@ -204,11 +204,29 @@ object StreamingIngest {
   def ingestCurationGatedBatch(engine: graft.engine.VectorEngine,
                                libraryId: String, batch: DataFrame,
                                threshold: Double, benchGrams: DataFrame,
-                               n: Int): Long = {
+                               n: Int, qualityMin: Double = 0.0,
+                               maxDupNgramFrac: Double = 1.0): Long = {
+    // OPTIONAL quality + repetition gates (streaming parity with the
+    // batch facade VectorEngine.curateAndIngest) — cheapest gates run
+    // first, and the defaults compile to the EXACT pre-existing plan
+    // (no projection, no join) so default callers pay nothing
+    val gated =
+      if (qualityMin <= 0.0 && maxDupNgramFrac >= 1.0) batch
+      else {
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        val rep = graft.operators.TrainingData.repetitionStats(
+            batch, col("id"), col("text"), n = 2)
+          .select(col("id"), col("dup_ngram_frac"))
+        batch
+          .where(graft.operators.TextAnalysis.qualityScore(toks) >= qualityMin)
+          .join(rep, Seq("id"), "left")
+          .where(coalesce(col("dup_ngram_frac"), lit(0.0d)) <= maxDupNgramFrac)
+          .drop("dup_ngram_frac")
+      }
     val contaminated = graft.operators.TrainingData.contaminationHitsAgainst(
-        batch, col("id"), col("text"), benchGrams, n)
+        gated, col("id"), col("text"), benchGrams, n)
       .select(col("id"))
-    val clean = batch.join(contaminated, Seq("id"), "left_anti")
+    val clean = gated.join(contaminated, Seq("id"), "left_anti")
     ingestDedupGatedBatch(engine, libraryId, clean, threshold)
   }
 
@@ -216,13 +234,14 @@ object StreamingIngest {
   def startCurationGatedChunkIngest(engine: graft.engine.VectorEngine,
                                     libraryId: String, stream: DataFrame,
                                     threshold: Double, benchGrams: DataFrame,
-                                    n: Int,
-                                    checkpointDir: String): StreamingQuery =
+                                    n: Int, checkpointDir: String,
+                                    qualityMin: Double = 0.0,
+                                    maxDupNgramFrac: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestCurationGatedBatch(engine, libraryId, batch, threshold,
-          benchGrams, n); ()
+          benchGrams, n, qualityMin, maxDupNgramFrac); ()
       }
       .start()
 }

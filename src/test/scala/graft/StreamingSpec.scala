@@ -415,4 +415,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.chunkCount("clib") == 2) // c1 + c4
     assert(e.getChunk("c4").text == "clean and novel")
   }
+
+  test("curation-gated ingest with QUALITY gates on (streaming parity " +
+    "with curateAndIngest): degenerate-repetition and all-stopword " +
+    "chunks drop before decontamination and dedup") {
+    import graft.engine._
+    import graft.operators.TrainingData
+    implicit val sqlCtx = spark.sqlContext
+    val e = VectorEngine.create(spark)
+    e.createLibrary("qcur", dim = 4, id = Some("qlib"),
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 7L)
+    val doc = e.createDocument("qlib", "qdoc")
+    val benchGrams = TrainingData.benchmarkShingles(
+      Seq("held out eval text").toDF("text"), col("text"), n = 3)
+      .localCheckpoint()
+    val mem = MemoryStream[(String, String, String, Seq[Float], Int)]
+    val streamDf = mem.toDF()
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qcur-ckpt").toString
+    val q = StreamingIngest.startCurationGatedChunkIngest(
+      e, "qlib", streamDf, threshold = 0.05, benchGrams, n = 3, ckpt,
+      qualityMin = 0.5, maxDupNgramFrac = 0.5)
+    try {
+      mem.addData(
+        // all-stopword: quality score 0.3*(4/7)+0.4*0+0.3*0.07 < 0.5
+        ("q0", doc.id, "the of to and the of to", Seq(1f, 0f, 0f, 0f), 0),
+        // degenerate repetition: dup bigram frac = 1 - 1/4 = 0.75 > 0.5
+        ("q1", doc.id, "spam spam spam spam spam", Seq(0f, 1f, 0f, 0f), 1),
+        // contaminated: shares the eval trigram (passes quality)
+        ("q2", doc.id, "prefix held out eval text suffix", Seq(0f, 0f, 1f, 0f), 2),
+        // clean, high quality
+        ("q3", doc.id, "genuinely varied organic content here", Seq(0f, 0f, 0f, 1f), 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(e.chunkCount("qlib") == 1)
+    assert(e.getChunk("q3").text == "genuinely varied organic content here")
+  }
 }
