@@ -1678,17 +1678,13 @@ final class VectorEngine private (val spark: SparkSession,
         col("chunk_text").as("text"))
       .localCheckpoint() // pinned once, consumed by every gate + count
     val nChunks = chunked.count()
-    val toks = graft.operators.TextAnalysis.tokens(col("text"))
-    val rep = TrainingData.repetitionStats(chunked, col("id"), col("text"),
-        n = 2)
-      .select(col("id"), col("dup_ngram_frac"))
-    val kept = chunked
-      .where(graft.operators.TextAnalysis.qualityScore(toks) >= qualityMin)
-      .join(rep, Seq("id"), "left")
-      .where(coalesce(col("dup_ngram_frac"), lit(0.0d)) <= maxDupNgramFrac)
-      .drop("dup_ngram_frac")
-      .localCheckpoint()
-    val nQuality = kept.count()
+    // the ONE home for the gate semantics, shared with the streaming
+    // path (TrainingData.qualityRepetitionGate); pass-through defaults
+    // add no plan nodes, so skip the redundant re-pin too
+    val gated = TrainingData.qualityRepetitionGate(chunked, col("text"),
+      qualityMin, maxDupNgramFrac)
+    val kept = if (gated eq chunked) chunked else gated.localCheckpoint()
+    val nQuality = if (gated eq chunked) nChunks else kept.count()
     val benchGrams = TrainingData.benchmarkShingles(benchmark, benchText, n)
       .localCheckpoint() // eval sets are MBs; shingled once per call
     val contaminated = TrainingData.contaminationHitsAgainst(

@@ -44,6 +44,9 @@ object BpeTokenizer {
   val DefaultVocabTop = 2048
   val DefaultMerges = 32
   val TrainableRe = "^[!-~]+$"
+  // precompiled: tokenize runs once per distinct term per task on the
+  // application hot path — String.matches would re-compile per call
+  private val TrainablePattern = java.util.regex.Pattern.compile(TrainableRe)
 
   /** One learned merge: at `rank`, adjacent tokens (`lhs`, `rhs`)
     * combine into `lhs + rhs`. */
@@ -121,7 +124,7 @@ object BpeTokenizer {
     * with DuckDB's codepoint semantics); the empty word yields no
     * tokens. */
   def tokenize(term: String, merges: Seq[Merge]): Array[String] =
-    if (term.matches(TrainableRe)) {
+    if (TrainablePattern.matcher(term).matches()) {
       var toks = term.toCharArray.map(_.toString)
       merges.foreach(m => toks = mergeOnce(toks, m.lhs, m.rhs))
       toks

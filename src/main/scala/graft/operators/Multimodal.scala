@@ -592,6 +592,11 @@ object Multimodal {
   def decodeBmpPixels(b: Array[Byte]): Option[PixelDecoded] = {
     val hdr = decodeBmp(b).getOrElse(return None)
     val (w, h) = (hdr.width, hdr.height)
+    // ALL size arithmetic in Long: decodeBmp accepts any positive i32
+    // width, and w*3 / w*4 wrap Int for crafted headers — a wrapped
+    // size would defeat the bounds check and THROW instead of falling
+    // through to None (the never-throw contract)
+    if (w.toLong * 4 > Int.MaxValue) return None
     for {
       dataOff <- u32(b, 10)
       hs <- u32(b, 14)
@@ -602,7 +607,7 @@ object Multimodal {
       comp <- if (hs >= 40) u32(b, 30) else Some(0L)
       if comp == 0L
       topDown = hs >= 40 && i32(b, 22).exists(_ < 0)
-      rowSz = (w * 3 + 3) / 4 * 4
+      rowSz = ((w.toLong * 3 + 3) / 4 * 4).toInt
       if dataOff + rowSz.toLong * h <= b.length
     } yield {
       val d = java.security.MessageDigest.getInstance("SHA-256")
@@ -673,9 +678,14 @@ object Multimodal {
     }
     if (!done || idat.size() == 0) return None
     if (ct == 3 && palette == null) return None
-    val stride = w * bpp
-    val expect = h.toLong * (1 + stride)
-    if (expect > Int.MaxValue) return None
+    // size arithmetic in LONG before any allocation: decodePng allows
+    // width up to Int.MaxValue, so w*bpp (and w*4 for the RGBA row)
+    // wrap Int on crafted headers — a wrapped size would slip past the
+    // guard and THROW instead of returning None
+    val strideL = w.toLong * bpp
+    val expect = h.toLong * (1 + strideL)
+    if (expect > Int.MaxValue || w.toLong * 4 > Int.MaxValue) return None
+    val stride = strideL.toInt
     val raw = new Array[Byte](expect.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -683,7 +693,11 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 and not finished covers BOTH a truncated stream
+        // (needsInput) and a preset-dictionary header (needsDictionary,
+        // which PNG forbids) — either way, bail; looping would spin
+        // forever on the dictionary case
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

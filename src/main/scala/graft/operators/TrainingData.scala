@@ -243,6 +243,13 @@ object TrainingData {
                   tokenCol: String = "slice_len"): DataFrame = {
     require(seqsPerShard > 0, "seqsPerShard must be positive")
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    // fail BEFORE the write, not in the manifest aggregation after the
+    // full range-shuffle + parquet encode already ran
+    require(seqRows.columns.contains("seq"),
+      "writeShards input needs a 'seq' column")
+    require(seqRows.columns.contains(tokenCol),
+      s"writeShards token column '$tokenCol' is not in the input " +
+        s"(payload frames pass tokenCol = \"n_tokens\")")
     // a [[sequenceRows]] frame sorts within (seq) by the contributing
     // doc id; a [[packedTokenSequences]] payload frame (one row per
     // sequence) has no id — seq alone is already a total order there
@@ -268,6 +275,32 @@ object TrainingData {
       .parquet(s"$outDir/_graft_manifest")
     manifest
   }
+
+  // ---------------- quality + repetition gate ----------------
+
+  /** The shared quality/repetition gate of the curation compositions —
+    * ONE home for the semantics (`VectorEngine.curateAndIngest` and
+    * `StreamingIngest.ingestCurationGatedBatch` both call it, so the
+    * batch and streaming paths cannot drift): keep rows whose
+    * [[TextAnalysis.qualityScore]] over `textCol`'s tokens is at least
+    * `qualityMin` AND whose bigram dup_ngram_frac
+    * ([[repetitionStats]]; rows too short for bigrams pass) is at most
+    * `maxDupNgramFrac`. The DEFAULTS return the input frame untouched —
+    * no projection, no join — so pass-through callers pay nothing.
+    * `df` must carry an `id` column (the repetition join key). */
+  def qualityRepetitionGate(df: DataFrame, textCol: Column,
+                            qualityMin: Double,
+                            maxDupNgramFrac: Double): DataFrame =
+    if (qualityMin <= 0.0 && maxDupNgramFrac >= 1.0) df
+    else {
+      val toks = TextAnalysis.tokens(textCol)
+      val rep = repetitionStats(df, col("id"), textCol, n = 2)
+        .select(col("id"), col("dup_ngram_frac"))
+      df.where(TextAnalysis.qualityScore(toks) >= qualityMin)
+        .join(rep, Seq("id"), "left")
+        .where(coalesce(col("dup_ngram_frac"), lit(0.0d)) <= maxDupNgramFrac)
+        .drop("dup_ngram_frac")
+    }
 
   // ---------------- deterministic split assignment ----------------
 

@@ -207,22 +207,12 @@ object StreamingIngest {
                                n: Int, qualityMin: Double = 0.0,
                                maxDupNgramFrac: Double = 1.0): Long = {
     // OPTIONAL quality + repetition gates (streaming parity with the
-    // batch facade VectorEngine.curateAndIngest) — cheapest gates run
-    // first, and the defaults compile to the EXACT pre-existing plan
-    // (no projection, no join) so default callers pay nothing
-    val gated =
-      if (qualityMin <= 0.0 && maxDupNgramFrac >= 1.0) batch
-      else {
-        val toks = graft.operators.TextAnalysis.tokens(col("text"))
-        val rep = graft.operators.TrainingData.repetitionStats(
-            batch, col("id"), col("text"), n = 2)
-          .select(col("id"), col("dup_ngram_frac"))
-        batch
-          .where(graft.operators.TextAnalysis.qualityScore(toks) >= qualityMin)
-          .join(rep, Seq("id"), "left")
-          .where(coalesce(col("dup_ngram_frac"), lit(0.0d)) <= maxDupNgramFrac)
-          .drop("dup_ngram_frac")
-      }
+    // batch facade VectorEngine.curateAndIngest — ONE shared gate
+    // implementation, so the two paths cannot drift); the defaults
+    // compile to the EXACT pre-existing plan (no projection, no join)
+    // so default callers pay nothing
+    val gated = graft.operators.TrainingData.qualityRepetitionGate(
+      batch, col("text"), qualityMin, maxDupNgramFrac)
     val contaminated = graft.operators.TrainingData.contaminationHitsAgainst(
         gated, col("id"), col("text"), benchGrams, n)
       .select(col("id"))

@@ -363,6 +363,50 @@ class MultimodalSpec extends AnyFunSuite {
       got("a.png").pixel_source.contains("png-jdk"))
   }
 
+  test("adversarial raster headers neither hang nor throw: zlib FDICT " +
+    "IDAT, Int-overflow BMP width, Int-overflow PNG stride") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] =
+      be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(0L)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    // PNG 1x1 gray whose IDAT zlib header sets FDICT (0x78 0xBB + dict
+    // id): Inflater returns 0 with needsDictionary — the decode loop
+    // must bail, not spin forever
+    val ihdr1 = chunk("IHDR", be32(1) ++ be32(1) ++
+      Array[Byte](8, 0, 0, 0, 0))
+    val fdict = sig ++ ihdr1 ++
+      chunk("IDAT", Array(0x78, 0xbb, 1, 2, 3, 4, 0, 0).map(_.toByte)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePngPixels(fdict).isEmpty)
+    assert(Multimodal.decodePixels(fdict).isEmpty) // ImageIO also rejects
+    // PNG with width ~6e8, color type 6: stride wraps Int if computed
+    // narrow — must return None, never NegativeArraySizeException
+    val ihdrWide = chunk("IHDR", be32(600000000L) ++ be32(2) ++
+      Array[Byte](8, 6, 0, 0, 0))
+    val widePng = sig ++ ihdrWide ++
+      chunk("IDAT", Array[Byte](0x78, 0x9c.toByte, 3, 0, 0, 0, 0, 1)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePngPixels(widePng).isEmpty)
+    // BMP with width 2^29 (w*3 and w*4 wrap Int): bounds math must stay
+    // in Long and fall through to None
+    val w29 = 1 << 29
+    val info = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w29).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(0).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      .array()
+    val head = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte).putInt(100).putShort(0).putShort(0)
+      .putInt(54).array()
+    val evilBmp = head ++ info ++ Array.fill[Byte](64)(0)
+    assert(Multimodal.decodeBmpPixels(evilBmp).isEmpty)
+    assert(Multimodal.decodePixels(evilBmp).isEmpty)
+  }
+
   test("decodeWavSamples verifies the raw PCM payload end-to-end and " +
     "stays None for every entropy-coded or non-audio payload") {
     val s = Multimodal.decodeWavSamples(fixture("audio_stereo16.wav"))
