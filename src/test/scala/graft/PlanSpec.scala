@@ -265,6 +265,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pipeline_pack_payloads: payload assembly shuffles on the high-" +
+    "cardinality seq key (and the packing shard key) — never a nested " +
+    "loop, never a corpus-sized global window") {
+    val p = plan("pipeline_pack_payloads")
+    assert(p.contains("hashpartitioning(seq"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("reopened engine scans partition-prune to the searched library") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val e = VectorEngine.create(spark)
