@@ -647,6 +647,9 @@ object Multimodal {
   def decodePngPixels(b: Array[Byte]): Option[PixelDecoded] = {
     val hdr = decodePng(b).getOrElse(return None)
     val (w, h) = (hdr.width, hdr.height)
+    // decodePng guarantees only 24 bytes (through the IHDR dims); the
+    // depth/color-type/compression/filter/interlace reads below need 29
+    if (b.length < 29) return None
     val depth = b(24) & 0xff
     val ct = b(25) & 0xff
     val interlace = b(28) & 0xff

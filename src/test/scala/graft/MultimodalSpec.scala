@@ -405,6 +405,16 @@ class MultimodalSpec extends AnyFunSuite {
     val evilBmp = head ++ info ++ Array.fill[Byte](64)(0)
     assert(Multimodal.decodeBmpPixels(evilBmp).isEmpty)
     assert(Multimodal.decodePixels(evilBmp).isEmpty)
+    // a 24-byte PNG: passes every decodePng HEADER check (dims are
+    // bounds-checked) but ends exactly before the depth/color-type
+    // bytes the PIXEL path reads — must be None, not an out-of-bounds
+    // throw through the never-throw contract
+    val cut24 = sig ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(3) ++ be32(2)
+    assert(cut24.length == 24)
+    assert(Multimodal.decodePng(cut24).nonEmpty) // header parse succeeds
+    assert(Multimodal.decodePngPixels(cut24).isEmpty)
+    assert(Multimodal.decodePixels(cut24).isEmpty)
   }
 
   test("decodeWavSamples verifies the raw PCM payload end-to-end and " +
