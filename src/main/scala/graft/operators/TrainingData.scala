@@ -276,6 +276,63 @@ object TrainingData {
     manifest
   }
 
+  // ---------------- repeated-span REMOVAL ----------------
+
+  /** Remove corpus-repeated spans from every document — the MUTATING
+    * twin of [[boilerplateFraction]] (which only scores): any token
+    * covered by a word `n`-gram occurring in at least `minDocFreq`
+    * DISTINCT documents is dropped, and the remaining tokens reassemble
+    * in order (the RefinedWeb/MassiveText repeated-span dedup shape —
+    * navigation chrome and license headers vanish from every document
+    * at once, instead of whole documents being kept or dropped).
+    *
+    * Exact semantics (pinned for the SQL oracle): tokens are the
+    * normalized [[TextAnalysis.tokens]] stream (clean_text is therefore
+    * whitespace-and-case normalized); gram starts are 0-based; token
+    * position p is covered iff some common gram starts in
+    * (p-n, p]; documents shorter than `n` tokens have no grams and pass
+    * through unchanged; a fully-covered document yields an EMPTY
+    * clean_text (n_kept 0) rather than disappearing — the caller
+    * decides whether empty husks are dropped.
+    *
+    * Scale shape: positional grams ride the [[ngrams]] JIT kernel and
+    * explode once; the common-gram set is the SAME provably bounded
+    * broadcast as [[boilerplateFraction]] (at most G/minDocFreq grams
+    * can clear the threshold); covered starts flow back as one per-doc
+    * aggregation whose state is bounded by the document's own gram
+    * count; reassembly is a higher-order filter — no second text scan,
+    * no self-join, nothing corpus-sized collected.
+    *
+    * Output: (id, n_kept, n_removed, clean_text). */
+  def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
+                          n: Int = 4, minDocFreq: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(minDocFreq >= 2, "minDocFreq must be at least 2")
+    val base = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"),
+      ngrams(text, n).as("__g"))
+    // ngrams keeps every occurrence in order, so the posexplode index
+    // IS the 0-based gram start position
+    val occ = base.select(col("id"),
+        posexplode(col("__g")).as(Seq("s", "gram")))
+      .select(col("id"), col("s"), NearDup.seededHash(0, col("gram")).as("h"))
+    val common = occ.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("h"))
+    val covered = occ.join(broadcast(common), "h")
+      .groupBy(col("id")).agg(collect_set(col("s")).as("__starts"))
+    base.join(covered, Seq("id"), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__t"),
+        (_, p) => !exists(col("__starts"),
+          s => s <= p && p < s + lit(n))))
+      .select(col("id"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
   // ---------------- quality + repetition gate ----------------
 
   /** The shared quality/repetition gate of the curation compositions —

@@ -429,6 +429,50 @@ object PipelineQueries {
        |  sum(slice_len)::BIGINT AS n_tokens
        |FROM sl GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Repeated-span REMOVAL (the mutating twin of the boilerplate
+    * score): tokens covered by any 4-gram occurring in >= 3 distinct
+    * documents vanish and the survivors reassemble — gated by CONTENT
+    * (md5 of the cleaned token stream per document), so a mis-covered
+    * position, an off-by-one window edge, or a dropped surviving token
+    * flips a hash. At sf0.01 this removes 532 of 27165 tokens and
+    * fully empties one boilerplate document (n_kept = 0 — kept as an
+    * empty husk, the caller's call to drop). */
+  private val removeSpans: QueryFn = (s, dir) =>
+    TrainingData.removeRepeatedSpans(table(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 4, minDocFreq = 3)
+      .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  private val removeSpansSql: String = {
+    val gram = (0 until 4).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (
+       |  SELECT doc_id, ${TextQueries.tokSql} AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i - 1 AS s, ${DedupQueries.hashSql(0, "g")} AS h
+       |  FROM (SELECT doc_id, t, $gram AS g, i
+       |        FROM d, unnest(range(1, len(t) - 2)) AS u(i))),
+       |common AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ)
+       |  GROUP BY h HAVING count(*) >= 3),
+       |cov AS (
+       |  SELECT doc_id, list(DISTINCT s) AS st
+       |  FROM occ JOIN common USING (h) GROUP BY doc_id),
+       |res AS (
+       |  SELECT d.doc_id, d.t, coalesce(cov.st, []::BIGINT[]) AS st
+       |  FROM d LEFT JOIN cov USING (doc_id)),
+       |kept AS (
+       |  SELECT doc_id, len(t)::BIGINT AS n_total,
+       |    [t[p] FOR p IN range(1, len(t) + 1)
+       |       IF len(list_filter(st, s -> s <= p - 1 AND p - 1 < s + 4)) = 0]
+       |      AS k
+       |  FROM res)
+       |SELECT doc_id, len(k)::BIGINT AS n_kept,
+       |  (n_total - len(k))::BIGINT AS n_removed,
+       |  md5(coalesce(array_to_string(k, ' '), '')) AS clean_md5
+       |FROM kept ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic md5-bucket train/val/test assignment (90/5/5): the
     * split is a pure function of doc_id, so any engine — here DuckDB —
     * reproduces membership row-by-row with no stored assignment. */
@@ -593,6 +637,7 @@ object PipelineQueries {
     Q("pipeline_write_shards", writeShards, Some(writeShardsSql)),
     Q("pipeline_pack_payloads", packPayloads, Some(packPayloadsSql)),
     Q("pipeline_pack_payloads_bpe", packPayloadsBpe, Some(packPayloadsBpeSql)),
+    Q("pipeline_remove_spans", removeSpans, Some(removeSpansSql)),
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_weighted_sample", weightedSample, Some(weightedSampleSql)),

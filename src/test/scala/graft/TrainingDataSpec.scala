@@ -114,6 +114,67 @@ class TrainingDataSpec extends AnyFunSuite {
 
   // ---------------- split assignment ----------------
 
+  // ---------------- repeated-span removal ----------------
+
+  test("removeRepeatedSpans cuts corpus-common spans, reassembles " +
+    "survivors in order, passes short docs, and empties fully-covered " +
+    "ones instead of dropping them") {
+    // "nav home about contact" is the chrome recurring in 3 docs
+    val docs = Seq(
+      (1L, "nav home about contact real content one here"),
+      (2L, "other words nav home about contact more organic text"),
+      (3L, "nav home about contact"),              // fully covered
+      (4L, "totally organic document with words"), // untouched
+      (5L, "tiny doc")).toDF("id", "text")         // shorter than n
+    val got = TrainingData.removeRepeatedSpans(docs, col("id"), col("text"),
+        n = 4, minDocFreq = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, "real content one here"),
+      (2L, 5L, 4L, "other words more organic text"),
+      (3L, 0L, 4L, ""),
+      (4L, 5L, 0L, "totally organic document with words"),
+      (5L, 2L, 0L, "tiny doc")))
+  }
+
+  test("removeRepeatedSpans: OVERLAPPING common grams cover the union " +
+    "of their windows (no double-count, no gap)") {
+    // "a b c d e" appears 3x, so BOTH 4-grams (a b c d) and (b c d e)
+    // are common; tokens a..e are covered once each
+    val docs = (1L to 3L).map(i => (i, s"w$i a b c d e z$i"))
+      .toDF("id", "text")
+    val got = TrainingData.removeRepeatedSpans(docs, col("id"), col("text"),
+        n = 4, minDocFreq = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    got.zipWithIndex.foreach { case ((id, kept, removed, clean), i) =>
+      assert(kept == 2L && removed == 5L, got)
+      assert(clean == s"w${i + 1} z${i + 1}")
+      assert(id == i + 1L)
+    }
+  }
+
+  test("removeRepeatedSpans plan: the common-gram set joins BROADCAST; " +
+    "the corpus text is never self-joined") {
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma delta w$i"))
+      .toDF("id", "text")
+    val p = TrainingData.removeRepeatedSpans(docs, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("removeRepeatedSpans validates arguments") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TrainingData.removeRepeatedSpans(df, col("id"), col("text"), n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.removeRepeatedSpans(df, col("id"), col("text"),
+        minDocFreq = 1)
+    }
+  }
+
   // ---------------- training-shard sink ----------------
 
   test("sequenceRows slices cover every sequence exactly to the budget " +
