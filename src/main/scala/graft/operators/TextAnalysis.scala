@@ -70,4 +70,40 @@ object TextAnalysis {
     * bigrams — a 1-wide MinHash (rolling-hash-style content signature). */
   def fingerprint(text: Column): Column =
     array_min(transform(NearDup.shingles(text, 2), s => NearDup.seededHash(0, s)))
+
+  /** PII redaction patterns, ordered and ENGINE-PORTABLE (no
+    * lookaround, no backreferences — every construct means the same
+    * thing to Java regex, RE2/DuckDB, and python `re`, which is what
+    * lets a SQL oracle replay the redaction byte-for-byte). The ORDER
+    * is load-bearing: URLs redact first, so an email-shaped substring
+    * inside a query string becomes part of `<URL>`, not a spurious
+    * `<EMAIL>`; each category counts its matches against the text state
+    * AFTER the previous categories redacted. (name, pattern,
+    * replacement). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d() .-]{7,}\\d", "<PHONE>"))
+
+  /** PII scrubbing — the pre-release redaction pass a training corpus
+    * runs before anything leaves the pipeline: URLs, emails, IPv4s and
+    * phone-shaped digit runs replaced by typed placeholders, with a
+    * per-category match count for the redaction report. One stateless
+    * projection per document (codegen regex kernels, zero shuffles —
+    * scan-shaped at any corpus size).
+    *
+    * Output: (id, n_url, n_email, n_ipv4, n_phone, clean_text). */
+  def redactPii(df: org.apache.spark.sql.DataFrame, id: Column,
+                text: Column): org.apache.spark.sql.DataFrame = {
+    val redacted = PiiPatterns.foldLeft(
+        df.select(id.as("id"), text.as("__s"))) {
+      case (frame, (name, pat, repl)) =>
+        frame.withColumn(s"n_$name", regexp_count(col("__s"), lit(pat)))
+          .withColumn("__s", regexp_replace(col("__s"), pat, repl))
+    }
+    redacted.select(col("id") +:
+      PiiPatterns.map { case (name, _, _) => col(s"n_$name") } :+
+      col("__s").as("clean_text"): _*)
+  }
 }

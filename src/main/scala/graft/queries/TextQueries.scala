@@ -450,7 +450,50 @@ object TextQueries {
        |       END AS common_frac
        |FROM s LEFT JOIN ht USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** PII redaction over a crafted fixture defined ONCE here and
+    * embedded identically in both engines (the sf corpus contains no
+    * PII, so gating over it would verify nothing): URLs/emails/IPv4s/
+    * phone runs redact in the pinned order with per-category counts.
+    * The fixture exercises the order traps — an email inside a URL
+    * query string, an IPv4 embedded in a version string (word-boundary
+    * miss), international and bare-digit phone shapes. A python `re`
+    * third implementation confirmed the same bytes before the patterns
+    * shipped. */
+  private val PiiFixture: Seq[(Long, String)] = Seq(
+    (1L, "contact me at jane.doe+spam@example.co.uk for details"),
+    (2L, "see https://ex.com/path?u=me@x.com&y=1 and http://b.io"),
+    (3L, "server at 10.0.255.7 rebooted; version v1.2.3.4beta unaffected"),
+    (4L, "call +1 (555) 123-4567 or 5551234567 now"),
+    (5L, "perfectly clean organic text"),
+    (6L, "mixed: a@b.de near 192.168.0.1 via https://c.d/e +49 30 901820"),
+    (7L, "digits 123456789012 end"))
+
+  private val redactPiiQ: QueryFn = (s, _) => {
+    import s.implicits._
+    graft.operators.TextAnalysis.redactPii(PiiFixture.toDF("id", "text"),
+        col("id"), col("text"))
+      .orderBy("id")
+  }
+
+  private val redactPiiSql: String = {
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val values = PiiFixture.map { case (i, t) => s"($i, ${q(t)})" }
+      .mkString(",\n    ")
+    var state = "s"
+    val sel = graft.operators.TextAnalysis.PiiPatterns.map { case (name, pat, repl) =>
+      val c = s"len(regexp_extract_all($state, ${q(pat)}))::INT AS n_$name"
+      state = s"regexp_replace($state, ${q(pat)}, ${q(repl)}, 'g')"
+      c
+    }
+    s"""WITH f(id, s) AS (VALUES
+       |    $values)
+       |SELECT id::BIGINT AS id, ${sel.mkString(", ")},
+       |  $state AS clean_text
+       |FROM f ORDER BY id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("text_redact_pii", redactPiiQ, Some(redactPiiSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_lm_quality", lmQuality, Some(lmQualitySql)),

@@ -56,4 +56,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     val d = one[Long]("a different text entirely", c => fingerprint(c))
     assert(a == b && a != d)
   }
+
+  test("redactPii: pinned category order (URL swallows its embedded " +
+    "email), word boundaries guard IPv4s, counts are per stage") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "mail me@x.com via https://a.b/?r=you@y.de now"),
+      (2L, "v1.2.3.4beta is NOT an ip but 8.8.8.8 is"),
+      (3L, "call +1 (555) 123-4567 today"),
+      (4L, "clean")).toDF("id", "text")
+    val got = graft.operators.TextAnalysis.redactPii(rows, col("id"), col("text"))
+      .orderBy("id")
+      .as[(Long, Int, Int, Int, Int, String)].collect().toSeq
+    assert(got(0) == ((1L, 1, 1, 0, 0,
+      "mail <EMAIL> via <URL> now"))) // the URL's email counts as URL
+    assert(got(1) == ((2L, 0, 0, 1, 0,
+      "v1.2.3.4beta is NOT an ip but <IP> is")))
+    assert(got(2) == ((3L, 0, 0, 0, 1, "call <PHONE> today")))
+    assert(got(3) == ((4L, 0, 0, 0, 0, "clean")))
+  }
 }
