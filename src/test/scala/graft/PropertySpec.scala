@@ -212,6 +212,38 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("removeRepeatedSpans == driver-side brute force on random " +
+    "duplicate-heavy corpora (coverage union, reassembly order, " +
+    "full-cover husks)") = {
+    import graft.operators.TrainingData
+    val pool = Seq("a", "b", "c", "d")
+    val textGen = Gen.listOfN(6, Gen.oneOf(pool)).map(_.mkString(" "))
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = TrainingData.removeRepeatedSpans(
+          docs.toDF("id", "text"), col("id"), col("text"),
+          n = 2, minDocFreq = 2)
+        .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+      // brute force
+      val toks = docs.map { case (i, t) => i -> t.split(" ").toSeq }
+      val dfCount = scala.collection.mutable.Map[String, Set[Long]]()
+      for ((i, t) <- toks; s <- 0 to t.length - 2) {
+        val g = t.slice(s, s + 2).mkString(" ")
+        dfCount(g) = dfCount.getOrElse(g, Set.empty) + i
+      }
+      val common = dfCount.filter(_._2.size >= 2).keySet
+      val expected = toks.map { case (i, t) =>
+        val covered = (0 to t.length - 2)
+          .filter(s => common(t.slice(s, s + 2).mkString(" ")))
+          .flatMap(s => Seq(s, s + 1)).toSet
+        val kept = t.indices.filterNot(covered).map(t)
+        (i, kept.size.toLong, (t.size - kept.size).toLong,
+          kept.mkString(" "))
+      }
+      got == expected
+    }
+  }
+
   property("LSH results come from the true distance ordering, sorted") =
     forAll(Gen.listOfN(12, nonZeroVec)) { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
