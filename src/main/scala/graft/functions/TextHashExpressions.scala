@@ -49,7 +49,12 @@ object TextHash {
       while (en > st && text.charAt(en - 1) == ' ') en -= 1
       text.substring(st, en)
     }
-    trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // limit -1: KEEP trailing empty fields — Spark SQL split and
+    // DuckDB string_split_regex both do, and the oracles replay their
+    // semantics; Java's default limit 0 silently drops them, which
+    // would desynchronize gram positions (and hashes) from the Column
+    // twin and the SQL twins for whitespace-terminated texts
+    trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
   }
 
   /** Append the space-joined gram toks(i..i+n-1) to `sb` (which may

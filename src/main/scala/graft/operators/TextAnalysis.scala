@@ -84,7 +84,15 @@ object TextAnalysis {
     ("url", "https?://[^\\s]+", "<URL>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("phone", "\\+?\\d[\\d() .-]{7,}\\d", "<PHONE>"))
+    // STRUCTURED phone shape (four digit groups, >= 9 digits total,
+    // single optional separators) — a bare [\d .-]{9,} run would also
+    // eat ISO dates, ISBNs, and spaced thousands ("1 000 000"), which
+    // this deliberately does not match. Residual false positive,
+    // accepted and documented: an unbroken 9+-digit run ("pi digits")
+    // is phone-shaped by any lookaround-free definition.
+    ("phone",
+      "\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?[ .-]?\\d{3,4}[ .-]?\\d{3,4}",
+      "<PHONE>"))
 
   /** PII scrubbing — the pre-release redaction pass a training corpus
     * runs before anything leaves the pipeline: URLs, emails, IPv4s and

@@ -295,13 +295,18 @@ object TrainingData {
     * clean_text (n_kept 0) rather than disappearing — the caller
     * decides whether empty husks are dropped.
     *
-    * Scale shape: positional grams ride the [[ngrams]] JIT kernel and
-    * explode once; the common-gram set is the SAME provably bounded
-    * broadcast as [[boilerplateFraction]] (at most G/minDocFreq grams
-    * can clear the threshold); covered starts flow back as one per-doc
-    * aggregation whose state is bounded by the document's own gram
-    * count; reassembly is a higher-order filter — no second text scan,
-    * no self-join, nothing corpus-sized collected.
+    * Scale shape — LINEAR in corpus tokens, honestly counted: two
+    * tokenize scans of the text (one for positional grams via the
+    * [[ngrams]] JIT kernel, one for the token stream — the same
+    * two-scan budget as [[boilerplateFraction]]); the common-gram set
+    * is the SAME provably bounded broadcast (at most G/minDocFreq
+    * grams can clear the threshold); common starts expand to their
+    * covered positions (output-bound, n rows per common start) and
+    * tokens drop via a (id, position) ANTI-JOIN — never a per-token
+    * scan of a per-doc starts array, which would go quadratic on
+    * exactly the boilerplate-heavy documents this operator targets;
+    * reassembly is one per-doc aggregation bounded by each document's
+    * own token array. Nothing corpus-sized is collected.
     *
     * Output: (id, n_kept, n_removed, clean_text). */
   def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
@@ -319,17 +324,26 @@ object TrainingData {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocFreq)
       .select(col("h"))
-    val covered = occ.join(broadcast(common), "h")
-      .groupBy(col("id")).agg(collect_set(col("s")).as("__starts"))
-    base.join(covered, Seq("id"), "left")
-      .withColumn("__starts",
-        coalesce(col("__starts"), array().cast("array<int>")))
-      .withColumn("__kept", filter(col("__t"),
-        (_, p) => !exists(col("__starts"),
-          s => s <= p && p < s + lit(n))))
+    // covered (id, position) pairs: distinct because overlapping common
+    // windows cover the union of their positions exactly once
+    val coveredPos = occ.join(broadcast(common), "h")
+      .select(col("id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .distinct()
+    val toksExploded = base.select(col("id"),
+      posexplode(col("__t")).as(Seq("p", "tok")))
+    val keptAgg = toksExploded
+      .join(coveredPos, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")).as("__kept"))
+    base.select(col("id"), size(col("__t")).as("__n"))
+      .join(keptAgg, Seq("id"), "left") // fully-covered docs: empty husk
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<string>")))
       .select(col("id"),
         size(col("__kept")).cast("long").as("n_kept"),
-        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("__kept")).as("clean_text"))
   }
 

@@ -466,7 +466,10 @@ object TextQueries {
     (4L, "call +1 (555) 123-4567 or 5551234567 now"),
     (5L, "perfectly clean organic text"),
     (6L, "mixed: a@b.de near 192.168.0.1 via https://c.d/e +49 30 901820"),
-    (7L, "digits 123456789012 end"))
+    (7L, "digits 123456789012 end"),
+    // NON-PII digit structures the structured phone pattern must NOT
+    // eat: ISO dates, ISBNs, spaced thousands
+    (8L, "released on 2026-08-14, ISBN 978-0-306-40615-7, 1 000 000 users"))
 
   private val redactPiiQ: QueryFn = (s, _) => {
     import s.implicits._

@@ -120,6 +120,11 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     (2L, "  Mixed   CASE and    extra whitespace   "),
     (3L, "one two"),
     (4L, "single"),
+    // trailing NON-SPACE whitespace: trim (space-only) keeps it, and
+    // Spark split keeps the trailing empty token — the JIT kernel must
+    // split with limit -1 to agree (Java's default drops it)
+    (5L, "ends with newline\n"),
+    (6L, "tab\tseparated words\t"),
   ).toDF("id", "text")
 
   // HOF twin of hashedShingles: distinct strings -> seeded md5 prefix
