@@ -321,7 +321,7 @@ object Bench {
       // single-partition window naively — shards sized to the corpus
       Stress("pack_sequences", s =>
         graft.operators.TrainingData.packAssignments(s.docs, col("doc_id"),
-          size(split(trim(lower(col("text"))), "\\s+")), budget = 64L,
+          size(graft.operators.TextAnalysis.tokens(col("text"))), budget = 64L,
           shards = 32)),
       // benchmark side FIXED (eval sets don't grow with the corpus);
       // the corpus side is the inflated scan
@@ -342,7 +342,7 @@ object Bench {
       // except the parquet encode itself, which would measure the disk)
       Stress("shard_assignments", s => {
         val packed = graft.operators.TrainingData.packAssignments(s.docs,
-          col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")),
+          col("doc_id"), size(graft.operators.TextAnalysis.tokens(col("text"))),
           budget = 64L, shards = 32)
         graft.operators.TrainingData.sequenceRows(packed, budget = 64L)
           .withColumn("shard", expr("seq DIV 8L"))

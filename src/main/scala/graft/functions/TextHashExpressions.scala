@@ -35,26 +35,99 @@ object TextHash {
     v >>> 4
   }
 
-  /** ONE tokenization for every text kernel in this file — trim spaces
-    * (ASCII 0x20 only, matching Spark/DuckDB trim), lowercase, split on
-    * \s+. Shared so the shingle and n-gram kernels cannot drift apart:
-    * the DuckDB oracles replay one tokenization contract, not two.
-    * ASCII assumption documented at NearDup.shingles; the paths can
-    * diverge on non-ASCII case mappings; ExpressionEquivalenceSpec locks
-    * them equal on the supported (ASCII) domain. */
-  private def tokenize(text: String): Array[String] = {
+  /** Pinned whitespace class — the SAME explicit code-point set in Java
+    * regex here, Spark `split` (TextChunker), and RE2/DuckDB oracle SQL
+    * ([[graft.queries.TextQueries.wsClassSql]]): ASCII \t \n \x0B \f \r
+    * space, NEL (U+0085), the Zs category frozen as an explicit list
+    * (NBSP, OGHAM, U+2000..200A, NNBSP, MMSP, IDEOGRAPHIC SPACE), and
+    * the Zl/Zp separators U+2028/U+2029. Explicit because the engines'
+    * `\s` classes genuinely differ (Java \s has \x0B, RE2 \s does not;
+    * neither matches Unicode spaces) — an implicit class is exactly the
+    * kind of silent cross-engine drift this contract exists to kill. */
+  val WsClassJava: String =
+    "[\\t\\n\\u000B\\f\\r \\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+
+  private val WsPattern = java.util.regex.Pattern.compile(WsClassJava + "+")
+
+  /** Three code points whose Unicode-13 simple lowercase mappings (Java
+    * 17) are unknown to the oracle engine's utf8proc (DuckDB `lower`
+    * leaves them unchanged) — pinned to the ORACLE's behavior, identity,
+    * because an empirical full-plane diff showed these are the ONLY
+    * divergent points between Character.toLowerCase and DuckDB lower
+    * across U+0020..U+2FFFF: the medievalist letters U+A7C7 / U+A7C9 /
+    * U+A7F5 added in Unicode 12.1/13. */
+  private def pinnedLowerCp(cp: Int): Int =
+    if (cp == 0xA7C7 || cp == 0xA7C9 || cp == 0xA7F5) cp
+    else Character.toLowerCase(cp)
+
+  /** NFC-normalize + per-code-point simple lowercase — the pinned
+    * Unicode case contract, byte-identical to DuckDB
+    * `lower(nfc_normalize(x))` (full-plane diff: zero divergent code
+    * points for NFC, the three [[pinnedLowerCp]] identities for lower).
+    * Per-CODE-POINT simple mappings, NOT String.toLowerCase: the full
+    * mappings (İ → i + combining dot, final sigma contextual ς) are
+    * locale/context-sensitive and do NOT match utf8proc, which is what
+    * silently split duplicate groups on multilingual corpora before
+    * this contract existed. ASCII input short-circuits (NFC and the
+    * exotic mappings are identity there) — the 100 TB-corpus hot path
+    * pays one scan and an in-place lowercase, nothing more. */
+  private[functions] def canonLower(text: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < text.length) {
+      if (text.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) {
+      var j = 0
+      while (j < text.length &&
+        !(text.charAt(j) >= 'A' && text.charAt(j) <= 'Z')) j += 1
+      if (j == text.length) text
+      else {
+        val a = text.toCharArray
+        while (j < a.length) {
+          val c = a(j)
+          if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+          j += 1
+        }
+        new String(a)
+      }
+    } else {
+      val nfc = java.text.Normalizer.normalize(
+        text, java.text.Normalizer.Form.NFC)
+      val sb = new java.lang.StringBuilder(nfc.length)
+      var k = 0
+      while (k < nfc.length) {
+        val cp = nfc.codePointAt(k)
+        sb.appendCodePoint(pinnedLowerCp(cp))
+        k += Character.charCount(cp)
+      }
+      sb.toString
+    }
+  }
+
+  /** ONE tokenization for every text kernel in this file — NFC +
+    * pinned lowercase ([[canonLower]]), trim spaces (ASCII 0x20 only,
+    * matching Spark/DuckDB trim), split on the pinned whitespace class.
+    * Shared so the shingle, n-gram, and token kernels cannot drift
+    * apart: the DuckDB oracles replay one tokenization contract
+    * (`string_split_regex(trim(lower(nfc_normalize(text))), ws+)`),
+    * not two. ExpressionEquivalenceSpec pins golden non-ASCII cases
+    * whose expected token arrays were computed BY DuckDB. */
+  private[functions] def tokenize(text: String): Array[String] = {
+    val lowered = canonLower(text)
     val trimmed = {
-      var st = 0; var en = text.length
-      while (st < en && text.charAt(st) == ' ') st += 1
-      while (en > st && text.charAt(en - 1) == ' ') en -= 1
-      text.substring(st, en)
+      var st = 0; var en = lowered.length
+      while (st < en && lowered.charAt(st) == ' ') st += 1
+      while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+      lowered.substring(st, en)
     }
     // limit -1: KEEP trailing empty fields — Spark SQL split and
     // DuckDB string_split_regex both do, and the oracles replay their
     // semantics; Java's default limit 0 silently drops them, which
-    // would desynchronize gram positions (and hashes) from the Column
-    // twin and the SQL twins for whitespace-terminated texts
-    trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    // would desynchronize gram positions (and hashes) from the SQL
+    // twins for whitespace-terminated texts
+    WsPattern.split(trimmed, -1)
   }
 
   /** Append the space-joined gram toks(i..i+n-1) to `sb` (which may
@@ -110,6 +183,9 @@ object TextHash {
     out
   }
 
+  def tokensCol(text: Column): Column =
+    ColumnBridge.column(TokensExpr(ColumnBridge.expression(text)))
+
   def hashedShinglesCol(text: Column, n: Int): Column =
     ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text), n))
 
@@ -121,6 +197,35 @@ object TextHash {
 
   def simhashCol(hsh: Column, bits: Int): Column =
     ColumnBridge.column(SimhashExpr(ColumnBridge.expression(hsh), bits))
+}
+
+/** The canonical token array itself — [[TextHash.tokenize]] surfaced as
+  * a Column so EVERY Spark-side consumer (TextAnalysis.tokens → lang-ID,
+  * quality, BM25, BPE, token counts) tokenizes through the one pinned
+  * kernel instead of a parallel `split(trim(lower(text)))` composition
+  * whose Unicode semantics Spark, not this engine, would define. */
+case class TokensExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "canon_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokenize(input.asInstanceOf[UTF8String].toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 case class HashedShinglesExpr(child: Expression, n: Int)

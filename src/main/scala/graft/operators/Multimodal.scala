@@ -20,9 +20,18 @@ import org.apache.spark.sql.functions._
   * JDK-standard, zero EXTERNAL dependencies) as the fallback; decoded
   * dimensions and the canonical RGBA pixel checksum are oracle-gated
   * against the fixture manifest's INDEPENDENT python encoders
-  * (`multimodal_decode_pixels`). Payloads with no raster at all (audio
-  * frames, MP4 media tracks) keep their header metadata and the
-  * documented `decodeStub` placeholder for the sample-data dimensions.
+  * (`multimodal_decode_pixels`).
+  *
+  * AUDIO SAMPLES decode for REAL via [[decodeSamples]]: WAV PCM
+  * verbatim, FLAC losslessly through the pure-JDK [[FlacDecoder]]
+  * (full RFC 9639 frame decode, CRC + STREAMINFO-MD5 verified) —
+  * both hashed in the same canonical interleaved-LE PCM layout and
+  * oracle-gated against the manifest (`multimodal_decode_samples`).
+  * Lossy payloads (Opus/Vorbis/MP4 media) return None there — honest
+  * absence; this engine never fabricates sample values. The only
+  * remaining use of `decodeStub` is payloads matching NO known format
+  * ("opaque"), where the deterministic fake dims are the documented
+  * contract of the `features` projection.
   * Everything around the dispatch — the binary column, the
   * metadata schema, the per-partition batch shape, the frame sampling
   * arithmetic — is identical for all paths; the header parsers are
@@ -688,6 +697,12 @@ object Multimodal {
     val strideL = w.toLong * bpp
     val expect = h.toLong * (1 + strideL)
     if (expect > Int.MaxValue || w.toLong * 4 > Int.MaxValue) return None
+    // bound the allocation against the COMPRESSED size before trusting
+    // the header: zlib expands at most ~1032x (one symbol per bit at
+    // the theoretical floor), so a tiny crafted IHDR declaring a 2 GB
+    // raster over a 50-byte IDAT is rejected here instead of OOMing an
+    // executor before the Inflater ever sees the stream
+    if (expect > idat.size().toLong * 1032L + 64L) return None
     val stride = strideL.toInt
     val raw = new Array[Byte](expect.toInt)
     val inf = new java.util.zip.Inflater()
@@ -798,6 +813,26 @@ object Multimodal {
     None
   }
 
+  /** FLAC sample decode — the REAL compressed-audio path
+    * ([[FlacDecoder]]: full RFC 9639 frame decode, CRC-8/CRC-16/MD5
+    * verified), emitting the same canonical interleaved little-endian
+    * PCM checksum as the WAV path. None for header-only or failed
+    * streams — honest absence, never fabricated values. */
+  def decodeFlacSamples(b: Array[Byte]): Option[SamplesDecoded] =
+    FlacDecoder.decode(b).map { a =>
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.update(a.pcm)
+      SamplesDecoded(a.channels, a.bits, a.totalSamples, shaHex(d))
+    }
+
+  /** Uncompressed (WAV) or losslessly-decoded (FLAC) sample payload —
+    * the dispatch the sample gate runs. Lossy codecs (Opus/Vorbis/MP4)
+    * stay None by design: their sample data is not losslessly
+    * recoverable without the codec, and this engine never fabricates
+    * sample values. */
+  def decodeSamples(b: Array[Byte]): Option[SamplesDecoded] =
+    decodeWavSamples(b).orElse(decodeFlacSamples(b))
+
   // the ImageIO disk cache would write temp files per decode on every
   // executor — in-memory streams only
   private lazy val imageIoInit: Unit =
@@ -817,7 +852,11 @@ object Multimodal {
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some(PixelDecoded(img.getWidth, img.getHeight,
         pixelShaFromArgb(img.getWidth, img.getHeight, img.getRGB), "imageio"))
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only: an OutOfMemoryError or interrupt must propagate,
+      // not be swallowed as "no raster here"
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Full raster decode: pure-Scala PPM / PNG / 24-bit-BMP first (zero
     * dependencies, bit-exact vs the fixture manifest's independent

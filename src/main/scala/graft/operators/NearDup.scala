@@ -15,25 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Distinct lowercase word n-gram shingles of a text column.
-    *
-    * ASCII assumption: this Column path (Spark `lower`/`split`) and its
-    * JIT twin `TextHash.hashedShingles` (Java `toLowerCase(Locale.ROOT)` /
-    * `String.split`) agree on ASCII text but can diverge on non-ASCII
-    * input (locale-sensitive case mappings such as İ/ı, regex-engine
-    * differences). Mixed use of the two paths on a non-ASCII corpus would
-    * drift silently; normalize such corpora upstream, or route both
-    * sides through the same expression kernel. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = split(trim(lower(text)), "\\s+")
-    val grams =
-      if (n == 1) t
-      else when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
-    array_distinct(grams)
-  }
+  /** Distinct lowercase word n-gram shingles of a text column — routed
+    * through the SAME pinned tokenization kernel as every other text
+    * path (graft.functions.TextHash: NFC + per-code-point simple
+    * lowercase + explicit whitespace class), so the string-shingle and
+    * hashed-shingle sides of a near-dup run can never tokenize
+    * differently on non-ASCII text. The DuckDB oracle replays the
+    * identical contract (`lower(nfc_normalize(...))` — a full-plane
+    * code-point diff pinned the two engines equal; the
+    * `dedup_near_unicode` row gates it on CJK/Turkish/combining-mark
+    * data). */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(graft.functions.TextHash.ngramsCol(text, n))
 
   /** Deterministic 60-bit hash of a shingle under hash function `seed`:
     * the first 15 hex chars of md5("<seed>:<shingle>") — chosen over

@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of the lowercased, trimmed text. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Canonical analysis tokens: NFC-normalized, simple-lowercased,
+    * space-trimmed, split on the pinned whitespace class — ONE kernel
+    * ([[graft.functions.TextHash.tokensCol]]) shared with the shingle /
+    * n-gram hash paths, so lang-ID, quality scoring, BM25, BPE, and
+    * dedup can never tokenize two different ways on non-ASCII text.
+    * The DuckDB oracle twin is TextQueries.tokSql
+    * (`string_split_regex(trim(lower(nfc_normalize(text))), ws+)`). */
+  def tokens(text: Column): Column = graft.functions.TextHash.tokensCol(text)
 
   /** Small per-language stopword profiles for the lang-ID heuristic. The
     * ORDER of this list is the deterministic argmax tie-break. */

@@ -49,7 +49,15 @@ object TextChunker {
     // would re-run the tokenizer per chunk (subexpression elimination does
     // not reach across the lambda boundary) — O(chunks) regex passes over
     // every document instead of one
-    val toks = df.select(id.as("id"), split(trim(text), "\\s+").as("__t"))
+    // pinned whitespace class (TextHash.WsClassJava), not \s: Java and
+    // RE2 \s differ (\x0B) and neither matches Unicode spaces — the
+    // explicit class makes Spark's split and the DuckDB oracle's
+    // string_split_regex agree on any input. No NFC/lowercase here:
+    // chunk_text passes the ORIGINAL text through, and normalization
+    // never creates or consumes whitespace, so token boundaries (and
+    // counts) already agree with the analysis tokenizer's.
+    val toks = df.select(id.as("id"),
+      split(trim(text), graft.functions.TextHash.WsClassJava + "+").as("__t"))
     val t = col("__t")
     val n = size(t)
     val nChunks = (lit(1) +
@@ -102,7 +110,8 @@ object TextChunker {
         regexp_extract_all(text, lit(SentencePattern), lit(0)))
         .as(Seq("sent_index", "sentence")))
       .withColumn("n_toks",
-        size(split(trim(col("sentence")), "\\s+")).cast("long"))
+        size(split(trim(col("sentence")),
+          graft.functions.TextHash.WsClassJava + "+")).cast("long"))
     val w = Window.partitionBy(col("id")).orderBy(col("sent_index"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bucketed = sents

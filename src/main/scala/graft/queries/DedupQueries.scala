@@ -23,30 +23,36 @@ object DedupQueries {
 
   /** DuckDB twin of NearDup.shingles(text, 2) over documents. */
   private val bigramShingles: String =
-    """SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+    s"""SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
       |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
       |    ELSE []::VARCHAR[] END) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM (SELECT doc_id, ${TextQueries.tokSql} AS t
       |        FROM documents)""".stripMargin
 
   /** DuckDB twin of NearDup.shingles(text, 3) hashed with seededHash(0)
     * — the confirm compares hashed trigram sets, exactly like the Spark
-    * operator. */
-  private[queries] val hashedTrigramSets: String =
+    * operator. Parameterized by source relation so the multilingual
+    * fixture row replays the identical contract. */
+  private[queries] def hashedTrigramSetsFrom(rel: String): String =
     s"""SELECT doc_id, list_distinct(list_transform(sh, s -> ${hashSql(0, "s")})) AS hsh
        |  FROM (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
        |      ELSE []::VARCHAR[] END) AS sh
-       |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |          FROM documents))""".stripMargin
+       |    FROM (SELECT doc_id, ${TextQueries.tokSql} AS t
+       |          FROM $rel))""".stripMargin
+
+  private[queries] val hashedTrigramSets: String =
+    hashedTrigramSetsFrom("documents")
 
   /** DuckDB twin of the exact-Jaccard confirm over all pairs (the oracle
     * may go all-pairs; the engine under test must not). */
-  private[queries] val jaccardPairs: String =
-    s"""s AS ($hashedTrigramSets),
+  private[queries] def jaccardPairsFrom(rel: String): String =
+    s"""s AS (${hashedTrigramSetsFrom(rel)}),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        len(list_intersect(a.hsh, b.hsh))::DOUBLE / len(list_distinct(a.hsh || b.hsh)) AS j
        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private[queries] val jaccardPairs: String = jaccardPairsFrom("documents")
 
   /** Exact dedup: hash-groupBy on content digest, keep min id
     * (one shuffle on the digest; at 100TB this is the cheapest possible
@@ -364,7 +370,34 @@ object DedupQueries {
        |SELECT node AS doc_id FROM r
        |GROUP BY node HAVING node = min(comp) ORDER BY doc_id""".stripMargin
 
+  /** Multilingual near-dup over the committed unicode fixture — the
+    * gate for the PINNED Unicode tokenization contract (NFC +
+    * per-code-point simple lowercase + explicit whitespace class):
+    * every planted twin pair crosses a representation boundary ASCII
+    * testdata cannot exercise — Turkish İ/I case folding, NFC-vs-NFD
+    * accents, ideographic/NBSP separators, Greek sigma, uppercase ẞ.
+    * Same operator parameters as dedup_near_pairs; the oracle replays
+    * the identical trigram-Jaccard contract in DuckDB over the same
+    * parquet bytes, so a single divergent code-point mapping between
+    * the JIT kernel and utf8proc hash-mismatches the row. */
+  private val UnicodeFixture: String =
+    s"${AnnQueries.FixturesDir}/unicode_docs.parquet"
+
+  private val nearUnicode: QueryFn = (s, _) =>
+    NearDup.nearDupPairs(s.read.parquet(UnicodeFixture),
+        col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 2,
+        threshold = 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (round(col("jaccard"), 6) + lit(0.0d)).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val nearUnicodeSql: String =
+    s"""WITH ${jaccardPairsFrom(s"read_parquet('$UnicodeFixture')")}
+       |SELECT doc_a, doc_b, round(j, 6) + 0 AS jaccard FROM p
+       |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dedup_near_unicode", nearUnicode, Some(nearUnicodeSql)),
     Q("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
     Q("dedup_incremental_survivors", incrementalSurvivors, Some(incrementalSurvivorsSql)),
     Q("dedup_incremental_embedding", incrementalEmbedding, Some(incrementalEmbeddingSql)),

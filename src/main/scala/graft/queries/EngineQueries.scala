@@ -434,7 +434,7 @@ object EngineQueries {
     s"""WITH ch AS (SELECT 'c' || vec_id AS chunk_id, 'vec ' || vec_id AS text,
        |                   embedding::DOUBLE[] AS v
        |            FROM embeddings WHERE label <> 7 AND vec_id % 2 = 0),
-       |toks AS (SELECT chunk_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM ch),
+       |toks AS (SELECT chunk_id, ${TextQueries.tokSql} AS t FROM ch),
        |lens AS (SELECT chunk_id, len(t)::INT AS len FROM toks),
        |s AS (SELECT count(*)::BIGINT::DOUBLE AS n, avg(len) AS avglen FROM lens),
        |terms AS (SELECT chunk_id, unnest(t) AS term FROM toks),
@@ -529,7 +529,7 @@ object EngineQueries {
     s"""WITH ch AS (SELECT 'c' || vec_id AS chunk_id, 'vec ' || vec_id AS text,
        |                   embedding::DOUBLE[] AS v
        |            FROM embeddings WHERE label <> 7 AND vec_id % 2 = 0),
-       |toks AS (SELECT chunk_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM ch),
+       |toks AS (SELECT chunk_id, ${TextQueries.tokSql} AS t FROM ch),
        |lens AS (SELECT chunk_id, len(t)::INT AS len FROM toks),
        |s AS (SELECT count(*)::BIGINT::DOUBLE AS n, avg(len) AS avglen FROM lens),
        |terms AS (SELECT chunk_id, unnest(t) AS term FROM toks),
@@ -603,7 +603,7 @@ object EngineQueries {
       .map(w => s"'$w'").mkString(", ")
     val gram4 = "tq[i] || ' ' || tq[i+1] || ' ' || tq[i+2] || ' ' || tq[i+3]"
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  SELECT doc_id, ${TextQueries.splitSqlOf("text")} AS t
        |  FROM documents WHERE source <> 'src0'),
        |shaped AS (
        |  SELECT doc_id, t, len(t) AS n,
@@ -616,7 +616,7 @@ object EngineQueries {
        |  FROM idx),
        |ctoks AS (
        |  SELECT chunk_id, chunk_index, text,
-       |    string_split_regex(trim(lower(text)), '\\s+') AS tq
+       |    ${TextQueries.tokSql} AS tq
        |  FROM chunks),
        |gated AS (
        |  SELECT chunk_id, chunk_index, text, tq FROM ctoks
@@ -633,7 +633,7 @@ object EngineQueries {
        |      THEN list_transform(range(1, len(tq) - 2), i -> $gram4)
        |      ELSE []::VARCHAR[] END),
        |    s -> ${DedupQueries.hashSql(0, "s")})) AS h
-       |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS tq
+       |  FROM (SELECT ${TextQueries.tokSql} AS tq
        |        FROM documents WHERE source = 'src0')),
        |cgrams AS (
        |  SELECT chunk_id, unnest(list_transform(

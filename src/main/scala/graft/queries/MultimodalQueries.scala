@@ -99,12 +99,16 @@ object MultimodalQueries {
        |FROM read_json('$MultimodalFixDir/manifest.json')
        |ORDER BY name""".stripMargin
 
-  /** REAL audio-sample decode: WAV PCM payloads are uncompressed, so
-    * the sample bytes verify end-to-end (sha256 over the raw PCM as the
-    * python `wave` writer emitted it) just like the image rasters;
-    * every entropy-coded payload (FLAC/Ogg/MP4 samples) stays null —
-    * a decode that "succeeded" on one would hash-mismatch the manifest
-    * nulls. */
+  /** REAL audio-sample decode: WAV PCM payloads verify end-to-end
+    * (sha256 over the raw PCM as the python `wave` writer emitted it),
+    * and FLAC payloads decode LOSSLESSLY through the pure-JDK
+    * [[graft.operators.FlacDecoder]] (full RFC 9639 frame decode —
+    * constant/verbatim/fixed/LPC subframes, Rice partitions + escapes,
+    * all four stereo modes — CRC-8/CRC-16/STREAMINFO-MD5 verified) to
+    * the SAME canonical interleaved-LE PCM the python encoder hashed
+    * from its source samples. Lossy payloads (Opus/Vorbis/MP4) and the
+    * header-only FLAC stay null — a decode that "succeeded" on one
+    * would hash-mismatch the manifest nulls. */
   private val mmDecodeSamples: QueryFn = (s, _) => {
     import s.implicits._
     s.read.format("binaryFile").load(MultimodalFixDir)
@@ -112,7 +116,7 @@ object MultimodalQueries {
       .where(col("name") =!= "manifest.json")
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (name, bytes) =>
-        (name, Multimodal.decodeWavSamples(bytes).map(_.sha))
+        (name, Multimodal.decodeSamples(bytes).map(_.sha))
       })
       .toDF("name", "sample_sha")
       .orderBy("name")

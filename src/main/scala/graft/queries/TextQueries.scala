@@ -11,7 +11,29 @@ import graft.operators.TextAnalysis._
   */
 object TextQueries {
 
-  private[queries] val tokSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  /** RE2/DuckDB twin of graft.functions.TextHash.WsClassJava — the
+    * pinned explicit whitespace class. Explicit because Java `\s` and
+    * RE2 `\s` genuinely differ (\x0B) and neither matches Unicode
+    * spaces; the two constants list the SAME code points. */
+  private[queries] val wsClassSql =
+    """[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"""
+
+  /** DuckDB twin of the pinned tokenization contract
+    * (TextHash.tokenize): NFC normalize, lowercase (DuckDB's utf8proc
+    * simple mappings — the Scala kernel pins per-code-point
+    * Character.toLowerCase to them), trim ASCII spaces, split on the
+    * explicit whitespace class keeping empty edge fields. */
+  private[queries] def tokSqlOf(column: String): String =
+    s"string_split_regex(trim(lower(nfc_normalize($column))), '$wsClassSql+')"
+
+  /** Case-PRESERVING tokenization twin (TextChunker): same whitespace
+    * class, no case mapping, no NFC (chunker output passes the original
+    * text through; normalization never touches whitespace, so token
+    * boundaries agree with the analysis tokenizer's). */
+  private[queries] def splitSqlOf(column: String): String =
+    s"string_split_regex(trim($column), '$wsClassSql+')"
+
+  private[queries] val tokSql = tokSqlOf("text")
 
   /** Per-document token statistics. */
   private val tokenStats: QueryFn = (s, dir) => {
@@ -205,7 +227,7 @@ object TextQueries {
   private val chunkOverlapSql: String = {
     val stride = ChunkMax - ChunkOverlap
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  SELECT doc_id, ${splitSqlOf("text")} AS t
        |  FROM documents),
        |shaped AS (
        |  SELECT doc_id, t, len(t) AS n,
@@ -245,7 +267,7 @@ object TextQueries {
        |  FROM documents),
        |counted AS (
        |  SELECT doc_id, i, s,
-       |    len(string_split_regex(trim(s), '\\s+'))::BIGINT AS n_toks
+       |    len(${splitSqlOf("s")})::BIGINT AS n_toks
        |  FROM sents),
        |bucketed AS (
        |  SELECT *, floor((sum(n_toks) OVER (PARTITION BY doc_id ORDER BY i
@@ -495,7 +517,39 @@ object TextQueries {
        |FROM f ORDER BY id""".stripMargin
   }
 
+  /** Token statistics + content fingerprint over the multilingual
+    * fixture — gates [[TextAnalysis.tokens]] (and every consumer:
+    * lang-ID, quality, BM25, BPE word splitting) on non-ASCII text the
+    * sf tables never exercise: token COUNTS prove the whitespace-class
+    * agreement (NBSP/ideographic-space separators), n_unique and the
+    * md5 fingerprint prove the case/NFC mapping agreement hash-exactly
+    * (one divergent code point changes a token, its bigrams, and the
+    * min-hash). */
+  private val unicodeTokens: QueryFn = (s, _) => {
+    val t = tokens(col("text"))
+    s.read.parquet(s"${AnnQueries.FixturesDir}/unicode_docs.parquet").select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_unique"),
+      (round(avgTokenLen(t), 6) + lit(0.0d)).as("avg_token_len"),
+      fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unicodeTokensSql: String =
+    s"""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+       |  round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 6) + 0 AS avg_token_len,
+       |  list_min(list_transform(
+       |    list_distinct(CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |      ELSE []::VARCHAR[] END),
+       |    s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)) AS fingerprint
+       |FROM (SELECT doc_id, $tokSql AS t
+       |      FROM read_parquet('${AnnQueries.FixturesDir}/unicode_docs.parquet'))
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_tokens_unicode", unicodeTokens, Some(unicodeTokensSql)),
     Q("text_redact_pii", redactPiiQ, Some(redactPiiSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),

@@ -127,9 +127,24 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     (6L, "tab\tseparated words\t"),
   ).toDF("id", "text")
 
-  // HOF twin of hashedShingles: distinct strings -> seeded md5 prefix
+  // HOF twin of hashedShingles ON THE ASCII DOMAIN: the pre-unification
+  // Spark-builtin tokenization (split/trim/lower) — kept inline here as
+  // the regression spec that the pinned Unicode kernel did not move a
+  // single ASCII hash (NFC, the pinned case mappings, and the explicit
+  // whitespace class are all identity/equal-to-\s on ASCII text)
+  private def asciiShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val t = split(trim(lower(text)), "\\s+")
+    val grams =
+      if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    array_distinct(grams)
+  }
+
   private def hofHashedShingles(text: org.apache.spark.sql.Column, n: Int) =
-    array_distinct(transform(NearDup.shingles(text, n),
+    array_distinct(transform(asciiShingles(text, n),
       s => NearDup.seededHash(0, s)))
 
   test("hashedShingles expression == HOF composition (values and order)") {
@@ -140,6 +155,62 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
         .as[(Seq[Long], Seq[Long])].collect()
       rows.foreach { case (e, h) => assert(e == h, s"n=$n") }
     }
+  }
+
+  // Golden cross-engine pins for the Unicode tokenization contract:
+  // every expected array below was computed BY DUCKDB
+  // (string_split_regex(trim(lower(nfc_normalize(text))), wsClass+)) and
+  // hard-coded here, so this spec is a genuine two-implementation gate
+  // that runs without DuckDB: if the JIT kernel's NFC step, pinned
+  // simple-lowercase, or whitespace class drifts from the oracle
+  // engine's, a case below breaks.
+  private val goldenTokens: Seq[(String, Seq[String])] = Seq(
+    // Turkish dotted/dotless I: SIMPLE mapping sends İ -> i (the full
+    // mapping's i + combining-dot would split these tokens from ASCII i)
+    ("İstanbul ŞEHRİ Güzel BİR yer",
+      Seq("istanbul", "şehri", "güzel", "bir", "yer")),
+    // NFD input: combining marks compose before hashing
+    ("café déjà vu", Seq("café", "déjà", "vu")),
+    // Greek: simple mapping yields MEDIAL sigma everywhere (never ς)
+    ("ΛΟΓΟΣ ΚΑΛΟΣ", Seq("λογοσ", "καλοσ")),
+    // NBSP / ideographic space / thin space are separators
+    ("a b　c d", Seq("a", "b", "c", "d")),
+    // uppercase ẞ (U+1E9E) lowers to ß
+    ("GROẞE Straße", Seq("große", "straße")),
+    // the three pinned identity code points (utf8proc lacks their
+    // Unicode-13 mappings; Character.toLowerCase would map them +1)
+    ("Ꟈx Ꟊy Ꟶz", Seq("Ꟈx", "Ꟊy", "Ꟶz")),
+    // trailing non-space whitespace keeps its empty token
+    ("ends with newline\n", Seq("ends", "with", "newline", "")),
+    // full-width letters lower to full-width (NFC is not NFKC)
+    ("ＡＢＣ ＤＥＦ", Seq("ａｂｃ", "ｄｅｆ")),
+    // ligatures survive (compatibility decompositions are NOT applied)
+    ("ﬁn ﬂow", Seq("ﬁn", "ﬂow")),
+    // KELVIN SIGN: canonical singleton decomposition to K, then k
+    ("Ｋ KK", Seq("ｋ", "kk")),
+  )
+
+  test("canonical tokens kernel == DuckDB-computed golden cases " +
+    "(the cross-engine Unicode contract)") {
+    val df = goldenTokens.zipWithIndex
+      .map { case ((t, _), i) => (i, t) }.toDF("i", "text")
+    val got = df.select(col("i"),
+        graft.functions.TextHash.tokensCol(col("text")).as("t"))
+      .as[(Int, Seq[String])].collect().toMap
+    goldenTokens.zipWithIndex.foreach { case ((text, want), i) =>
+      assert(got(i) == want, s"text=${text}")
+    }
+  }
+
+  test("analysis tokens and n-gram kernels share the tokenization on " +
+    "non-ASCII input (one contract, not two)") {
+    val df = goldenTokens.map(_._1).zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("i", "text")
+    val rows = df.select(
+        graft.operators.TextAnalysis.tokens(col("text")).as("a"),
+        graft.operators.TrainingData.ngrams(col("text"), 1).as("g"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (a, g) => assert(a == g) }
   }
 
   // HOF twin of TrainingData.ngrams: NON-distinct contiguous grams

@@ -196,9 +196,11 @@ class MultimodalSpec extends AnyFunSuite {
   test("FLAC STREAMINFO parses: bit-packed channels, bit depth, total " +
     "samples; zero-rate or truncated blocks fall to the stub") {
     assert(Multimodal.decode(fixture("audio_stereo.flac")) ==
-      Multimodal.Decoded("audio/flac", 2, 16, 88200L))
+      Multimodal.Decoded("audio/flac", 2, 16, 4000L))
     assert(Multimodal.decode(fixture("audio_hires.flac")) ==
-      Multimodal.Decoded("audio/flac", 1, 24, 12345L))
+      Multimodal.Decoded("audio/flac", 1, 24, 3369L))
+    assert(Multimodal.decode(fixture("audio_info.flac")) ==
+      Multimodal.Decoded("audio/flac", 2, 16, 88200L))
     // truncated right after the magic: opaque, never a throw
     assert(Multimodal.decode("fLaC".getBytes).modality == "opaque")
     // a non-STREAMINFO first block violates the spec -> stub
@@ -434,6 +436,38 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated WAV: clamped, never a throw
     val cut = fixture("audio_stereo16.wav").take(100)
     Multimodal.decodeWavSamples(cut) // must not throw; value unspecified
+  }
+
+  test("decodeFlacSamples losslessly decodes real FLAC frames (every " +
+    "subframe type, all stereo modes) and verifies CRCs + STREAMINFO MD5") {
+    val st = Multimodal.decodeFlacSamples(fixture("audio_stereo.flac"))
+    assert(st.exists(s => s.channels == 2 && s.bits == 16 && s.nFrames == 4000L))
+    val hi = Multimodal.decodeFlacSamples(fixture("audio_hires.flac"))
+    assert(hi.exists(s => s.channels == 1 && s.bits == 24 && s.nFrames == 3369L))
+    // the canonical PCM checksum matches the manifest's, which the
+    // python encoder computed from its SOURCE samples — lossless
+    // round-trip through constant/verbatim/fixed/LPC subframes, Rice
+    // partitions incl. the escaped-raw path, and left-side/side-right/
+    // mid-side decorrelation (the oracle row re-gates this vs the
+    // manifest json; here we pin non-emptiness + shape + determinism)
+    assert(st.get.sha == Multimodal.decodeFlacSamples(
+      fixture("audio_stereo.flac")).get.sha)
+    // header-only FLAC: no frames to verify -> honest None
+    assert(Multimodal.decodeFlacSamples(fixture("audio_info.flac")).isEmpty)
+    // a single flipped bit in frame data breaks the CRC/MD5 chain
+    val corrupt = fixture("audio_stereo.flac").clone()
+    corrupt(corrupt.length - 100) = (corrupt(corrupt.length - 100) ^ 0x10).toByte
+    assert(Multimodal.decodeFlacSamples(corrupt).isEmpty)
+    // truncation mid-frame: None, never a throw
+    assert(Multimodal.decodeFlacSamples(
+      fixture("audio_stereo.flac").dropRight(37)).isEmpty)
+    // non-FLAC payloads: None through the dispatch
+    for (n <- Seq("audio_voice.opus", "vid_basic.mp4", "payload.bin"))
+      assert(Multimodal.decodeFlacSamples(fixture(n)).isEmpty, n)
+    // the combined dispatch resolves WAV and FLAC, rejects the rest
+    assert(Multimodal.decodeSamples(fixture("audio_stereo16.wav")).isDefined)
+    assert(Multimodal.decodeSamples(fixture("audio_hires.flac")).isDefined)
+    assert(Multimodal.decodeSamples(fixture("audio_song.ogg")).isEmpty)
   }
 
   test("frame sampling: slices cover the payload in order, last frame ragged") {

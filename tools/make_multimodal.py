@@ -361,6 +361,235 @@ def flac(channels, bits, rate, n_samples):
             + len(streaminfo).to_bytes(3, "big") + streaminfo)
 
 
+# ---------------------------------------------------------------- FLAC
+# A real (if small) FLAC encoder per RFC 9639, exercising every subframe
+# type (constant / verbatim / fixed 0-4 / LPC), Rice residual coding with
+# partitions and the escaped-raw path, and all four channel assignments.
+# The Scala decoder under test must reproduce the SOURCE PCM bit-exactly;
+# STREAMINFO's embedded MD5 (computed here from the source samples) is the
+# in-band oracle, and the manifest's sample_sha (sha256 over the same
+# canonical interleaved little-endian PCM) is the cross-engine gate.
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val, bits):
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def write_signed(self, val, bits):
+        self.write(val & ((1 << bits) - 1), bits)
+
+    def write_unary(self, q):
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self):
+        while self.n:
+            self.write(0, 1)
+
+
+def _crc8(data):
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data):
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _utf8_number(n):
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    nbytes = 2
+    while bits > 5 * nbytes + 1:  # payload bits of an n-byte form
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _rice_k(residuals):
+    """Pick a Rice parameter keeping the unary quotients small."""
+    mx = max((2 * e if e >= 0 else -2 * e - 1) for e in residuals) if residuals else 0
+    k = 0
+    while (mx >> k) > 30:
+        k += 1
+    return min(k, 14)
+
+
+def _fixed_residual(samples, order):
+    res = list(samples)
+    for _ in range(order):
+        res = [res[i] - res[i - 1] for i in range(1, len(res))]
+    return res
+
+
+def _write_residual(bw, res, order, blocksize, po, escape_last=False):
+    """Rice-coded residual, method 0 (4-bit parameters), partition order
+    po; if escape_last, the final partition uses the escaped raw form."""
+    bw.write(0, 2)
+    bw.write(po, 4)
+    nparts = 1 << po
+    idx = 0
+    for p in range(nparts):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        part = res[idx:idx + n]
+        idx += n
+        if escape_last and p == nparts - 1:
+            raw_bits = max((abs(e).bit_length() + 1) for e in part) if part else 1
+            bw.write(0xF, 4)
+            bw.write(raw_bits, 5)
+            for e in part:
+                bw.write_signed(e, raw_bits)
+        else:
+            k = _rice_k(part)
+            bw.write(k, 4)
+            for e in part:
+                u = 2 * e if e >= 0 else -2 * e - 1
+                bw.write_unary(u >> k)
+                bw.write(u & ((1 << k) - 1), k)
+    assert idx == len(res)
+
+
+def _write_subframe(bw, samples, depth, spec):
+    """spec: ('constant',) | ('verbatim',) | ('fixed', order, po, escape)
+    | ('lpc', order, precision, shift, coefs, po)."""
+    bw.write(0, 1)  # reserved
+    kind = spec[0]
+    if kind == "constant":
+        assert len(set(samples)) == 1
+        bw.write(0b000000, 6)
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(samples[0], depth)
+    elif kind == "verbatim":
+        bw.write(0b000001, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write_signed(s, depth)
+    elif kind == "fixed":
+        order, po, escape = spec[1], spec[2], spec[3]
+        bw.write(0b001000 | order, 6)
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write_signed(s, depth)
+        _write_residual(bw, _fixed_residual(samples, order), order,
+                        len(samples), po, escape)
+    elif kind == "lpc":
+        order, precision, shift, coefs, po = spec[1:6]
+        bw.write(0b100000 | (order - 1), 6)
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write_signed(s, depth)
+        bw.write(precision - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in coefs:
+            bw.write_signed(c, precision)
+        res = [samples[i]
+               - (sum(coefs[j] * samples[i - 1 - j] for j in range(order)) >> shift)
+               for i in range(order, len(samples))]
+        _write_residual(bw, res, order, len(samples), po)
+    else:
+        raise ValueError(kind)
+
+
+_DEPTH_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+
+
+def _flac_frame(frame_no, blocksize, bits, ch_assign, channel_data, specs):
+    """One frame: sample-rate code 0b0000 (STREAMINFO), uncommon 16-bit
+    blocksize, fixed blocking strategy."""
+    header = bytearray(b"\xff\xf8")
+    header.append((0b0111 << 4) | 0b0000)
+    header.append((ch_assign << 4) | (_DEPTH_CODE[bits] << 1))
+    header += _utf8_number(frame_no)
+    header += struct.pack(">H", blocksize - 1)
+    header.append(_crc8(header))
+    bw = _BitWriter()
+    for ch, (samples, spec) in enumerate(zip(channel_data, specs)):
+        depth = bits
+        if (ch_assign == 0b1000 and ch == 1) or \
+           (ch_assign == 0b1001 and ch == 0) or \
+           (ch_assign == 0b1010 and ch == 1):
+            depth += 1  # side channel
+        _write_subframe(bw, samples, depth, spec)
+    bw.align()
+    frame = bytes(header) + bytes(bw.buf)
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def flac_full(channels, bits, rate, frames):
+    """Real FLAC stream. `frames` is a list of
+    (ch_assign, [per-source-channel sample list], [per-subframe spec]).
+    Returns (flac_bytes, canonical_pcm_bytes)."""
+    all_samples = [[] for _ in range(channels)]
+    encoded = []
+    for no, (ch_assign, chans, specs) in enumerate(frames):
+        blocksize = len(chans[0])
+        if channels == 2:
+            l, r = chans
+            if ch_assign == 0b0001:
+                data = [l, r]
+            elif ch_assign == 0b1000:   # left/side
+                data = [l, [a - b for a, b in zip(l, r)]]
+            elif ch_assign == 0b1001:   # side/right
+                data = [[a - b for a, b in zip(l, r)], r]
+            elif ch_assign == 0b1010:   # mid/side
+                data = [[(a + b) >> 1 for a, b in zip(l, r)],
+                        [a - b for a, b in zip(l, r)]]
+            else:
+                raise ValueError(ch_assign)
+        else:
+            data = chans
+        encoded.append(_flac_frame(no, blocksize, bits, ch_assign, data, specs))
+        for ch in range(channels):
+            all_samples[ch] += chans[ch]
+    n_samples = len(all_samples[0])
+    nbytes = bits // 8
+    pcm = bytearray()
+    for i in range(n_samples):
+        for ch in range(channels):
+            pcm += (all_samples[ch][i] & ((1 << bits) - 1)).to_bytes(
+                nbytes, "little")
+    pcm = bytes(pcm)
+    md5 = hashlib.md5(pcm).digest()
+    sizes = [len(f) for f in encoded]
+    blocks = [len(f[1][0]) for f in frames]
+    streaminfo = struct.pack(">HH", min(blocks), max(blocks))
+    streaminfo += min(sizes).to_bytes(3, "big") + max(sizes).to_bytes(3, "big")
+    packed = ((rate << 44) | ((channels - 1) << 41)
+              | ((bits - 1) << 36) | n_samples)
+    streaminfo += packed.to_bytes(8, "big") + md5
+    return (b"fLaC" + bytes([0x80])
+            + len(streaminfo).to_bytes(3, "big") + streaminfo
+            + b"".join(encoded)), pcm
+
+
 def ogg_page(payload, granule, serial=1, seq=0, header_type=0):
     """One Ogg page (RFC 3533): zeroed CRC — the parser under test reads
     headers only and documents that CRCs are not validated."""
@@ -468,10 +697,56 @@ def main():
     put("audio_stereo16.wav", wav1, "audio/wav", 2, 16, 321, pcm=pcm1)
     wav2, pcm2 = wav(1, 8, 8000, 123)
     put("audio_mono8.wav", wav2, "audio/wav", 1, 8, 123, pcm=pcm2)
-    put("audio_stereo.flac", flac(2, 16, 44100, 88200),
+    # REAL FLAC streams (flac_full): every frame a different channel
+    # assignment / subframe mix, so the decoder under test exercises
+    # constant, verbatim, fixed 0-4, LPC, Rice partitions, the escaped
+    # raw partition, and all stereo decorrelation modes. sample_sha is
+    # computed from the SOURCE samples — the decoder must reproduce them
+    # bit-exactly (and the embedded STREAMINFO MD5 must verify).
+    import math as _math
+
+    def _sig(i, amp, period, noise_seed):
+        rnd = (noise_seed * (i + 1) * 2654435761) & 0xFFFF
+        return int(amp * _math.sin(2 * _math.pi * i / period)) + (rnd % 33) - 16
+
+    bs = 1024
+    n_st = [bs, bs, bs, 928]
+    off = [0, bs, 2 * bs, 3 * bs]
+    left = [[_sig(off[f] + i, 8000, 97.0, 3) for i in range(n_st[f])]
+            for f in range(4)]
+    right = [[_sig(off[f] + i, 6000, 41.0, 7) for i in range(n_st[f])]
+             for f in range(4)]
+    st_frames = [
+        (0b0001, [left[0], right[0]],
+         [("fixed", 2, 2, False), ("verbatim",)]),
+        (0b1000, [left[1], right[1]],          # left/side
+         [("fixed", 3, 0, False), ("fixed", 1, 2, False)]),
+        (0b1001, [left[2], right[2]],          # side/right
+         [("fixed", 2, 1, True), ("lpc", 2, 12, 10,
+                                  [2013, 29], 0)]),
+        (0b1010, [left[3], right[3]],          # mid/side
+         [("fixed", 4, 2, False), ("fixed", 0, 0, False)]),
+    ]
+    fl1, fpcm1 = flac_full(2, 16, 44100, st_frames)
+    put("audio_stereo.flac", fl1, "audio/flac", 2, 16, 4000, pcm=fpcm1)
+
+    n_hi = [bs, bs, bs, 297]
+    mono = [[_sig(off[f] + i, 400000, 211.0, 11) for i in range(n_hi[f])]
+            for f in range(4)]
+    mono[0] = [-123456] * bs  # a genuinely constant block
+    hi_frames = [
+        (0b0000, [mono[0]], [("constant",)]),
+        (0b0000, [mono[1]], [("fixed", 3, 3, False)]),
+        (0b0000, [mono[2]], [("lpc", 3, 14, 11, [4021, -1968, 37], 2)]),
+        (0b0000, [mono[3]], [("fixed", 4, 0, True)]),
+    ]
+    fl2, fpcm2 = flac_full(1, 24, 96000, hi_frames)
+    put("audio_hires.flac", fl2, "audio/flac", 1, 24, 3369, pcm=fpcm2)
+    # header-only FLAC (no frames): the decoder must return NO samples —
+    # honest absence, never fabricated dims — while the header row still
+    # carries STREAMINFO metadata
+    put("audio_info.flac", flac(2, 16, 44100, 88200),
         "audio/flac", 2, 16, 88200)
-    put("audio_hires.flac", flac(1, 24, 96000, 12345),
-        "audio/flac", 1, 24, 12345)
     # lossy codecs have no bit depth: height = 0, n_frames = final granule
     put("audio_voice.opus", ogg_opus(1, 16000, 312, 144000),
         "audio/opus", 1, 0, 144000)
