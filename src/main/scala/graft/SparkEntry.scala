@@ -22,7 +22,8 @@ object SparkEntry {
       DedupQueries.all ++
       TextQueries.all ++
       MultimodalQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's core operation — k-NN cosine search (SURVEY.md §3.1). */

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL normalization, host extraction, and registered-domain cuts —
+  * the keys domain-aware curation groups by (per-domain caps, URL-exact
+  * dedup, domain mixing à la C4/RefinedWeb). Deliberately implemented
+  * as engine-portable regex + list arithmetic (NOT Spark's `parse_url`,
+  * which the oracle engine lacks), so every rule replays in DuckDB SQL
+  * generated from the same constants.
+  *
+  * Scale shape: pure projections — normalization and domain extraction
+  * are scan-cost at any corpus size; the URL-exact dedup is one shuffle
+  * on the normalized-URL hash, exactly like content-exact dedup.
+  */
+object WebDomains {
+
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Lowercased host: authority minus userinfo and port. */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, SchemePrefix + "(?:[^/@]*@)?([^/:?#]+)", 1))
+
+  /** Public-suffix snapshot (committed subset of the Mozilla Public
+    * Suffix List — the common single-label TLDs plus the multi-label
+    * country suffixes the fixtures and typical crawl data hit). A full
+    * PSL sync is a data refresh, not a code change: the matching rule
+    * below is longest-suffix-wins over whatever this list holds. */
+  val PublicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "io", "edu", "gov", "mil", "int", "info", "biz",
+    "dev", "app", "ai", "co", "uk", "au", "jp", "de", "fr", "nl", "it",
+    "es", "se", "no", "fi", "dk", "pl", "ru", "cn", "in", "br", "ca",
+    "us", "eu", "ch", "at", "be", "kr", "tw", "mx", "ar",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "ac.jp", "co.jp", "or.jp", "ne.jp", "go.jp",
+    "com.br", "com.cn", "com.mx", "com.ar", "co.kr", "co.in", "co.nz",
+  )
+
+  private val TwoLabel = PublicSuffixes.filter(_.contains("."))
+  private val OneLabel = PublicSuffixes.filterNot(_.contains("."))
+
+  /** Registered domain of a host: one label more than the LONGEST
+    * matching public suffix; a host with no matching suffix (an IPv4
+    * literal, an intranet name) is its own registered domain. */
+  def registeredDomain(hostCol: Column): Column = {
+    val l = split(hostCol, "[.]")
+    val n = size(l)
+    val last1 = element_at(l, -1)
+    val last2 = concat_ws(".", element_at(l, -2), last1)
+    when(n >= lit(3) && last2.isin(TwoLabel.map(x => x: Any): _*),
+        concat_ws(".", element_at(l, -3), last2))
+      .when(n >= lit(2) && last1.isin(OneLabel.map(x => x: Any): _*), last2)
+      .otherwise(hostCol)
+  }
+
+  /** Canonical URL for exact dedup: lowercase scheme and host, strip
+    * userinfo, strip the scheme's default port (80/443), strip the
+    * fragment, strip trailing slashes from the path+query remainder.
+    * Query strings are KEPT (different parameters are different
+    * documents; parameter reordering is out of contract). */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val h = host(url)
+    val port = regexp_extract(
+      url, SchemePrefix + "(?:[^/@]*@)?[^/:?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rest = regexp_replace(
+      regexp_extract(url, SchemePrefix + "[^/?#]*([^#]*)", 1), "/+$", "")
+    concat(scheme, lit("://"), h,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), rest)
+  }
+
+  // ---------------- DuckDB twins (generated from the same constants)
+
+  def hostSql(col: String): String =
+    s"lower(regexp_extract($col, '$SchemePrefix(?:[^/@]*@)?([^/:?#]+)', 1))"
+
+  def registeredDomainSql(hostExpr: String): String = {
+    val two = TwoLabel.map(s => s"'$s'").mkString(", ")
+    val one = OneLabel.map(s => s"'$s'").mkString(", ")
+    s"""(SELECT CASE
+       |   WHEN len(l) >= 3 AND l[-2] || '.' || l[-1] IN ($two)
+       |     THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+       |   WHEN len(l) >= 2 AND l[-1] IN ($one)
+       |     THEN l[-2] || '.' || l[-1]
+       |   ELSE h END
+       | FROM (SELECT $hostExpr AS h, string_split($hostExpr, '.') AS l))""".stripMargin
+  }
+
+  def normalizeUrlSql(col: String): String =
+    s"""(SELECT scheme || '://' || h ||
+       |   CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+       |             AND NOT (scheme = 'https' AND port = '443')
+       |        THEN ':' || port ELSE '' END || rest
+       | FROM (SELECT
+       |   lower(regexp_extract($col, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |   ${hostSql(col)} AS h,
+       |   regexp_extract($col, '$SchemePrefix(?:[^/@]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+       |   regexp_replace(regexp_extract($col, '$SchemePrefix[^/?#]*([^#]*)', 1), '/+$$', '') AS rest))""".stripMargin
+}

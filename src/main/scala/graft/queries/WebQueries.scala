@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HtmlExtract, TextChunker, TrainingData, WebDomains}
+
+/** Crawl-side operators over the committed web fixture
+  * (fixtures/web_docs.parquet — doc_id, url, html written by
+  * tools/make_web.py): HTML→text extraction, extraction composed with
+  * chunking, URL-exact dedup after normalization, and domain-aware
+  * mixture rebalancing over registered domains. Every oracle replays
+  * the full contract in DuckDB SQL GENERATED from the same constants
+  * the Column operators use (HtmlExtract.extractSql /
+  * WebDomains.*Sql), so the two sides cannot drift.
+  */
+object WebQueries {
+
+  private val Fixture: String = s"${AnnQueries.FixturesDir}/web_docs.parquet"
+  private val FixtureSql: String = s"read_parquet('$Fixture')"
+
+  /** HTML → text with token accounting: the extraction contract
+    * (script/style/comment drop, block-tag newlines, inline strip,
+    * single-decode entities, whitespace normalization) gated
+    * hash-exactly — one moved stage, one reordered entity, or one
+    * whitespace rule flips the md5. */
+  private val extractHtml: QueryFn = (s, _) => {
+    val text = HtmlExtract.extract(col("html"))
+    s.read.parquet(Fixture).select(
+        col("doc_id"),
+        md5(text).as("text_md5"),
+        length(text).cast("long").as("n_chars"),
+        size(graft.operators.TextAnalysis.tokens(text)).cast("long")
+          .as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val extractHtmlSql: String = {
+    val ex = HtmlExtract.extractSql("html")
+    s"""SELECT doc_id, md5(x) AS text_md5, len(x)::BIGINT AS n_chars,
+       |  len(${TextQueries.tokSqlOf("x")})::BIGINT AS n_tokens
+       |FROM (SELECT doc_id, $ex AS x FROM $FixtureSql)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Extraction composed with overlapping-window chunking — the first
+    * two stages of a crawl-to-training pipeline in one plan (HTML in,
+    * embedder-ready chunks out), both contracts replayed end-to-end. */
+  private val ChunkMax = 8
+  private val ChunkOverlap = 2
+
+  private val extractChunks: QueryFn = (s, _) =>
+    TextChunker.chunk(
+        s.read.parquet(Fixture)
+          .select(col("doc_id"), HtmlExtract.extract(col("html")).as("text")),
+        col("doc_id"), col("text"),
+        maxTokens = ChunkMax, overlap = ChunkOverlap)
+      .orderBy(col("id"), col("chunk_index"))
+
+  private val extractChunksSql: String = {
+    val stride = ChunkMax - ChunkOverlap
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextQueries.splitSqlOf(HtmlExtract.extractSql("html"))} AS t
+       |  FROM $FixtureSql),
+       |shaped AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    (1 + ceil(greatest(0, len(t) - $ChunkMax)::DOUBLE / $stride))::INT AS n_chunks
+       |  FROM toks),
+       |idx AS (
+       |  SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS k FROM shaped)
+       |SELECT doc_id AS id, k::INT AS chunk_index,
+       |  (k * $stride)::INT AS start_token,
+       |  array_to_string(t[k * $stride + 1 : least(k * $stride + $ChunkMax, n)], ' ') AS chunk_text,
+       |  least($ChunkMax, n - k * $stride)::INT AS n_tokens
+       |FROM idx ORDER BY id, chunk_index""".stripMargin
+  }
+
+  /** URL-exact dedup after normalization (the C4/RefinedWeb first
+    * pass): group by the canonical URL, keep the smallest doc_id. The
+    * fixture plants case/port/fragment/trailing-slash variants that
+    * MUST collapse and querystring variants that must NOT. */
+  private val urlExact: QueryFn = (s, _) => {
+    val norm = WebDomains.normalizeUrl(col("url"))
+    s.read.parquet(Fixture)
+      .groupBy(norm.as("norm_url"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("norm_url"))
+  }
+
+  private val urlExactSql: String =
+    s"""SELECT ${WebDomains.normalizeUrlSql("url")} AS norm_url,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM $FixtureSql
+       |GROUP BY 1 ORDER BY norm_url""".stripMargin
+
+  /** Domain-aware mixture rebalancing: registered domains become the
+    * mixture groups (per-domain caps — the standard guard against one
+    * crawl-heavy host dominating a corpus), reusing the purpose-salted
+    * md5 keep rule of pipeline_mixture_sample. Untargeted domains
+    * drop; the oracle recomputes host → registered domain → cap →
+    * rates → bucket rule entirely in SQL. */
+  private val DomainTargets: Map[String, Double] =
+    Map("example.co.uk" -> 0.5, "news.com.au" -> 0.25, "example.com" -> 0.25)
+
+  private val domainMixture: QueryFn = (s, _) => {
+    val dom = WebDomains.registeredDomain(WebDomains.host(col("url")))
+    TrainingData.mixtureSample(
+        s.read.parquet(Fixture).withColumn("domain", dom),
+        col("doc_id"), col("domain"), DomainTargets)
+      .select(col("doc_id"), col("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val domainMixtureSql: String = {
+    val tgt = DomainTargets.toSeq.sortBy(_._1)
+      .map { case (d, t) => s"('$d', $t::DOUBLE)" }.mkString(", ")
+    s"""WITH tgt(domain, target) AS (VALUES $tgt),
+       |docs AS (
+       |  SELECT doc_id,
+       |    ${WebDomains.registeredDomainSql(WebDomains.hostSql("url"))} AS domain
+       |  FROM $FixtureSql),
+       |cnt AS (SELECT domain, count(*)::DOUBLE AS n FROM docs GROUP BY 1),
+       |cap AS (SELECT min(n / target) AS cap FROM cnt JOIN tgt USING (domain)),
+       |rates AS (SELECT domain, least(1.0::DOUBLE, target * cap / n) AS rate
+       |          FROM cnt JOIN tgt USING (domain), cap)
+       |SELECT d.doc_id, d.domain
+       |FROM docs d JOIN rates r USING (domain)
+       |WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+       |        % 1000000
+       |      < floor(r.rate * 1000000)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("text_extract_html", extractHtml, Some(extractHtmlSql)),
+    Q("text_extract_chunks", extractChunks, Some(extractChunksSql)),
+    Q("dedup_url_exact", urlExact, Some(urlExactSql)),
+    Q("pipeline_domain_mixture", domainMixture, Some(domainMixtureSql)),
+  )
+}
