@@ -924,6 +924,46 @@ final class VectorEngine private (val spark: SparkSession,
     asPairs
   }
 
+  /** Cell-occupancy skew of an ivf library: max cell population over
+    * the uniform expectation (n / C). 1.0 = perfectly balanced; C =
+    * everything in one cell. The drift signal for a LIVING corpus:
+    * centroids are trained once, ingest keeps moving — when new data
+    * concentrates in few cells, nprobe search degrades toward a full
+    * scan (hot cells) while paying full model overhead. One
+    * C-row aggregation over the library partition — health checks are
+    * cheap enough to run per ingest batch at any corpus size. */
+  def ivfCellSkew(libraryId: String): Double = {
+    val lib = getLibrary(libraryId)
+    if (lib.index_kind != IndexKindIvf)
+      throw ValidationError(s"library index_kind is ${lib.index_kind}, not $IndexKindIvf")
+    val model = cellModels.getOrElse(libraryId,
+      throw ValidationError("library has no centroid model installed"))
+    val n = chunkCount(libraryId)
+    if (n == 0L) 0.0
+    else {
+      val maxCell = chunks.where(col("library_id") === libraryId)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      maxCell.toDouble * model.size / n
+    }
+  }
+
+  /** Retrain the ivf model ONLY when the occupancy bound trips —
+    * the maintenance loop of a living corpus: check skew (cheap), and
+    * if `maxSkew` is exceeded re-train k-means on the library's
+    * CURRENT chunks and install the new model ([[setIvfCentroids]]
+    * re-derives every stored cell — and re-bases residual PQ codes —
+    * in one projection; the next `save()` persists the new model
+    * version). Returns true iff a retrain happened. */
+  def retrainIvfIndexIfSkewed(libraryId: String, c: Int,
+                              maxSkew: Double = 3.0, iters: Int = 5,
+                              seed: Long = 42L): Boolean = {
+    require(maxSkew >= 1.0, s"maxSkew must be >= 1.0, got $maxSkew")
+    val skew = ivfCellSkew(libraryId)
+    if (skew > maxSkew) { trainIvfIndex(libraryId, c, iters, seed); true }
+    else false
+  }
+
   /** Install the PQ codebooks of a storage="pq" library — index metadata
     * exactly like setIvfCentroids: validated, then the stored codes of
     * everything already ingested are re-derived in one projection (no
@@ -1604,6 +1644,20 @@ final class VectorEngine private (val spark: SparkSession,
     * benchmark shingles broadcast, the library partition scanned once,
     * one partial-aggregated count shuffle. Output:
     * (chunk_id, n_hits), ordered. */
+  /** Corpus datasheet over one library's chunk texts — the release
+    * artifact of [[graft.operators.TrainingData.corpusDatasheet]]
+    * (volume, language mix, dup structure, quality histogram, PII
+    * totals, benchmark contamination) computed on what this engine
+    * actually serves. One row; three scan-shaped passes over the
+    * library partition. */
+  def corpusDatasheet(libraryId: String, benchmark: DataFrame,
+                      benchText: Column): DataFrame = {
+    getLibrary(libraryId)
+    TrainingData.corpusDatasheet(
+      chunks.where(col("library_id") === libraryId).toDF(),
+      col("id"), col("text"), benchmark, benchText)
+  }
+
   def contaminatedChunks(libraryId: String, benchmark: DataFrame,
                          benchText: Column, n: Int = 8): DataFrame = {
     getLibrary(libraryId)

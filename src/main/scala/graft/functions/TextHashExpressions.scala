@@ -71,7 +71,7 @@ object TextHash {
     * this contract existed. ASCII input short-circuits (NFC and the
     * exotic mappings are identity there) — the 100 TB-corpus hot path
     * pays one scan and an in-place lowercase, nothing more. */
-  private[functions] def canonLower(text: String): String = {
+  def canonLower(text: String): String = {
     var i = 0
     var ascii = true
     while (ascii && i < text.length) {
@@ -113,21 +113,80 @@ object TextHash {
     * apart: the DuckDB oracles replay one tokenization contract
     * (`string_split_regex(trim(lower(nfc_normalize(text))), ws+)`),
     * not two. ExpressionEquivalenceSpec pins golden non-ASCII cases
-    * whose expected token arrays were computed BY DuckDB. */
+    * whose expected token arrays were computed BY DuckDB, plus a
+    * generative ASCII property locking the fast path to the regex
+    * semantics below.
+    *
+    * ASCII texts (the 100 TB hot path) take a fused single-pass
+    * scanner — lowercase + trim + split with zero regex work and no
+    * intermediate strings; this measurably beats both the regex path
+    * and the Spark-builtin split/lower composition it replaced. */
   private[functions] def tokenize(text: String): Array[String] = {
-    val lowered = canonLower(text)
-    val trimmed = {
-      var st = 0; var en = lowered.length
-      while (st < en && lowered.charAt(st) == ' ') st += 1
-      while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
-      lowered.substring(st, en)
+    var i = 0
+    var ascii = true
+    while (ascii && i < text.length) {
+      if (text.charAt(i) >= 0x80) ascii = false
+      i += 1
     }
-    // limit -1: KEEP trailing empty fields — Spark SQL split and
-    // DuckDB string_split_regex both do, and the oracles replay their
-    // semantics; Java's default limit 0 silently drops them, which
-    // would desynchronize gram positions (and hashes) from the SQL
-    // twins for whitespace-terminated texts
-    WsPattern.split(trimmed, -1)
+    if (ascii) tokenizeAscii(text)
+    else {
+      val lowered = canonLower(text)
+      val trimmed = {
+        var st = 0; var en = lowered.length
+        while (st < en && lowered.charAt(st) == ' ') st += 1
+        while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+        lowered.substring(st, en)
+      }
+      // limit -1: KEEP trailing empty fields — Spark SQL split and
+      // DuckDB string_split_regex both do, and the oracles replay their
+      // semantics; Java's default limit 0 silently drops them, which
+      // would desynchronize gram positions (and hashes) from the SQL
+      // twins for whitespace-terminated texts
+      WsPattern.split(trimmed, -1)
+    }
+  }
+
+  @inline private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** Fused ASCII path: identical semantics to trim(0x20) +
+    * WsPattern.split(-1) + per-char lowercase, in one scan — including
+    * the regex-split edge behavior (leading/trailing separator runs
+    * yield empty edge fields, an empty input yields [""]). */
+  private def tokenizeAscii(text: String): Array[String] = {
+    var st = 0; var en = text.length
+    while (st < en && text.charAt(st) == ' ') st += 1
+    while (en > st && text.charAt(en - 1) == ' ') en -= 1
+    if (st == en) return Array("")
+    val out = new java.util.ArrayList[String](8)
+    if (isAsciiWs(text.charAt(st))) out.add("")
+    var i = st
+    while (i < en) {
+      while (i < en && isAsciiWs(text.charAt(i))) i += 1
+      if (i == en) out.add("")
+      else {
+        val s0 = i
+        var hasUpper = false
+        while (i < en && !isAsciiWs(text.charAt(i))) {
+          val c = text.charAt(i)
+          if (c >= 'A' && c <= 'Z') hasUpper = true
+          i += 1
+        }
+        if (!hasUpper) out.add(text.substring(s0, i))
+        else {
+          val a = new Array[Char](i - s0)
+          var k = 0
+          while (k < a.length) {
+            val c = text.charAt(s0 + k)
+            a(k) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            k += 1
+          }
+          out.add(new String(a))
+        }
+      }
+    }
+    out.toArray(new Array[String](out.size))
   }
 
   /** Append the space-joined gram toks(i..i+n-1) to `sb` (which may
@@ -183,6 +242,16 @@ object TextHash {
     out
   }
 
+  /** [[tokenize]] packaged for Catalyst (called from TokensExpr's
+    * generated code through the object's static forwarder). */
+  def tokensArrayData(s: UTF8String): ArrayData = {
+    val toks = tokenize(s.toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def tokensCol(text: Column): Column =
     ColumnBridge.column(TokensExpr(ColumnBridge.expression(text)))
 
@@ -203,9 +272,15 @@ object TextHash {
   * a Column so EVERY Spark-side consumer (TextAnalysis.tokens → lang-ID,
   * quality, BM25, BPE, token counts) tokenizes through the one pinned
   * kernel instead of a parallel `split(trim(lower(text)))` composition
-  * whose Unicode semantics Spark, not this engine, would define. */
-case class TokensExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  * whose Unicode semantics Spark, not this engine, would define.
+  *
+  * Unlike its CodegenFallback siblings (whose per-row virtual call is
+  * noise next to the per-ELEMENT interpretation they replaced), this
+  * one replaced a fully-codegen'd builtin chain on the hottest text
+  * path, so it carries real codegen: one static call into the shared
+  * kernel, keeping the surrounding projection inside whole-stage
+  * codegen. */
+case class TokensExpr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "canon_tokens"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -216,13 +291,15 @@ case class TokensExpr(child: Expression)
       s"$prettyName expects a string input, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = TextHash.tokenize(input.asInstanceOf[UTF8String].toString)
-    val out = new Array[Any](toks.length)
-    var i = 0
-    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHash.tokensArrayData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.tokensArrayData($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -43,10 +43,18 @@ object Lexical {
     * @return (idCol, score) for EVERY document (docs matching no term
     *         score 0.0) — callers rank/limit on top
     */
-  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           rawTerms: Seq[String],
            k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    // query terms pass through the SAME pinned case/NFC contract the
+    // corpus was tokenized under (TextHash.canonLower): a caller's
+    // "İstanbul" must match the indexed token "istanbul" — without this
+    // the query side would silently use a different Unicode mapping
+    // than the corpus side
+    val terms = rawTerms.map(graft.functions.TextHash.canonLower)
     require(terms.nonEmpty, "need at least one BM25 query term")
-    require(terms.distinct.size == terms.size, "duplicate BM25 query terms")
+    require(terms.distinct.size == terms.size,
+      "duplicate BM25 query terms (after canonicalization)")
     val spark = df.sparkSession
     // lens is O(corpus) wide-as-two-columns and consumed twice (the stats
     // aggregate + the final join): RECOMPUTED, not materialized — a
@@ -112,15 +120,19 @@ object Lexical {
     * @return (query_id, idCol, score) for every (query, document) pair
     */
   def bm25Batch(df: DataFrame, idCol: String, textCol: String,
-                queries: Seq[(Long, Seq[String])],
+                rawQueries: Seq[(Long, Seq[String])],
                 k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    // same query-side canonicalization contract as [[bm25]]
+    val queries = rawQueries.map { case (qid, ts) =>
+      qid -> ts.map(graft.functions.TextHash.canonLower)
+    }
     require(queries.nonEmpty, "need at least one BM25 query")
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate BM25 query ids")
     queries.foreach { case (qid, terms) =>
       require(terms.nonEmpty, s"query $qid needs at least one BM25 term")
       require(terms.distinct.size == terms.size,
-        s"query $qid has duplicate BM25 terms")
+        s"query $qid has duplicate BM25 terms (after canonicalization)")
     }
     val spark = df.sparkSession
     val allTerms = queries.flatMap(_._2).distinct
@@ -145,27 +157,46 @@ object Lexical {
       BigDecimal(math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val termIdx = allTerms.zipWithIndex.toMap
-    val tfAggs = allTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+    // The per-(query, doc) scoring projection is WIDTH-bounded: one
+    // pivot column per union term plus one struct per query, all in a
+    // single generated class — thousands of queries in one projection
+    // would trip Janino's 64KB-method/constant-pool limits and fall
+    // back to slow interpreted evaluation. So the batch is scored in
+    // groups of <= Bm25ProjectionBatch queries (each group pivoting
+    // only ITS terms), unioned — while the expensive work above (the
+    // corpus tokenize, the tf aggregation, the df collect) stays ONE
+    // shared pass regardless of batch size.
+    val frames = queries.grouped(Bm25ProjectionBatch).map { qchunk =>
+      val chunkTerms = qchunk.flatMap(_._2).distinct
+      val termIdx = chunkTerms.zipWithIndex.toMap
+      val tfAggs = chunkTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf"))).as(s"tf$i")
+      }
+      val piv = tf.where(col("term").isin(chunkTerms: _*))
+        .groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+      def termScore(t: String): Column = {
+        val i = termIdx(t)
+        coalesce(lit(idf(t)) * col(s"tf$i") /
+          (col(s"tf$i") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * col("len") / lit(avgLen))), lit(0.0d))
+      }
+      val qStructs = qchunk.map { case (qid, terms) =>
+        struct(lit(qid).as("query_id"),
+          (round(terms.map(termScore).reduceLeft(_ + _), 6) + lit(0.0d))
+            .as("score"))
+      }
+      lens.join(piv, Seq(idCol), "left")
+        .select(col(idCol), explode(array(qStructs: _*)).as("__q"))
+        .select(col("__q.query_id").as("query_id"), col(idCol),
+          col("__q.score").as("score"))
     }
-    val piv = tf.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
-    def termScore(t: String): Column = {
-      val i = termIdx(t)
-      coalesce(lit(idf(t)) * col(s"tf$i") /
-        (col(s"tf$i") + lit(k1) * (lit(1.0) - lit(b)
-          + lit(b) * col("len") / lit(avgLen))), lit(0.0d))
-    }
-    val qStructs = queries.map { case (qid, terms) =>
-      struct(lit(qid).as("query_id"),
-        (round(terms.map(termScore).reduceLeft(_ + _), 6) + lit(0.0d))
-          .as("score"))
-    }
-    lens.join(piv, Seq(idCol), "left")
-      .select(col(idCol), explode(array(qStructs: _*)).as("__q"))
-      .select(col("__q.query_id").as("query_id"), col(idCol),
-        col("__q.score").as("score"))
+    frames.reduceLeft(_ unionAll _)
   }
+
+  /** Queries per scoring projection in [[bm25Batch]] — sized so the
+    * generated code (pivot columns + score structs) stays far inside
+    * Janino's method/constant-pool limits. */
+  val Bm25ProjectionBatch = 100
 
   /** Per-group twin of [[topRanks]]: top-`n` rows of each group via the
     * salted two-phase window ([[graft.operators.TopK.perGroup]] — no

@@ -51,6 +51,34 @@ object TextAnalysis {
     }
   }
 
+  /** Script ranges for the non-Latin half of language ID — ORDERED
+    * (first present wins): kana before the CJK ideograph block because
+    * Japanese text mixes both, Hangul/ideographs/Cyrillic/Arabic/
+    * Devanagari/Greek by presence. The same class strings run in Java
+    * regex (Spark) and RE2 (DuckDB) — `\x{...}` ranges mean the same
+    * thing in both — so the oracle replays the decision verbatim. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "ja" -> "[\\x{3040}-\\x{30FF}]",
+    "ko" -> "[\\x{AC00}-\\x{D7AF}]",
+    "zh" -> "[\\x{4E00}-\\x{9FFF}]",
+    "ru" -> "[\\x{0400}-\\x{04FF}]",
+    "ar" -> "[\\x{0600}-\\x{06FF}]",
+    "hi" -> "[\\x{0900}-\\x{097F}]",
+    "el" -> "[\\x{0370}-\\x{03FF}]",
+  )
+
+  /** Script-aware language ID: non-Latin scripts decide by presence
+    * (a Unicode code-point range match — stopword lists cannot see
+    * CJK/Cyrillic/Arabic text at all and would call everything by the
+    * Latin fallback); Latin-script text falls through to the
+    * stopword-profile argmax ([[predictedLang]]). A deterministic
+    * heuristic, not a model: mixed-script documents resolve by the
+    * declared range order. */
+  def predictedLangScript(text: Column, toks: Column): Column =
+    ScriptRanges.foldRight(predictedLang(toks)) { case ((code, cls), rest) =>
+      when(regexp_count(text, lit(cls)) > 0, lit(code)).otherwise(rest)
+    }
+
   /** Ratio of stopword tokens (quality signal: natural text has some;
     * keyword soup and boilerplate sit at the extremes). */
   def stopwordRatio(toks: Column): Column =

@@ -656,4 +656,78 @@ object TrainingData {
         frac(lit(1.0d) - col("n_distinct").cast("double") / col("total"))
           .as("dup_ngram_frac"))
   }
+
+  /** Corpus datasheet — the release artifact a training-data pipeline
+    * ships with its freeze (Datasheets for Datasets, Gebru et al.
+    * 2018): ONE row summarizing the corpus. Columns:
+    *
+    *   - `n_docs`, `n_tokens`, `n_chars` — volume
+    *   - `n_unique_texts` — distinct content digests (exact-dup rate =
+    *     1 − unique/docs, left to the reader as integers hash cleaner
+    *     than ratios)
+    *   - `lang_<code>` — stopword-profile language distribution
+    *   - `q_lo / q_mid / q_hi / q_top` — quality-score histogram over
+    *     [0,.25) [.25,.5) [.5,.75) [.75,∞) (bin compares run on the
+    *     SAME doubles both engines compute, so no boundary rounding)
+    *   - `pii_url / pii_email / pii_ipv4 / pii_phone` — total PII
+    *     matches under the ordered sequential-redaction counting
+    *     semantics of [[TextAnalysis.redactPii]]
+    *   - `near_dup_pairs` — confirmed near-duplicate pairs at the
+    *     standard trigram-Jaccard parameters
+    *   - `contaminated_docs` — documents sharing ≥ 1 hashed 4-gram
+    *     with the benchmark frame
+    *
+    * Scale shape: the volume/lang/quality/PII block is ONE scan and one
+    * aggregation; the dedup and contamination blocks reuse the banded /
+    * broadcast plans of their standalone operators (never all-pairs);
+    * the three one-row frames cross-join at the end — three scans
+    * total, each scan-shaped at 100 TB. */
+  def corpusDatasheet(df: DataFrame, id: Column, text: Column,
+                      benchmark: DataFrame, benchText: Column,
+                      nearDupThreshold: Double = 0.5): DataFrame = {
+    import TextAnalysis._
+    val base = df.select(id.as("__id"), text.as("__text"))
+    val t = TextAnalysis.tokens(col("__text"))
+    val q = when(size(t) > 0, qualityScore(t)).otherwise(lit(0.0d))
+    val piiCols = {
+      var state: Column = col("__text")
+      PiiPatterns.map { case (name, pat, repl) =>
+        val c = regexp_count(state, lit(pat)).as(s"__pii_$name")
+        state = regexp_replace(state, pat, repl)
+        c
+      }
+    }
+    val perDoc = base.select(Seq(
+      md5(col("__text")).as("__digest"),
+      size(t).cast("long").as("__ntok"),
+      length(col("__text")).cast("long").as("__nchar"),
+      predictedLang(t).as("__lang"),
+      q.as("__q")) ++ piiCols: _*)
+    val langCols = LangProfiles.map { case (code, _) =>
+      sum(when(col("__lang") === code, 1L).otherwise(0L)).as(s"lang_$code")
+    }
+    val piiSums = PiiPatterns.map { case (name, _, _) =>
+      sum(col(s"__pii_$name")).as(s"pii_$name")
+    }
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (Seq(
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nchar")).as("n_chars"),
+        countDistinct(col("__digest")).as("n_unique_texts"),
+        sum(when(col("__q") < 0.25, 1L).otherwise(0L)).as("q_lo"),
+        sum(when(col("__q") >= 0.25 && col("__q") < 0.5, 1L).otherwise(0L))
+          .as("q_mid"),
+        sum(when(col("__q") >= 0.5 && col("__q") < 0.75, 1L).otherwise(0L))
+          .as("q_hi"),
+        sum(when(col("__q") >= 0.75, 1L).otherwise(0L)).as("q_top"))
+        ++ langCols ++ piiSums): _*)
+    val nearDups = NearDup.nearDupPairs(df, id, text, n = 3, numHashes = 16,
+        rowsPerBand = 2, threshold = nearDupThreshold)
+      .agg(count(lit(1)).as("near_dup_pairs"))
+    val contaminated = contaminationHits(df, id, text, benchmark, benchText,
+        n = 4)
+      .agg(count(lit(1)).as("contaminated_docs"))
+    stats.crossJoin(nearDups).crossJoin(contaminated)
+  }
 }

@@ -196,6 +196,48 @@ object EngineQueries {
     eng2.search(lib, queryVec(s, dir), k = 10)
   }
 
+  /** IVF maintenance at the model level: a REOPENED ivf library gets a
+    * NEW centroid model installed (the retrain path of
+    * `retrainIvfIndexIfSkewed`, with the model pinned to a
+    * deterministic transform — the NEGATED fixture — so the oracle can
+    * replay it; k-means quality itself is spec-gated by IvfSpec).
+    * Gates what a retrain must preserve: every stored cell re-derived
+    * under the new model in one projection, probe selection and the
+    * `< k` fallback running against the NEW cells, search results
+    * exact over the reassigned index. */
+  private val ivfRetrained: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindIvf, deleteDoc7 = false)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.setIvfCentroids(lib,
+      AnnQueries.fixtureCentroids(s).map(c => c.id -> c.vec.map(x => -x).toSeq))
+    eng2.search(lib, queryVec(s, dir), k = 10)
+  }
+
+  private val ivfRetrainedSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
+    s"""WITH c AS (SELECT cid, list_transform(cv::DOUBLE[], x -> -x) AS cv
+       |           FROM ${AnnQueries.FixtureSql}),
+       |e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT e.chunk_id, e.v, c.cid,
+       |        row_number() OVER (PARTITION BY e.chunk_id
+       |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |      FROM e, c),
+       |cell AS (SELECT chunk_id, v, cid FROM a WHERE rn = 1),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT ${VectorEngine.DefaultIvfNProbe}),
+       |cand AS (SELECT cell.chunk_id, cell.v, q.qv FROM cell, q
+       |         WHERE cid IN (SELECT cid FROM probe)),
+       |base AS (
+       |  SELECT chunk_id, v, qv FROM cand WHERE (SELECT count(*) FROM cand) >= 10
+       |  UNION ALL
+       |  SELECT cell.chunk_id, cell.v, q.qv FROM cell, q
+       |  WHERE (SELECT count(*) FROM cand) < 10
+       |)
+       |SELECT chunk_id, round($cos, 6) + 0 AS distance
+       |FROM base ORDER BY distance, chunk_id LIMIT 10""".stripMargin
+  }
+
   private val ivfPersistedSql: String = {
     val cos = VectorSearchQueries.distSql("cosine", "v", "qv")
     s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.FixtureSql}),
@@ -568,33 +610,47 @@ object EngineQueries {
   // unaffected: the oracle predicts the final library contents either
   // way, and the e2e pipeline itself is exercised by the build plus
   // the EngineSpec composition test.
+  // Keyed by dir with the owning session alongside the VALUE (not in
+  // the key): an engine is session-bound, so a (session, dir) KEY
+  // would strongly retain every stopped session's engine for the JVM
+  // lifetime — the exact hazard bpeMergeCache's dir-only key avoids.
+  // A call from a NEWER session replaces (and so releases) the stale
+  // entry instead of accumulating beside it.
   private val curatedEngines = scala.collection.mutable.HashMap[
-    (SparkSession, String), VectorEngine]()
+    String, (SparkSession, VectorEngine)]()
 
   private val curateIngest: QueryFn = (s, dir) => {
     val eng = curatedEngines.synchronized {
-      curatedEngines.getOrElseUpdate((s, dir), {
-        val docs = table(s, dir, "documents")
-        val e = VectorEngine.create(s)
-        val lib = e.createLibrary("curated", dim = 4,
-          indexKind = VectorEngine.IndexKindLsh, id = Some("curlib"))
-        val doc = e.createDocument(lib.id, "crawl-batch")
-        e.curateAndIngest(lib.id, doc.id,
-          docs.where(col("source") =!= "src0"), col("doc_id"), col("text"),
-          embed = df => df.withColumn("embedding", array((1 to 4).map(i =>
-            (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
-              / 1000.0 - 1.0).cast("float")): _*)),
-          benchmark = docs.where(col("source") === "src0"),
-          benchText = col("text"),
-          maxTokens = CurateMax, overlap = CurateOverlap,
-          qualityMin = CurateQualityMin, maxDupNgramFrac = CurateMaxDup,
-          n = 4, threshold = 0.0)
-        e
-      })
+      curatedEngines.get(dir) match {
+        case Some((owner, e)) if owner eq s => e
+        case _ =>
+          val e = buildCuratedEngine(s, dir)
+          curatedEngines(dir) = (s, e)
+          e
+      }
     }
     eng.chunksDf.where(col("library_id") === "curlib")
       .select(col("id").as("chunk_id"), col("chunk_index"), col("text"))
       .orderBy(col("chunk_id"))
+  }
+
+  private def buildCuratedEngine(s: SparkSession, dir: String): VectorEngine = {
+    val docs = table(s, dir, "documents")
+    val e = VectorEngine.create(s)
+    val lib = e.createLibrary("curated", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh, id = Some("curlib"))
+    val doc = e.createDocument(lib.id, "crawl-batch")
+    e.curateAndIngest(lib.id, doc.id,
+      docs.where(col("source") =!= "src0"), col("doc_id"), col("text"),
+      embed = df => df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*)),
+      benchmark = docs.where(col("source") === "src0"),
+      benchText = col("text"),
+      maxTokens = CurateMax, overlap = CurateOverlap,
+      qualityMin = CurateQualityMin, maxDupNgramFrac = CurateMaxDup,
+      n = 4, threshold = 0.0)
+    e
   }
 
   private val curateIngestSql: String = {
@@ -656,6 +712,7 @@ object EngineQueries {
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
     Q("lifecycle_ivf_persisted", ivfPersisted, Some(ivfPersistedSql)),
+    Q("lifecycle_ivf_retrain", ivfRetrained, Some(ivfRetrainedSql)),
     Q("lifecycle_ivf_sq8_persisted", ivfSq8Persisted("cosine"),
       Some(ivfSq8PersistedSql("cosine"))),
     Q("lifecycle_ivf_sq8_euclidean", ivfSq8Persisted("euclidean"),

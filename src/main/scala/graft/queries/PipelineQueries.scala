@@ -624,7 +624,72 @@ object PipelineQueries {
        |SELECT 'd' || c.doc_id AS chunk_id, count(*) AS n_hits
        |FROM c JOIN b USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The corpus datasheet — one row summarizing the training corpus
+    * (volume, language mix, exact/near-dup structure, quality
+    * histogram, PII totals, benchmark contamination), corpus = the
+    * non-eval sources, benchmark = src0 (the decontaminate
+    * convention). The oracle replays every panel in one SQL statement:
+    * the shared tokenize/quality/lang/PII fragments, an all-pairs
+    * trigram-Jaccard near-dup count (the oracle may go all-pairs; the
+    * operator must not), and the hashed-4-gram contamination join. */
+  private val datasheet: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    TrainingData.corpusDatasheet(
+      docs.where(col("source") =!= "src0"), col("doc_id"), col("text"),
+      docs.where(col("source") === "src0"), col("text"))
+  }
+
+  private val datasheetSql: String = {
+    val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val langCounts = TextAnalysis.LangProfiles.map { case (code, _) =>
+      s"sum(CASE WHEN lang = '$code' THEN 1 ELSE 0 END)::BIGINT AS lang_$code"
+    }.mkString(",\n       |  ")
+    var piiState = "text"
+    val piiCols = TextAnalysis.PiiPatterns.map { case (name, pat, repl) =>
+      val c = s"len(regexp_extract_all($piiState, '$pat'))::BIGINT AS pii_$name"
+      piiState = s"regexp_replace($piiState, '$pat', '$repl', 'g')"
+      c
+    }.mkString(",\n       |    ")
+    val piiSums = TextAnalysis.PiiPatterns.map { case (name, _, _) =>
+      s"sum(pii_$name)::BIGINT AS pii_$name"
+    }.mkString(", ")
+    val corpusRel = "(SELECT doc_id, text FROM documents WHERE source <> 'src0')"
+    s"""WITH per AS (
+       |  SELECT doc_id, md5(text) AS dg, len(t)::BIGINT AS ntok,
+       |    len(text)::BIGINT AS nchar,
+       |    ${TextQueries.langCaseSql} AS lang,
+       |    CASE WHEN len(t) > 0 THEN
+       |      0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
+       |      0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
+       |      0.3 * least(len(t)::DOUBLE / 100.0, 1.0)
+       |    ELSE 0.0 END AS q,
+       |    $piiCols
+       |  FROM (SELECT doc_id, text, ${TextQueries.tokSql} AS t
+       |        FROM documents WHERE source <> 'src0')),
+       |base AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+       |    sum(nchar)::BIGINT AS n_chars,
+       |    count(DISTINCT dg)::BIGINT AS n_unique_texts,
+       |    sum(CASE WHEN q < 0.25 THEN 1 ELSE 0 END)::BIGINT AS q_lo,
+       |    sum(CASE WHEN q >= 0.25 AND q < 0.5 THEN 1 ELSE 0 END)::BIGINT AS q_mid,
+       |    sum(CASE WHEN q >= 0.5 AND q < 0.75 THEN 1 ELSE 0 END)::BIGINT AS q_hi,
+       |    sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END)::BIGINT AS q_top,
+       |  $langCounts,
+       |    $piiSums
+       |  FROM per),
+       |${DedupQueries.jaccardPairsFrom(corpusRel)},
+       |nd AS (SELECT count(*)::BIGINT AS near_dup_pairs FROM p WHERE j >= 0.5),
+       |g AS ($hashedGram4Sets),
+       |bench AS (SELECT DISTINCT unnest(hsh) AS h FROM g WHERE source = 'src0'),
+       |corp AS (SELECT doc_id, unnest(hsh) AS h FROM g WHERE source <> 'src0'),
+       |cont AS (SELECT count(*)::BIGINT AS contaminated_docs FROM
+       |  (SELECT DISTINCT doc_id FROM corp JOIN bench USING (h)))
+       |SELECT base.*, nd.near_dup_pairs, cont.contaminated_docs
+       |FROM base, nd, cont""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("pipeline_datasheet", datasheet, Some(datasheetSql)),
     Q("pipeline_training_set", trainingSet, Some(trainingSetSql)),
     Q("lifecycle_decontaminate", lifecycleDecontaminate,
       Some(lifecycleDecontaminateSql)),

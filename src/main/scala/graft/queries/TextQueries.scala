@@ -103,7 +103,7 @@ object TextQueries {
 
   /** DuckDB twin of predictedLang over a token list `t` — generated from
     * the SAME LangProfiles the Column operator uses. */
-  private def langCaseSql: String = {
+  private[queries] def langCaseSql: String = {
     def score(words: Seq[String]) =
       s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
     val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
@@ -548,7 +548,32 @@ object TextQueries {
        |      FROM read_parquet('${AnnQueries.FixturesDir}/unicode_docs.parquet'))
        |ORDER BY doc_id""".stripMargin
 
+  /** Script-aware language ID over the multilingual fixture: the
+    * non-Latin scripts (CJK/kana/Hangul/Cyrillic/Arabic/Devanagari/
+    * Greek) decide by code-point-range presence, Latin text falls back
+    * to the stopword argmax — the oracle replays the exact ordered
+    * decision chain, both generated from TextAnalysis.ScriptRanges. */
+  private val langIdScript: QueryFn = (s, _) =>
+    s.read.parquet(s"${AnnQueries.FixturesDir}/unicode_docs.parquet").select(
+        col("doc_id"),
+        predictedLangScript(col("text"), tokens(col("text")))
+          .as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  private val langIdScriptSql: String = {
+    val whens = ScriptRanges.map { case (code, cls) =>
+      s"WHEN len(regexp_extract_all(text, '$cls')) > 0 THEN '$code'"
+    }.mkString("\n       |    ")
+    s"""SELECT doc_id,
+       |  CASE $whens
+       |    ELSE $langCaseSql END AS predicted_lang
+       |FROM (SELECT doc_id, text, $tokSql AS t
+       |      FROM read_parquet('${AnnQueries.FixturesDir}/unicode_docs.parquet'))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("text_langid_script", langIdScript, Some(langIdScriptSql)),
     Q("text_tokens_unicode", unicodeTokens, Some(unicodeTokensSql)),
     Q("text_redact_pii", redactPiiQ, Some(redactPiiSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),

@@ -1345,6 +1345,74 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf maintenance: cell-skew health check trips on drifted ingest, " +
+    "conditional retrain rebalances and restores search quality, " +
+    "balanced libraries are left alone") {
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("drifty", dim = 4, indexKind = VectorEngine.IndexKindIvf)
+    val doc = e.createDocument(lib.id, "doc")
+    // model trained "yesterday": 4 centroids spread over the axes, but
+    // the corpus that then arrives is concentrated near ONE axis — the
+    // classic living-corpus drift (topic shift, new source)
+    e.addChunksBatch(doc.id, (0 until 12).map { i =>
+      val v = vec(1f, 0.01f * i, 0, 0)
+      ChunkInput(s"t$i", v, Map.empty, i, Some(s"c$i"))
+    })
+    e.setIvfCentroids(lib.id, Seq(
+      0L -> vec(1, 0, 0, 0), 1L -> vec(0, 1, 0, 0),
+      2L -> vec(0, 0, 1, 0), 3L -> vec(0, 0, 0, 1)))
+    // every chunk in cell 0: skew = 12 * 4 / 12 = 4
+    assert(math.abs(e.ivfCellSkew(lib.id) - 4.0) < 1e-9)
+    // bound not tripped at maxSkew=4 (skew must EXCEED), tripped at 3
+    assert(!e.retrainIvfIndexIfSkewed(lib.id, c = 4, maxSkew = 4.0))
+    assert(e.retrainIvfIndexIfSkewed(lib.id, c = 4, maxSkew = 3.0))
+    // retrained on the actual corpus: occupancy rebalances
+    val after = e.ivfCellSkew(lib.id)
+    assert(after < 4.0, s"skew after retrain: $after")
+    // search still exact for a known vector through the new cells
+    assert(e.search(lib.id, vec(1f, 0.05f, 0, 0), k = 1).collect()
+      .head.getString(0) == "c5")
+    // second maintenance pass: bound no longer tripped
+    assert(!e.retrainIvfIndexIfSkewed(lib.id, c = 4, maxSkew = 3.0))
+    // guards
+    intercept[ValidationError] { e.ivfCellSkew(e.createLibrary("f", dim = 4).id) }
+    val untrained = e.createLibrary("u", dim = 4, indexKind = VectorEngine.IndexKindIvf)
+    intercept[ValidationError] { e.ivfCellSkew(untrained.id) }
+  }
+
+  test("corpusDatasheet: one-row release artifact over a library's chunks " +
+    "— volume, dup structure, quality bins, PII and contamination totals") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("sheet", dim = 4)
+    val doc = e.createDocument(lib.id, "doc")
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("the quick brown fox jumps over the lazy dog",
+        vec(1, 0, 0, 0), Map.empty, 0, Some("d0")),
+      ChunkInput("the quick brown fox jumps over the lazy dog",  // exact dup
+        vec(1, 0, 0, 0), Map.empty, 1, Some("d1")),
+      ChunkInput("contact me at alice@example.com for the secret eval answer",
+        vec(0, 1, 0, 0), Map.empty, 2, Some("d2")),
+      ChunkInput("entirely organic unrelated content here today",
+        vec(0, 0, 1, 0), Map.empty, 3, Some("d3"))))
+    val bench = Seq("the secret eval answer key").toDF("text")
+    val row = e.corpusDatasheet(lib.id, bench, col("text")).collect()(0)
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_unique_texts") == 3L)       // d0 == d1
+    assert(row.getAs[Long]("pii_email") == 1L)            // d2
+    assert(row.getAs[Long]("contaminated_docs") == 1L)    // d2 shares 4-grams
+    assert(row.getAs[Long]("near_dup_pairs") >= 1L)       // (d0, d1)
+    val langs = Seq("en", "de", "es", "fr")
+      .map(c => row.getAs[Long](s"lang_$c")).sum
+    assert(langs == 4L)                                   // every doc labeled
+    assert(Seq("q_lo", "q_mid", "q_hi", "q_top")
+      .map(c => row.getAs[Long](c)).sum == 4L)            // bins partition
+    intercept[NotFoundError] {
+      e.corpusDatasheet("nope", bench, col("text"))
+    }
+  }
+
   private object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString

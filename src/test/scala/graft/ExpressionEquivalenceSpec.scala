@@ -202,6 +202,30 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("fused ASCII tokenizer == the regex-split contract (generative: " +
+    "random whitespace-run/edge/case shapes)") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "aAzZ09 .!\t\n\u000B\f\r "
+    val samples = (0 until 400).map { _ =>
+      (0 until rng.nextInt(24))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }.distinct
+    // reference: the contract stated in SQL terms — lowercase, trim
+    // ASCII spaces, regex-split on the explicit class keeping empties
+    def ref(s: String): Seq[String] = {
+      val lowered = s.toLowerCase(java.util.Locale.ROOT)
+      val t = lowered.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      t.split("[\\t\\n\\u000B\\f\\r ]+", -1).toSeq
+    }
+    val got = samples.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "text")
+      .select(col("i"), graft.functions.TextHash.tokensCol(col("text")).as("t"))
+      .as[(Int, Seq[String])].collect().toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) == ref(s), s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("analysis tokens and n-gram kernels share the tokenization on " +
     "non-ASCII input (one contract, not two)") {
     val df = goldenTokens.map(_._1).zipWithIndex

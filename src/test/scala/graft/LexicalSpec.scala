@@ -116,6 +116,50 @@ class LexicalSpec extends AnyFunSuite {
       queries).count() == 0)
   }
 
+  test("query terms canonicalize through the pinned Unicode contract: " +
+    "a dotted-I / NFD / uppercase-ẞ query matches the indexed tokens") {
+    import spark.implicits._
+    val uni = Seq(
+      ("a", "İSTANBUL GROẞE café"),            // what the crawl contained
+      ("b", "unrelated words entirely here")).toDF("id", "text")
+    // raw query terms in three different representations of the same
+    // canonical tokens (NFD café included via decomposed composition)
+    val scores = Lexical.bm25(uni, "id", "text",
+        Seq("İstanbul", "GROẞE", "café"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("a") > 0.0, "canonicalized terms must match")
+    assert(scores("b") == 0.0)
+    // canonicalization can MAKE duplicates — loud, not silent
+    intercept[IllegalArgumentException] {
+      Lexical.bm25(uni, "id", "text", Seq("İstanbul", "istanbul"))
+    }
+  }
+
+  test("bm25Batch crossing the projection-chunk boundary scores " +
+    "identically to the single-projection path (one stats pass, " +
+    "bounded generated code)") {
+    // more queries than Bm25ProjectionBatch => at least two scoring
+    // projections unioned behind ONE tokenize/tf/df pass
+    val n = Lexical.Bm25ProjectionBatch + 7
+    val vocab = Seq("spark", "data", "gardens", "cluster", "quiet",
+      "jobs", "grow", "city")
+    val queries = (1 to n).map(i =>
+      i.toLong -> Seq(vocab(i % vocab.size), vocab((i + 3) % vocab.size)))
+    val batch = Lexical.bm25Batch(corpus, "id", "text", queries)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // sample queries from the first chunk, the boundary, and the tail
+    for (qid <- Seq(1L, Lexical.Bm25ProjectionBatch.toLong,
+        Lexical.Bm25ProjectionBatch + 1L, n.toLong)) {
+      val terms = queries(qid.toInt - 1)._2
+      val single = Lexical.bm25(corpus, "id", "text", terms)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      single.foreach { case (id, sc) =>
+        assert(batch((qid, id)) == sc, s"query $qid doc $id")
+      }
+    }
+  }
+
   test("hybridRrfBatch fuses each group exactly like per-query hybridRrf") {
     val lex = Seq((1L, "a", 5.0), (1L, "b", 4.0), (1L, "c", 3.0),
       (2L, "b", 9.0), (2L, "d", 1.0))

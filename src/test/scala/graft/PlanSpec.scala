@@ -60,6 +60,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode") || p.contains("Generate posexplode"), p)
   }
 
+  test("text_extract_html: extraction is a pure projection — the regex " +
+    "stage chain never shuffles, joins, or aggregates") {
+    val p = plan("text_extract_html")
+    // exactly the one exchange the deterministic ORDER BY adds
+    assert(p.split("Exchange").length - 1 == 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("dedup_url_exact: URL-exact dedup is ONE partial-aggregated " +
+    "shuffle on the normalized key (content-exact dedup's shape)") {
+    val p = plan("dedup_url_exact")
+    assert(!p.contains("Join"), p)
+    // map-side partial + final aggregate
+    assert(p.split("HashAggregate").length - 1 >= 2, p)
+  }
+
+  test("pipeline_domain_mixture: the corpus is scanned, never " +
+    "repartitioned — rates arrive by broadcast") {
+    val p = plan("pipeline_domain_mixture")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline_datasheet: no all-pairs anywhere — the dedup panel is " +
+    "band-blocked and the contamination panel broadcast, like their " +
+    "standalone operators") {
+    val p = plan("pipeline_datasheet")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the three 1-row panel cross-joins
+    // at the very top (1 x 1 x 1 rows — free); the heavy sides stay
+    // hash-partitioned equi-joins
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
+  }
+
   test("dedup_near_pairs: band join is a hash equi-join, not a nested loop") {
     val p = plan("dedup_near_pairs")
     assert(!p.contains("CartesianProduct"))
