@@ -39,13 +39,21 @@ object HtmlExtract {
     "p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|thead|tbody|blockquote|" +
       "section|article|header|footer|main|nav|aside|pre|title|form|hr"
 
+  /** A tag NAME must end here: '>' immediately, or an attribute/self-
+    * close section opened by whitespace or '/'. Without this anchor the
+    * block alternation would PREFIX-match unrelated tags ('<progress>'
+    * matching block tag 'p' and injecting a paragraph break
+    * mid-sentence). Explicit whitespace chars, not \s — Java and RE2
+    * disagree on \s. */
+  private val TagEnd = "(>|[ \\t\\n\\r/][^>]*>)"
+
   /** Ordered regex stages (pattern, replacement). Replacements are
     * limited to "", " ", "\n" so the SQL generator can map them. */
   val Stages: Seq[(String, String)] = Seq(
-    ("(?is)<script[^>]*>.*?</script>", " "),
-    ("(?is)<style[^>]*>.*?</style>", " "),
+    (s"(?is)<script$TagEnd.*?</script>", " "),
+    (s"(?is)<style$TagEnd.*?</style>", " "),
     ("(?s)<!--.*?-->", " "),
-    (s"(?i)</?($BlockTags)[^>]*>", "\n"),
+    (s"(?i)</?($BlockTags)$TagEnd", "\n"),
     ("<[^>]*>", ""),
   )
 

@@ -686,7 +686,9 @@ object TrainingData {
                       benchmark: DataFrame, benchText: Column,
                       nearDupThreshold: Double = 0.5): DataFrame = {
     import TextAnalysis._
-    val base = df.select(id.as("__id"), text.as("__text"))
+    // id feeds the dedup/contamination panels below; the stats panel is
+    // id-free by construction
+    val base = df.select(text.as("__text"))
     val t = TextAnalysis.tokens(col("__text"))
     val q = when(size(t) > 0, qualityScore(t)).otherwise(lit(0.0d))
     val piiCols = {
@@ -701,11 +703,15 @@ object TrainingData {
       md5(col("__text")).as("__digest"),
       size(t).cast("long").as("__ntok"),
       length(col("__text")).cast("long").as("__nchar"),
-      predictedLang(t).as("__lang"),
+      // SCRIPT-aware: the Latin-stopword argmax alone would label every
+      // CJK/Cyrillic/Arabic document with the Latin fallback — exactly
+      // wrong in the release artifact of a multilingual corpus
+      predictedLangScript(col("__text"), t).as("__lang"),
       q.as("__q")) ++ piiCols: _*)
-    val langCols = LangProfiles.map { case (code, _) =>
-      sum(when(col("__lang") === code, 1L).otherwise(0L)).as(s"lang_$code")
-    }
+    val langCols =
+      (ScriptRanges.map(_._1) ++ LangProfiles.map(_._1)).map { code =>
+        sum(when(col("__lang") === code, 1L).otherwise(0L)).as(s"lang_$code")
+      }
     val piiSums = PiiPatterns.map { case (name, _, _) =>
       sum(col(s"__pii_$name")).as(s"pii_$name")
     }

@@ -641,9 +641,14 @@ object PipelineQueries {
 
   private val datasheetSql: String = {
     val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
-    val langCounts = TextAnalysis.LangProfiles.map { case (code, _) =>
-      s"sum(CASE WHEN lang = '$code' THEN 1 ELSE 0 END)::BIGINT AS lang_$code"
-    }.mkString(",\n       |  ")
+    val langCounts =
+      (TextAnalysis.ScriptRanges.map(_._1) ++
+        TextAnalysis.LangProfiles.map(_._1)).map { code =>
+        s"sum(CASE WHEN lang = '$code' THEN 1 ELSE 0 END)::BIGINT AS lang_$code"
+      }.mkString(",\n       |  ")
+    val scriptWhens = TextAnalysis.ScriptRanges.map { case (code, cls) =>
+      s"WHEN len(regexp_extract_all(text, '$cls')) > 0 THEN '$code'"
+    }.mkString(" ")
     var piiState = "text"
     val piiCols = TextAnalysis.PiiPatterns.map { case (name, pat, repl) =>
       val c = s"len(regexp_extract_all($piiState, '$pat'))::BIGINT AS pii_$name"
@@ -657,7 +662,7 @@ object PipelineQueries {
     s"""WITH per AS (
        |  SELECT doc_id, md5(text) AS dg, len(t)::BIGINT AS ntok,
        |    len(text)::BIGINT AS nchar,
-       |    ${TextQueries.langCaseSql} AS lang,
+       |    CASE $scriptWhens ELSE ${TextQueries.langCaseSql} END AS lang,
        |    CASE WHEN len(t) > 0 THEN
        |      0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
        |      0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +

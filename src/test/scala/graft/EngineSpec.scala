@@ -1403,7 +1403,8 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("pii_email") == 1L)            // d2
     assert(row.getAs[Long]("contaminated_docs") == 1L)    // d2 shares 4-grams
     assert(row.getAs[Long]("near_dup_pairs") >= 1L)       // (d0, d1)
-    val langs = Seq("en", "de", "es", "fr")
+    val langs = (graft.operators.TextAnalysis.ScriptRanges.map(_._1) ++
+      graft.operators.TextAnalysis.LangProfiles.map(_._1))
       .map(c => row.getAs[Long](s"lang_$c")).sum
     assert(langs == 4L)                                   // every doc labeled
     assert(Seq("q_lo", "q_mid", "q_hi", "q_top")
