@@ -1700,6 +1700,57 @@ final class VectorEngine private (val spark: SparkSession,
     *              other columns must pass through untouched)
     * @return per-stage accounting (chunked / after quality / after
     *         decontamination / actually ingested) */
+  /** The CRAWL front door end-to-end: raw (url, html) pages →
+    * URL-exact dedup (canonical [[graft.operators.WebDomains.normalizeUrl]]
+    * keys, one deterministic survivor per canonical URL) → HTML→text
+    * extraction ([[graft.operators.HtmlExtract]]) → corpus-common LINE
+    * removal ([[graft.operators.TrainingData.removeCommonLines]] —
+    * nav bars/footers the extraction preserves as repeated lines; fully
+    * boilerplate pages drop here) → the full [[curateAndIngest]]
+    * composition (chunk, quality/repetition gates, decontamination,
+    * embed, dedup-gated ingest). Document identity is md5 of the
+    * canonical URL — re-crawling the same pages is a no-op through the
+    * replay gate, exactly like a redelivered micro-batch.
+    *
+    * Scale shape: URL dedup is one shuffle on the canonical-URL key;
+    * extraction is scan-shaped; line removal is one line-hash shuffle +
+    * per-doc reassembly; then curateAndIngest's documented shape. */
+  def crawlAndIngest(libraryId: String, documentId: String,
+                     pages: DataFrame, url: Column, html: Column,
+                     embed: DataFrame => DataFrame,
+                     benchmark: DataFrame, benchText: Column,
+                     minLineDocFreq: Int = 2,
+                     maxTokens: Int = 64, overlap: Int = 0,
+                     qualityMin: Double = 0.0,
+                     maxDupNgramFrac: Double = 1.0,
+                     n: Int = 8,
+                     threshold: Double = 0.05): VectorEngine.CrawlReport = {
+    import graft.operators.{HtmlExtract, TrainingData, WebDomains}
+    getLibrary(libraryId); getDocument(documentId)
+    val nPages = pages.count()
+    // one survivor per canonical URL: min (url, html) pair is
+    // deterministic under any partitioning
+    val unique = pages
+      .select(WebDomains.normalizeUrl(url).as("__norm"),
+        struct(url.as("u"), html.as("h")).as("__p"))
+      .groupBy(col("__norm")).agg(min(col("__p")).as("__p"))
+      .select(md5(col("__norm")).as("id"),
+        HtmlExtract.extract(col("__p.h")).as("text"))
+      .localCheckpoint()
+    val nUnique = unique.count()
+    val cleaned = TrainingData
+      .removeCommonLines(unique, col("id"), col("text"), minLineDocFreq)
+      .where(col("n_kept") > 0)
+      // chunking is whitespace-driven; line structure has done its job
+      .select(col("id"), col("clean_text").as("text"))
+      .localCheckpoint()
+    val nCleaned = cleaned.count()
+    val curation = curateAndIngest(libraryId, documentId, cleaned,
+      col("id"), col("text"), embed, benchmark, benchText,
+      maxTokens, overlap, qualityMin, maxDupNgramFrac, n, threshold)
+    VectorEngine.CrawlReport(nPages, nUnique, nCleaned, curation)
+  }
+
   def curateAndIngest(libraryId: String, documentId: String, docs: DataFrame,
                       docId: Column, text: Column,
                       embed: DataFrame => DataFrame,
@@ -2478,6 +2529,12 @@ object VectorEngine {
   final case class CurationReport(n_chunks: Long, n_after_quality: Long,
                                   n_after_decontamination: Long,
                                   n_ingested: Long)
+
+  /** Accounting for [[VectorEngine.crawlAndIngest]]'s crawl-side stages
+    * (the curation-side stages report through [[CurationReport]]). */
+  final case class CrawlReport(n_pages: Long, n_unique_urls: Long,
+                               n_after_line_removal: Long,
+                               curation: CurationReport)
 
   val MaxTextLen = 10000          // entities.py:42
   val MaxNameLen = 255            // entities.py:81-86

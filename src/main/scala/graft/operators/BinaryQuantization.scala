@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binary (1-bit) quantization — the cheapest rung of the compression
+  * ladder below SQ8/PQ (as published for FAISS's binary indexes and the
+  * modern embedding-API "binary embeddings" offerings): each dimension
+  * keeps only its SIGN, packed ~62 dims per BIGINT word, giving a 32x
+  * smaller scan than float32 with Hamming distance as the approximate
+  * score. Sign-bit Hamming approximates COSINE order (it is blind to
+  * magnitude), so search is the same two-phase shape as
+  * [[Quantization]]: approximate Hamming top-R over the packed words
+  * only, exact-metric rescore of the R survivors.
+  *
+  * 62 bits per word, not 64: the packing fold is `acc*2 + bit` (no
+  * shift-by-column exists as a portable expression), and DuckDB BIGINT
+  * arithmetic is CHECKED — a 64-bit fold would overflow-throw in the
+  * oracle while Java silently wraps. 62 bits keep every word positive
+  * in both engines (the same cap [[NearDup]]'s simhash uses).
+  *
+  * Every stage (MSB-first fold encode, per-word XOR bit_count, the
+  * (hamming, id) cut, the exact rescore) is plain Column arithmetic a
+  * SQL oracle replays bit-for-bit.
+  */
+object BinaryQuantization {
+
+  val BitsPerWord = 62
+
+  private def litVec(v: Array[Float]): Column =
+    array(v.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")
+
+  /** Packed sign-bit words of a `dim`-dimensional vector: word w holds
+    * dims [w*62, w*62+61], MSB-first fold (`acc*2 + (x > 0)`); positions
+    * past `dim` contribute 0. */
+  def encodeWords(emb: Column, dim: Int): Column = {
+    val nWords = (dim + BitsPerWord - 1) / BitsPerWord
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(sequence(lit(0), lit(BitsPerWord - 1)), lit(0L), (acc, i) => {
+        val idx = w * BitsPerWord + i + 1   // 1-based element index
+        acc * 2 + when(idx <= dim && element_at(emb, idx) > 0f, 1L)
+          .otherwise(0L)
+      }))
+  }
+
+  /** Add a `bq` column (array<bigint> packed sign bits) — the
+    * ingest-time artifact search scans instead of the embeddings. */
+  def withCodes(df: DataFrame, emb: Column, dim: Int): DataFrame =
+    df.withColumn("bq", encodeWords(emb, dim))
+
+  /** Hamming distance between two packed-word arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Two-phase binary search over a table carrying the stored `bq`
+    * column: approximate Hamming top-`rescore` scanning ONLY the packed
+    * words, exact `metric` top-`k` on the survivors. Output:
+    * (idCol, distance) with the usual round(…, 6) contract. */
+  def search(encoded: DataFrame, embCol: String, idCol: String,
+             query: Array[Float], k: Int, rescore: Int,
+             metric: String): DataFrame = {
+    require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
+    val qWords = encodeWords(litVec(query), query.length)
+    val candidates = encoded
+      .select(col(idCol), col("bq"))
+      .withColumn("approx", hamming(col("bq"), qWords))
+      .orderBy(col("approx"), col(idCol))
+      .limit(rescore)
+      .select(col(idCol))
+    encoded.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .withColumn("distance",
+        round(graft.functions.VectorFunctions.distance(metric)(
+          col(embCol), litVec(query)), 6) + lit(0.0d))
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+}

@@ -347,6 +347,48 @@ object TrainingData {
         concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
+  /** LINE-level boilerplate removal — the CCNet/RefinedWeb pass that
+    * [[removeRepeatedSpans]]'s token-window twin cannot express: whole
+    * LINES (nav bars, cookie banners, footers — the structure
+    * [[HtmlExtract]] emits as newline-separated blocks) that recur in
+    * at least `minDocFreq` distinct documents vanish; surviving lines
+    * reassemble in order, joined by newlines. Line identity is the
+    * seeded md5 hash of the TRIMMED line (indentation-differing copies
+    * match), so a SQL oracle replays every stage.
+    *
+    * Scale shape: one shuffle on the 60-bit line hash for the
+    * distinct-doc frequency, one hash equi-join back (no broadcast
+    * hint — the common-line set is corpus-dependent; AQE picks the
+    * strategy), one reassembly aggregation keyed by document. A doc
+    * whose every line is boilerplate survives as an empty husk
+    * (n_kept = 0) — the caller's call to drop.
+    *
+    * Output: (id, n_kept, n_removed, clean_text). */
+  def removeCommonLines(df: DataFrame, id: Column, text: Column,
+                        minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be at least 2")
+    val base = df.select(id.as("id"), split(text, "\n").as("__l"))
+    val occ = base.select(col("id"),
+        posexplode(col("__l")).as(Seq("p", "line")))
+      .withColumn("h", NearDup.seededHash(0, trim(col("line"))))
+    val common = occ.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("h"))
+    val kept = occ.join(common, Seq("h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("line")))),
+        x => x.getField("line")).as("__kept"))
+    base.select(col("id"), size(col("__l")).as("__n"))
+      .join(kept, Seq("id"), "left")
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<string>")))
+      .select(col("id"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws("\n", col("__kept")).as("clean_text"))
+  }
+
   // ---------------- quality + repetition gate ----------------
 
   /** The shared quality/repetition gate of the curation compositions —

@@ -83,6 +83,49 @@ object AnnQueries {
   private val PqRescore = graft.engine.VectorEngine.DefaultPqRescore
   private val IvfPqRescore = graft.engine.VectorEngine.DefaultIvfPqRescore
 
+  /** Binary (1-bit) quantization search — the cheapest compression
+    * rung: packed sign-bit words (62 dims/BIGINT), Hamming top-R over
+    * the words only, exact cosine rescore. The oracle replays the
+    * MSB-first packing fold (list_reduce over a prepended 0 seed — the
+    * identical acc*2+bit chain), the per-word XOR bit_count, the
+    * (hamming, id) cut, and the rescore. */
+  private val bqTopk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val encoded = graft.operators.BinaryQuantization.withCodes(
+      emb, col("embedding"), query.length)
+    graft.operators.BinaryQuantization.search(encoded, "embedding", "vec_id",
+      query, K, Rescore, metric = "cosine")
+  }
+
+  private val bqTopkSql: String = {
+    val bpw = graft.operators.BinaryQuantization.BitsPerWord
+    val dim = 64
+    val nWords = (dim + bpw - 1) / bpw
+    val exactCos = VectorSearchQueries.distSql("cosine", "e.v", "q.qv")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |enc AS (SELECT vec_id, v,
+       |    list_transform(range(0, $nWords), w ->
+       |      list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(range(0, $bpw), i ->
+       |          CASE WHEN w * $bpw + i + 1 <= $dim
+       |                AND v[(w * $bpw + i + 1)::INT] > 0
+       |               THEN 1::BIGINT ELSE 0::BIGINT END)),
+       |        (a, b) -> a * 2 + b)) AS bq
+       |  FROM e),
+       |qe AS (SELECT bq AS qbq FROM enc WHERE vec_id = 0),
+       |ham AS (SELECT enc.vec_id,
+       |    list_sum(list_transform(range(1, ${nWords + 1}), j ->
+       |      bit_count(xor(enc.bq[j::INT], qe.qbq[j::INT]))))::BIGINT AS h
+       |  FROM enc, qe),
+       |r AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT $Rescore),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round($exactCos, 6) + 0 AS distance
+       |FROM e, q WHERE e.vec_id IN (SELECT vec_id FROM r)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
   private val sq8Topk: QueryFn = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     val query = emb.where(col("vec_id") === 0)
@@ -512,6 +555,7 @@ object AnnQueries {
     Q("ann_pq_cosine", pqCosine, Some(pqCosineSql)),
     Q("ann_ivf_pq_topk", ivfPqTopk, Some(ivfPqTopkSql)),
     Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
+    Q("ann_bq_topk", bqTopk, Some(bqTopkSql)),
     Q("ann_sq8_cosine", sq8Cosine, Some(sq8CosineSql)),
     Q("ann_ivf_sq8_topk", ivfSq8Topk, Some(ivfSq8TopkSql)),
   )

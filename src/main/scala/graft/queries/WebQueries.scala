@@ -129,7 +129,48 @@ object WebQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Line-level boilerplate removal composed over EXTRACTED text — the
+    * CCNet/RefinedWeb pass in its natural position: HtmlExtract emits
+    * block structure as newlines, removeCommonLines drops every line
+    * recurring in >= 2 distinct documents (the fixture plants two
+    * full-duplicate page pairs whose lines all vanish — the empty-husk
+    * path — plus unique pages that must survive untouched). The
+    * content hash gates reassembly order and the trim-insensitive
+    * line identity. */
+  private val removeLines: QueryFn = (s, _) =>
+    TrainingData.removeCommonLines(
+        s.read.parquet(Fixture)
+          .select(col("doc_id"), HtmlExtract.extract(col("html")).as("text")),
+        col("doc_id"), col("text"), minDocFreq = 2)
+      .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  private val removeLinesSql: String = {
+    val hashTrim = DedupQueries.hashSql(0, "trim(line)")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(${HtmlExtract.extractSql("html")}, chr(10)) AS ls
+       |  FROM $FixtureSql),
+       |occ AS (
+       |  SELECT doc_id, i - 1 AS p, line, $hashTrim AS h
+       |  FROM (SELECT doc_id, ls[i] AS line, i
+       |        FROM d, unnest(range(1, len(ls) + 1)) AS u(i))),
+       |common AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY p) AS clean_text
+       |  FROM occ ANTI JOIN common USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+       |  (len(d.ls) - coalesce(kept.n_kept, 0))::BIGINT AS n_removed,
+       |  md5(coalesce(kept.clean_text, '')) AS clean_md5
+       |FROM d LEFT JOIN kept USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("pipeline_remove_lines", removeLines, Some(removeLinesSql)),
     Q("text_extract_html", extractHtml, Some(extractHtmlSql)),
     Q("text_extract_chunks", extractChunks, Some(extractChunksSql)),
     Q("dedup_url_exact", urlExact, Some(urlExactSql)),

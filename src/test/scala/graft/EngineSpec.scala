@@ -1380,6 +1380,50 @@ class EngineSpec extends AnyFunSuite {
     intercept[ValidationError] { e.ivfCellSkew(untrained.id) }
   }
 
+  test("crawlAndIngest: raw (url, html) pages through URL dedup, " +
+    "extraction, line removal, and the full curation composition — " +
+    "per-stage accounting, boilerplate-only and contaminated pages drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("crawl", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val doc = e.createDocument(lib.id, "crawl-batch")
+    def page(mid: String) =
+      s"<p>NAV MENU</p><p>$mid</p><p>All rights reserved</p>"
+    val pages = Seq(
+      ("https://x.com/a", page("alpha unique content words here")),
+      ("HTTPS://X.COM/a#frag",                      // canonical dup of /a
+        page("alpha unique content words here")),
+      ("https://x.com/b", page("beta different organic words")),
+      ("https://x.com/c", page("the secret eval answer verbatim")),
+      ("https://x.com/d", page("")
+        .replace("<p></p>", "")),                   // boilerplate only
+      ("https://x.com/e", page("gamma totally fresh text")),
+    ).toDF("url", "html")
+    val bench = Seq("the secret eval answer").toDF("text")
+    val embed = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*))
+    val r = e.crawlAndIngest(lib.id, doc.id, pages, col("url"), col("html"),
+      embed, bench, col("text"), minLineDocFreq = 2, maxTokens = 16,
+      n = 3, threshold = 0.0)
+    assert(r.n_pages == 6L)
+    assert(r.n_unique_urls == 5L)          // /a collapsed across case+fragment
+    assert(r.n_after_line_removal == 4L)   // the boilerplate-only page husked
+    assert(r.curation.n_chunks == 4L)
+    assert(r.curation.n_after_decontamination == 3L)  // /c quoted the eval
+    assert(r.curation.n_ingested == 3L)
+    assert(e.chunkCount(lib.id) == 3L)
+    // re-crawling the same batch is a no-op through the replay gate
+    val again = e.crawlAndIngest(lib.id, doc.id, pages, col("url"),
+      col("html"), embed, bench, col("text"), minLineDocFreq = 2,
+      maxTokens = 16, n = 3, threshold = 0.0)
+    assert(again.curation.n_ingested == 0L)
+    assert(e.chunkCount(lib.id) == 3L)
+  }
+
   test("corpusDatasheet: one-row release artifact over a library's chunks " +
     "— volume, dup structure, quality bins, PII and contamination totals") {
     import org.apache.spark.sql.functions.col

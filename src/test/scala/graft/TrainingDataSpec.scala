@@ -116,6 +116,31 @@ class TrainingDataSpec extends AnyFunSuite {
 
   // ---------------- repeated-span removal ----------------
 
+  test("removeCommonLines drops lines recurring across docs (trim-" +
+    "insensitive identity), keeps order, and empties all-boilerplate " +
+    "docs as husks") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "Cookie banner\nReal paragraph one\nAll rights reserved"),
+      // same boilerplate lines with different INDENTATION — must match
+      (2L, "  Cookie banner  \nUnique second doc text\nAll rights reserved"),
+      (3L, "Cookie banner\nAll rights reserved"),     // fully boilerplate
+      (4L, "One of a kind\nNothing shared here"),     // untouched
+    ).toDF("id", "text")
+    val got = TrainingData.removeCommonLines(docs, col("id"), col("text"),
+        minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((1L, 2L, "Real paragraph one")))
+    assert(got(2L) == ((1L, 2L, "Unique second doc text")))
+    assert(got(3L) == ((0L, 2L, "")))                 // husk, not dropped
+    assert(got(4L) == ((2L, 0L, "One of a kind\nNothing shared here")))
+    intercept[IllegalArgumentException] {
+      TrainingData.removeCommonLines(docs, col("id"), col("text"),
+        minDocFreq = 1)
+    }
+  }
+
   test("removeRepeatedSpans cuts corpus-common spans, reassembles " +
     "survivors in order, passes short docs, and empties fully-covered " +
     "ones instead of dropping them") {
