@@ -1669,6 +1669,92 @@ final class VectorEngine private (val spark: SparkSession,
       .orderBy(col("chunk_id"))
   }
 
+  /** Shared precondition block of [[curateAndIngest]] and
+    * [[crawlAndIngest]] — ONE home so the crawl facade can fail fast
+    * BEFORE its expensive crawl-side stages run, with exactly the
+    * checks the curation stage would apply later. */
+  private def validateCurationParams(libraryId: String, documentId: String,
+                                     qualityMin: Double,
+                                     maxDupNgramFrac: Double, n: Int,
+                                     threshold: Double): Unit = {
+    val lib = getLibrary(libraryId)
+    val doc = getDocument(documentId)
+    if (doc.library_id != libraryId)
+      throw ValidationError(
+        s"document $documentId belongs to library ${doc.library_id}, not $libraryId")
+    if (lib.index_kind != IndexKindLsh)
+      throw ValidationError(
+        "curateAndIngest requires a random_projection library " +
+          s"(the near-dup gate blocks on stored buckets); got '${lib.index_kind}'")
+    if (n < 1) throw ValidationError("n-gram size must be >= 1")
+    if (qualityMin < 0.0) throw ValidationError("qualityMin must be >= 0")
+    if (maxDupNgramFrac < 0.0 || maxDupNgramFrac > 1.0)
+      throw ValidationError("maxDupNgramFrac must be in [0, 1]")
+    if (threshold < 0.0) throw ValidationError("threshold must be >= 0")
+  }
+
+  /** The CRAWL front door end-to-end: raw (url, html) pages →
+    * URL-exact dedup (canonical [[graft.operators.WebDomains.normalizeUrl]]
+    * keys, one deterministic survivor per canonical URL) → HTML→text
+    * extraction ([[graft.operators.HtmlExtract]]) → corpus-common LINE
+    * removal ([[graft.operators.TrainingData.removeCommonLines]] —
+    * nav bars/footers the extraction preserves as repeated lines; fully
+    * boilerplate pages drop here) → the full [[curateAndIngest]]
+    * composition (chunk, quality/repetition gates, decontamination,
+    * embed, dedup-gated ingest). Document identity is md5 of the
+    * canonical URL — re-crawling the same pages is a no-op through the
+    * replay gate, exactly like a redelivered micro-batch.
+    *
+    * Scale shape: URL dedup is one shuffle on the canonical-URL key;
+    * extraction is scan-shaped; line removal is one line-hash shuffle +
+    * per-doc reassembly; then curateAndIngest's documented shape. */
+  def crawlAndIngest(libraryId: String, documentId: String,
+                     pages: DataFrame, url: Column, html: Column,
+                     embed: DataFrame => DataFrame,
+                     benchmark: DataFrame, benchText: Column,
+                     minLineDocFreq: Int = 2,
+                     maxTokens: Int = 64, overlap: Int = 0,
+                     qualityMin: Double = 0.0,
+                     maxDupNgramFrac: Double = 1.0,
+                     n: Int = 8,
+                     threshold: Double = 0.05): VectorEngine.CrawlReport = {
+    import graft.operators.{HtmlExtract, TrainingData, WebDomains}
+    // validate EVERYTHING up front — the crawl-side stages below are
+    // the expensive part, and curateAndIngest re-checking these after
+    // they ran would burn the whole batch on an argument error
+    validateCurationParams(libraryId, documentId, qualityMin,
+      maxDupNgramFrac, n, threshold)
+    if (minLineDocFreq < 2)
+      throw ValidationError("minLineDocFreq must be at least 2")
+    // pin the caller's frame once: the raw-HTML source is both counted
+    // and aggregated below, and a changing/non-deterministic source
+    // would otherwise make n_pages disagree with what the dedup saw
+    val pinned = pages.select(url.as("__u"), html.as("__h"))
+      .localCheckpoint()
+    val nPages = pinned.count()
+    // one survivor per canonical URL: min (url, html) pair is
+    // deterministic under any partitioning
+    val unique = pinned
+      .select(WebDomains.normalizeUrl(col("__u")).as("__norm"),
+        struct(col("__u").as("u"), col("__h").as("h")).as("__p"))
+      .groupBy(col("__norm")).agg(min(col("__p")).as("__p"))
+      .select(md5(col("__norm")).as("id"),
+        HtmlExtract.extract(col("__p.h")).as("text"))
+      .localCheckpoint()
+    val nUnique = unique.count()
+    val cleaned = TrainingData
+      .removeCommonLines(unique, col("id"), col("text"), minLineDocFreq)
+      .where(col("n_kept") > 0)
+      // chunking is whitespace-driven; line structure has done its job
+      .select(col("id"), col("clean_text").as("text"))
+      .localCheckpoint()
+    val nCleaned = cleaned.count()
+    val curation = curateAndIngest(libraryId, documentId, cleaned,
+      col("id"), col("text"), embed, benchmark, benchText,
+      maxTokens, overlap, qualityMin, maxDupNgramFrac, n, threshold)
+    VectorEngine.CrawlReport(nPages, nUnique, nCleaned, curation)
+  }
+
   /** The CURATION COMPOSITION at the facade — what the streaming path
     * (`StreamingIngest.ingestCurationGatedBatch`) already gives a
     * stream, for batch callers who until now composed it by hand: raw
@@ -1700,57 +1786,6 @@ final class VectorEngine private (val spark: SparkSession,
     *              other columns must pass through untouched)
     * @return per-stage accounting (chunked / after quality / after
     *         decontamination / actually ingested) */
-  /** The CRAWL front door end-to-end: raw (url, html) pages →
-    * URL-exact dedup (canonical [[graft.operators.WebDomains.normalizeUrl]]
-    * keys, one deterministic survivor per canonical URL) → HTML→text
-    * extraction ([[graft.operators.HtmlExtract]]) → corpus-common LINE
-    * removal ([[graft.operators.TrainingData.removeCommonLines]] —
-    * nav bars/footers the extraction preserves as repeated lines; fully
-    * boilerplate pages drop here) → the full [[curateAndIngest]]
-    * composition (chunk, quality/repetition gates, decontamination,
-    * embed, dedup-gated ingest). Document identity is md5 of the
-    * canonical URL — re-crawling the same pages is a no-op through the
-    * replay gate, exactly like a redelivered micro-batch.
-    *
-    * Scale shape: URL dedup is one shuffle on the canonical-URL key;
-    * extraction is scan-shaped; line removal is one line-hash shuffle +
-    * per-doc reassembly; then curateAndIngest's documented shape. */
-  def crawlAndIngest(libraryId: String, documentId: String,
-                     pages: DataFrame, url: Column, html: Column,
-                     embed: DataFrame => DataFrame,
-                     benchmark: DataFrame, benchText: Column,
-                     minLineDocFreq: Int = 2,
-                     maxTokens: Int = 64, overlap: Int = 0,
-                     qualityMin: Double = 0.0,
-                     maxDupNgramFrac: Double = 1.0,
-                     n: Int = 8,
-                     threshold: Double = 0.05): VectorEngine.CrawlReport = {
-    import graft.operators.{HtmlExtract, TrainingData, WebDomains}
-    getLibrary(libraryId); getDocument(documentId)
-    val nPages = pages.count()
-    // one survivor per canonical URL: min (url, html) pair is
-    // deterministic under any partitioning
-    val unique = pages
-      .select(WebDomains.normalizeUrl(url).as("__norm"),
-        struct(url.as("u"), html.as("h")).as("__p"))
-      .groupBy(col("__norm")).agg(min(col("__p")).as("__p"))
-      .select(md5(col("__norm")).as("id"),
-        HtmlExtract.extract(col("__p.h")).as("text"))
-      .localCheckpoint()
-    val nUnique = unique.count()
-    val cleaned = TrainingData
-      .removeCommonLines(unique, col("id"), col("text"), minLineDocFreq)
-      .where(col("n_kept") > 0)
-      // chunking is whitespace-driven; line structure has done its job
-      .select(col("id"), col("clean_text").as("text"))
-      .localCheckpoint()
-    val nCleaned = cleaned.count()
-    val curation = curateAndIngest(libraryId, documentId, cleaned,
-      col("id"), col("text"), embed, benchmark, benchText,
-      maxTokens, overlap, qualityMin, maxDupNgramFrac, n, threshold)
-    VectorEngine.CrawlReport(nPages, nUnique, nCleaned, curation)
-  }
-
   def curateAndIngest(libraryId: String, documentId: String, docs: DataFrame,
                       docId: Column, text: Column,
                       embed: DataFrame => DataFrame,
@@ -1760,20 +1795,8 @@ final class VectorEngine private (val spark: SparkSession,
                       maxDupNgramFrac: Double = 1.0,
                       n: Int = 8,
                       threshold: Double = 0.05): VectorEngine.CurationReport = {
-    val lib = getLibrary(libraryId)
-    val doc = getDocument(documentId)
-    if (doc.library_id != libraryId)
-      throw ValidationError(
-        s"document $documentId belongs to library ${doc.library_id}, not $libraryId")
-    if (lib.index_kind != IndexKindLsh)
-      throw ValidationError(
-        "curateAndIngest requires a random_projection library " +
-          s"(the near-dup gate blocks on stored buckets); got '${lib.index_kind}'")
-    if (n < 1) throw ValidationError("n-gram size must be >= 1")
-    if (qualityMin < 0.0) throw ValidationError("qualityMin must be >= 0")
-    if (maxDupNgramFrac < 0.0 || maxDupNgramFrac > 1.0)
-      throw ValidationError("maxDupNgramFrac must be in [0, 1]")
-    if (threshold < 0.0) throw ValidationError("threshold must be >= 0")
+    validateCurationParams(libraryId, documentId, qualityMin,
+      maxDupNgramFrac, n, threshold)
     val chunked = graft.operators.TextChunker
       .chunk(docs, docId, text, maxTokens, overlap)
       .select(

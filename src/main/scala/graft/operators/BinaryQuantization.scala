@@ -61,10 +61,20 @@ object BinaryQuantization {
              query: Array[Float], k: Int, rescore: Int,
              metric: String): DataFrame = {
     require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
+    val nWords = (query.length + BitsPerWord - 1) / BitsPerWord
     val qWords = encodeWords(litVec(query), query.length)
     val candidates = encoded
       .select(col(idCol), col("bq"))
-      .withColumn("approx", hamming(col("bq"), qWords))
+      // LOUD in-plan guard: a stored code packed for a different
+      // dimension would zip_with-pad to NULL hammings, and ascending
+      // nulls-first ordering would silently hand the rescore an
+      // arbitrary id-ordered subset instead of failing
+      .withColumn("approx",
+        when(size(col("bq")) =!= nWords,
+          raise_error(concat(lit("bq word count "), size(col("bq")),
+            lit(s" != query word count $nWords — codes were packed for a" +
+              " different dimension"))))
+          .otherwise(hamming(col("bq"), qWords)))
       .orderBy(col("approx"), col(idCol))
       .limit(rescore)
       .select(col(idCol))

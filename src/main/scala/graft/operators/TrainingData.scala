@@ -353,8 +353,15 @@ object TrainingData {
     * [[HtmlExtract]] emits as newline-separated blocks) that recur in
     * at least `minDocFreq` distinct documents vanish; surviving lines
     * reassemble in order, joined by newlines. Line identity is the
-    * seeded md5 hash of the TRIMMED line (indentation-differing copies
-    * match), so a SQL oracle replays every stage.
+    * seeded md5 hash of the line with LEADING/TRAILING WHITESPACE of
+    * the pinned class stripped — spaces, tabs, AND carriage returns,
+    * so a CRLF crawl and an LF crawl of the same boilerplate hash
+    * identically (plain `trim` strips spaces only and would let a
+    * `\r`-suffixed copy escape removal). BLANK lines (whitespace-only)
+    * are exempt from commonality entirely — the CCNet/RefinedWeb
+    * convention: two documents that both contain an empty line must
+    * not turn every paragraph boundary in the corpus into
+    * "boilerplate". A SQL oracle replays every stage.
     *
     * Scale shape: one shuffle on the 60-bit line hash for the
     * distinct-doc frequency, one hash equi-join back (no broadcast
@@ -367,14 +374,20 @@ object TrainingData {
   def removeCommonLines(df: DataFrame, id: Column, text: Column,
                         minDocFreq: Int = 2): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq must be at least 2")
+    val ws = graft.functions.TextHash.WsClassJava
     val base = df.select(id.as("id"), split(text, "\n").as("__l"))
     val occ = base.select(col("id"),
         posexplode(col("__l")).as(Seq("p", "line")))
-      .withColumn("h", NearDup.seededHash(0, trim(col("line"))))
-    val common = occ.select(col("id"), col("h")).distinct()
+      .withColumn("__t", regexp_replace(col("line"), s"^$ws+|$ws+$$", ""))
+      .withColumn("h",
+        when(col("__t") === "", lit(null).cast("long"))   // blank: exempt
+          .otherwise(NearDup.seededHash(0, col("__t"))))
+    val common = occ.where(col("h").isNotNull)
+      .select(col("id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocFreq)
       .select(col("h"))
+    // null hashes (blank lines) never match in the anti-join: kept
     val kept = occ.join(common, Seq("h"), "left_anti")
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("p"), col("line")))),

@@ -147,16 +147,20 @@ object WebQueries {
       .orderBy(col("doc_id"))
 
   private val removeLinesSql: String = {
-    val hashTrim = DedupQueries.hashSql(0, "trim(line)")
+    val ws = TextQueries.wsClassSql
+    val hashT = DedupQueries.hashSql(0, "t")
     s"""WITH d AS (
        |  SELECT doc_id, string_split(${HtmlExtract.extractSql("html")}, chr(10)) AS ls
        |  FROM $FixtureSql),
        |occ AS (
-       |  SELECT doc_id, i - 1 AS p, line, $hashTrim AS h
-       |  FROM (SELECT doc_id, ls[i] AS line, i
-       |        FROM d, unnest(range(1, len(ls) + 1)) AS u(i))),
+       |  SELECT doc_id, p, line,
+       |    CASE WHEN t = '' THEN NULL ELSE $hashT END AS h
+       |  FROM (SELECT doc_id, i - 1 AS p, line,
+       |          regexp_replace(line, '^$ws+|$ws+$$', '', 'g') AS t
+       |        FROM (SELECT doc_id, ls[i] AS line, i
+       |              FROM d, unnest(range(1, len(ls) + 1)) AS u(i)))),
        |common AS (
-       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ)
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ WHERE h IS NOT NULL)
        |  GROUP BY h HAVING count(*) >= 2),
        |kept AS (
        |  SELECT doc_id, count(*) AS n_kept,

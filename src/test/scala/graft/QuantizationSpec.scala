@@ -97,6 +97,15 @@ class QuantizationSpec extends AnyFunSuite {
       .select(BinaryQuantization.encodeWords(col("v"), 65)).as[Seq[Long]].head()
     assert(wide.length == 2)
     assert(wide(1) == (7L << 59))   // dims 63,64,65 -> top 3 bits of word 1
+    // a query packed for a DIFFERENT dimension fails LOUDLY (null-padded
+    // hammings would otherwise silently rank an arbitrary subset)
+    val enc128 = BinaryQuantization.withCodes(
+      Seq((1L, Seq.fill(128)(1.0f))).toDF("id", "v"), col("v"), 128)
+    val thrown = intercept[Exception] {
+      BinaryQuantization.search(enc128, "v", "id", Array.fill(64)(1.0f),
+        k = 1, rescore = 1, metric = "cosine").collect()
+    }
+    assert(thrown.getMessage != null)
   }
 
   test("binary quantization search: recall@10 vs exact flat (cosine, " +

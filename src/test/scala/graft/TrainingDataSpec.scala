@@ -141,6 +141,28 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("removeCommonLines review regressions: blank lines are exempt " +
+    "from commonality; CRLF/tab-indented copies share one identity") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // both docs have an empty line: it must NOT become "boilerplate"
+      (1L, "intro\n\nbody one"),
+      (2L, "other\n\nstuff two"),
+      // the same footer with \r (CRLF source) and tab indentation —
+      // all three must hash identically and vanish together
+      (3L, "unique three\nAll rights reserved\r"),
+      (4L, "unique four\n\tAll rights reserved"),
+    ).toDF("id", "text")
+    val got = TrainingData.removeCommonLines(docs, col("id"), col("text"),
+        minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((3L, 0L, "intro\n\nbody one")))   // blank kept
+    assert(got(2L) == ((3L, 0L, "other\n\nstuff two")))
+    assert(got(3L) == ((1L, 1L, "unique three")))        // \r copy removed
+    assert(got(4L) == ((1L, 1L, "unique four")))         // tab copy removed
+  }
+
   test("removeRepeatedSpans cuts corpus-common spans, reassembles " +
     "survivors in order, passes short docs, and empties fully-covered " +
     "ones instead of dropping them") {
