@@ -145,6 +145,17 @@ object Bench {
       (flatEuc(id) intersect got).size.toDouble / flatEuc(id).size
     })
 
+    // binary quantization: the 1-bit scan-cost rung — tracked so its
+    // (deliberately lossy) recall is telemetry, not a surprise
+    val bqEnc = graft.operators.BinaryQuantization
+      .withCodes(emb, col("embedding"), 64).localCheckpoint()
+    val bq = avg(queries.map { case (id, q) =>
+      val got = topIds(graft.operators.BinaryQuantization.search(
+        bqEnc, "embedding", "vec_id", q, k = 10, rescore = 50,
+        metric = "cosine"))
+      (flatCos(id) intersect got).size.toDouble / flatCos(id).size
+    })
+
     // PQ at 32x compression, trained here (seeded, same params as the
     // committed fixture) so the numbers track codebook quality at THIS
     // scale factor: K=256 (one byte per code — the default, published PQ
@@ -188,7 +199,7 @@ object Bench {
       }.toMap
     }
     // 4dp is plenty for a 10-query recall average, and keeps the compact
-    // stdout line (16 recall keys now, ~475 chars total) under its
+    // stdout line (17 recall keys now, ~490 chars total) under its
     // 500-char budget — count characters before adding a key (main()
     // degrades loudly past 500, but the recall map then leaves the
     // stdout contract); ivf_c8_nprobe6 comes from the sweep.
@@ -203,7 +214,7 @@ object Bench {
     val pq256 = pqRecall(8, 256, Seq(50, 100)).toMap
     val pqWide = pqRecall(16, 256, Seq(50)).toMap
     (Map("lsh_bucket" -> lsh, "lsh_multiprobe" -> lshMp,
-      "lsh_adaptive" -> lshAd, "sq8_r50" -> sq8,
+      "lsh_adaptive" -> lshAd, "sq8_r50" -> sq8, "bq_r50" -> bq,
       "pq_m8k16_r50" -> pq16(50),
       "pq_m8k256_r50" -> pq256(50),
       "pq_m8k256_r100" -> pq256(100),
