@@ -32,13 +32,20 @@ object BinaryQuantization {
 
   /** Packed sign-bit words of a `dim`-dimensional vector: word w holds
     * dims [w*62, w*62+61], MSB-first fold (`acc*2 + (x > 0)`); positions
-    * past `dim` contribute 0. */
+    * past `dim` contribute 0. element_at is reached only under the
+    * bounds predicate of an OUTER when — CaseWhen evaluates branch
+    * values conditionally in both eval and codegen, so padding
+    * positions never evaluate an out-of-range element_at (which would
+    * throw under spark.sql.ansi.enabled=true; relying on And
+    * short-circuiting instead would make that behavior silently
+    * load-bearing). */
   def encodeWords(emb: Column, dim: Int): Column = {
     val nWords = (dim + BitsPerWord - 1) / BitsPerWord
     transform(sequence(lit(0), lit(nWords - 1)), w =>
       aggregate(sequence(lit(0), lit(BitsPerWord - 1)), lit(0L), (acc, i) => {
         val idx = w * BitsPerWord + i + 1   // 1-based element index
-        acc * 2 + when(idx <= dim && element_at(emb, idx) > 0f, 1L)
+        acc * 2 + when(idx <= least(lit(dim), size(emb)),
+            when(element_at(emb, idx) > 0f, 1L).otherwise(0L))
           .otherwise(0L)
       }))
   }

@@ -2,12 +2,18 @@ package graft.operators
 
 /** Pure-JDK FLAC audio decoder (RFC 9639) — the real sample-data path
   * for compressed audio in the multimodal toolkit, replacing the last
-  * documented decode stub. Covers the full frame surface: constant,
+  * documented decode stub. Covers the full SUBFRAME surface: constant,
   * verbatim, fixed-predictor (orders 0-4) and LPC subframes, Rice
   * residual partitions (both 4- and 5-bit parameter widths and the
   * escaped raw form), wasted bits, all four channel assignments
   * (independent, left/side, side/right, mid/side), and both blocking
-  * strategies.
+  * strategies. STREAM-level scope is deliberately narrower than the
+  * full spec: only byte-aligned bit depths (8/16/24/32 — not the
+  * spec-legal 12/20-bit layouts), streams whose STREAMINFO declares a
+  * known total sample count (totalSamples > 0), and frames whose depth
+  * code agrees with STREAMINFO decode; anything outside that subset
+  * yields None (honest absence), even though the header parser accepts
+  * its depth codes.
   *
   * Verification chain — the decoder never returns unverified samples:
   * every frame header CRC-8 and frame CRC-16 must check, the decoded

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   *      key on; every other tag is stripped inline.
   *   3. The named core entities (&amp; &lt; &gt; &quot; &apos;
   *      &nbsp;) decode, ampersand LAST so double-encoded text
-  *      single-decodes (`&amp;lt;` → `&lt;`, never `<`). Numeric
-  *      entities pass through as literal text.
+  *      single-decodes (`&amp;lt;` → `&lt;`, never `<`). NUMERIC
+  *      character references (`&#39;` decimal, `&#x27;` hex) decode
+  *      to their Unicode code point over the full plane minus the
+  *      invalid range (0, surrogates D800-DFFF, > 10FFFF — those pass
+  *      through as literal text), BETWEEN the named decodes and the
+  *      final `&amp;` pass, so double-encoded `&amp;#39;`
+  *      single-decodes to `&#39;`, never `'`. Residual edge, out of
+  *      contract: a numeric AMPERSAND immediately followed by a
+  *      decodable entity tail (`&#38;lt;`) re-decodes — no pairwise
+  *      replace order can fix that; it needs a single-pass tokenizer.
   *   4. Whitespace normalizes: space/tab/CR runs collapse to one
   *      space, spaces around newlines trim, newline runs collapse,
   *      edges trim.
@@ -57,15 +65,28 @@ object HtmlExtract {
     ("<[^>]*>", ""),
   )
 
-  /** Ordered literal entity decodes; `&amp;` LAST (single-decode). */
+  /** Named entity decodes BEFORE the numeric pass; `&amp;` runs in
+    * [[AmpEntity]] AFTER it (single-decode: `&amp;#39;` must reach the
+    * numeric pass still spelled `&amp;#39;`, which the numeric pattern
+    * does not match). */
   val Entities: Seq[(String, String)] = Seq(
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", "\""),
     ("&apos;", "'"),
-    ("&amp;", "&"),
   )
+
+  /** The LAST entity pass (see [[Entities]]). */
+  val AmpEntity: (String, String) = ("&amp;", "&")
+
+  /** Numeric character reference: decimal (`&#8212;`) or hex
+    * (`&#x27;`, either case marker). Digit counts are BOUNDED so the
+    * captured value always fits a long with headroom; longer digit
+    * runs simply do not match and pass through as text. The capture
+    * keeps the x-marker so the decoder can tell the bases apart and
+    * can reconstruct the original text for invalid code points. */
+  val NumEntityPattern = "&#([0-9]{1,8}|[xX][0-9a-fA-F]{1,7});"
 
   /** Ordered whitespace-normalization stages (after entity decode, so a
     * decoded &nbsp; collapses like any space). */
@@ -76,15 +97,47 @@ object HtmlExtract {
     ("^[ \\n]+|[ \\n]+$", ""),
   )
 
+  /** One decoded numeric reference: `g` is the capture of
+    * [[NumEntityPattern]] ("8212" or "x27"/"X27"). Valid code points
+    * (1..10FFFF minus the surrogate block) become their character via
+    * a 4-byte big-endian UTF-32 decode (Spark has no code-point chr;
+    * DuckDB's twin uses chr directly — same code point, same string);
+    * anything else reconstructs the original entity text. */
+  private def decodeOneNumeric(g: Column): Column = {
+    val isHex = lower(substring(g, 1, 1)) === "x"
+    val code = when(isHex, conv(substring(g, 2, 7), 16, 10).cast("long"))
+      .otherwise(g.cast("long"))
+    val valid = code.between(1L, 0x10FFFFL) && !code.between(0xD800L, 0xDFFFL)
+    when(valid, decode(unhex(lpad(hex(code), 8, "0")), "UTF-32"))
+      .otherwise(concat(lit("&#"), g, lit(";")))
+  }
+
+  /** Decode every numeric character reference in `c`: split on the
+    * pattern (limit -1 keeps trailing empty segments), re-zip segments
+    * with decoded entities left-to-right. A text with no references
+    * passes through untouched (and sequence(1, 0) never materializes —
+    * Spark's sequence would run DESCENDING there). */
+  def decodeNumericEntities(c: Column): Column = {
+    val parts = split(c, NumEntityPattern, -1)
+    val ents = regexp_extract_all(c, lit(NumEntityPattern), lit(1))
+    when(size(ents) === 0, c).otherwise(
+      concat(element_at(parts, 1),
+        aggregate(sequence(lit(1), size(ents)), lit(""), (acc, i) =>
+          concat(acc, decodeOneNumeric(element_at(ents, i)),
+            element_at(parts, i + 1)))))
+  }
+
   /** The extraction as one Column — a chain of codegen regexp_replace /
     * replace nodes over the stage constants above. */
   def extract(html: Column): Column = {
     val stripped = Stages.foldLeft(html) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
-    val decoded = Entities.foldLeft(stripped) { case (c, (from, to)) =>
+    val named = Entities.foldLeft(stripped) { case (c, (from, to)) =>
       replace(c, lit(from), lit(to))
     }
+    val decoded = replace(decodeNumericEntities(named),
+      lit(AmpEntity._1), lit(AmpEntity._2))
     WsStages.foldLeft(decoded) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
@@ -97,15 +150,43 @@ object HtmlExtract {
     case other => sqlLit(other)
   }
 
+  /** DuckDB twin of [[decodeNumericEntities]], generated from the same
+    * pattern constant: split/extract on the pattern, left-to-right
+    * re-zip via a string list_reduce, hex parsed with DuckDB's
+    * '0x'-prefixed cast, chr() for the code point (same character the
+    * Spark side's UTF-32 decode yields). */
+  private def decodeNumericSql(x: String): String = {
+    val pat = sqlLit(NumEntityPattern)
+    // everything INLINE in the lambda — DuckDB forbids subqueries in
+    // lambda expressions, so the code-point arithmetic repeats per use
+    def cp(e: String) = s"(CASE WHEN lower($e[1:1]) = 'x'" +
+      s" THEN ('0x' || $e[2:])::BIGINT ELSE $e::BIGINT END)"
+    def one(e: String) =
+      s"(CASE WHEN ${cp(e)} BETWEEN 1 AND 1114111" +
+        s" AND ${cp(e)} NOT BETWEEN 55296 AND 57343" +
+        s" THEN chr(${cp(e)}::INT) ELSE '&#' || $e || ';' END)"
+    s"""(SELECT CASE WHEN len(ents) = 0 THEN s ELSE
+       |   parts[1] || list_reduce(list_prepend('',
+       |     list_transform(range(1, len(ents) + 1), i ->
+       |       ${one("ents[i]")} || parts[i + 1])),
+       |     (a, b) -> a || b) END
+       | FROM (SELECT $x AS s, string_split_regex($x, $pat) AS parts,
+       |              regexp_extract_all($x, $pat, 1) AS ents))""".stripMargin
+  }
+
   /** DuckDB twin, GENERATED from the same constants: nested
-    * regexp_replace(..., 'g') / replace calls around `column`. */
+    * regexp_replace(..., 'g') / replace calls around `column`, with
+    * the numeric-reference pass between the named decodes and the
+    * final `&amp;` replace — the exact stage order of [[extract]]. */
   def extractSql(column: String): String = {
     val stripped = Stages.foldLeft(column) { case (x, (pat, repl)) =>
       s"regexp_replace($x, ${sqlLit(pat)}, ${sqlRepl(repl)}, 'g')"
     }
-    val decoded = Entities.foldLeft(stripped) { case (x, (from, to)) =>
+    val named = Entities.foldLeft(stripped) { case (x, (from, to)) =>
       s"replace($x, ${sqlLit(from)}, ${sqlRepl(to)})"
     }
+    val decoded = s"replace(${decodeNumericSql(named)}, " +
+      s"${sqlLit(AmpEntity._1)}, ${sqlLit(AmpEntity._2)})"
     WsStages.foldLeft(decoded) { case (x, (pat, repl)) =>
       s"regexp_replace($x, ${sqlLit(pat)}, ${sqlRepl(repl)}, 'g')"
     }

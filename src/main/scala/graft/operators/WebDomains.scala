@@ -23,19 +23,46 @@ object WebDomains {
     lower(regexp_extract(url, SchemePrefix + "(?:[^/@]*@)?([^/:?#]+)", 1))
 
   /** Public-suffix snapshot (committed subset of the Mozilla Public
-    * Suffix List — the common single-label TLDs plus the multi-label
-    * country suffixes the fixtures and typical crawl data hit). A full
-    * PSL sync is a data refresh, not a code change: the matching rule
-    * below is longest-suffix-wins over whatever this list holds. */
+    * Suffix List — the common single-label TLDs, the multi-label
+    * country suffixes, and the high-traffic PRIVATE-section hosting
+    * suffixes real crawls hit constantly: github.io, blogspot.*,
+    * the big SaaS/page-host domains). A full PSL sync is a data
+    * refresh, not a code change: the matching rule below is
+    * longest-suffix-wins over whatever this list holds, and a host
+    * whose suffix is NOT listed falls back to being its own
+    * registered domain (pinned by the web fixture's `.pizza` row). */
   val PublicSuffixes: Seq[String] = Seq(
     "com", "org", "net", "io", "edu", "gov", "mil", "int", "info", "biz",
     "dev", "app", "ai", "co", "uk", "au", "jp", "de", "fr", "nl", "it",
     "es", "se", "no", "fi", "dk", "pl", "ru", "cn", "in", "br", "ca",
-    "us", "eu", "ch", "at", "be", "kr", "tw", "mx", "ar",
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "ac.jp", "co.jp", "or.jp", "ne.jp", "go.jp",
-    "com.br", "com.cn", "com.mx", "com.ar", "co.kr", "co.in", "co.nz",
+    "us", "eu", "ch", "at", "be", "kr", "tw", "mx", "ar", "nz", "za",
+    "sg", "id", "my", "th", "vn", "ph", "tr", "il", "ie", "pt", "gr",
+    "cz", "hu", "ro", "ua", "cl", "pe", "ve", "xyz", "online", "site",
+    "top", "icu", "club", "shop", "store", "blog", "wiki", "me", "tv",
+    "cc", "ws", "to", "fm", "gg", "ly", "sh", "im", "is",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "ac.jp", "co.jp", "or.jp", "ne.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "edu.sg", "gov.sg",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za",
+    "co.id", "or.id", "ac.id", "go.id",
+    "com.my", "com.ph", "com.vn", "com.hk", "com.tw", "org.tw",
+    "co.th", "or.th", "ac.th", "go.th",
+    "co.il", "org.il", "ac.il", "gov.il",
+    "com.ua", "com.pl", "net.pl", "org.pl",
+    // PSL private section: hosting platforms whose subdomains are
+    // independently-operated sites (exactly what per-domain caps and
+    // domain mixing must treat as separate registered domains)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "tumblr.com", "netlify.app", "vercel.app", "herokuapp.com",
+    "pages.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
+    "cloudfront.net", "amazonaws.com", "appspot.com", "github.dev",
+    "readthedocs.io", "neocities.org", "surge.sh", "fly.dev",
   )
 
   private val TwoLabel = PublicSuffixes.filter(_.contains("."))
@@ -67,12 +94,14 @@ object WebDomains {
 
   /** Canonical URL for exact dedup: lowercase scheme and host, strip
     * userinfo, strip the scheme's default port (80/443), strip the
-    * fragment, strip trailing slashes from the path+query remainder.
-    * Query strings are KEPT (different parameters are different
-    * documents; parameter reordering is out of contract). A string
-    * with NO scheme passes through UNCHANGED — without that guard
-    * every scheme-less URL would normalize to the same '://' and
-    * URL-exact dedup would merge unrelated documents. */
+    * fragment, strip trailing slashes from the PATH component only —
+    * '/a/?q=1' and '/a?q=1' collapse, but a trailing slash INSIDE a
+    * query value ('?dir=a/') is kept verbatim. Query strings are KEPT
+    * from the first '?' onward, byte-for-byte (different parameters
+    * are different documents; parameter reordering is out of
+    * contract). A string with NO scheme passes through UNCHANGED —
+    * without that guard every scheme-less URL would normalize to the
+    * same '://' and URL-exact dedup would merge unrelated documents. */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val h = host(url)
@@ -80,8 +109,11 @@ object WebDomains {
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
-    val rest = regexp_replace(
-      regexp_extract(url, SchemePrefix + "[^/?#]*([^#]*)", 1), "/+$", "")
+    val pathQuery = regexp_extract(url, SchemePrefix + "[^/?#]*([^#]*)", 1)
+    // split at the FIRST '?': slashes strip from the path side only
+    val path = regexp_extract(pathQuery, "^([^?]*)", 1)
+    val query = regexp_extract(pathQuery, "^[^?]*([?].*)?$", 1)
+    val rest = concat(regexp_replace(path, "/+$", ""), query)
     when(scheme === "", url).otherwise(
       concat(scheme, lit("://"), h,
         when(keepPort, concat(lit(":"), port)).otherwise(lit("")), rest))
@@ -109,10 +141,12 @@ object WebDomains {
        |   scheme || '://' || h ||
        |   CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
        |             AND NOT (scheme = 'https' AND port = '443')
-       |        THEN ':' || port ELSE '' END || rest END
+       |        THEN ':' || port ELSE '' END ||
+       |   regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$$', '') ||
+       |   regexp_extract(pq, '^[^?]*([?].*)?$$', 1) END
        | FROM (SELECT $col AS raw,
        |   lower(regexp_extract($col, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |   ${hostSql(col)} AS h,
        |   regexp_extract($col, '$PortPattern', 1) AS port,
-       |   regexp_replace(regexp_extract($col, '$SchemePrefix[^/?#]*([^#]*)', 1), '/+$$', '') AS rest))""".stripMargin
+       |   regexp_extract($col, '$SchemePrefix[^/?#]*([^#]*)', 1) AS pq))""".stripMargin
 }

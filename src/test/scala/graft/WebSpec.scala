@@ -28,14 +28,33 @@ class WebSpec extends AnyFunSuite {
   }
 
   test("extraction: named core entities decode once, ampersand last; " +
-    "numeric entities pass through as literal text") {
+    "numeric entities decode to their code point") {
     assert(extract1("<p>a &lt;b&gt; &quot;c&quot; &apos;d&apos; e&nbsp;f " +
       "&amp; g</p>") == "a <b> \"c\" 'd' e f & g")
     // double-encoded text single-decodes — never double
     assert(extract1("&amp;lt;careful&amp;gt;") == "&lt;careful&gt;")
     // decoded angle brackets are NOT re-parsed as tags
     assert(extract1("&lt;p&gt;not a tag&lt;/p&gt;") == "<p>not a tag</p>")
-    assert(extract1("em &#8212; dash") == "em &#8212; dash")
+  }
+
+  test("extraction: numeric character references — decimal, hex, " +
+    "double-encoded non-decode, invalid pass-through") {
+    assert(extract1("em &#8212; dash") == "em — dash")
+    assert(extract1("it&#39;s") == "it's")
+    assert(extract1("it&#x27;s &#X27; too") == "it's ' too")
+    assert(extract1("curly &#8217;") == "curly ’")
+    // astral plane decodes (one code point, two UTF-16 units)
+    assert(extract1("emoji &#x1F600;!") == "emoji 😀!")
+    // DOUBLE-ENCODED numeric references single-decode: &amp;#39; means
+    // the literal text "&#39;", never an apostrophe
+    assert(extract1("quote &amp;#39; kept") == "quote &#39; kept")
+    // invalid code points pass through as literal text: NUL, the
+    // surrogate block, beyond the last code point
+    assert(extract1("a &#0; b") == "a &#0; b")
+    assert(extract1("a &#xD800; b") == "a &#xD800; b")
+    assert(extract1("a &#1114112; b") == "a &#1114112; b")
+    // not a reference at all (no digits / unterminated): untouched
+    assert(extract1("a &#x; b &#39 c") == "a &#x; b &#39 c")
   }
 
   private def col1(c: org.apache.spark.sql.Column, in: String): String =
@@ -60,6 +79,15 @@ class WebSpec extends AnyFunSuite {
     assert(col1(rd, "192.168.10.20") == "192.168.10.20")
     assert(col1(rd, "localhost") == "localhost")
     assert(col1(rd, "internal.corp") == "internal.corp")
+    // PSL private-section hosting suffixes: each subdomain is its own
+    // independently-operated site, so it IS the registered domain
+    assert(col1(rd, "alice.github.io") == "alice.github.io")
+    assert(col1(rd, "myblog.blogspot.com") == "myblog.blogspot.com")
+    assert(col1(rd, "shop.example.com.sg") == "example.com.sg")
+    assert(col1(rd, "gov.example.co.za") == "example.co.za")
+    // a multi-label suffix NOT in the snapshot falls back to the
+    // one-label rule (here: unknown TLD → host is its own domain)
+    assert(col1(rd, "foo.example.pizza") == "foo.example.pizza")
   }
 
   test("URL normalization: case, userinfo, default ports, fragments, " +
@@ -75,6 +103,13 @@ class WebSpec extends AnyFunSuite {
       "https://x.com/a?q=1&r=2")
     // different queries stay different
     assert(col1(n, "https://x.com/a?q=1") != col1(n, "https://x.com/a?q=2"))
+    // trailing slashes strip from the PATH side of the first '?' only:
+    // '/a/?q=1' collapses with '/a?q=1' ...
+    assert(col1(n, "https://x.com/a/?q=1") == "https://x.com/a?q=1")
+    // ... but a trailing slash INSIDE a query value is content, not
+    // path decoration — these are different documents
+    assert(col1(n, "http://x.com/p?dir=a/") == "http://x.com/p?dir=a/")
+    assert(col1(n, "http://x.com/p?dir=a/") != col1(n, "http://x.com/p?dir=a"))
   }
 
   test("URL normalization review regressions: numeric passwords are not " +

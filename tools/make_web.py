@@ -73,6 +73,23 @@ docs = [
      "<p>Unclosed paragraph<p>Another one<div>And a div"),
     (16, "https://shop.example.co.uk/items/99",
      "Plain text, no markup at all."),
+    # --- numeric character references (decimal, hex, double-encoded,
+    # invalid) + PSL private-section / unlisted-suffix hosts ------------
+    (17, "https://alice.github.io/blog/",
+     "<h1>Alice&#8217;s blog</h1><p>It&#39;s about &#x27;things&#x27; "
+     "em &#8212; dash</p>"),
+    (18, "https://foo.example.pizza/menu",
+     "<p>Tony&amp;#39;s pizza</p><p>bad refs: &#0; &#xD800; &#1114112; "
+     "stay literal</p>"),
+    (19, "https://myblog.blogspot.com/2024/01/post.html?m=1",
+     "<article><p>Emoji &#x1F600; and quote &#X22;here&#x22;</p></article>"),
+    # query-string trailing slashes: 20/21 differ ONLY by a slash inside
+    # a query VALUE and must NOT collapse; 22/23 differ by a
+    # path-trailing slash before '?' and MUST collapse
+    (20, "http://x.example.com/p?dir=a/", "<p>listing of a/</p>"),
+    (21, "http://x.example.com/p?dir=a", "<p>entry a</p>"),
+    (22, "http://x.example.com/a/?q=1", "<p>page a q1</p>"),
+    (23, "http://x.example.com/a?q=1", "<p>page a q1</p>"),
 ]
 
 table = pa.table({
