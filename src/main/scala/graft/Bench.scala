@@ -283,7 +283,54 @@ object Bench {
 
     lazy val q = emb1.orderBy(col("vec_id")).select("embedding")
       .head().getSeq[Float](0).toArray
-    lazy val lshCfg = LshIndex.Config(numProjections = 8, dim = dim, seed = 42L)
+    lazy val nBase = emb1.count()
+    // The MAINTAINED lsh serving shape (the deployment the engine's
+    // reprojectLshIndexIfCrowded converges to, and SCALING.md's "or
+    // bucketed parquet" story): projection count sized to the corpus by
+    // the SHARED policy (LshIndex.projectionsFor — occupancy ~64 rows
+    // per bucket), the table stored as bucket-partitioned parquet so a
+    // probe is a partition-pruned scan, and the histogram maintained as
+    // index metadata so searchAdaptive runs ZERO pre-probe actions.
+    // All of it is ingest-time artifact work, built OUTSIDE the clock —
+    // the timed window measures the serving scan, which stays O(probe
+    // budget) instead of O(n) as the corpus grows. (A FIXED 8-projection
+    // matrix over a checkpointed frame measured ratio ~10 at 10x here:
+    // occupancy grows linearly and the probe scan re-couples to n.)
+    def lshMaintained(emb: DataFrame, n: Long)
+        : (DataFrame, Array[Array[Double]], Seq[(Long, Long)]) = {
+      val p = LshIndex.projectionsFor(n, targetOccupancy = 64, minP = 8)
+      val cfg = LshIndex.Config(p, dim, 42L)
+      val outDir = Files.createTempDirectory("graft-lsh-stress").toString
+      // repartition on the partition column first: otherwise EVERY task
+      // writes a sliver into every bucket dir and the probe pays
+      // per-file open cost for thousands of near-empty files
+      LshIndex.withBucket(emb, col("embedding"), cfg)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(outDir)
+      val serve = spark.read.parquet(outDir)
+      val hist = serve.groupBy("bucket").count().collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toSeq
+      (serve, cfg.matrix, hist)
+    }
+    lazy val lshServe1 = lshMaintained(emb1, nBase)
+    lazy val lshServeN = lshMaintained(embN, nBase * factor)
+    // crawl-front-door inputs: synthetic (url, html) pages and
+    // line-structured texts derived from the docs tables — replicas get
+    // DISTINCT urls/content lines (doc_id is already replica-unique) so
+    // url dedup and line removal measure scan/shuffle scaling, while
+    // the nav/footer lines are corpus-common (what line removal cuts)
+    def pagesOf(docs: DataFrame): DataFrame = docs.select(
+      concat(lit("https://site"), pmod(col("doc_id"), lit(40L)),
+        lit(".example.com/p/"), col("doc_id")).as("url"),
+      concat(lit("<html><body><div class='nav'><p>HOME | ABOUT | " +
+          "CONTACT</p></div><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>&copy; 2026 Example &#8212; All rights " +
+          "reserved</p></body></html>")).as("html"))
+    def linedOf(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      concat(lit("HOME | ABOUT | CONTACT\nDoc "), col("doc_id"),
+        lit("\n"), col("text"), lit("\nAll rights reserved")).as("text"))
     // the label-free near-dup is an all-pairs similarity join under LSH
     // blocking — its cost is quadratic in PER-BUCKET occupancy, so the
     // blocking index is sized to the corpus exactly as a deployment
@@ -302,23 +349,26 @@ object Bench {
 
     // per-scale ingest-time artifacts, built untimed
     def prepared(emb: DataFrame) = (
-      LshIndex.withBucket(emb, col("embedding"), lshCfg).localCheckpoint(),
       IvfIndex.withCell(emb, col("embedding"), ivfModel).localCheckpoint(),
       Quantization.encode(emb, col("embedding")).localCheckpoint())
     lazy val prep1 = prepared(emb1)
     lazy val prepN = prepared(embN)
 
-    case class Scale(lsh: () => DataFrame, cells: () => DataFrame,
-                     enc: () => DataFrame, docs: () => DataFrame,
-                     nearMatrix: () => Array[Array[Double]])
-    val base = Scale(() => prep1._1, () => prep1._2, () => prep1._3,
+    case class Scale(
+        lshServe: () => (DataFrame, Array[Array[Double]], Seq[(Long, Long)]),
+        cells: () => DataFrame, enc: () => DataFrame, docs: () => DataFrame,
+        nearMatrix: () => Array[Array[Double]])
+    val base = Scale(() => lshServe1, () => prep1._1, () => prep1._2,
       () => docs1, () => nearMatrix1)
-    val scaled = Scale(() => prepN._1, () => prepN._2, () => prepN._3,
+    val scaled = Scale(() => lshServeN, () => prepN._1, () => prepN._2,
       () => docsN, () => nearMatrixN)
     case class Stress(name: String, at: Scale => DataFrame)
     val tasks = Seq(
-      Stress("lsh_adaptive", s =>
-        LshIndex.searchAdaptive(s.lsh(), q.toIndexedSeq, lshCfg.matrix, "cosine", 10)),
+      Stress("lsh_adaptive", s => {
+        val (serve, m, hist) = s.lshServe()
+        LshIndex.searchAdaptive(serve, q.toIndexedSeq, m, "cosine", 10,
+          hist = Some(hist))
+      }),
       Stress("ivf_search", s =>
         IvfIndex.search(s.cells(), "embedding", "vec_id", ivfModel, q, nprobe = 4,
           "cosine", 10)),
@@ -367,7 +417,32 @@ object Bench {
           .withColumn("shard", expr("seq DIV 8L"))
           .repartitionByRange(col("shard"))
           .sortWithinPartitions(col("shard"), col("seq"), col("id"))
-      }))
+      }),
+      // --- crawl front door --------------------------------------------
+      // HTML->text extraction: scan-shaped regex chain; the aggregate
+      // consumes the extracted text so column pruning cannot skip the
+      // work a bare count() would
+      Stress("html_extract", s =>
+        pagesOf(s.docs()).select(
+            length(graft.operators.HtmlExtract.extract(col("html"))).as("n"))
+          .agg(sum(col("n")).as("total_chars"))),
+      // URL-exact dedup: normalization projection + ONE shuffle on the
+      // canonical key (replica urls are distinct — this measures the
+      // shuffle, not duplicate collapse, like the embedding inflation)
+      Stress("url_dedup", s =>
+        pagesOf(s.docs())
+          .groupBy(graft.operators.WebDomains.normalizeUrl(col("url"))
+            .as("norm_url"))
+          .agg(count(lit(1)).as("n_copies"))),
+      // line-level boilerplate removal: line-hash shuffle + anti-join
+      // against the bounded common set + order-restoring reassembly —
+      // the collect_list path VERDICT r14 asked to see measured; the
+      // aggregate consumes clean_text so the reassembly is not pruned
+      Stress("line_removal", s =>
+        graft.operators.TrainingData.removeCommonLines(
+            linedOf(s.docs()), col("doc_id"), col("text"), minDocFreq = 2)
+          .select((length(col("clean_text")) + col("n_kept")).as("n"))
+          .agg(sum(col("n")).as("total"))))
 
     // by-name: construction is INSIDE the clock — iterative operators
     // (connected components) run their rounds eagerly while building
@@ -386,6 +461,15 @@ object Bench {
     val parts = selected.map { task =>
       task.at(base).count() // untimed: pay codegen/JIT once, off the clock
       val (t1, _) = timedRun(task.at(base))
+      // untimed SCALED warm-up too: the per-scale ingest-time artifacts
+      // (inflation, localCheckpoints, the lsh partitioned-parquet write)
+      // are LAZY and materialize on first dereference — without this
+      // pass the first scaled task absorbs the whole artifact build
+      // into its clock and reads as a fake super-linearity (r14's
+      // lsh_adaptive 10.36 had exactly this inside it). Per-task (not a
+      // global touch) so a filtered tier still never pays for
+      // artifacts its tasks don't read.
+      task.at(scaled).count()
       val (tN, okN) = timedRun(task.at(scaled))
       val ratio = if (t1 > 0) tN / t1 else Double.PositiveInfinity
       val linear = ratio <= factor * 1.5

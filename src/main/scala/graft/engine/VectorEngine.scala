@@ -964,6 +964,79 @@ final class VectorEngine private (val spark: SparkSession,
     else false
   }
 
+  // -------------------------------------------------------------------
+  // LSH index maintenance (the lsh analog of the ivf retrain above):
+  // a FIXED projection matrix lets bucket occupancy grow linearly with
+  // the corpus — the adaptive probe's candidate target is O(k), but its
+  // first probed bucket alone holds n / 2^P rows, so search cost
+  // re-couples to n unless P grows with it. The maintenance loop is:
+  // check max occupancy (driver-side O(1) off the MAINTAINED
+  // histogram), and past the bound re-derive the matrix FROM THE SAME
+  // SEED with more projections.
+  // -------------------------------------------------------------------
+  /** Rows in the fattest bucket of an lsh library — the occupancy
+    * health signal. Free when the histogram is clean; the first read
+    * after a cascade delete pays one column-pruned aggregate. */
+  def lshMaxBucketRows(libraryId: String): Long = {
+    val lib = getLibrary(libraryId)
+    if (lib.index_kind != IndexKindLsh)
+      throw ValidationError(s"library index_kind is ${lib.index_kind}, not $IndexKindLsh")
+    val h = bucketHistogram(libraryId)
+    if (h.isEmpty) 0L else h.values.max
+  }
+
+  /** Install a NEW projection count on an lsh library: the matrix is
+    * re-derived from the library's STORED seed (deterministic — a
+    * reopened engine reproduces it bit-for-bit, and an oracle replays
+    * it), every stored bucket is re-derived in one projection over the
+    * library's partition (no shuffle), and the histogram is rebuilt
+    * with one aggregate. The installation primitive
+    * [[reprojectLshIndexIfCrowded]] drives — exactly the
+    * setIvfCentroids / retrainIvfIndexIfSkewed split. */
+  def setLshProjections(libraryId: String, numProjections: Int): Unit = {
+    val lib = getLibrary(libraryId)
+    if (lib.index_kind != IndexKindLsh)
+      throw ValidationError(s"library index_kind is ${lib.index_kind}, not $IndexKindLsh")
+    if (numProjections < 1 || numProjections > LshIndex.MaxProjections)
+      throw ValidationError(
+        s"numProjections must be 1..${LshIndex.MaxProjections}, got $numProjections")
+    val cur = matrices(libraryId)
+    if (numProjections == cur.num_projections) return
+    val m = projectionMatrix(numProjections, cur.dim, cur.seed)
+    matrices += libraryId -> MatrixRow(libraryId, numProjections, cur.dim,
+      cur.seed, m.map(_.toSeq).toSeq)
+    chunks = chunks.toDF()
+      .withColumn("bucket",
+        when(col("library_id") === libraryId, lshBucket(col("embedding"), m))
+          .otherwise(col("bucket")))
+      .as[ChunkRow]
+    hists += libraryId -> histRecompute(libraryId)
+    staleHists -= libraryId
+    touchLibrary(libraryId, now())
+    markDirty(libraryId)
+    afterMutation()
+  }
+
+  /** Occupancy-bound health check on the default adaptive-probe budget:
+    * past roughly 2x the k=10 candidate target (k * AdaptiveMultiplier
+    * = 1500), even a single-bucket probe overshoots the budget. */
+  def reprojectLshIndexIfCrowded(libraryId: String,
+      maxBucketRows: Long = VectorEngine.DefaultLshMaxBucketRows): Boolean = {
+    require(maxBucketRows >= 1, s"maxBucketRows must be >= 1, got $maxBucketRows")
+    val maxRows = lshMaxBucketRows(libraryId)
+    if (maxRows <= maxBucketRows) false
+    else {
+      val n = bucketHistogram(libraryId).values.sum
+      val cur = matrices(libraryId).num_projections
+      // size to HALF the bound so one more ingest batch doesn't re-trip
+      // immediately, and always move at least one projection
+      val newP = math.min(LshIndex.MaxProjections,
+        math.max(cur + 1, LshIndex.projectionsFor(n, math.max(1L, maxBucketRows / 2))))
+      if (newP <= cur) false
+      else { setLshProjections(libraryId, newP); true }
+    }
+  }
+
   /** Install the PQ codebooks of a storage="pq" library — index metadata
     * exactly like setIvfCentroids: validated, then the stored codes of
     * everything already ingested are re-derived in one projection (no
@@ -2566,6 +2639,14 @@ object VectorEngine {
   val DefaultPageLimit = 100      // api.py:240
   val DefaultLshProjections = 8   // indexes.py:173
   val DefaultLshSeed = 42L
+
+  /** Occupancy bound for [[VectorEngine.reprojectLshIndexIfCrowded]]:
+    * the fattest bucket may hold ~2.7x the default adaptive candidate
+    * target (k=10 x AdaptiveMultiplier=150 = 1500) before the index is
+    * re-derived with more projections. Below the bound the probe
+    * budget stays O(k); above it even a single-bucket probe scans more
+    * than the whole search was budgeted for. */
+  val DefaultLshMaxBucketRows = 4096L
   val IndexKindFlat = "flat"
   val IndexKindLsh = "random_projection"
   val IndexKindIvf = "ivf"

@@ -155,18 +155,35 @@ object BpeTokenizer {
     * reassembly is one aggregation whose state is bounded by the
     * document's own token array (the same bound any per-doc operator
     * carries). Nothing is collected. */
+  /** Broadcast ceiling for the distinct-term BPE table: below it the
+    * term→subtokens join is map-side (no shuffle of the corpus-sized
+    * exploded frame); above it the join falls back to the shuffled
+    * equi-join on the term key. 500k terms ≈ tens of MB — real corpora
+    * (even 100 TB ones) usually sit under it because the table is
+    * VOCABULARY-sized, but id-like/typo-heavy corpora can exceed any
+    * fixed vocabulary bound, so the fallback stays. Measured at the
+    * bench's 100x doc tier: the broadcast path removes the only
+    * corpus-sized shuffle pair (groupBy(id, term) + join-repartition),
+    * leaving one partial-aggregated groupBy(id). */
+  val MaxBroadcastTerms = 500000L
+
   def encodedTokens(df: DataFrame, id: Column, text: Column,
                     merges: Seq[Merge]): DataFrame = {
     val words = df.select(id.as("id"),
       posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
     val session = df.sparkSession
     import session.implicits._
+    // replayed ONCE over the pinned distinct-term set (vocabulary-sized)
     val termToks = words.select(col("term")).distinct()
       .as[String]
       .mapPartitions(_.map(t => (t, tokenize(t, merges).toSeq)))
       .toDF("term", "tl")
-    words.join(termToks, "term")
-      .groupBy(col("id"))
+      .localCheckpoint()
+    val joined =
+      if (termToks.count() <= MaxBroadcastTerms)
+        words.join(broadcast(termToks), "term")
+      else words.join(termToks, "term")
+    joined.groupBy(col("id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("tl")))),
         x => x.getField("tl"))).as("toks"))
@@ -176,16 +193,32 @@ object BpeTokenizer {
                   merges: Seq[Merge]): DataFrame = {
     val exploded = df.select(id.as("id"),
       explode(TextAnalysis.tokens(text)).as("term"))
-    val perDocTerm = exploded.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("c"))
-    val termBpe = perDocTerm.select(col("term")).distinct()
+    // replayed ONCE over the pinned distinct-term set (vocabulary-sized)
+    val termBpe = exploded.select(col("term")).distinct()
       .select(col("term")).as(Encoders.STRING)
       .mapPartitions(_.map(t => (t, tokenCountOf(t, merges))))(
         Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .toDF("term", "nbpe")
-    perDocTerm.join(termBpe, "term")
-      .groupBy(col("id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * col("nbpe")).as("n_bpe_tokens"))
+      .localCheckpoint()
+    if (termBpe.count() <= MaxBroadcastTerms)
+      // vocabulary fits the broadcast bound: ONE shuffle total — the
+      // exploded tokens take the nbpe weight map-side and partial-agg
+      // straight into the per-doc sums (sum of nbpe over occurrences
+      // == sum of c * nbpe over (doc, term) groups, exactly)
+      exploded.join(broadcast(termBpe), "term")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("nbpe")).as("n_bpe_tokens"))
+    else {
+      // unbounded vocabulary: aggregate (doc, term) counts first so the
+      // shuffled equi-join carries one row per (doc, term), not one per
+      // occurrence
+      val perDocTerm = exploded.groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      perDocTerm.join(termBpe, "term")
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * col("nbpe")).as("n_bpe_tokens"))
+    }
   }
 }

@@ -21,6 +21,32 @@ import graft.functions.VectorFunctions._
   */
 object LshIndex {
 
+  /** Hard ceiling on sign-bit projections: buckets pack into one LONG
+    * (62 keeps every value non-negative under the portable `acc*2+bit`
+    * fold — the same cap the simhash/BQ word packing uses). */
+  val MaxProjections = 62
+
+  /** The projection count that bounds EXPECTED bucket occupancy at
+    * `targetOccupancy` rows for an `n`-row corpus under a near-uniform
+    * sign-bit hash: the smallest P with n / 2^P <= target, clamped to
+    * [minP, MaxProjections]. This is the sizing rule the maintenance
+    * loop applies as the corpus grows (occupancy is what degrades a
+    * fixed-matrix index: the adaptive probe's candidate target is O(k),
+    * but its FIRST probed bucket alone already holds n / 2^P rows —
+    * linear in n unless P grows with it). Pure driver math, shared by
+    * the engine's reprojection policy and the bench's stress harness
+    * so the two cannot diverge. */
+  def projectionsFor(n: Long, targetOccupancy: Long, minP: Int = 1,
+                     maxP: Int = MaxProjections): Int = {
+    require(targetOccupancy >= 1, s"targetOccupancy must be >= 1")
+    require(minP >= 1 && minP <= maxP, s"need 1 <= minP <= maxP")
+    if (n <= 0) return minP
+    var p = minP
+    // smallest p with ceil(n / 2^p) <= target (integer-exact, no fp log2)
+    while (p < maxP && ((n - 1) >> p) + 1 > targetOccupancy) p += 1
+    p
+  }
+
   /** Index configuration; `seed` makes the projection matrix deterministic
     * (reference: vector_db/indexes.py:172-187 — seeded RNG; bit-compat with
     * NumPy is NOT required, only determinism given the stored seed). */

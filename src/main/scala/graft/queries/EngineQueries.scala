@@ -138,6 +138,34 @@ object EngineQueries {
     LshQueries.adaptiveSql("'c' || vec_id", "chunk_id",
       10L * graft.operators.LshIndex.AdaptiveMultiplier, 10)
 
+  /** LSH maintenance at the index level (the lsh twin of
+    * `lifecycle_ivf_retrain`): a REOPENED random_projection library is
+    * re-projected to MORE projections (the installation path of
+    * `reprojectLshIndexIfCrowded`, with the new count pinned so the
+    * oracle can replay the re-derived seeded matrix; the
+    * occupancy-triggered policy itself is spec-gated by LshSpec /
+    * EngineSpec — it is data-dependent and so not SQL-expressible as
+    * one static statement). Gates what a re-projection must preserve:
+    * every stored bucket re-derived under the wider matrix in one
+    * projection, the histogram rebuilt, and the adaptive probe (the
+    * facade default) selecting over the NEW buckets/margins with
+    * results exact over the re-keyed index. */
+  private val LshRetrainP = 8
+
+  private val lshRetrained: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindLsh,
+      deleteDoc7 = false)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.setLshProjections(lib, LshRetrainP)
+    eng2.search(lib, queryVec(s, dir), k = 10)
+  }
+
+  private val lshRetrainedSql: String =
+    LshQueries.adaptiveSql("'c' || vec_id", "chunk_id",
+      10L * graft.operators.LshIndex.AdaptiveMultiplier, 10,
+      c = graft.operators.LshIndex.Config(LshRetrainP,
+        LshQueries.config.dim, LshQueries.config.seed))
+
   /** Facade batch search on an LSH library: 4 queries in ONE plan, each
     * with its own ADAPTIVE probe set (the facade default). The oracle
     * replays the per-query selection — per-query margins/costs over the
@@ -711,6 +739,7 @@ object EngineQueries {
     Q("lifecycle_hybrid_batch", hybridBatchSearch, Some(hybridBatchSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
+    Q("lifecycle_lsh_retrain", lshRetrained, Some(lshRetrainedSql)),
     Q("lifecycle_ivf_persisted", ivfPersisted, Some(ivfPersistedSql)),
     Q("lifecycle_ivf_retrain", ivfRetrained, Some(ivfRetrainedSql)),
     Q("lifecycle_ivf_sq8_persisted", ivfSq8Persisted("cosine"),

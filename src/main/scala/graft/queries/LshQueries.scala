@@ -32,9 +32,12 @@ object LshQueries {
     * oracle SQL reproduces engine bucket assignment exactly. */
   private[queries] def config: LshIndex.Config = cfg
 
-  /** Same sign-bit hash as VectorFunctions.lshBucket, in DuckDB SQL. */
-  private[queries] def bucketSql(v: String): String =
-    cfg.matrix.zipWithIndex.map { case (row, i) =>
+  /** Same sign-bit hash as VectorFunctions.lshBucket, in DuckDB SQL —
+    * generated for any seeded config (the retrain row replays a
+    * RE-DERIVED matrix, not the build-time one). */
+  private[queries] def bucketSql(v: String,
+                                 c: LshIndex.Config = cfg): String =
+    c.matrix.zipWithIndex.map { case (row, i) =>
       s"(CASE WHEN ${VectorSearchQueries.dotSql(v, rowLit(row))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -118,16 +121,20 @@ object LshQueries {
 
   /** Margin columns of the single query row (vec_id = 0): m_i = P_i . qv,
     * same element order as LshIndex.margins. */
-  private[queries] def marginColsSql: String =
-    cfg.matrix.zipWithIndex.map { case (row, i) =>
+  private[queries] def marginColsSql: String = marginColsSql(cfg)
+
+  private[queries] def marginColsSql(c: LshIndex.Config): String =
+    c.matrix.zipWithIndex.map { case (row, i) =>
       s"${VectorSearchQueries.dotSql("embedding::DOUBLE[]", rowLit(row))} AS m$i"
     }.mkString(", ")
 
   /** Flip-cost of bucket `h.b` vs query bucket `q.qb`: same term order as
     * LshIndex.probePrefix's loop (i ascending, each non-flipped bit
     * contributing an exact +0). */
-  private[queries] def costSql: String =
-    cfg.matrix.indices.map { i =>
+  private[queries] def costSql: String = costSql(cfg)
+
+  private[queries] def costSql(c: LshIndex.Config): String =
+    c.matrix.indices.map { i =>
       s"(CASE WHEN (xor(h.b, q.qb) & ${1L << i}) <> 0 THEN abs(q.m$i) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -141,14 +148,15 @@ object LshQueries {
     * the histogram is built. */
   private[queries] def adaptiveSql(idSql: String, idAlias: String,
                                    target: Long, k: Int,
-                                   eWhere: String = ""): String =
-    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${bucketSql("embedding::DOUBLE[]")} AS qb,
-       |           $marginColsSql
+                                   eWhere: String = "",
+                                   c: LshIndex.Config = cfg): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, ${bucketSql("embedding::DOUBLE[]", c)} AS qb,
+       |           ${marginColsSql(c)}
        |           FROM embeddings WHERE vec_id = 0),
-       |e AS (SELECT $idSql AS $idAlias, embedding::DOUBLE[] AS v, ${bucketSql("embedding::DOUBLE[]")} AS b
+       |e AS (SELECT $idSql AS $idAlias, embedding::DOUBLE[] AS v, ${bucketSql("embedding::DOUBLE[]", c)} AS b
        |      FROM embeddings $eWhere),
        |hist AS (SELECT b, count(*) AS n FROM e GROUP BY b),
-       |cost AS (SELECT h.b, h.n, $costSql AS cost FROM hist h, q),
+       |cost AS (SELECT h.b, h.n, ${costSql(c)} AS cost FROM hist h, q),
        |sel AS (SELECT b FROM (
        |          SELECT b, n, cost,
        |                 sum(n) OVER (ORDER BY cost, b

@@ -1380,6 +1380,51 @@ class EngineSpec extends AnyFunSuite {
     intercept[ValidationError] { e.ivfCellSkew(untrained.id) }
   }
 
+  test("lsh maintenance: occupancy health check trips on a crowded bucket, " +
+    "conditional re-projection widens the matrix from the stored seed, " +
+    "search parity holds across the re-projection") {
+    val e = VectorEngine.create(spark)
+    // P=2 → at most 4 buckets: 64 rows guarantee a bucket with >= 16
+    val lib = e.createLibrary("crowded", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh, lshProjections = 2, lshSeed = 7L)
+    val doc = e.createDocument(lib.id, "doc")
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 64).map(_ => Seq.fill(4)(rng.nextFloat() * 2f - 1f))
+    e.addChunksBatch(doc.id, vecs.zipWithIndex.map { case (v, i) =>
+      ChunkInput(s"t$i", v, Map.empty, i, Some(f"c$i%02d"))
+    })
+    assert(e.lshMaxBucketRows(lib.id) >= 16L)
+    val q = vecs.head
+    // adaptive target (k * 150) >> 64 rows: the probe covers every
+    // bucket, so this IS the exact answer — the parity baseline
+    val before = e.search(lib.id, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // bound not tripped (max <= 64), tripped at 8
+    assert(!e.reprojectLshIndexIfCrowded(lib.id, maxBucketRows = 64L))
+    assert(e.lshProjectionMatrix(lib.id).length == 2)
+    assert(e.reprojectLshIndexIfCrowded(lib.id, maxBucketRows = 8L))
+    // policy: newP = max(curP+1, projectionsFor(64, 4)) = 4, matrix
+    // re-derived from the STORED seed (deterministic)
+    val m = e.lshProjectionMatrix(lib.id)
+    assert(m.length == 4)
+    assert(m.map(_.toSeq).toSeq ==
+      graft.functions.VectorFunctions.projectionMatrix(4, 4, 7L)
+        .map(_.toSeq).toSeq)
+    // every stored bucket re-derived + histogram rebuilt: totals agree
+    // and no bucket exceeds the P=2 ceiling it had before
+    assert(e.bucketHistogram(lib.id).values.sum == 64L)
+    // search parity: the exact answer is invariant under re-keying
+    val after = e.search(lib.id, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(after == before)
+    // guards: wrong index kind, out-of-range projection counts
+    val flat = e.createLibrary("flat", dim = 4)
+    intercept[ValidationError] { e.setLshProjections(flat.id, 8) }
+    intercept[ValidationError] { e.lshMaxBucketRows(flat.id) }
+    intercept[ValidationError] { e.setLshProjections(lib.id, 0) }
+    intercept[ValidationError] { e.setLshProjections(lib.id, 63) }
+  }
+
   test("crawlAndIngest: raw (url, html) pages through URL dedup, " +
     "extraction, line removal, and the full curation composition — " +
     "per-stage accounting, boilerplate-only and contaminated pages drop") {

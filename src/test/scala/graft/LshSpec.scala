@@ -51,6 +51,23 @@ class LshSpec extends AnyFunSuite {
     assert(h.nonEmpty && h.get.map(_._2).sum == 32L)
   }
 
+  test("projectionsFor: smallest P bounding expected occupancy, clamped " +
+    "to [minP, MaxProjections] — the shared engine/bench sizing rule") {
+    // exact boundary: ceil(n / 2^P) <= target
+    assert(LshIndex.projectionsFor(1000, 1000) == 1)
+    assert(LshIndex.projectionsFor(2000, 1000) == 1)   // ceil(2000/2)=1000
+    assert(LshIndex.projectionsFor(2001, 1000) == 2)
+    assert(LshIndex.projectionsFor(6000, 64) == 7)     // 6000/128=46.9
+    assert(LshIndex.projectionsFor(60000, 64) == 10)   // 60000/1024=58.6
+    // growing corpus, fixed target: P tracks log2(n)
+    assert(LshIndex.projectionsFor(600000, 64) == 14)
+    // clamps: empty corpus stays at minP, huge corpus at the 62 ceiling
+    assert(LshIndex.projectionsFor(0, 10) == 1)
+    assert(LshIndex.projectionsFor(Long.MaxValue, 1) == LshIndex.MaxProjections)
+    assert(LshIndex.projectionsFor(100, 1000, minP = 8) == 8)
+    intercept[IllegalArgumentException] { LshIndex.projectionsFor(10, 0) }
+  }
+
   test("bucket hash rejects empty and oversized matrices") {
     intercept[IllegalArgumentException] {
       lshBucket(col("v"), Array.empty[Array[Double]])
