@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.{MetadataFunctions, VectorExpressions}
-import graft.operators.{IvfIndex, Lexical, LshIndex, NearDup, ProductQuantization, Quantization, TrainingData}
+import graft.operators.{BinaryQuantization, IvfIndex, Lexical, LshIndex, NearDup, ProductQuantization, Quantization, TrainingData}
 import java.sql.Timestamp
 import java.nio.file.{Files, Paths}
 
@@ -226,6 +226,12 @@ final class VectorEngine private (val spark: SparkSession,
       throw ValidationError("sq8 storage requires a flat or ivf index kind")
     if (storage == StoragePq && indexKind == IndexKindLsh)
       throw ValidationError("pq storage requires a flat or ivf index kind")
+    if (storage == StorageBq && indexKind == IndexKindLsh)
+      throw ValidationError("bq storage requires a flat or ivf index kind")
+    if (storage == StorageBq && metric != "cosine")
+      throw ValidationError(
+        "bq storage requires the cosine metric (sign-bit Hamming tracks" +
+          " cosine order only — it is blind to vector magnitude)")
     val lid = id.getOrElse(newId())
     if (findLibrary(lid).isDefined)
       throw ConflictError(s"library already exists: $lid")
@@ -285,6 +291,13 @@ final class VectorEngine private (val spark: SparkSession,
       throw ValidationError("sq8 storage requires a flat or ivf index kind")
     if (cur.storage == StoragePq && indexKind.contains(IndexKindLsh))
       throw ValidationError("pq storage requires a flat or ivf index kind")
+    if (cur.storage == StorageBq && indexKind.contains(IndexKindLsh))
+      throw ValidationError("bq storage requires a flat or ivf index kind")
+    // bq's approximate kernel is sign-bit Hamming, which tracks COSINE
+    // order only (it is blind to magnitude — dot and euclidean order by
+    // it); unlike sq8, the metric is not a free patch
+    if (cur.storage == StorageBq && metric.exists(_ != "cosine"))
+      throw ValidationError("bq storage requires the cosine metric")
     val next = cur.copy(
       name = name.getOrElse(cur.name),
       description = description.getOrElse(cur.description),
@@ -620,10 +633,14 @@ final class VectorEngine private (val spark: SparkSession,
         if (lib.storage == StoragePq)
           Some(ProductQuantization.normLocal(c.embedding))
         else None
+      val bqCodes =
+        if (lib.storage == StorageBq)
+          Some(BinaryQuantization.encodeWordsIntLocal(c.embedding))
+        else None
       ChunkRow(c.id.getOrElse(newId()), doc.id, lib.id, c.text, c.embedding,
         encodeMeta(c.metadata), c.chunkIndex, bkt,
         enc.map(_._1).orElse(pqNorm), enc.map(_._2),
-        enc.map(_._3).orElse(pqCodes), t, t)
+        enc.map(_._3).orElse(pqCodes).orElse(bqCodes), t, t)
     }
     chunks = chunks.unionByName(rows.toDS())
     histUpdate(lib.id, rows.flatMap(_.bucket).groupBy(identity)
@@ -724,6 +741,13 @@ final class VectorEngine private (val spark: SparkSession,
         .withColumn("qmin", ProductQuantization.normColumn(col("embedding")))
         .withColumn("qmax", lit(null).cast("double"))
         .withColumn("codes", pqCodesColumnFor(lib))
+      else if (lib.storage == StorageBq) base
+        // bq packs the sign bits into the shared codes column — the
+        // same in-plan derivation discipline as sq8/pq, no model needed
+        .withColumn("qmin", lit(null).cast("double"))
+        .withColumn("qmax", lit(null).cast("double"))
+        .withColumn("codes",
+          BinaryQuantization.encodeWordsInt(col("embedding"), dim))
       else base
         .withColumn("qmin", lit(null).cast("double"))
         .withColumn("qmax", lit(null).cast("double"))
@@ -814,6 +838,10 @@ final class VectorEngine private (val spark: SparkSession,
     val pqCodes =
       if (lib.storage == StoragePq) Some(pqEncodeLocal(lib, newBucket, newEmb))
       else None
+    val bqCodes =
+      if (lib.storage == StorageBq)
+        Some(BinaryQuantization.encodeWordsIntLocal(newEmb))
+      else None
     val next = cur.copy(
       text = text.getOrElse(cur.text),
       embedding = newEmb,
@@ -825,7 +853,7 @@ final class VectorEngine private (val spark: SparkSession,
           Some(ProductQuantization.normLocal(newEmb))
         else None),
       qmax = enc.map(_._2),
-      codes = enc.map(_._3).orElse(pqCodes),
+      codes = enc.map(_._3).orElse(pqCodes).orElse(bqCodes),
       updated_at = now())
     chunks = replaceById(chunks, id, next)
     histUpdate(cur.library_id,
@@ -1232,6 +1260,13 @@ final class VectorEngine private (val spark: SparkSession,
       if (lib.storage == StorageSq8)
         Quantization.search(base.toDF(), "embedding", "id", query.toArray,
           k, math.max(k, rescore), lib.distance_metric)
+      else if (lib.storage == StorageBq)
+        // bq scans TWO-PHASE like sq8: Hamming top-R over the packed
+        // sign words only (1 bit/dim — 1/32 the scanned bytes), exact
+        // cosine rescore of the R survivors; under ivf the base is the
+        // probed cells, so the full funnel composes
+        BinaryQuantization.searchStored(base.toDF(), "embedding", "id",
+          query.toArray, k, math.max(k, rescore), lib.distance_metric)
       else if (lib.storage == StoragePq && pqModels.contains(libraryId) &&
           pqResidual(lib))
         // IVFPQ: residual ADC — per-cell LUTs join on the stored cell
@@ -1396,6 +1431,8 @@ final class VectorEngine private (val spark: SparkSession,
     val dataCols: Seq[Column] =
       if (lib.storage == StorageSq8)
         Seq(col("codes"), col("qmin"), col("qmax"))
+      else if (lib.storage == StorageBq)
+        Seq(col("codes"))
       else if (lib.storage == StoragePq && pqModels.contains(libraryId))
         Seq(col("codes")) ++
           (if (pqResidual(lib)) Seq(col("bucket")) else Nil) ++
@@ -1435,7 +1472,29 @@ final class VectorEngine private (val spark: SparkSession,
         }
     }
     val scored =
-      if (lib.storage == StorageSq8) {
+      if (lib.storage == StorageBq) {
+        // batch bq two-phase: per-pair Hamming over the stored int
+        // words (the query's words re-packed in-plan from qvec — 2
+        // words at dim 64, cheaper than another broadcast join), salted
+        // top-R per query, ONE exact-rescore join. Bit-identical to Q
+        // single bq searches (EngineSpec locks this).
+        val r = math.max(k, rescore)
+        val approx = pairs
+          .withColumn("approx", graft.operators.BinaryQuantization.hamming(
+            col("codes"), graft.operators.BinaryQuantization.encodeWordsInt(
+              col("qvec"), lib.embedding_dimension)))
+          .select(col("query_id"), col("id"), col("approx"))
+        val survivors = graft.operators.TopK
+          .perGroup(approx, "query_id", "approx", "id", r)
+          .select(col("query_id"), col("id"))
+        scoped.select(col("id"), col("embedding"))
+          .join(broadcast(survivors), Seq("id"))
+          .join(broadcast(qDf), Seq("query_id"))
+          .withColumn("distance",
+            round(distance(lib.distance_metric)(col("embedding"), col("qvec")), 6)
+              + lit(0.0d))
+          .select(col("query_id"), col("id"), col("distance"))
+      } else if (lib.storage == StorageSq8) {
         // batch two-phase: approx top-R per query on the codes (the salted
         // TopK reduction, like the exact phase), then ONE exact-rescore
         // join touching O(Q x R) embedding rows. Bit-identical to Q single
@@ -2665,7 +2724,17 @@ object VectorEngine {
   val StorageFloat32 = "float32"
   val StorageSq8 = "sq8"
   val StoragePq = "pq"
-  val SupportedStorage: Set[String] = Set(StorageFloat32, StorageSq8, StoragePq)
+
+  /** Binary (1-bit) storage — the cheapest scan rung (32x smaller than
+    * float32): per-chunk sign bits packed 31/int word into the shared
+    * `codes` column at ingest, searched two-phase (Hamming top-R over
+    * the words only, exact cosine rescore). COSINE-only: sign-bit
+    * Hamming tracks cosine order and is blind to magnitude, so dot /
+    * euclidean libraries are rejected at create rather than silently
+    * mis-ranked. Requires a flat or ivf index kind, like sq8/pq. */
+  val StorageBq = "bq"
+  val SupportedStorage: Set[String] =
+    Set(StorageFloat32, StorageSq8, StoragePq, StorageBq)
 
   /** Default rescore depth PER STORAGE KIND — the approximate phase
     * keeps max(k, rescore) candidates for the exact phase. SQ8 codes are
@@ -2684,6 +2753,12 @@ object VectorEngine {
   val DefaultSq8Rescore = 50
   val DefaultPqRescore = 100
 
+  /** bq keeps only 1 bit/dim — lossier than SQ8's 8, in the PQ recall
+    * class (clustered-panel recall@10 0.91 at R=50; the uniform panel's
+    * 0.40 is the documented worst case for sign bits) — so its default
+    * follows the same R ≈ 10·k re-ranking practice as PQ. */
+  val DefaultBqRescore = 100
+
   /** Residual IVFPQ (ivf index x pq storage) defaults — the lossiest
     * funnel compensates on BOTH dials: the ADC's quantization error sits
     * ON TOP of cell-pruning misses, so it probes wider (6 vs the plain-ivf
@@ -2698,7 +2773,9 @@ object VectorEngine {
 
   /** The storage kind's default rescore depth (see above). */
   def defaultRescore(storage: String): Int =
-    if (storage == StoragePq) DefaultPqRescore else DefaultSq8Rescore
+    if (storage == StoragePq) DefaultPqRescore
+    else if (storage == StorageBq) DefaultBqRescore
+    else DefaultSq8Rescore
 
   /** LSH probe modes for `search`/`searchBatch` (adaptive is the default;
     * single-bucket is the reference's strict parity semantics). */

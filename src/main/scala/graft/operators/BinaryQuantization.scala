@@ -55,10 +55,82 @@ object BinaryQuantization {
   def withCodes(df: DataFrame, emb: Column, dim: Int): DataFrame =
     df.withColumn("bq", encodeWords(emb, dim))
 
-  /** Hamming distance between two packed-word arrays. */
+  /** Hamming distance between two packed-word arrays (long or int words). */
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), _ + _)
+
+  // ------------------------------------------------------------------
+  // 31-bit INT packing — the library storage kind ("bq"): the engine's
+  // shared per-chunk `codes` column is array<int> (it already carries
+  // SQ8 bytes and PQ centroid ids), so the storage rung packs signs at
+  // 31 bits per int word — the same MSB-first fold, and every word
+  // stays positive as an INT in both engines (DuckDB INT arithmetic is
+  // checked, like the 62-bit cap above).
+  // ------------------------------------------------------------------
+  val BitsPerIntWord = 31
+
+  /** Int-word count for a `dim`-dimensional vector. */
+  def intWordsFor(dim: Int): Int = (dim + BitsPerIntWord - 1) / BitsPerIntWord
+
+  /** 31-bit twin of [[encodeWords]]: array<int> sign words for the
+    * shared `codes` column. Same ANSI-safe outer-when guard. */
+  def encodeWordsInt(emb: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(intWordsFor(dim) - 1)), w =>
+      aggregate(sequence(lit(0), lit(BitsPerIntWord - 1)), lit(0), (acc, i) => {
+        val idx = w * BitsPerIntWord + i + 1   // 1-based element index
+        acc * 2 + when(idx <= least(lit(dim), size(emb)),
+            when(element_at(emb, idx) > 0f, 1).otherwise(0))
+          .otherwise(0)
+      }))
+
+  /** Driver-local twin of [[encodeWordsInt]] — the single-row ingest
+    * path packs without a Spark job; bit-identical to the column fold
+    * (same MSB-first order, same strict `> 0` sign rule). */
+  def encodeWordsIntLocal(v: Seq[Float]): Seq[Int] = {
+    val dim = v.length
+    (0 until intWordsFor(dim)).map { w =>
+      var acc = 0
+      var i = 0
+      while (i < BitsPerIntWord) {
+        val idx = w * BitsPerIntWord + i
+        acc = acc * 2 + (if (idx < dim && v(idx) > 0f) 1 else 0)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Two-phase binary search over a table whose packed sign words live
+    * in the shared int-word `codes` column (the storage="bq" funnel):
+    * Hamming top-`rescore` scanning ONLY the codes, exact `metric`
+    * top-`k` rescore of the survivors. Same in-plan dimension guard as
+    * [[search]]. */
+  def searchStored(encoded: DataFrame, embCol: String, idCol: String,
+                   query: Array[Float], k: Int, rescore: Int,
+                   metric: String, codesCol: String = "codes"): DataFrame = {
+    require(k > 0 && rescore >= k, "need k > 0 and rescore >= k")
+    val nWords = intWordsFor(query.length)
+    val qWords = encodeWordsInt(litVec(query), query.length)
+    val candidates = encoded
+      .select(col(idCol), col(codesCol))
+      .withColumn("approx",
+        when(size(col(codesCol)) =!= nWords,
+          raise_error(concat(lit("codes word count "), size(col(codesCol)),
+            lit(s" != query word count $nWords — codes were packed for a" +
+              " different dimension"))))
+          .otherwise(hamming(col(codesCol), qWords)))
+      .orderBy(col("approx"), col(idCol))
+      .limit(rescore)
+      .select(col(idCol))
+    encoded.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .withColumn("distance",
+        round(graft.functions.VectorFunctions.distance(metric)(
+          col(embCol), litVec(query)), 6) + lit(0.0d))
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
 
   /** Two-phase binary search over a table carrying the stored `bq`
     * column: approximate Hamming top-`rescore` scanning ONLY the packed

@@ -351,6 +351,50 @@ object EngineQueries {
        |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
   }
 
+  /** Full persistence round-trip for a flat library with storage="bq" —
+    * the 1-bit scan rung as a first-class storage kind: sign bits packed
+    * 31/int word into the shared codes column INSIDE the bulk-ingest
+    * plan and persisted in-row, then a reopened `search()` runs the
+    * two-phase funnel — Hamming top-R over the stored words only, exact
+    * cosine rescore at the storage kind's default depth. The oracle
+    * replays the 31-bit MSB-first packing fold, the per-word XOR
+    * bit_count, the (hamming, id) cut at R, and the rescore. */
+  private val bqPersisted: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindFlat,
+      deleteDoc7 = false, metric = "cosine", storage = VectorEngine.StorageBq)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.search(lib, queryVec(s, dir), k = 10)
+  }
+
+  private val bqPersistedSql: String = {
+    val bpw = graft.operators.BinaryQuantization.BitsPerIntWord
+    val dim = 64
+    val nWords = graft.operators.BinaryQuantization.intWordsFor(dim)
+    val r = VectorEngine.DefaultBqRescore
+    val exactCos = VectorSearchQueries.distSql("cosine", "e.v", "q.qv")
+    s"""WITH e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |enc AS (SELECT chunk_id, v,
+       |    list_transform(range(0, $nWords), w ->
+       |      list_reduce(list_prepend(0::INT,
+       |        list_transform(range(0, $bpw), i ->
+       |          CASE WHEN w * $bpw + i + 1 <= $dim
+       |                AND v[(w * $bpw + i + 1)::INT] > 0
+       |               THEN 1::INT ELSE 0::INT END)),
+       |        (a, b) -> a * 2 + b)) AS codes
+       |  FROM e),
+       |qe AS (SELECT codes AS qc FROM enc WHERE chunk_id = 'c0'),
+       |ham AS (SELECT enc.chunk_id,
+       |    list_sum(list_transform(range(1, ${nWords + 1}), j ->
+       |      bit_count(xor(enc.codes[j::INT], qe.qc[j::INT]))))::BIGINT AS h
+       |  FROM enc, qe),
+       |surv AS (SELECT chunk_id FROM ham ORDER BY h, chunk_id LIMIT $r),
+       |q AS (SELECT v AS qv FROM e WHERE chunk_id = 'c0')
+       |SELECT e.chunk_id, round($exactCos, 6) + 0 AS distance
+       |FROM e, q WHERE e.chunk_id IN (SELECT chunk_id FROM surv)
+       |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
+  }
+
   /** Metadata-FILTERED search through the full ivf+sq8 funnel (P1 x the
     * quantized scale path): the typed filter scopes the chunk set BEFORE
     * the index is consulted, so every later stage — the probed-cell
@@ -747,6 +791,7 @@ object EngineQueries {
     Q("lifecycle_ivf_sq8_euclidean", ivfSq8Persisted("euclidean"),
       Some(ivfSq8PersistedSql("euclidean"))),
     Q("lifecycle_ivf_pq_persisted", ivfPqPersisted, Some(ivfPqPersistedSql)),
+    Q("lifecycle_bq_persisted", bqPersisted, Some(bqPersistedSql)),
     Q("lifecycle_filtered_ivf_sq8", filteredIvfSq8, Some(filteredIvfSq8Sql)),
     Q("lifecycle_filtered_lsh", filteredLshAdaptive, Some(filteredLshAdaptiveSql)),
     Q("lifecycle_batch_search", batchSearch, Some(batchSearchSql)),

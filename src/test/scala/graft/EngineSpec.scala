@@ -735,6 +735,100 @@ class EngineSpec extends AnyFunSuite {
       .search(libOld, vec(1, 0, 0, 0), 2).count() == 2)
   }
 
+  test("bq storage library: create/patch guards (cosine-only, no lsh), " +
+    "sign words derived at ingest (single-row twin == bulk plan), " +
+    "two-phase search == flat search, batch parity, ivf funnel, " +
+    "patch recompute, persistence round-trip") {
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    // create-time invariants: cosine only, flat/ivf only
+    intercept[ValidationError] {
+      e.createLibrary("b", 4, metric = "euclidean",
+        storage = VectorEngine.StorageBq)
+    }
+    intercept[ValidationError] {
+      e.createLibrary("b", 4, metric = "dot_product",
+        storage = VectorEngine.StorageBq)
+    }
+    intercept[ValidationError] {
+      e.createLibrary("b", 4, indexKind = VectorEngine.IndexKindLsh,
+        storage = VectorEngine.StorageBq)
+    }
+    val lib = e.createLibrary("b", dim = 4, storage = VectorEngine.StorageBq)
+    intercept[ValidationError] {
+      e.patchLibrary(lib.id, indexKind = Some(VectorEngine.IndexKindLsh))
+    }
+    intercept[ValidationError] {
+      e.patchLibrary(lib.id, metric = Some("euclidean"))
+    }
+    val doc = e.createDocument(lib.id, "doc")
+    // single-row adds pack via the driver twin...
+    e.addChunksBatch(doc.id, Seq(
+      ChunkInput("a", vec(1, 0, 0, 0), Map.empty, 0, Some("c0")),
+      ChunkInput("b", vec(0.9, 0.1, 0, 0), Map.empty, 1, Some("c1")),
+      ChunkInput("c", vec(-1, 1, 0, 0), Map.empty, 2, Some("c2"))))
+    // ...bulk ingest packs inside the plan: same embedding, same words
+    e.addChunksDf(lib.id,
+      Seq(("c3", doc.id, "d", vec(1, 0, 0, 0), Map.empty[String, String], 3))
+        .toDF("id", "document_id", "text", "embedding", "metadata", "chunk_index"))
+    val byId = e.chunksDf.select("id", "codes").collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(byId("c0") == byId("c3"), "single-row twin != bulk plan words")
+    // dim 4 packs one 31-bit word, MSB-first: bit for dim d at 2^(30-d)
+    assert(byId("c0") == Seq(1 << 30))
+    assert(byId("c2") == Seq(1 << 29))
+    // two-phase search == flat cosine search (R saturates at this size)
+    val ef = VectorEngine.create(spark)
+    val libF = ef.createLibrary("f", dim = 4)
+    val docF = ef.createDocument(libF.id, "doc")
+    ef.addChunksBatch(docF.id, Seq(
+      ChunkInput("a", vec(1, 0, 0, 0), Map.empty, 0, Some("c0")),
+      ChunkInput("b", vec(0.9, 0.1, 0, 0), Map.empty, 1, Some("c1")),
+      ChunkInput("c", vec(-1, 1, 0, 0), Map.empty, 2, Some("c2")),
+      ChunkInput("d", vec(1, 0, 0, 0), Map.empty, 3, Some("c3"))))
+    val q = vec(0.95, 0.05, 0, 0)
+    assert(e.search(lib.id, q, 4).collect().toSeq ==
+      ef.search(libF.id, q, 4).collect().toSeq)
+    intercept[SearchError] { e.search(lib.id, q, 2, rescoreOpt = Some(0)) }
+    // batch == per-query single searches
+    val qs = Seq(0L -> q, 1L -> vec(-0.5, 1, 0, 0))
+    val batch = e.searchBatch(lib.id, qs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      val one = e.search(lib.id, qv, 2).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == one, s"bq batch query=$qid")
+    }
+    // patching the embedding recomputes the packed words
+    e.patchChunk("c2", embedding = Some(vec(2, 0, 0, 0)))
+    assert(e.getChunk("c2").codes.map(_.toSeq).contains(Seq(1 << 30)))
+    // ivf x bq: the full funnel composes (cell prune -> Hamming cut ->
+    // exact rescore), exact at this size through the < k fallback
+    val ei = VectorEngine.create(spark)
+    val libI = ei.createLibrary("i", dim = 4,
+      indexKind = VectorEngine.IndexKindIvf, storage = VectorEngine.StorageBq)
+    ei.setIvfCentroids(libI.id, Seq(0L -> vec(1, 0, 0, 0), 1L -> vec(0, 1, 0, 0)))
+    val docI = ei.createDocument(libI.id, "doc")
+    ei.addChunksBatch(docI.id, Seq(
+      ChunkInput("a", vec(1, 0, 0, 0), Map.empty, 0, Some("c0")),
+      ChunkInput("b", vec(0.9, 0.1, 0, 0), Map.empty, 1, Some("c1")),
+      ChunkInput("c", vec(-1, 1, 0, 0), Map.empty, 2, Some("c2"))))
+    assert(ei.search(libI.id, q, 3).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      ef.search(libF.id, q, 4).collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .filter(_._1 != "c3").toSeq)
+    // persistence: packed words ride the chunks parquet; reopened
+    // search identical and the storage kind survives
+    val dir = Files.tmp("graft-bq")
+    e.save(dir)
+    val e2 = VectorEngine.open(spark, dir)
+    assert(e2.getLibrary(lib.id).storage == VectorEngine.StorageBq)
+    assert(e2.search(lib.id, q, 4).collect().toSeq ==
+      e.search(lib.id, q, 4).collect().toSeq)
+  }
+
   test("sq8 storage under the cosine (default) and dot_product metrics: " +
     "two-phase search == flat search, batch parity, metric patch allowed") {
     def populate(e: VectorEngine, lib: String): Unit = {
