@@ -1805,15 +1805,11 @@ final class VectorEngine private (val spark: SparkSession,
     * [[crawlAndIngest]] — ONE home so the crawl facade can fail fast
     * BEFORE its expensive crawl-side stages run, with exactly the
     * checks the curation stage would apply later. */
-  private def validateCurationParams(libraryId: String, documentId: String,
+  private def validateCurationParams(libraryId: String,
                                      qualityMin: Double,
                                      maxDupNgramFrac: Double, n: Int,
                                      threshold: Double): Unit = {
     val lib = getLibrary(libraryId)
-    val doc = getDocument(documentId)
-    if (doc.library_id != libraryId)
-      throw ValidationError(
-        s"document $documentId belongs to library ${doc.library_id}, not $libraryId")
     if (lib.index_kind != IndexKindLsh)
       throw ValidationError(
         "curateAndIngest requires a random_projection library " +
@@ -1831,16 +1827,26 @@ final class VectorEngine private (val spark: SparkSession,
     * extraction ([[graft.operators.HtmlExtract]]) → corpus-common LINE
     * removal ([[graft.operators.TrainingData.removeCommonLines]] —
     * nav bars/footers the extraction preserves as repeated lines; fully
-    * boilerplate pages drop here) → the full [[curateAndIngest]]
-    * composition (chunk, quality/repetition gates, decontamination,
-    * embed, dedup-gated ingest). Document identity is md5 of the
-    * canonical URL — re-crawling the same pages is a no-op through the
-    * replay gate, exactly like a redelivered micro-batch.
+    * boilerplate pages drop here) → the full curation composition
+    * (chunk, quality/repetition gates, decontamination, embed,
+    * dedup-gated ingest).
+    *
+    * PAGE-PER-DOCUMENT: each surviving canonical URL becomes its OWN
+    * document (id = md5 of the canonical URL, name = the canonical URL
+    * truncated to the name limit, metadata = host + registered domain)
+    * — the reference's document-as-logical-grouping model
+    * (entities.py:77-101), so cascade delete removes ONE page's chunks
+    * and per-document reconstruction works per page. Documents are
+    * created set-based (one absent-only anti-join + union, never a
+    * driver loop) and deterministically — re-crawling the same pages
+    * re-creates nothing and the chunk replay gate makes the whole call
+    * a no-op, exactly like a redelivered micro-batch.
     *
     * Scale shape: URL dedup is one shuffle on the canonical-URL key;
     * extraction is scan-shaped; line removal is one line-hash shuffle +
-    * per-doc reassembly; then curateAndIngest's documented shape. */
-  def crawlAndIngest(libraryId: String, documentId: String,
+    * per-doc reassembly; then the curation composition's documented
+    * shape, plus one O(pages) document append. */
+  def crawlAndIngest(libraryId: String,
                      pages: DataFrame, url: Column, html: Column,
                      embed: DataFrame => DataFrame,
                      benchmark: DataFrame, benchText: Column,
@@ -1852,10 +1858,10 @@ final class VectorEngine private (val spark: SparkSession,
                      threshold: Double = 0.05): VectorEngine.CrawlReport = {
     import graft.operators.{HtmlExtract, TrainingData, WebDomains}
     // validate EVERYTHING up front — the crawl-side stages below are
-    // the expensive part, and curateAndIngest re-checking these after
+    // the expensive part, and the curation core re-checking these after
     // they ran would burn the whole batch on an argument error
-    validateCurationParams(libraryId, documentId, qualityMin,
-      maxDupNgramFrac, n, threshold)
+    validateCurationParams(libraryId, qualityMin, maxDupNgramFrac, n,
+      threshold)
     if (minLineDocFreq < 2)
       throw ValidationError("minLineDocFreq must be at least 2")
     // pin the caller's frame once: the raw-HTML source is both counted
@@ -1870,7 +1876,7 @@ final class VectorEngine private (val spark: SparkSession,
       .select(WebDomains.normalizeUrl(col("__u")).as("__norm"),
         struct(col("__u").as("u"), col("__h").as("h")).as("__p"))
       .groupBy(col("__norm")).agg(min(col("__p")).as("__p"))
-      .select(md5(col("__norm")).as("id"),
+      .select(col("__norm"), md5(col("__norm")).as("id"),
         HtmlExtract.extract(col("__p.h")).as("text"))
       .localCheckpoint()
     val nUnique = unique.count()
@@ -1878,11 +1884,27 @@ final class VectorEngine private (val spark: SparkSession,
       .removeCommonLines(unique, col("id"), col("text"), minLineDocFreq)
       .where(col("n_kept") > 0)
       // chunking is whitespace-driven; line structure has done its job
-      .select(col("id"), col("clean_text").as("text"))
+      .join(unique.select(col("id"), col("__norm")), Seq("id"))
+      .select(col("id"), col("__norm"), col("clean_text").as("text"))
       .localCheckpoint()
     val nCleaned = cleaned.count()
-    val curation = curateAndIngest(libraryId, documentId, cleaned,
-      col("id"), col("text"), embed, benchmark, benchText,
+    // page-per-document: create the ABSENT documents in one set-based
+    // append (id = md5(canonical url) — deterministic, so a re-crawl
+    // finds them all present and appends nothing)
+    val host = WebDomains.host(col("__norm"))
+    val docRows = cleaned.select(
+      col("id"),
+      substring(col("__norm"), 1, MaxNameLen).as("name"),
+      map(
+        lit("host"), MetadataFunctions.encodeStrCol(host),
+        lit("domain"),
+        MetadataFunctions.encodeStrCol(WebDomains.registeredDomain(host)),
+        lit("url"), MetadataFunctions.encodeStrCol(col("__norm"))
+      ).as("metadata"))
+    addDocumentsDf(libraryId,
+      docRows.join(docs.select(col("id")), Seq("id"), "left_anti"))
+    val curation = curateIngestCore(libraryId, cleaned.drop("__norm"),
+      col("id"), col("text"), col("__page"), embed, benchmark, benchText,
       maxTokens, overlap, qualityMin, maxDupNgramFrac, n, threshold)
     VectorEngine.CrawlReport(nPages, nUnique, nCleaned, curation)
   }
@@ -1927,13 +1949,40 @@ final class VectorEngine private (val spark: SparkSession,
                       maxDupNgramFrac: Double = 1.0,
                       n: Int = 8,
                       threshold: Double = 0.05): VectorEngine.CurationReport = {
-    validateCurationParams(libraryId, documentId, qualityMin,
-      maxDupNgramFrac, n, threshold)
+    validateCurationParams(libraryId, qualityMin, maxDupNgramFrac, n,
+      threshold)
+    // single-document contract: the whole batch lands under the
+    // caller's document, which must exist in this library
+    val doc = getDocument(documentId)
+    if (doc.library_id != libraryId)
+      throw ValidationError(
+        s"document $documentId belongs to library ${doc.library_id}, not $libraryId")
+    curateIngestCore(libraryId, docs, docId, text, lit(documentId), embed,
+      benchmark, benchText, maxTokens, overlap, qualityMin, maxDupNgramFrac,
+      n, threshold)
+  }
+
+  /** The shared curation core: `chunkDocumentId` is evaluated over the
+    * chunked frame, where `__page` holds each chunk's SOURCE doc id —
+    * `lit(...)` for the single-document facade, `col("__page")` for the
+    * crawl facade's page-per-document mapping. Callers validate params
+    * (and, for the single-document contract, the parent) first. */
+  private def curateIngestCore(libraryId: String, docs: DataFrame,
+                      docId: Column, text: Column,
+                      chunkDocumentId: Column,
+                      embed: DataFrame => DataFrame,
+                      benchmark: DataFrame, benchText: Column,
+                      maxTokens: Int, overlap: Int,
+                      qualityMin: Double,
+                      maxDupNgramFrac: Double,
+                      n: Int,
+                      threshold: Double): VectorEngine.CurationReport = {
     val chunked = graft.operators.TextChunker
       .chunk(docs, docId, text, maxTokens, overlap)
       .select(
         concat(col("id").cast("string"), lit("-c"), col("chunk_index"))
           .as("id"),
+        col("id").cast("string").as("__page"),
         col("chunk_index").cast("int").as("chunk_index"),
         col("chunk_text").as("text"))
       .localCheckpoint() // pinned once, consumed by every gate + count
@@ -1957,7 +2006,7 @@ final class VectorEngine private (val spark: SparkSession,
     if (!withEmb.columns.contains("embedding"))
       throw ValidationError("embed stage must add an 'embedding' column")
     val batch = withEmb.select(col("id"),
-      lit(documentId).as("document_id"), col("text"), col("embedding"),
+      chunkDocumentId.as("document_id"), col("text"), col("embedding"),
       typedLit(Map.empty[String, String]).as("metadata"), col("chunk_index"))
     val nIngested = graft.streaming.StreamingIngest.ingestDedupGatedBatch(
       this, libraryId, batch, threshold)

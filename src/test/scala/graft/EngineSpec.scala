@@ -1521,13 +1521,13 @@ class EngineSpec extends AnyFunSuite {
 
   test("crawlAndIngest: raw (url, html) pages through URL dedup, " +
     "extraction, line removal, and the full curation composition — " +
-    "per-stage accounting, boilerplate-only and contaminated pages drop") {
+    "per-stage accounting, PAGE-PER-DOCUMENT mapping, per-page cascade " +
+    "delete, boilerplate-only and contaminated pages drop") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val e = VectorEngine.create(spark)
     val lib = e.createLibrary("crawl", dim = 4,
       indexKind = VectorEngine.IndexKindLsh)
-    val doc = e.createDocument(lib.id, "crawl-batch")
     def page(mid: String) =
       s"<p>NAV MENU</p><p>$mid</p><p>All rights reserved</p>"
     val pages = Seq(
@@ -1545,7 +1545,7 @@ class EngineSpec extends AnyFunSuite {
       df.withColumn("embedding", array((1 to 4).map(i =>
         (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
           / 1000.0 - 1.0).cast("float")): _*))
-    val r = e.crawlAndIngest(lib.id, doc.id, pages, col("url"), col("html"),
+    val r = e.crawlAndIngest(lib.id, pages, col("url"), col("html"),
       embed, bench, col("text"), minLineDocFreq = 2, maxTokens = 16,
       n = 3, threshold = 0.0)
     assert(r.n_pages == 6L)
@@ -1555,12 +1555,39 @@ class EngineSpec extends AnyFunSuite {
     assert(r.curation.n_after_decontamination == 3L)  // /c quoted the eval
     assert(r.curation.n_ingested == 3L)
     assert(e.chunkCount(lib.id) == 3L)
-    // re-crawling the same batch is a no-op through the replay gate
-    val again = e.crawlAndIngest(lib.id, doc.id, pages, col("url"),
+    // PAGE-PER-DOCUMENT: one document per page surviving line removal
+    // (the husked /d gets none), named by the canonical URL, carrying
+    // host/domain metadata; every chunk hangs under ITS page's document
+    val docsByName = e.listDocuments(lib.id).items
+      .map(d => d.name -> d).toMap
+    assert(docsByName.keySet == Set("https://x.com/a", "https://x.com/b",
+      "https://x.com/c", "https://x.com/e"))
+    assert(docsByName.values.forall(_.metadata("host") == "s:x.com"))
+    assert(docsByName.values.forall(_.metadata("domain") == "s:x.com"))
+    val bDoc = docsByName("https://x.com/b")
+    assert(e.chunkCountByDocument(bDoc.id) == 1L)
+    // the contaminated page /c keeps its (empty) document — grouping is
+    // crawl structure; its chunks were gated
+    assert(e.chunkCountByDocument(docsByName("https://x.com/c").id) == 0L)
+    // per-page cascade delete: only that page's chunks go
+    e.deleteDocument(bDoc.id)
+    assert(e.chunkCount(lib.id) == 2L)
+    assert(e.listDocuments(lib.id).total == 3L)
+    // re-crawling the same batch re-creates /b's document (it is absent
+    // again) but the replay gate re-ingests only /b's chunk
+    val again = e.crawlAndIngest(lib.id, pages, col("url"),
       col("html"), embed, bench, col("text"), minLineDocFreq = 2,
       maxTokens = 16, n = 3, threshold = 0.0)
-    assert(again.curation.n_ingested == 0L)
+    assert(again.curation.n_ingested == 1L)
     assert(e.chunkCount(lib.id) == 3L)
+    assert(e.listDocuments(lib.id).total == 4L)
+    // a THIRD crawl is a full no-op: all documents present, all chunks
+    // caught by the replay gate
+    val third = e.crawlAndIngest(lib.id, pages, col("url"),
+      col("html"), embed, bench, col("text"), minLineDocFreq = 2,
+      maxTokens = 16, n = 3, threshold = 0.0)
+    assert(third.curation.n_ingested == 0L)
+    assert(e.chunkCount(lib.id) == 3L && e.listDocuments(lib.id).total == 4L)
   }
 
   test("corpusDatasheet: one-row release artifact over a library's chunks " +
