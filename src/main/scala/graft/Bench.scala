@@ -146,15 +146,20 @@ object Bench {
     })
 
     // binary quantization: the 1-bit scan-cost rung — tracked so its
-    // (deliberately lossy) recall is telemetry, not a surprise
+    // (deliberately lossy) recall is telemetry, not a surprise. r50 is
+    // the ladder point; r100 is the storage="bq" FACADE DEFAULT
+    // (VectorEngine.DefaultBqRescore), so that line is the gate the
+    // default is justified by.
     val bqEnc = graft.operators.BinaryQuantization
       .withCodes(emb, col("embedding"), 64).localCheckpoint()
-    val bq = avg(queries.map { case (id, q) =>
+    def bqRecall(r: Int): Double = avg(queries.map { case (id, q) =>
       val got = topIds(graft.operators.BinaryQuantization.search(
-        bqEnc, "embedding", "vec_id", q, k = 10, rescore = 50,
+        bqEnc, "embedding", "vec_id", q, k = 10, rescore = r,
         metric = "cosine"))
       (flatCos(id) intersect got).size.toDouble / flatCos(id).size
     })
+    val bq = bqRecall(50)
+    val bq100 = bqRecall(graft.engine.VectorEngine.DefaultBqRescore)
 
     // PQ at 32x compression, trained here (seeded, same params as the
     // committed fixture) so the numbers track codebook quality at THIS
@@ -215,6 +220,7 @@ object Bench {
     val pqWide = pqRecall(16, 256, Seq(50)).toMap
     (Map("lsh_bucket" -> lsh, "lsh_multiprobe" -> lshMp,
       "lsh_adaptive" -> lshAd, "sq8_r50" -> sq8, "bq_r50" -> bq,
+      "bq_r100" -> bq100,
       "pq_m8k16_r50" -> pq16(50),
       "pq_m8k256_r50" -> pq256(50),
       "pq_m8k256_r100" -> pq256(100),
