@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *   2. Block-level tags (p, div, br, headings, list items, table
   *      cells, …) become newlines — the paragraph structure chunkers
   *      key on; every other tag is stripped inline.
-  *   3. The named core entities (&amp; &lt; &gt; &quot; &apos;
-  *      &nbsp;) decode, ampersand LAST so double-encoded text
-  *      single-decodes (`&amp;lt;` → `&lt;`, never `<`). NUMERIC
+  *   3. The named entities decode — the XML core set (&amp; &lt;
+  *      &gt; &quot; &apos; &nbsp;) plus the HTML4 typography/symbol
+  *      names real crawls hit constantly ([[Entities]]) — ampersand
+  *      LAST so double-encoded text single-decodes (`&amp;lt;` →
+  *      `&lt;`, never `<`). NUMERIC
   *      character references (`&#39;` decimal, `&#x27;` hex) decode
   *      to their Unicode code point over the full plane minus the
   *      invalid range (0, surrogates D800-DFFF, > 10FFFF — those pass
@@ -68,13 +70,43 @@ object HtmlExtract {
   /** Named entity decodes BEFORE the numeric pass; `&amp;` runs in
     * [[AmpEntity]] AFTER it (single-decode: `&amp;#39;` must reach the
     * numeric pass still spelled `&amp;#39;`, which the numeric pattern
-    * does not match). */
+    * does not match). Beyond the XML core set, the list carries the
+    * typography/symbol entities ubiquitous in real crawl data (HTML4
+    * names; each is one literal replace node — scan-shaped however
+    * many). Names are case-sensitive, as in the HTML spec's table. */
   val Entities: Seq[(String, String)] = Seq(
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", "\""),
     ("&apos;", "'"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&hellip;", "…"),
+    ("&bull;", "•"),
+    ("&middot;", "·"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&deg;", "°"),
+    ("&plusmn;", "±"),
+    ("&times;", "×"),
+    ("&divide;", "÷"),
+    ("&laquo;", "«"),
+    ("&raquo;", "»"),
+    ("&sect;", "§"),
+    ("&para;", "¶"),
+    ("&euro;", "€"),
+    ("&pound;", "£"),
+    ("&yen;", "¥"),
+    ("&cent;", "¢"),
+    // soft hyphen: an invisible line-break HINT, not content — dropped
+    // so it cannot split tokens/shingles downstream
+    ("&shy;", ""),
   )
 
   /** The LAST entity pass (see [[Entities]]). */
@@ -112,20 +144,10 @@ object HtmlExtract {
       .otherwise(concat(lit("&#"), g, lit(";")))
   }
 
-  /** Decode every numeric character reference in `c`: split on the
-    * pattern (limit -1 keeps trailing empty segments), re-zip segments
-    * with decoded entities left-to-right. A text with no references
-    * passes through untouched (and sequence(1, 0) never materializes —
-    * Spark's sequence would run DESCENDING there). */
-  def decodeNumericEntities(c: Column): Column = {
-    val parts = split(c, NumEntityPattern, -1)
-    val ents = regexp_extract_all(c, lit(NumEntityPattern), lit(1))
-    when(size(ents) === 0, c).otherwise(
-      concat(element_at(parts, 1),
-        aggregate(sequence(lit(1), size(ents)), lit(""), (acc, i) =>
-          concat(acc, decodeOneNumeric(element_at(ents, i)),
-            element_at(parts, i + 1)))))
-  }
+  /** Decode every numeric character reference in `c` — the
+    * [[PatternRezip]] split-and-rezip shape. */
+  def decodeNumericEntities(c: Column): Column =
+    PatternRezip.rezip(c, NumEntityPattern, decodeOneNumeric)
 
   /** The extraction as one Column — a chain of codegen regexp_replace /
     * replace nodes over the stage constants above. */
@@ -156,22 +178,15 @@ object HtmlExtract {
     * '0x'-prefixed cast, chr() for the code point (same character the
     * Spark side's UTF-32 decode yields). */
   private def decodeNumericSql(x: String): String = {
-    val pat = sqlLit(NumEntityPattern)
-    // everything INLINE in the lambda — DuckDB forbids subqueries in
-    // lambda expressions, so the code-point arithmetic repeats per use
+    // code-point arithmetic INLINE per use (PatternRezip's lambda
+    // cannot hold subqueries in DuckDB)
     def cp(e: String) = s"(CASE WHEN lower($e[1:1]) = 'x'" +
       s" THEN ('0x' || $e[2:])::BIGINT ELSE $e::BIGINT END)"
     def one(e: String) =
       s"(CASE WHEN ${cp(e)} BETWEEN 1 AND 1114111" +
         s" AND ${cp(e)} NOT BETWEEN 55296 AND 57343" +
         s" THEN chr(${cp(e)}::INT) ELSE '&#' || $e || ';' END)"
-    s"""(SELECT CASE WHEN len(ents) = 0 THEN s ELSE
-       |   parts[1] || list_reduce(list_prepend('',
-       |     list_transform(range(1, len(ents) + 1), i ->
-       |       ${one("ents[i]")} || parts[i + 1])),
-       |     (a, b) -> a || b) END
-       | FROM (SELECT $x AS s, string_split_regex($x, $pat) AS parts,
-       |              regexp_extract_all($x, $pat, 1) AS ents))""".stripMargin
+    PatternRezip.rezipSql(x, NumEntityPattern, one)
   }
 
   /** DuckDB twin, GENERATED from the same constants: nested

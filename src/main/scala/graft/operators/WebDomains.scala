@@ -92,14 +92,34 @@ object WebDomains {
   private val PortPattern =
     SchemePrefix + "(?:[^/@]*@)?[^/:?#]+:([0-9]+)([/?#]|$)"
 
+  /** Percent-encoded triplet (two hex digits, either case). */
+  private val PctPattern = "%([0-9a-fA-F]{2})"
+
+  /** RFC 3986 §6.2.2 percent-encoding canonicalization of one
+    * captured hex pair: triplets whose octet is an UNRESERVED
+    * character (ALPHA / DIGIT / '-' '.' '_' '~') decode — '%7Euser'
+    * and '~user' are the same resource BY SPEC — while every other
+    * triplet keeps its encoding with UPPERCASED hex digits ('%2f' →
+    * '%2F'; decoding it would change the path structure). */
+  private def decodePctOne(g: Column): Column = {
+    val code = conv(g, 16, 10).cast("int")
+    val unreserved = code.between(48, 57) || code.between(65, 90) ||
+      code.between(97, 122) || code.isin(45, 46, 95, 126)
+    when(unreserved, decode(unhex(g), "US-ASCII"))
+      .otherwise(concat(lit("%"), upper(g)))
+  }
+
   /** Canonical URL for exact dedup: lowercase scheme and host, strip
     * userinfo, strip the scheme's default port (80/443), strip the
-    * fragment, strip trailing slashes from the PATH component only —
-    * '/a/?q=1' and '/a?q=1' collapse, but a trailing slash INSIDE a
-    * query value ('?dir=a/') is kept verbatim. Query strings are KEPT
-    * from the first '?' onward, byte-for-byte (different parameters
-    * are different documents; parameter reordering is out of
-    * contract). A string with NO scheme passes through UNCHANGED —
+    * fragment, canonicalize percent-encoding over the path+query
+    * (unreserved octets decode, everything else keeps its '%' with
+    * uppercased hex — RFC 3986 §6.2.2), and strip trailing slashes
+    * from the PATH component only — '/a/?q=1' and '/a?q=1' collapse,
+    * but a trailing slash INSIDE a query value ('?dir=a/') is kept
+    * verbatim. Query strings are KEPT from the first '?' onward
+    * (different parameters are different documents; parameter
+    * reordering is out of contract, as is percent-encoding in the
+    * HOST). A string with NO scheme passes through UNCHANGED —
     * without that guard every scheme-less URL would normalize to the
     * same '://' and URL-exact dedup would merge unrelated documents. */
   def normalizeUrl(url: Column): Column = {
@@ -109,8 +129,12 @@ object WebDomains {
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
-    val pathQuery = regexp_extract(url, SchemePrefix + "[^/?#]*([^#]*)", 1)
-    // split at the FIRST '?': slashes strip from the path side only
+    val pathQuery = PatternRezip.rezip(
+      regexp_extract(url, SchemePrefix + "[^/?#]*([^#]*)", 1),
+      PctPattern, decodePctOne)
+    // split at the FIRST '?': slashes strip from the path side only.
+    // (Decoding never mints a '?' or '/' — neither is unreserved — so
+    // decode-then-split is structure-safe.)
     val path = regexp_extract(pathQuery, "^([^?]*)", 1)
     val query = regexp_extract(pathQuery, "^[^?]*([?].*)?$", 1)
     val rest = concat(regexp_replace(path, "/+$", ""), query)
@@ -136,7 +160,17 @@ object WebDomains {
        | FROM (SELECT $hostExpr AS h, string_split($hostExpr, '.') AS l))""".stripMargin
   }
 
-  def normalizeUrlSql(col: String): String =
+  def normalizeUrlSql(col: String): String = {
+    // RFC 3986 unreserved test + chr decode, inline (PatternRezip's
+    // lambda cannot hold subqueries in DuckDB)
+    def cp(e: String) = s"('0x' || $e)::INT"
+    def one(e: String) =
+      s"(CASE WHEN ${cp(e)} BETWEEN 48 AND 57 OR ${cp(e)} BETWEEN 65 AND 90" +
+        s" OR ${cp(e)} BETWEEN 97 AND 122 OR ${cp(e)} IN (45, 46, 95, 126)" +
+        s" THEN chr(${cp(e)}) ELSE '%' || upper($e) END)"
+    val pqDecoded = PatternRezip.rezipSql(
+      s"regexp_extract($col, '$SchemePrefix[^/?#]*([^#]*)', 1)",
+      PctPattern, one)
     s"""(SELECT CASE WHEN scheme = '' THEN raw ELSE
        |   scheme || '://' || h ||
        |   CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
@@ -148,5 +182,6 @@ object WebDomains {
        |   lower(regexp_extract($col, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |   ${hostSql(col)} AS h,
        |   regexp_extract($col, '$PortPattern', 1) AS port,
-       |   regexp_extract($col, '$SchemePrefix[^/?#]*([^#]*)', 1) AS pq))""".stripMargin
+       |   $pqDecoded AS pq))""".stripMargin
+  }
 }

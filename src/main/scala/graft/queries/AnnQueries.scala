@@ -126,6 +126,67 @@ object AnnQueries {
        |ORDER BY distance, vec_id LIMIT $K""".stripMargin
   }
 
+  /** IVF × BQ — the composed funnel behind the storage="bq" library
+    * kind under an ivf index (cell prune → Hamming cut over the stored
+    * 31-bit int words only → exact cosine rescore), gated at the
+    * operator level like ann_ivf_sq8_topk gates ivf × sq8. The oracle
+    * replays cell assignment, probe selection, the INT packing fold,
+    * the per-word XOR bit_count over the PRUNED set, the (hamming, id)
+    * cut at the storage kind's default R, and the rescore. */
+  private val BqRescore = graft.engine.VectorEngine.DefaultBqRescore
+
+  private val ivfBqTopk: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val centroids = fixtureCentroids(s)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // both index keys are ingest-time artifacts: the stored cell and
+    // the packed sign words; search prunes cells, then scans words only
+    val indexed = IvfIndex.withCell(emb, col("embedding"), centroids)
+      .withColumn("codes", graft.operators.BinaryQuantization
+        .encodeWordsInt(col("embedding"), query.length))
+    val probed = IvfIndex.nearestCentroids(query, centroids, NProbe)
+    graft.operators.BinaryQuantization.searchStored(
+      indexed.where(col("cell").isin(probed: _*)),
+      "embedding", "vec_id", query, K, BqRescore, metric = "cosine")
+  }
+
+  private val ivfBqTopkSql: String = {
+    val bpw = graft.operators.BinaryQuantization.BitsPerIntWord
+    val dim = 64
+    val nWords = graft.operators.BinaryQuantization.intWordsFor(dim)
+    val exactCos = VectorSearchQueries.distSql("cosine", "p.v", "q.qv")
+    def fold(v: String) =
+      s"""list_transform(range(0, $nWords), w ->
+         |      list_reduce(list_prepend(0::INT,
+         |        list_transform(range(0, $bpw), i ->
+         |          CASE WHEN w * $bpw + i + 1 <= $dim
+         |                AND $v[(w * $bpw + i + 1)::INT] > 0
+         |               THEN 1::INT ELSE 0::INT END)),
+         |        (a, b) -> a * 2 + b))""".stripMargin
+    s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM $FixtureSql),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT e.vec_id, e.v, c.cid,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |      FROM e, c),
+       |cell AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c, q
+       |          ORDER BY list_distance(qv, cv), cid LIMIT $NProbe),
+       |p AS (SELECT vec_id, v, ${fold("v")} AS codes
+       |      FROM cell WHERE cid IN (SELECT cid FROM probe)),
+       |qe AS (SELECT ${fold("qv")} AS qc FROM q),
+       |ham AS (SELECT p.vec_id,
+       |    list_sum(list_transform(range(1, ${nWords + 1}), j ->
+       |      bit_count(xor(p.codes[j::INT], qe.qc[j::INT]))))::BIGINT AS h
+       |  FROM p, qe),
+       |surv AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT $BqRescore)
+       |SELECT p.vec_id, round($exactCos, 6) + 0 AS distance
+       |FROM p, q WHERE p.vec_id IN (SELECT vec_id FROM surv)
+       |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+  }
+
   private val sq8Topk: QueryFn = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     val query = emb.where(col("vec_id") === 0)
@@ -556,6 +617,7 @@ object AnnQueries {
     Q("ann_ivf_pq_topk", ivfPqTopk, Some(ivfPqTopkSql)),
     Q("ann_sq8_topk", sq8Topk, Some(sq8TopkSql)),
     Q("ann_bq_topk", bqTopk, Some(bqTopkSql)),
+    Q("ann_ivf_bq_topk", ivfBqTopk, Some(ivfBqTopkSql)),
     Q("ann_sq8_cosine", sq8Cosine, Some(sq8CosineSql)),
     Q("ann_ivf_sq8_topk", ivfSq8Topk, Some(ivfSq8TopkSql)),
   )

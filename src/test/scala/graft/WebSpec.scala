@@ -57,6 +57,36 @@ class WebSpec extends AnyFunSuite {
     assert(extract1("a &#x; b &#39 c") == "a &#x; b &#39 c")
   }
 
+  test("extraction: extended named entities (typography/symbols) " +
+    "decode; un-listed names pass through as literal text") {
+    assert(extract1("&ldquo;Hi&rdquo; &mdash; ok &hellip; 5&deg;") ==
+      "“Hi” — ok … 5°")
+    assert(extract1("&euro;3 &copy;2026 &laquo;x&raquo;") ==
+      "€3 ©2026 «x»")
+    // soft hyphen is a break HINT, not content: dropped entirely
+    assert(extract1("hy&shy;phen") == "hyphen")
+    // names outside the list stay literal (honest non-decode, like
+    // invalid numeric references)
+    assert(extract1("caf&eacute;") == "caf&eacute;")
+  }
+
+  test("URL normalization: percent-encoding canonicalization — " +
+    "unreserved octets decode, others keep '%' with uppercased hex") {
+    val n = WebDomains.normalizeUrl(col("u"))
+    assert(col1(n, "https://x.com/%7Euser/%70age") ==
+      "https://x.com/~user/page")
+    // reserved/other octets stay encoded, hex uppercased
+    assert(col1(n, "https://x.com/a%2fb?q=%3d1") ==
+      "https://x.com/a%2Fb?q=%3D1")
+    // the two spellings of the same resource collapse
+    assert(col1(n, "https://x.com/%7Euser?q=a%2fb") ==
+      col1(n, "https://x.com/~user?q=a%2Fb"))
+    // ...but an encoded slash is NOT a path separator: distinct
+    assert(col1(n, "https://x.com/a%2Fb") != col1(n, "https://x.com/a/b"))
+    // a bare '%' not followed by two hex digits passes through
+    assert(col1(n, "https://x.com/100%?q=1") == "https://x.com/100%?q=1")
+  }
+
   private def col1(c: org.apache.spark.sql.Column, in: String): String =
     Seq(in).toDF("u").select(c).as[String].head()
 

@@ -90,6 +90,17 @@ docs = [
     (21, "http://x.example.com/p?dir=a", "<p>entry a</p>"),
     (22, "http://x.example.com/a/?q=1", "<p>page a q1</p>"),
     (23, "http://x.example.com/a?q=1", "<p>page a q1</p>"),
+    # percent-encoding canonicalization (RFC 3986 6.2.2): 24/25 collapse
+    # (unreserved %7E decodes to '~', %2f uppercases to %2F); 26 stays
+    # its own document (%2F is content, not a path separator)
+    (24, "https://x.example.com/%7Euser?q=a%2fb", "<p>tilde user page</p>"),
+    (25, "https://x.example.com/~user?q=a%2Fb", "<p>tilde user page</p>"),
+    (26, "https://x.example.com/a%2Fb", "<p>encoded slash path</p>"),
+    # extended named entities decode; an un-listed name (&eacute;)
+    # passes through as literal text
+    (27, "https://alice.github.io/typo",
+     "<p>&ldquo;Quotes&rdquo; &mdash; caf&eacute;? 5&deg; &euro;3 "
+     "&hellip; A&shy;B</p>"),
 ]
 
 table = pa.table({
