@@ -1832,8 +1832,11 @@ final class VectorEngine private (val spark: SparkSession,
     * dedup-gated ingest).
     *
     * PAGE-PER-DOCUMENT: each surviving canonical URL becomes its OWN
-    * document (id = md5 of the canonical URL, name = the canonical URL
-    * truncated to the name limit, metadata = host + registered domain)
+    * document (id = md5 of library id + canonical URL — deterministic
+    * for the replay gate, salted so the same URL can be crawled into
+    * two libraries without a global-id collision; name = the canonical
+    * URL truncated to the name limit, metadata = host + registered
+    * domain)
     * — the reference's document-as-logical-grouping model
     * (entities.py:77-101), so cascade delete removes ONE page's chunks
     * and per-document reconstruction works per page. Documents are
@@ -1876,7 +1879,14 @@ final class VectorEngine private (val spark: SparkSession,
       .select(WebDomains.normalizeUrl(col("__u")).as("__norm"),
         struct(col("__u").as("u"), col("__h").as("h")).as("__p"))
       .groupBy(col("__norm")).agg(min(col("__p")).as("__p"))
-      .select(col("__norm"), md5(col("__norm")).as("id"),
+      // document id = md5(library + canonical url): deterministic (the
+      // re-crawl replay gate depends on it), and SALTED with the
+      // library id because document ids are globally unique in this
+      // engine — unsalted, the same URL crawled into a second library
+      // would collide with the first library's document and fail the
+      // parent check
+      .select(col("__norm"),
+        md5(concat(lit(libraryId), lit("\n"), col("__norm"))).as("id"),
         HtmlExtract.extract(col("__p.h")).as("text"))
       .localCheckpoint()
     val nUnique = unique.count()

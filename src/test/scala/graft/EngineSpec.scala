@@ -1588,6 +1588,18 @@ class EngineSpec extends AnyFunSuite {
       maxTokens = 16, n = 3, threshold = 0.0)
     assert(third.curation.n_ingested == 0L)
     assert(e.chunkCount(lib.id) == 3L && e.listDocuments(lib.id).total == 4L)
+    // the same URL set crawls into a SECOND library: document (and so
+    // chunk) ids are salted with the library id, so nothing collides
+    // with the first library's globally-unique ids
+    val lib2 = e.createLibrary("crawl2", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val r2 = e.crawlAndIngest(lib2.id, pages, col("url"), col("html"),
+      embed, bench, col("text"), minLineDocFreq = 2, maxTokens = 16,
+      n = 3, threshold = 0.0)
+    assert(r2.curation.n_ingested == 3L)
+    assert(e.listDocuments(lib2.id).total == 4L)
+    assert(e.chunkCount(lib2.id) == 3L)
+    assert(e.chunkCount(lib.id) == 3L)   // first library untouched
   }
 
   test("corpusDatasheet: one-row release artifact over a library's chunks " +
