@@ -1065,6 +1065,31 @@ final class VectorEngine private (val spark: SparkSession,
     }
   }
 
+  /** ONE maintenance entry per library — the call a deployment runs
+    * after each ingest batch (or on a schedule) without caring which
+    * index kind the library carries: dispatches the kind's occupancy
+    * health check and conditional rebuild ([[retrainIvfIndexIfSkewed]]
+    * at the installed model's own cell count /
+    * [[reprojectLshIndexIfCrowded]]). Flat libraries, empty libraries,
+    * and ivf libraries without a model yet are always healthy (false).
+    * The health checks themselves are cheap by design — one C-row
+    * aggregate (ivf) or driver-side O(1) off the maintained histogram
+    * (lsh) — so calling this every batch is fine at any corpus size. */
+  def maintainIndexIfNeeded(libraryId: String,
+      maxCellSkew: Double = 3.0,
+      maxBucketRows: Long = VectorEngine.DefaultLshMaxBucketRows): Boolean = {
+    val lib = getLibrary(libraryId)
+    lib.index_kind match {
+      case IndexKindIvf
+          if cellModels.contains(libraryId) && chunkCount(libraryId) > 0 =>
+        retrainIvfIndexIfSkewed(libraryId, cellModels(libraryId).size,
+          maxSkew = maxCellSkew)
+      case IndexKindLsh =>
+        reprojectLshIndexIfCrowded(libraryId, maxBucketRows)
+      case _ => false
+    }
+  }
+
   /** Install the PQ codebooks of a storage="pq" library — index metadata
     * exactly like setIvfCentroids: validated, then the stored codes of
     * everything already ingested are re-derived in one projection (no

@@ -1517,6 +1517,17 @@ class EngineSpec extends AnyFunSuite {
     intercept[ValidationError] { e.lshMaxBucketRows(flat.id) }
     intercept[ValidationError] { e.setLshProjections(lib.id, 0) }
     intercept[ValidationError] { e.setLshProjections(lib.id, 63) }
+    // the kind-agnostic maintenance entry: flat libraries are always
+    // healthy; an lsh library dispatches the occupancy check (the
+    // P=4 index above re-trips at a bound of 1 and widens again)
+    assert(!e.maintainIndexIfNeeded(flat.id))
+    val pBefore = e.lshProjectionMatrix(lib.id).length
+    assert(e.maintainIndexIfNeeded(lib.id, maxBucketRows = 1L))
+    assert(e.lshProjectionMatrix(lib.id).length > pBefore)
+    // an ivf library without a model is healthy by definition
+    val ivfEmpty = e.createLibrary("iv", dim = 4,
+      indexKind = VectorEngine.IndexKindIvf)
+    assert(!e.maintainIndexIfNeeded(ivfEmpty.id))
   }
 
   test("crawlAndIngest: raw (url, html) pages through URL dedup, " +

@@ -176,6 +176,33 @@ class PlanSpec extends AnyFunSuite {
     assert(result.count() == 10)
   }
 
+  test("bq search on a STORED-words table: the Hamming phase scans only " +
+    "the packed int words (1/32 the float32 bytes); rescore is a " +
+    "broadcast semi-join touching R rows") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bqplan").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.withColumn("codes", graft.operators.BinaryQuantization
+        .encodeWordsInt(col("embedding"), 64))
+      .select("vec_id", "embedding", "codes")
+      .write.mode("overwrite").parquet(s"$tmp/encoded")
+    val stored = spark.read.parquet(s"$tmp/encoded")
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val result = graft.operators.BinaryQuantization.searchStored(
+      stored, "embedding", "vec_id", q, k = 10, rescore = 50,
+      metric = "cosine")
+    val p = result.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    // phase 1's scan must NOT carry the float32 embedding column — the
+    // embedding appears only in the rescore branch's scan
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("codes") && !l.contains("embedding")),
+      s"no words-only scan — the Hamming phase reads full vectors:\n${scans.mkString("\n")}")
+    assert(result.count() == 10)
+  }
+
   test("pq search on a STORED-codes table: the ADC phase scans only " +
     "pq_codes (numSub bytes-ish per row, not dim x 4); rescore is a " +
     "broadcast semi-join") {
