@@ -1296,6 +1296,21 @@ class EngineSpec extends AnyFunSuite {
     intercept[SearchError] {
       e.searchHybrid(lib.id, Seq("a"), vec(1, 0, 0, 0), 1, rrfK = 0)
     }
+    // the vector leg dispatches the library's STORAGE funnel: a bq
+    // library (two-phase Hamming + exact rescore, R saturating at this
+    // size) fuses to the same ranking as the float32 library above
+    val eb = VectorEngine.create(spark)
+    val libB = eb.createLibrary("hyb", dim = 4, storage = VectorEngine.StorageBq)
+    val docB = eb.createDocument(libB.id, "doc")
+    eb.addChunksBatch(docB.id, Seq(
+      ChunkInput("apple pie recipe", vec(1, 0, 0, 0), Map("lang" -> "en"), 0, Some("h0")),
+      ChunkInput("apple tart", vec(1, 0, 0, 0), Map("lang" -> "fr"), 1, Some("h1")),
+      ChunkInput("banana bread", vec(0, 1, 0, 0), Map("lang" -> "en"), 2, Some("h2")),
+      ChunkInput("car manual", vec(0, 0, 1, 0), Map("lang" -> "en"), 3, Some("h3"))))
+    val gotB = eb.searchHybrid(libB.id, Seq("apple"), vec(1, 0, 0, 0), k = 4,
+        filters = Map("lang" -> "en"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(gotB.toSeq == got.toSeq, "hybrid over bq != hybrid over float32")
   }
 
   test("searchHybridBatch: per-query results equal single searchHybrid, " +
