@@ -1499,8 +1499,9 @@ final class VectorEngine private (val spark: SparkSession,
     val scored =
       if (lib.storage == StorageBq) {
         // batch bq two-phase: per-pair Hamming over the stored int
-        // words (the query's words re-packed in-plan from qvec — 2
-        // words at dim 64, cheaper than another broadcast join), salted
+        // words (the query's words re-packed in-plan from qvec — a
+        // handful of 31-bit words, e.g. 3 at dim 64; cheaper than
+        // another broadcast join), salted
         // top-R per query, ONE exact-rescore join. Bit-identical to Q
         // single bq searches (EngineSpec locks this).
         val r = math.max(k, rescore)
@@ -1898,6 +1899,16 @@ final class VectorEngine private (val spark: SparkSession,
     val pinned = pages.select(url.as("__u"), html.as("__h"))
       .localCheckpoint()
     val nPages = pinned.count()
+    // a null/blank URL would otherwise surface LATE and misleadingly:
+    // blank survives to the document append's name-length guard after
+    // the expensive stages ran; null nulls out the md5 document id and
+    // trips the unrelated duplicate-id conflict check. The pinned frame
+    // is already materialized, so this scan is cheap and up-front.
+    val nBadUrl = pinned
+      .where(col("__u").isNull || trim(col("__u")) === "").count()
+    if (nBadUrl > 0)
+      throw ValidationError(
+        s"crawl pages contain $nBadUrl null or blank urls")
     // one survivor per canonical URL: min (url, html) pair is
     // deterministic under any partitioning
     val unique = pinned
@@ -1924,8 +1935,9 @@ final class VectorEngine private (val spark: SparkSession,
       .localCheckpoint()
     val nCleaned = cleaned.count()
     // page-per-document: create the ABSENT documents in one set-based
-    // append (id = md5(canonical url) — deterministic, so a re-crawl
-    // finds them all present and appends nothing)
+    // append (id = md5(library \n canonical url), the salted id derived
+    // above — deterministic, so a re-crawl finds them all present and
+    // appends nothing)
     val host = WebDomains.host(col("__norm"))
     val docRows = cleaned.select(
       col("id"),

@@ -101,6 +101,28 @@ object BinaryQuantization {
     }
   }
 
+  /** DuckDB twin of [[encodeWordsInt]]: the 31-bit MSB-first packing
+    * fold over a DOUBLE[] expression `v`, generated HERE so every
+    * oracle that replays the packing shares one definition with the
+    * Spark fold above (same index guard, same strict `> 0` sign rule).
+    * The fragment is margin-stripped and safe to interpolate into a
+    * caller's own stripMargin block. */
+  def encodeWordsIntSql(v: String, dim: Int): String =
+    s"""list_transform(range(0, ${intWordsFor(dim)}), w ->
+       |      list_reduce(list_prepend(0::INT,
+       |        list_transform(range(0, $BitsPerIntWord), i ->
+       |          CASE WHEN w * $BitsPerIntWord + i + 1 <= $dim
+       |                AND $v[(w * $BitsPerIntWord + i + 1)::INT] > 0
+       |               THEN 1::INT ELSE 0::INT END)),
+       |        (a, b) -> a * 2 + b))""".stripMargin
+
+  /** DuckDB twin of [[hamming]] over two packed int-word arrays `a` and
+    * `b` (per-word XOR + bit_count, summed as BIGINT). Paired with
+    * [[encodeWordsIntSql]] the oracle replays the whole approx phase. */
+  def hammingSql(a: String, b: String, dim: Int): String =
+    s"""list_sum(list_transform(range(1, ${intWordsFor(dim) + 1}), j ->
+       |      bit_count(xor($a[j::INT], $b[j::INT]))))::BIGINT""".stripMargin
+
   /** Two-phase binary search over a table whose packed sign words live
     * in the shared int-word `codes` column (the storage="bq" funnel):
     * Hamming top-`rescore` scanning ONLY the codes, exact `metric`

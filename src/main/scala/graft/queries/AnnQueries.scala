@@ -152,18 +152,10 @@ object AnnQueries {
   }
 
   private val ivfBqTopkSql: String = {
-    val bpw = graft.operators.BinaryQuantization.BitsPerIntWord
+    import graft.operators.BinaryQuantization.{encodeWordsIntSql, hammingSql}
     val dim = 64
-    val nWords = graft.operators.BinaryQuantization.intWordsFor(dim)
     val exactCos = VectorSearchQueries.distSql("cosine", "p.v", "q.qv")
-    def fold(v: String) =
-      s"""list_transform(range(0, $nWords), w ->
-         |      list_reduce(list_prepend(0::INT,
-         |        list_transform(range(0, $bpw), i ->
-         |          CASE WHEN w * $bpw + i + 1 <= $dim
-         |                AND $v[(w * $bpw + i + 1)::INT] > 0
-         |               THEN 1::INT ELSE 0::INT END)),
-         |        (a, b) -> a * 2 + b))""".stripMargin
+    def fold(v: String) = encodeWordsIntSql(v, dim)
     s"""WITH c AS (SELECT cid, cv::DOUBLE[] AS cv FROM $FixtureSql),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |a AS (SELECT e.vec_id, e.v, c.cid,
@@ -178,8 +170,7 @@ object AnnQueries {
        |      FROM cell WHERE cid IN (SELECT cid FROM probe)),
        |qe AS (SELECT ${fold("qv")} AS qc FROM q),
        |ham AS (SELECT p.vec_id,
-       |    list_sum(list_transform(range(1, ${nWords + 1}), j ->
-       |      bit_count(xor(p.codes[j::INT], qe.qc[j::INT]))))::BIGINT AS h
+       |    ${hammingSql("p.codes", "qe.qc", dim)} AS h
        |  FROM p, qe),
        |surv AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT $BqRescore)
        |SELECT p.vec_id, round($exactCos, 6) + 0 AS distance

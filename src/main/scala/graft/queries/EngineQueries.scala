@@ -367,26 +367,18 @@ object EngineQueries {
   }
 
   private val bqPersistedSql: String = {
-    val bpw = graft.operators.BinaryQuantization.BitsPerIntWord
+    import graft.operators.BinaryQuantization.{encodeWordsIntSql, hammingSql}
     val dim = 64
-    val nWords = graft.operators.BinaryQuantization.intWordsFor(dim)
     val r = VectorEngine.DefaultBqRescore
     val exactCos = VectorSearchQueries.distSql("cosine", "e.v", "q.qv")
     s"""WITH e AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v
        |           FROM embeddings),
        |enc AS (SELECT chunk_id, v,
-       |    list_transform(range(0, $nWords), w ->
-       |      list_reduce(list_prepend(0::INT,
-       |        list_transform(range(0, $bpw), i ->
-       |          CASE WHEN w * $bpw + i + 1 <= $dim
-       |                AND v[(w * $bpw + i + 1)::INT] > 0
-       |               THEN 1::INT ELSE 0::INT END)),
-       |        (a, b) -> a * 2 + b)) AS codes
+       |    ${encodeWordsIntSql("v", dim)} AS codes
        |  FROM e),
        |qe AS (SELECT codes AS qc FROM enc WHERE chunk_id = 'c0'),
        |ham AS (SELECT enc.chunk_id,
-       |    list_sum(list_transform(range(1, ${nWords + 1}), j ->
-       |      bit_count(xor(enc.codes[j::INT], qe.qc[j::INT]))))::BIGINT AS h
+       |    ${hammingSql("enc.codes", "qe.qc", dim)} AS h
        |  FROM enc, qe),
        |surv AS (SELECT chunk_id FROM ham ORDER BY h, chunk_id LIMIT $r),
        |q AS (SELECT v AS qv FROM e WHERE chunk_id = 'c0')

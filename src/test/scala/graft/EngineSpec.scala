@@ -1628,6 +1628,32 @@ class EngineSpec extends AnyFunSuite {
     assert(e.chunkCount(lib.id) == 3L)   // first library untouched
   }
 
+  test("crawlAndIngest: null or blank URLs fail fast with a validation " +
+    "error BEFORE extraction, not late via the document-name guard or a " +
+    "misleading duplicate-id conflict") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("crawl-bad", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val bench = Seq("never matches").toDF("text")
+    val embed = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("embedding",
+        array(lit(1f), lit(0f), lit(0f), lit(0f)))
+    for (bad <- Seq(null: String, "", "   ")) {
+      val pages = Seq(
+        ("https://x.com/ok", "<p>fine organic words</p>"),
+        (bad, "<p>orphan page</p>")).toDF("url", "html")
+      val err = intercept[ValidationError] {
+        e.crawlAndIngest(lib.id, pages, col("url"), col("html"),
+          embed, bench, col("text"), minLineDocFreq = 2, maxTokens = 16,
+          n = 3, threshold = 0.0)
+      }
+      assert(err.getMessage.contains("1 null or blank urls"))
+    }
+    assert(e.chunkCount(lib.id) == 0L)   // nothing partially ingested
+  }
+
   test("corpusDatasheet: one-row release artifact over a library's chunks " +
     "— volume, dup structure, quality bins, PII and contamination totals") {
     import org.apache.spark.sql.functions.col
