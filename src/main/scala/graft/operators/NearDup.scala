@@ -161,7 +161,7 @@ object NearDup {
     * within-group row count exists only in the pair output itself, which
     * is inherent to the pair contract; consumers that need only
     * connectivity or drop decisions take [[nearDupEdges]] instead. */
-  private def expandPairs(members: DataFrame, crossPairs: DataFrame,
+  private[operators] def expandPairs(members: DataFrame, crossPairs: DataFrame,
                           withinGroups: DataFrame, valueName: String): DataFrame = {
     val cross = crossPairs
       .join(members.select(col("grp").as("grp_a"), col("id").as("__a")), "grp_a")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, NearDup}
+import graft.operators.{Dedup, NearDup, SemanticDedup}
 import graft.functions.VectorFunctions._
 
 /** Training-data deduplication over the `documents` table — the first-class
@@ -396,7 +396,69 @@ object DedupQueries {
        |SELECT doc_a, doc_b, round(j, 6) + 0 AS jaccard FROM p
        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------- SemDeDup: semantic dedup over k-means cells ----------------
+
+  /** SemDeDup (Abbas et al. 2023): pairs compared only within their
+    * k-means cell (the committed IVF centroid fixture — the SAME coarse
+    * model the `ann_ivf_*` gates replay); among duplicates keep the row
+    * FARTHEST from its centroid. The oracle replays cell assignment, the
+    * centroid-distance keep priority, the within-cell pair distances, and
+    * the domination rule — the whole method, not just the arithmetic. */
+  private val SemThreshold = 0.6
+
+  /** Shared CTE chain: fixture centroids -> euclidean-argmin cell
+    * assignment (ties to the smaller cid — the `ann_ivf_topk` contract)
+    * -> rounded cosine keep-priority `cdist`. */
+  private def semanticCellsSql: String = {
+    val cosCent = VectorSearchQueries.distSql("cosine", "v", "cv")
+    s"""c AS (SELECT cid, cv::DOUBLE[] AS cv FROM ${AnnQueries.FixtureSql}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |asgn AS (SELECT e.vec_id, e.v, c.cid, c.cv,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |                           ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |      FROM e, c),
+       |cell AS (SELECT vec_id, v, cid, round($cosCent, 6) + 0 AS cdist
+       |         FROM asgn WHERE rn = 1)""".stripMargin
+  }
+
+  private val semanticPairs: QueryFn = (s, dir) =>
+    SemanticDedup.pairs(table(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), AnnQueries.fixtureCentroids(s), SemThreshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("distance"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val semanticPairsSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "x.v", "y.v")
+    s"""WITH $semanticCellsSql,
+       |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |        round($cos, 6) + 0 AS distance
+       |      FROM cell x JOIN cell y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, distance FROM p WHERE distance <= $SemThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  private val semanticSurvivors: QueryFn = (s, dir) =>
+    SemanticDedup.survivors(table(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), AnnQueries.fixtureCentroids(s), SemThreshold)
+      .select(col("id").as("vec_id"), col("cell"), col("cdist"))
+      .orderBy(col("vec_id"))
+
+  private val semanticSurvivorsSql: String = {
+    val cos = VectorSearchQueries.distSql("cosine", "x.v", "y.v")
+    s"""WITH $semanticCellsSql,
+       |p AS (SELECT x.vec_id AS a, x.cdist AS ca, y.vec_id AS b, y.cdist AS cb,
+       |        round($cos, 6) + 0 AS d
+       |      FROM cell x JOIN cell y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+       |dropped AS (SELECT a FROM p
+       |            WHERE d <= $SemThreshold AND (cb > ca OR (cb = ca AND b < a)))
+       |SELECT vec_id, cid AS cell, cdist FROM cell
+       |WHERE vec_id NOT IN (SELECT a FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("dedup_semantic_pairs", semanticPairs, Some(semanticPairsSql)),
+    Q("dedup_semantic_survivors", semanticSurvivors, Some(semanticSurvivorsSql)),
     Q("dedup_near_unicode", nearUnicode, Some(nearUnicodeSql)),
     Q("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
     Q("dedup_incremental_survivors", incrementalSurvivors, Some(incrementalSurvivorsSql)),
