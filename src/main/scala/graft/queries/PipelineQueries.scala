@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BpeTokenizer, NearDup, TextAnalysis, TrainingData}
+import graft.operators.{BpeTokenizer, ImportanceSampling, NearDup, TextAnalysis, TrainingData}
 import graft.operators.TextAnalysis._
 
 /** The composite training-data pipeline — what the whole engine exists
@@ -693,7 +693,90 @@ object PipelineQueries {
        |FROM base, nd, cont""".stripMargin
   }
 
+  // ---------------- DSIR importance resampling ----------------
+
+  /** DSIR (Xie et al. 2023): hashed unigram+bigram bucket model of a
+    * TARGET subset (here the de-language documents — the "looks like
+    * this" exemplar set) against the raw corpus, per-document log-ratio
+    * importance weights, Gumbel top-k selection. The oracle re-derives
+    * tokenization, the feature hash, BOTH smoothed bucket models, the
+    * bucket-ordered per-document fold, and the Gumbel keys. */
+  private val DsirBuckets = ImportanceSampling.DefaultBuckets
+  private val DsirK = 50
+
+  private def dsirTarget(docs: org.apache.spark.sql.DataFrame) =
+    docs.where(col("lang") === "de")
+
+  private val dsirWeights: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    ImportanceSampling.importanceWeights(docs, dsirTarget(docs),
+        col("doc_id"), col("text"), DsirBuckets)
+      .select(col("id").as("doc_id"), col("n_feats"), col("logweight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared CTE chain: pinned-kernel tokens -> unigram+bigram feature
+    * occurrences -> md5 feature buckets -> smoothed log-ratio model ->
+    * per-document bucket-ordered contribution fold. */
+  private val dsirAggSql: String = {
+    val seed = ImportanceSampling.FeatureHashSeed
+    s"""tok AS (SELECT doc_id, lang, ${TextQueries.tokSql} AS t FROM documents),
+       |feat AS (SELECT doc_id, lang,
+       |    unnest(t || CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |      ELSE []::VARCHAR[] END) AS gram
+       |  FROM tok),
+       |fb AS (SELECT doc_id, lang,
+       |    ${DedupQueries.hashSql(seed, "gram")} % $DsirBuckets AS bucket
+       |  FROM feat),
+       |tcnt AS (SELECT bucket, count(*) AS tc FROM fb WHERE lang = 'de' GROUP BY 1),
+       |rcnt AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY 1),
+       |bk AS (SELECT unnest(range($DsirBuckets)) AS bucket),
+       |m AS (SELECT bk.bucket, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+       |      FROM bk LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)),
+       |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM m),
+       |lam AS (SELECT bucket,
+       |    ln((tc + 1)::DOUBLE / (tt + $DsirBuckets)) -
+       |    ln((rc + 1)::DOUBLE / (rt + $DsirBuckets)) AS lam
+       |  FROM m, tot),
+       |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb GROUP BY 1, 2),
+       |ctb AS (SELECT db.doc_id, db.bucket, db.cnt, db.cnt * lam.lam AS contrib
+       |        FROM db JOIN lam USING (bucket)),
+       |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_feats,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list(contrib ORDER BY bucket)), (a, b) -> a + b) AS s
+       |       FROM ctb GROUP BY 1),
+       |w AS (SELECT d.doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
+       |        coalesce(round(s, 6) + 0, 0.0::DOUBLE) AS logweight
+       |      FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
+  }
+
+  private val dsirWeightsSql: String =
+    s"""WITH $dsirAggSql
+       |SELECT doc_id, n_feats, logweight FROM w ORDER BY doc_id""".stripMargin
+
+  private val dsirSample: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    ImportanceSampling.importanceResample(docs, dsirTarget(docs),
+        col("doc_id"), col("text"), DsirK, DsirBuckets)
+      .select(col("id").as("doc_id"), col("logweight"), col("key"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirSampleSql: String =
+    s"""WITH $dsirAggSql,
+       |keyed AS (SELECT doc_id, logweight,
+       |    logweight - ln(-ln(
+       |      (('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |        % 1073741824 + 0.5) / 1073741824.0)) AS k
+       |  FROM w)
+       |SELECT doc_id, logweight, round(k, 6) + 0 AS key FROM (
+       |  SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT $DsirK)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("pipeline_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    Q("pipeline_dsir_sample", dsirSample, Some(dsirSampleSql)),
     Q("pipeline_datasheet", datasheet, Some(datasheetSql)),
     Q("pipeline_training_set", trainingSet, Some(trainingSetSql)),
     Q("lifecycle_decontaminate", lifecycleDecontaminate,

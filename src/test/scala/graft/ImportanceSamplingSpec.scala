@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ImportanceSampling
+
+/** DSIR contract (operators/ImportanceSampling.scala): the hashed-bucket
+  * log-ratio model, per-document weights, and Gumbel top-k selection. */
+class ImportanceSamplingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val B = 16
+
+  // two clearly different token distributions
+  private val rawDocs = Seq(
+    (1L, "alpha beta gamma alpha"),
+    (2L, "delta epsilon zeta delta epsilon"),
+    (3L, "alpha beta alpha beta"),
+    (4L, "eta theta iota"),
+    (5L, ""),
+  ).toDF("doc_id", "text")
+  private val targetDocs = Seq(
+    (10L, "alpha beta alpha"),
+    (11L, "beta alpha beta gamma"),
+  ).toDF("doc_id", "text")
+
+  test("bucketModel: one row per bucket; target == raw collapses lam to ~0") {
+    val m = ImportanceSampling.bucketModel(rawDocs, rawDocs,
+      col("doc_id"), col("text"), B)
+    val rows = m.select("bucket", "lam").as[(Long, Double)].collect().toMap
+    assert(rows.keySet == (0L until B.toLong).toSet)
+    assert(rows.values.forall(v => math.abs(v) < 1e-12))
+  }
+
+  test("weights: every raw doc appears; empty text = the kernel's single empty token") {
+    val w = ImportanceSampling.importanceWeights(rawDocs, targetDocs,
+      col("doc_id"), col("text"), B)
+      .select("id", "n_feats", "logweight")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, lw) => id -> ((n, lw)) }.toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the pinned tokenization kernel maps "" to [""] in BOTH engines, so
+    // the empty document carries exactly one (empty-unigram) feature
+    assert(w(5L)._1 == 1L)
+    // doc 1's features: 4 unigrams + 3 bigrams
+    assert(w(1L)._1 == 7L)
+  }
+
+  test("weights: target-like documents outscore target-unlike ones") {
+    val w = ImportanceSampling.importanceWeights(rawDocs, targetDocs,
+      col("doc_id"), col("text"), B)
+      .select("id", "logweight").as[(Long, Double)].collect().toMap
+    // docs 1 and 3 share the target's alpha/beta mass; 2 and 4 share none
+    assert(w(1L) > w(2L) && w(1L) > w(4L))
+    assert(w(3L) > w(2L) && w(3L) > w(4L))
+  }
+
+  test("resample: k rows drawn from the raw ids, deterministic across runs") {
+    def run() = ImportanceSampling.importanceResample(rawDocs, targetDocs,
+      col("doc_id"), col("text"), k = 3, B)
+      .select("id", "key").as[(Long, Double)].collect().toSeq
+    val a = run(); val b = run()
+    assert(a == b)
+    assert(a.size == 3)
+    assert(a.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+    // keys are emitted in descending order (ties by id)
+    assert(a.map(_._2) == a.map(_._2).sorted.reverse)
+  }
+
+  test("sf0.001: mean logweight of the target language exceeds the rest") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = ImportanceSampling.importanceWeights(docs,
+        docs.where(col("lang") === "de"), col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+    val means = w.groupBy(col("lang") === "de")
+      .agg(avg(col("logweight"))).as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false))
+  }
+}
