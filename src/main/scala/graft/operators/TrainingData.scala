@@ -527,6 +527,54 @@ object TrainingData {
       .drop("__grp", "__rate")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual-LM practice
+    * (Conneau & Lample 2019 XLM eq. 1; mC4/mT5): derive the target
+    * proportions from the corpus itself as q_g = p_g^alpha / Z with
+    * p_g the group's corpus share and alpha in (0, 1] flattening the head
+    * so low-resource groups are upsampled relative to their raw share.
+    * The materialized sample is then the LARGEST deterministic subset
+    * honoring q (the [[mixtureSample]] cap/rate rule: cap = min_g
+    * n_g / q_g, rate_g = q_g * cap / n_g, keep by md5 id bucket under the
+    * dedicated "mixt:" salt).
+    *
+    * Fully in-plan — counts, the alpha power, normalization, cap, and
+    * rates are one G-row aggregate broadcast back; no driver math, so a
+    * SQL oracle replays everything. Cross-engine float discipline: p_g
+    * and every later step are single IEEE divisions/multiplications
+    * (bit-deterministic in any engine); the two spots where engines
+    * could drift — the libm `pow` and the sum order of Z — are pinned by
+    * rounding p_g^alpha to 12 decimals and folding Z in group order.
+    * alpha = 1 recovers rate 1.0 for every group (the corpus is already
+    * the mixture); alpha -> 0 approaches the uniform mixture. */
+  def temperatureMixture(df: DataFrame, id: Column, group: Column,
+                         alpha: Double, buckets: Int = 1000000): DataFrame = {
+    require(alpha > 0.0d && alpha <= 1.0d, "alpha must be in (0, 1]")
+    require(buckets > 0, "buckets must be positive")
+    val counts = df.select(group.as("__grp"))
+      .groupBy(col("__grp")).agg(count(lit(1)).cast("double").as("__n"))
+    // corpus total: an exact integer sum in double (order-independent)
+    val tot = counts.agg(sum(col("__n")).as("__tot"))
+    val pw = counts.crossJoin(broadcast(tot))
+      .select(col("__grp"), col("__n"),
+        round(pow(col("__n") / col("__tot"), lit(alpha)), 12).as("__pa"))
+    // Z folded in group order — a plain SUM's order drifts in the last ulp
+    val z = pw.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("__grp"), col("__pa")))),
+        x => x.getField("__pa")),
+      lit(0.0d), (acc, x) => acc + x).as("__z"))
+    val q = pw.crossJoin(broadcast(z))
+      .select(col("__grp"), col("__n"), (col("__pa") / col("__z")).as("__q"))
+    val cap = q.agg(min(col("__n") / col("__q")).as("__cap"))
+    val rates = q.crossJoin(broadcast(cap))
+      .select(col("__grp"),
+        least(lit(1.0d), col("__q") * col("__cap") / col("__n")).as("__rate"))
+    df.withColumn("__grp", group)
+      .join(broadcast(rates), "__grp")
+      .where(hashBucket("mixt:", id, buckets.toLong) <
+        floor(col("__rate") * buckets))
+      .drop("__grp", "__rate")
+  }
+
   // ---------------- weighted sampling ----------------
 
   /** Deterministic weighted sampling without replacement, top-`k` of the

@@ -693,6 +693,37 @@ object PipelineQueries {
        |FROM base, nd, cont""".stripMargin
   }
 
+  /** Temperature-scaled mixture (alpha = 0.5): targets DERIVED from the
+    * corpus shares (q ~ p^alpha), then the same cap/rate/md5-keep rule as
+    * the explicit-target mixture row. The oracle recomputes counts, the
+    * rounded alpha power, the group-ordered Z fold, the cap, and the keep
+    * rule. */
+  private val TempAlpha = 0.5
+
+  private val mixtureTemperature: QueryFn = (s, dir) =>
+    TrainingData.temperatureMixture(table(s, dir, "documents"),
+        col("doc_id"), col("lang"), alpha = TempAlpha)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val mixtureTemperatureSql: String =
+    s"""WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n) AS t FROM cnt),
+       |pw AS (SELECT lang, n, round(pow(n / t, $TempAlpha), 12) AS pa
+       |       FROM cnt, tot),
+       |z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |         list(pa ORDER BY lang)), (a, b) -> a + b) AS z FROM pw),
+       |q AS (SELECT lang, n, pa / z AS q FROM pw, z),
+       |cap AS (SELECT min(n / q) AS cap FROM q),
+       |rates AS (SELECT lang, least(1.0::DOUBLE, q * cap / n) AS rate
+       |          FROM q, cap)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE ('0x' || substr(md5('mixt:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+       |        % 1000000
+       |      < floor(r.rate * 1000000)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------- DSIR importance resampling ----------------
 
   /** DSIR (Xie et al. 2023): hashed unigram+bigram bucket model of a
@@ -793,6 +824,8 @@ object PipelineQueries {
     Q("pipeline_remove_spans", removeSpans, Some(removeSpansSql)),
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    Q("pipeline_mixture_temperature", mixtureTemperature,
+      Some(mixtureTemperatureSql)),
     Q("pipeline_weighted_sample", weightedSample, Some(weightedSampleSql)),
   )
 }

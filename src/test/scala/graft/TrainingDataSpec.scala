@@ -398,6 +398,43 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.filter(_._2 == "b").map(_._1).toSet.subsetOf(got))
   }
 
+  test("temperatureMixture: alpha=1 keeps everything (the corpus IS the mixture)") {
+    val rows = (0L until 200L).map(i => (i, if (i % 4 == 0) "big" else "small"))
+    val df = rows.toDF("id", "g")
+    val got = TrainingData.temperatureMixture(df, col("id"), col("g"), alpha = 1.0)
+      .count()
+    assert(got == 200L)
+  }
+
+  test("temperatureMixture matches an independent recomputation; the " +
+    "smallest group binds at rate 1.0 and the head is downsampled") {
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 10 < 6) "a" else if (i % 10 < 9) "b" else "c"))
+    val df = rows.toDF("id", "g")
+    val alpha = 0.5
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val tot = counts.values.sum
+    val pa = counts.toSeq.sortBy(_._1).map { case (g, n) =>
+      g -> (BigDecimal(math.pow(n / tot, alpha))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val z = pa.map(_._2).foldLeft(0.0d)(_ + _)
+    val q = pa.map { case (g, p) => g -> p / z }.toMap
+    val cap = q.map { case (g, qg) => counts(g) / qg }.min
+    val expected = rows.filter { case (id, g) =>
+      val rate = math.min(1.0, q(g) * cap / counts(g))
+      md5Bucket("mixt:", id, 1000000L) < math.floor(rate * 1000000).toLong
+    }.map(_._1).toSet
+    val got = TrainingData.temperatureMixture(df, col("id"), col("g"), alpha)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    // the smallest group (c, 30 rows) is the binding one: all kept
+    assert(rows.filter(_._2 == "c").map(_._1).toSet.subsetOf(got))
+    // the head (a, 180 rows) is genuinely downsampled
+    val keptA = got.count(id => rows(id.toInt)._2 == "a")
+    assert(keptA < 180)
+  }
+
   test("mixtureSample throws loudly when a targeted group has no corpus " +
     "rows (silently dropping the constraint would ship the wrong mixture)") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
