@@ -106,7 +106,62 @@ object VectorSearchQueries {
        |SELECT query_id, vec_id, distance FROM r WHERE rn <= 5
        |ORDER BY query_id, distance, vec_id""".stripMargin
 
+  /** MMR diversity re-ranking (operators/MmrRerank.scala): top-30 cosine
+    * pool, greedy lambda=0.7 selection of 8. The oracle replays the whole
+    * method — pool cut, rounded pair similarities, the sequential argmax
+    * (a recursive CTE accumulating the selected list), tie-breaks, and
+    * the final scores. mu is printed from the SAME IEEE subtraction the
+    * operator computes (1 - 0.7 != 0.3 in binary). */
+  private val MmrK = 8
+  private val MmrPool = 30
+  private val MmrLambda = 0.7
+
+  private val mmrRerank: QueryFn = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.operators.MmrRerank.rerank(emb, col("vec_id"), col("embedding"),
+        query, k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
+      .select(col("rank"), col("id").as("vec_id"), col("relevance"), col("mmr"))
+      .orderBy(col("rank"))
+  }
+
+  private val mmrRerankSql: String = {
+    val lam = MmrLambda.toString
+    val mu = graft.operators.MmrRerank.muSql(MmrLambda)
+    val relDist = distSql("cosine", "embedding::DOUBLE[]", "qv")
+    val pairDist = distSql("cosine", "a.v", "b.v")
+    s"""WITH RECURSIVE q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |pool AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |           1 - (round($relDist, 6) + 0) AS rel
+       |         FROM embeddings, q
+       |         ORDER BY round($relDist, 6) + 0, vec_id LIMIT $MmrPool),
+       |sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
+       |           1 - (round($pairDist, 6) + 0) AS sim
+       |         FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |sel(rank, sel) AS (
+       |  SELECT 1, [(SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT 1)]
+       |  UNION ALL
+       |  SELECT rank + 1, list_append(sel, (
+       |    SELECT p.vec_id FROM pool p WHERE NOT list_contains(sel, p.vec_id)
+       |    ORDER BY $lam * p.rel - $mu * (SELECT max(s.sim) FROM sims s
+       |               WHERE s.a = p.vec_id AND list_contains(sel, s.b)) DESC,
+       |             p.vec_id
+       |    LIMIT 1))
+       |  FROM sel WHERE rank < $MmrK),
+       |picks AS (SELECT unnest(sel) AS vec_id, generate_subscripts(sel, 1) AS rank
+       |          FROM (SELECT sel FROM sel WHERE rank = $MmrK))
+       |SELECT pk.rank::INT AS rank, pk.vec_id, round(p.rel, 6) + 0 AS relevance,
+       |  round($lam * p.rel - $mu * coalesce((SELECT max(s.sim) FROM sims s
+       |     WHERE s.a = pk.vec_id
+       |       AND s.b IN (SELECT vec_id FROM picks p2 WHERE p2.rank < pk.rank)),
+       |     0.0), 6) + 0 AS mmr
+       |FROM picks pk JOIN pool p USING (vec_id)
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("knn_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("knn_flat_cosine", knn("cosine", 10, None),
       Some(knnSql("cosine", 10))),
     Q("knn_flat_euclidean", knn("euclidean", 10, None),
