@@ -360,14 +360,22 @@ object Bench {
     lazy val prep1 = prepared(emb1)
     lazy val prepN = prepared(embN)
 
+    // SemDeDup blocking model sized per scale (the IVF-maintenance story:
+    // C grows with n so per-cell occupancy — and the in-cell pair work —
+    // stays flat). Ingest-time artifacts, built untimed like the rest.
+    lazy val semModel1 = IvfIndex.train(emb1, col("embedding"), c = 16)
+    lazy val semModelN = IvfIndex.train(embN, col("embedding"), c = 16 * factor)
+
     case class Scale(
         lshServe: () => (DataFrame, Array[Array[Double]], Seq[(Long, Long)]),
         cells: () => DataFrame, enc: () => DataFrame, docs: () => DataFrame,
-        nearMatrix: () => Array[Array[Double]])
+        nearMatrix: () => Array[Array[Double]],
+        embRaw: () => DataFrame,
+        semModel: () => Seq[IvfIndex.Centroid])
     val base = Scale(() => lshServe1, () => prep1._1, () => prep1._2,
-      () => docs1, () => nearMatrix1)
+      () => docs1, () => nearMatrix1, () => emb1, () => semModel1)
     val scaled = Scale(() => lshServeN, () => prepN._1, () => prepN._2,
-      () => docsN, () => nearMatrixN)
+      () => docsN, () => nearMatrixN, () => embN, () => semModelN)
     case class Stress(name: String, at: Scale => DataFrame)
     val tasks = Seq(
       Stress("lsh_adaptive", s => {
@@ -392,6 +400,20 @@ object Bench {
       Stress("embedding_near_lsh", s =>
         NearDup.embeddingNearDupPairs(s.enc(), col("vec_id"), col("embedding"),
           s.nearMatrix(), threshold = 0.6)),
+      // SemDeDup survivors: in-cell pair work is quadratic in PER-CELL
+      // occupancy, so the cell model is sized to the corpus (C x factor)
+      // exactly as the engine's IVF maintenance would size it — the
+      // ratio measures the blocked-join scan, not occupancy blowup
+      Stress("semantic_dedup", s =>
+        graft.operators.SemanticDedup.survivors(s.embRaw(), col("vec_id"),
+          col("embedding"), s.semModel(), threshold = 0.6)),
+      // DSIR weights: the target exemplar set is FIXED (it does not grow
+      // with the corpus, like the decontamination benchmark side); the
+      // corpus side inflates through the (id, bucket) count shuffle and
+      // the broadcast model join
+      Stress("dsir_weights", s =>
+        graft.operators.ImportanceSampling.importanceWeights(s.docs(),
+          docs1.where(col("doc_id") % 7 === 0), col("doc_id"), col("text"))),
       // the two-phase prefix sum: the stage that would be a
       // single-partition window naively — shards sized to the corpus
       Stress("pack_sequences", s =>
@@ -587,7 +609,7 @@ object Bench {
         try measureStress(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR_100", "100").toInt,
           Some(Set("pack_sequences", "decontaminate", "bpe_token_counts",
-            "shard_assignments")))
+            "shard_assignments", "dsir_weights")))
         catch { case e: Throwable =>
           s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
     // Host-speed yardstick, measured AFTER the timed passes (so its CPU

@@ -73,8 +73,16 @@ object ImportanceSampling {
     val joined = all.join(t, Seq("bucket"), "left").join(r, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("rc"), lit(0L)).as("rc"))
-    val totals = joined.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
-    joined.crossJoin(broadcast(totals))
+    // totals attach via a global window over the B-row model frame — NOT
+    // a scalar crossJoin (plans as BroadcastNestedLoopJoin; a constant
+    // equi-key gets folded back to one). Single-partition is fine here:
+    // the frame is exactly `buckets` rows, and the sums are exact
+    // integer arithmetic, so partitioning cannot move a bit.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    joined
+      .withColumn("tt", sum(col("tc")).over(w))
+      .withColumn("rt", sum(col("rc")).over(w))
       .select(col("bucket"),
         (log((col("tc") + lit(1L)).cast("double") /
             (col("tt") + lit(buckets.toLong)).cast("double")) -

@@ -131,6 +131,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_semantic_pairs: cell-blocked self-join is a hash equi-join " +
+    "on (cell, salt), never all-pairs (the centroid broadcast join lives " +
+    "behind the reps localCheckpoint, so it is not in this plan string)") {
+    val p = plan("dedup_semantic_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_semantic_survivors: same discipline through the domination " +
+    "anti-join — equi-joins only") {
+    val p = plan("dedup_semantic_survivors")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pipeline_dsir_weights: the bucket model is BROADCAST back and the " +
+    "corpus is never cartesian-crossed (the only nested-loop joins are " +
+    "the bounded one-row totals/Z broadcasts inside the model CTE)") {
+    val p = plan("pipeline_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // every BNL must be a BuildRight broadcast of a 1-row aggregate —
+    // never a corpus-side nested loop; the corpus reaches only hash
+    // aggregations and the broadcast hash join above
+    assert(!p.contains("SortMergeJoin") || p.contains("LeftOuter"))
+  }
+
+  test("pipeline_mixture_temperature: the G-row rate table broadcasts; " +
+    "the corpus keep-filter is a scan, not a shuffle") {
+    val p = plan("pipeline_mixture_temperature")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("knn_mmr_rerank: the distributed pool cut is TakeOrderedAndProject " +
+    "(per-partition heaps), never a global sort of the corpus") {
+    // the plan of the POOL query inside the operator: replay it directly
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pool = emb
+      .select(col("vec_id"),
+        (round(graft.functions.VectorFunctions.cosineDistance(col("embedding"),
+          col("embedding")), 6) + lit(0.0d)).as("distance"))
+      .orderBy(col("distance"), col("vec_id")).limit(30)
+    val p = pool.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
   test("dedup_incremental_embedding: the arriving probe set is BROADCAST " +
     "— the corpus side is never shuffled, never replicated, never crossed") {
     val p = plan("dedup_incremental_embedding")
