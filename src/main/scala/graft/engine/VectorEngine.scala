@@ -1352,6 +1352,53 @@ final class VectorEngine private (val spark: SparkSession,
     result.withColumnRenamed("id", "chunk_id")
   }
 
+  /** MMR-diversified search (operators/MmrRerank.scala; Carbonell &
+    * Goldstein 1998): the library's OWN funnel produces the
+    * `poolSize`-candidate cut — exactly [[search]] with k = poolSize, so
+    * LSH probing, IVF cell pruning, sq8/pq/bq two-phase rescore, and
+    * metadata filters all compose — then the greedy
+    * relevance-vs-diversity selection runs over the bounded pool.
+    *
+    * Cosine libraries only: MMR compares the query relevance and
+    * candidate-pair similarities on ONE scale, which only the cosine
+    * metric provides (a -euclidean relevance against cosine pair
+    * similarities would mix units). Funnel distances are exact at the
+    * pool cut (every storage rescores exactly), so relevance is
+    * 1 - distance regardless of storage.
+    *
+    * Output: (rank, chunk_id, relevance, mmr), rank 1..k in selection
+    * order, scores rounded to 6 (the [[MmrRerank]] contract — tie-breaks
+    * on the chunk-id string, which ASCII-collates identically in any
+    * engine). */
+  def searchMmr(libraryId: String, query: Seq[Float], k: Int,
+                poolSize: Int = 50, lambda: Double = 0.7,
+                filters: Map[String, Any] = Map.empty,
+                probe: String = settings.defaultProbe): DataFrame = {
+    val lib = getLibrary(libraryId)
+    if (lib.distance_metric != "cosine")
+      throw SearchError("searchMmr requires a cosine library: MMR mixes " +
+        "query relevance and candidate-pair similarity on one scale")
+    if (k <= 0 || poolSize < k) throw SearchError("need 0 < k <= poolSize")
+    if (lambda < 0.0d || lambda > 1.0d)
+      throw SearchError("lambda must be in [0, 1]")
+    val pool = search(libraryId, query, poolSize, filters, probe)
+    val rows = chunks.where(col("library_id") === libraryId)
+      .select(col("id").as("chunk_id"), col("embedding"))
+      .join(pool, "chunk_id")
+      .select(col("chunk_id"), col("embedding"),
+        (lit(1.0d) - col("distance")).as("rel"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1) // deterministic pool order (selection re-orders)
+    val selected = graft.operators.MmrRerank.greedySelect(
+      rows.map(_._1).toIndexedSeq, rows.map(_._3), rows.map(_._2), k, lambda)
+    import spark.implicits._
+    selected.map { case (i, score, r) =>
+      (r, rows(i)._1, graft.operators.MmrRerank.round6Out(rows(i)._3),
+        graft.operators.MmrRerank.round6Out(score))
+    }.toDF("rank", "chunk_id", "relevance", "mmr")
+  }
+
   /** Batch k-NN at the facade — "the shape that scales" (J3 batch): ONE
     * plan scores every query against the library instead of Q sequential
     * searches. Output: (query_id, chunk_id, distance), top-k per query.

@@ -51,7 +51,7 @@ object MmrRerank {
   /** Driver twin of the fused cosine-distance kernel: left-to-right
     * double accumulation over float inputs, +Inf on a zero norm, rounded
     * to 6 ([[IvfIndex.nearestCentroids]] keeps the same convention). */
-  private def cosDist(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cosDist(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
     while (i < a.length) {
       dot += a(i).toDouble * b(i).toDouble
@@ -84,9 +84,27 @@ object MmrRerank {
       .select(col("id"), col("emb"), (lit(1.0d) - col("distance")).as("rel"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    val n = pool.length
+    val selected = greedySelect(pool.map(_._1).toIndexedSeq,
+      pool.map(_._3), pool.map(_._2), k, lambda)
+    val spark = df.sparkSession
+    import spark.implicits._
+    selected.map { case (i, score, r) =>
+      (r, pool(i)._1, round6(pool(i)._3), round6(score))
+    }.toDF("rank", "id", "relevance", "mmr")
+  }
+
+  /** The greedy MMR selection core over a bounded pool, shared by the
+    * standalone operator and the engine facade (`searchMmr` — String
+    * chunk ids there, Long ids here; tie-breaks use the id ORDERING, so
+    * both engines' binary string compare agrees for ASCII ids).
+    * Returns (pool index, unrounded score, rank) in selection order. */
+  private[graft] def greedySelect[T](ids: IndexedSeq[T], rel: Array[Double],
+      embs: Array[Array[Float]], k: Int, lambda: Double)
+      (implicit ord: Ordering[T]): Seq[(Int, Double, Int)] = {
+    val mu = 1.0d - lambda
+    val n = ids.length
     val sim = Array.tabulate(n, n)((i, j) =>
-      if (i == j) Double.NaN else 1.0d - cosDist(pool(i)._2, pool(j)._2))
+      if (i == j) Double.NaN else 1.0d - cosDist(embs(i), embs(j)))
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val inSel = new Array[Boolean](n)
     while (selected.length < math.min(k, n)) {
@@ -100,12 +118,12 @@ object MmrRerank {
             val v = sim(i)(s)
             if (first || v > pen) { pen = v; first = false }
           }
-          val score = lambda * pool(i)._3 - mu * (if (first) 0.0d else pen)
-          // strict >: ties keep the earlier (smaller-id) candidate — the
+          val score = lambda * rel(i) - mu * (if (first) 0.0d else pen)
+          // strict >: ties keep the candidate with the SMALLER id — the
           // pool is already (distance, id)-sorted but ids are re-compared
           // explicitly since rel order need not be id order
           if (best < 0 || score > bestScore ||
-              (score == bestScore && pool(i)._1 < pool(best)._1)) {
+              (score == bestScore && ord.lt(ids(i), ids(best)))) {
             best = i; bestScore = score
           }
         }
@@ -114,12 +132,12 @@ object MmrRerank {
       selected += ((best, bestScore))
       inSel(best) = true
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    selected.toSeq.zipWithIndex.map { case ((i, score), r) =>
-      (r + 1, pool(i)._1, round6(pool(i)._3), round6(score))
-    }.toDF("rank", "id", "relevance", "mmr")
+    selected.toSeq.zipWithIndex.map { case ((i, s), r) => (i, s, r + 1) }
   }
+
+  /** Public rounding hook for facade output columns (the engine's
+    * searchMmr rounds with the same semantics). */
+  private[graft] def round6Out(x: Double): Double = round6(x)
 
   /** The decimal text of `1.0 - lambda` — what any SQL twin must embed
     * (see the object scaladoc). */

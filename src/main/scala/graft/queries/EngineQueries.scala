@@ -120,6 +120,57 @@ object EngineQueries {
        |FROM embeddings, q WHERE label <> 7
        |ORDER BY distance, chunk_id LIMIT 10""".stripMargin
 
+  /** MMR at the facade over the PERSISTED flat library (cascade delete
+    * applied): the funnel produces the pool (top-20 exact cosine over the
+    * surviving chunks), then the greedy diversity selection — the oracle
+    * replays pool cut, pair similarities, the sequential argmax (recursive
+    * CTE), string-id tie-breaks, and the rounded output scores. */
+  private val MmrLcK = 5
+  private val MmrLcPool = 20
+  private val MmrLcLambda = 0.7
+
+  private val mmrPersisted: QueryFn = (s, dir) => {
+    val (_, lib, state) = builtState(s, dir, VectorEngine.IndexKindFlat, deleteDoc7 = true)
+    val eng2 = VectorEngine.open(s, state)
+    eng2.searchMmr(lib, queryVec(s, dir), k = MmrLcK, poolSize = MmrLcPool,
+        lambda = MmrLcLambda)
+      .orderBy(col("rank"))
+  }
+
+  private val mmrPersistedSql: String = {
+    val lam = MmrLcLambda.toString
+    val mu = graft.operators.MmrRerank.muSql(MmrLcLambda)
+    val relDist = VectorSearchQueries.distSql("cosine", "embedding::DOUBLE[]", "qv")
+    val pairDist = VectorSearchQueries.distSql("cosine", "a.v", "b.v")
+    s"""WITH RECURSIVE q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |pool AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v,
+       |           1 - (round($relDist, 6) + 0) AS rel
+       |         FROM embeddings, q WHERE label <> 7
+       |         ORDER BY round($relDist, 6) + 0, 'c' || vec_id LIMIT $MmrLcPool),
+       |sims AS (SELECT a.chunk_id AS a, b.chunk_id AS b,
+       |           1 - (round($pairDist, 6) + 0) AS sim
+       |         FROM pool a JOIN pool b ON a.chunk_id <> b.chunk_id),
+       |sel(rank, sel) AS (
+       |  SELECT 1, [(SELECT chunk_id FROM pool ORDER BY rel DESC, chunk_id LIMIT 1)]
+       |  UNION ALL
+       |  SELECT rank + 1, list_append(sel, (
+       |    SELECT p.chunk_id FROM pool p WHERE NOT list_contains(sel, p.chunk_id)
+       |    ORDER BY $lam * p.rel - $mu * (SELECT max(s.sim) FROM sims s
+       |               WHERE s.a = p.chunk_id AND list_contains(sel, s.b)) DESC,
+       |             p.chunk_id
+       |    LIMIT 1))
+       |  FROM sel WHERE rank < $MmrLcK),
+       |picks AS (SELECT unnest(sel) AS chunk_id, generate_subscripts(sel, 1) AS rank
+       |          FROM (SELECT sel FROM sel WHERE rank = $MmrLcK))
+       |SELECT pk.rank::INT AS rank, pk.chunk_id, round(p.rel, 6) + 0 AS relevance,
+       |  round($lam * p.rel - $mu * coalesce((SELECT max(s.sim) FROM sims s
+       |     WHERE s.a = pk.chunk_id
+       |       AND s.b IN (SELECT chunk_id FROM picks p2 WHERE p2.rank < pk.rank)),
+       |     0.0), 6) + 0 AS mmr
+       |FROM picks pk JOIN pool p USING (chunk_id)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Same round-trip for a random_projection library: the persisted
     * projection matrix must reproduce identical buckets after reopen (S4 +
     * S5). The facade's DEFAULT probe is now ADAPTIVE, so the oracle
@@ -774,6 +825,7 @@ object EngineQueries {
     Q("lifecycle_hybrid", hybridSearch, Some(hybridSearchSql)),
     Q("lifecycle_hybrid_batch", hybridBatchSearch, Some(hybridBatchSql)),
     Q("lifecycle_search_persisted", searchPersisted, Some(searchPersistedSql)),
+    Q("lifecycle_mmr", mmrPersisted, Some(mmrPersistedSql)),
     Q("lifecycle_lsh_persisted", lshPersisted, Some(lshPersistedSql)),
     Q("lifecycle_lsh_retrain", lshRetrained, Some(lshRetrainedSql)),
     Q("lifecycle_ivf_persisted", ivfPersisted, Some(ivfPersistedSql)),

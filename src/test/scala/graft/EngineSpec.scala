@@ -133,6 +133,44 @@ class EngineSpec extends AnyFunSuite {
     intercept[SearchError] { e.search(lib, vec(1, 0), k = 5) }
   }
 
+  test("searchMmr: lambda=1 equals plain search order; diversity demotes " +
+    "the near-duplicate; filters compose; guards raise SearchError") {
+    val (e, lib, _) = freshWithData()
+    // lambda=1: pure relevance — same ids, same order as search
+    val plain = e.search(lib, vec(1, 0, 0, 0), k = 3)
+      .collect().map(_.getString(0)).toSeq
+    val mmr1 = e.searchMmr(lib, vec(1, 0, 0, 0), k = 3, poolSize = 4,
+        lambda = 1.0)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(_.getString(1)).toSeq
+    assert(mmr1 == plain)
+    // diversity-leaning lambda: c1 (near-dup of c0, sim ~0.99) is demoted
+    // below the orthogonal candidates. (At exactly 0.5 the penalty TIES
+    // c1's score with the orthogonals' 0.0 — c0 equals the query — and
+    // the id tie-break keeps c1; 0.4 makes the demotion strict.)
+    val div = e.searchMmr(lib, vec(1, 0, 0, 0), k = 3, poolSize = 4,
+        lambda = 0.4)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(_.getString(1)).toSeq
+    assert(div == Seq("c0", "c2", "c3"))
+    // metadata filter composes through the pool cut
+    val filtered = e.searchMmr(lib, vec(1, 0, 0, 0), k = 2, poolSize = 4,
+        filters = Map("tag" -> 1))
+      .collect().map(_.getString(1)).toSet
+    assert(filtered == Set("c0", "c2"))
+    // guards
+    intercept[SearchError] { e.searchMmr(lib, vec(1, 0, 0, 0), k = 0) }
+    intercept[SearchError] {
+      e.searchMmr(lib, vec(1, 0, 0, 0), k = 5, poolSize = 3)
+    }
+    intercept[SearchError] {
+      e.searchMmr(lib, vec(1, 0, 0, 0), k = 1, lambda = 1.5)
+    }
+    val e2 = VectorEngine.create(spark)
+    val dotLib = e2.createLibrary("dot", dim = 4, metric = "dot_product")
+    intercept[SearchError] { e2.searchMmr(dotLib.id, vec(1, 0, 0, 0), k = 1) }
+  }
+
   test("chunk response excludes the embedding (P4, schemas.py:124-129)") {
     val (e, _, _) = freshWithData()
     assert(e.chunkResponse("c0").columns.toSeq ==
