@@ -1381,14 +1381,22 @@ final class VectorEngine private (val spark: SparkSession,
     if (k <= 0 || poolSize < k) throw SearchError("need 0 < k <= poolSize")
     if (lambda < 0.0d || lambda > 1.0d)
       throw SearchError("lambda must be in [0, 1]")
+    // collect the <= poolSize (chunk_id, distance) rows, then fetch THEIR
+    // embeddings with a pushed-down id predicate — joining the pool frame
+    // against the chunks table would rescan the whole library for 50 rows,
+    // defeating the funnel that just pruned it
     val pool = search(libraryId, query, poolSize, filters, probe)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val rows = chunks.where(col("library_id") === libraryId)
-      .select(col("id").as("chunk_id"), col("embedding"))
-      .join(pool, "chunk_id")
-      .select(col("chunk_id"), col("embedding"),
-        (lit(1.0d) - col("distance")).as("rel"))
+      .where(col("id").isin(pool.keys.toSeq: _*))
+      .select(col("id"), col("embedding"))
       .collect()
-      .map(r => (r.getString(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .map { r =>
+        val id = r.getString(0)
+        val d = pool(id)
+        // zero-norm convention (MmrRerank scaladoc): neutral 0.0, finite
+        (id, r.getSeq[Float](1).toArray, if (d.isInfinite) 0.0d else 1.0d - d)
+      }
       .sortBy(_._1) // deterministic pool order (selection re-orders)
     val selected = graft.operators.MmrRerank.greedySelect(
       rows.map(_._1).toIndexedSeq, rows.map(_._3), rows.map(_._2), k, lambda)

@@ -60,16 +60,27 @@ object ImportanceSampling {
     * either side still carry finite mass). O(buckets) rows — broadcast
     * material, exactly like the BM25 stats or the unigram-LM vocab. */
   def bucketModel(raw: DataFrame, target: DataFrame, id: Column,
-                  text: Column, buckets: Int = DefaultBuckets): DataFrame = {
+                  text: Column, buckets: Int = DefaultBuckets): DataFrame =
+    bucketModelFrom(
+      featureBuckets(raw, id, text, buckets)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("rc")),
+      target, id, text, buckets)
+
+  /** [[bucketModel]] with the raw side's bucket counts ALREADY computed
+    * (column `rc`): [[importanceWeights]] derives them from its own
+    * per-document count frame, so the 100 TB raw corpus is tokenized and
+    * md5-hashed exactly ONCE per call — rescanning it for the model
+    * would double the dominant per-gram hash cost. */
+  private def bucketModelFrom(rawCounts: DataFrame, target: DataFrame,
+                              id: Column, text: Column,
+                              buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def sideCounts(df: DataFrame, name: String): DataFrame =
-      featureBuckets(df, id, text, buckets)
-        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
-    val spark = raw.sparkSession
+    val spark = rawCounts.sparkSession
     import spark.implicits._
     val all = (0L until buckets.toLong).toDF("bucket")
-    val t = sideCounts(target, "tc")
-    val r = sideCounts(raw, "rc")
+    val t = featureBuckets(target, id, text, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val r = rawCounts
     val joined = all.join(t, Seq("bucket"), "left").join(r, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("rc"), lit(0L)).as("rc"))
@@ -101,9 +112,18 @@ object ImportanceSampling {
   def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
                         text: Column,
                         buckets: Int = DefaultBuckets): DataFrame = {
-    val model = bucketModel(raw, target, id, text, buckets)
-    val perDoc = featureBuckets(raw, id, text, buckets)
+    // ONE tokenize+hash pass over the raw corpus: the per-document
+    // (id, bucket) counts feed the scoring join below AND roll up (an
+    // exact integer second-stage aggregate over at most |docs| x buckets
+    // rows) into the model's raw-side bucket totals — identical values
+    // to counting occurrences directly, at none of the rescan cost.
+    val docBuckets = featureBuckets(raw, id, text, buckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rawCounts = docBuckets.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("rc"))
+    val model = bucketModelFrom(rawCounts, target, id, text, buckets)
+    val perDoc = docBuckets
       .join(broadcast(model), "bucket")
       .select(col("id"), col("bucket"), col("cnt"),
         (col("cnt").cast("double") * col("lam")).as("contrib"))

@@ -27,7 +27,11 @@ import graft.functions.VectorFunctions
   * Cross-engine contract (SQL-replayable, `knn_mmr_rerank`):
   *   - similarities are 1 - (cosine distance rounded to 6) — pair
   *     similarities computed with the same left-to-right double
-  *     accumulation as the fused Column kernel;
+  *     accumulation as the fused Column kernel; a pair (or a relevance)
+  *     involving a ZERO-NORM vector has undefined cosine and scores the
+  *     NEUTRAL similarity 0.0, so every MMR score stays finite at any
+  *     lambda (an infinite distance fed through mu * penalty would
+  *     produce NaN at mu = 0 and an infinite diversity credit otherwise);
   *   - the argmax compares the UNROUNDED score lambda*rel - mu*penalty
   *     built from those rounded inputs (every op IEEE-deterministic),
   *     ties to the smaller id; the first pick's penalty is 0;
@@ -73,7 +77,6 @@ object MmrRerank {
              k: Int, poolSize: Int, lambda: Double): DataFrame = {
     require(k > 0 && poolSize >= k, "need 0 < k <= poolSize")
     require(lambda >= 0.0d && lambda <= 1.0d, "lambda must be in [0, 1]")
-    val mu = 1.0d - lambda
     val pool = df
       .select(id.as("id"), emb.cast("array<float>").as("emb"))
       .withColumn("distance",
@@ -81,7 +84,11 @@ object MmrRerank {
           lit(0.0d))
       .orderBy(col("distance"), col("id"))
       .limit(poolSize)
-      .select(col("id"), col("emb"), (lit(1.0d) - col("distance")).as("rel"))
+      // zero-norm convention (see scaladoc): +Inf distance -> rel 0.0,
+      // keeping every MMR score finite for any lambda
+      .select(col("id"), col("emb"),
+        when(col("distance") === Double.PositiveInfinity, lit(0.0d))
+          .otherwise(lit(1.0d) - col("distance")).as("rel"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
     val selected = greedySelect(pool.map(_._1).toIndexedSeq,
@@ -103,8 +110,17 @@ object MmrRerank {
       (implicit ord: Ordering[T]): Seq[(Int, Double, Int)] = {
     val mu = 1.0d - lambda
     val n = ids.length
-    val sim = Array.tabulate(n, n)((i, j) =>
-      if (i == j) Double.NaN else 1.0d - cosDist(embs(i), embs(j)))
+    val sim = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) Double.NaN
+      else {
+        val d = cosDist(embs(i), embs(j))
+        // zero-norm convention: an undefined (infinite-distance) pair
+        // contributes a NEUTRAL similarity, never an infinite penalty
+        // credit (mu * -Inf would poison the scores with NaN at mu = 0
+        // and +Inf rewards otherwise)
+        if (d.isInfinite) 0.0d else 1.0d - d
+      }
+    }
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val inSel = new Array[Boolean](n)
     while (selected.length < math.min(k, n)) {

@@ -544,8 +544,13 @@ object TrainingData {
     * (bit-deterministic in any engine); the two spots where engines
     * could drift — the libm `pow` and the sum order of Z — are pinned by
     * rounding p_g^alpha to 12 decimals and folding Z in group order.
-    * alpha = 1 recovers rate 1.0 for every group (the corpus is already
-    * the mixture); alpha -> 0 approaches the uniform mixture. */
+    * alpha = 1 means the corpus already IS the mixture: every group's
+    * rate computes to 1.0 up to one ulp — for non-dyadic shares
+    * q * (n/q) / n can round one ulp UNDER 1.0, in which case
+    * floor(rate * buckets) shaves the single top md5 bucket (~1/buckets
+    * of the group), the same one-bucket flooring hazard
+    * [[mixtureSample]] has always documented. alpha -> 0 approaches the
+    * uniform mixture. */
   def temperatureMixture(df: DataFrame, id: Column, group: Column,
                          alpha: Double, buckets: Int = 1000000): DataFrame = {
     require(alpha > 0.0d && alpha <= 1.0d, "alpha must be in (0, 1]")

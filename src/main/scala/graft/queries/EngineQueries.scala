@@ -144,11 +144,13 @@ object EngineQueries {
     val pairDist = VectorSearchQueries.distSql("cosine", "a.v", "b.v")
     s"""WITH RECURSIVE q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |pool AS (SELECT 'c' || vec_id AS chunk_id, embedding::DOUBLE[] AS v,
-       |           1 - (round($relDist, 6) + 0) AS rel
+       |           CASE WHEN isinf(round($relDist, 6) + 0) THEN 0.0
+       |                ELSE 1 - (round($relDist, 6) + 0) END AS rel
        |         FROM embeddings, q WHERE label <> 7
        |         ORDER BY round($relDist, 6) + 0, 'c' || vec_id LIMIT $MmrLcPool),
        |sims AS (SELECT a.chunk_id AS a, b.chunk_id AS b,
-       |           1 - (round($pairDist, 6) + 0) AS sim
+       |           CASE WHEN isinf(round($pairDist, 6) + 0) THEN 0.0
+       |                ELSE 1 - (round($pairDist, 6) + 0) END AS sim
        |         FROM pool a JOIN pool b ON a.chunk_id <> b.chunk_id),
        |sel(rank, sel) AS (
        |  SELECT 1, [(SELECT chunk_id FROM pool ORDER BY rel DESC, chunk_id LIMIT 1)]

@@ -133,11 +133,13 @@ object VectorSearchQueries {
     val pairDist = distSql("cosine", "a.v", "b.v")
     s"""WITH RECURSIVE q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |pool AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-       |           1 - (round($relDist, 6) + 0) AS rel
+       |           CASE WHEN isinf(round($relDist, 6) + 0) THEN 0.0
+       |                ELSE 1 - (round($relDist, 6) + 0) END AS rel
        |         FROM embeddings, q
        |         ORDER BY round($relDist, 6) + 0, vec_id LIMIT $MmrPool),
        |sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
-       |           1 - (round($pairDist, 6) + 0) AS sim
+       |           CASE WHEN isinf(round($pairDist, 6) + 0) THEN 0.0
+       |                ELSE 1 - (round($pairDist, 6) + 0) END AS sim
        |         FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
        |sel(rank, sel) AS (
        |  SELECT 1, [(SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT 1)]

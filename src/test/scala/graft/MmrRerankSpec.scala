@@ -73,6 +73,29 @@ class MmrRerankSpec extends AnyFunSuite {
     assert(diverse == Seq(5L, 9L))
   }
 
+  test("zero-norm vectors: neutral similarity, finite scores at any lambda") {
+    val withZero = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f)), // zero-norm: rel 0.0, pair sims 0.0
+      (3L, Seq(0.5f, 0.5f, 0f)),
+    ).toDF("vec_id", "embedding")
+    for (lam <- Seq(0.0, 0.5, 1.0)) {
+      val out = MmrRerank.rerank(withZero, col("vec_id"), col("embedding"), q,
+          k = 3, poolSize = 5, lambda = lam)
+        .select("id", "relevance", "mmr").as[(Long, Double, Double)]
+        .collect()
+      assert(out.length == 3)
+      assert(out.forall { case (_, r, m) => !r.isNaN && !r.isInfinite &&
+        !m.isNaN && !m.isInfinite }, s"lambda=$lam: $out")
+      // the zero-norm row's relevance is the neutral 0.0
+      assert(out.find(_._1 == 2L).get._2 == 0.0d)
+    }
+    // determinism across runs with the zero-norm row present
+    def run() = MmrRerank.rerank(withZero, col("vec_id"), col("embedding"), q,
+      k = 3, poolSize = 5, lambda = 0.5).select("id").as[Long].collect().toSeq
+    assert(run() == run())
+  }
+
   test("sf0.001: output is k rows drawn from the pool, rank 1 = query itself") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = emb.where(col("vec_id") === 0)

@@ -398,7 +398,9 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.filter(_._2 == "b").map(_._1).toSet.subsetOf(got))
   }
 
-  test("temperatureMixture: alpha=1 keeps everything (the corpus IS the mixture)") {
+  test("temperatureMixture: alpha=1 keeps everything when shares are " +
+    "exactly representable (1/4, 3/4 — non-dyadic shares may shave the " +
+    "one top md5 bucket per the documented flooring hazard)") {
     val rows = (0L until 200L).map(i => (i, if (i % 4 == 0) "big" else "small"))
     val df = rows.toDF("id", "g")
     val got = TrainingData.temperatureMixture(df, col("id"), col("g"), alpha = 1.0)
