@@ -123,6 +123,29 @@ object ImportanceSampling {
     val rawCounts = docBuckets.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("rc"))
     val model = bucketModelFrom(rawCounts, target, id, text, buckets)
+    scoreCounts(docBuckets, raw.select(id.as("id")), model)
+  }
+
+  /** Score a frame against an ALREADY-TRAINED bucket model — the
+    * streaming/incremental shape: the model is fixed for the life of a
+    * stream (trained once from (raw, target) like the decontamination
+    * gate's benchmark shingles), and each arriving micro-batch pays one
+    * tokenize+hash pass plus a broadcast join. Output contract identical
+    * to [[importanceWeights]]. */
+  def scoreWithModel(df: DataFrame, id: Column, text: Column,
+                     model: DataFrame,
+                     buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val docBuckets = featureBuckets(df, id, text, buckets)
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    scoreCounts(docBuckets, df.select(id.as("id")), model)
+  }
+
+  /** Shared scoring tail: (id, bucket, cnt) counts x broadcast (bucket,
+    * lam) model -> bucket-ordered contribution fold -> every input doc
+    * (feature-less rows score 0.0 through the defensive left join). */
+  private def scoreCounts(docBuckets: DataFrame, allDocs: DataFrame,
+                          model: DataFrame): DataFrame = {
     val perDoc = docBuckets
       .join(broadcast(model), "bucket")
       .select(col("id"), col("bucket"), col("cnt"),
@@ -135,7 +158,7 @@ object ImportanceSampling {
           lit(0.0d), (acc, x) => acc + x).as("__s"))
       .select(col("id"), col("n_feats"),
         (round(col("__s"), 6) + lit(0.0d)).as("logweight"))
-    raw.select(id.as("id")).join(scored, Seq("id"), "left")
+    allDocs.join(scored, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("logweight"), lit(0.0d)).as("logweight"))
   }

@@ -220,6 +220,45 @@ object StreamingIngest {
     ingestDedupGatedBatch(engine, libraryId, clean, threshold)
   }
 
+  /** DSIR-GATED micro-batch ingest — [[ingestDedupGatedBatch]] with a
+    * target-distribution gate in front: arriving chunks whose DSIR
+    * importance log-weight under a PRE-TRAINED bucket model falls below
+    * `minLogweight` are dropped before the dedup gates run (the
+    * streaming shape of importance-resampling data selection — only
+    * "looks like the target" content enters the corpus as it arrives).
+    *
+    * `model` is the PRECOMPUTED (bucket, lam) frame
+    * ([[graft.operators.ImportanceSampling.bucketModel]], pinned by the
+    * caller): like the decontamination gate's benchmark shingles, the
+    * selection model is fixed for the life of the stream — trained once
+    * from a reference corpus and the target exemplars, never per batch.
+    * Per-batch cost: one tokenize+hash pass over the batch plus a
+    * broadcast model join — the corpus is untouched. */
+  def ingestDsirGatedBatch(engine: graft.engine.VectorEngine,
+                           libraryId: String, batch: DataFrame,
+                           threshold: Double, model: DataFrame,
+                           buckets: Int, minLogweight: Double): Long = {
+    val keep = graft.operators.ImportanceSampling.scoreWithModel(
+        batch, col("id"), col("text"), model, buckets)
+      .where(col("logweight") >= minLogweight)
+      .select(col("id"))
+    ingestDedupGatedBatch(engine, libraryId, batch.join(keep, "id"), threshold)
+  }
+
+  /** Start the DSIR-gated chunk ingest as a stream. */
+  def startDsirGatedChunkIngest(engine: graft.engine.VectorEngine,
+                                libraryId: String, stream: DataFrame,
+                                threshold: Double, model: DataFrame,
+                                buckets: Int, minLogweight: Double,
+                                checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestDsirGatedBatch(engine, libraryId, batch, threshold, model,
+          buckets, minLogweight); ()
+      }
+      .start()
+
   /** Start the curation-gated chunk ingest as a stream. */
   def startCurationGatedChunkIngest(engine: graft.engine.VectorEngine,
                                     libraryId: String, stream: DataFrame,

@@ -416,6 +416,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getChunk("c4").text == "clean and novel")
   }
 
+  test("DSIR-GATED chunk-stream ingest: off-target chunks are dropped by " +
+    "the pre-trained importance model before the dedup gates; the model " +
+    "is reused across batches; redelivery stays a no-op") {
+    import graft.engine._
+    import graft.operators.ImportanceSampling
+    implicit val sqlCtx = spark.sqlContext
+    val e = VectorEngine.create(spark)
+    e.createLibrary("dsir", dim = 4, id = Some("dlib"),
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 7L)
+    val doc = e.createDocument("dlib", "ddoc")
+    // model trained ONCE for the life of the stream: the target exemplars
+    // speak alpha/beta; the reference corpus also carries junk/spam mass
+    val B = 16
+    val raw = Seq((1L, "alpha beta gamma"), (2L, "junk spam junk spam"),
+      (3L, "alpha beta beta"), (4L, "spam junk noise")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta"), (11L, "beta alpha gamma"))
+      .toDF("doc_id", "text")
+    val model = ImportanceSampling.bucketModel(raw, target,
+      col("doc_id"), col("text"), B).localCheckpoint()
+    val mem = MemoryStream[(String, String, String, Seq[Float], Int)]
+    val streamDf = mem.toDF()
+      .toDF("id", "document_id", "text", "embedding", "chunk_index")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsir-ckpt").toString
+    val q = StreamingIngest.startDsirGatedChunkIngest(
+      e, "dlib", streamDf, threshold = 0.05, model, B, minLogweight = 0.0, ckpt)
+    try {
+      mem.addData(
+        // target-like: positive log-weight, lands
+        ("d0", doc.id, "alpha beta alpha", Seq(1f, 0f, 0f, 0f), 0),
+        // off-target: junk/spam buckets carry negative lam, drops
+        ("d1", doc.id, "junk spam junk spam junk", Seq(0f, 1f, 0f, 0f), 1))
+      q.processAllAvailable()
+      assert(e.chunkCount("dlib") == 1)
+      assert(e.getChunk("d0").text == "alpha beta alpha")
+      // second batch: same model, still gating; redelivered d0 is a
+      // replay no-op; the dedup gate still runs AFTER the DSIR gate
+      mem.addData(
+        ("d0", doc.id, "alpha beta alpha", Seq(1f, 0f, 0f, 0f), 0),
+        ("d2", doc.id, "beta alpha beta", Seq(1f, 0.01f, 0f, 0f), 2), // near-dup of d0
+        ("d3", doc.id, "gamma alpha beta", Seq(0f, 0f, 0f, 1f), 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(e.chunkCount("dlib") == 2) // d0 + d3 (d1 off-target, d2 near-dup)
+    assert(e.getChunk("d3").text == "gamma alpha beta")
+  }
+
   test("curation-gated ingest with QUALITY gates on (streaming parity " +
     "with curateAndIngest): degenerate-repetition and all-stopword " +
     "chunks drop before decontamination and dedup") {
