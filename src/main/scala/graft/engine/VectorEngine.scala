@@ -2050,9 +2050,15 @@ final class VectorEngine private (val spark: SparkSession,
                       qualityMin: Double = 0.0,
                       maxDupNgramFrac: Double = 1.0,
                       n: Int = 8,
-                      threshold: Double = 0.05): VectorEngine.CurationReport = {
+                      threshold: Double = 0.05,
+                      dsirModel: Option[DataFrame] = None,
+                      dsirBuckets: Int =
+                        graft.operators.ImportanceSampling.DefaultBuckets,
+                      dsirMinLogweight: Double = 0.0): VectorEngine.CurationReport = {
     validateCurationParams(libraryId, qualityMin, maxDupNgramFrac, n,
       threshold)
+    if (dsirModel.isDefined && dsirBuckets <= 0)
+      throw ValidationError("dsirBuckets must be positive")
     // single-document contract: the whole batch lands under the
     // caller's document, which must exist in this library
     val doc = getDocument(documentId)
@@ -2061,7 +2067,7 @@ final class VectorEngine private (val spark: SparkSession,
         s"document $documentId belongs to library ${doc.library_id}, not $libraryId")
     curateIngestCore(libraryId, docs, docId, text, lit(documentId), embed,
       benchmark, benchText, maxTokens, overlap, qualityMin, maxDupNgramFrac,
-      n, threshold)
+      n, threshold, dsirModel, dsirBuckets, dsirMinLogweight)
   }
 
   /** The shared curation core: `chunkDocumentId` is evaluated over the
@@ -2078,7 +2084,11 @@ final class VectorEngine private (val spark: SparkSession,
                       qualityMin: Double,
                       maxDupNgramFrac: Double,
                       n: Int,
-                      threshold: Double): VectorEngine.CurationReport = {
+                      threshold: Double,
+                      dsirModel: Option[DataFrame] = None,
+                      dsirBuckets: Int =
+                        graft.operators.ImportanceSampling.DefaultBuckets,
+                      dsirMinLogweight: Double = 0.0): VectorEngine.CurationReport = {
     val chunked = graft.operators.TextChunker
       .chunk(docs, docId, text, maxTokens, overlap)
       .select(
@@ -2096,12 +2106,26 @@ final class VectorEngine private (val spark: SparkSession,
       qualityMin, maxDupNgramFrac)
     val kept = if (gated eq chunked) chunked else gated.localCheckpoint()
     val nQuality = if (gated eq chunked) nChunks else kept.count()
+    // OPTIONAL DSIR target-distribution selection (batch parity with the
+    // streaming path — the SAME scoreWithModel gate
+    // StreamingIngest.ingestDsirGatedBatch applies, so the two cannot
+    // drift); None compiles to the pre-existing plan
+    val selected = dsirModel match {
+      case Some(m) =>
+        val keepIds = graft.operators.ImportanceSampling.scoreWithModel(
+            kept, col("id"), col("text"), m, dsirBuckets)
+          .where(col("logweight") >= dsirMinLogweight)
+          .select(col("id"))
+        kept.join(keepIds, Seq("id")).localCheckpoint()
+      case None => kept
+    }
+    val nSelected = if (dsirModel.isEmpty) nQuality else selected.count()
     val benchGrams = TrainingData.benchmarkShingles(benchmark, benchText, n)
       .localCheckpoint() // eval sets are MBs; shingled once per call
     val contaminated = TrainingData.contaminationHitsAgainst(
-        kept, col("id"), col("text"), benchGrams, n)
+        selected, col("id"), col("text"), benchGrams, n)
       .select(col("id"))
-    val clean = kept.join(contaminated, Seq("id"), "left_anti")
+    val clean = selected.join(contaminated, Seq("id"), "left_anti")
       .localCheckpoint()
     val nClean = clean.count()
     val withEmb = embed(clean)
@@ -2112,7 +2136,8 @@ final class VectorEngine private (val spark: SparkSession,
       typedLit(Map.empty[String, String]).as("metadata"), col("chunk_index"))
     val nIngested = graft.streaming.StreamingIngest.ingestDedupGatedBatch(
       this, libraryId, batch, threshold)
-    VectorEngine.CurationReport(nChunks, nQuality, nClean, nIngested)
+    VectorEngine.CurationReport(nChunks, nQuality, nSelected, nClean,
+      nIngested)
   }
 
   // -------------------------------------------------------------------
@@ -2833,6 +2858,7 @@ object VectorEngine {
     * the observability a curation freeze wants (how much each gate cut),
     * at one O(batch) aggregate per stage. */
   final case class CurationReport(n_chunks: Long, n_after_quality: Long,
+                                  n_after_dsir: Long,
                                   n_after_decontamination: Long,
                                   n_ingested: Long)
 

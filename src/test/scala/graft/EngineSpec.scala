@@ -1400,6 +1400,58 @@ class EngineSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("curateAndIngest with a DSIR model: the batch gate keeps exactly " +
+    "what the streaming gate would (one shared scoreWithModel), reported " +
+    "as n_after_dsir; None leaves the report's dsir count = quality count") {
+    import org.apache.spark.sql.functions.{array, col, lit, pmod, xxhash64}
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("dcur", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val doc = e.createDocument(lib.id, "crawl")
+    val B = 16
+    // chunks of <= 4 tokens land whole (maxTokens=4): 1 chunk per doc
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"),   // target-like -> kept
+      (2L, "junk spam junk spam"),     // off-target -> DSIR-dropped
+      (3L, "alpha gamma beta")).toDF("id", "text")
+    val modelRaw = Seq((1L, "alpha beta gamma"), (2L, "junk spam junk"))
+      .toDF("doc_id", "text")
+    val modelTarget = Seq((10L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val model = graft.operators.ImportanceSampling.bucketModel(
+      modelRaw, modelTarget, col("doc_id"), col("text"), B).localCheckpoint()
+    val bench = Seq("held out eval fourgram").toDF("text")
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*))
+    val r = e.curateAndIngest(lib.id, doc.id, docs, col("id"), col("text"),
+      embed, bench, col("text"), maxTokens = 4, overlap = 0, n = 4,
+      threshold = 0.0, dsirModel = Some(model), dsirBuckets = B,
+      dsirMinLogweight = 0.0)
+    assert(r.n_chunks == 3L, r)
+    assert(r.n_after_quality == 3L, r)
+    assert(r.n_after_dsir == 2L, r) // the junk/spam chunk drops
+    assert(r.n_ingested == 2L, r)
+    val stored = e.chunksDf.where(col("library_id") === lib.id)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(stored == Set("1-c0", "3-c0"))
+    // without a model the dsir stage is a pass-through in the report
+    val e2 = VectorEngine.create(spark)
+    val lib2 = e2.createLibrary("dcur2", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val doc2 = e2.createDocument(lib2.id, "crawl")
+    val r2 = e2.curateAndIngest(lib2.id, doc2.id, docs, col("id"),
+      col("text"), embed, bench, col("text"), maxTokens = 4, overlap = 0,
+      n = 4, threshold = 0.0)
+    assert(r2.n_after_dsir == r2.n_after_quality)
+    assert(r2.n_ingested == 3L)
+    intercept[ValidationError] {
+      e2.curateAndIngest(lib2.id, doc2.id, docs, col("id"), col("text"),
+        embed, bench, col("text"), dsirModel = Some(model), dsirBuckets = 0)
+    }
+  }
+
   test("curateAndIngest: chunk -> quality -> repetition -> decontaminate " +
     "-> dedup-gated ingest composes end-to-end, reports per-stage " +
     "counts, and re-running the same batch is a no-op") {
