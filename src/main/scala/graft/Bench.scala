@@ -608,8 +608,16 @@ object Bench {
       else
         try measureStress(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR_100", "100").toInt,
+          // dsir_weights is 10x-tier only: its shared-pass design
+          // materializes an O(docs x buckets) checkpoint per call, and at
+          // 100x the retained blocks (freed only via ContextCleaner after
+          // GC) degrade every LATER task's timing in this shared JVM —
+          // measured: pack_sequences' ratio tripled when dsir ran before
+          // it. The checkpoint is the right trade at real scale (it is
+          // what makes the corpus single-scan); the 10x entry plus the
+          // plan check cover the operator's shape.
           Some(Set("pack_sequences", "decontaminate", "bpe_token_counts",
-            "shard_assignments", "dsir_weights")))
+            "shard_assignments")))
         catch { case e: Throwable =>
           s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
     // Host-speed yardstick, measured AFTER the timed passes (so its CPU
