@@ -488,6 +488,58 @@ object NearDup {
       .select(col("id").as("arriving_id"), col("existing_id"), col("distance"))
   }
 
+  /** Corpus-level MinHash signature per GROUP (source/shard/snapshot):
+    * element j = min over the group's DISTINCT hashed `n`-gram shingles
+    * of the affine family h_j — the identical arithmetic
+    * [[minhashSignature]] applies per document, lifted to group scope.
+    *
+    * Scale shape: one scan explodes hashed shingles (the JIT kernel, one
+    * md5 per shingle), one distinct on (group, hash), then H plain MIN
+    * aggregates with map-side partials — the group's shingle SET is
+    * never materialized as an array and no row carries more than one
+    * hash. Output: (group, sig array<bigint>); groups with no n-grams
+    * (every text shorter than n tokens) are absent. */
+  def minhashGroupSignatures(df: DataFrame, group: Column, text: Column,
+                             n: Int, numHashes: Int): DataFrame = {
+    val hs = df.select(group.as("grp"),
+        explode(hashedShingles(text, n)).as("h"))
+      .distinct()
+      .withColumn("x", col("h") % (1L << 30))
+    val aggs = (0 until numHashes).map { j =>
+      val (a, b) = minhashCoeffs(j)
+      min((lit(a) * col("x") + lit(b)) % MinhashPrime).as(s"m$j")
+    }
+    hs.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+      .select(col("grp"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** Cross-source corpus OVERLAP estimation (Broder 1997's resemblance,
+    * at corpus granularity): for every unordered pair of groups, the
+    * fraction of agreeing minhash positions — an unbiased estimate of
+    * the n-gram-set Jaccard between the two corpora, from H numbers per
+    * source instead of a set intersection over everything. The standard
+    * cheap answer to "how much does source A duplicate source B?" when
+    * planning which sources to dedup against each other.
+    *
+    * The pair join runs over G signature rows (G = #sources — tiny),
+    * never over the corpus. Output: (grp_a, grp_b, agreements,
+    * est_jaccard) with grp_a < grp_b, est rounded to 6. Estimator
+    * variance is ~sqrt(J(1-J)/H) — NearDupSpec checks it against exact
+    * Jaccard on the test corpus. */
+  def sourceOverlap(df: DataFrame, group: Column, text: Column,
+                    n: Int = 3, numHashes: Int = 16): DataFrame = {
+    require(numHashes > 0, "need at least one hash")
+    val sigs = minhashGroupSignatures(df, group, text, n, numHashes)
+    val agree = size(filter(zip_with(col("a.sig"), col("b.sig"),
+      (x, y) => x === y), p => p))
+    sigs.as("a").join(sigs.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        agree.cast("long").as("agreements"),
+        (round(agree.cast("double") / numHashes, 6) + lit(0.0d))
+          .as("est_jaccard"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, banded: the
     * fingerprint is split into `numBands` sub-keys; by pigeonhole any pair
     * within maxHamming <= numBands - 1 shares at least one exact sub-key,

@@ -396,6 +396,43 @@ object DedupQueries {
        |SELECT doc_a, doc_b, round(j, 6) + 0 AS jaccard FROM p
        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------- cross-source corpus overlap ----------------
+
+  /** MinHash corpus-overlap estimate between sources (Broder
+    * resemblance at corpus granularity): the oracle re-derives the
+    * per-source distinct trigram-hash sets, replays the SAME affine
+    * minhash family (coefficients generated from
+    * NearDup.minhashCoeffs — one Scala home, the SQL cannot drift), and
+    * recomputes the per-pair agreement counts and rounded estimates. */
+  private val OverlapHashes = 16
+
+  private val sourceOverlap: QueryFn = (s, dir) =>
+    NearDup.sourceOverlap(table(s, dir, "documents"), col("source"),
+        col("text"), n = 3, numHashes = OverlapHashes)
+      .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+        col("agreements"), col("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+
+  private val sourceOverlapSql: String = {
+    val mins = (0 until OverlapHashes).map { j =>
+      val (a, b) = NearDup.minhashCoeffs(j)
+      s"min(($a * x + $b) % ${NearDup.MinhashPrime}) AS m$j"
+    }.mkString(", ")
+    val agreeTerms = (0 until OverlapHashes).map(j =>
+      s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH s AS ($hashedTrigramSets),
+       |ds AS (SELECT doc_id, source FROM documents),
+       |hs AS (SELECT DISTINCT ds.source, h % 1073741824 AS x
+       |       FROM (SELECT doc_id, unnest(hsh) AS h FROM s) e
+       |       JOIN ds USING (doc_id)),
+       |sig AS (SELECT source, $mins FROM hs GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  ($agreeTerms)::BIGINT AS agreements,
+       |  round(($agreeTerms)::DOUBLE / $OverlapHashes, 6) + 0 AS est_jaccard
+       |FROM sig a JOIN sig b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   // ---------------- SemDeDup: semantic dedup over k-means cells ----------------
 
   /** SemDeDup (Abbas et al. 2023): pairs compared only within their
@@ -457,6 +494,7 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("dedup_semantic_pairs", semanticPairs, Some(semanticPairsSql)),
     Q("dedup_semantic_survivors", semanticSurvivors, Some(semanticSurvivorsSql)),
     Q("dedup_near_unicode", nearUnicode, Some(nearUnicodeSql)),

@@ -391,6 +391,45 @@ class NearDupSpec extends AnyFunSuite {
     assert(perArrival(5000L).contains((5L, 0.0)))
   }
 
+  test("sourceOverlap: identical corpora estimate 1.0, disjoint estimate " +
+    "0.0, and the estimate tracks exact Jaccard within MinHash variance") {
+    val corpus = Seq(
+      // a and b are byte-identical corpora; c shares nothing with them
+      ("a", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("a", 2L, "eta theta iota kappa lambda mu"),
+      ("b", 3L, "alpha beta gamma delta epsilon zeta"),
+      ("b", 4L, "eta theta iota kappa lambda mu"),
+      ("c", 5L, "nu xi omicron pi rho sigma tau")
+    ).toDF("source", "doc_id", "text")
+    val got = graft.operators.NearDup.sourceOverlap(corpus, col("source"),
+        col("text"), n = 3, numHashes = 16)
+      .select("grp_a", "grp_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(got(("a", "b")) == 1.0d)
+    assert(got(("a", "c")) == 0.0d && got(("b", "c")) == 0.0d)
+    // estimator quality on the driver corpus: mean |est - exact| over all
+    // source pairs stays within the H=16 MinHash standard error (~0.125)
+    val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val est = graft.operators.NearDup.sourceOverlap(docs001, col("source"),
+        col("text"), n = 3, numHashes = 16)
+      .select("grp_a", "grp_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    val sets = docs001
+      .select(col("source"),
+        explode(hashedShingles(col("text"), 3)).as("h"))
+      .as[(String, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val errs = est.map { case ((a, b), e) =>
+      val exact = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      math.abs(e - exact)
+    }
+    assert(errs.sum / errs.size <= 0.125,
+      s"mean estimator error ${errs.sum / errs.size}")
+  }
+
   test("bandedCandidates never pairs a doc with itself and orders ids") {
     val sh = docs.select(col("doc_id").as("id"),
       minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
