@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL normalization, host extraction, and registered-domain cuts —
@@ -183,5 +183,51 @@ object WebDomains {
        |   ${hostSql(col)} AS h,
        |   regexp_extract($col, '$PortPattern', 1) AS port,
        |   $pqDecoded AS pq))""".stripMargin
+  }
+
+  /** Per-registered-domain crawl QUALITY panel — the RefinedWeb-style
+    * domain-prioritization signal (which domains are worth crawling
+    * deeper, which are template farms): for every domain,
+    *
+    *   - `n_pages` — raw page count,
+    *   - `n_unique_texts` — distinct extracted-text digests (the gap to
+    *     n_pages is the domain's internal template/duplicate mass),
+    *   - `avg_tokens` — mean extracted token count,
+    *   - `avg_quality` — mean of the per-page rounded
+    *     [[TextAnalysis.qualityScore]], folded in url order (the
+    *     deterministic-float-sum contract every mean in this repo
+    *     follows), rounded to 6.
+    *
+    * Scale shape: one extraction scan (pure projection), one groupBy on
+    * the registered domain with map-side partials; the only per-group
+    * state is the digest set behind the distinct count and the bounded
+    * per-domain (url, quality) list for the ordered fold — both
+    * proportional to the domain's own page count. Output is one row per
+    * domain: broadcast material for the crawl scheduler. */
+  def domainQualityStats(pages: DataFrame, url: Column,
+                         html: Column): DataFrame = {
+    val text = HtmlExtract.extract(html)
+    val perPage = pages.select(
+        registeredDomain(host(url)).as("domain"),
+        url.as("__url"),
+        md5(text).as("__md5"),
+        text.as("__text"))
+      .select(col("domain"), col("__url"), col("__md5"),
+        size(TextAnalysis.tokens(col("__text"))).cast("long").as("__ntok"),
+        (round(TextAnalysis.qualityScore(TextAnalysis.tokens(col("__text"))), 6)
+          + lit(0.0d)).as("__q"))
+    perPage.groupBy(col("domain")).agg(
+        count(lit(1)).as("n_pages"),
+        countDistinct(col("__md5")).as("n_unique_texts"),
+        sum(col("__ntok")).as("__toks"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__url"), col("__q")))),
+            x => x.getField("__q")),
+          lit(0.0d), (acc, x) => acc + x).as("__qs"))
+      .select(col("domain"), col("n_pages"), col("n_unique_texts"),
+        (round(col("__toks").cast("double") / col("n_pages"), 6) + lit(0.0d))
+          .as("avg_tokens"),
+        (round(col("__qs") / col("n_pages"), 6) + lit(0.0d))
+          .as("avg_quality"))
   }
 }

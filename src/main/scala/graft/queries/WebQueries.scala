@@ -100,6 +100,39 @@ object WebQueries {
   private val DomainTargets: Map[String, Double] =
     Map("example.co.uk" -> 0.5, "news.com.au" -> 0.25, "example.com" -> 0.25)
 
+  /** Per-domain crawl quality panel (WebDomains.domainQualityStats):
+    * extraction, tokenization, the quality score, the digest-distinct
+    * count, and BOTH url-ordered mean folds replayed in generated SQL. */
+  private val domainStats: QueryFn = (s, _) =>
+    WebDomains.domainQualityStats(s.read.parquet(Fixture),
+        col("url"), col("html"))
+      .orderBy(col("domain"))
+
+  private val domainStatsSql: String = {
+    val ex = HtmlExtract.extractSql("html")
+    val inList = graft.operators.TextAnalysis.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    val qual =
+      s"""round(
+         |  0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
+         |  0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
+         |  0.3 * least(len(t)::DOUBLE / 100.0, 1.0), 6) + 0""".stripMargin
+    s"""WITH p AS (SELECT url,
+       |    ${WebDomains.registeredDomainSql(WebDomains.hostSql("url"))} AS domain,
+       |    $ex AS x
+       |  FROM $FixtureSql),
+       |per AS (SELECT domain, url, md5(x) AS m,
+       |    len(${TextQueries.tokSqlOf("x")})::BIGINT AS ntok,
+       |    (SELECT $qual FROM (SELECT ${TextQueries.tokSqlOf("x")} AS t)) AS q
+       |  FROM p)
+       |SELECT domain, count(*)::BIGINT AS n_pages,
+       |  count(DISTINCT m)::BIGINT AS n_unique_texts,
+       |  round(sum(ntok)::DOUBLE / count(*), 6) + 0 AS avg_tokens,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(q ORDER BY url)),
+       |        (a, b) -> a + b) / count(*), 6) + 0 AS avg_quality
+       |FROM per GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   private val domainMixture: QueryFn = (s, _) => {
     val dom = WebDomains.registeredDomain(WebDomains.host(col("url")))
     TrainingData.mixtureSample(
@@ -179,5 +212,6 @@ object WebQueries {
     Q("text_extract_chunks", extractChunks, Some(extractChunksSql)),
     Q("dedup_url_exact", urlExact, Some(urlExactSql)),
     Q("pipeline_domain_mixture", domainMixture, Some(domainMixtureSql)),
+    Q("pipeline_domain_stats", domainStats, Some(domainStatsSql)),
   )
 }

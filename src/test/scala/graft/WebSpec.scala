@@ -161,6 +161,31 @@ class WebSpec extends AnyFunSuite {
     assert(col1(n, "example.com/a") != col1(n, "other.org/b"))
   }
 
+  test("domainQualityStats: duplicate pages collapse in n_unique_texts, " +
+    "means are finite and deterministic, domains group by registered domain") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.example.com/1", "<p>alpha beta gamma delta</p>"),
+      (2L, "https://b.example.com/2", "<p>alpha beta gamma delta</p>"), // dup text, same reg domain
+      (3L, "https://a.example.com/3", "<p>epsilon zeta</p>"),
+      (4L, "https://other.org/x", "<p>unique content here entirely</p>")
+    ).toDF("doc_id", "url", "html")
+    def run() = graft.operators.WebDomains.domainQualityStats(
+        pages, org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("html"))
+      .orderBy("domain")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val got = run()
+    assert(got == run()) // deterministic means (ordered fold)
+    val byDom = got.map(r => r._1 -> r).toMap
+    assert(byDom.keySet == Set("example.com", "other.org"))
+    val ex = byDom("example.com")
+    assert(ex._2 == 3L && ex._3 == 2L) // 3 pages, 2 distinct texts
+    assert(math.abs(ex._4 - (4 + 4 + 2) / 3.0) < 1e-6)
+    assert(byDom("other.org")._2 == 1L && byDom("other.org")._3 == 1L)
+    assert(got.forall(r => !r._5.isNaN && !r._5.isInfinite))
+  }
+
   test("extraction review regression: tags that merely START with a " +
     "block-tag name stay inline (no fabricated paragraph breaks)") {
     assert(extract1("<p>Loading <progress value='1'></progress> done</p>") ==
