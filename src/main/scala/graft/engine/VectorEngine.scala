@@ -2018,8 +2018,14 @@ final class VectorEngine private (val spark: SparkSession,
     * [[graft.operators.TextChunker.chunk]]), chunks pass the QUALITY
     * gate (TextAnalysis.qualityScore >= `qualityMin`) and the
     * REPETITION gate (bigram dup_ngram_frac <= `maxDupNgramFrac`;
-    * chunks too short to have bigrams pass), survivors are
-    * DECONTAMINATED against the benchmark's word `n`-grams, then
+    * chunks too short to have bigrams pass), optionally a DSIR
+    * target-distribution SELECTION (when `dsirModel` is set: chunks
+    * whose importance log-weight under the pre-trained (bucket, lam)
+    * model — [[graft.operators.ImportanceSampling.bucketModel]], built
+    * with the SAME `dsirBuckets` — falls below `dsirMinLogweight` are
+    * dropped; the identical scoreWithModel gate the streaming path
+    * applies, so batch and streaming selection cannot drift), survivors
+    * are DECONTAMINATED against the benchmark's word `n`-grams, then
     * EMBEDDED by the caller-supplied `embed` stage (the engine stores
     * vectors, it does not model them — a deployment plugs its encoder
     * here) and run through the streaming path's own DEDUP-GATED ingest
@@ -2040,8 +2046,10 @@ final class VectorEngine private (val spark: SparkSession,
     *
     * @param embed stage adding an `embedding` column to its input (all
     *              other columns must pass through untouched)
-    * @return per-stage accounting (chunked / after quality / after
-    *         decontamination / actually ingested) */
+    * @return per-stage accounting (chunked / after quality / after the
+    *         optional DSIR selection — equal to the quality count when
+    *         no model is passed — / after decontamination / actually
+    *         ingested) */
   def curateAndIngest(libraryId: String, documentId: String, docs: DataFrame,
                       docId: Column, text: Column,
                       embed: DataFrame => DataFrame,

@@ -136,6 +136,16 @@ object ImportanceSampling {
                      model: DataFrame,
                      buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // the model is exactly one row per bucket by construction; a caller
+    // passing a DIFFERENT bucket count would hash features into buckets
+    // the model has no rows for, and the scoring join would SILENTLY
+    // drop that feature mass — systematically wrong logweights with no
+    // error. One tiny aggregate over the B-row frame catches it loudly.
+    val mRows = model.agg(count(lit(1)), max(col("bucket"))).head()
+    require(mRows.getLong(0) == buckets.toLong &&
+        (buckets == 0 || mRows.getLong(1) == buckets.toLong - 1L),
+      s"model has ${mRows.getLong(0)} buckets (max id ${mRows.get(1)}) but " +
+        s"scoring was asked for $buckets — train and score with ONE bucket count")
     val docBuckets = featureBuckets(df, id, text, buckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
     scoreCounts(docBuckets, df.select(id.as("id")), model)

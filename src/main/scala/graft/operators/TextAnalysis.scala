@@ -94,11 +94,19 @@ object TextAnalysis {
 
   /** Composite quality score in [0, 1]: diversity + non-stopword mass +
     * saturating length credit. Weights are part of the operator contract
-    * (the oracle replicates them verbatim). */
+    * and live HERE only — every SQL oracle fragment is generated from
+    * these constants (TextQueries.qualitySqlOf), so the five replay
+    * sites cannot drift from the Column operator. */
+  val QualityUniqueWeight = 0.3
+  val QualityStopWeight = 0.4
+  val QualityLenWeight = 0.3
+  val QualityLenCap = 100.0
+
   def qualityScore(toks: Column): Column =
-    lit(0.3) * uniqueRatio(toks) +
-      lit(0.4) * (lit(1.0) - stopwordRatio(toks)) +
-      lit(0.3) * least(size(toks).cast("double") / 100.0, lit(1.0))
+    lit(QualityUniqueWeight) * uniqueRatio(toks) +
+      lit(QualityStopWeight) * (lit(1.0) - stopwordRatio(toks)) +
+      lit(QualityLenWeight) *
+        least(size(toks).cast("double") / QualityLenCap, lit(1.0))
 
   /** Document fingerprint: min of the seeded shingle hashes over word
     * bigrams — a 1-wide MinHash (rolling-hash-style content signature). */

@@ -772,8 +772,6 @@ object EngineQueries {
 
   private val curateIngestSql: String = {
     val stride = CurateMax - CurateOverlap
-    val stops = graft.operators.TextAnalysis.Stopwords
-      .map(w => s"'$w'").mkString(", ")
     val gram4 = "tq[i] || ' ' || tq[i+1] || ' ' || tq[i+2] || ' ' || tq[i+3]"
     s"""WITH toks AS (
        |  SELECT doc_id, ${TextQueries.splitSqlOf("text")} AS t
@@ -793,9 +791,7 @@ object EngineQueries {
        |  FROM chunks),
        |gated AS (
        |  SELECT chunk_id, chunk_index, text, tq FROM ctoks
-       |  WHERE 0.3 * (len(list_distinct(tq))::DOUBLE / len(tq)) +
-       |        0.4 * (1.0 - len(list_filter(tq, x -> x IN ($stops)))::DOUBLE / len(tq)) +
-       |        0.3 * least(len(tq)::DOUBLE / 100.0, 1.0) >= $CurateQualityMin
+       |  WHERE ${TextQueries.qualitySqlOf("tq")} >= $CurateQualityMin
        |    AND (len(tq) < 2 OR
        |      round(1.0 - len(list_distinct(list_transform(range(1, len(tq)),
        |            i -> tq[i] || ' ' || tq[i+1])))::DOUBLE / (len(tq) - 1), 6) + 0

@@ -32,7 +32,6 @@ object PipelineQueries {
     * training-set rows; expects a `keep(doc_id, text, n_chars, t)`
     * relation in scope. */
   private val scoredTotalsSql: String = {
-    val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
     def score(words: Seq[String]) =
       s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
     val scores = LangProfiles.map { case (lang, words) => lang -> score(words) }
@@ -42,9 +41,7 @@ object PipelineQueries {
     }.mkString(" ")
     s"""scored AS (
        |  SELECT doc_id, text, n_chars,
-       |    0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
-       |    0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
-       |    0.3 * least(len(t)::DOUBLE / 100.0, 1.0) AS quality,
+       |    ${TextQueries.qualitySqlOf("t")} AS quality,
        |    CASE $whens ELSE '${LangProfiles.last._1}' END AS lang
        |  FROM keep)
        |SELECT count(*) AS n_docs,
@@ -640,7 +637,6 @@ object PipelineQueries {
   }
 
   private val datasheetSql: String = {
-    val inList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
     val langCounts =
       (TextAnalysis.ScriptRanges.map(_._1) ++
         TextAnalysis.LangProfiles.map(_._1)).map { code =>
@@ -663,10 +659,7 @@ object PipelineQueries {
        |  SELECT doc_id, md5(text) AS dg, len(t)::BIGINT AS ntok,
        |    len(text)::BIGINT AS nchar,
        |    CASE $scriptWhens ELSE ${TextQueries.langCaseSql} END AS lang,
-       |    CASE WHEN len(t) > 0 THEN
-       |      0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
-       |      0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
-       |      0.3 * least(len(t)::DOUBLE / 100.0, 1.0)
+       |    CASE WHEN len(t) > 0 THEN ${TextQueries.qualitySqlOf("t")}
        |    ELSE 0.0 END AS q,
        |    $piiCols
        |  FROM (SELECT doc_id, text, ${TextQueries.tokSql} AS t

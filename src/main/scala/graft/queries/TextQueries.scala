@@ -85,15 +85,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val qualitySql: String = {
+  /** DuckDB twin of TextAnalysis.qualityScore over a token list named
+    * `t` — GENERATED from the same weight constants the Column operator
+    * uses, the ONE SQL home for the formula (five gate queries replay
+    * it; a hand-copied drift broke parity only on whichever query
+    * exercised the stale copy). */
+  private[queries] def qualitySqlOf(t: String): String = {
+    import graft.operators.TextAnalysis._
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""SELECT doc_id, round(
-       |  0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
-       |  0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
-       |  0.3 * least(len(t)::DOUBLE / 100.0, 1.0), 6) + 0 AS quality
+    s"($QualityUniqueWeight * (len(list_distinct($t))::DOUBLE / len($t)) + " +
+      s"$QualityStopWeight * (1.0 - len(list_filter($t, x -> x IN ($inList)))::DOUBLE / len($t)) + " +
+      s"$QualityLenWeight * least(len($t)::DOUBLE / $QualityLenCap, 1.0))"
+  }
+
+  private val qualitySql: String =
+    s"""SELECT doc_id, round(${qualitySqlOf("t")}, 6) + 0 AS quality
        |FROM (SELECT doc_id, $tokSql AS t FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Stopword-profile language ID (argmax, profile order breaks ties). */
   private val langId: QueryFn = (s, dir) =>

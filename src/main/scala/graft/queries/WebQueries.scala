@@ -110,13 +110,7 @@ object WebQueries {
 
   private val domainStatsSql: String = {
     val ex = HtmlExtract.extractSql("html")
-    val inList = graft.operators.TextAnalysis.Stopwords
-      .map(w => s"'$w'").mkString(", ")
-    val qual =
-      s"""round(
-         |  0.3 * (len(list_distinct(t))::DOUBLE / len(t)) +
-         |  0.4 * (1.0 - len(list_filter(t, x -> x IN ($inList)))::DOUBLE / len(t)) +
-         |  0.3 * least(len(t)::DOUBLE / 100.0, 1.0), 6) + 0""".stripMargin
+    val qual = s"round(${TextQueries.qualitySqlOf("t")}, 6) + 0"
     s"""WITH p AS (SELECT url,
        |    ${WebDomains.registeredDomainSql(WebDomains.hostSql("url"))} AS domain,
        |    $ex AS x
@@ -128,7 +122,7 @@ object WebQueries {
        |SELECT domain, count(*)::BIGINT AS n_pages,
        |  count(DISTINCT m)::BIGINT AS n_unique_texts,
        |  round(sum(ntok)::DOUBLE / count(*), 6) + 0 AS avg_tokens,
-       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(q ORDER BY url)),
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(q ORDER BY url, q)),
        |        (a, b) -> a + b) / count(*), 6) + 0 AS avg_quality
        |FROM per GROUP BY domain ORDER BY domain""".stripMargin
   }

@@ -68,6 +68,20 @@ class ImportanceSamplingSpec extends AnyFunSuite {
     assert(a.map(_._2) == a.map(_._2).sorted.reverse)
   }
 
+  test("scoreWithModel rejects a bucket count the model was not trained " +
+    "with (a mismatch would silently drop feature mass, not error)") {
+    val model = ImportanceSampling.bucketModel(rawDocs, targetDocs,
+      col("doc_id"), col("text"), B)
+    val e = intercept[IllegalArgumentException] {
+      ImportanceSampling.scoreWithModel(rawDocs, col("doc_id"), col("text"),
+        model, B * 2).collect()
+    }
+    assert(e.getMessage.contains("ONE bucket count"))
+    // the matching count scores fine
+    assert(ImportanceSampling.scoreWithModel(rawDocs, col("doc_id"),
+      col("text"), model, B).count() == 5)
+  }
+
   test("sf0.001: mean logweight of the target language exceeds the rest") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val w = ImportanceSampling.importanceWeights(docs,
