@@ -34,7 +34,10 @@ import graft.functions.VectorFunctions
   *     produce NaN at mu = 0 and an infinite diversity credit otherwise);
   *   - the argmax compares the UNROUNDED score lambda*rel - mu*penalty
   *     built from those rounded inputs (every op IEEE-deterministic),
-  *     ties to the smaller id; the first pick's penalty is 0;
+  *     ties to the smaller id; the FIRST pick compares raw relevance
+  *     (argmax-equivalent for lambda > 0, and at lambda = 0 it matches
+  *     the SQL twin's relevance-ordered recursive base case instead of
+  *     degenerating to an all-zero tie) and its penalty is 0;
   *   - `mu` is literally `1.0 - lambda` in IEEE arithmetic, and the SQL
   *     twin prints THAT double (1 - 0.7 is 0.30000000000000004, not 0.3 —
   *     a hand-written 0.3 would diverge);
@@ -124,7 +127,15 @@ object MmrRerank {
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val inSel = new Array[Boolean](n)
     while (selected.length < math.min(k, n)) {
-      var best = -1; var bestScore = 0.0d
+      // The FIRST pick compares raw relevance, not lambda * rel: the two
+      // are argmax-equivalent for lambda > 0, but at lambda = 0 every
+      // lambda * rel ties at 0.0 and the id tie-break would win, while
+      // the SQL twin's recursive base case (ORDER BY rel DESC, id) picks
+      // top relevance — so pin top relevance on both engines. The
+      // RECORDED score stays lambda * rel (penalty 0), matching the SQL
+      // twin's output recomputation.
+      val firstPick = selected.isEmpty
+      var best = -1; var bestScore = 0.0d; var bestKey = 0.0d
       var i = 0
       while (i < n) {
         if (!inSel(i)) {
@@ -135,12 +146,13 @@ object MmrRerank {
             if (first || v > pen) { pen = v; first = false }
           }
           val score = lambda * rel(i) - mu * (if (first) 0.0d else pen)
+          val key = if (firstPick) rel(i) else score
           // strict >: ties keep the candidate with the SMALLER id — the
           // pool is already (distance, id)-sorted but ids are re-compared
           // explicitly since rel order need not be id order
-          if (best < 0 || score > bestScore ||
-              (score == bestScore && ord.lt(ids(i), ids(best)))) {
-            best = i; bestScore = score
+          if (best < 0 || key > bestKey ||
+              (key == bestKey && ord.lt(ids(i), ids(best)))) {
+            best = i; bestScore = score; bestKey = key
           }
         }
         i += 1

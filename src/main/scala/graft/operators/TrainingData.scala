@@ -535,7 +535,12 @@ object TrainingData {
     * The materialized sample is then the LARGEST deterministic subset
     * honoring q (the [[mixtureSample]] cap/rate rule: cap = min_g
     * n_g / q_g, rate_g = q_g * cap / n_g, keep by md5 id bucket under the
-    * dedicated "mixt:" salt).
+    * dedicated "mixt:" salt). Rows whose group is NULL are excluded from
+    * the model UP FRONT — counts, total, Z, and cap see only groups whose
+    * rows can actually be kept (the final equi-join drops null keys
+    * regardless, so counting them would distort the delivered mixture vs
+    * the documented q ∝ p^alpha formula, and a large null group could
+    * even become the binding cap).
     *
     * Fully in-plan — counts, the alpha power, normalization, cap, and
     * rates are one G-row aggregate broadcast back; no driver math, so a
@@ -556,6 +561,7 @@ object TrainingData {
     require(alpha > 0.0d && alpha <= 1.0d, "alpha must be in (0, 1]")
     require(buckets > 0, "buckets must be positive")
     val counts = df.select(group.as("__grp"))
+      .where(col("__grp").isNotNull)
       .groupBy(col("__grp")).agg(count(lit(1)).cast("double").as("__n"))
     // corpus total: an exact integer sum in double (order-independent)
     val tot = counts.agg(sum(col("__n")).as("__tot"))

@@ -194,25 +194,28 @@ object WebDomains {
     *     n_pages is the domain's internal template/duplicate mass),
     *   - `avg_tokens` — mean extracted token count,
     *   - `avg_quality` — mean of the per-page rounded
-    *     [[TextAnalysis.qualityScore]], folded in url order (the
-    *     deterministic-float-sum contract every mean in this repo
-    *     follows), rounded to 6.
+    *     [[TextAnalysis.qualityScore]], summed as exact integer
+    *     MICRO-units (the score is already rounded to 6 decimals, so
+    *     `round(q * 1e6)` is an exact long — an order-free,
+    *     engine-portable sum; the same integer-sum argument SCALING.md
+    *     makes for token counts), divided back and rounded to 6.
     *
     * Scale shape: one extraction scan (pure projection), one groupBy on
-    * the registered domain with map-side partials; the only per-group
-    * state is the digest set behind the distinct count and the bounded
-    * per-domain (url, quality) list for the ordered fold — both
-    * proportional to the domain's own page count. Output is one row per
+    * the registered domain with map-side partials; per-group aggregation
+    * state is CONSTANT-size (counts and long sums — no per-page list is
+    * ever collected, so a 10M-page template farm costs the same buffer
+    * as a 10-page blog; only the digest set behind the distinct count
+    * scales with the domain, and Spark plans that as a two-phase
+    * partial-distinct, not a single buffer). Output is one row per
     * domain: broadcast material for the crawl scheduler. */
   def domainQualityStats(pages: DataFrame, url: Column,
                          html: Column): DataFrame = {
     val text = HtmlExtract.extract(html)
     val perPage = pages.select(
         registeredDomain(host(url)).as("domain"),
-        url.as("__url"),
         md5(text).as("__md5"),
         text.as("__text"))
-      .select(col("domain"), col("__url"), col("__md5"),
+      .select(col("domain"), col("__md5"),
         size(TextAnalysis.tokens(col("__text"))).cast("long").as("__ntok"),
         (round(TextAnalysis.qualityScore(TextAnalysis.tokens(col("__text"))), 6)
           + lit(0.0d)).as("__q"))
@@ -220,14 +223,11 @@ object WebDomains {
         count(lit(1)).as("n_pages"),
         countDistinct(col("__md5")).as("n_unique_texts"),
         sum(col("__ntok")).as("__toks"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("__url"), col("__q")))),
-            x => x.getField("__q")),
-          lit(0.0d), (acc, x) => acc + x).as("__qs"))
+        sum(round(col("__q") * lit(1e6d), 0).cast("long")).as("__qmicro"))
       .select(col("domain"), col("n_pages"), col("n_unique_texts"),
         (round(col("__toks").cast("double") / col("n_pages"), 6) + lit(0.0d))
           .as("avg_tokens"),
-        (round(col("__qs") / col("n_pages"), 6) + lit(0.0d))
-          .as("avg_quality"))
+        (round(col("__qmicro").cast("double") / lit(1e6d) / col("n_pages"), 6)
+          + lit(0.0d)).as("avg_quality"))
   }
 }

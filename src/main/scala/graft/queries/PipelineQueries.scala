@@ -700,7 +700,8 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   private val mixtureTemperatureSql: String =
-    s"""WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+    s"""WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+       |       WHERE lang IS NOT NULL GROUP BY 1),
        |tot AS (SELECT sum(n) AS t FROM cnt),
        |pw AS (SELECT lang, n, round(pow(n / t, $TempAlpha), 12) AS pa
        |       FROM cnt, tot),

@@ -102,7 +102,9 @@ object WebQueries {
 
   /** Per-domain crawl quality panel (WebDomains.domainQualityStats):
     * extraction, tokenization, the quality score, the digest-distinct
-    * count, and BOTH url-ordered mean folds replayed in generated SQL. */
+    * count, and both means replayed in generated SQL — the quality mean
+    * as the same exact integer micro-unit sum (order-free: no per-page
+    * list on either engine). */
   private val domainStats: QueryFn = (s, _) =>
     WebDomains.domainQualityStats(s.read.parquet(Fixture),
         col("url"), col("html"))
@@ -115,15 +117,15 @@ object WebQueries {
        |    ${WebDomains.registeredDomainSql(WebDomains.hostSql("url"))} AS domain,
        |    $ex AS x
        |  FROM $FixtureSql),
-       |per AS (SELECT domain, url, md5(x) AS m,
+       |per AS (SELECT domain, md5(x) AS m,
        |    len(${TextQueries.tokSqlOf("x")})::BIGINT AS ntok,
        |    (SELECT $qual FROM (SELECT ${TextQueries.tokSqlOf("x")} AS t)) AS q
        |  FROM p)
        |SELECT domain, count(*)::BIGINT AS n_pages,
        |  count(DISTINCT m)::BIGINT AS n_unique_texts,
        |  round(sum(ntok)::DOUBLE / count(*), 6) + 0 AS avg_tokens,
-       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(q ORDER BY url, q)),
-       |        (a, b) -> a + b) / count(*), 6) + 0 AS avg_quality
+       |  round(sum(round(q * 1000000.0, 0)::BIGINT)::DOUBLE / 1000000.0
+       |        / count(*), 6) + 0 AS avg_quality
        |FROM per GROUP BY domain ORDER BY domain""".stripMargin
   }
 

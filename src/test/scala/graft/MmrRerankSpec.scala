@@ -96,6 +96,20 @@ class MmrRerankSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("lambda=0: rank 1 is the TOP-RELEVANCE candidate (the SQL twin's " +
+    "relevance-ordered base case), not the smallest id of an all-zero tie") {
+    val out = MmrRerank.rerank(pool, col("vec_id"), col("embedding"), q,
+        k = 3, poolSize = 10, lambda = 0.0)
+      .orderBy("rank").select("id", "mmr").as[(Long, Double)]
+      .collect().toSeq
+    // top relevance is id 1 (nearest to q); with lambda=0 its RECORDED
+    // score is still lambda*rel = 0.0 (penalty 0 on the first pick)
+    assert(out.head == (1L, 0.0d), out)
+    // after rank 1, pure-diversity selection (lambda=0) picks the
+    // candidate farthest from everything selected: the orthogonal 4
+    assert(out(1)._1 == 4L, out)
+  }
+
   test("sf0.001: output is k rows drawn from the pool, rank 1 = query itself") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = emb.where(col("vec_id") === 0)

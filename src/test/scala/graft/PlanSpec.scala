@@ -83,6 +83,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("pipeline_domain_stats: per-domain aggregation state is constant-" +
+    "size — no collect_list on the page axis (a 10M-page domain must not " +
+    "become one multi-GB aggregation buffer), map-side partials present") {
+    val p = plan("pipeline_domain_stats")
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("pipeline_datasheet: no all-pairs anywhere — the dedup panel is " +
     "band-blocked and the contamination panel broadcast, like their " +
     "standalone operators") {

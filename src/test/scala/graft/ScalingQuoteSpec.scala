@@ -12,12 +12,42 @@ import org.json4s.jackson.JsonMethods
   * SCALING.md is parsed and compared against BENCH.json's stress /
   * stress_100 query ratios. A re-benched BENCH.json with stale prose —
   * or re-written prose with stale numbers — fails here instead of
-  * waiting for a judge to cross-read the two files. */
+  * waiting for a judge to cross-read the two files.
+  *
+  * The quotes pin the COMMITTED record, so when the working-tree
+  * BENCH.json differs from HEAD's (the round driver re-runs the bench
+  * AFTER the final commit, clobbering the file in the checkout), the
+  * spec compares against `git show HEAD:BENCH.json` instead — the
+  * working-tree copy is then a transient measurement, not the record
+  * the prose quotes. Outside a git repo (or with no committed copy) it
+  * falls back to the file. */
 class ScalingQuoteSpec extends AnyFunSuite {
 
   private def read(p: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
       java.nio.charset.StandardCharsets.UTF_8)
+
+  /** BENCH.json as committed at HEAD when the working tree drifted from
+    * it; the working-tree bytes otherwise (also the no-git fallback). */
+  private def benchJson(): String = {
+    val wt = read("BENCH.json")
+    val head =
+      try {
+        val pb = new ProcessBuilder("git", "show", "HEAD:BENCH.json")
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Exception => None }
+    head match {
+      case Some(h) if h != wt =>
+        info("working-tree BENCH.json differs from HEAD (driver bench " +
+          "clobber) — checking quotes against the committed record")
+        h
+      case _ => wt
+    }
+  }
 
   private def ratioOf(v: JValue): Double = v \ "ratio" match {
     case JDouble(d) => d
@@ -35,7 +65,7 @@ class ScalingQuoteSpec extends AnyFunSuite {
   test("every `name=ratio` / `name@100x=ratio` quote in SCALING.md " +
     "matches the committed BENCH.json stress record") {
     val scaling = read("SCALING.md")
-    val bench = JsonMethods.parse(read("BENCH.json"))
+    val bench = JsonMethods.parse(benchJson())
     val stress10 = tier(bench, "stress")
     val stress100 = tier(bench, "stress_100")
     val quote = """`([a-z_0-9]+)(@100x)?=([0-9][0-9.]*)`""".r
