@@ -347,6 +347,87 @@ object TrainingData {
         concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
+  /** Substring-level exact dedup — the ExactSubstr rung of the dedup
+    * ladder (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): any token inside a substring of at least
+    * `minLen` tokens that occurs MORE THAN ONCE anywhere in the corpus
+    * (a second document OR a second position in the same document) is
+    * dropped. This is what [[removeRepeatedSpans]] cannot express: its
+    * doc-frequency threshold needs a span common to >= minDocFreq
+    * documents, while a 500-token passage pasted into exactly TWO
+    * documents — the normal shape of real web duplication — sails
+    * through; here occurrence count 2 is the trigger and `minLen` (the
+    * paper's 50 tokens) is what keeps coincidental overlap out.
+    *
+    * Exact semantics (pinned for the SQL oracle): windows are the
+    * `minLen`-token contiguous [[ngrams]] of the pinned token stream,
+    * identified by the md5 of the space-joined window (tokens contain
+    * no whitespace, so the join is unambiguous; 128 bits makes a false
+    * collision astronomically unlikely — the honest delta vs the
+    * paper's byte-exact suffix array). A window is DUPLICATED when its
+    * md5 occurs >= 2 times corpus-wide, occurrences counted, not
+    * documents. Token position p is covered iff some duplicated window
+    * starts in (p - minLen, p] — equivalently, iff p lies inside SOME
+    * duplicated substring of length >= minLen: every window fully
+    * inside a duplicated passage is itself duplicated, so window
+    * coverage IS substring coverage, with no explicit outward-extension
+    * step. Documents shorter than `minLen` tokens have no windows and
+    * pass through; a fully-duplicated document leaves an empty husk
+    * (n_kept 0), the caller's call to drop.
+    *
+    * Scale shape — linear in corpus tokens, no candidate-pair stage at
+    * all: one tokenize scan materializes tokens + positional window
+    * digests (each window pays an O(minLen) md5 — the same O(n·k) the
+    * paper spends building its suffix array); ONE shuffle on the digest
+    * counts occurrences (map-side partials, 16-byte keys); duplicated
+    * digests join back on the digest key (no broadcast hint — the
+    * duplicated-window set is corpus-dependent; AQE picks); coverage is
+    * ONE per-document ROWS window over dense positions (max of the
+    * duplicated flag over the trailing minLen-1 rows — ZERO
+    * amplification, unlike exploding each duplicated start into minLen
+    * covered positions, which would rewrite the corpus' entire
+    * duplicated mass x minLen through a shuffle); reassembly is one
+    * per-doc aggregation bounded by the document's own token array.
+    * Nothing corpus-sized is collected.
+    *
+    * Output: (id, n_kept, n_removed, clean_text) — [[removeCommonLines]]'
+    * contract at token granularity (clean_text is whitespace-and-case
+    * normalized by the token stream, the [[removeRepeatedSpans]]
+    * precedent). */
+  def removeDuplicatedSubstrings(df: DataFrame, id: Column, text: Column,
+                                 minLen: Int = 50): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2 tokens")
+    val base = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"),
+      transform(ngrams(text, minLen), g => md5(g)).as("__w"))
+    // arrays_zip pads the shorter window array with nulls: position p
+    // carries its token and (for p <= n - minLen) its window digest
+    val occ = base.select(col("id"),
+        posexplode(arrays_zip(col("__t"), col("__w"))).as(Seq("p", "z")))
+      .select(col("id"), col("p"),
+        col("z").getField("__t").as("tok"), col("z").getField("__w").as("h"))
+    val dup = occ.where(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+      .select(col("h"), lit(1).as("__dup"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+      .rowsBetween(-(minLen - 1), 0) // positions are dense: ROWS = RANGE
+    val kept = occ.join(dup, Seq("h"), "left")
+      .withColumn("__cov", max(coalesce(col("__dup"), lit(0))).over(win))
+      .where(col("__cov") === 0)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")).as("__kept"))
+    base.select(col("id"), size(col("__t")).as("__n"))
+      .join(kept, Seq("id"), "left") // fully-duplicated docs: empty husk
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<string>")))
+      .select(col("id"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
   /** LINE-level boilerplate removal — the CCNet/RefinedWeb pass that
     * [[removeRepeatedSpans]]'s token-window twin cannot express: whole
     * LINES (nav bars, cookie banners, footers — the structure

@@ -396,6 +396,55 @@ object DedupQueries {
        |SELECT doc_a, doc_b, round(j, 6) + 0 AS jaccard FROM p
        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------- substring-level exact dedup (ExactSubstr) --------
+
+  /** TrainingData.removeDuplicatedSubstrings over the planted-passage
+    * fixture (tools/make_substr.py): the oracle re-derives the pinned
+    * token stream, every positional minLen-window md5, the >= 2
+    * occurrence cut (occurrences, not documents — the intra-doc pair in
+    * doc 3 must drop), the trailing-ROWS-window coverage, and the
+    * in-order reassembly; the full-dup pair leaves empty husks and the
+    * below-minLen shared span must survive untouched. */
+  private val SubstrFixture: String =
+    s"${AnnQueries.FixturesDir}/substr_docs.parquet"
+  private val SubstrMinLen = 20
+
+  private val substrDedup: QueryFn = (s, _) =>
+    graft.operators.TrainingData.removeDuplicatedSubstrings(
+        s.read.parquet(SubstrFixture), col("doc_id"), col("text"),
+        minLen = SubstrMinLen)
+      .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  private val substrDedupSql: String = {
+    val k = SubstrMinLen
+    s"""WITH d AS (SELECT doc_id, ${TextQueries.tokSql} AS t
+       |  FROM read_parquet('$SubstrFixture')),
+       |occ AS (
+       |  SELECT doc_id, i - 1 AS p, t[i] AS tok,
+       |    CASE WHEN i + $k - 1 <= len(t)
+       |         THEN md5(array_to_string(t[i : i + $k - 1], ' ')) END AS h
+       |  FROM d, unnest(range(1, len(t) + 1)) AS u(i)),
+       |dup AS (SELECT h FROM occ WHERE h IS NOT NULL
+       |        GROUP BY h HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT o.doc_id, o.p, o.tok,
+       |    max(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY o.doc_id ORDER BY o.p
+       |            ROWS BETWEEN $k - 1 PRECEDING AND CURRENT ROW) AS c
+       |  FROM occ o LEFT JOIN dup ON o.h = dup.h),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+       |  FROM cov WHERE c = 0 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       |  (len(d.t) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+       |  md5(coalesce(k.clean_text, '')) AS clean_md5
+       |FROM d LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------- cross-source corpus overlap ----------------
 
   /** MinHash corpus-overlap estimate between sources (Broder
@@ -494,6 +543,7 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("dedup_substring", substrDedup, Some(substrDedupSql)),
     Q("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("dedup_semantic_pairs", semanticPairs, Some(semanticPairsSql)),
     Q("dedup_semantic_survivors", semanticSurvivors, Some(semanticSurvivorsSql)),

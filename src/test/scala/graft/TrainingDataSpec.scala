@@ -437,6 +437,96 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(keptA < 180)
   }
 
+  test("temperatureMixture: NULL-group rows are excluded from the model " +
+    "up front — same delivered sample as if they never existed (counted " +
+    "but undeliverable rows would distort q ∝ p^alpha and a large null " +
+    "group could become the binding cap)") {
+    val real = (0L until 120L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val withNulls = real ++ (200L until 500L).map(i => (i, null: String))
+    val df = withNulls.toDF("id", "g")
+    val clean = real.toDF("id", "g")
+    val alpha = 0.5
+    val got = TrainingData.temperatureMixture(df, col("id"), col("g"), alpha)
+      .select("id").as[Long].collect().toSet
+    val want = TrainingData.temperatureMixture(clean, col("id"), col("g"), alpha)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.forall(_ < 120L)) // no null-group row is ever delivered
+  }
+
+  test("removeDuplicatedSubstrings: a passage shared by exactly TWO docs " +
+    "drops from both with exact boundaries; an intra-doc repeat drops " +
+    "both copies; a below-minLen overlap survives; full dups empty out") {
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ")  // 8 tokens
+    val span = (0 until 6).map(i => s"r$i").mkString(" ")    // 6 tokens
+    val tiny = "t0 t1 t2"                                    // 3 < minLen
+    val docs = Seq(
+      (1L, s"u1a u1b u1c $shared u1d u1e"),
+      (2L, s"u2a $shared u2b u2c u2d u2e u2f"),
+      (3L, s"u3a u3b $span u3c u3d u3e $span u3f"),  // intra-doc pair
+      (4L, s"u4a u4b u4c u4d $tiny u4e"),
+      (5L, s"$tiny u5a u5b u5c u5d u5e"),
+      (6L, "only unique words here at all"),
+      (7L, "x0 x1 x2 x3 x4 x5 x6"),
+      (8L, "x0 x1 x2 x3 x4 x5 x6")).toDF("id", "text")
+    val got = TrainingData.removeDuplicatedSubstrings(docs, col("id"),
+        col("text"), minLen = 5)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 8L, "u1a u1b u1c u1d u1e"),
+      (2L, 6L, 8L, "u2a u2b u2c u2d u2e u2f"),
+      (3L, 6L, 12L, "u3a u3b u3c u3d u3e u3f"),
+      (4L, 8L, 0L, s"u4a u4b u4c u4d $tiny u4e"),
+      (5L, 8L, 0L, s"$tiny u5a u5b u5c u5d u5e"),
+      (6L, 6L, 0L, "only unique words here at all"),
+      (7L, 0L, 7L, ""),
+      (8L, 0L, 7L, "")))
+  }
+
+  test("removeDuplicatedSubstrings: coverage never bleeds past the " +
+    "duplicated substring even when the passage abuts the doc edge, and " +
+    "docs shorter than minLen always pass through") {
+    val p = (0 until 5).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p a1 b1 c1"),       // passage at the very start
+      (2L, s"a2 b2 c2 $p"),       // passage at the very end
+      (3L, "short doc")).toDF("id", "text")
+    val got = TrainingData.removeDuplicatedSubstrings(docs, col("id"),
+        col("text"), minLen = 5)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 5L, "a1 b1 c1"),
+      (2L, 3L, 5L, "a2 b2 c2"),
+      (3L, 2L, 0L, "short doc")))
+  }
+
+  test("removeDuplicatedSubstrings plan: no self-join of the corpus, no " +
+    "nested loop, coverage via a single partitioned window — and the " +
+    "per-position frame never explodes duplicated starts x minLen") {
+    val docs = (1L to 40L).map(i => (i, s"alpha beta gamma delta eps w$i"))
+      .toDF("id", "text")
+    val p = TrainingData.removeDuplicatedSubstrings(docs, col("id"),
+        col("text"), minLen = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    // the only explodes are the positional zip (it appears once per
+    // branch reading occ: the dup count and the coverage side) — never
+    // a covered-range sequence() explode, which would rewrite the
+    // corpus' duplicated mass x minLen through a shuffle
+    assert(!p.contains("explode(sequence"), p)
+    assert(p.split("Generate ").length - 1 <= 2, p)
+  }
+
+  test("removeDuplicatedSubstrings validates minLen") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TrainingData.removeDuplicatedSubstrings(df, col("id"), col("text"),
+        minLen = 1)
+    }
+  }
+
   test("mixtureSample throws loudly when a targeted group has no corpus " +
     "rows (silently dropping the constraint would ship the wrong mixture)") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
