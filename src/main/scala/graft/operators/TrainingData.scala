@@ -805,6 +805,109 @@ object TrainingData {
         (round(col("__s") / col("n_tokens"), 6) + lit(0.0d)).as("avg_logprob"))
   }
 
+  /** Corpus-trained INTERPOLATED BIGRAM language-model score per
+    * document — the CCNet-style perplexity-filter rung above
+    * [[unigramLogProbs]] (Wenzek et al. 2020 gate on a KenLM n-gram
+    * model; the standard interpolation backoff is Jelinek-Mercer,
+    * Chen & Goodman 1999): each token position contributes
+    *
+    *   log( lambda * P_bg(w_i | w_{i-1}) + (1 - lambda) * P_ug(w_i) )
+    *
+    * with P_bg the ML bigram probability count(prev, cur) /
+    * count(prev, *) over the top-`bigramCap` bigrams (0 when the bigram
+    * is outside the model — the interpolation then IS the backoff to
+    * the unigram term), and P_ug the [[unigramLogProbs]] unigram model
+    * (top-`vocabCap` MLE, out-of-vocabulary tokens at the 1/total
+    * floor, which also keeps every interpolated probability strictly
+    * positive — no log(0) path exists). The FIRST token of a document
+    * has no bigram context and contributes its unigram term alone.
+    * A repetitive doc ("the the the…") now scores HIGH only if its
+    * bigrams are corpus-typical — the signal the unigram rung cannot
+    * see.
+    *
+    * Scale shape: the corpus pays token-event aggregations only — term
+    * counts (cut to vocabCap), bigram counts (cut to bigramCap by
+    * (count desc, prev, cur) — a total order, so the cut is
+    * deterministic), context counts joined to the CAPPED frame (the
+    * uncapped context table is vocabulary-sized but only ever joins
+    * broadcast against bigramCap rows), and per-doc (id, prev, cur)
+    * counts — all map-side partialed, high-cardinality keys. Both
+    * models broadcast (bounded by the caps, never by the real
+    * vocabulary). Nothing corpus-sized is collected.
+    *
+    * Determinism: the per-document sum folds LEFT-TO-RIGHT over bigram
+    * contributions SORTED BY (prev, cur) with the first-token unigram
+    * term added LAST, outside the fold — `lp1 + fold` — so any SQL
+    * twin replays the identical addition order; lambda and 1 - lambda
+    * are single Scala doubles a twin must print verbatim (the
+    * [[graft.operators.MmrRerank.muSql]] rule: 1 - 0.9 is
+    * 0.09999999999999998, not 0.1).
+    *
+    * Output: (id, n_tokens, avg_logprob) — [[unigramLogProbs]]'
+    * contract, avg over ALL n positions, rounded to 6. */
+  def bigramLogProbs(df: DataFrame, id: Column, text: Column,
+                     vocabCap: Int = 65536, bigramCap: Int = 262144,
+                     lambda: Double = 0.9): DataFrame = {
+    require(vocabCap > 0, "vocabCap must be positive")
+    require(bigramCap > 0, "bigramCap must be positive")
+    require(lambda > 0.0d && lambda < 1.0d, "lambda must be in (0, 1)")
+    val mu = 1.0d - lambda
+    val toks = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"))
+    val exploded = toks.select(col("id"), explode(col("__t")).as("term"))
+    // unigram model: MLE over the top-vocabCap terms, probability space
+    val termCounts = exploded.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = termCounts.agg(sum(col("c")).as("total"))
+    val vocab = termCounts
+      .orderBy(col("c").desc, col("term")).limit(vocabCap)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), (col("c") / col("total")).as("pug"))
+    // bigram events: (prev, cur) for every position >= 2 — slice+zip is
+    // empty for single-token docs (no guard branch needed)
+    val pairs = toks.select(col("id"),
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("z"))
+      .select(col("id"), col("z").getField("0").as("prev"),
+        col("z").getField("1").as("cur"))
+    val bgCounts = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("double").as("cbg"))
+    val ctxCounts = pairs.groupBy(col("prev"))
+      .agg(count(lit(1)).cast("double").as("cctx"))
+    val bgModel = ctxCounts
+      .join(broadcast(bgCounts.orderBy(col("cbg").desc, col("prev"),
+        col("cur")).limit(bigramCap)), "prev")
+      .select(col("prev"), col("cur"), (col("cbg") / col("cctx")).as("pbg"))
+    // per-position contributions, grouped to (id, prev, cur) events
+    val perDocPair = pairs.groupBy(col("id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val contribs = perDocPair
+      .join(broadcast(bgModel), Seq("prev", "cur"), "left")
+      .join(broadcast(vocab.withColumnRenamed("term", "cur")), Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("prev"), col("cur"),
+        (col("cnt") * log(lit(lambda) * coalesce(col("pbg"), lit(0.0d)) +
+          lit(mu) * coalesce(col("pug"), lit(1.0d) / col("total"))))
+          .as("contrib"))
+    val folded = contribs.groupBy(col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("prev"), col("cur"),
+          col("contrib")))), x => x.getField("contrib")),
+        lit(0.0d), (acc, x) => acc + x).as("__s"))
+    // first token: unigram term alone (no context exists)
+    val first = toks
+      .select(col("id"), size(col("__t")).cast("long").as("n_tokens"),
+        element_at(col("__t"), 1).as("cur"))
+      .join(broadcast(vocab.withColumnRenamed("term", "cur")), Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("n_tokens"),
+        log(coalesce(col("pug"), lit(1.0d) / col("total"))).as("__lp1"))
+    first.join(folded, Seq("id"), "left") // single-token docs: no pairs
+      .select(col("id"), col("n_tokens"),
+        (round((col("__lp1") + coalesce(col("__s"), lit(0.0d))) /
+          col("n_tokens"), 6) + lit(0.0d)).as("avg_logprob"))
+  }
+
   // ---------------- intra-document repetition signals ----------------
 
   /** Contiguous word `n`-grams WITH duplicates — unlike

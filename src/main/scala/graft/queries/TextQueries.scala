@@ -456,6 +456,64 @@ object TextQueries {
        |SELECT doc_id, n_tokens, round(s / n_tokens, 6) + 0 AS avg_logprob
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Interpolated bigram LM quality (the CCNet-style rung above
+    * text_lm_quality) at a 20-term unigram vocab and a 500-bigram table
+    * — both caps bind at sf0.01, so the OOV floor, the out-of-model
+    * bigram backoff, AND the in-model path are all genuinely exercised.
+    * The oracle retrains both models in SQL (including the
+    * deterministic (count desc, prev, cur) cap cut), replays the
+    * interpolation with the PRINTED lambda / 1-lambda doubles, and the
+    * same (prev, cur)-sorted fold with the first-token unigram term
+    * added last. */
+  private val BgVocabCap = 20
+  private val BgBigramCap = 500
+  private val BgLambda = 0.9
+
+  private val lmBigram: QueryFn = (s, dir) =>
+    graft.operators.TrainingData.bigramLogProbs(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        vocabCap = BgVocabCap, bigramCap = BgBigramCap, lambda = BgLambda)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
+      .orderBy(col("doc_id"))
+
+  private val lmBigramSql: String = {
+    val lam = BgLambda.toString
+    val mu = (1.0d - BgLambda).toString
+    s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |u AS (SELECT doc_id, unnest(t) AS term FROM tok),
+       |tc AS (SELECT term, count(*)::DOUBLE AS c FROM u GROUP BY 1),
+       |tot AS (SELECT sum(c)::DOUBLE AS total FROM tc),
+       |vocab AS (SELECT term, c / (SELECT total FROM tot) AS pug
+       |          FROM tc ORDER BY c DESC, term LIMIT $BgVocabCap),
+       |pr AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+       |       FROM tok, unnest(range(1, len(t))) AS r(i)),
+       |bc AS (SELECT prev, cur, count(*)::DOUBLE AS cbg FROM pr GROUP BY 1, 2),
+       |cx AS (SELECT prev, count(*)::DOUBLE AS cctx FROM pr GROUP BY 1),
+       |bm AS (SELECT b.prev, b.cur, b.cbg / cx.cctx AS pbg
+       |       FROM (SELECT * FROM bc ORDER BY cbg DESC, prev, cur
+       |             LIMIT $BgBigramCap) b JOIN cx USING (prev)),
+       |dp AS (SELECT doc_id, prev, cur, count(*)::DOUBLE AS cnt
+       |       FROM pr GROUP BY 1, 2, 3),
+       |ctb AS (SELECT dp.doc_id, dp.prev, dp.cur,
+       |         dp.cnt * ln($lam * coalesce(bm.pbg, 0.0) +
+       |           $mu * coalesce(v.pug, (SELECT 1.0 / total FROM tot)))
+       |           AS contrib
+       |        FROM dp LEFT JOIN bm USING (prev, cur)
+       |             LEFT JOIN vocab v ON v.term = dp.cur),
+       |agg AS (SELECT doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list(contrib ORDER BY prev, cur)), (a, b) -> a + b) AS s
+       |        FROM ctb GROUP BY 1),
+       |fst AS (SELECT tok.doc_id, len(t)::BIGINT AS n_tokens,
+       |         ln(coalesce(v.pug, (SELECT 1.0 / total FROM tot))) AS lp1
+       |        FROM tok LEFT JOIN vocab v ON v.term = t[1])
+       |SELECT f.doc_id, f.n_tokens,
+       |  round((f.lp1 + coalesce(a.s, 0.0)) / f.n_tokens, 6) + 0
+       |    AS avg_logprob
+       |FROM fst f LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** C4-style boilerplate fraction over trigrams at doc-freq >= 5 (151
     * of 16k distinct trigrams clear it at sf0.01 — a real common set).
     * The oracle re-derives the same hashed trigram sets, the same
@@ -587,6 +645,7 @@ object TextQueries {
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_lm_quality", lmQuality, Some(lmQualitySql)),
+    Q("text_lm_bigram", lmBigram, Some(lmBigramSql)),
     Q("text_boilerplate", boilerplate, Some(boilerplateSql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),
     Q("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -696,6 +696,98 @@ class TrainingDataSpec extends AnyFunSuite {
 
   // ---------------- repetition signals ----------------
 
+  test("bigramLogProbs matches an independent Scala recomputation — " +
+    "in-model bigrams, out-of-model backoff to the unigram term, OOV " +
+    "floor, the first-token unigram-only position, and single-token docs") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "zebra"),                      // single token, OOV at cap 4
+      (4L, "the cat sat on the mat"))     // exact dup of 1: same score
+    val docs = rows.toDF("id", "text")
+    val vocabCap = 4; val bigramCap = 3; val lambda = 0.7
+    val mu = 1.0d - lambda
+    // ---- independent model ----
+    val tokd = rows.map { case (i, t) => i -> t.split(" ").toSeq }
+    val termC = tokd.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = termC.values.sum
+    val vocab = termC.toSeq.sortBy { case (t, c) => (-c, t) }.take(vocabCap)
+      .map { case (t, c) => t -> c / total }.toMap
+    val prs = tokd.flatMap { case (_, t) => t.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))) }
+    val bgC = prs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ctxC = prs.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val bgModel = bgC.toSeq.sortBy { case ((p, c), n) => (-n, p, c) }
+      .take(bigramCap)
+      .map { case ((p, c), n) => (p, c) -> n / ctxC(p) }.toMap
+    def pu(w: String) = vocab.getOrElse(w, 1.0d / total)
+    val expected = tokd.map { case (i, t) =>
+      val lp1 = math.log(pu(t.head))
+      // the operator folds (prev, cur)-GROUPED contributions sorted by
+      // key, then adds lp1 last — replay that exact order
+      val grouped = t.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size.toDouble).toSeq
+        .sortBy(_._1)
+      val s = grouped.foldLeft(0.0d) { case (acc, ((p, c), cnt)) =>
+        acc + cnt * math.log(lambda * bgModel.getOrElse((p, c), 0.0d) +
+          mu * pu(c))
+      }
+      i -> BigDecimal((lp1 + s) / t.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = TrainingData.bigramLogProbs(docs, col("id"), col("text"),
+        vocabCap = vocabCap, bigramCap = bigramCap, lambda = lambda)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (i, e) => assert(got(i) == e, s"doc $i") }
+    assert(got(1L) == got(4L)) // identical text, identical score
+    // at bigramCap 3 SOME observed bigram is out of model: the backoff
+    // path is genuinely exercised (every bigram in-model would make the
+    // cap meaningless)
+    assert(bgC.size > bigramCap)
+  }
+
+  test("bigramLogProbs: corpus-typical bigram order scores above the " +
+    "same unigrams scrambled (the signal the unigram rung cannot see)") {
+    val base = (1L to 20L).map(i => (i, "alpha beta gamma delta"))
+    val docs = (base ++ Seq((21L, "alpha beta gamma delta"),
+      (22L, "delta beta alpha gamma"))).toDF("id", "text")
+    val got = TrainingData.bigramLogProbs(docs, col("id"), col("text"),
+        vocabCap = 10, bigramCap = 10, lambda = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(21L) > got(22L))
+  }
+
+  test("bigramLogProbs plan: both models attach by BROADCAST (never a " +
+    "corpus shuffle on the model key); no cartesian product; the only " +
+    "shuffle joins are keyed by the high-cardinality doc id (the final " +
+    "per-doc attach — partitioned, linear, scale-correct)") {
+    val docs = (1L to 30L).map(i => (i, s"a b c w$i")).toDF("id", "text")
+    val p = TrainingData.bigramLogProbs(docs, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // any sort-merge join must be on the doc id, not a model key
+    val smjOnModelKey = "SortMergeJoin \\[(prev|cur|term)".r
+    assert(smjOnModelKey.findFirstIn(p).isEmpty, p)
+  }
+
+  test("bigramLogProbs validates arguments") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TrainingData.bigramLogProbs(df, col("id"), col("text"), lambda = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.bigramLogProbs(df, col("id"), col("text"), vocabCap = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.bigramLogProbs(df, col("id"), col("text"), bigramCap = 0)
+    }
+  }
+
   test("repetitionStats: degenerate, clean, and too-short docs") {
     val docs = Seq(
       (1L, "a a a a"),          // bigrams: 3x "a a" -> top 1.0, dup 2/3
