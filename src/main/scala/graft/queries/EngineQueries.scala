@@ -770,6 +770,120 @@ object EngineQueries {
     e
   }
 
+  /** The DSIR-gated batch curation at the facade — lifecycle twin of
+    * lifecycle_curate_ingest for the data-SELECTION gate: raw documents
+    * (minus the eval source) chunk into 6-token windows, every chunk is
+    * scored against a PRE-TRAINED DSIR bucket model (raw = the non-eval
+    * corpus, target = the 'de' documents — "keep what looks German"),
+    * chunks whose rounded logweight falls below 0.0 drop, survivors
+    * embed and ingest through the streaming path's dedup gates. The
+    * quality/repetition/decontamination gates are pass-through BY
+    * CONSTRUCTION (their cutting behavior is lifecycle_curate_ingest's
+    * job); the oracle retrains the model, rescores every chunk with the
+    * bucket-ordered fold, and predicts the exact surviving chunk rows —
+    * a drifted smoothing constant, hash seed, fold order, or gate
+    * comparison all hash-mismatch. Batch ≡ streaming parity of the gate
+    * itself is pinned by StreamingSpec (ingestDsirGatedBatch is the ONE
+    * shared implementation both paths call). */
+  private val DsirIngestBuckets = 64
+
+  private val dsirEngines = scala.collection.mutable.HashMap[
+    String, (SparkSession, VectorEngine)]()
+
+  private val dsirIngest: QueryFn = (s, dir) => {
+    val eng = dsirEngines.synchronized {
+      dsirEngines.get(dir) match {
+        case Some((owner, e)) if owner eq s => e
+        case _ =>
+          val e = buildDsirEngine(s, dir)
+          dsirEngines(dir) = (s, e)
+          e
+      }
+    }
+    eng.chunksDf.where(col("library_id") === "dsirlib")
+      .select(col("id").as("chunk_id"), col("chunk_index"), col("text"))
+      .orderBy(col("chunk_id"))
+  }
+
+  private def buildDsirEngine(s: SparkSession, dir: String): VectorEngine = {
+    val docs = table(s, dir, "documents")
+    val e = VectorEngine.create(s)
+    val lib = e.createLibrary("dsir-curated", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh, id = Some("dsirlib"))
+    val doc = e.createDocument(lib.id, "dsir-batch")
+    val model = graft.operators.ImportanceSampling.bucketModel(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("lang") === "de"),
+      col("doc_id"), col("text"), DsirIngestBuckets)
+    e.curateAndIngest(lib.id, doc.id,
+      docs.where(col("source") =!= "src0"), col("doc_id"), col("text"),
+      embed = df => df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*)),
+      benchmark = docs.where(lit(false)), // decontamination: no-op here
+      benchText = col("text"),
+      maxTokens = CurateMax, overlap = CurateOverlap,
+      qualityMin = 0.0, maxDupNgramFrac = 1.0, // pass-through gates
+      n = 4, threshold = 0.0,
+      dsirModel = Some(model), dsirBuckets = DsirIngestBuckets,
+      dsirMinLogweight = 0.0)
+    e
+  }
+
+  private val dsirIngestSql: String = {
+    val stride = CurateMax - CurateOverlap
+    val seed = graft.operators.ImportanceSampling.FeatureHashSeed
+    val B = DsirIngestBuckets
+    def bigramsOf(t: String) =
+      s"""CASE WHEN len($t) >= 2
+         |      THEN list_transform(range(1, len($t)), i -> $t[i] || ' ' || $t[i+1])
+         |      ELSE []::VARCHAR[] END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextQueries.splitSqlOf("text")} AS t
+       |  FROM documents WHERE source <> 'src0'),
+       |shaped AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    (1 + ceil(greatest(0, len(t) - $CurateMax)::DOUBLE / $stride))::INT AS n_chunks
+       |  FROM toks),
+       |idx AS (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS k FROM shaped),
+       |chunks AS (
+       |  SELECT doc_id || '-c' || k AS chunk_id, k::INT AS chunk_index,
+       |    array_to_string(t[k * $stride + 1 : least(k * $stride + $CurateMax, n)], ' ') AS text
+       |  FROM idx),
+       |dtok AS (SELECT doc_id, lang, source, ${TextQueries.tokSql} AS t
+       |         FROM documents),
+       |dfb AS (SELECT lang, source,
+       |    ${DedupQueries.hashSql(seed, "gram")} % $B AS bucket
+       |  FROM (SELECT lang, source, unnest(t || ${bigramsOf("t")}) AS gram
+       |        FROM dtok)),
+       |tcnt AS (SELECT bucket, count(*) AS tc FROM dfb WHERE lang = 'de' GROUP BY 1),
+       |rcnt AS (SELECT bucket, count(*) AS rc FROM dfb WHERE source <> 'src0' GROUP BY 1),
+       |bk AS (SELECT unnest(range($B)) AS bucket),
+       |m AS (SELECT bk.bucket, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+       |      FROM bk LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)),
+       |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM m),
+       |lam AS (SELECT bucket,
+       |    ln((tc + 1)::DOUBLE / (tt + $B)) - ln((rc + 1)::DOUBLE / (rt + $B)) AS lam
+       |  FROM m, tot),
+       |ctok AS (SELECT chunk_id, chunk_index, text, ${TextQueries.tokSql} AS tq
+       |         FROM chunks),
+       |cb AS (SELECT chunk_id,
+       |    ${DedupQueries.hashSql(seed, "gram")} % $B AS bucket
+       |  FROM (SELECT chunk_id, unnest(tq || ${bigramsOf("tq")}) AS gram
+       |        FROM ctok)),
+       |db AS (SELECT chunk_id, bucket, count(*) AS cnt FROM cb GROUP BY 1, 2),
+       |ctb AS (SELECT db.chunk_id, db.bucket, db.cnt::DOUBLE * lam.lam AS contrib
+       |        FROM db JOIN lam USING (bucket)),
+       |sc AS (SELECT chunk_id,
+       |         round(list_reduce(list_prepend(0.0::DOUBLE,
+       |           list(contrib ORDER BY bucket)), (a, b) -> a + b), 6) + 0 AS lw
+       |       FROM ctb GROUP BY chunk_id)
+       |SELECT c.chunk_id, c.chunk_index, c.text
+       |FROM ctok c JOIN sc USING (chunk_id)
+       |WHERE sc.lw >= 0.0
+       |ORDER BY chunk_id""".stripMargin
+  }
+
   private val curateIngestSql: String = {
     val stride = CurateMax - CurateOverlap
     val gram4 = "tq[i] || ' ' || tq[i+1] || ' ' || tq[i+2] || ' ' || tq[i+3]"
@@ -819,6 +933,7 @@ object EngineQueries {
 
   val all: Seq[Q] = Seq(
     Q("lifecycle_curate_ingest", curateIngest, Some(curateIngestSql)),
+    Q("lifecycle_dsir_ingest", dsirIngest, Some(dsirIngestSql)),
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_hybrid", hybridSearch, Some(hybridSearchSql)),
     Q("lifecycle_hybrid_batch", hybridBatchSearch, Some(hybridBatchSql)),
