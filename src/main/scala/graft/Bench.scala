@@ -337,6 +337,27 @@ object Bench {
       col("doc_id"),
       concat(lit("HOME | ABOUT | CONTACT\nDoc "), col("doc_id"),
         lit("\n"), col("text"), lit("\nAll rights reserved")).as("text"))
+    // ZIPFIAN crawl shape (real crawls are head-heavy, not uniform):
+    // HALF the pages are re-crawls of ONE landing page — every even
+    // doc_id normalizes to the same canonical URL (case + fragment
+    // variants), and that page's registered domain holds half the
+    // corpus — while the other half spreads over ~31 registered
+    // domains with distinct URLs. url_dedup_skew pins the hot GROUP
+    // KEY (map-side partial aggregation must absorb it); domain_stats
+    // pins the hot DOMAIN (per-group state must stay constant-size —
+    // the round-15 collect_list fold would have built a multi-GB
+    // buffer for exactly this shape).
+    def pagesSkewedOf(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("https://Hot.example.com/landing#s"), col("doc_id")))
+        .otherwise(concat(lit("https://site"), pmod(col("doc_id"), lit(97L)),
+          lit(".dom"), pmod(col("doc_id"), lit(31L)), lit(".org/p/"),
+          col("doc_id"))).as("url"),
+      concat(lit("<html><body><div class='nav'><p>HOME | ABOUT | " +
+          "CONTACT</p></div><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p></body></html>")).as("html"))
     // the label-free near-dup is an all-pairs similarity join under LSH
     // blocking — its cost is quadratic in PER-BUCKET occupancy, so the
     // blocking index is sized to the corpus exactly as a deployment
@@ -376,7 +397,15 @@ object Bench {
       () => docs1, () => nearMatrix1, () => emb1, () => semModel1)
     val scaled = Scale(() => lshServeN, () => prepN._1, () => prepN._2,
       () => docsN, () => nearMatrixN, () => embN, () => semModelN)
-    case class Stress(name: String, at: Scale => DataFrame)
+    case class Stress(name: String, at: Scale => DataFrame,
+                      flush: () => Unit = () => ())
+    // dsir_weights' shared-pass cache: each invocation releases the
+    // PREVIOUS run's (id, bucket) cache (already counted by then), and
+    // the task's flush() drops the last one — so the O(docs x buckets)
+    // intermediate never outlives the task that built it and cannot
+    // degrade later tasks in this shared JVM (the round-15 reason the
+    // path was excluded from the 100x tier).
+    val dsirRelease = new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
     val tasks = Seq(
       Stress("lsh_adaptive", s => {
         val (serve, m, hist) = s.lshServe()
@@ -411,9 +440,13 @@ object Bench {
       // with the corpus, like the decontamination benchmark side); the
       // corpus side inflates through the (id, bucket) count shuffle and
       // the broadcast model join
-      Stress("dsir_weights", s =>
-        graft.operators.ImportanceSampling.importanceWeights(s.docs(),
-          docs1.where(col("doc_id") % 7 === 0), col("doc_id"), col("text"))),
+      Stress("dsir_weights", s => {
+        val (df, rel) = graft.operators.ImportanceSampling
+          .importanceWeightsReleasable(s.docs(),
+            docs1.where(col("doc_id") % 7 === 0), col("doc_id"), col("text"))
+        dsirRelease.getAndSet(rel).apply()
+        df
+      }, flush = () => dsirRelease.getAndSet(() => ()).apply()),
       // the two-phase prefix sum: the stage that would be a
       // single-partition window naively — shards sized to the corpus
       Stress("pack_sequences", s =>
@@ -462,6 +495,28 @@ object Bench {
           .groupBy(graft.operators.WebDomains.normalizeUrl(col("url"))
             .as("norm_url"))
           .agg(count(lit(1)).as("n_copies"))),
+      // URL-exact dedup under a ZIPFIAN key: half the corpus normalizes
+      // to ONE canonical URL — the hot group key must be absorbed by
+      // map-side partial aggregation (each task emits one partial row
+      // for the hot key), never funneled raw into one reducer
+      Stress("url_dedup_skew", s =>
+        pagesSkewedOf(s.docs())
+          .select(col("url"))
+          .groupBy(graft.operators.WebDomains.normalizeUrl(col("url"))
+            .as("norm_url"))
+          .agg(count(lit(1)).as("n_copies"))),
+      // per-domain quality panel under the same Zipfian shape: one
+      // registered domain holds HALF the pages — constant-size
+      // aggregation state per group (integer micro-sums, no per-page
+      // collect_list) is what keeps the hot domain from becoming one
+      // multi-GB aggregation buffer; the aggregate consumes every
+      // output column so nothing is pruned
+      Stress("domain_stats", s =>
+        graft.operators.WebDomains.domainQualityStats(
+            pagesSkewedOf(s.docs()), col("url"), col("html"))
+          .select((col("n_pages") + col("n_unique_texts") +
+            col("avg_tokens") + col("avg_quality")).as("x"))
+          .agg(sum(col("x")).as("total"))),
       // line-level boilerplate removal: line-hash shuffle + anti-join
       // against the bounded common set + order-restoring reassembly —
       // the collect_list path VERDICT r14 asked to see measured; the
@@ -469,6 +524,18 @@ object Bench {
       Stress("line_removal", s =>
         graft.operators.TrainingData.removeCommonLines(
             linedOf(s.docs()), col("doc_id"), col("text"), minDocFreq = 2)
+          .select((length(col("clean_text")) + col("n_kept")).as("n"))
+          .agg(sum(col("n")).as("total"))),
+      // substring-level exact dedup (ExactSubstr): per-position window
+      // md5s (the O(n x minLen) hash scan), ONE digest-count shuffle,
+      // digest join-back, the per-doc coverage window, reassembly.
+      // Exact-copy inflation makes EVERY window duplicated at scale —
+      // the worst-case coverage mass (all docs empty out), so the
+      // measured ratio covers the heaviest join-back the operator can
+      // ever see, not a friendly sparse one
+      Stress("substring_dedup", s =>
+        graft.operators.TrainingData.removeDuplicatedSubstrings(
+            linedOf(s.docs()), col("doc_id"), col("text"), minLen = 20)
           .select((length(col("clean_text")) + col("n_kept")).as("n"))
           .agg(sum(col("n")).as("total"))))
 
@@ -499,6 +566,7 @@ object Bench {
       // artifacts its tasks don't read.
       task.at(scaled).count()
       val (tN, okN) = timedRun(task.at(scaled))
+      task.flush() // drop any per-task shared-pass cache before the next task
       val ratio = if (t1 > 0) tN / t1 else Double.PositiveInfinity
       val linear = ratio <= factor * 1.5
       allLinear &&= linear; allPlans &&= okN
@@ -608,16 +676,18 @@ object Bench {
       else
         try measureStress(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR_100", "100").toInt,
-          // dsir_weights is 10x-tier only: its shared-pass design
-          // materializes an O(docs x buckets) checkpoint per call, and at
-          // 100x the retained blocks (freed only via ContextCleaner after
-          // GC) degrade every LATER task's timing in this shared JVM —
-          // measured: pack_sequences' ratio tripled when dsir ran before
-          // it. The checkpoint is the right trade at real scale (it is
-          // what makes the corpus single-scan); the 10x entry plus the
-          // plan check cover the operator's shape.
+          // dsir_weights re-admitted (round 16): the shared-pass
+          // (id, bucket) intermediate is now an evictable cache with an
+          // EXPLICIT release hook (importanceWeightsReleasable), flushed
+          // after every run — the retained-checkpoint-blocks artifact
+          // that degraded later tasks in this shared JVM (measured in
+          // r15: pack_sequences' ratio tripled when dsir ran before it)
+          // is gone, so the steepest 10x path finally carries 100x
+          // evidence. Task order keeps dsir BEFORE pack_sequences — the
+          // exact r15 failure order — so a regressed release would
+          // resurface as pack_sequences' ratio blowing up, not hide.
           Some(Set("pack_sequences", "decontaminate", "bpe_token_counts",
-            "shard_assignments")))
+            "shard_assignments", "dsir_weights")))
         catch { case e: Throwable =>
           s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
     // Host-speed yardstick, measured AFTER the timed passes (so its CPU

@@ -111,7 +111,24 @@ object ImportanceSampling {
     * cross-engine contract every other score column follows. */
   def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
                         text: Column,
-                        buckets: Int = DefaultBuckets): DataFrame = {
+                        buckets: Int = DefaultBuckets): DataFrame =
+    importanceWeightsReleasable(raw, target, id, text, buckets)._1
+
+  /** [[importanceWeights]] plus an EXPLICIT release hook for the
+    * shared-pass (id, bucket) count cache. The single-scan design
+    * materializes an O(docs x buckets) intermediate consumed by both the
+    * model's raw-side totals and the scoring join; it is held as an
+    * evictable CACHE (not a pinned checkpoint — blocks a checkpoint
+    * retains are freed only by the ContextCleaner after GC, which in a
+    * long-lived JVM lets dead intermediates crowd later work). Callers
+    * that score repeatedly in one process (benchmarks, backfills over
+    * many snapshots) call the hook once the output is materialized;
+    * callers that don't still get eviction + eventual GC instead of a
+    * pinned block. */
+  def importanceWeightsReleasable(raw: DataFrame, target: DataFrame,
+                                  id: Column, text: Column,
+                                  buckets: Int = DefaultBuckets)
+      : (DataFrame, () => Unit) = {
     // ONE tokenize+hash pass over the raw corpus: the per-document
     // (id, bucket) counts feed the scoring join below AND roll up (an
     // exact integer second-stage aggregate over at most |docs| x buckets
@@ -119,11 +136,12 @@ object ImportanceSampling {
     // to counting occurrences directly, at none of the rescan cost.
     val docBuckets = featureBuckets(raw, id, text, buckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawCounts = docBuckets.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("rc"))
     val model = bucketModelFrom(rawCounts, target, id, text, buckets)
-    scoreCounts(docBuckets, raw.select(id.as("id")), model)
+    (scoreCounts(docBuckets, raw.select(id.as("id")), model),
+      () => { docBuckets.unpersist(blocking = true); () })
   }
 
   /** Score a frame against an ALREADY-TRAINED bucket model — the
