@@ -264,6 +264,17 @@ object Bench {
     import graft.operators.{ConnectedComponents, IvfIndex, LshIndex, NearDup, Quantization}
     import graft.functions.VectorFunctions
     def jstr(s: String): String = "\"" + s + "\""
+    // Drain the JVM before the tier: everything measured here follows a
+    // 134-query pass (engines, broadcasts, checkpoints) and possibly a
+    // previous tier, whose dead blocks are freed only when the
+    // ContextCleaner sees their references collected — and a large heap
+    // seldom full-GCs on its own, so without an explicit collection the
+    // backlog inflates THIS tier's timings with other work's garbage
+    // (measured: dsir_weights@100x read 328 s inside the full bench vs
+    // 89 s in a fresh JVM — same code, same data). Two passes: the
+    // first collection queues the cleaner work, the pause lets it
+    // drain, the second collects what the cleaner itself released.
+    System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
 
     // Artifacts are LAZY so a filtered run (the 100x doc-pipeline tier)
     // never pays for inflation it does not measure: inflating and
@@ -445,14 +456,25 @@ object Bench {
           .importanceWeightsReleasable(s.docs(),
             docs1.where(col("doc_id") % 7 === 0), col("doc_id"), col("text"))
         dsirRelease.getAndSet(rel).apply()
-        df
+        // consume BOTH output columns: a bare count() lets the optimizer
+        // prune the bucket-ordered fold straight out of the plan (the
+        // defensive left join preserves row count), timing half the
+        // operator — the same rule html_extract/domain_stats follow
+        df.select((col("logweight") + col("n_feats")).as("x"))
+          .agg(sum(col("x")).as("total"))
       }, flush = () => dsirRelease.getAndSet(() => ()).apply()),
       // the two-phase prefix sum: the stage that would be a
       // single-partition window naively — shards sized to the corpus
       Stress("pack_sequences", s =>
         graft.operators.TrainingData.packAssignments(s.docs(), col("doc_id"),
           size(graft.operators.TextAnalysis.tokens(col("text"))), budget = 64L,
-          shards = 32)),
+          shards = 32)
+          // consume the window outputs — a bare count() prunes the
+          // prefix-sum windows (row count is input count) and times an
+          // empty projection
+          .select((col("offset") + col("seq_first") + col("seq_pos") +
+            col("seq_last")).as("x"))
+          .agg(sum(col("x")).as("total"))),
       // benchmark side FIXED (eval sets don't grow with the corpus);
       // the corpus side is the inflated scan
       Stress("decontaminate", s =>
@@ -540,11 +562,19 @@ object Bench {
           .agg(sum(col("n")).as("total"))))
 
     // by-name: construction is INSIDE the clock — iterative operators
-    // (connected components) run their rounds eagerly while building
+    // (connected components) run their rounds eagerly while building.
+    // The consumer is foreach, NOT count(): count() over a global
+    // aggregate optimizes to a constant (an Aggregate with no grouping
+    // emits exactly one row, so the optimizer deletes the child), which
+    // silently zeroed every agg-consumer task through round 15 —
+    // html_extract/line_removal read as flat ratios because NOTHING ran
+    // inside the clock. foreach deserializes every column of every
+    // output row: no count shortcut, no column pruning, and the
+    // deserialization cost is uniform across both scales.
     def timedRun(mk: => DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val df = mk
-      df.count()
+      df.foreach(_ => ())
       val t = (System.nanoTime() - t0) / 1e9
       val p = df.queryExecution.executedPlan.toString
       (t, !p.contains("CartesianProduct") &&
@@ -554,8 +584,18 @@ object Bench {
     var allLinear = true
     var allPlans = true
     val parts = selected.map { task =>
-      task.at(base).count() // untimed: pay codegen/JIT once, off the clock
+      // untimed: pay codegen/JIT once, off the clock (same foreach
+      // consumer as the clock so the warm path IS the timed path)
+      task.at(base).foreach(_ => ())
+      // flush after EVERY invocation, not just per task: a persisted
+      // plan registers in the CacheManager by CANONICALIZED PLAN, so a
+      // later invocation building the identical plan would silently
+      // read the warm-up's cache and time a cache scan instead of the
+      // operator (measured: dsir_weights' base collapsed 1.46s -> 0.08s
+      // when the flush ran only at task end)
+      task.flush()
       val (t1, _) = timedRun(task.at(base))
+      task.flush()
       // untimed SCALED warm-up too: the per-scale ingest-time artifacts
       // (inflation, localCheckpoints, the lsh partitioned-parquet write)
       // are LAZY and materialize on first dereference — without this
@@ -564,9 +604,10 @@ object Bench {
       // lsh_adaptive 10.36 had exactly this inside it). Per-task (not a
       // global touch) so a filtered tier still never pays for
       // artifacts its tasks don't read.
-      task.at(scaled).count()
+      task.at(scaled).foreach(_ => ())
+      task.flush()
       val (tN, okN) = timedRun(task.at(scaled))
-      task.flush() // drop any per-task shared-pass cache before the next task
+      task.flush() // the last run's cache must not outlive the task either
       val ratio = if (t1 > 0) tN / t1 else Double.PositiveInfinity
       val linear = ratio <= factor * 1.5
       allLinear &&= linear; allPlans &&= okN

@@ -114,17 +114,28 @@ object ImportanceSampling {
                         buckets: Int = DefaultBuckets): DataFrame =
     importanceWeightsReleasable(raw, target, id, text, buckets)._1
 
+  /** Monotone per-call tag: Spark's CacheManager substitutes a cached
+    * plan into ANY later query whose canonicalized subplan matches, so
+    * without a per-call distinguisher two separate importanceWeights
+    * calls over the same input would silently share one cache — fine
+    * for results (identical values) but wrong for lifecycle (call A's
+    * release would yank call B's data) and for anyone timing the calls. */
+  private val passCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** [[importanceWeights]] plus an EXPLICIT release hook for the
     * shared-pass (id, bucket) count cache. The single-scan design
     * materializes an O(docs x buckets) intermediate consumed by both the
     * model's raw-side totals and the scoring join; it is held as an
     * evictable CACHE (not a pinned checkpoint — blocks a checkpoint
     * retains are freed only by the ContextCleaner after GC, which in a
-    * long-lived JVM lets dead intermediates crowd later work). Callers
-    * that score repeatedly in one process (benchmarks, backfills over
-    * many snapshots) call the hook once the output is materialized;
-    * callers that don't still get eviction + eventual GC instead of a
-    * pinned block. */
+    * long-lived JVM lets dead intermediates crowd later work, and a
+    * released checkpoint's lineage is truncated so the frame would die
+    * with it — the cache recomputes instead). Each call's cache entry is
+    * PRIVATE (per-call plan tag, see [[passCounter]]). Callers that
+    * score repeatedly in one process (benchmarks, backfills over many
+    * snapshots) call the hook once the output is materialized; callers
+    * that don't still get eviction + eventual GC instead of a pinned
+    * block. */
   def importanceWeightsReleasable(raw: DataFrame, target: DataFrame,
                                   id: Column, text: Column,
                                   buckets: Int = DefaultBuckets)
@@ -136,11 +147,12 @@ object ImportanceSampling {
     // to counting occurrences directly, at none of the rescan cost.
     val docBuckets = featureBuckets(raw, id, text, buckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__pass", lit(passCounter.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawCounts = docBuckets.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("rc"))
     val model = bucketModelFrom(rawCounts, target, id, text, buckets)
-    (scoreCounts(docBuckets, raw.select(id.as("id")), model),
+    (scoreCounts(docBuckets.drop("__pass"), raw.select(id.as("id")), model),
       () => { docBuckets.unpersist(blocking = true); () })
   }
 

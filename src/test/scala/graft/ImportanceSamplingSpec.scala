@@ -82,6 +82,29 @@ class ImportanceSamplingSpec extends AnyFunSuite {
       col("text"), model, B).count() == 5)
   }
 
+  test("importanceWeightsReleasable: identical results to the plain " +
+    "call; the frame STAYS USABLE after release (cache recomputes from " +
+    "lineage — a released checkpoint would die); cache entries are " +
+    "per-call (releasing call A never yanks call B's data)") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val plain = collect(ImportanceSampling.importanceWeights(
+      rawDocs, targetDocs, col("doc_id"), col("text"), B))
+    val (dfA, relA) = ImportanceSampling.importanceWeightsReleasable(
+      rawDocs, targetDocs, col("doc_id"), col("text"), B)
+    val (dfB, relB) = ImportanceSampling.importanceWeightsReleasable(
+      rawDocs, targetDocs, col("doc_id"), col("text"), B)
+    assert(collect(dfA) == plain)
+    assert(collect(dfB) == plain)
+    relA() // must not disturb B...
+    assert(collect(dfB) == plain)
+    relB()
+    // ...and both frames still compute after their own release
+    assert(collect(dfA) == plain)
+    assert(collect(dfB) == plain)
+    relA(); relB() // double-release is a no-op
+  }
+
   test("sf0.001: mean logweight of the target language exceeds the rest") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val w = ImportanceSampling.importanceWeights(docs,
