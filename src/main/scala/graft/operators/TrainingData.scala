@@ -908,6 +908,66 @@ object TrainingData {
           col("n_tokens"), 6) + lit(0.0d)).as("avg_logprob"))
   }
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): split the
+    * corpus into HEAD / MIDDLE / TAIL terciles by language-model score —
+    * the published recipe trains on head+middle and drops (or
+    * down-weights) the tail. Scores come from [[bigramLogProbs]] (higher
+    * avg token log-probability = lower perplexity = better); the tercile
+    * THRESHOLDS come from a bounded deterministic sample, exactly as
+    * CCNet computes its percentile cutoffs on a sample rather than
+    * sorting the corpus:
+    *
+    *   - sample = the `sampleCap` documents with the smallest md5 draw
+    *     under the dedicated "ppl:" salt (ties by id) — a pure function
+    *     of the id set, so re-runs and other engines agree row-by-row;
+    *   - t1 / t2 = the sample scores at ascending ranks ceil(m/3) and
+    *     ceil(2m/3) (m = actual sample size — the cap, or the corpus
+    *     when smaller);
+    *   - bucket: score <= t1 -> 'tail', score <= t2 -> 'middle', else
+    *     'head'. Sub-tercile corpora (m < 3) degenerate deterministically
+    *     (everything at or below the single threshold is 'tail').
+    *
+    * Scale shape: the [[bigramLogProbs]] aggregations plus ONE
+    * TakeOrdered(sampleCap) cut (per-partition heaps, cap-row merge — no
+    * global sort of the corpus), rank/count windows over the
+    * cap-BOUNDED sample frame (the G-row-frame convention), a 1-row
+    * threshold attach, and a scan-side CASE. Nothing corpus-sized is
+    * sorted, collected, or re-shuffled beyond the LM training itself.
+    *
+    * Output: (id, n_tokens, avg_logprob, ppl_bucket). */
+  def perplexityBuckets(df: DataFrame, id: Column, text: Column,
+                        vocabCap: Int = 65536, bigramCap: Int = 262144,
+                        lambda: Double = 0.9,
+                        sampleCap: Int = 10000): DataFrame = {
+    require(sampleCap > 0, "sampleCap must be positive")
+    val scored = bigramLogProbs(df, id, text, vocabCap, bigramCap, lambda)
+    val sample = scored
+      .select(col("id"), col("avg_logprob"),
+        hashBucket("ppl:", col("id"), 1000000L).as("__d"))
+      .orderBy(col("__d"), col("id")).limit(sampleCap)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logprob"), col("id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // windows over the <= sampleCap frame only: bounded single-partition
+    // work by construction, never the corpus
+    val ranked = sample
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+    val thr = ranked.agg(
+      max(when(col("__rn") ===
+        floor((col("__m") + lit(2L)) / lit(3L)), col("avg_logprob")))
+        .as("__t1"),
+      max(when(col("__rn") ===
+        floor((col("__m") * lit(2L) + lit(2L)) / lit(3L)), col("avg_logprob")))
+        .as("__t2"))
+    scored.crossJoin(broadcast(thr)) // 1-row attach
+      .select(col("id"), col("n_tokens"), col("avg_logprob"),
+        when(col("avg_logprob") <= col("__t1"), lit("tail"))
+          .when(col("avg_logprob") <= col("__t2"), lit("middle"))
+          .otherwise(lit("head")).as("ppl_bucket"))
+  }
+
   // ---------------- intra-document repetition signals ----------------
 
   /** Contiguous word `n`-grams WITH duplicates — unlike

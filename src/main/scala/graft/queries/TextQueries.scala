@@ -476,10 +476,13 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
       .orderBy(col("doc_id"))
 
-  private val lmBigramSql: String = {
+  /** Shared CTE chain retraining the interpolated bigram model in SQL,
+    * ending in `scored(doc_id, n_tokens, avg_logprob)` — consumed by
+    * text_lm_bigram and replayed verbatim by pipeline_ccnet_buckets. */
+  private val lmBigramChainSql: String = {
     val lam = BgLambda.toString
     val mu = (1.0d - BgLambda).toString
-    s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+    s"""tok AS (SELECT doc_id, $tokSql AS t FROM documents),
        |u AS (SELECT doc_id, unnest(t) AS term FROM tok),
        |tc AS (SELECT term, count(*)::DOUBLE AS c FROM u GROUP BY 1),
        |tot AS (SELECT sum(c)::DOUBLE AS total FROM tc),
@@ -506,13 +509,58 @@ object TextQueries {
        |        FROM ctb GROUP BY 1),
        |fst AS (SELECT tok.doc_id, len(t)::BIGINT AS n_tokens,
        |         ln(coalesce(v.pug, (SELECT 1.0 / total FROM tot))) AS lp1
-       |        FROM tok LEFT JOIN vocab v ON v.term = t[1])
-       |SELECT f.doc_id, f.n_tokens,
-       |  round((f.lp1 + coalesce(a.s, 0.0)) / f.n_tokens, 6) + 0
-       |    AS avg_logprob
-       |FROM fst f LEFT JOIN agg a USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |        FROM tok LEFT JOIN vocab v ON v.term = t[1]),
+       |scored AS (
+       |  SELECT f.doc_id, f.n_tokens,
+       |    round((f.lp1 + coalesce(a.s, 0.0)) / f.n_tokens, 6) + 0
+       |      AS avg_logprob
+       |  FROM fst f LEFT JOIN agg a USING (doc_id))""".stripMargin
   }
+
+  private val lmBigramSql: String =
+    s"""WITH $lmBigramChainSql
+       |SELECT doc_id, n_tokens, avg_logprob FROM scored
+       |ORDER BY doc_id""".stripMargin
+
+  /** CCNet head/middle/tail perplexity terciles over the bigram-LM
+    * scores, thresholds from the md5-deterministic capped sample (the
+    * cap of 200 genuinely binds at sf0.01's 500 documents, so the
+    * sample CUT — not just the bucketing — is gated). The oracle
+    * replays the whole LM chain, the sample order-and-limit, the
+    * rank-based tercile thresholds, and the CASE. */
+  private val CcnetSampleCap = 200
+
+  private val ccnetBuckets: QueryFn = (s, dir) =>
+    graft.operators.TrainingData.perplexityBuckets(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        vocabCap = BgVocabCap, bigramCap = BgBigramCap, lambda = BgLambda,
+        sampleCap = CcnetSampleCap)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"),
+        col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+
+  private val ccnetBucketsSql: String =
+    s"""WITH $lmBigramChainSql,
+       |samp AS (
+       |  SELECT doc_id, avg_logprob FROM scored
+       |  ORDER BY ('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |             % 1000000, doc_id
+       |  LIMIT $CcnetSampleCap),
+       |ranked AS (
+       |  SELECT avg_logprob AS sc,
+       |    row_number() OVER (ORDER BY avg_logprob, doc_id) AS rn,
+       |    count(*) OVER () AS m
+       |  FROM samp),
+       |thr AS (
+       |  SELECT max(CASE WHEN rn = floor((m + 2) / 3)::BIGINT THEN sc END) AS t1,
+       |         max(CASE WHEN rn = floor((2 * m + 2) / 3)::BIGINT THEN sc END) AS t2
+       |  FROM ranked)
+       |SELECT doc_id, n_tokens, avg_logprob,
+       |  CASE WHEN avg_logprob <= t1 THEN 'tail'
+       |       WHEN avg_logprob <= t2 THEN 'middle'
+       |       ELSE 'head' END AS ppl_bucket
+       |FROM scored, thr
+       |ORDER BY doc_id""".stripMargin
 
   /** C4-style boilerplate fraction over trigrams at doc-freq >= 5 (151
     * of 16k distinct trigrams clear it at sf0.01 — a real common set).
@@ -646,6 +694,7 @@ object TextQueries {
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("text_lm_bigram", lmBigram, Some(lmBigramSql)),
+    Q("pipeline_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     Q("text_boilerplate", boilerplate, Some(boilerplateSql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),
     Q("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -788,6 +788,44 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexityBuckets: contiguous score-ordered terciles (every tail " +
+    "score <= every middle score <= every head score), deterministic " +
+    "across runs, all docs bucketed") {
+    // 60 docs over three quality strata: corpus-typical phrases, mixed,
+    // and unique-gibberish (lowest bigram score)
+    val docs = ((1L to 20L).map(i => (i, "the quick brown fox jumps")) ++
+      (21L to 40L).map(i => (i, s"the quick w$i fox jumps")) ++
+      (41L to 60L).map(i => (i, s"z${i}a z${i}b z${i}c z${i}d z${i}e")))
+      .toDF("id", "text")
+    def run() = TrainingData.perplexityBuckets(docs, col("id"), col("text"),
+        vocabCap = 100, bigramCap = 100, lambda = 0.7, sampleCap = 30)
+      .select("id", "avg_logprob", "ppl_bucket")
+      .as[(Long, Double, String)].collect().toSeq
+    val got = run()
+    assert(got.size == 60)
+    assert(got.map(_._3).toSet == Set("head", "middle", "tail"))
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket("tail").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("head").min)
+    // the corpus-typical stratum lands at the top, gibberish at the bottom
+    assert(got.filter(_._1 <= 20L).forall(_._3 == "head"), got.take(25))
+    assert(got.filter(_._1 > 40L).forall(_._3 == "tail"))
+    assert(run() == got) // deterministic: sample + thresholds are md5-pure
+  }
+
+  test("perplexityBuckets: an all-identical corpus degenerates to one " +
+    "bucket deterministically (every score <= the single threshold)") {
+    val docs = (1L to 9L).map(i => (i, "same text here")).toDF("id", "text")
+    val got = TrainingData.perplexityBuckets(docs, col("id"), col("text"),
+        vocabCap = 10, bigramCap = 10, lambda = 0.5, sampleCap = 5)
+      .select("ppl_bucket").as[String].collect().toSeq
+    assert(got.size == 9 && got.forall(_ == "tail"))
+    intercept[IllegalArgumentException] {
+      TrainingData.perplexityBuckets(docs, col("id"), col("text"),
+        sampleCap = 0)
+    }
+  }
+
   test("repetitionStats: degenerate, clean, and too-short docs") {
     val docs = Seq(
       (1L, "a a a a"),          // bigrams: 3x "a a" -> top 1.0, dup 2/3
