@@ -108,6 +108,90 @@ object TextAnalysis {
       lit(QualityLenWeight) *
         least(size(toks).cast("double") / QualityLenCap, lit(1.0))
 
+  // ---------------- Gopher rule panel ----------------
+
+  /** Gopher quality-rule constants (Rae et al. 2021, Table A1 — the
+    * published thresholds, applied to the pinned token stream). The
+    * contract lives HERE only; SQL oracle fragments are generated from
+    * these values so the two engines cannot drift. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletLineFrac = 0.9
+  val GopherMaxEllipsisLineFrac = 0.3
+  val GopherMinAlphaWordFrac = 0.8
+  val GopherMinStopwords = 2
+  /** The paper's required-stopword list ("the, be, to, of, and, that,
+    * have, with" — §A1.1), distinct from the lang-ID profiles. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule panel (Rae et al. 2021, Table A1): the
+    * seven published document filters as one row of metrics + the
+    * composite pass flag —
+    *
+    *   1. GopherMinWords <= word count <= GopherMaxWords
+    *   2. mean word length in [GopherMinMeanWordLen, GopherMaxMeanWordLen]
+    *   3. symbol-to-word ratio ('#' and ellipsis — '…' or '...') <=
+    *      GopherMaxSymbolRatio
+    *   4. <= GopherMaxBulletLineFrac of lines start with a bullet
+    *      ('•', '-', '*', after the pinned whitespace trim)
+    *   5. <= GopherMaxEllipsisLineFrac of lines end with an ellipsis
+    *   6. >= GopherMinAlphaWordFrac of words contain a letter (Unicode
+    *      \\p{L} over the NFC-lowercased token stream)
+    *   7. >= GopherMinStopwords DISTINCT required stopwords present
+    *
+    * All comparisons run on the ROUNDED (6-decimal) ratios both engines
+    * print, so a boundary document flags identically everywhere. Counts
+    * of '…'/'...' use non-overlapping left-to-right replace arithmetic
+    * (identical semantics in the JVM and the oracle engine).
+    *
+    * Scale shape: a pure projection — one tokenize, one line split, a
+    * few regex/replace passes per document; zero shuffles, zero joins,
+    * scan-cost at any corpus size.
+    *
+    * Output: (id, n_words, mean_word_len, symbol_ratio,
+    * bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    * n_stopwords, passes) with passes an int 0/1. */
+  def gopherQualityFlags(df: org.apache.spark.sql.DataFrame, id: Column,
+                         text: Column): org.apache.spark.sql.DataFrame = {
+    val ws = graft.functions.TextHash.WsClassJava
+    def r6(c: Column): Column = round(c, 6) + lit(0.0d)
+    def occurrences(t: Column, needle: String): Column =
+      ((length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(needle), "")))
+        / lit(needle.length)).cast("long")
+    val base = df.select(id.as("id"), text.as("__x"),
+      tokens(text).as("__t"), split(text, "\n").as("__l"))
+    val trimmedLines = transform(col("__l"),
+      l => regexp_replace(l, s"^$ws+|$ws+$$", ""))
+    base.select(
+        col("id"),
+        size(col("__t")).cast("long").as("n_words"),
+        r6(aggregate(col("__t"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("__t"))).as("mean_word_len"),
+        r6((occurrences(col("__x"), "#") + occurrences(col("__x"), "…") +
+            occurrences(col("__x"), "...")).cast("double") / size(col("__t")))
+          .as("symbol_ratio"),
+        r6(size(filter(trimmedLines, l => l.rlike("^[•*-]")))
+          .cast("double") / size(col("__l"))).as("bullet_line_frac"),
+        r6(size(filter(trimmedLines, l => l.rlike("(\\.\\.\\.|…)$")))
+          .cast("double") / size(col("__l"))).as("ellipsis_line_frac"),
+        r6(size(filter(col("__t"), t => t.rlike("\\p{L}")))
+          .cast("double") / size(col("__t"))).as("alpha_word_frac"),
+        size(array_intersect(array_distinct(col("__t")),
+          array(GopherStopwords.map(lit): _*))).cast("long").as("n_stopwords"))
+      .withColumn("passes",
+        (col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_word_len").between(GopherMinMeanWordLen, GopherMaxMeanWordLen) &&
+          col("symbol_ratio") <= GopherMaxSymbolRatio &&
+          col("bullet_line_frac") <= GopherMaxBulletLineFrac &&
+          col("ellipsis_line_frac") <= GopherMaxEllipsisLineFrac &&
+          col("alpha_word_frac") >= GopherMinAlphaWordFrac &&
+          col("n_stopwords") >= GopherMinStopwords).cast("long"))
+  }
+
   /** Document fingerprint: min of the seeded shingle hashes over word
     * bigrams — a 1-wide MinHash (rolling-hash-style content signature). */
   def fingerprint(text: Column): Column =

@@ -522,6 +522,58 @@ object TextQueries {
        |SELECT doc_id, n_tokens, avg_logprob FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher rule panel (Rae et al. 2021, Table A1): all seven document
+    * filters recomputed in SQL from the SAME constants — tokenizer,
+    * line trim, replace-arithmetic symbol counts, regex letter/bullet/
+    * ellipsis classes, the stopword set, and the rounded-ratio
+    * comparisons behind the composite pass flag. */
+  private val gopherRules: QueryFn = (s, dir) =>
+    graft.operators.TextAnalysis.gopherQualityFlags(
+        table(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_line_frac"),
+        col("ellipsis_line_frac"), col("alpha_word_frac"),
+        col("n_stopwords"), col("passes"))
+      .orderBy(col("doc_id"))
+
+  private val gopherRulesSql: String = {
+    import graft.operators.TextAnalysis._
+    val stop = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    def occ(needle: String, nLen: Int) =
+      s"(len(text) - len(replace(text, '$needle', ''))) // $nLen"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(t)::BIGINT AS n_words,
+       |    round(list_reduce(list_prepend(0, list_transform(t, w -> len(w))),
+       |          (a, b) -> a + b)::DOUBLE / len(t), 6) + 0 AS mean_word_len,
+       |    round((${occ("#", 1)} + ${occ("…", 1)} + ${occ("...", 3)})::DOUBLE
+       |          / len(t), 6) + 0 AS symbol_ratio,
+       |    round(len(list_filter(ls, l -> regexp_matches(
+       |            regexp_replace(l, '^$wsClassSql+|$wsClassSql+$$', '', 'g'),
+       |            '^[•*-]')))::DOUBLE / len(ls), 6) + 0 AS bullet_line_frac,
+       |    round(len(list_filter(ls, l -> regexp_matches(
+       |            regexp_replace(l, '^$wsClassSql+|$wsClassSql+$$', '', 'g'),
+       |            '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls), 6) + 0
+       |      AS ellipsis_line_frac,
+       |    round(len(list_filter(t, w -> regexp_matches(w, '\\p{L}')))::DOUBLE
+       |          / len(t), 6) + 0 AS alpha_word_frac,
+       |    len(list_intersect(list_distinct(t), [$stop]))::BIGINT AS n_stopwords
+       |  FROM (SELECT doc_id, text, $tokSql AS t,
+       |          string_split(text, chr(10)) AS ls
+       |        FROM documents))
+       |SELECT *,
+       |  (CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |         AND mean_word_len BETWEEN $GopherMinMeanWordLen
+       |                               AND $GopherMaxMeanWordLen
+       |         AND symbol_ratio <= $GopherMaxSymbolRatio
+       |         AND bullet_line_frac <= $GopherMaxBulletLineFrac
+       |         AND ellipsis_line_frac <= $GopherMaxEllipsisLineFrac
+       |         AND alpha_word_frac >= $GopherMinAlphaWordFrac
+       |         AND n_stopwords >= $GopherMinStopwords
+       |        THEN 1 ELSE 0 END)::BIGINT AS passes
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** CCNet head/middle/tail perplexity terciles over the bigram-LM
     * scores, thresholds from the md5-deterministic capped sample (the
     * cap of 200 genuinely binds at sf0.01's 500 documents, so the
@@ -695,6 +747,7 @@ object TextQueries {
     Q("text_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("text_lm_bigram", lmBigram, Some(lmBigramSql)),
     Q("pipeline_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
+    Q("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
     Q("text_boilerplate", boilerplate, Some(boilerplateSql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),
     Q("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

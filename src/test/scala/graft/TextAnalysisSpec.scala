@@ -77,4 +77,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 0, 0, 0, 1, "call <PHONE> today")))
     assert(got(3) == ((4L, 0, 0, 0, 0, "clean")))
   }
+
+  test("gopherQualityFlags: a clean document passes; each rule fails " +
+    "exactly the document built to violate it") {
+    // 60 words, mean len in range, letters, stopwords, no symbols
+    val good = (1 to 30).map(i => s"the wording$i").mkString(" ") + " of that have"
+    val docs = Seq(
+      (1L, good),                                      // passes all 7
+      (2L, "the of short text"),                       // rule 1: < 50 words
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the of"), // rule 2: mean len < 3
+      (4L, good + " " + (1 to 30).map(_ => "#").mkString(" ")), // rule 3: symbols
+      (5L, (1 to 60).map(i => s"- the w$i item").mkString("\n")), // rule 4: bullets
+      (6L, (1 to 60).map(i => s"the w$i more...").mkString("\n")), // rule 5: ellipses
+      (7L, (1 to 26).map(_ => "the of 12345 67890").mkString(" ")), // rule 6: digits
+      (8L, (1 to 30).map(i => s"word$i item$i").mkString(" ")))     // rule 7: no stopwords
+      .toDF("id", "text")
+    val got = gopherQualityFlags(docs, col("id"), col("text"))
+      .select("id", "passes").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L, got)
+    (2L to 8L).foreach(i => assert(got(i) == 0L, s"doc $i should fail"))
+  }
+
+  test("gopherQualityFlags metrics: exact values on a hand corpus") {
+    val docs = Seq((1L, "the cat\n- bullet line\ntail line...")).toDF("id", "text")
+    val r = gopherQualityFlags(docs, col("id"), col("text"))
+      .select("n_words", "mean_word_len", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "n_stopwords")
+      .as[(Long, Double, Double, Double, Double, Long)].head()
+    // tokens: the, cat, -, bullet, line, tail, line... (7 tokens)
+    assert(r._1 == 7L)
+    assert(r._2 == 4.0) // (3+3+1+6+4+4+7)/7
+    assert(r._3 == 0.333333) // 1 of 3 lines starts with a bullet
+    assert(r._4 == 0.333333) // 1 of 3 lines ends with ...
+    assert(r._5 == 0.857143) // 6 of 7 tokens have a letter ("-" does not)
+    assert(r._6 == 1L)       // only "the"
+  }
 }
