@@ -111,8 +111,21 @@ object ImportanceSampling {
     * cross-engine contract every other score column follows. */
   def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
                         text: Column,
-                        buckets: Int = DefaultBuckets): DataFrame =
-    importanceWeightsReleasable(raw, target, id, text, buckets)._1
+                        buckets: Int = DefaultBuckets): DataFrame = {
+    // The shared (id, bucket) pass is pinned with localCheckpoint here,
+    // NOT the releasable variant's persist: a persist() entry lives in
+    // Spark's CacheManager (strong references) until an explicit
+    // unpersist, so a plain caller that discards the release hook would
+    // leak one cache/disk-resident entry PER CALL for the JVM lifetime.
+    // Checkpoint blocks are ContextCleaner-collectable once the frame
+    // is unreachable — the right default for callers with no lifecycle
+    // hook. Callers that score repeatedly and want deterministic
+    // reclamation use [[importanceWeightsReleasable]] and call the hook.
+    val docBuckets = featureBuckets(raw, id, text, buckets)
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    weightsFromDocBuckets(docBuckets, raw, target, id, text, buckets)
+  }
 
   /** Monotone per-call tag: Spark's CacheManager substitutes a cached
     * plan into ANY later query whose canonicalized subplan matches, so
@@ -131,29 +144,39 @@ object ImportanceSampling {
     * long-lived JVM lets dead intermediates crowd later work, and a
     * released checkpoint's lineage is truncated so the frame would die
     * with it — the cache recomputes instead). Each call's cache entry is
-    * PRIVATE (per-call plan tag, see [[passCounter]]). Callers that
-    * score repeatedly in one process (benchmarks, backfills over many
-    * snapshots) call the hook once the output is materialized; callers
-    * that don't still get eviction + eventual GC instead of a pinned
-    * block. */
+    * PRIVATE (per-call plan tag, see [[passCounter]]). Callers MUST call
+    * the hook once the output is materialized: a CacheManager entry is
+    * held by strong reference until its unpersist, so an uncalled hook
+    * is a JVM-lifetime leak (the plain [[importanceWeights]] pins with
+    * localCheckpoint instead, exactly so hook-less callers cannot
+    * leak). */
   def importanceWeightsReleasable(raw: DataFrame, target: DataFrame,
                                   id: Column, text: Column,
                                   buckets: Int = DefaultBuckets)
       : (DataFrame, () => Unit) = {
-    // ONE tokenize+hash pass over the raw corpus: the per-document
-    // (id, bucket) counts feed the scoring join below AND roll up (an
-    // exact integer second-stage aggregate over at most |docs| x buckets
-    // rows) into the model's raw-side bucket totals — identical values
-    // to counting occurrences directly, at none of the rescan cost.
     val docBuckets = featureBuckets(raw, id, text, buckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
       .withColumn("__pass", lit(passCounter.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (weightsFromDocBuckets(docBuckets.drop("__pass"), raw, target, id,
+        text, buckets),
+      () => { docBuckets.unpersist(blocking = true); () })
+  }
+
+  /** Shared tail of both weight entry points, taking the PINNED
+    * (id, bucket, cnt) frame: ONE tokenize+hash pass over the raw corpus
+    * — the per-document counts feed the scoring join below AND roll up
+    * (an exact integer second-stage aggregate over at most
+    * |docs| x buckets rows) into the model's raw-side bucket totals —
+    * identical values to counting occurrences directly, at none of the
+    * rescan cost. */
+  private def weightsFromDocBuckets(docBuckets: DataFrame, raw: DataFrame,
+                                    target: DataFrame, id: Column,
+                                    text: Column, buckets: Int): DataFrame = {
     val rawCounts = docBuckets.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("rc"))
     val model = bucketModelFrom(rawCounts, target, id, text, buckets)
-    (scoreCounts(docBuckets.drop("__pass"), raw.select(id.as("id")), model),
-      () => { docBuckets.unpersist(blocking = true); () })
+    scoreCounts(docBuckets, raw.select(id.as("id")), model)
   }
 
   /** Score a frame against an ALREADY-TRAINED bucket model — the

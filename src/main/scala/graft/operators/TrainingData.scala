@@ -764,7 +764,14 @@ object TrainingData {
     * bounded no matter how large the real vocabulary grows) and
     * (doc, term) counts (high-cardinality keys, map-side partials) —
     * plus a broadcast join of the model. Nothing corpus-sized is
-    * collected or re-shuffled.
+    * collected or re-shuffled. The corpus token TOTAL is an eager
+    * 1-row count attached as a LITERAL (the [[Lexical.bm25]] stats
+    * precedent — one extra tokenize scan, linear): the per-row OOV
+    * floor ln(1/total) needs a scalar, and a 1-row
+    * `crossJoin(broadcast(...))` attach plans a
+    * BroadcastNestedLoopJoin — linear here, but the node class the
+    * stress plan guard rightly forbids, and a constant equi-key folds
+    * back to the same node.
     *
     * Determinism (the cross-engine contract): the per-document sum folds
     * LEFT-TO-RIGHT over contributions SORTED BY TERM — float addition is
@@ -780,20 +787,20 @@ object TrainingData {
     require(vocabCap > 0, "vocabCap must be positive")
     val exploded = df.select(id.as("id"),
       explode(TextAnalysis.tokens(text)).as("term"))
+    // exact integer (token-event count) — the same double the old 1-row
+    // sum-of-term-counts frame carried, now a literal (see scaladoc)
+    val total = exploded.count().toDouble
     val termCounts = exploded.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("c"))
-    val totals = termCounts.agg(sum(col("c")).as("total"))
     val vocab = termCounts
       .orderBy(col("c").desc, col("term")).limit(vocabCap)
-      .crossJoin(broadcast(totals))
-      .select(col("term"), log(col("c") / col("total")).as("lp"))
+      .select(col("term"), log(col("c") / lit(total)).as("lp"))
     val perDocTerm = exploded.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).cast("double").as("cnt"))
     val contribs = perDocTerm
       .join(broadcast(vocab), Seq("term"), "left")
-      .crossJoin(broadcast(totals))
       .select(col("id"), col("term"), col("cnt"),
-        (col("cnt") * coalesce(col("lp"), log(lit(1.0d) / col("total"))))
+        (col("cnt") * coalesce(col("lp"), log(lit(1.0d) / lit(total))))
           .as("contrib"))
     contribs.groupBy(col("id"))
       .agg(sum(col("cnt")).cast("long").as("n_tokens"),
@@ -833,7 +840,11 @@ object TrainingData {
     * broadcast against bigramCap rows), and per-doc (id, prev, cur)
     * counts — all map-side partialed, high-cardinality keys. Both
     * models broadcast (bounded by the caps, never by the real
-    * vocabulary). Nothing corpus-sized is collected.
+    * vocabulary). Nothing corpus-sized is collected. The token TOTAL
+    * is an eager 1-row aggregate attached as a LITERAL, exactly as in
+    * [[unigramLogProbs]] (one extra tokenize scan; the alternative
+    * 1-row crossJoin attach plans the BroadcastNestedLoopJoin node
+    * class the stress plan guard forbids).
     *
     * Determinism: the per-document sum folds LEFT-TO-RIGHT over bigram
     * contributions SORTED BY (prev, cur) with the first-token unigram
@@ -854,14 +865,17 @@ object TrainingData {
     val mu = 1.0d - lambda
     val toks = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"))
     val exploded = toks.select(col("id"), explode(col("__t")).as("term"))
+    // exact integer token-event count as a literal (see scaladoc); the
+    // OOV floor 1/total is constant-folded to the identical double the
+    // executor-side division produced
+    val total = exploded.count().toDouble
+    val floorPu = lit(1.0d) / lit(total)
     // unigram model: MLE over the top-vocabCap terms, probability space
     val termCounts = exploded.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("c"))
-    val totals = termCounts.agg(sum(col("c")).as("total"))
     val vocab = termCounts
       .orderBy(col("c").desc, col("term")).limit(vocabCap)
-      .crossJoin(broadcast(totals))
-      .select(col("term"), (col("c") / col("total")).as("pug"))
+      .select(col("term"), (col("c") / lit(total)).as("pug"))
     // bigram events: (prev, cur) for every position >= 2 — slice+zip is
     // empty for single-token docs (no guard branch needed)
     val pairs = toks.select(col("id"),
@@ -884,10 +898,9 @@ object TrainingData {
     val contribs = perDocPair
       .join(broadcast(bgModel), Seq("prev", "cur"), "left")
       .join(broadcast(vocab.withColumnRenamed("term", "cur")), Seq("cur"), "left")
-      .crossJoin(broadcast(totals))
       .select(col("id"), col("prev"), col("cur"),
         (col("cnt") * log(lit(lambda) * coalesce(col("pbg"), lit(0.0d)) +
-          lit(mu) * coalesce(col("pug"), lit(1.0d) / col("total"))))
+          lit(mu) * coalesce(col("pug"), floorPu)))
           .as("contrib"))
     val folded = contribs.groupBy(col("id"))
       .agg(aggregate(
@@ -899,9 +912,8 @@ object TrainingData {
       .select(col("id"), size(col("__t")).cast("long").as("n_tokens"),
         element_at(col("__t"), 1).as("cur"))
       .join(broadcast(vocab.withColumnRenamed("term", "cur")), Seq("cur"), "left")
-      .crossJoin(broadcast(totals))
       .select(col("id"), col("n_tokens"),
-        log(coalesce(col("pug"), lit(1.0d) / col("total"))).as("__lp1"))
+        log(coalesce(col("pug"), floorPu)).as("__lp1"))
     first.join(folded, Seq("id"), "left") // single-token docs: no pairs
       .select(col("id"), col("n_tokens"),
         (round((col("__lp1") + coalesce(col("__s"), lit(0.0d))) /
@@ -927,12 +939,19 @@ object TrainingData {
     *     'head'. Sub-tercile corpora (m < 3) degenerate deterministically
     *     (everything at or below the single threshold is 'tail').
     *
-    * Scale shape: the [[bigramLogProbs]] aggregations plus ONE
-    * TakeOrdered(sampleCap) cut (per-partition heaps, cap-row merge — no
-    * global sort of the corpus), rank/count windows over the
+    * Scale shape: the [[bigramLogProbs]] aggregations run ONCE — the
+    * scored frame (3 narrow columns per document) is localCheckpointed
+    * because both the threshold computation and the output scan consume
+    * it, and the threshold action is EAGER (without the pin the full LM
+    * training subplan would execute twice; the checkpoint blocks are
+    * ContextCleaner-collectable once the frame is unreachable). On top:
+    * ONE TakeOrdered(sampleCap) cut (per-partition heaps, cap-row merge
+    * — no global sort of the corpus), rank/count windows over the
     * cap-BOUNDED sample frame (the G-row-frame convention), a 1-row
-    * threshold attach, and a scan-side CASE. Nothing corpus-sized is
-    * sorted, collected, or re-shuffled beyond the LM training itself.
+    * eager threshold read attached as LITERALS (the same
+    * no-BroadcastNestedLoopJoin rule as the LM totals), and a scan-side
+    * CASE. Nothing corpus-sized is sorted, collected, or re-shuffled
+    * beyond the LM training itself.
     *
     * Output: (id, n_tokens, avg_logprob, ppl_bucket). */
   def perplexityBuckets(df: DataFrame, id: Column, text: Column,
@@ -941,6 +960,20 @@ object TrainingData {
                         sampleCap: Int = 10000): DataFrame = {
     require(sampleCap > 0, "sampleCap must be positive")
     val scored = bigramLogProbs(df, id, text, vocabCap, bigramCap, lambda)
+      .localCheckpoint()
+    bucketByThresholds(scored,
+      perplexityThresholds(scored, sampleCap))
+  }
+
+  /** The CCNet tercile thresholds (t1, t2) of a scored frame
+    * (`id`, `avg_logprob`): computed EAGERLY from the
+    * md5-deterministic `sampleCap`-row sample (see [[perplexityBuckets]]
+    * for the contract). None only for an EMPTY frame (no rows to
+    * bucket). The caller is expected to pass a pinned (checkpointed)
+    * frame — this runs a job. */
+  private[graft] def perplexityThresholds(scored: DataFrame,
+                                          sampleCap: Int)
+      : Option[(Double, Double)] = {
     val sample = scored
       .select(col("id"), col("avg_logprob"),
         hashBucket("ppl:", col("id"), 1000000L).as("__d"))
@@ -960,12 +993,25 @@ object TrainingData {
         .as("__t1"),
       max(when(col("__rn") ===
         floor((col("__m") * lit(2L) + lit(2L)) / lit(3L)), col("avg_logprob")))
-        .as("__t2"))
-    scored.crossJoin(broadcast(thr)) // 1-row attach
-      .select(col("id"), col("n_tokens"), col("avg_logprob"),
-        when(col("avg_logprob") <= col("__t1"), lit("tail"))
-          .when(col("avg_logprob") <= col("__t2"), lit("middle"))
-          .otherwise(lit("head")).as("ppl_bucket"))
+        .as("__t2")).head()
+    // both ranks are >= 1 whenever the sample has >= 1 row, so the
+    // thresholds are null only for an empty frame
+    if (thr.isNullAt(0) || thr.isNullAt(1)) None
+    else Some((thr.getDouble(0), thr.getDouble(1)))
+  }
+
+  /** Scan-side CASE over literal tercile thresholds. */
+  private def bucketByThresholds(scored: DataFrame,
+                                 thr: Option[(Double, Double)]): DataFrame = {
+    val bucket = thr match {
+      case Some((t1, t2)) =>
+        when(col("avg_logprob") <= lit(t1), lit("tail"))
+          .when(col("avg_logprob") <= lit(t2), lit("middle"))
+          .otherwise(lit("head"))
+      case None => lit("head") // empty frame: no rows carry the value
+    }
+    scored.select(col("id"), col("n_tokens"), col("avg_logprob"),
+      bucket.as("ppl_bucket"))
   }
 
   // ---------------- intra-document repetition signals ----------------
