@@ -559,7 +559,31 @@ object Bench {
         graft.operators.TrainingData.removeDuplicatedSubstrings(
             linedOf(s.docs()), col("doc_id"), col("text"), minLen = 20)
           .select((length(col("clean_text")) + col("n_kept")).as("n"))
-          .agg(sum(col("n")).as("total"))))
+          .agg(sum(col("n")).as("total"))),
+      // interpolated bigram-LM scoring: the heaviest LM aggregation
+      // shape — term/bigram/context counts (cut to the capped broadcast
+      // models), per-doc (id, prev, cur) counts, the ordered fold, plus
+      // the eager literal-total tokenize scan, ALL inside the clock
+      // (construction is timed). The aggregate consumes both outputs so
+      // neither the fold nor n_tokens is pruned. Exact-copy inflation
+      // keeps the model key space fixed — the corpus-side count
+      // shuffles are what inflate, exactly the 100 TB shape.
+      Stress("lm_bigram", s =>
+        graft.operators.TrainingData.bigramLogProbs(s.docs(), col("doc_id"),
+            col("text"))
+          .select((col("avg_logprob") + col("n_tokens")).as("x"))
+          .agg(sum(col("x")).as("total"))),
+      // CCNet bucketing on top of the LM: the scored frame materializes
+      // EAGERLY into its localCheckpoint during construction (timed),
+      // plus the bounded-sample threshold job and the scan-side CASE.
+      // The executedPlan the guard inspects is the checkpoint scan +
+      // CASE — the LM subplan itself is guarded by lm_bigram above.
+      Stress("ccnet_buckets", s =>
+        graft.operators.TrainingData.perplexityBuckets(s.docs(), col("doc_id"),
+            col("text"))
+          .select((col("avg_logprob") + col("n_tokens") +
+            length(col("ppl_bucket"))).as("x"))
+          .agg(sum(col("x")).as("total"))))
 
     // by-name: construction is INSIDE the clock — iterative operators
     // (connected components) run their rounds eagerly while building.
