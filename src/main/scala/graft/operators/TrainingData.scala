@@ -483,6 +483,59 @@ object TrainingData {
         concat_ws("\n", col("__kept")).as("clean_text"))
   }
 
+  /** PARAGRAPH-level corpus dedup — CCNet's step 1 (Wenzek et al. 2020
+    * §4.2: deduplicate at paragraph granularity against the corpus
+    * BEFORE perplexity filtering — boilerplate shared across pages is
+    * exactly what an LM scores as fluent): drop every paragraph whose
+    * trim-normalized content recurs in at least `minDocFreq` DISTINCT
+    * documents, reassemble the survivors in original order.
+    *
+    * The paragraph contract (pinned, both engines): paragraphs split on
+    * runs of >= 2 literal newlines (`\n{2,}` — a "blank" line that
+    * contains spaces is part of its paragraph, not a separator, which
+    * keeps the class Java/RE2-portable), identity is the pinned-
+    * whitespace-class trim of the paragraph ([[removeCommonLines]]'
+    * convention — no case folding: dedup must not merge paragraphs an
+    * LM would score differently), whitespace-only paragraphs are exempt
+    * from commonality, and reassembly joins with the CANONICAL '\n\n'
+    * (a 3-newline separator normalizes on output).
+    *
+    * Scale shape: identical to [[removeCommonLines]] — one shuffle on
+    * the 60-bit paragraph hash for the distinct-doc frequency, one hash
+    * equi-join back, one reassembly aggregation keyed by document.
+    * Strictly cheaper than the line pass (fewer, larger units).
+    *
+    * Output: (id, n_kept, n_removed, clean_text). */
+  def removeCommonParagraphs(df: DataFrame, id: Column, text: Column,
+                             minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be at least 2")
+    val ws = graft.functions.TextHash.WsClassJava
+    val base = df.select(id.as("id"), split(text, "\n{2,}").as("__g"))
+    val occ = base.select(col("id"),
+        posexplode(col("__g")).as(Seq("p", "para")))
+      .withColumn("__t", regexp_replace(col("para"), s"^$ws+|$ws+$$", ""))
+      .withColumn("h",
+        when(col("__t") === "", lit(null).cast("long"))  // blank: exempt
+          .otherwise(NearDup.seededHash(0, col("__t"))))
+    val common = occ.where(col("h").isNotNull)
+      .select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("h"))
+    val kept = occ.join(common, Seq("h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("para")))),
+        x => x.getField("para")).as("__kept"))
+    base.select(col("id"), size(col("__g")).as("__n"))
+      .join(kept, Seq("id"), "left")
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<string>")))
+      .select(col("id"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws("\n\n", col("__kept")).as("clean_text"))
+  }
+
   // ---------------- quality + repetition gate ----------------
 
   /** The shared quality/repetition gate of the curation compositions —
@@ -1012,6 +1065,117 @@ object TrainingData {
     }
     scored.select(col("id"), col("n_tokens"), col("avg_logprob"),
       bucket.as("ppl_bucket"))
+  }
+
+  /** PER-LANGUAGE CCNet bucketing — the faithful form of
+    * [[perplexityBuckets]]: Wenzek et al. 2020 §4.3 compute their
+    * perplexity percentile cutoffs PER LANGUAGE, because LM scores are
+    * systematically lower for languages the model covers thinly
+    * (vocabulary coverage, not quality) — a corpus-GLOBAL cut shunts
+    * whole low-resource languages into 'tail'. Here every document is
+    * keyed by `lang` (typically
+    * [[TextAnalysis.predictedLangScript]] — any deterministic Column
+    * over `df`'s columns works), the deterministic md5 sample is drawn
+    * per language (`sampleCapPerLang` applies to EACH language), and
+    * the tercile thresholds t1/t2 cut each language's own score
+    * distribution.
+    *
+    * Scale shape: the [[bigramLogProbs]] aggregations once
+    * (localCheckpointed — the sample and the output scan both consume
+    * the scored frame), one id-keyed join attaching the language (the
+    * standard per-doc attach: partitioned, linear), then a TWO-PHASE
+    * per-language sample cut — phase 1 ranks within
+    * (input-partition, lang) so the hot language (English is half the
+    * web) spreads over every partition instead of funneling one
+    * reducer, and the exact global per-language smallest-k must
+    * survive its own partition's cut, so the phase-2 window runs over
+    * a frame bounded by partitions x languages x cap, never the
+    * corpus. Thresholds are a languages-row frame attached by
+    * BROADCAST equi-join on lang (no scalar attach anywhere).
+    *
+    * Output: (id, lang, n_tokens, avg_logprob, ppl_bucket). */
+  def perplexityBucketsByLang(df: DataFrame, id: Column, text: Column,
+                              lang: Column,
+                              vocabCap: Int = 65536,
+                              bigramCap: Int = 262144,
+                              lambda: Double = 0.9,
+                              sampleCapPerLang: Int = 10000): DataFrame = {
+    require(sampleCapPerLang > 0, "sampleCapPerLang must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val docLang = df.select(id.as("id"), lang.as("lang"))
+    val scored = bigramLogProbs(df, id, text, vocabCap, bigramCap, lambda)
+      .join(docLang, Seq("id"))
+      .localCheckpoint()
+    val drawn = scored.select(col("id"), col("lang"), col("avg_logprob"),
+        hashBucket("ppl:", col("id"), 1000000L).as("__d"))
+      .withColumn("__p", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__p"), col("lang"))
+      .orderBy(col("__d"), col("id"))
+    val localCut = drawn
+      .withColumn("__lr", row_number().over(wLocal))
+      .where(col("__lr") <= sampleCapPerLang)
+    // phase 2: exact per-language smallest-sampleCap over the BOUNDED
+    // survivor frame
+    val wSample = Window.partitionBy(col("lang"))
+      .orderBy(col("__d"), col("id"))
+    val sample = localCut
+      .withColumn("__sr", row_number().over(wSample))
+      .where(col("__sr") <= sampleCapPerLang)
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob"), col("id"))
+    val wLang = Window.partitionBy(col("lang"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = sample
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wLang))
+    val thr = ranked.groupBy(col("lang")).agg(
+      max(when(col("__rn") ===
+        floor((col("__m") + lit(2L)) / lit(3L)), col("avg_logprob")))
+        .as("__t1"),
+      max(when(col("__rn") ===
+        floor((col("__m") * lit(2L) + lit(2L)) / lit(3L)), col("avg_logprob")))
+        .as("__t2"))
+    // every language present in scored has >= 1 sample row, so the
+    // inner broadcast join drops nothing
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("id"), col("lang"), col("n_tokens"), col("avg_logprob"),
+        when(col("avg_logprob") <= col("__t1"), lit("tail"))
+          .when(col("avg_logprob") <= col("__t2"), lit("middle"))
+          .otherwise(lit("head")).as("ppl_bucket"))
+  }
+
+  /** The CCNet pipeline end-to-end (Wenzek et al. 2020): paragraph-
+    * level corpus dedup (§4.2, [[removeCommonParagraphs]]) feeding
+    * per-language perplexity bucketing (§4.3,
+    * [[perplexityBucketsByLang]] keyed by
+    * [[TextAnalysis.predictedLangScript]] over the CLEANED text — the
+    * paper identifies language after dedup too). Documents whose every
+    * paragraph was corpus-duplicated survive as empty husks and score
+    * through the pinned one-empty-token path — dropping them is the
+    * caller's call, as everywhere else in the dedup family.
+    *
+    * Output: (id, n_kept, n_removed, lang, n_tokens, avg_logprob,
+    * ppl_bucket). */
+  def ccnetPipeline(df: DataFrame, id: Column, text: Column,
+                    minDocFreq: Int = 2,
+                    vocabCap: Int = 65536, bigramCap: Int = 262144,
+                    lambda: Double = 0.9,
+                    sampleCapPerLang: Int = 10000): DataFrame = {
+    // pinned: the LM chain references its input frame several times
+    // (term/bigram/context/first-token subplans) — over a raw parquet
+    // scan that is scan-shaped, but re-running the 3-shuffle dedup
+    // subplan per reference is not; the checkpointed frame is computed
+    // once (narrow: id + counts + cleaned text)
+    val deduped = removeCommonParagraphs(df, id, text, minDocFreq)
+      .localCheckpoint()
+    val clean = col("clean_text")
+    perplexityBucketsByLang(deduped, col("id"), clean,
+        TextAnalysis.predictedLangScript(clean, TextAnalysis.tokens(clean)),
+        vocabCap, bigramCap, lambda, sampleCapPerLang)
+      .join(deduped.select(col("id"), col("n_kept"), col("n_removed")),
+        Seq("id"))
+      .select(col("id"), col("n_kept"), col("n_removed"), col("lang"),
+        col("n_tokens"), col("avg_logprob"), col("ppl_bucket"))
   }
 
   // ---------------- intra-document repetition signals ----------------

@@ -476,25 +476,30 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
       .orderBy(col("doc_id"))
 
-  /** Shared CTE chain retraining the interpolated bigram model in SQL,
+  /** Shared CTE chain retraining the interpolated bigram model in SQL
+    * over relation `src` (any FROM-able expression with doc_id + text),
     * ending in `scored(doc_id, n_tokens, avg_logprob)` — consumed by
-    * text_lm_bigram and replayed verbatim by pipeline_ccnet_buckets. */
-  private val lmBigramChainSql: String = {
-    val lam = BgLambda.toString
-    val mu = (1.0d - BgLambda).toString
-    s"""tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+    * text_lm_bigram, replayed verbatim by pipeline_ccnet_buckets, and
+    * re-instantiated over the ccnet fixture (and its paragraph-deduped
+    * form) by the per-language rows. */
+  private[queries] def lmBigramChainSqlOf(src: String, vocabCap: Int,
+                                          bigramCap: Int,
+                                          lambda: Double): String = {
+    val lam = lambda.toString
+    val mu = (1.0d - lambda).toString
+    s"""tok AS (SELECT doc_id, $tokSql AS t FROM $src),
        |u AS (SELECT doc_id, unnest(t) AS term FROM tok),
        |tc AS (SELECT term, count(*)::DOUBLE AS c FROM u GROUP BY 1),
        |tot AS (SELECT sum(c)::DOUBLE AS total FROM tc),
        |vocab AS (SELECT term, c / (SELECT total FROM tot) AS pug
-       |          FROM tc ORDER BY c DESC, term LIMIT $BgVocabCap),
+       |          FROM tc ORDER BY c DESC, term LIMIT $vocabCap),
        |pr AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
        |       FROM tok, unnest(range(1, len(t))) AS r(i)),
        |bc AS (SELECT prev, cur, count(*)::DOUBLE AS cbg FROM pr GROUP BY 1, 2),
        |cx AS (SELECT prev, count(*)::DOUBLE AS cctx FROM pr GROUP BY 1),
        |bm AS (SELECT b.prev, b.cur, b.cbg / cx.cctx AS pbg
        |       FROM (SELECT * FROM bc ORDER BY cbg DESC, prev, cur
-       |             LIMIT $BgBigramCap) b JOIN cx USING (prev)),
+       |             LIMIT $bigramCap) b JOIN cx USING (prev)),
        |dp AS (SELECT doc_id, prev, cur, count(*)::DOUBLE AS cnt
        |       FROM pr GROUP BY 1, 2, 3),
        |ctb AS (SELECT dp.doc_id, dp.prev, dp.cur,
@@ -516,6 +521,9 @@ object TextQueries {
        |      AS avg_logprob
        |  FROM fst f LEFT JOIN agg a USING (doc_id))""".stripMargin
   }
+
+  private val lmBigramChainSql: String =
+    lmBigramChainSqlOf("documents", BgVocabCap, BgBigramCap, BgLambda)
 
   private val lmBigramSql: String =
     s"""WITH $lmBigramChainSql
@@ -613,6 +621,168 @@ object TextQueries {
        |       ELSE 'head' END AS ppl_bucket
        |FROM scored, thr
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------- CCNet pipeline over the multilingual fixture ------
+  // (tools/make_ccnet.py: 92 paragraph-structured docs over three
+  // stopword-identified languages with per-language score strata — the
+  // sf documents are single-line and predict ONE language, so over them
+  // the per-language cut degenerates to the global one and the
+  // paragraph splitter never fires)
+
+  private[queries] val CcnetFixture =
+    s"${AnnQueries.FixturesDir}/ccnet_docs.parquet"
+  private val CcnetFixtureSql = s"read_parquet('$CcnetFixture')"
+  private val CLVocabCap = 150
+  private val CLBigramCap = 300
+  private val CLLambda = 0.8
+  private val CLSampleCapPerLang = 20
+
+  /** Full script-then-stopword language CASE over columns `text` and
+    * `t` — the text_langid_script decision chain as a reusable
+    * fragment, generated from the SAME ScriptRanges + LangProfiles. */
+  private[queries] def langScriptCaseSql: String = {
+    val whens = ScriptRanges.map { case (code, cls) =>
+      s"WHEN len(regexp_extract_all(text, '$cls')) > 0 THEN '$code'"
+    }.mkString(" ")
+    s"CASE $whens ELSE $langCaseSql END"
+  }
+
+  /** Shared per-language tercile tail: `scoredl(doc_id, lang, n_tokens,
+    * avg_logprob)` -> per-language md5 sample (cap applies to EACH
+    * language), per-language rank thresholds, CASE per (lang, score). */
+  private def perLangBucketSql(cap: Int): String =
+    s"""samp AS (
+       |  SELECT lang, doc_id, avg_logprob,
+       |    row_number() OVER (PARTITION BY lang ORDER BY
+       |      ('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |        % 1000000, doc_id) AS sr
+       |  FROM scoredl),
+       |ranked AS (
+       |  SELECT lang, avg_logprob AS sc,
+       |    row_number() OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS m
+       |  FROM samp WHERE sr <= $cap),
+       |thr AS (
+       |  SELECT lang,
+       |    max(CASE WHEN rn = floor((m + 2) / 3)::BIGINT THEN sc END) AS t1,
+       |    max(CASE WHEN rn = floor((2 * m + 2) / 3)::BIGINT THEN sc END) AS t2
+       |  FROM ranked GROUP BY lang)""".stripMargin
+
+  /** Paragraph-level corpus dedup (CCNet §4.2) over the fixture: the
+    * \\n{2,} split contract, trim-normalized paragraph identity, the
+    * distinct-doc frequency cut, in-order reassembly with the canonical
+    * separator — all replayed in SQL (clean_md5 gates the bytes). */
+  private val removeParagraphs: QueryFn = (s, _) =>
+    graft.operators.TrainingData.removeCommonParagraphs(
+        s.read.parquet(CcnetFixture), col("doc_id"), col("text"),
+        minDocFreq = 2)
+      .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  /** CTE chain of the paragraph dedup, ending in `clean(doc_id, n_kept,
+    * n_removed, clean_text)` — consumed by pipeline_remove_paragraphs
+    * and composed into the e2e row. */
+  private val paragraphChainSql: String = {
+    val hashT = DedupQueries.hashSql(0, "t")
+    s"""d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\n{2,}') AS gs
+       |  FROM $CcnetFixtureSql),
+       |occ AS (
+       |  SELECT doc_id, p, para,
+       |    CASE WHEN t = '' THEN NULL ELSE $hashT END AS h
+       |  FROM (SELECT doc_id, i - 1 AS p, para,
+       |          regexp_replace(para, '^$wsClassSql+|$wsClassSql+$$', '', 'g') AS t
+       |        FROM (SELECT doc_id, gs[i] AS para, i
+       |              FROM d, unnest(range(1, len(gs) + 1)) AS u(i)))),
+       |common AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ WHERE h IS NOT NULL)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(para, chr(10) || chr(10) ORDER BY p) AS clean_text
+       |  FROM occ ANTI JOIN common USING (h) GROUP BY doc_id),
+       |clean AS (
+       |  SELECT d.doc_id, coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+       |    (len(d.gs) - coalesce(kept.n_kept, 0))::BIGINT AS n_removed,
+       |    coalesce(kept.clean_text, '') AS clean_text
+       |  FROM d LEFT JOIN kept USING (doc_id))""".stripMargin
+  }
+
+  private val removeParagraphsSql: String =
+    s"""WITH $paragraphChainSql
+       |SELECT doc_id, n_kept, n_removed, md5(clean_text) AS clean_md5
+       |FROM clean ORDER BY doc_id""".stripMargin
+
+  /** PER-LANGUAGE CCNet bucketing (Wenzek et al. 2020 §4.3's faithful
+    * form) over the RAW fixture: language from the script-then-stopword
+    * chain, tercile thresholds cut per language from per-language
+    * capped samples (the cap of 20 binds — each language has 30 docs).
+    * The oracle replays langid, the LM retrain, the per-language
+    * sample ranks, the per-language thresholds, and the CASE.
+    * TrainingDataSpec pins that these buckets genuinely DISAGREE with
+    * the corpus-global cut on this fixture (the paper's point: global
+    * cuts shunt low-resource languages into 'tail' wholesale). */
+  private val ccnetBucketsLang: QueryFn = (s, _) => {
+    val t = col("text")
+    graft.operators.TrainingData.perplexityBucketsByLang(
+        s.read.parquet(CcnetFixture), col("doc_id"), t,
+        predictedLangScript(t, tokens(t)),
+        vocabCap = CLVocabCap, bigramCap = CLBigramCap, lambda = CLLambda,
+        sampleCapPerLang = CLSampleCapPerLang)
+      .select(col("id").as("doc_id"), col("lang"), col("n_tokens"),
+        col("avg_logprob"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ccnetBucketsLangSql: String =
+    s"""WITH ${lmBigramChainSqlOf(CcnetFixtureSql, CLVocabCap, CLBigramCap,
+          CLLambda)},
+       |dl AS (SELECT doc_id, $langScriptCaseSql AS lang
+       |       FROM (SELECT doc_id, text, $tokSql AS t FROM $CcnetFixtureSql)),
+       |scoredl AS (SELECT s.doc_id, dl.lang, s.n_tokens, s.avg_logprob
+       |            FROM scored s JOIN dl USING (doc_id)),
+       |${perLangBucketSql(CLSampleCapPerLang)}
+       |SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob,
+       |  CASE WHEN s.avg_logprob <= t.t1 THEN 'tail'
+       |       WHEN s.avg_logprob <= t.t2 THEN 'middle'
+       |       ELSE 'head' END AS ppl_bucket
+       |FROM scoredl s JOIN thr t USING (lang)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The CCNet pipeline END-TO-END (dedup -> langid -> per-language
+    * perplexity buckets, §4.2 then §4.3): paragraph dedup feeds the LM
+    * — boilerplate paragraphs must stop contributing corpus-typical
+    * mass BEFORE scoring — and language is identified on the CLEANED
+    * text. The oracle composes the full paragraph chain with the LM
+    * chain re-instantiated over the cleaned relation. */
+  private val ccnetE2e: QueryFn = (s, _) =>
+    graft.operators.TrainingData.ccnetPipeline(
+        s.read.parquet(CcnetFixture), col("doc_id"), col("text"),
+        minDocFreq = 2,
+        vocabCap = CLVocabCap, bigramCap = CLBigramCap, lambda = CLLambda,
+        sampleCapPerLang = CLSampleCapPerLang)
+      .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+        col("lang"), col("n_tokens"), col("avg_logprob"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+
+  private val ccnetE2eSql: String = {
+    val cleanSrc = "(SELECT doc_id, clean_text AS text FROM clean)"
+    s"""WITH $paragraphChainSql,
+       |${lmBigramChainSqlOf(cleanSrc, CLVocabCap, CLBigramCap, CLLambda)},
+       |dl AS (SELECT doc_id, $langScriptCaseSql AS lang
+       |       FROM (SELECT doc_id, text, $tokSql AS t FROM $cleanSrc)),
+       |scoredl AS (SELECT s.doc_id, dl.lang, s.n_tokens, s.avg_logprob
+       |            FROM scored s JOIN dl USING (doc_id)),
+       |${perLangBucketSql(CLSampleCapPerLang)}
+       |SELECT s.doc_id, c.n_kept, c.n_removed, s.lang, s.n_tokens,
+       |  s.avg_logprob,
+       |  CASE WHEN s.avg_logprob <= t.t1 THEN 'tail'
+       |       WHEN s.avg_logprob <= t.t2 THEN 'middle'
+       |       ELSE 'head' END AS ppl_bucket
+       |FROM scoredl s JOIN thr t USING (lang) JOIN clean c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** C4-style boilerplate fraction over trigrams at doc-freq >= 5 (151
     * of 16k distinct trigrams clear it at sf0.01 — a real common set).
@@ -747,6 +917,9 @@ object TextQueries {
     Q("text_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("text_lm_bigram", lmBigram, Some(lmBigramSql)),
     Q("pipeline_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
+    Q("pipeline_remove_paragraphs", removeParagraphs, Some(removeParagraphsSql)),
+    Q("pipeline_ccnet_buckets_lang", ccnetBucketsLang, Some(ccnetBucketsLangSql)),
+    Q("pipeline_ccnet_e2e", ccnetE2e, Some(ccnetE2eSql)),
     Q("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
     Q("text_boilerplate", boilerplate, Some(boilerplateSql)),
     Q("text_bm25_topk", bm25, Some(bm25Sql)),

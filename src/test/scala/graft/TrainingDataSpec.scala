@@ -826,6 +826,144 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("removeCommonParagraphs: corpus-duplicated paragraphs drop, " +
+    "unique survive in order, blank paragraphs are exempt, a 3-newline " +
+    "separator normalizes to the canonical one, full-boilerplate docs " +
+    "become empty husks") {
+    val boiler = "subscribe to the newsletter"
+    val docs = Seq(
+      (1L, s"unique one alpha\n\n$boiler\n\nunique one beta"),
+      (2L, s"$boiler\n\n\nunique two gamma"),   // \n\n\n separator
+      (3L, "unique three delta\n\nunique three epsilon"),
+      (4L, s"  $boiler \n\nunique four zeta"),  // trim-identical copy
+      (5L, boiler),                             // every paragraph common
+    ).toDF("id", "text")
+    val got = TrainingData.removeCommonParagraphs(docs, col("id"),
+        col("text"), minDocFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((2L, 1L, "unique one alpha\n\nunique one beta")))
+    assert(got(2L) == ((1L, 1L, "unique two gamma")))
+    assert(got(3L) == ((2L, 0L, "unique three delta\n\nunique three epsilon")))
+    assert(got(4L) == ((1L, 1L, "unique four zeta")))
+    assert(got(5L) == ((0L, 1L, "")))
+    intercept[IllegalArgumentException] {
+      TrainingData.removeCommonParagraphs(docs, col("id"), col("text"),
+        minDocFreq = 1)
+    }
+  }
+
+  test("removeCommonParagraphs: a paragraph containing single newlines " +
+    "is ONE unit (lines inside it are not dedup candidates), and a " +
+    "whitespace-only paragraph never counts as common") {
+    val docs = Seq(
+      (1L, "line a\nline b\n\nline a\nline b"), // same 2-line para twice...
+      (2L, "line a\nother"),                    // ...but doc 2 shares only a LINE
+      (3L, "   \n\npayload"),              // blank para (NBSP+spaces)
+      (4L, "\t\n\npayload two"),                // blank para again
+    ).toDF("id", "text")
+    val got = TrainingData.removeCommonParagraphs(docs, col("id"),
+        col("text"), minDocFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    // doc 1 repeats its paragraph WITHIN one doc: doc-frequency is 1,
+    // nothing drops (corpus dedup counts distinct documents)
+    assert(got(1L) == ((2L, "line a\nline b\n\nline a\nline b")))
+    assert(got(2L) == ((1L, "line a\nother")))
+    // the two blank paragraphs are trim-identical across docs 3 and 4
+    // but exempt: both docs keep both paragraphs
+    assert(got(3L) == ((2L, "   \n\npayload")))
+    assert(got(4L) == ((2L, "\t\n\npayload two")))
+  }
+
+  test("perplexityBucketsByLang: terciles are contiguous WITHIN each " +
+    "language, deterministic across runs, and a language scoring " +
+    "uniformly low still splits into its own head/middle/tail where " +
+    "the global cut would call all of it tail") {
+    // lang A: corpus-typical phrases plus i doc-unique tokens (scores
+    // high, strictly decreasing in i); lang B: almost all doc-unique
+    // tokens (scores uniformly FAR below every A doc, still varying) —
+    // continuous within-language variance, so terciles are never
+    // degenerate on ties
+    def uniq(p: String, i: Long, k: Int) =
+      (1 to k).map(j => s"$p${i}x$j").mkString(" ")
+    val docs = ((1L to 24L).map(i =>
+        (i, "the quick brown fox jumps " * 3 + uniq("a", i, i.toInt))) ++
+      (25L to 48L).map(i => (i, "lb " + uniq("b", i, i.toInt - 4))))
+      .toDF("id", "text")
+    val lang = when(col("id") <= 24L, lit("A")).otherwise(lit("B"))
+    def runLang() = TrainingData.perplexityBucketsByLang(docs, col("id"),
+        col("text"), lang, vocabCap = 100, bigramCap = 100, lambda = 0.7,
+        sampleCapPerLang = 20)
+      .select("id", "lang", "avg_logprob", "ppl_bucket")
+      .as[(Long, String, Double, String)].collect().toSeq
+    val got = runLang()
+    assert(got.size == 48)
+    assert(got.map(_._2).toSet == Set("A", "B"))
+    Seq("A", "B").foreach { l =>
+      val in = got.filter(_._2 == l)
+      assert(in.map(_._4).toSet == Set("head", "middle", "tail"), l)
+      val byBucket = in.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(byBucket("tail").max <= byBucket("middle").min, l)
+      assert(byBucket("middle").max <= byBucket("head").min, l)
+    }
+    assert(runLang() == got) // md5-pure sample + thresholds
+    // the GLOBAL cut on the same corpus can never call a B doc 'head'
+    // (every B score sits below every A score, and the global t2 rank
+    // lands inside A's range) — yet B has per-language heads above:
+    // the disagreement perplexityBucketsByLang exists to fix
+    val global = TrainingData.perplexityBuckets(docs, col("id"), col("text"),
+        vocabCap = 100, bigramCap = 100, lambda = 0.7, sampleCap = 40)
+      .select("id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert((25L to 48L).forall(i => global(i) != "head"))
+    val bHeads = got.filter(r => r._2 == "B" && r._4 == "head").map(_._1)
+    assert(bHeads.nonEmpty && bHeads.forall(i => global(i) != "head"))
+  }
+
+  test("ccnet fixture: the three languages are predicted exactly, the " +
+    "global cut shunts ALL fr docs into tail, and the per-language cut " +
+    "splits every language into all three buckets (the Wenzek §4.3 " +
+    "disagreement pipeline_ccnet_buckets_lang gates)") {
+    val docs = spark.read.parquet("fixtures/ccnet_docs.parquet")
+      .where(col("doc_id") < 90) // the husk/single-paragraph tail docs
+    val t = col("text")
+    val langEx = graft.operators.TextAnalysis
+      .predictedLangScript(t, graft.operators.TextAnalysis.tokens(t))
+    val perLang = TrainingData.perplexityBucketsByLang(docs, col("doc_id"),
+        t, langEx, vocabCap = 150, bigramCap = 300, lambda = 0.8,
+        sampleCapPerLang = 20)
+      .select("id", "lang", "ppl_bucket")
+      .as[(Long, String, String)].collect().toSeq
+    assert(perLang.size == 90)
+    val byLang = perLang.groupBy(_._2)
+    assert(byLang.keySet == Set("en", "de", "fr"))
+    assert(byLang.forall(_._2.size == 30))
+    byLang.foreach { case (l, rows) =>
+      assert(rows.map(_._3).toSet == Set("head", "middle", "tail"), l)
+    }
+    val global = TrainingData.perplexityBuckets(docs, col("doc_id"), t,
+        vocabCap = 150, bigramCap = 300, lambda = 0.8, sampleCap = 60)
+      .select("id", "ppl_bucket").as[(Long, String)].collect().toMap
+    val frIds = perLang.filter(_._2 == "fr").map(_._1)
+    assert(frIds.forall(i => global(i) == "tail"))
+  }
+
+  test("ccnetPipeline: dedup feeds scoring — a doc whose boilerplate " +
+    "was its only corpus-typical mass scores LOWER after dedup, and " +
+    "the empty husk survives end-to-end via the one-empty-token path") {
+    val docs = spark.read.parquet("fixtures/ccnet_docs.parquet")
+    val got = TrainingData.ccnetPipeline(docs, col("doc_id"), col("text"),
+        minDocFreq = 2, vocabCap = 150, bigramCap = 300, lambda = 0.8,
+        sampleCapPerLang = 20)
+      .select("id", "n_kept", "n_removed", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.size == 92)         // every doc survives, husk included
+    assert(got(90L) == ((0L, 2L, 1L))) // all-boilerplate doc: 1 empty token
+    assert(got(91L)._2 == 0L)      // single unique paragraph: untouched
+    assert(got.values.map(_._2).sum > 0L) // the dedup genuinely fired
+  }
+
   test("repetitionStats: degenerate, clean, and too-short docs") {
     val docs = Seq(
       (1L, "a a a a"),          // bigrams: 3x "a a" -> top 1.0, dup 2/3
