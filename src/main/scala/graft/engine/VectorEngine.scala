@@ -2018,7 +2018,14 @@ final class VectorEngine private (val spark: SparkSession,
     * [[graft.operators.TextChunker.chunk]]), chunks pass the QUALITY
     * gate (TextAnalysis.qualityScore >= `qualityMin`) and the
     * REPETITION gate (bigram dup_ngram_frac <= `maxDupNgramFrac`;
-    * chunks too short to have bigrams pass), optionally a DSIR
+    * chunks too short to have bigrams pass), optionally a TRAINED
+    * CLASSIFIER gate (when `classifierModel` is set: chunks whose
+    * [[graft.operators.QualityClassifier.score]] probability under the
+    * pre-trained two-class model — built with the SAME
+    * `classifierBuckets` — falls below `classifierMinProb` are
+    * dropped; the GPT-3-recipe "looks like the curated corpus"
+    * filter, thresholded rather than Pareto-drawn so ingest is
+    * replayable), optionally a DSIR
     * target-distribution SELECTION (when `dsirModel` is set: chunks
     * whose importance log-weight under the pre-trained (bucket, lam)
     * model — [[graft.operators.ImportanceSampling.bucketModel]], built
@@ -2062,11 +2069,19 @@ final class VectorEngine private (val spark: SparkSession,
                       dsirModel: Option[DataFrame] = None,
                       dsirBuckets: Int =
                         graft.operators.ImportanceSampling.DefaultBuckets,
-                      dsirMinLogweight: Double = 0.0): VectorEngine.CurationReport = {
+                      dsirMinLogweight: Double = 0.0,
+                      classifierModel: Option[DataFrame] = None,
+                      classifierBuckets: Int =
+                        graft.operators.ImportanceSampling.DefaultBuckets,
+                      classifierMinProb: Double = 0.0): VectorEngine.CurationReport = {
     validateCurationParams(libraryId, qualityMin, maxDupNgramFrac, n,
       threshold)
     if (dsirModel.isDefined && dsirBuckets <= 0)
       throw ValidationError("dsirBuckets must be positive")
+    if (classifierModel.isDefined && classifierBuckets <= 0)
+      throw ValidationError("classifierBuckets must be positive")
+    if (classifierMinProb < 0.0 || classifierMinProb > 1.0)
+      throw ValidationError("classifierMinProb must be in [0, 1]")
     // single-document contract: the whole batch lands under the
     // caller's document, which must exist in this library
     val doc = getDocument(documentId)
@@ -2075,7 +2090,8 @@ final class VectorEngine private (val spark: SparkSession,
         s"document $documentId belongs to library ${doc.library_id}, not $libraryId")
     curateIngestCore(libraryId, docs, docId, text, lit(documentId), embed,
       benchmark, benchText, maxTokens, overlap, qualityMin, maxDupNgramFrac,
-      n, threshold, dsirModel, dsirBuckets, dsirMinLogweight)
+      n, threshold, dsirModel, dsirBuckets, dsirMinLogweight,
+      classifierModel, classifierBuckets, classifierMinProb)
   }
 
   /** The shared curation core: `chunkDocumentId` is evaluated over the
@@ -2096,7 +2112,11 @@ final class VectorEngine private (val spark: SparkSession,
                       dsirModel: Option[DataFrame] = None,
                       dsirBuckets: Int =
                         graft.operators.ImportanceSampling.DefaultBuckets,
-                      dsirMinLogweight: Double = 0.0): VectorEngine.CurationReport = {
+                      dsirMinLogweight: Double = 0.0,
+                      classifierModel: Option[DataFrame] = None,
+                      classifierBuckets: Int =
+                        graft.operators.ImportanceSampling.DefaultBuckets,
+                      classifierMinProb: Double = 0.0): VectorEngine.CurationReport = {
     val chunked = graft.operators.TextChunker
       .chunk(docs, docId, text, maxTokens, overlap)
       .select(
@@ -2114,20 +2134,39 @@ final class VectorEngine private (val spark: SparkSession,
       qualityMin, maxDupNgramFrac)
     val kept = if (gated eq chunked) chunked else gated.localCheckpoint()
     val nQuality = if (gated eq chunked) nChunks else kept.count()
-    // OPTIONAL DSIR target-distribution selection (batch parity with the
-    // streaming path — the SAME scoreWithModel gate
-    // StreamingIngest.ingestDsirGatedBatch applies, so the two cannot
-    // drift); None compiles to the pre-existing plan
-    val selected = dsirModel match {
-      case Some(m) =>
-        val keepIds = graft.operators.ImportanceSampling.scoreWithModel(
-            kept, col("id"), col("text"), m, dsirBuckets)
-          .where(col("logweight") >= dsirMinLogweight)
+    // OPTIONAL trained-classifier selection (the GPT-3-recipe rung:
+    // keep chunks the pre-trained two-class model scores at least
+    // classifierMinProb "looks like the curated corpus" — a
+    // deterministic threshold gate at the facade; the stochastic
+    // Pareto keep stays an operator-level tool, an ingest must be
+    // replayable)
+    val classified = classifierModel match {
+      case Some(cm) =>
+        val keepIds = graft.operators.QualityClassifier.score(
+            kept, col("id"), col("text"), cm, classifierBuckets)
+          .where(col("prob") >= classifierMinProb)
           .select(col("id"))
         kept.join(keepIds, Seq("id")).localCheckpoint()
       case None => kept
     }
-    val nSelected = if (dsirModel.isEmpty) nQuality else selected.count()
+    // OPTIONAL DSIR target-distribution selection (batch parity with the
+    // streaming path — the SAME scoreWithModel gate
+    // StreamingIngest.ingestDsirGatedBatch applies, so the two cannot
+    // drift); None compiles to the pre-existing plan. The report's
+    // n_after_dsir field counts survivors of BOTH optional selection
+    // gates (classifier, then DSIR).
+    val selected = dsirModel match {
+      case Some(m) =>
+        val keepIds = graft.operators.ImportanceSampling.scoreWithModel(
+            classified, col("id"), col("text"), m, dsirBuckets)
+          .where(col("logweight") >= dsirMinLogweight)
+          .select(col("id"))
+        classified.join(keepIds, Seq("id")).localCheckpoint()
+      case None => classified
+    }
+    val nSelected =
+      if (dsirModel.isEmpty && classifierModel.isEmpty) nQuality
+      else selected.count()
     val benchGrams = TrainingData.benchmarkShingles(benchmark, benchText, n)
       .localCheckpoint() // eval sets are MBs; shingled once per call
     val contaminated = TrainingData.contaminationHitsAgainst(

@@ -43,8 +43,9 @@ object ImportanceSampling {
     * shingle set) and bigrams come from the duplicate-preserving
     * [[TrainingData.ngrams]] kernel. A token never contains whitespace,
     * so a unigram can never collide with a bigram string. */
-  private def featureBuckets(df: DataFrame, id: Column, text: Column,
-                             buckets: Int): DataFrame =
+  private[operators] def featureBuckets(df: DataFrame, id: Column,
+                                        text: Column,
+                                        buckets: Int): DataFrame =
     df.select(id.as("id"),
         explode(concat(TextAnalysis.tokens(text),
           TrainingData.ngrams(text, 2))).as("gram"))

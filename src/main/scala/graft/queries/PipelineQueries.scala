@@ -799,9 +799,85 @@ object PipelineQueries {
        |  SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT $DsirK)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------- trained two-class quality classifier ----------------
+
+  /** GPT-3-recipe quality classifier (Brown et al. 2020 Appendix A /
+    * the LLaMA Wikipedia-reference variant): positive class = the
+    * de-language exemplar docs (the same "looks like this" frame the
+    * DSIR gate uses), negative class = the en-language docs standing in
+    * for raw crawl; EVERY document is scored (class-prior log-odds +
+    * bucket-ordered NB log-likelihood-ratio fold, sigmoid on the
+    * rounded score) and the published Pareto(9) stochastic keep is
+    * replayed. The oracle retrains BOTH class models in SQL, including
+    * the smoothing, the prior, the fold order, the rounded logistic,
+    * and the md5-derived Pareto draw. */
+  private val QcAlpha = graft.operators.QualityClassifier.DefaultAlpha
+
+  private val qualityClassifier: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val model = graft.operators.QualityClassifier.trainModel(
+      docs.where(col("lang") === "de"), docs.where(col("lang") === "en"),
+      col("doc_id"), col("text"), DsirBuckets)
+    graft.operators.QualityClassifier.score(docs, col("doc_id"),
+        col("text"), model, DsirBuckets)
+      .withColumn("keep",
+        graft.operators.QualityClassifier.paretoKeep(col("id"), col("prob"),
+          QcAlpha).cast("long"))
+      .select(col("id").as("doc_id"), col("n_feats"), col("llr"),
+        col("prob"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityClassifierSql: String = {
+    val seed = ImportanceSampling.FeatureHashSeed
+    val inv = (-1.0d / QcAlpha).toString // printed double, the muSql rule
+    s"""WITH tok AS (SELECT doc_id, lang, ${TextQueries.tokSql} AS t FROM documents),
+       |feat AS (SELECT doc_id, lang,
+       |    unnest(t || CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |      ELSE []::VARCHAR[] END) AS gram
+       |  FROM tok),
+       |fb AS (SELECT doc_id, lang,
+       |    ${DedupQueries.hashSql(seed, "gram")} % $DsirBuckets AS bucket
+       |  FROM feat),
+       |pcnt AS (SELECT bucket, count(*) AS pc FROM fb WHERE lang = 'de' GROUP BY 1),
+       |ncnt AS (SELECT bucket, count(*) AS nc FROM fb WHERE lang = 'en' GROUP BY 1),
+       |bk AS (SELECT unnest(range($DsirBuckets)) AS bucket),
+       |m AS (SELECT bk.bucket, coalesce(pc, 0) AS pc, coalesce(nc, 0) AS nc
+       |      FROM bk LEFT JOIN pcnt USING (bucket) LEFT JOIN ncnt USING (bucket)),
+       |tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM m),
+       |w AS (SELECT bucket,
+       |    ln((pc + 1)::DOUBLE / (pt + $DsirBuckets)) -
+       |    ln((nc + 1)::DOUBLE / (nt + $DsirBuckets)) AS w
+       |  FROM m, tot),
+       |pri AS (SELECT ln(
+       |    (SELECT count(*) FROM documents WHERE lang = 'de')::DOUBLE /
+       |    (SELECT count(*) FROM documents WHERE lang = 'en')) AS lprior),
+       |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb GROUP BY 1, 2),
+       |ctb AS (SELECT db.doc_id, db.bucket, db.cnt, db.cnt * w.w AS contrib
+       |        FROM db JOIN w USING (bucket)),
+       |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_feats,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list(contrib ORDER BY bucket)), (a, b) -> a + b) AS s
+       |       FROM ctb GROUP BY 1),
+       |sc AS (SELECT d.doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
+       |        round((SELECT lprior FROM pri) + coalesce(s, 0.0), 6) + 0 AS llr
+       |      FROM documents d LEFT JOIN agg USING (doc_id)),
+       |o AS (SELECT doc_id, n_feats, llr,
+       |        round(1.0 / (1.0 + exp(-llr)), 6) + 0 AS prob
+       |      FROM sc)
+       |SELECT doc_id, n_feats, llr, prob,
+       |  (CASE WHEN round(pow(
+       |      (('0x' || substr(md5('qc:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |        % 1073741824 + 0.5) / 1073741824.0, $inv) - 1.0, 6) + 0
+       |      > 1.0 - prob THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pipeline_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     Q("pipeline_dsir_sample", dsirSample, Some(dsirSampleSql)),
+    Q("text_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("pipeline_datasheet", datasheet, Some(datasheetSql)),
     Q("pipeline_training_set", trainingSet, Some(trainingSetSql)),
     Q("lifecycle_decontaminate", lifecycleDecontaminate,

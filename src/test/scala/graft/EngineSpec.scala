@@ -1452,6 +1452,54 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("curateAndIngest with a trained quality-classifier model: chunks " +
+    "below classifierMinProb drop (reported through the selection count), " +
+    "the gate composes BEFORE the DSIR gate, and validations fire") {
+    import org.apache.spark.sql.functions.{array, col, lit, pmod, xxhash64}
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("qcur", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val doc = e.createDocument(lib.id, "crawl")
+    val B = 16
+    val docs = Seq(
+      (1L, "theorem proof lemma axiom"),  // reference-like -> kept
+      (2L, "click buy free offer"),       // crawl-like -> dropped
+      (3L, "theorem proof axiom lemma")).toDF("id", "text")
+    val pos = Seq((10L, "theorem proof lemma axiom corollary"))
+      .toDF("doc_id", "text")
+    val neg = Seq((20L, "click buy free offer subscribe now"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.QualityClassifier.trainModel(pos, neg,
+      col("doc_id"), col("text"), B).localCheckpoint()
+    val bench = Seq("held out eval fourgram").toDF("text")
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*))
+    val r = e.curateAndIngest(lib.id, doc.id, docs, col("id"), col("text"),
+      embed, bench, col("text"), maxTokens = 4, overlap = 0, n = 4,
+      threshold = 0.0, classifierModel = Some(model), classifierBuckets = B,
+      classifierMinProb = 0.5)
+    assert(r.n_chunks == 3L, r)
+    assert(r.n_after_quality == 3L, r)
+    assert(r.n_after_dsir == 2L, r) // the crawl-like chunk drops here
+    assert(r.n_ingested == 2L, r)
+    val stored = e.chunksDf.where(col("library_id") === lib.id)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(stored == Set("1-c0", "3-c0"))
+    intercept[ValidationError] {
+      e.curateAndIngest(lib.id, doc.id, docs, col("id"), col("text"),
+        embed, bench, col("text"), classifierModel = Some(model),
+        classifierBuckets = 0)
+    }
+    intercept[ValidationError] {
+      e.curateAndIngest(lib.id, doc.id, docs, col("id"), col("text"),
+        embed, bench, col("text"), classifierModel = Some(model),
+        classifierBuckets = B, classifierMinProb = 1.5)
+    }
+  }
+
   test("DSIR gate batch ≡ streaming parity: curateAndIngest(dsirModel) " +
     "and ingestDsirGatedBatch deliver the IDENTICAL surviving chunk set " +
     "for the same chunks, model, buckets, and minLogweight") {
