@@ -736,16 +736,28 @@ object EngineQueries {
   private val curatedEngines = scala.collection.mutable.HashMap[
     String, (SparkSession, VectorEngine)]()
 
-  private val curateIngest: QueryFn = (s, dir) => {
-    val eng = curatedEngines.synchronized {
-      curatedEngines.get(dir) match {
+  /** Shared lookup for the per-dir engine caches: a hit requires the
+    * SAME owning session; any miss first EVICTS every entry owned by a
+    * different session — an engine is session-bound, so entries of a
+    * replaced session (and their ingested state) are unusable and would
+    * otherwise accumulate for the process lifetime, across ALL dirs,
+    * not just the one being rebuilt. */
+  private def cachedEngine(
+      cache: scala.collection.mutable.HashMap[String, (SparkSession, VectorEngine)],
+      s: SparkSession, dir: String)(build: => VectorEngine): VectorEngine =
+    cache.synchronized {
+      cache.get(dir) match {
         case Some((owner, e)) if owner eq s => e
         case _ =>
-          val e = buildCuratedEngine(s, dir)
-          curatedEngines(dir) = (s, e)
+          cache.filterInPlace { case (_, (owner, _)) => owner eq s }
+          val e = build
+          cache(dir) = (s, e)
           e
       }
     }
+
+  private val curateIngest: QueryFn = (s, dir) => {
+    val eng = cachedEngine(curatedEngines, s, dir)(buildCuratedEngine(s, dir))
     eng.chunksDf.where(col("library_id") === "curlib")
       .select(col("id").as("chunk_id"), col("chunk_index"), col("text"))
       .orderBy(col("chunk_id"))
@@ -791,15 +803,7 @@ object EngineQueries {
     String, (SparkSession, VectorEngine)]()
 
   private val dsirIngest: QueryFn = (s, dir) => {
-    val eng = dsirEngines.synchronized {
-      dsirEngines.get(dir) match {
-        case Some((owner, e)) if owner eq s => e
-        case _ =>
-          val e = buildDsirEngine(s, dir)
-          dsirEngines(dir) = (s, e)
-          e
-      }
-    }
+    val eng = cachedEngine(dsirEngines, s, dir)(buildDsirEngine(s, dir))
     eng.chunksDf.where(col("library_id") === "dsirlib")
       .select(col("id").as("chunk_id"), col("chunk_index"), col("text"))
       .orderBy(col("chunk_id"))

@@ -14,22 +14,26 @@ import org.json4s.jackson.JsonMethods
   * or re-written prose with stale numbers — fails here instead of
   * waiting for a judge to cross-read the two files.
   *
-  * The quotes pin the COMMITTED record, so when the working-tree
-  * BENCH.json differs from HEAD's (the round driver re-runs the bench
-  * AFTER the final commit, clobbering the file in the checkout), the
-  * spec compares against `git show HEAD:BENCH.json` instead — the
-  * working-tree copy is then a transient measurement, not the record
-  * the prose quotes. Outside a git repo (or with no committed copy) it
-  * falls back to the file. */
+  * A quote is accepted when it matches EITHER the working-tree
+  * BENCH.json OR the record committed at HEAD (`git show
+  * HEAD:BENCH.json`), and the spec reports which one vouched. Two
+  * records exist legitimately in two windows: the round driver re-runs
+  * the bench AFTER the final commit (clobbering the checkout with a
+  * transient measurement the prose never quoted — HEAD vouches), and a
+  * coordinated BENCH.json + prose update is staged BEFORE its commit
+  * (the working tree vouches; an inferred either/or beats the previous
+  * drift-inferred fallback, which went vacuous at exactly the commit
+  * that introduced drift and false-failed the legitimate update).
+  * Prose stale against BOTH records still fails. Outside a git repo it
+  * checks the file alone. */
 class ScalingQuoteSpec extends AnyFunSuite {
 
   private def read(p: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
       java.nio.charset.StandardCharsets.UTF_8)
 
-  /** BENCH.json as committed at HEAD when the working tree drifted from
-    * it; the working-tree bytes otherwise (also the no-git fallback). */
-  private def benchJson(): String = {
+  /** The candidate records a quote may pin: (label, bytes). */
+  private def benchJsons(): Seq[(String, String)] = {
     val wt = read("BENCH.json")
     val head =
       try {
@@ -41,11 +45,8 @@ class ScalingQuoteSpec extends AnyFunSuite {
         if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
       } catch { case _: Exception => None }
     head match {
-      case Some(h) if h != wt =>
-        info("working-tree BENCH.json differs from HEAD (driver bench " +
-          "clobber) — checking quotes against the committed record")
-        h
-      case _ => wt
+      case Some(h) if h != wt => Seq("working-tree" -> wt, "HEAD" -> h)
+      case _ => Seq("working-tree" -> wt)
     }
   }
 
@@ -63,28 +64,36 @@ class ScalingQuoteSpec extends AnyFunSuite {
     }
 
   test("every `name=ratio` / `name@100x=ratio` quote in SCALING.md " +
-    "matches the committed BENCH.json stress record") {
+    "matches the working-tree OR the HEAD-committed BENCH.json record") {
     val scaling = read("SCALING.md")
-    val bench = JsonMethods.parse(benchJson())
-    val stress10 = tier(bench, "stress")
-    val stress100 = tier(bench, "stress_100")
+    val records = benchJsons().map { case (label, bytes) =>
+      val b = JsonMethods.parse(bytes)
+      (label, tier(b, "stress"), tier(b, "stress_100"))
+    }
     val quote = """`([a-z_0-9]+)(@100x)?=([0-9][0-9.]*)`""".r
     val quotes = quote.findAllMatchIn(scaling).toSeq
     assert(quotes.nonEmpty,
       "SCALING.md has no machine-checkable `name=ratio` quotes — the " +
         "stress paragraphs must quote the committed record in this format")
+    val vouchers = scala.collection.mutable.Set[String]()
     quotes.foreach { m =>
       val (name, is100, quoted) = (m.group(1), m.group(2) != null,
         m.group(3).toDouble)
-      val t = if (is100) stress100 else stress10
       val label = if (is100) s"$name@100x" else name
-      assert(t.contains(name),
-        s"SCALING.md quotes `$label` but BENCH.json's " +
-          s"${if (is100) "stress_100" else "stress"} tier has no '$name'")
-      assert(math.abs(t(name) - quoted) < 1e-9,
-        s"SCALING.md quotes `$label=$quoted` but the committed " +
-          s"BENCH.json record says ${t(name)} — requote from the record")
+      val readings = records.map { case (src, s10, s100) =>
+        src -> (if (is100) s100 else s10).get(name)
+      }
+      val matched = readings.collectFirst {
+        case (src, Some(r)) if math.abs(r - quoted) < 1e-9 => src
+      }
+      assert(matched.isDefined,
+        s"SCALING.md quotes `$label=$quoted` but " + readings.map {
+          case (src, Some(r)) => s"the $src record says $r"
+          case (src, None)    => s"the $src record has no '$name'"
+        }.mkString("; ") + " — requote from the record")
+      vouchers += matched.get
     }
+    info(s"quotes vouched by: ${vouchers.toSeq.sorted.mkString(", ")}")
     // both tiers must be quoted at least once, so a silently-dropped
     // paragraph can't dodge the check
     assert(quotes.exists(_.group(2) == null), "no 10x-tier quotes found")

@@ -112,4 +112,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r._5 == 0.857143) // 6 of 7 tokens have a letter ("-" does not)
     assert(r._6 == 1L)       // only "the"
   }
+
+  test("gopherQualityFlags: empty and whitespace-only documents yield " +
+    "finite zero ratios and a clean fail — never nulls (the panel " +
+    "divides by size(tokens) and size(lines); the pinned tokenizer's " +
+    "''->[''] single-token contract is what keeps those denominators " +
+    ">= 1, and THIS case is the guard against a tokenizer change " +
+    "silently breaking it)") {
+    val docs = Seq((1L, ""), (2L, "   \t  "), (3L, " \n \n ")).toDF("id", "text")
+    val rows = gopherQualityFlags(docs, col("id"), col("text"))
+      .select("id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stopwords", "passes")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long, Long)]
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // "" -> [""] (one empty token); inner non-space whitespace
+      // survives the ASCII-space trim and splits to empty EDGE tokens —
+      // either way the denominator is >= 1, never 0
+      assert(r._2 >= 1L, r)
+      // every ratio is a real 0.0 — a null would have thrown in the
+      // non-nullable decode above, and passes must be a definite 0
+      assert(r._3 == 0.0 && r._4 == 0.0 && r._5 == 0.0 && r._6 == 0.0, r)
+      assert(r._7 == 0.0 && r._8 == 0L && r._9 == 0L, r)
+    }
+    assert(rows.find(_._1 == 1L).get._2 == 1L) // "" is exactly one token
+  }
 }
