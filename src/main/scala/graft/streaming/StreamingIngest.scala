@@ -245,6 +245,44 @@ object StreamingIngest {
     ingestDedupGatedBatch(engine, libraryId, batch.join(keep, "id"), threshold)
   }
 
+  /** CLASSIFIER-GATED micro-batch ingest — [[ingestDedupGatedBatch]]
+    * with the trained two-class quality gate in front: arriving chunks
+    * whose probability under a PRE-TRAINED
+    * [[graft.operators.QualityClassifier]] model falls below `minProb`
+    * are dropped before the dedup gates run (the streaming shape of the
+    * GPT-3-recipe filter — only "looks like the curated corpus" content
+    * enters as it arrives). `model` is the precomputed
+    * (bucket, w, lprior) frame, fixed for the life of the stream like
+    * the DSIR model and the benchmark shingles. Per-batch cost: one
+    * tokenize+hash pass over the batch plus a broadcast model join —
+    * the corpus is untouched. The SAME score-and-threshold gate
+    * `VectorEngine.curateAndIngest(classifierModel=...)` applies, so
+    * batch and streaming selection cannot drift. */
+  def ingestClassifierGatedBatch(engine: graft.engine.VectorEngine,
+                                 libraryId: String, batch: DataFrame,
+                                 threshold: Double, model: DataFrame,
+                                 buckets: Int, minProb: Double): Long = {
+    val keep = graft.operators.QualityClassifier.score(
+        batch, col("id"), col("text"), model, buckets)
+      .where(col("prob") >= minProb)
+      .select(col("id"))
+    ingestDedupGatedBatch(engine, libraryId, batch.join(keep, "id"), threshold)
+  }
+
+  /** Start the classifier-gated chunk ingest as a stream. */
+  def startClassifierGatedChunkIngest(engine: graft.engine.VectorEngine,
+                                      libraryId: String, stream: DataFrame,
+                                      threshold: Double, model: DataFrame,
+                                      buckets: Int, minProb: Double,
+                                      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestClassifierGatedBatch(engine, libraryId, batch, threshold,
+          model, buckets, minProb); ()
+      }
+      .start()
+
   /** Start the DSIR-gated chunk ingest as a stream. */
   def startDsirGatedChunkIngest(engine: graft.engine.VectorEngine,
                                 libraryId: String, stream: DataFrame,

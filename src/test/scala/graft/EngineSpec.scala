@@ -1551,6 +1551,58 @@ class EngineSpec extends AnyFunSuite {
     assert(s1.nonEmpty && s1.size < 4) // the gate genuinely cut something
   }
 
+  test("classifier gate batch ≡ streaming parity: " +
+    "curateAndIngest(classifierModel) and ingestClassifierGatedBatch " +
+    "deliver the IDENTICAL surviving chunk set for the same chunks, " +
+    "model, buckets, and minProb") {
+    import org.apache.spark.sql.functions.{array, col, concat, lit, pmod, typedLit, xxhash64}
+    import spark.implicits._
+    val B = 16
+    val docs = Seq(
+      (1L, "theorem proof lemma axiom"),
+      (2L, "click buy free offer"),
+      (3L, "theorem axiom proof lemma"),
+      (4L, "offer click theorem buy")).toDF("id", "text")
+    val pos = Seq((10L, "theorem proof lemma axiom corollary"))
+      .toDF("doc_id", "text")
+    val neg = Seq((20L, "click buy free offer subscribe now"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.QualityClassifier.trainModel(pos, neg,
+      col("doc_id"), col("text"), B).localCheckpoint()
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*))
+    // batch facade path
+    val e1 = VectorEngine.create(spark)
+    val lib1 = e1.createLibrary("cpar1", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val doc1 = e1.createDocument(lib1.id, "crawl")
+    e1.curateAndIngest(lib1.id, doc1.id, docs, col("id"), col("text"),
+      embed, docs.where(lit(false)), col("text"), maxTokens = 4,
+      overlap = 0, n = 4, threshold = 0.0, classifierModel = Some(model),
+      classifierBuckets = B, classifierMinProb = 0.5)
+    // streaming gate on the SAME chunk batch (maxTokens=4: 1 chunk/doc)
+    val e2 = VectorEngine.create(spark)
+    val lib2 = e2.createLibrary("cpar2", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val doc2 = e2.createDocument(lib2.id, "crawl")
+    val batch = embed(docs.select(
+        concat(col("id").cast("string"), lit("-c0")).as("id"),
+        lit(doc2.id).as("document_id"), col("text"),
+        lit(0).cast("int").as("chunk_index"))
+      .withColumn("metadata", typedLit(Map.empty[String, String])))
+    graft.streaming.StreamingIngest.ingestClassifierGatedBatch(
+      e2, lib2.id, batch, threshold = 0.0, model, B, minProb = 0.5)
+    def survivors(e: VectorEngine, lib: String) =
+      e.chunksDf.where(col("library_id") === lib)
+        .select("id").as[String].collect().toSet
+    val s1 = survivors(e1, lib1.id)
+    val s2 = survivors(e2, lib2.id)
+    assert(s1 == s2, s"batch=$s1 streaming=$s2")
+    assert(s1.nonEmpty && s1.size < 4) // the gate genuinely cut something
+  }
+
   test("curateAndIngest: chunk -> quality -> repetition -> decontaminate " +
     "-> dedup-gated ingest composes end-to-end, reports per-stage " +
     "counts, and re-running the same batch is a no-op") {
