@@ -369,6 +369,21 @@ object Bench {
           "CONTACT</p></div><h1>Doc "), col("doc_id"),
         lit("</h1><p>"), col("text"),
         lit("</p></body></html>")).as("html"))
+    // paragraph-structured texts: corpus-common nav/footer PARAGRAPHS
+    // (what paragraph dedup cuts) around a per-doc heading and the doc
+    // body; exact-copy inflation duplicates the body paragraphs across
+    // replicas too — the worst-case join-back, like substring_dedup
+    def paraOf(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      concat(lit("HOME | ABOUT | CONTACT\n\nDoc "), col("doc_id"),
+        lit("\n\n"), col("text"), lit("\n\nAll rights reserved")).as("text"))
+    // two-class quality model: an ingest-time artifact (bounded classes,
+    // O(buckets) rows), trained once on the BASE corpus — what scales
+    // is scoring, exactly like the IVF centroids / BPE merges above
+    lazy val qcModel = graft.operators.QualityClassifier.trainModel(
+      docs1.where(col("doc_id") % 7 =!= 0),
+      docs1.where(col("doc_id") % 7 === 0),
+      col("doc_id"), col("text")).localCheckpoint()
     // the label-free near-dup is an all-pairs similarity join under LSH
     // blocking — its cost is quadratic in PER-BUCKET occupancy, so the
     // blocking index is sized to the corpus exactly as a deployment
@@ -583,6 +598,36 @@ object Bench {
             col("text"))
           .select((col("avg_logprob") + col("n_tokens") +
             length(col("ppl_bucket"))).as("x"))
+          .agg(sum(col("x")).as("total"))),
+      // PER-LANGUAGE bucketing under a ZIPFIAN language (half the corpus
+      // is ONE language — English's real shape): the two-phase sample
+      // cut must spread the hot language over every input partition
+      // (phase 1) instead of funneling one reducer; cap 500 binds at
+      // both scales
+      Stress("ccnet_lang", s =>
+        graft.operators.TrainingData.perplexityBucketsByLang(s.docs(),
+            col("doc_id"), col("text"),
+            when(pmod(col("doc_id"), lit(2L)) === 0, lit("en"))
+              .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(5L)))),
+            sampleCapPerLang = 500)
+          .select((col("avg_logprob") + col("n_tokens") +
+            length(col("ppl_bucket")) + length(col("lang"))).as("x"))
+          .agg(sum(col("x")).as("total"))),
+      // paragraph-level corpus dedup: the line-removal shape over larger
+      // units, with every body paragraph corpus-duplicated at the
+      // inflated scale (worst-case join-back + empty-ish reassembly)
+      Stress("paragraph_dedup", s =>
+        graft.operators.TrainingData.removeCommonParagraphs(
+            paraOf(s.docs()), col("doc_id"), col("text"), minDocFreq = 2)
+          .select((length(col("clean_text")) + col("n_kept")).as("n"))
+          .agg(sum(col("n")).as("total"))),
+      // two-class classifier scoring with a FIXED pre-trained model:
+      // one (id, bucket) count shuffle + a broadcast model join + the
+      // ordered fold — the DSIR scoring shape on its own artifact
+      Stress("classifier_score", s =>
+        graft.operators.QualityClassifier.score(s.docs(), col("doc_id"),
+            col("text"), qcModel)
+          .select((col("llr") + col("prob") + col("n_feats")).as("x"))
           .agg(sum(col("x")).as("total"))))
 
     // by-name: construction is INSIDE the clock — iterative operators

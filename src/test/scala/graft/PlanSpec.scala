@@ -168,6 +168,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") || p.contains("LeftOuter"))
   }
 
+  test("pipeline_ccnet_buckets_lang: the per-language sample cut is " +
+    "TWO-PHASE — phase 1 windows partition by (input-partition, lang) " +
+    "so a hot language spreads instead of funneling one reducer — and " +
+    "the thresholds attach by BROADCAST equi-join, never a scalar " +
+    "nested-loop attach") {
+    val p = plan("pipeline_ccnet_buckets_lang")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the phase-1 spread key: a window exchange keyed by the
+    // materialized partition id alongside lang
+    assert(p.contains("hashpartitioning(__p"), p)
+  }
+
+  test("pipeline_ccnet_e2e: the composed dedup -> langid -> per-language " +
+    "bucket plan stays free of scalar nested-loop attaches and " +
+    "cartesian products end to end") {
+    val p = plan("pipeline_ccnet_e2e")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pipeline_remove_paragraphs: paragraph dedup is the line-removal " +
+    "shape — hash-keyed aggregation + anti join, no cartesian, no " +
+    "nested-loop attach") {
+    val p = plan("pipeline_remove_paragraphs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("text_quality_classifier: the two-class model attaches by " +
+    "BROADCAST; per-doc counts are map-side partialed; no cartesian / " +
+    "nested-loop on the corpus") {
+    val p = plan("text_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("pipeline_mixture_temperature: the G-row rate table broadcasts; " +
     "the corpus keep-filter is a scan, not a shuffle") {
     val p = plan("pipeline_mixture_temperature")
