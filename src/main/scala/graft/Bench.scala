@@ -653,6 +653,17 @@ object Bench {
     var allLinear = true
     var allPlans = true
     val parts = selected.map { task =>
+      // drain between TASKS, not only at tier entry: the tier-entry
+      // collection (above) removed the 134-query backlog, but the tier
+      // itself accumulates dead blocks too — per-scale checkpoints,
+      // the operators' own internal localCheckpoints, broadcast vars —
+      // and a late task then times OTHER tasks' garbage (measured:
+      // ccnet_lang read 85.9 s as task 21 of 23 vs 8 s in a fresh JVM,
+      // same code, same data — an 11x context artifact, the same class
+      // as r16's dsir@100x 328-vs-89). One collection + a short drain
+      // pause per task costs ~30 s across the tier and buys
+      // per-operator isolation.
+      System.gc(); Thread.sleep(1000)
       // untimed: pay codegen/JIT once, off the clock (same foreach
       // consumer as the clock so the warm path IS the timed path)
       task.at(base).foreach(_ => ())
@@ -767,12 +778,17 @@ object Bench {
     // SPARK_GRAFT_STRESS=0; measured after the timed passes so its burn
     // cannot perturb them). Best-effort like recall: a stress failure is
     // recorded, never fails the bench.
+    // SPARK_GRAFT_STRESS_ONLY=a,b filters BOTH tiers to named tasks —
+    // the per-task iteration knob (a full tier is ~10 min at sf0.1)
+    val stressOnly = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val stress =
       if (sys.env.get("SPARK_GRAFT_STRESS").contains("0"))
         """{"skipped":true}"""
       else
         try measureStress(spark, sfDir,
-          sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt)
+          sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt,
+          stressOnly)
         catch { case e: Throwable =>
           s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
     // 100x tier for the FLATTEST-MARGIN document-pipeline paths: a 10x
@@ -797,7 +813,8 @@ object Bench {
           // exact r15 failure order — so a regressed release would
           // resurface as pack_sequences' ratio blowing up, not hide.
           Some(Set("pack_sequences", "decontaminate", "bpe_token_counts",
-            "shard_assignments", "dsir_weights")))
+            "shard_assignments", "dsir_weights")
+            .filter(n => stressOnly.forall(_.contains(n)))))
         catch { case e: Throwable =>
           s"""{"error":${jstr(String.valueOf(e.getMessage))}}""" }
     // Host-speed yardstick, measured AFTER the timed passes (so its CPU
