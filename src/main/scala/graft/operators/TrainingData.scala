@@ -536,6 +536,88 @@ object TrainingData {
         concat_ws("\n\n", col("__kept")).as("clean_text"))
   }
 
+  // ---------------- C4 cleaning rules ----------------
+
+  /** "Sentence" for the C4 minimum-sentence rule: a maximal run of
+    * non-terminal characters followed by at least ONE terminal mark
+    * (the [[TextChunker.SentencePattern]] with the trailing `*`
+    * tightened to `+` — a fragment with no terminal punctuation is not
+    * a sentence under this rule). Java-regex == RE2 semantics. */
+  val C4SentencePattern = "[^.!?]+[.!?]+"
+
+  /** Neutral default stand-in for the rule-4 word list: the published
+    * pipeline uses the externally-maintained "List of Dirty, Naughty,
+    * Obscene..." blocklist, which a deployment passes in verbatim; the
+    * operator's contract only needs SOME pinned list. Matching is
+    * whole-TOKEN over the pinned tokenizer (substring matching is the
+    * classic over-blocking bug). */
+  val DefaultC4Blocklist: Seq[String] = Seq("nsfw", "xxx")
+
+  /** Rule constants (the published values), the ONE home the SQL twin
+    * is generated from. */
+  val DefaultC4MinSentences = 5
+  val DefaultC4MinLineWords = 3
+
+  /** The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other
+    * canonical published filter set beside the Gopher panel), pinned:
+    *
+    *   - LINE filters (lines split on '\n', identity = the pinned
+    *     whitespace-class trim): keep a line iff it ends in a terminal
+    *     punctuation mark ('.', '!', '?', or a closing '"'), carries at
+    *     least `minLineWords` tokens, and does not contain the word
+    *     "javascript" (case-insensitive, the paper's rule 4);
+    *   - PAGE flags, computed on the ORIGINAL text: `has_lorem`
+    *     ("lorem ipsum", case-insensitive), `has_brace` (any '{'),
+    *     `has_blocked` (any pinned-tokenizer TOKEN in `blocklist`);
+    *   - `n_sentences` counts [[C4SentencePattern]] matches over the
+    *     CLEANED text (the retained lines joined by '\n' — a page
+    *     whose sentences all lived in dropped boilerplate lines fails
+    *     the rule, which is the rule's point);
+    *   - `passes` = n_sentences >= `minSentences` and none of the
+    *     three page flags.
+    *
+    * Scale shape: a pure projection — one line split, per-line token
+    * counts, a few regex containment checks; zero shuffles, zero
+    * joins, scan-cost at any corpus size (the Gopher-panel shape).
+    *
+    * Output: (id, n_lines, n_lines_kept, n_sentences, has_lorem,
+    * has_brace, has_blocked, passes, clean_text) — flags and passes as
+    * 0/1 longs, the cross-engine column convention. */
+  def c4Clean(df: DataFrame, id: Column, text: Column,
+              minSentences: Int = DefaultC4MinSentences,
+              minLineWords: Int = DefaultC4MinLineWords,
+              blocklist: Seq[String] = DefaultC4Blocklist): DataFrame = {
+    require(minSentences >= 0, "minSentences must be >= 0")
+    require(minLineWords >= 1, "minLineWords must be >= 1")
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val ws = graft.functions.TextHash.WsClassJava
+    val kept = filter(split(text, "\n"), l => {
+      val t = regexp_replace(l, s"^$ws+|$ws+$$", "")
+      t.rlike("[.!?\"]$") &&
+        size(TextAnalysis.tokens(t)) >= minLineWords &&
+        !lower(t).contains("javascript")
+    })
+    val clean = concat_ws("\n", kept)
+    df.select(id.as("id"), text.as("__x"), kept.as("__k"), clean.as("__c"))
+      .select(
+        col("id"),
+        size(split(col("__x"), "\n")).cast("long").as("n_lines"),
+        size(col("__k")).cast("long").as("n_lines_kept"),
+        size(regexp_extract_all(col("__c"), lit(C4SentencePattern), lit(0)))
+          .cast("long").as("n_sentences"),
+        lower(col("__x")).contains("lorem ipsum").cast("long").as("has_lorem"),
+        col("__x").contains("{").cast("long").as("has_brace"),
+        (size(array_intersect(array_distinct(TextAnalysis.tokens(col("__x"))),
+          array(blocklist.map(lit): _*))) > 0).cast("long").as("has_blocked"),
+        col("__c").as("clean_text"))
+      .withColumn("passes",
+        (col("n_sentences") >= minSentences && col("has_lorem") === 0L &&
+          col("has_brace") === 0L && col("has_blocked") === 0L).cast("long"))
+      .select(col("id"), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        col("has_blocked"), col("passes"), col("clean_text"))
+  }
+
   // ---------------- quality + repetition gate ----------------
 
   /** The shared quality/repetition gate of the curation compositions —
@@ -1223,6 +1305,163 @@ object TrainingData {
         frac(col("max_cnt").cast("double") / col("total")).as("top_ngram_frac"),
         frac(lit(1.0d) - col("n_distinct").cast("double") / col("total"))
           .as("dup_ngram_frac"))
+  }
+
+  /** Gopher repetition thresholds (Rae et al. 2021, Table A1 — the
+    * repetition half; the non-repetition rules live in
+    * [[TextAnalysis.gopherQualityFlags]]). ONE Scala home, the SQL twin
+    * is generated from these values. */
+  val GopherMaxDupLineFrac = 0.30
+  val GopherMaxDupParaFrac = 0.30
+  val GopherMaxDupLineCharFrac = 0.20
+  val GopherMaxDupParaCharFrac = 0.20
+  val GopherMaxTopGramCharFrac: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val GopherMaxDupGramCharFrac: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The Gopher REPETITION panel (Rae et al. 2021 Table A1's other
+    * half, completing [[TextAnalysis.gopherQualityFlags]]): thirteen
+    * within-document repetition filters —
+    *
+    *   - duplicate LINE / PARAGRAPH fractions (occurrence basis:
+    *     (occurrences − distinct) / occurrences) and their CHARACTER
+    *     fractions (characters in every occurrence beyond the first of
+    *     each distinct unit / characters in all occurrences). Units are
+    *     '\n' lines / `\n{2,}` paragraphs under the pinned-whitespace
+    *     trim; BLANK units are excluded from both bases;
+    *   - top n-gram character fractions for n = 2..4: the most frequent
+    *     word n-gram's occurrences × its token characters, over the
+    *     document's token characters (ties on count break to the
+    *     LONGER gram — deterministic via integer packing);
+    *   - duplicate n-gram character fractions for n = 5..10: the
+    *     fraction of TOKEN characters covered by any n-gram occurring
+    *     at least twice in the document (positional coverage via a
+    *     trailing ROWS window — the ExactSubstr trick — so overlapping
+    *     duplicates never double-count, the paper's "taking care not
+    *     to count characters multiple times").
+    *
+    * Pinned deviations from the paper, stated: all gram bases are
+    * TOKEN characters (the pinned tokenizer does not keep original
+    * byte offsets, so separator bytes are excluded on both sides of
+    * every ratio), and `passes` compares the ROUNDED 6-decimal
+    * fractions, the cross-engine boundary convention.
+    *
+    * Scale shape: the line/paragraph block is a pure projection
+    * (array-side distinct/char sums — zero shuffles). The gram blocks
+    * pay ONE shuffle keyed (id, n, gram) for counts (map-side
+    * partials / window over high-cardinality keys) and ONE
+    * document-keyed sort for the coverage windows — all six n share
+    * one window partition+order, so Spark plans a single Window
+    * operator. Nothing is collected; per-group state is bounded.
+    *
+    * Output: (id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    * dup_para_char_frac, top_2gram_char_frac .. top_4gram_char_frac,
+    * dup_5gram_char_frac .. dup_10gram_char_frac, passes). */
+  def gopherRepetitionStats(df: DataFrame, id: Column,
+                            text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = graft.functions.TextHash.WsClassJava
+    def r6(c: Column): Column = round(c, 6) + lit(0.0d)
+    def units(sep: String): Column =
+      filter(transform(split(text, sep),
+        u => regexp_replace(u, s"^$ws+|$ws+$$", "")), u => u =!= "")
+    def unitCols(u: Column, tag: String): Seq[Column] = {
+      val occ = size(u).cast("double")
+      val dst = size(array_distinct(u)).cast("double")
+      val occChars = aggregate(u, lit(0L), (a, x) => a + length(x))
+        .cast("double")
+      val dstChars = aggregate(array_distinct(u), lit(0L),
+        (a, x) => a + length(x)).cast("double")
+      Seq(
+        r6(when(occ === 0.0d, lit(0.0d)).otherwise((occ - dst) / occ))
+          .as(s"dup_${tag}_frac"),
+        r6(when(occChars === 0.0d, lit(0.0d))
+          .otherwise((occChars - dstChars) / occChars))
+          .as(s"dup_${tag}_char_frac"))
+    }
+    val toks = TextAnalysis.tokens(text)
+    val base = df.select(
+      (Seq(id.as("id"),
+        aggregate(transform(toks, t => length(t)), lit(0L),
+          (a, x) => a + x).cast("double").as("__chars")) ++
+        unitCols(units("\n"), "line") ++
+        unitCols(units("\n{2,}"), "para")): _*)
+    // ---- top n-gram token-char mass, n = 2..4 (one union, one
+    // shuffle keyed (id, n, gram) with map-side partials) ----
+    val topNs = GopherMaxTopGramCharFrac.map(_._1)
+    val topGrams = topNs.map(n =>
+        df.select(id.as("id"), lit(n).as("n"),
+          explode(ngrams(text, n)).as("gram")))
+      .reduce(_ unionByName _)
+    // integer packing (cnt, token chars): max picks the highest count,
+    // ties to the longer gram; token chars = string length minus the
+    // n-1 single-space separators. Values stay far under 2^53.
+    val Pack = 1000000L
+    val topAggs = topNs.map(n =>
+      max(when(col("n") === n,
+        floor(col("__m") / Pack).cast("long") * pmod(col("__m"), lit(Pack))))
+        .as(s"__top$n"))
+    val top = topGrams.groupBy(col("id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"), col("n"))
+      .agg(max(col("cnt") * lit(Pack) +
+        (length(col("gram")).cast("long") - (col("n") - 1))).as("__m"))
+      .groupBy(col("id"))
+      .agg(topAggs.head, topAggs.tail: _*)
+    // ---- duplicated n-gram token-char coverage, n = 5..10 ----
+    val dupNs = GopherMaxDupGramCharFrac.map(_._1)
+    val posTok = df.select(id.as("id"),
+        posexplode(transform(toks, t => length(t))).as(Seq("p", "__len")))
+    val posGrams = dupNs.map(n =>
+        df.select(id.as("id"), lit(n).as("n"),
+          posexplode(ngrams(text, n)).as(Seq("p", "gram"))))
+      .reduce(_ unionByName _)
+    val wGram = Window.partitionBy(col("id"), col("n"), col("gram"))
+    val dupStarts = posGrams
+      .withColumn("__cnt", count(lit(1)).over(wGram))
+      .where(col("__cnt") >= 2)
+      .groupBy(col("id"), col("p"))
+      .agg(dupNs.map(n =>
+        max(when(col("n") === n, 1).otherwise(0)).as(s"__s$n")).head,
+        dupNs.tail.map(n =>
+          max(when(col("n") === n, 1).otherwise(0)).as(s"__s$n")): _*)
+    // ONE document-keyed sort: all six trailing frames share the
+    // window partition + order, so Spark plans a single Window operator
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("p"))
+    val flagged = dupNs.foldLeft(
+        posTok.join(dupStarts, Seq("id", "p"), "left")) { (f, n) =>
+      f.withColumn(s"__c$n",
+        max(coalesce(col(s"__s$n"), lit(0)))
+          .over(wDoc.rowsBetween(-(n - 1), 0)))
+    }
+    val covAggs = dupNs.map(n =>
+      sum(col(s"__c$n") * col("__len")).cast("double").as(s"__cov$n"))
+    val coverage = flagged.groupBy(col("id"))
+      .agg(covAggs.head, covAggs.tail: _*)
+    // ---- assemble + thresholds (rounded-fraction comparisons) ----
+    val joined = base
+      .join(top, Seq("id"), "left")
+      .join(coverage, Seq("id"), "left")
+    def frac(num: Column): Column =
+      r6(when(col("__chars") === 0.0d, lit(0.0d))
+        .otherwise(coalesce(num.cast("double"), lit(0.0d)) / col("__chars")))
+    val withFracs = joined.select(
+      (Seq(col("id"), col("dup_line_frac"), col("dup_line_char_frac"),
+        col("dup_para_frac"), col("dup_para_char_frac")) ++
+        topNs.map(n => frac(col(s"__top$n")).as(s"top_${n}gram_char_frac")) ++
+        dupNs.map(n => frac(col(s"__cov$n")).as(s"dup_${n}gram_char_frac"))): _*)
+    val passCond = (
+      Seq(col("dup_line_frac") <= GopherMaxDupLineFrac,
+        col("dup_line_char_frac") <= GopherMaxDupLineCharFrac,
+        col("dup_para_frac") <= GopherMaxDupParaFrac,
+        col("dup_para_char_frac") <= GopherMaxDupParaCharFrac) ++
+        GopherMaxTopGramCharFrac.map { case (n, t) =>
+          col(s"top_${n}gram_char_frac") <= t } ++
+        GopherMaxDupGramCharFrac.map { case (n, t) =>
+          col(s"dup_${n}gram_char_frac") <= t })
+      .reduce(_ && _)
+    withFracs.withColumn("passes", passCond.cast("long"))
   }
 
   /** Corpus datasheet — the release artifact a training-data pipeline

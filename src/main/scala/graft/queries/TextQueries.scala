@@ -784,6 +784,181 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The Gopher REPETITION panel (Rae et al. 2021 Table A1's other
+    * half): thirteen within-document repetition filters — duplicate
+    * line/paragraph fractions (occurrence + character basis), top
+    * 2/3/4-gram character fractions, duplicated 5..10-gram coverage
+    * fractions — recomputed in SQL from the SAME thresholds, tokenizer,
+    * trim class, integer tie-break packing, and trailing-ROWS coverage
+    * windows. The sf corpus genuinely exercises the gram metrics (word
+    * soup repeats heavily); the line/paragraph and planted-coverage
+    * edges are pinned by TrainingDataSpec on crafted docs. */
+  private val gopherRepetition: QueryFn = (s, dir) =>
+    graft.operators.TrainingData.gopherRepetitionStats(
+        table(s, dir, "documents"), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val gopherRepetitionSql: String = {
+    import graft.operators.TrainingData._
+    val ws = wsClassSql
+    def gramsOf(n: Int): String = {
+      val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+      s"CASE WHEN len(t) >= $n THEN list_transform(range(1, len(t) - ${n - 2}), i -> $parts) ELSE []::VARCHAR[] END"
+    }
+    def unitsOf(splitExpr: String): String =
+      s"list_filter(list_transform($splitExpr, u -> regexp_replace(u, '^$ws+|$ws+$$', '', 'g')), u -> u <> '')"
+    def unitFracs(col: String, tag: String): String =
+      s"""CASE WHEN len($col) = 0 THEN 0.0::DOUBLE
+         |    ELSE round((len($col) - len(list_distinct($col)))::DOUBLE / len($col), 6) + 0 END AS dup_${tag}_frac,
+         |  CASE WHEN coalesce(list_sum(list_transform($col, x -> len(x))), 0) = 0 THEN 0.0::DOUBLE
+         |    ELSE round((list_sum(list_transform($col, x -> len(x))) -
+         |        list_sum(list_transform(list_distinct($col), x -> len(x))))::DOUBLE
+         |      / list_sum(list_transform($col, x -> len(x))), 6) + 0 END AS dup_${tag}_char_frac""".stripMargin
+    val topNs = GopherMaxTopGramCharFrac.map(_._1)
+    val dupNs = GopherMaxDupGramCharFrac.map(_._1)
+    val topUnion = topNs.map(n =>
+      s"SELECT doc_id, $n AS n, unnest(${gramsOf(n)}) AS gram FROM d")
+      .mkString("\n       UNION ALL ")
+    val pgUnion = dupNs.map(n =>
+      s"""SELECT doc_id, $n AS n, i - 1 AS p, g[i] AS gram
+         |     FROM (SELECT doc_id, ${gramsOf(n)} AS g FROM d),
+         |          unnest(range(1, len(g) + 1)) AS u(i)""".stripMargin)
+      .mkString("\n       UNION ALL ")
+    val flagCols = dupNs.map(n =>
+      s"max(CASE WHEN n = $n THEN 1 ELSE 0 END) AS s$n").mkString(", ")
+    val covWindows = dupNs.map(n =>
+      s"max(coalesce(s$n, 0)) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS c$n")
+      .mkString(",\n         ")
+    val covSums = dupNs.map(n =>
+      s"sum(l * c$n)::DOUBLE AS cov$n").mkString(", ")
+    val topPivot = topNs.map(n =>
+      s"max(CASE WHEN n = $n THEN (m // 1000000) * (m % 1000000) END) AS top$n")
+      .mkString(", ")
+    def frac(num: String, name: String): String =
+      s"CASE WHEN b.chars = 0 THEN 0.0::DOUBLE ELSE round(coalesce($num, 0)::DOUBLE / b.chars, 6) + 0 END AS $name"
+    val fracCols =
+      (topNs.map(n => frac(s"tp.top$n", s"top_${n}gram_char_frac")) ++
+        dupNs.map(n => frac(s"cv.cov$n", s"dup_${n}gram_char_frac")))
+        .mkString(",\n  ")
+    val passTerms =
+      (Seq(s"dup_line_frac <= $GopherMaxDupLineFrac",
+        s"dup_line_char_frac <= $GopherMaxDupLineCharFrac",
+        s"dup_para_frac <= $GopherMaxDupParaFrac",
+        s"dup_para_char_frac <= $GopherMaxDupParaCharFrac") ++
+        GopherMaxTopGramCharFrac.map { case (n, t) =>
+          s"top_${n}gram_char_frac <= $t" } ++
+        GopherMaxDupGramCharFrac.map { case (n, t) =>
+          s"dup_${n}gram_char_frac <= $t" }).mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id, text, $tokSql AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |    coalesce(list_sum(list_transform(t, x -> len(x))), 0)::DOUBLE AS chars,
+       |  ${unitFracs(s"${unitsOf("string_split(text, chr(10))")}", "line")},
+       |  ${unitFracs(s"${unitsOf("string_split_regex(text, '\\n{2,}')")}", "para")}
+       |  FROM d),
+       |tg AS ($topUnion),
+       |tc AS (SELECT doc_id, n, gram, count(*) AS cnt FROM tg GROUP BY 1, 2, 3),
+       |tm AS (SELECT doc_id, n,
+       |         max(cnt * 1000000 + (len(gram) - (n - 1))) AS m
+       |       FROM tc GROUP BY 1, 2),
+       |tp AS (SELECT doc_id, $topPivot FROM tm GROUP BY 1),
+       |pg AS ($pgUnion),
+       |dup AS (SELECT doc_id, n, p FROM (
+       |         SELECT doc_id, n, p,
+       |           count(*) OVER (PARTITION BY doc_id, n, gram) AS c
+       |         FROM pg) WHERE c >= 2),
+       |fl AS (SELECT doc_id, p, $flagCols FROM dup GROUP BY 1, 2),
+       |pt AS (SELECT doc_id, i - 1 AS p, len(t[i]) AS l
+       |       FROM d, unnest(range(1, len(t) + 1)) AS u(i)),
+       |cw AS (SELECT pt.doc_id, pt.p, pt.l,
+       |         $covWindows
+       |       FROM pt LEFT JOIN fl USING (doc_id, p)),
+       |cv AS (SELECT doc_id, $covSums FROM cw GROUP BY 1),
+       |o AS (SELECT b.doc_id, b.dup_line_frac, b.dup_line_char_frac,
+       |  b.dup_para_frac, b.dup_para_char_frac,
+       |  $fracCols
+       |FROM b LEFT JOIN tp USING (doc_id) LEFT JOIN cv USING (doc_id))
+       |SELECT *, ($passTerms)::BIGINT AS passes
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
+  /** The C4 cleaning heuristics (Raffel et al. 2020 §2.2) over a
+    * crafted fixture defined ONCE here and embedded identically in both
+    * engines (the sf documents are single-line word soup with no
+    * terminal punctuation — every line would drop and the gate would
+    * verify nothing): each rule gets a document built to trip exactly
+    * it, plus a clean page that passes all of them. */
+  private val C4Fixture: Seq[(Long, String)] = Seq(
+    (1L, "The first sentence is here. Another good line follows it!\n" +
+      "Does a question also count? It certainly does here.\n" +
+      "A fifth sentence closes the clean page."),      // passes everything
+    (2L, "no terminal punctuation on this line\n" +
+      "this one neither\nBut this one has an ending."), // 2 lines drop
+    (3L, "Too short.\nA line with enough words ends properly."), // rule 2
+    (4L, "Enable javascript to view this page.\n" +
+      "A perfectly fine sentence stays right here."),   // rule 4 line drop
+    (5L, "Lorem Ipsum dolor sit amet filler text lives here.\n" +
+      "A real sentence follows the placeholder block."), // page flag
+    (6L, "function f() { return 1; }\nA sentence after the code block."),
+    (7L, "This page mentions nsfw content somewhere inside.\n" +
+      "Otherwise the page reads completely normally."),  // blocklist
+    (8L, "One sentence only lives here, quite alone.\n" +
+      "\"A quoted ending also counts as terminal.\""),   // < 5 sentences
+    (9L, ""))                                            // empty page
+
+  private val c4Clean: QueryFn = (s, _) => {
+    import s.implicits._
+    graft.operators.TrainingData.c4Clean(C4Fixture.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        col("has_blocked"), col("passes"), md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val c4CleanSql: String = {
+    import graft.operators.TrainingData.{C4SentencePattern, DefaultC4Blocklist, DefaultC4MinLineWords, DefaultC4MinSentences}
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val values = C4Fixture.map { case (i, t) =>
+      s"($i, ${q(t)})" }.mkString(",\n    ")
+    val block = DefaultC4Blocklist.map(w => s"'$w'").mkString(", ")
+    // a kept line: trimmed, ends in terminal punct, >= 3 tokens, no
+    // 'javascript' — the trim/tokenize contracts shared with every gate
+    val keepLine =
+      s"""l -> regexp_matches(regexp_replace(l, '^$wsClassSql+|$wsClassSql+$$', '', 'g'), '[.!?"]$$')
+         |      AND len(${tokSqlOf(s"regexp_replace(l, '^$wsClassSql+|$wsClassSql+$$', '', 'g')")}) >= 3
+         |      AND NOT contains(lower(regexp_replace(l, '^$wsClassSql+|$wsClassSql+$$', '', 'g')), 'javascript')""".stripMargin
+    s"""WITH f(doc_id, text) AS (VALUES
+       |    $values),
+       |c AS (
+       |  -- DuckDB string_split('') = [] where the JVM split keeps [''],
+       |  -- and array_to_string([]) = NULL: both pinned to the Spark side
+       |  SELECT doc_id, text,
+       |    CASE WHEN text = '' THEN ['']::VARCHAR[]
+       |         ELSE string_split(text, chr(10)) END AS ls,
+       |    coalesce(array_to_string(list_filter(
+       |      CASE WHEN text = '' THEN ['']::VARCHAR[]
+       |           ELSE string_split(text, chr(10)) END,
+       |      $keepLine), chr(10)), '') AS clean
+       |  FROM f)
+       |SELECT doc_id::BIGINT AS doc_id,
+       |  len(ls)::BIGINT AS n_lines,
+       |  len(list_filter(ls, $keepLine))::BIGINT AS n_lines_kept,
+       |  len(regexp_extract_all(clean, '$C4SentencePattern'))::BIGINT
+       |    AS n_sentences,
+       |  contains(lower(text), 'lorem ipsum')::BIGINT AS has_lorem,
+       |  contains(text, '{')::BIGINT AS has_brace,
+       |  (len(list_intersect(list_distinct($tokSql), [$block])) > 0)::BIGINT
+       |    AS has_blocked,
+       |  (len(regexp_extract_all(clean, '$C4SentencePattern')) >= $DefaultC4MinSentences
+       |    AND NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{')
+       |    AND len(list_intersect(list_distinct($tokSql), [$block])) = 0
+       |  )::BIGINT AS passes,
+       |  md5(clean) AS clean_md5
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** C4-style boilerplate fraction over trigrams at doc-freq >= 5 (151
     * of 16k distinct trigrams clear it at sf0.01 — a real common set).
     * The oracle re-derives the same hashed trigram sets, the same
@@ -918,6 +1093,8 @@ object TextQueries {
     Q("text_lm_bigram", lmBigram, Some(lmBigramSql)),
     Q("pipeline_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     Q("pipeline_remove_paragraphs", removeParagraphs, Some(removeParagraphsSql)),
+    Q("pipeline_c4_clean", c4Clean, Some(c4CleanSql)),
+    Q("text_gopher_repetition", gopherRepetition, Some(gopherRepetitionSql)),
     Q("pipeline_ccnet_buckets_lang", ccnetBucketsLang, Some(ccnetBucketsLangSql)),
     Q("pipeline_ccnet_e2e", ccnetE2e, Some(ccnetE2eSql)),
     Q("text_gopher_rules", gopherRules, Some(gopherRulesSql)),

@@ -876,6 +876,113 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, "\t\n\npayload two")))
   }
 
+  test("c4Clean: each published rule trips exactly its document — " +
+    "terminal-punctuation lines, the 3-word minimum, the javascript " +
+    "line drop, the lorem/brace/blocklist page flags, the 5-sentence " +
+    "floor on the CLEANED text, and the empty page") {
+    val docs = Seq(
+      (1L, "One good sentence sits here. Another follows directly!\n" +
+        "Does a question count too? Yes it certainly does.\n" +
+        "A fifth sentence closes the page."),
+      (2L, "a line with no terminal punctuation\nShort stop.\n" +
+        "Enable javascript to continue reading.\n" +
+        "Only this surviving line has enough sentences? No."),
+      (3L, "Lorem ipsum dolor sit. " +
+        ("Filler sentence here. " * 5) + "\nBraces { appear } too."),
+      (4L, "This page mentions nsfw somewhere. " +
+        ("A very normal sentence. " * 5)),
+      (5L, ""),
+    ).toDF("id", "text")
+    val got = TrainingData.c4Clean(docs, col("id"), col("text"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 3 lines kept, 5 sentences, passes
+    assert(got(1L)._3 == 3L && got(1L)._4 == 5L && got(1L)._8 == 1L, got(1L))
+    // doc 2: no-punct line drops, 2-word "Short stop." drops (min 3
+    // words), javascript line drops -> 1 of 4 lines kept, 2 sentences,
+    // fails the sentence floor
+    assert(got(2L)._2 == 4L && got(2L)._3 == 1L, got(2L))
+    assert(got(2L)._4 == 2L && got(2L)._8 == 0L, got(2L))
+    // doc 3: lorem + brace page flags (either alone fails)
+    assert(got(3L)._5 == 1L && got(3L)._6 == 1L && got(3L)._8 == 0L, got(3L))
+    // doc 4: blocklist token flag fails an otherwise-clean page
+    assert(got(4L)._7 == 1L && got(4L)._8 == 0L, got(4L))
+    assert(got(4L)._4 >= 5L, got(4L))
+    // doc 5: empty page — one (empty) line, nothing kept, zero
+    // sentences, definite fail, empty clean text (never null)
+    assert(got(5L) == ((5L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, "")))
+    intercept[IllegalArgumentException] {
+      TrainingData.c4Clean(docs, col("id"), col("text"), minLineWords = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.c4Clean(docs, col("id"), col("text"),
+        blocklist = Seq.empty)
+    }
+  }
+
+  test("gopherRepetitionStats: hand-computed duplicate line/paragraph " +
+    "fractions (blank units exempt), top-gram char mass with the " +
+    "longer-gram tie-break, and 5..10-gram coverage that never " +
+    "double-counts overlapping duplicates") {
+    val docs = Seq(
+      // lines: a b a (3 non-blank, 2 distinct; blank line exempt);
+      // paragraphs: [a\nb] [a] — 2 units, both distinct
+      (1L, "linea\nlineb\n\n \nlinea"),
+      // a 5-gram repeated twice back-to-back: tokens t1..t5 t1..t5 —
+      // every 5-gram start in {0,5} duplicates? occurrences of
+      // (t1..t5) = 2 -> dup; overlapping windows (t2..t5 t1 etc.)
+      // occur once each -> coverage = ALL 10 tokens (starts 0 and 5
+      // cover 0..4 and 5..9); chars = 20 of 20 -> frac 1.0
+      (2L, "aa bb cc dd ee aa bb cc dd ee"),
+      // no repetition at all — long enough that a single-occurrence
+      // top gram stays under the char-mass thresholds
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")),
+      (4L, ""))
+      .toDF("id", "text")
+    val got = TrainingData.gopherRepetitionStats(docs, col("id"), col("text"))
+    val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String): Double =
+      byId(id).getDouble(got.columns.indexOf(name))
+    // doc 1: 3 non-blank lines, 2 distinct -> dup_line_frac 1/3;
+    // chars: linea(5)x2 + lineb(5) = 15 occ, 10 distinct -> 5/15
+    assert(f(1L, "dup_line_frac") == 0.333333, byId(1L))
+    assert(f(1L, "dup_line_char_frac") == 0.333333, byId(1L))
+    assert(f(1L, "dup_para_frac") == 0.0, byId(1L))
+    // doc 2: the repeated 5-gram covers every token position
+    assert(f(2L, "dup_5gram_char_frac") == 1.0, byId(2L))
+    // no 6-gram repeats (the doc is exactly two 5-token halves)
+    assert(f(2L, "dup_6gram_char_frac") == 0.0, byId(2L))
+    // top bigram of doc 2: every adjacent pair occurs... ("aa bb") x2,
+    // ("ee aa") x1 etc. -> max count 2, gram chars 4 -> 2*4/20 = 0.4
+    assert(f(2L, "top_2gram_char_frac") == 0.4, byId(2L))
+    // doc 2 trips the 5-gram threshold (1.0 > 0.15): fails
+    assert(byId(2L).getLong(got.columns.indexOf("passes")) == 0L)
+    // doc 3: nothing repeats -> all dup fractions 0, top bigram 1
+    // occurrence: e.g. "u1 u2" chars 4 of 38 -> small; passes
+    assert(f(3L, "dup_5gram_char_frac") == 0.0)
+    assert(f(3L, "dup_line_frac") == 0.0)
+    assert(byId(3L).getLong(got.columns.indexOf("passes")) == 1L)
+    // doc 4: empty — zero char base, every fraction a definite 0.0,
+    // passes (nothing to flag)
+    assert(f(4L, "dup_10gram_char_frac") == 0.0)
+    assert(f(4L, "top_4gram_char_frac") == 0.0)
+    assert(byId(4L).getLong(got.columns.indexOf("passes")) == 1L)
+  }
+
+  test("gopherRepetitionStats: overlapping duplicated 5-grams count " +
+    "covered tokens ONCE (a 6-token repeat yields two duplicated " +
+    "5-gram starts whose windows overlap)") {
+    // tokens: x1..x6 x1..x6 -> 5-gram starts 0,1 and 6,7 duplicated;
+    // coverage = positions 0..5 and 6..11 = all 12; frac 1.0 (not >1)
+    val docs = Seq((1L, "x1 x2 x3 x4 x5 x6 x1 x2 x3 x4 x5 x6"))
+      .toDF("id", "text")
+    val got = TrainingData.gopherRepetitionStats(docs, col("id"), col("text"))
+      .select("dup_5gram_char_frac", "dup_6gram_char_frac")
+      .as[(Double, Double)].head()
+    assert(got._1 == 1.0, got)
+    assert(got._2 == 1.0, got) // the full 6-gram also repeats
+  }
+
   test("perplexityBucketsByLang: terciles are contiguous WITHIN each " +
     "language, deterministic across runs, and a language scoring " +
     "uniformly low still splits into its own head/middle/tail where " +
