@@ -433,6 +433,69 @@ object Bench {
     // path was excluded from the 100x tier).
     val dsirRelease = new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
     val tasks = Seq(
+      // The five operator-internal-checkpoint tasks run FIRST: their
+      // eager localCheckpoints + multi-job constructions are the most
+      // sensitive to accumulated JVM state, and measured 3-6x inflated
+      // when placed after the tier's long-lived lazy artifacts
+      // (ccnet_buckets 31.2 s at position 20 vs ~6.5 s isolated; the
+      // per-task GC drain alone did not cure it — the artifacts are
+      // LIVE, not collectable). Up front their context is exactly the
+      // fresh-JVM one the ratios claim to measure; the remaining tasks
+      // have been position-stable for three rounds.
+      // interpolated bigram-LM scoring: the heaviest LM aggregation
+      // shape — term/bigram/context counts (cut to the capped broadcast
+      // models), per-doc (id, prev, cur) counts, the ordered fold, plus
+      // the eager literal-total tokenize scan, ALL inside the clock
+      // (construction is timed). The aggregate consumes both outputs so
+      // neither the fold nor n_tokens is pruned. Exact-copy inflation
+      // keeps the model key space fixed — the corpus-side count
+      // shuffles are what inflate, exactly the 100 TB shape.
+      Stress("lm_bigram", s =>
+        graft.operators.TrainingData.bigramLogProbs(s.docs(), col("doc_id"),
+            col("text"))
+          .select((col("avg_logprob") + col("n_tokens")).as("x"))
+          .agg(sum(col("x")).as("total"))),
+      // CCNet bucketing on top of the LM: the scored frame materializes
+      // EAGERLY into its localCheckpoint during construction (timed),
+      // plus the bounded-sample threshold job and the scan-side CASE.
+      // The executedPlan the guard inspects is the checkpoint scan +
+      // CASE — the LM subplan itself is guarded by lm_bigram above.
+      Stress("ccnet_buckets", s =>
+        graft.operators.TrainingData.perplexityBuckets(s.docs(), col("doc_id"),
+            col("text"))
+          .select((col("avg_logprob") + col("n_tokens") +
+            length(col("ppl_bucket"))).as("x"))
+          .agg(sum(col("x")).as("total"))),
+      // PER-LANGUAGE bucketing under a ZIPFIAN language (half the corpus
+      // is ONE language — English's real shape): the two-phase sample
+      // cut must spread the hot language over every input partition
+      // (phase 1) instead of funneling one reducer; cap 500 binds at
+      // both scales
+      Stress("ccnet_lang", s =>
+        graft.operators.TrainingData.perplexityBucketsByLang(s.docs(),
+            col("doc_id"), col("text"),
+            when(pmod(col("doc_id"), lit(2L)) === 0, lit("en"))
+              .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(5L)))),
+            sampleCapPerLang = 500)
+          .select((col("avg_logprob") + col("n_tokens") +
+            length(col("ppl_bucket")) + length(col("lang"))).as("x"))
+          .agg(sum(col("x")).as("total"))),
+      // paragraph-level corpus dedup: the line-removal shape over larger
+      // units, with every body paragraph corpus-duplicated at the
+      // inflated scale (worst-case join-back + empty-ish reassembly)
+      Stress("paragraph_dedup", s =>
+        graft.operators.TrainingData.removeCommonParagraphs(
+            paraOf(s.docs()), col("doc_id"), col("text"), minDocFreq = 2)
+          .select((length(col("clean_text")) + col("n_kept")).as("n"))
+          .agg(sum(col("n")).as("total"))),
+      // two-class classifier scoring with a FIXED pre-trained model:
+      // one (id, bucket) count shuffle + a broadcast model join + the
+      // ordered fold — the DSIR scoring shape on its own artifact
+      Stress("classifier_score", s =>
+        graft.operators.QualityClassifier.score(s.docs(), col("doc_id"),
+            col("text"), qcModel)
+          .select((col("llr") + col("prob") + col("n_feats")).as("x"))
+          .agg(sum(col("x")).as("total"))),
       Stress("lsh_adaptive", s => {
         val (serve, m, hist) = s.lshServe()
         LshIndex.searchAdaptive(serve, q.toIndexedSeq, m, "cosine", 10,
@@ -574,61 +637,8 @@ object Bench {
         graft.operators.TrainingData.removeDuplicatedSubstrings(
             linedOf(s.docs()), col("doc_id"), col("text"), minLen = 20)
           .select((length(col("clean_text")) + col("n_kept")).as("n"))
-          .agg(sum(col("n")).as("total"))),
-      // interpolated bigram-LM scoring: the heaviest LM aggregation
-      // shape — term/bigram/context counts (cut to the capped broadcast
-      // models), per-doc (id, prev, cur) counts, the ordered fold, plus
-      // the eager literal-total tokenize scan, ALL inside the clock
-      // (construction is timed). The aggregate consumes both outputs so
-      // neither the fold nor n_tokens is pruned. Exact-copy inflation
-      // keeps the model key space fixed — the corpus-side count
-      // shuffles are what inflate, exactly the 100 TB shape.
-      Stress("lm_bigram", s =>
-        graft.operators.TrainingData.bigramLogProbs(s.docs(), col("doc_id"),
-            col("text"))
-          .select((col("avg_logprob") + col("n_tokens")).as("x"))
-          .agg(sum(col("x")).as("total"))),
-      // CCNet bucketing on top of the LM: the scored frame materializes
-      // EAGERLY into its localCheckpoint during construction (timed),
-      // plus the bounded-sample threshold job and the scan-side CASE.
-      // The executedPlan the guard inspects is the checkpoint scan +
-      // CASE — the LM subplan itself is guarded by lm_bigram above.
-      Stress("ccnet_buckets", s =>
-        graft.operators.TrainingData.perplexityBuckets(s.docs(), col("doc_id"),
-            col("text"))
-          .select((col("avg_logprob") + col("n_tokens") +
-            length(col("ppl_bucket"))).as("x"))
-          .agg(sum(col("x")).as("total"))),
-      // PER-LANGUAGE bucketing under a ZIPFIAN language (half the corpus
-      // is ONE language — English's real shape): the two-phase sample
-      // cut must spread the hot language over every input partition
-      // (phase 1) instead of funneling one reducer; cap 500 binds at
-      // both scales
-      Stress("ccnet_lang", s =>
-        graft.operators.TrainingData.perplexityBucketsByLang(s.docs(),
-            col("doc_id"), col("text"),
-            when(pmod(col("doc_id"), lit(2L)) === 0, lit("en"))
-              .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(5L)))),
-            sampleCapPerLang = 500)
-          .select((col("avg_logprob") + col("n_tokens") +
-            length(col("ppl_bucket")) + length(col("lang"))).as("x"))
-          .agg(sum(col("x")).as("total"))),
-      // paragraph-level corpus dedup: the line-removal shape over larger
-      // units, with every body paragraph corpus-duplicated at the
-      // inflated scale (worst-case join-back + empty-ish reassembly)
-      Stress("paragraph_dedup", s =>
-        graft.operators.TrainingData.removeCommonParagraphs(
-            paraOf(s.docs()), col("doc_id"), col("text"), minDocFreq = 2)
-          .select((length(col("clean_text")) + col("n_kept")).as("n"))
-          .agg(sum(col("n")).as("total"))),
-      // two-class classifier scoring with a FIXED pre-trained model:
-      // one (id, bucket) count shuffle + a broadcast model join + the
-      // ordered fold — the DSIR scoring shape on its own artifact
-      Stress("classifier_score", s =>
-        graft.operators.QualityClassifier.score(s.docs(), col("doc_id"),
-            col("text"), qcModel)
-          .select((col("llr") + col("prob") + col("n_feats")).as("x"))
-          .agg(sum(col("x")).as("total"))))
+          .agg(sum(col("n")).as("total"))))
+
 
     // by-name: construction is INSIDE the clock — iterative operators
     // (connected components) run their rounds eagerly while building.
