@@ -425,23 +425,18 @@ object Bench {
       () => docsN, () => nearMatrixN, () => embN, () => semModelN)
     case class Stress(name: String, at: Scale => DataFrame,
                       flush: () => Unit = () => ())
-    // dsir_weights' shared-pass cache: each invocation releases the
-    // PREVIOUS run's (id, bucket) cache (already counted by then), and
-    // the task's flush() drops the last one — so the O(docs x buckets)
-    // intermediate never outlives the task that built it and cannot
-    // degrade later tasks in this shared JVM (the round-15 reason the
-    // path was excluded from the 100x tier).
-    val dsirRelease = new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
     val tasks = Seq(
-      // The five operator-internal-checkpoint tasks run FIRST: their
-      // eager localCheckpoints + multi-job constructions are the most
-      // sensitive to accumulated JVM state, and measured 3-6x inflated
-      // when placed after the tier's long-lived lazy artifacts
-      // (ccnet_buckets 31.2 s at position 20 vs ~6.5 s isolated; the
-      // per-task GC drain alone did not cure it — the artifacts are
-      // LIVE, not collectable). Up front their context is exactly the
-      // fresh-JVM one the ratios claim to measure; the remaining tasks
-      // have been position-stable for three rounds.
+      // The five LM/CCNet/classifier tasks STILL run FIRST (r17 order),
+      // though r18 removed the root cause the order scheduled around:
+      // their operators no longer pin anything (eager bounded literal
+      // models + stateless scoring — ImportanceSampling/TrainingData
+      // scaladoc), so construction leaves zero block-store footprint.
+      // Keeping the order means a regression resurfaces as a loud
+      // ratio here rather than hiding behind fresh-JVM placement; in
+      // r17 these tasks measured 3-6x inflated when placed after the
+      // tier's long-lived lazy artifacts (ccnet_buckets 31.2 s at
+      // position 20 vs ~6.5 s isolated — LIVE artifacts, GC could not
+      // cure it). The remaining tasks are position-stable.
       // interpolated bigram-LM scoring: the heaviest LM aggregation
       // shape — term/bigram/context counts (cut to the capped broadcast
       // models), per-doc (id, prev, cur) counts, the ordered fold, plus
@@ -455,11 +450,12 @@ object Bench {
             col("text"))
           .select((col("avg_logprob") + col("n_tokens")).as("x"))
           .agg(sum(col("x")).as("total"))),
-      // CCNet bucketing on top of the LM: the scored frame materializes
-      // EAGERLY into its localCheckpoint during construction (timed),
-      // plus the bounded-sample threshold job and the scan-side CASE.
-      // The executedPlan the guard inspects is the checkpoint scan +
-      // CASE — the LM subplan itself is guarded by lm_bigram above.
+      // CCNet bucketing on top of the LM: the LM trains EAGERLY into
+      // cap-bounded literal frames during construction (timed), plus
+      // the sample-restricted threshold job; the timed foreach then
+      // pays the stateless one-scan scoring plan + the scan-side CASE.
+      // NOTHING is pinned (r18) — the r17 localCheckpoint whose
+      // retained blocks blew the driver's 10x ratio to 32x is gone.
       Stress("ccnet_buckets", s =>
         graft.operators.TrainingData.perplexityBuckets(s.docs(), col("doc_id"),
             col("text"))
@@ -527,20 +523,20 @@ object Bench {
           col("embedding"), s.semModel(), threshold = 0.6)),
       // DSIR weights: the target exemplar set is FIXED (it does not grow
       // with the corpus, like the decontamination benchmark side); the
-      // corpus side inflates through the (id, bucket) count shuffle and
-      // the broadcast model join
-      Stress("dsir_weights", s => {
-        val (df, rel) = graft.operators.ImportanceSampling
-          .importanceWeightsReleasable(s.docs(),
+      // corpus side inflates through the eager model-training scan inside
+      // construction (timed) plus the scoring pass' (id, bucket) count
+      // shuffle and broadcast literal-model join. STATELESS since r18:
+      // nothing is pinned or cached, so no release hook and no
+      // cross-task block-store residue (the r15/r17 degradation class).
+      Stress("dsir_weights", s =>
+        graft.operators.ImportanceSampling.importanceWeights(s.docs(),
             docs1.where(col("doc_id") % 7 === 0), col("doc_id"), col("text"))
-        dsirRelease.getAndSet(rel).apply()
-        // consume BOTH output columns: a bare count() lets the optimizer
-        // prune the bucket-ordered fold straight out of the plan (the
-        // defensive left join preserves row count), timing half the
-        // operator — the same rule html_extract/domain_stats follow
-        df.select((col("logweight") + col("n_feats")).as("x"))
-          .agg(sum(col("x")).as("total"))
-      }, flush = () => dsirRelease.getAndSet(() => ()).apply()),
+          // consume BOTH output columns: a bare count() lets the optimizer
+          // prune the bucket-ordered fold straight out of the plan (the
+          // defensive left join preserves row count), timing half the
+          // operator — the same rule html_extract/domain_stats follow
+          .select((col("logweight") + col("n_feats")).as("x"))
+          .agg(sum(col("x")).as("total"))),
       // the two-phase prefix sum: the stage that would be a
       // single-partition window naively — shards sized to the corpus
       Stress("pack_sequences", s =>
@@ -734,9 +730,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Warm-up: run everything once, untimed (ignore failures here — they
-    // are captured in the timed pass below).
+    // are captured in the timed pass below). Same foreach consumer as
+    // the clock so the warm path IS the timed path.
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try SparkEntry.queries(n)(spark, sfDir).foreach(_ => ())
       catch { case _: Throwable => () }
     }
 
@@ -750,7 +747,15 @@ object Bench {
         if (!errors.contains(n)) {
           val t0 = System.nanoTime()
           try {
-            SparkEntry.queries(n)(spark, sfDir).count()
+            // foreach, NOT count(): the ONE consumer both clocks share
+            // (r18, VERDICT r17 task 2). count() over a prunable plan
+            // times hollowed work — it deletes the child of a global
+            // aggregate and prunes computed columns out of
+            // row-preserving joins; two consecutive rounds each
+            // surfaced an under-timed query from the split consumers
+            // (r16 dsir_weights 0.19 s, r17's honest-clock deltas).
+            // foreach deserializes every column of every output row.
+            SparkEntry.queries(n)(spark, sfDir).foreach(_ => ())
             runs(n) = ((System.nanoTime() - t0) / 1e9) :: runs.getOrElse(n, Nil)
           } catch {
             case e: Throwable =>
@@ -812,16 +817,15 @@ object Bench {
       else
         try measureStress(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR_100", "100").toInt,
-          // dsir_weights re-admitted (round 16): the shared-pass
-          // (id, bucket) intermediate is now an evictable cache with an
-          // EXPLICIT release hook (importanceWeightsReleasable), flushed
-          // after every run — the retained-checkpoint-blocks artifact
-          // that degraded later tasks in this shared JVM (measured in
-          // r15: pack_sequences' ratio tripled when dsir ran before it)
-          // is gone, so the steepest 10x path finally carries 100x
-          // evidence. Task order keeps dsir BEFORE pack_sequences — the
-          // exact r15 failure order — so a regressed release would
-          // resurface as pack_sequences' ratio blowing up, not hide.
+          // dsir_weights (r18): the path is now STATELESS — two linear
+          // scans (eager literal-model train + the scoring pass), no
+          // shared-pass cache, no release hook — so the retained-blocks
+          // artifact that degraded later tasks in this shared JVM (r15:
+          // pack_sequences' ratio tripled when dsir ran before it; r17:
+          // the driver's run read dsir_weights@100x at 126x) has nothing
+          // left to retain. Task order keeps dsir BEFORE pack_sequences —
+          // the exact r15 failure order — so any regression resurfaces
+          // as pack_sequences' ratio blowing up, not hide.
           Some(Set("pack_sequences", "decontaminate", "bpe_token_counts",
             "shard_assignments", "dsir_weights")
             .filter(n => stressOnly.forall(_.contains(n)))))

@@ -1926,10 +1926,13 @@ final class VectorEngine private (val spark: SparkSession,
     * re-creates nothing and the chunk replay gate makes the whole call
     * a no-op, exactly like a redelivered micro-batch.
     *
-    * Scale shape: URL dedup is one shuffle on the canonical-URL key;
-    * extraction is scan-shaped; line removal is one line-hash shuffle +
-    * per-doc reassembly; then the curation composition's documented
-    * shape, plus one O(pages) document append. */
+    * Scale shape: the optional URL blocklist cut is one broadcast anti
+    * join (the blocklist side is bounded and broadcast, the RefinedWeb
+    * front-door shape — [[graft.operators.WebDomains.dropBlockedUrls]]);
+    * URL dedup is one shuffle on the canonical-URL key; extraction is
+    * scan-shaped; line removal is one line-hash shuffle + per-doc
+    * reassembly; then the curation composition's documented shape, plus
+    * one O(pages) document append. */
   def crawlAndIngest(libraryId: String,
                      pages: DataFrame, url: Column, html: Column,
                      embed: DataFrame => DataFrame,
@@ -1939,7 +1942,9 @@ final class VectorEngine private (val spark: SparkSession,
                      qualityMin: Double = 0.0,
                      maxDupNgramFrac: Double = 1.0,
                      n: Int = 8,
-                     threshold: Double = 0.05): VectorEngine.CrawlReport = {
+                     threshold: Double = 0.05,
+                     urlBlocklist: Option[DataFrame] = None)
+      : VectorEngine.CrawlReport = {
     import graft.operators.{HtmlExtract, TrainingData, WebDomains}
     // validate EVERYTHING up front — the crawl-side stages below are
     // the expensive part, and the curation core re-checking these after
@@ -1964,9 +1969,21 @@ final class VectorEngine private (val spark: SparkSession,
     if (nBadUrl > 0)
       throw ValidationError(
         s"crawl pages contain $nBadUrl null or blank urls")
+    // OPTIONAL RefinedWeb-style blocklist cut at the very front door
+    // (before extraction, dedup, and every other fetch-side stage —
+    // the published pipelines drop by URL first): pages whose canonical
+    // URL's registered domain is blocklisted vanish here, accounted as
+    // n_after_blocklist. None compiles to the pre-existing plan.
+    val admitted = urlBlocklist match {
+      case Some(bl) => graft.operators.WebDomains
+        .dropBlockedUrls(pinned, col("__u"), bl, col("domain"))
+        .localCheckpoint() // O(admitted pages), counted + consumed below
+      case None => pinned
+    }
+    val nAdmitted = if (urlBlocklist.isEmpty) nPages else admitted.count()
     // one survivor per canonical URL: min (url, html) pair is
     // deterministic under any partitioning
-    val unique = pinned
+    val unique = admitted
       .select(WebDomains.normalizeUrl(col("__u")).as("__norm"),
         struct(col("__u").as("u"), col("__h").as("h")).as("__p"))
       .groupBy(col("__norm")).agg(min(col("__p")).as("__p"))
@@ -2008,7 +2025,7 @@ final class VectorEngine private (val spark: SparkSession,
     val curation = curateIngestCore(libraryId, cleaned.drop("__norm"),
       col("id"), col("text"), col("__page"), embed, benchmark, benchText,
       maxTokens, overlap, qualityMin, maxDupNgramFrac, n, threshold)
-    VectorEngine.CrawlReport(nPages, nUnique, nCleaned, curation)
+    VectorEngine.CrawlReport(nPages, nAdmitted, nUnique, nCleaned, curation)
   }
 
   /** The CURATION COMPOSITION at the facade — what the streaming path
@@ -2054,9 +2071,10 @@ final class VectorEngine private (val spark: SparkSession,
     * @param embed stage adding an `embedding` column to its input (all
     *              other columns must pass through untouched)
     * @return per-stage accounting (chunked / after quality / after the
-    *         optional DSIR selection — equal to the quality count when
-    *         no model is passed — / after decontamination / actually
-    *         ingested) */
+    *         optional classifier gate / after the optional DSIR
+    *         selection — each selection count equals its predecessor
+    *         when that model is not passed — / after decontamination /
+    *         actually ingested) */
   def curateAndIngest(libraryId: String, documentId: String, docs: DataFrame,
                       docId: Column, text: Column,
                       embed: DataFrame => DataFrame,
@@ -2149,12 +2167,12 @@ final class VectorEngine private (val spark: SparkSession,
         kept.join(keepIds, Seq("id")).localCheckpoint()
       case None => kept
     }
+    val nClassified =
+      if (classifierModel.isEmpty) nQuality else classified.count()
     // OPTIONAL DSIR target-distribution selection (batch parity with the
     // streaming path — the SAME scoreWithModel gate
     // StreamingIngest.ingestDsirGatedBatch applies, so the two cannot
-    // drift); None compiles to the pre-existing plan. The report's
-    // n_after_dsir field counts survivors of BOTH optional selection
-    // gates (classifier, then DSIR).
+    // drift); None compiles to the pre-existing plan.
     val selected = dsirModel match {
       case Some(m) =>
         val keepIds = graft.operators.ImportanceSampling.scoreWithModel(
@@ -2165,7 +2183,7 @@ final class VectorEngine private (val spark: SparkSession,
       case None => classified
     }
     val nSelected =
-      if (dsirModel.isEmpty && classifierModel.isEmpty) nQuality
+      if (dsirModel.isEmpty) nClassified
       else selected.count()
     val benchGrams = TrainingData.benchmarkShingles(benchmark, benchText, n)
       .localCheckpoint() // eval sets are MBs; shingled once per call
@@ -2183,8 +2201,8 @@ final class VectorEngine private (val spark: SparkSession,
       typedLit(Map.empty[String, String]).as("metadata"), col("chunk_index"))
     val nIngested = graft.streaming.StreamingIngest.ingestDedupGatedBatch(
       this, libraryId, batch, threshold)
-    VectorEngine.CurationReport(nChunks, nQuality, nSelected, nClean,
-      nIngested)
+    VectorEngine.CurationReport(nChunks, nQuality, nClassified, nSelected,
+      nClean, nIngested)
   }
 
   // -------------------------------------------------------------------
@@ -2903,15 +2921,25 @@ final class VectorEngine private (val spark: SparkSession,
 object VectorEngine {
   /** Per-stage accounting of one [[VectorEngine.curateAndIngest]] run —
     * the observability a curation freeze wants (how much each gate cut),
-    * at one O(batch) aggregate per stage. */
+    * at one O(batch) aggregate per stage. The two optional selection
+    * gates report SEPARATELY (ADVICE r17): `n_after_classifier` counts
+    * survivors of the trained-classifier gate (= `n_after_quality` when
+    * no classifier model is passed), `n_after_dsir` counts survivors of
+    * the DSIR gate that runs after it (= `n_after_classifier` when no
+    * DSIR model is passed) — so per-gate attrition stays observable in
+    * classifier-only, dsir-only, and combined runs. */
   final case class CurationReport(n_chunks: Long, n_after_quality: Long,
+                                  n_after_classifier: Long,
                                   n_after_dsir: Long,
                                   n_after_decontamination: Long,
                                   n_ingested: Long)
 
   /** Accounting for [[VectorEngine.crawlAndIngest]]'s crawl-side stages
-    * (the curation-side stages report through [[CurationReport]]). */
-  final case class CrawlReport(n_pages: Long, n_unique_urls: Long,
+    * (the curation-side stages report through [[CurationReport]]).
+    * `n_after_blocklist` counts pages surviving the optional URL
+    * blocklist cut (= `n_pages` when no blocklist is passed). */
+  final case class CrawlReport(n_pages: Long, n_after_blocklist: Long,
+                               n_unique_urls: Long,
                                n_after_line_removal: Long,
                                curation: CurationReport)
 

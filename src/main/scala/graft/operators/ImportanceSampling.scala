@@ -19,13 +19,27 @@ import org.apache.spark.sql.functions._
   * Gumbel keys bit-for-bit.
   *
   * Scale shape: the bucket model is O(buckets) — two aggregations with
-  * map-side partials (target side is the SMALL curated exemplar set; the
-  * raw side is the 100 TB corpus scanned once) — broadcast back as a
-  * `buckets`-row frame. Per-document scoring is one (id, bucket) count
-  * shuffle followed by a broadcast join; the fold over a document's
-  * buckets is ordered (bucket-sorted), so the float sum is deterministic
-  * under any partitioning. Selection is a TakeOrdered top-k, never a
-  * global sort.
+  * map-side partials (target side is the SMALL curated exemplar set) —
+  * materialized EAGERLY to the driver as a `buckets`-row literal frame
+  * (the same bounded-model collect class as the IVF centroids and the
+  * BM25 stats). Per-document scoring is one (id, bucket) count shuffle
+  * followed by a broadcast join against the literal model; the fold over
+  * a document's buckets is ordered (bucket-sorted), so the float sum is
+  * deterministic under any partitioning. Selection is a TakeOrdered
+  * top-k, never a global sort.
+  *
+  * Storage discipline (round 18): NOTHING corpus-sized is pinned. The
+  * raw corpus pays two linear tokenize+hash passes per end-to-end run —
+  * one eager pass training the model, one lazy pass scoring — instead of
+  * the previous one-pass design that materialized the O(docs x buckets)
+  * (id, bucket) counts into the block store (localCheckpoint / tagged
+  * persist). That intermediate is itself roughly corpus-token-sized, so
+  * "saving" the second scan spent comparable I/O writing and re-reading
+  * spill blocks whose reclamation was GC-timing-dependent (ContextCleaner)
+  * or hook-dependent — the round-17 driver bench measured exactly that
+  * pressure (pipeline_dsir_sample 13.2 s vs 2.5 s; dsir_weights@100x
+  * 126x). Two stateless scans are the same asymptotic cost with zero
+  * executor-storage footprint and nothing for a long-lived JVM to leak.
   */
 object ImportanceSampling {
 
@@ -68,10 +82,8 @@ object ImportanceSampling {
       target, id, text, buckets)
 
   /** [[bucketModel]] with the raw side's bucket counts ALREADY computed
-    * (column `rc`): [[importanceWeights]] derives them from its own
-    * per-document count frame, so the 100 TB raw corpus is tokenized and
-    * md5-hashed exactly ONCE per call — rescanning it for the model
-    * would double the dominant per-gram hash cost. */
+    * (column `rc`) — the smoothing/totals/log-ratio tail shared by any
+    * caller that aggregated the raw side itself. */
   private def bucketModelFrom(rawCounts: DataFrame, target: DataFrame,
                               id: Column, text: Column,
                               buckets: Int): DataFrame = {
@@ -102,6 +114,20 @@ object ImportanceSampling {
             (col("rt") + lit(buckets.toLong)).cast("double"))).as("lam"))
   }
 
+  /** EAGERLY materialize a (bucket, lam) model frame to the driver and
+    * re-create it as a literal DataFrame: O(buckets) rows — bounded
+    * collect, the IVF-centroid/BM25-stats class. Doubles round-trip the
+    * driver bit-exactly (java.sql Row carries the IEEE value), so a
+    * literal model scores identically to the lazy plan it came from —
+    * and a plan holding the LITERAL model re-materializes at one corpus
+    * scan instead of re-training on every action. */
+  private def literalModel(model: DataFrame): DataFrame = {
+    val spark = model.sparkSession
+    val rows = model.select(col("bucket").cast("long"), col("lam"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.createDataFrame(rows).toDF("bucket", "lam")
+  }
+
   /** Per-document importance weight under the model: (id, n_feats,
     * logweight) for EVERY raw document. (The pinned kernel tokenizes
     * empty text to one empty-string token, so in practice every document
@@ -109,74 +135,20 @@ object ImportanceSampling {
     * feature-less row to n_feats 0, logweight 0.0.) `logweight` =
     * sum over the document's feature occurrences of lam_bucket, folded in
     * bucket order (deterministic float sum), rounded to 6 — the
-    * cross-engine contract every other score column follows. */
+    * cross-engine contract every other score column follows.
+    *
+    * Execution shape: the model trains EAGERLY at call time (one linear
+    * tokenize+hash pass over each side, collected to `buckets` literal
+    * rows); the RETURNED plan is one stateless corpus scan — nothing is
+    * checkpointed, persisted, or otherwise pinned, so repeated calls and
+    * repeated materializations leave zero executor-storage residue (see
+    * the object scaladoc for why this beats the shared-pass pin). */
   def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
                         text: Column,
                         buckets: Int = DefaultBuckets): DataFrame = {
-    // The shared (id, bucket) pass is pinned with localCheckpoint here,
-    // NOT the releasable variant's persist: a persist() entry lives in
-    // Spark's CacheManager (strong references) until an explicit
-    // unpersist, so a plain caller that discards the release hook would
-    // leak one cache/disk-resident entry PER CALL for the JVM lifetime.
-    // Checkpoint blocks are ContextCleaner-collectable once the frame
-    // is unreachable — the right default for callers with no lifecycle
-    // hook. Callers that score repeatedly and want deterministic
-    // reclamation use [[importanceWeightsReleasable]] and call the hook.
+    val model = literalModel(bucketModel(raw, target, id, text, buckets))
     val docBuckets = featureBuckets(raw, id, text, buckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    weightsFromDocBuckets(docBuckets, raw, target, id, text, buckets)
-  }
-
-  /** Monotone per-call tag: Spark's CacheManager substitutes a cached
-    * plan into ANY later query whose canonicalized subplan matches, so
-    * without a per-call distinguisher two separate importanceWeights
-    * calls over the same input would silently share one cache — fine
-    * for results (identical values) but wrong for lifecycle (call A's
-    * release would yank call B's data) and for anyone timing the calls. */
-  private val passCounter = new java.util.concurrent.atomic.AtomicLong()
-
-  /** [[importanceWeights]] plus an EXPLICIT release hook for the
-    * shared-pass (id, bucket) count cache. The single-scan design
-    * materializes an O(docs x buckets) intermediate consumed by both the
-    * model's raw-side totals and the scoring join; it is held as an
-    * evictable CACHE (not a pinned checkpoint — blocks a checkpoint
-    * retains are freed only by the ContextCleaner after GC, which in a
-    * long-lived JVM lets dead intermediates crowd later work, and a
-    * released checkpoint's lineage is truncated so the frame would die
-    * with it — the cache recomputes instead). Each call's cache entry is
-    * PRIVATE (per-call plan tag, see [[passCounter]]). Callers MUST call
-    * the hook once the output is materialized: a CacheManager entry is
-    * held by strong reference until its unpersist, so an uncalled hook
-    * is a JVM-lifetime leak (the plain [[importanceWeights]] pins with
-    * localCheckpoint instead, exactly so hook-less callers cannot
-    * leak). */
-  def importanceWeightsReleasable(raw: DataFrame, target: DataFrame,
-                                  id: Column, text: Column,
-                                  buckets: Int = DefaultBuckets)
-      : (DataFrame, () => Unit) = {
-    val docBuckets = featureBuckets(raw, id, text, buckets)
-      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      .withColumn("__pass", lit(passCounter.incrementAndGet()))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (weightsFromDocBuckets(docBuckets.drop("__pass"), raw, target, id,
-        text, buckets),
-      () => { docBuckets.unpersist(blocking = true); () })
-  }
-
-  /** Shared tail of both weight entry points, taking the PINNED
-    * (id, bucket, cnt) frame: ONE tokenize+hash pass over the raw corpus
-    * — the per-document counts feed the scoring join below AND roll up
-    * (an exact integer second-stage aggregate over at most
-    * |docs| x buckets rows) into the model's raw-side bucket totals —
-    * identical values to counting occurrences directly, at none of the
-    * rescan cost. */
-  private def weightsFromDocBuckets(docBuckets: DataFrame, raw: DataFrame,
-                                    target: DataFrame, id: Column,
-                                    text: Column, buckets: Int): DataFrame = {
-    val rawCounts = docBuckets.groupBy(col("bucket"))
-      .agg(sum(col("cnt")).as("rc"))
-    val model = bucketModelFrom(rawCounts, target, id, text, buckets)
     scoreCounts(docBuckets, raw.select(id.as("id")), model)
   }
 

@@ -79,6 +79,39 @@ object TextAnalysis {
       when(regexp_count(text, lit(cls)) > 0, lit(code)).otherwise(rest)
     }
 
+  /** Default keep threshold for the language-ID confidence gate — the
+    * CCNet rule's analogue (Wenzek et al. 2020 §4.3 keep a page only if
+    * the fastText language score is >= 0.5; this heuristic's confidence
+    * lives on a different scale, so the shipped cut is calibrated to
+    * it: natural prose hits ~0.17-0.45 on the stopword fraction and
+    * script text ~0.5-1.0 on the script-char fraction, while
+    * keyword soup / wrong-alphabet text sits at 0). ONE home — specs,
+    * query rows, and the pipeline wire this constant. */
+  val LangIdMinConfidence = 0.15
+
+  /** Deterministic language-ID CONFIDENCE in [0, 1] beside
+    * [[predictedLangScript]] (the argmax alone keeps everything — CCNet
+    * gates on the score, not the argmax, which is what drops
+    * keyword-soup and wrong-alphabet pages): for a document decided by
+    * a SCRIPT range, the fraction of non-whitespace code points in the
+    * winning range; for the Latin stopword fallback, the WINNING
+    * profile's hit count (= the max over profiles — exactly what the
+    * argmax maximized) over the token count. Rounded to 6, the
+    * cross-engine contract; the decision chain mirrors
+    * [[predictedLangScript]] range-for-range so (lang, confidence)
+    * always describe the same decision. */
+  def langScriptConfidence(text: Column, toks: Column): Column = {
+    val ws = graft.functions.TextHash.WsClassJava
+    val nonWs = length(regexp_replace(text, s"$ws+", "")).cast("double")
+    val latin = greatest(LangProfiles.map { case (_, words) =>
+      matchCount(toks, words) }: _*).cast("double") / size(toks)
+    val conf = ScriptRanges.foldRight(latin) { case ((_, cls), rest) =>
+      when(regexp_count(text, lit(cls)) > 0,
+        regexp_count(text, lit(cls)).cast("double") / nonWs).otherwise(rest)
+    }
+    round(conf, 6) + lit(0.0d)
+  }
+
   /** Ratio of stopword tokens (quality signal: natural text has some;
     * keyword soup and boilerplate sit at the extremes). */
   def stopwordRatio(toks: Column): Column =

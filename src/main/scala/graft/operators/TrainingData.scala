@@ -993,24 +993,46 @@ object TrainingData {
     * contract, avg over ALL n positions, rounded to 6. */
   def bigramLogProbs(df: DataFrame, id: Column, text: Column,
                      vocabCap: Int = 65536, bigramCap: Int = 262144,
-                     lambda: Double = 0.9): DataFrame = {
+                     lambda: Double = 0.9): DataFrame =
+    bigramScoreWithLm(df, id, text,
+      trainBigramLm(df, id, text, vocabCap, bigramCap), lambda)
+
+  /** A trained interpolated-bigram LM held as BOUNDED literal frames:
+    * `vocab` (term, pug) <= vocabCap rows, `bigrams` (prev, cur, pbg)
+    * <= bigramCap rows, plus the exact corpus token total. Both frames
+    * live on the driver (the bounded-model collect class — IVF
+    * centroids, BPE merges, BM25 stats), so a plan scoring against them
+    * re-materializes at ONE corpus scan instead of re-training the
+    * model on every action, and nothing corpus-sized is ever pinned. */
+  final case class BigramLm(total: Double, vocab: DataFrame,
+                            bigrams: DataFrame)
+
+  /** Train the [[BigramLm]] EAGERLY: term counts cut to the top
+    * `vocabCap` (count desc, term — a total order, deterministic cut),
+    * bigram counts cut to the top `bigramCap` by (count desc, prev,
+    * cur), context counts joined broadcast against the CAPPED bigram
+    * frame only. Three jobs (token total, vocab collect, bigram-model
+    * collect), each a linear corpus scan with map-side partials; the
+    * collects are bounded by the caps, never by the real vocabulary.
+    * Doubles round-trip the driver bit-exactly, so literal-model scoring
+    * is hash-identical to the in-plan model it replaces. */
+  def trainBigramLm(df: DataFrame, id: Column, text: Column,
+                    vocabCap: Int = 65536,
+                    bigramCap: Int = 262144): BigramLm = {
     require(vocabCap > 0, "vocabCap must be positive")
     require(bigramCap > 0, "bigramCap must be positive")
-    require(lambda > 0.0d && lambda < 1.0d, "lambda must be in (0, 1)")
-    val mu = 1.0d - lambda
+    val spark = df.sparkSession
     val toks = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"))
     val exploded = toks.select(col("id"), explode(col("__t")).as("term"))
-    // exact integer token-event count as a literal (see scaladoc); the
-    // OOV floor 1/total is constant-folded to the identical double the
-    // executor-side division produced
+    // exact integer token-event count (becomes the OOV-floor literal)
     val total = exploded.count().toDouble
-    val floorPu = lit(1.0d) / lit(total)
     // unigram model: MLE over the top-vocabCap terms, probability space
     val termCounts = exploded.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("c"))
-    val vocab = termCounts
+    val vocabRows = termCounts
       .orderBy(col("c").desc, col("term")).limit(vocabCap)
       .select(col("term"), (col("c") / lit(total)).as("pug"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     // bigram events: (prev, cur) for every position >= 2 — slice+zip is
     // empty for single-token docs (no guard branch needed)
     val pairs = toks.select(col("id"),
@@ -1023,16 +1045,44 @@ object TrainingData {
       .agg(count(lit(1)).cast("double").as("cbg"))
     val ctxCounts = pairs.groupBy(col("prev"))
       .agg(count(lit(1)).cast("double").as("cctx"))
-    val bgModel = ctxCounts
+    val bgRows = ctxCounts
       .join(broadcast(bgCounts.orderBy(col("cbg").desc, col("prev"),
         col("cur")).limit(bigramCap)), "prev")
       .select(col("prev"), col("cur"), (col("cbg") / col("cctx")).as("pbg"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    BigramLm(total,
+      spark.createDataFrame(vocabRows).toDF("term", "pug"),
+      spark.createDataFrame(bgRows).toDF("prev", "cur", "pbg"))
+  }
+
+  /** Score `df` against an ALREADY-TRAINED [[BigramLm]] — the LAZY half
+    * of [[bigramLogProbs]] (identical output contract). One stateless
+    * plan: per-doc (id, prev, cur) counts, two broadcast literal-model
+    * joins, the (prev, cur)-ordered fold, the first-token unigram term
+    * added last outside the fold. Nothing is pinned; re-running the
+    * plan costs one corpus scan, not a model retrain. */
+  def bigramScoreWithLm(df: DataFrame, id: Column, text: Column,
+                        lm: BigramLm, lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0.0d && lambda < 1.0d, "lambda must be in (0, 1)")
+    val mu = 1.0d - lambda
+    // the OOV floor 1/total is constant-folded to the identical double
+    // the executor-side division produced
+    val floorPu = lit(1.0d) / lit(lm.total)
+    val toks = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"))
+    val pairs = toks.select(col("id"),
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("z"))
+      .select(col("id"), col("z").getField("0").as("prev"),
+        col("z").getField("1").as("cur"))
     // per-position contributions, grouped to (id, prev, cur) events
     val perDocPair = pairs.groupBy(col("id"), col("prev"), col("cur"))
       .agg(count(lit(1)).cast("double").as("cnt"))
     val contribs = perDocPair
-      .join(broadcast(bgModel), Seq("prev", "cur"), "left")
-      .join(broadcast(vocab.withColumnRenamed("term", "cur")), Seq("cur"), "left")
+      .join(broadcast(lm.bigrams), Seq("prev", "cur"), "left")
+      .join(broadcast(lm.vocab.withColumnRenamed("term", "cur")),
+        Seq("cur"), "left")
       .select(col("id"), col("prev"), col("cur"),
         (col("cnt") * log(lit(lambda) * coalesce(col("pbg"), lit(0.0d)) +
           lit(mu) * coalesce(col("pug"), floorPu)))
@@ -1046,7 +1096,8 @@ object TrainingData {
     val first = toks
       .select(col("id"), size(col("__t")).cast("long").as("n_tokens"),
         element_at(col("__t"), 1).as("cur"))
-      .join(broadcast(vocab.withColumnRenamed("term", "cur")), Seq("cur"), "left")
+      .join(broadcast(lm.vocab.withColumnRenamed("term", "cur")),
+        Seq("cur"), "left")
       .select(col("id"), col("n_tokens"),
         log(coalesce(col("pug"), floorPu)).as("__lp1"))
     first.join(folded, Seq("id"), "left") // single-token docs: no pairs
@@ -1074,19 +1125,24 @@ object TrainingData {
     *     'head'. Sub-tercile corpora (m < 3) degenerate deterministically
     *     (everything at or below the single threshold is 'tail').
     *
-    * Scale shape: the [[bigramLogProbs]] aggregations run ONCE — the
-    * scored frame (3 narrow columns per document) is localCheckpointed
-    * because both the threshold computation and the output scan consume
-    * it, and the threshold action is EAGER (without the pin the full LM
-    * training subplan would execute twice; the checkpoint blocks are
-    * ContextCleaner-collectable once the frame is unreachable). On top:
-    * ONE TakeOrdered(sampleCap) cut (per-partition heaps, cap-row merge
-    * — no global sort of the corpus), rank/count windows over the
-    * cap-BOUNDED sample frame (the G-row-frame convention), a 1-row
+    * Scale shape (r18 — NOTHING pinned): the LM trains ONCE, eagerly,
+    * into cap-bounded literal frames ([[trainBigramLm]]); scoring
+    * against the literal model is a stateless one-scan plan
+    * ([[bigramScoreWithLm]]). The md5 sample draw is a pure function of
+    * the id, so the sample id set comes from an id-column-only
+    * TakeOrdered(sampleCap) (per-partition heaps, cap-row merge — no
+    * global sort, no per-doc scoring), and only the sampleCap sample
+    * documents pay LM scoring inside the EAGER threshold job (broadcast
+    * semi-join on the bounded id set). On top: rank/count windows over
+    * the cap-BOUNDED sample frame (the G-row-frame convention), a 1-row
     * eager threshold read attached as LITERALS (the same
     * no-BroadcastNestedLoopJoin rule as the LM totals), and a scan-side
-    * CASE. Nothing corpus-sized is sorted, collected, or re-shuffled
-    * beyond the LM training itself.
+    * CASE over the lazy full-corpus scoring plan. The corpus pays two
+    * linear scoring-side passes end-to-end (threshold job restricted to
+    * the sample + the output scan) and zero block-store residue — the
+    * previous design localCheckpointed the scored corpus frame and
+    * relied on GC to reclaim it, the round-17 driver bench's measured
+    * scale-killer (ccnet_buckets 32x at 10x inflation).
     *
     * Output: (id, n_tokens, avg_logprob, ppl_bucket). */
   def perplexityBuckets(df: DataFrame, id: Column, text: Column,
@@ -1094,18 +1150,27 @@ object TrainingData {
                         lambda: Double = 0.9,
                         sampleCap: Int = 10000): DataFrame = {
     require(sampleCap > 0, "sampleCap must be positive")
-    val scored = bigramLogProbs(df, id, text, vocabCap, bigramCap, lambda)
-      .localCheckpoint()
-    bucketByThresholds(scored,
-      perplexityThresholds(scored, sampleCap))
+    val lm = trainBigramLm(df, id, text, vocabCap, bigramCap)
+    // sample id set: pure function of the id column — cheap columnar cut
+    val sampleIds = df.select(id.as("__sid"),
+        hashBucket("ppl:", id, 1000000L).as("__d"))
+      .orderBy(col("__d"), col("__sid")).limit(sampleCap)
+      .select(col("__sid"))
+    val sampleScored = bigramScoreWithLm(
+      df.join(broadcast(sampleIds), id === col("__sid"), "left_semi"),
+      id, text, lm, lambda)
+    bucketByThresholds(bigramScoreWithLm(df, id, text, lm, lambda),
+      perplexityThresholds(sampleScored, sampleCap))
   }
 
   /** The CCNet tercile thresholds (t1, t2) of a scored frame
     * (`id`, `avg_logprob`): computed EAGERLY from the
     * md5-deterministic `sampleCap`-row sample (see [[perplexityBuckets]]
     * for the contract). None only for an EMPTY frame (no rows to
-    * bucket). The caller is expected to pass a pinned (checkpointed)
-    * frame — this runs a job. */
+    * bucket). This runs a job — callers pass a frame whose per-row cost
+    * is already SAMPLE-BOUNDED (the smallest-draw cut inside is then an
+    * identity reorder over the same <= sampleCap rows), so nothing needs
+    * pinning. */
   private[graft] def perplexityThresholds(scored: DataFrame,
                                           sampleCap: Int)
       : Option[(Double, Double)] = {
@@ -1162,18 +1227,30 @@ object TrainingData {
     * the tercile thresholds t1/t2 cut each language's own score
     * distribution.
     *
-    * Scale shape: the [[bigramLogProbs]] aggregations once
-    * (localCheckpointed — the sample and the output scan both consume
-    * the scored frame), one id-keyed join attaching the language (the
-    * standard per-doc attach: partitioned, linear), then a TWO-PHASE
-    * per-language sample cut — phase 1 ranks within
-    * (input-partition, lang) so the hot language (English is half the
-    * web) spreads over every partition instead of funneling one
-    * reducer, and the exact global per-language smallest-k must
-    * survive its own partition's cut, so the phase-2 window runs over
-    * a frame bounded by partitions x languages x cap, never the
-    * corpus. Thresholds are a languages-row frame attached by
-    * BROADCAST equi-join on lang (no scalar attach anywhere).
+    * A NULL language key is coalesced to the ISO-639 sentinel 'und'
+    * (undetermined) BEFORE any join, so null-lang documents land in
+    * their own bucket distribution instead of silently vanishing
+    * through the inner equi-joins (ADVICE r17;
+    * [[TextAnalysis.predictedLangScript]] never yields null, but an
+    * arbitrary caller-supplied column can).
+    *
+    * Scale shape (r18 — NOTHING pinned): the LM trains ONCE, eagerly,
+    * into cap-bounded literal frames ([[trainBigramLm]]); all further
+    * pieces are one lazy plan. The per-language deterministic sample
+    * cuts on the (id, lang, draw) PROJECTION — no per-doc scoring —
+    * with the TWO-PHASE window: phase 1 ranks within (input-partition,
+    * lang) so the hot language (English is half the web) spreads over
+    * every partition instead of funneling one reducer, and the exact
+    * global per-language smallest-k must survive its own partition's
+    * cut, so the phase-2 window runs over a frame bounded by
+    * partitions x languages x cap, never the corpus. Only the bounded
+    * sample survivors pay LM scoring (broadcast semi-join on the sample
+    * id set); thresholds are a languages-row frame attached by
+    * BROADCAST equi-join on lang (no scalar attach anywhere). The
+    * corpus pays two linear scoring passes (sample-restricted + output)
+    * and zero block-store residue — the previous design
+    * localCheckpointed the scored corpus frame, the round-17 driver
+    * bench's measured scale-killer.
     *
     * Output: (id, lang, n_tokens, avg_logprob, ppl_bucket). */
   def perplexityBucketsByLang(df: DataFrame, id: Column, text: Column,
@@ -1184,12 +1261,15 @@ object TrainingData {
                               sampleCapPerLang: Int = 10000): DataFrame = {
     require(sampleCapPerLang > 0, "sampleCapPerLang must be positive")
     import org.apache.spark.sql.expressions.Window
-    val docLang = df.select(id.as("id"), lang.as("lang"))
-    val scored = bigramLogProbs(df, id, text, vocabCap, bigramCap, lambda)
+    val langSafe = coalesce(lang.cast("string"), lit("und"))
+    val docLang = df.select(id.as("id"), langSafe.as("lang"))
+    val lm = trainBigramLm(df, id, text, vocabCap, bigramCap)
+    val scored = bigramScoreWithLm(df, id, text, lm, lambda)
       .join(docLang, Seq("id"))
-      .localCheckpoint()
-    val drawn = scored.select(col("id"), col("lang"), col("avg_logprob"),
-        hashBucket("ppl:", col("id"), 1000000L).as("__d"))
+    // per-language sample: the draw is a pure function of the id, so
+    // the cut runs over the narrow (id, lang, draw) projection
+    val drawn = docLang
+      .withColumn("__d", hashBucket("ppl:", col("id"), 1000000L))
       .withColumn("__p", spark_partition_id())
     val wLocal = Window.partitionBy(col("__p"), col("lang"))
       .orderBy(col("__d"), col("id"))
@@ -1203,11 +1283,18 @@ object TrainingData {
     val sample = localCut
       .withColumn("__sr", row_number().over(wSample))
       .where(col("__sr") <= sampleCapPerLang)
+      .select(col("id"), col("lang"))
+    // only the sample survivors pay LM scoring for the thresholds
+    val sampleScored = bigramScoreWithLm(
+        df.join(broadcast(sample.select(col("id").as("__sid"))),
+          id === col("__sid"), "left_semi"),
+        id, text, lm, lambda)
+      .join(sample, Seq("id"))
     val wRank = Window.partitionBy(col("lang"))
       .orderBy(col("avg_logprob"), col("id"))
     val wLang = Window.partitionBy(col("lang"))
       .rowsBetween(Long.MinValue, Long.MaxValue)
-    val ranked = sample
+    val ranked = sampleScored
       .withColumn("__rn", row_number().over(wRank).cast("long"))
       .withColumn("__m", count(lit(1)).over(wLang))
     val thr = ranked.groupBy(col("lang")).agg(
@@ -1217,8 +1304,9 @@ object TrainingData {
       max(when(col("__rn") ===
         floor((col("__m") * lit(2L) + lit(2L)) / lit(3L)), col("avg_logprob")))
         .as("__t2"))
-    // every language present in scored has >= 1 sample row, so the
-    // inner broadcast join drops nothing
+    // every language present in scored has >= 1 sample row (the sample
+    // draws from the same docLang frame), so the inner broadcast join
+    // drops nothing
     scored.join(broadcast(thr), Seq("lang"))
       .select(col("id"), col("lang"), col("n_tokens"), col("avg_logprob"),
         when(col("avg_logprob") <= col("__t1"), lit("tail"))
@@ -1236,20 +1324,36 @@ object TrainingData {
     * through the pinned one-empty-token path — dropping them is the
     * caller's call, as everywhere else in the dedup family.
     *
+    * `minLangConf > 0` adds the paper's language-SCORE keep rule
+    * (Wenzek et al. gate on fastText confidence >= 0.5, not the
+    * argmax): documents whose [[TextAnalysis.langScriptConfidence]]
+    * over the CLEANED text falls below the cut are dropped AFTER dedup
+    * and BEFORE the LM sees them — a dropped page must neither train
+    * the LM nor receive a bucket. The default 0.0 compiles to the
+    * pre-existing plan (no filter node).
+    *
     * Output: (id, n_kept, n_removed, lang, n_tokens, avg_logprob,
     * ppl_bucket). */
   def ccnetPipeline(df: DataFrame, id: Column, text: Column,
                     minDocFreq: Int = 2,
                     vocabCap: Int = 65536, bigramCap: Int = 262144,
                     lambda: Double = 0.9,
-                    sampleCapPerLang: Int = 10000): DataFrame = {
+                    sampleCapPerLang: Int = 10000,
+                    minLangConf: Double = 0.0): DataFrame = {
+    require(minLangConf >= 0.0 && minLangConf <= 1.0,
+      "minLangConf must be in [0, 1]")
+    val cleaned = removeCommonParagraphs(df, id, text, minDocFreq)
+    val gated =
+      if (minLangConf <= 0.0) cleaned
+      else cleaned.where(TextAnalysis.langScriptConfidence(
+        col("clean_text"), TextAnalysis.tokens(col("clean_text")))
+        >= minLangConf)
     // pinned: the LM chain references its input frame several times
     // (term/bigram/context/first-token subplans) — over a raw parquet
     // scan that is scan-shaped, but re-running the 3-shuffle dedup
     // subplan per reference is not; the checkpointed frame is computed
     // once (narrow: id + counts + cleaned text)
-    val deduped = removeCommonParagraphs(df, id, text, minDocFreq)
-      .localCheckpoint()
+    val deduped = gated.localCheckpoint()
     val clean = col("clean_text")
     perplexityBucketsByLang(deduped, col("id"), clean,
         TextAnalysis.predictedLangScript(clean, TextAnalysis.tokens(clean)),
@@ -1396,7 +1500,10 @@ object TrainingData {
       .reduce(_ unionByName _)
     // integer packing (cnt, token chars): max picks the highest count,
     // ties to the longer gram; token chars = string length minus the
-    // n-1 single-space separators. Values stay far under 2^53.
+    // n-1 single-space separators, CLAMPED to Pack-1 so a pathological
+    // >= 1M-char n-gram cannot overflow the chars field into the count
+    // (ADVICE r17 — both engines clamp identically, web text never
+    // reaches the clamp). Values stay far under 2^53.
     val Pack = 1000000L
     val topAggs = topNs.map(n =>
       max(when(col("n") === n,
@@ -1406,7 +1513,8 @@ object TrainingData {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("id"), col("n"))
       .agg(max(col("cnt") * lit(Pack) +
-        (length(col("gram")).cast("long") - (col("n") - 1))).as("__m"))
+        least(length(col("gram")).cast("long") - (col("n") - 1),
+          lit(Pack - 1L))).as("__m"))
       .groupBy(col("id"))
       .agg(topAggs.head, topAggs.tail: _*)
     // ---- duplicated n-gram token-char coverage, n = 5..10 ----

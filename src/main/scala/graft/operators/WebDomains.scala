@@ -143,6 +143,26 @@ object WebDomains {
         when(keepPort, concat(lit(":"), port)).otherwise(lit("")), rest))
   }
 
+  /** RefinedWeb-style URL blocklist cut at the crawl FRONT DOOR (Penedo
+    * et al. 2023 apply a curated ~4.6M-entry blocklist by URL before
+    * any fetch-side work; C4 documents the same badwords-domain cut):
+    * drop every page whose CANONICAL URL's registered domain appears in
+    * `blocklist` (a frame holding registered domains in `domain`).
+    * Normalization first, so case/port/userinfo variants of a blocked
+    * domain cannot sneak past the cut.
+    *
+    * Scale shape: the blocklist is bounded relative to the corpus
+    * (millions of rows vs billions of pages) and BROADCAST — the corpus
+    * side pays one scan plus one broadcast LEFT ANTI join on the
+    * registered-domain key; no shuffle, no collect. */
+  def dropBlockedUrls(pages: DataFrame, url: Column,
+                      blocklist: DataFrame,
+                      domain: Column): DataFrame =
+    pages.join(
+      broadcast(blocklist.select(domain.as("__blocked_domain")).distinct()),
+      registeredDomain(host(normalizeUrl(url))) === col("__blocked_domain"),
+      "left_anti")
+
   // ---------------- DuckDB twins (generated from the same constants)
 
   def hostSql(col: String): String =

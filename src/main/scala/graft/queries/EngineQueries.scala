@@ -733,7 +733,7 @@ object EngineQueries {
   // lifetime — the exact hazard bpeMergeCache's dir-only key avoids.
   // A call from a NEWER session replaces (and so releases) the stale
   // entry instead of accumulating beside it.
-  private val curatedEngines = scala.collection.mutable.HashMap[
+  private[graft] val curatedEngines = scala.collection.mutable.HashMap[
     String, (SparkSession, VectorEngine)]()
 
   /** Shared lookup for the per-dir engine caches: a hit requires the
@@ -742,7 +742,7 @@ object EngineQueries {
     * replaced session (and their ingested state) are unusable and would
     * otherwise accumulate for the process lifetime, across ALL dirs,
     * not just the one being rebuilt. */
-  private def cachedEngine(
+  private[graft] def cachedEngine(
       cache: scala.collection.mutable.HashMap[String, (SparkSession, VectorEngine)],
       s: SparkSession, dir: String)(build: => VectorEngine): VectorEngine =
     cache.synchronized {
@@ -799,7 +799,7 @@ object EngineQueries {
     * shared implementation both paths call). */
   private val DsirIngestBuckets = 64
 
-  private val dsirEngines = scala.collection.mutable.HashMap[
+  private[graft] val dsirEngines = scala.collection.mutable.HashMap[
     String, (SparkSession, VectorEngine)]()
 
   private val dsirIngest: QueryFn = (s, dir) => {

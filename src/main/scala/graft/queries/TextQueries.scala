@@ -686,7 +686,12 @@ object TextQueries {
   private val paragraphChainSql: String = {
     val hashT = DedupQueries.hashSql(0, "t")
     s"""d AS (
-       |  SELECT doc_id, string_split_regex(text, '\\n{2,}') AS gs
+       |  -- DuckDB string_split_regex('') = [] where the Spark split keeps
+       |  -- ['']: pinned to the Spark side (the c4CleanSql rule — an empty
+       |  -- doc has ONE empty paragraph, exempt from the frequency cut)
+       |  SELECT doc_id,
+       |    CASE WHEN text = '' THEN ['']::VARCHAR[]
+       |         ELSE string_split_regex(text, '\\n{2,}') END AS gs
        |  FROM $CcnetFixtureSql),
        |occ AS (
        |  SELECT doc_id, p, para,
@@ -859,7 +864,9 @@ object TextQueries {
        |tg AS ($topUnion),
        |tc AS (SELECT doc_id, n, gram, count(*) AS cnt FROM tg GROUP BY 1, 2, 3),
        |tm AS (SELECT doc_id, n,
-       |         max(cnt * 1000000 + (len(gram) - (n - 1))) AS m
+       |         -- chars clamped to Pack-1, mirroring the Scala twin: a
+       |         -- >= 1M-char gram must not overflow into the count field
+       |         max(cnt * 1000000 + least(len(gram) - (n - 1), 999999)) AS m
        |       FROM tc GROUP BY 1, 2),
        |tp AS (SELECT doc_id, $topPivot FROM tm GROUP BY 1),
        |pg AS ($pgUnion),
@@ -1083,8 +1090,59 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID CONFIDENCE + the CCNet keep rule over the multilingual
+    * fixture: beside the argmax prediction, the deterministic confidence
+    * (script-char fraction for script-decided docs, winning-profile hit
+    * fraction for the Latin fallback) and the `kept` flag at the shipped
+    * LangIdMinConfidence cut. The fixture forces the distinction the
+    * rule exists for: keyword-soup docs the argmax happily labels 'en'
+    * (zero stopword hits) and wrong-profile Latin docs (Turkish) carry
+    * confidence 0 and DROP, while genuine prose in the profiled
+    * languages and script-decided docs keep. The oracle replays the
+    * decision chain, both fractions, the rounding, and the cut. */
+  private val langIdConf: QueryFn = (s, _) => {
+    val t = tokens(col("text"))
+    val conf = graft.operators.TextAnalysis
+      .langScriptConfidence(col("text"), t)
+    s.read.parquet(s"${AnnQueries.FixturesDir}/unicode_docs.parquet").select(
+        col("doc_id"),
+        predictedLangScript(col("text"), t).as("predicted_lang"),
+        conf.as("lang_conf"),
+        (conf >= graft.operators.TextAnalysis.LangIdMinConfidence)
+          .cast("long").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of TextAnalysis.langScriptConfidence over columns
+    * `text` and `t` — generated from the SAME ScriptRanges +
+    * LangProfiles so the chain cannot drift. */
+  private def langConfSqlOf: String = {
+    val whens = ScriptRanges.map { case (_, cls) =>
+      s"WHEN len(regexp_extract_all(text, '$cls')) > 0 THEN " +
+        s"len(regexp_extract_all(text, '$cls'))::DOUBLE / " +
+        s"len(regexp_replace(text, '$wsClassSql+', '', 'g'))"
+    }.mkString("\n       |    ")
+    val scores = LangProfiles.map { case (_, words) =>
+      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    }
+    s"""round(CASE $whens
+       |    ELSE greatest(${scores.mkString(", ")})::DOUBLE / len(t) END, 6) + 0"""
+      .stripMargin
+  }
+
+  private val langIdConfSql: String =
+    s"""SELECT doc_id,
+       |  $langScriptCaseSql AS predicted_lang,
+       |  $langConfSqlOf AS lang_conf,
+       |  ($langConfSqlOf >=
+       |    ${graft.operators.TextAnalysis.LangIdMinConfidence})::BIGINT AS kept
+       |FROM (SELECT doc_id, text, $tokSql AS t
+       |      FROM read_parquet('${AnnQueries.FixturesDir}/unicode_docs.parquet'))
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_langid_script", langIdScript, Some(langIdScriptSql)),
+    Q("text_langid_conf", langIdConf, Some(langIdConfSql)),
     Q("text_tokens_unicode", unicodeTokens, Some(unicodeTokensSql)),
     Q("text_redact_pii", redactPiiQ, Some(redactPiiSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),

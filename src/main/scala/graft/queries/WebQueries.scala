@@ -91,6 +91,38 @@ object WebQueries {
        |FROM $FixtureSql
        |GROUP BY 1 ORDER BY norm_url""".stripMargin
 
+  /** RefinedWeb-style URL blocklist cut at the crawl front door: pages
+    * whose CANONICAL URL's registered domain is blocklisted drop before
+    * any fetch-side work (WebDomains.dropBlockedUrls — normalization
+    * first, so the fixture's case/port variants of the blocked domain
+    * cannot sneak past). The oracle replays normalization, host and
+    * registered-domain extraction, and the anti-join against the same
+    * literal blocklist; survivors carry their domain so an over- or
+    * under-aggressive cut hash-mismatches. */
+  private val BlockedDomains: Seq[String] = Seq("news.com.au")
+
+  private val urlBlocklistQ: QueryFn = (s, _) => {
+    val bl = s.createDataFrame(BlockedDomains.map(Tuple1(_))).toDF("domain")
+    WebDomains.dropBlockedUrls(s.read.parquet(Fixture), col("url"),
+        bl, col("domain"))
+      .select(col("doc_id"),
+        WebDomains.registeredDomain(
+          WebDomains.host(WebDomains.normalizeUrl(col("url")))).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val urlBlocklistSql: String = {
+    val bl = BlockedDomains.map(d => s"('$d')").mkString(", ")
+    s"""WITH bl(domain) AS (VALUES $bl),
+       |n AS (SELECT doc_id, ${WebDomains.normalizeUrlSql("url")} AS nu
+       |      FROM $FixtureSql),
+       |d AS (SELECT doc_id,
+       |        ${WebDomains.registeredDomainSql(WebDomains.hostSql("nu"))} AS domain
+       |      FROM n)
+       |SELECT doc_id, domain FROM d ANTI JOIN bl USING (domain)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Domain-aware mixture rebalancing: registered domains become the
     * mixture groups (per-domain caps — the standard guard against one
     * crawl-heavy host dominating a corpus), reusing the purpose-salted
@@ -207,6 +239,7 @@ object WebQueries {
     Q("text_extract_html", extractHtml, Some(extractHtmlSql)),
     Q("text_extract_chunks", extractChunks, Some(extractChunksSql)),
     Q("dedup_url_exact", urlExact, Some(urlExactSql)),
+    Q("dedup_url_blocklist", urlBlocklistQ, Some(urlBlocklistSql)),
     Q("pipeline_domain_mixture", domainMixture, Some(domainMixtureSql)),
     Q("pipeline_domain_stats", domainStats, Some(domainStatsSql)),
   )

@@ -1431,6 +1431,7 @@ class EngineSpec extends AnyFunSuite {
       dsirMinLogweight = 0.0)
     assert(r.n_chunks == 3L, r)
     assert(r.n_after_quality == 3L, r)
+    assert(r.n_after_classifier == 3L, r) // no classifier model: pass-through
     assert(r.n_after_dsir == 2L, r) // the junk/spam chunk drops
     assert(r.n_ingested == 2L, r)
     val stored = e.chunksDf.where(col("library_id") === lib.id)
@@ -1444,6 +1445,7 @@ class EngineSpec extends AnyFunSuite {
     val r2 = e2.curateAndIngest(lib2.id, doc2.id, docs, col("id"),
       col("text"), embed, bench, col("text"), maxTokens = 4, overlap = 0,
       n = 4, threshold = 0.0)
+    assert(r2.n_after_classifier == r2.n_after_quality)
     assert(r2.n_after_dsir == r2.n_after_quality)
     assert(r2.n_ingested == 3L)
     intercept[ValidationError] {
@@ -1453,7 +1455,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("curateAndIngest with a trained quality-classifier model: chunks " +
-    "below classifierMinProb drop (reported through the selection count), " +
+    "below classifierMinProb drop (reported as n_after_classifier), " +
     "the gate composes BEFORE the DSIR gate, and validations fire") {
     import org.apache.spark.sql.functions.{array, col, lit, pmod, xxhash64}
     import spark.implicits._
@@ -1483,7 +1485,8 @@ class EngineSpec extends AnyFunSuite {
       classifierMinProb = 0.5)
     assert(r.n_chunks == 3L, r)
     assert(r.n_after_quality == 3L, r)
-    assert(r.n_after_dsir == 2L, r) // the crawl-like chunk drops here
+    assert(r.n_after_classifier == 2L, r) // the crawl-like chunk drops HERE
+    assert(r.n_after_dsir == 2L, r) // no DSIR model: equals the classifier count
     assert(r.n_ingested == 2L, r)
     val stored = e.chunksDf.where(col("library_id") === lib.id)
       .select("id").collect().map(_.getString(0)).toSet

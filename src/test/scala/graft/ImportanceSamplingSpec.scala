@@ -82,27 +82,29 @@ class ImportanceSamplingSpec extends AnyFunSuite {
       col("text"), model, B).count() == 5)
   }
 
-  test("importanceWeightsReleasable: identical results to the plain " +
-    "call; the frame STAYS USABLE after release (cache recomputes from " +
-    "lineage — a released checkpoint would die); cache entries are " +
-    "per-call (releasing call A never yanks call B's data)") {
+  test("importanceWeights is STATELESS: repeated calls and repeated " +
+    "materializations agree, equal scoreWithModel over the lazy model, " +
+    "and leave no block-store residue (no checkpoint/persist pins)") {
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("id").as[(Long, Long, Double)].collect().toSeq
-    val plain = collect(ImportanceSampling.importanceWeights(
+    val sc = spark.sparkContext
+    val rddsBefore = sc.getPersistentRDDs.keySet
+    val dfA = ImportanceSampling.importanceWeights(
+      rawDocs, targetDocs, col("doc_id"), col("text"), B)
+    val a1 = collect(dfA)
+    val a2 = collect(dfA) // re-materialization: pure recompute, same rows
+    val b = collect(ImportanceSampling.importanceWeights(
       rawDocs, targetDocs, col("doc_id"), col("text"), B))
-    val (dfA, relA) = ImportanceSampling.importanceWeightsReleasable(
-      rawDocs, targetDocs, col("doc_id"), col("text"), B)
-    val (dfB, relB) = ImportanceSampling.importanceWeightsReleasable(
-      rawDocs, targetDocs, col("doc_id"), col("text"), B)
-    assert(collect(dfA) == plain)
-    assert(collect(dfB) == plain)
-    relA() // must not disturb B...
-    assert(collect(dfB) == plain)
-    relB()
-    // ...and both frames still compute after their own release
-    assert(collect(dfA) == plain)
-    assert(collect(dfB) == plain)
-    relA(); relB() // double-release is a no-op
+    assert(a1 == a2 && a1 == b)
+    // the literal-model path scores identically to scoreWithModel over
+    // the LAZY model frame (the doubles round-trip the driver bit-exact)
+    val m = ImportanceSampling.bucketModel(rawDocs, targetDocs,
+      col("doc_id"), col("text"), B)
+    assert(collect(ImportanceSampling.scoreWithModel(rawDocs,
+      col("doc_id"), col("text"), m, B)) == a1)
+    // nothing was persisted or checkpointed by any of the above: the
+    // r17 scale-killer was exactly this residue
+    assert(sc.getPersistentRDDs.keySet == rddsBefore)
   }
 
   test("sf0.001: mean logweight of the target language exceeds the rest") {

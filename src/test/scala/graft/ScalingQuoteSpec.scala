@@ -76,6 +76,7 @@ class ScalingQuoteSpec extends AnyFunSuite {
       "SCALING.md has no machine-checkable `name=ratio` quotes — the " +
         "stress paragraphs must quote the committed record in this format")
     val vouchers = scala.collection.mutable.Set[String]()
+    val divergent = scala.collection.mutable.ListBuffer[String]()
     quotes.foreach { m =>
       val (name, is100, quoted) = (m.group(1), m.group(2) != null,
         m.group(3).toDouble)
@@ -92,8 +93,32 @@ class ScalingQuoteSpec extends AnyFunSuite {
           case (src, None)    => s"the $src record has no '$name'"
         }.mkString("; ") + " — requote from the record")
       vouchers += matched.get
+      // CONTRADICTION report (VERDICT r17): a quote can legitimately be
+      // vouched by one record while the OTHER record read a wildly
+      // different number for the same span — in r17 the prose said
+      // ccnet_buckets=4.5 (HEAD vouched) while the driver's working-tree
+      // record said 32.0, a real scale regression the either-or
+      // acceptance passed silently. When both records carry the span
+      // and they diverge more than 2x, name the pair LOUDLY so the
+      // divergence is read, not buried.
+      val present = readings.collect { case (src, Some(r)) => src -> r }
+      if (present.size == 2) {
+        val Seq((srcA, a), (srcB, b)) = present
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        if (lo > 0 && hi / lo > 2.0)
+          divergent += s"`$label`: $srcA=$a vs $srcB=$b (${
+            math.rint(hi / lo * 10) / 10}x apart)"
+      }
     }
     info(s"quotes vouched by: ${vouchers.toSeq.sorted.mkString(", ")}")
+    if (divergent.nonEmpty) {
+      val msg = "SCALING.md quote spans DIVERGE >2x between the " +
+        "working-tree and HEAD BENCH.json records (a voucher passed, " +
+        "but the other record disagrees — investigate before trusting " +
+        s"the prose): ${divergent.mkString("; ")}"
+      info(msg)
+      System.err.println(s"[ScalingQuoteSpec] $msg")
+    }
     // both tiers must be quoted at least once, so a silently-dropped
     // paragraph can't dodge the check
     assert(quotes.exists(_.group(2) == null), "no 10x-tier quotes found")

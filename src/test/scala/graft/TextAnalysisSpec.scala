@@ -42,6 +42,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(good >= 0 && good <= 1 && soup >= 0 && soup <= 1)
   }
 
+  test("langScriptConfidence mirrors the decision chain: script-char " +
+    "fraction for script docs, winning-profile hit fraction for Latin, " +
+    "zero for keyword soup the argmax still labels 'en'") {
+    def conf(s: String): Double =
+      one[Double](s, c => langScriptConfidence(c, tokens(c)))
+    // pure CJK: every non-whitespace code point in the winning range
+    assert(conf("机器 学习 模型") == 1.0)
+    // mixed ja: kana decides (range order), confidence < 1 (kanji mass)
+    val ja = conf("古い 寺院 は 静かな 山")
+    assert(ja > 0.0 && ja < 1.0)
+    // Latin prose: winning profile hits / tokens ("der","die","und","ist" = 4/7)
+    assert(conf("der hund und die katze ist da") == 0.571429)
+    // keyword soup: argmax says 'en' (tie at zero) but confidence is 0 —
+    // exactly what the CCNet keep rule exists to drop
+    assert(one[String]("data pipeline quality matters",
+      c => predictedLangScript(c, tokens(c))) == "en")
+    assert(conf("data pipeline quality matters") == 0.0)
+    // empty text: one empty token, zero hits
+    assert(conf("") == 0.0)
+  }
+
   test("language ID picks the profile with most hits; first profile wins ties") {
     assert(one[String]("der hund und die katze ist da", c => predictedLang(tokens(c))) == "de")
     assert(one[String]("el perro y la casa que es un", c => predictedLang(tokens(c))) == "es")

@@ -1071,6 +1071,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0L) // the dedup genuinely fired
   }
 
+  test("ccnetPipeline minLangConf: the CCNet language-SCORE keep rule " +
+    "drops a doc the argmax keeps (keyword soup labels 'en' at zero " +
+    "confidence) BEFORE bucketing; 0.0 keeps everything") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat too it is fine"),
+      (2L, "data pipeline quality matters at scale every single day"),
+      (3L, "the quick brown fox jumps over the lazy dog in the park"),
+      (4L, "a bird of the north flies to the warm south in winter"),
+    ).toDF("doc_id", "text")
+    def run(conf: Double) = TrainingData.ccnetPipeline(docs, col("doc_id"),
+        col("text"), minDocFreq = 2, vocabCap = 50, bigramCap = 100,
+        lambda = 0.8, sampleCapPerLang = 10, minLangConf = conf)
+      .select("id", "lang").as[(Long, String)].collect().toMap
+    val all = run(0.0)
+    assert(all.keySet == Set(1L, 2L, 3L, 4L))
+    assert(all(2L) == "en") // the argmax alone KEEPS the keyword soup
+    val gated = run(graft.operators.TextAnalysis.LangIdMinConfidence)
+    assert(gated.keySet == Set(1L, 3L, 4L),
+      s"zero-stopword doc 2 must drop at the confidence cut, got $gated")
+    intercept[IllegalArgumentException] {
+      run(1.5)
+    }
+  }
+
   test("repetitionStats: degenerate, clean, and too-short docs") {
     val docs = Seq(
       (1L, "a a a a"),          // bigrams: 3x "a a" -> top 1.0, dup 2/3
