@@ -1819,6 +1819,7 @@ class EngineSpec extends AnyFunSuite {
       embed, bench, col("text"), minLineDocFreq = 2, maxTokens = 16,
       n = 3, threshold = 0.0)
     assert(r.n_pages == 6L)
+    assert(r.n_after_blocklist == 6L)      // no blocklist: pass-through
     assert(r.n_unique_urls == 5L)          // /a collapsed across case+fragment
     assert(r.n_after_line_removal == 4L)   // the boilerplate-only page husked
     assert(r.curation.n_chunks == 4L)
@@ -1870,6 +1871,38 @@ class EngineSpec extends AnyFunSuite {
     assert(e.listDocuments(lib2.id).total == 4L)
     assert(e.chunkCount(lib2.id) == 3L)
     assert(e.chunkCount(lib.id) == 3L)   // first library untouched
+  }
+
+  test("crawlAndIngest with a URL blocklist: pages on a blocklisted " +
+    "registered domain drop at the FRONT DOOR (before extraction and " +
+    "dedup), case/port variants included, accounted as " +
+    "n_after_blocklist; no document is created for a blocked page") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    val lib = e.createLibrary("blcrawl", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh)
+    val pages = Seq(
+      ("https://good.com/a", "<p>alpha organic content words here</p>"),
+      ("https://spam.bad.com/x", "<p>beta words</p>"),   // host UNDER the domain
+      ("HTTPS://BAD.COM:443/y", "<p>gamma words</p>"),   // case+port variant
+      ("https://fine.org/b", "<p>delta fresh unique words</p>"),
+    ).toDF("url", "html")
+    val bl = Seq(Tuple1("bad.com")).toDF("domain")
+    val embed = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("embedding", array((1 to 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")): _*))
+    val r = e.crawlAndIngest(lib.id, pages, col("url"), col("html"),
+      embed, Seq("unrelated eval").toDF("text"), col("text"),
+      minLineDocFreq = 2, maxTokens = 16, n = 3, threshold = 0.0,
+      urlBlocklist = Some(bl))
+    assert(r.n_pages == 4L)
+    assert(r.n_after_blocklist == 2L,
+      s"both bad.com variants (subdomain host + case/port) must drop: $r")
+    assert(r.n_unique_urls == 2L)
+    assert(e.listDocuments(lib.id).items.map(_.name).toSet ==
+      Set("https://good.com/a", "https://fine.org/b"))
   }
 
   test("crawlAndIngest: null or blank URLs fail fast with a validation " +

@@ -775,6 +775,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(smjOnModelKey.findFirstIn(p).isEmpty, p)
   }
 
+  test("trainBigramLm / bigramScoreWithLm: the literal-model split is " +
+    "value-identical to bigramLogProbs, the trained frames respect the " +
+    "caps, scoring pins NOTHING, and a model scores a foreign frame " +
+    "(the train-once/score-many shape the buckets operators rely on)") {
+    val docs = (1L to 20L).map(i => (i, s"a b c a b w$i")).toDF("id", "text")
+    val sc = spark.sparkContext
+    val rddsBefore = sc.getPersistentRDDs.keySet
+    val lm = TrainingData.trainBigramLm(docs, col("id"), col("text"),
+      vocabCap = 5, bigramCap = 7)
+    assert(lm.vocab.count() <= 5 && lm.bigrams.count() <= 7)
+    assert(lm.total == 120.0) // 20 docs x 6 tokens, exact integer
+    val viaLm = TrainingData.bigramScoreWithLm(docs, col("id"),
+        col("text"), lm, lambda = 0.8)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val direct = TrainingData.bigramLogProbs(docs, col("id"), col("text"),
+        vocabCap = 5, bigramCap = 7, lambda = 0.8)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(viaLm == direct)
+    // train once, score a DIFFERENT frame (the streaming/threshold shape)
+    val other = Seq((100L, "a b c"), (101L, "zz qq")).toDF("id", "text")
+    val scored = TrainingData.bigramScoreWithLm(other, col("id"),
+        col("text"), lm, lambda = 0.8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored.keySet == Set(100L, 101L))
+    assert(scored(100L) > scored(101L)) // corpus-typical beats OOV soup
+    assert(sc.getPersistentRDDs.keySet == rddsBefore,
+      "neither training nor scoring may leave block-store residue")
+  }
+
   test("bigramLogProbs validates arguments") {
     val df = Seq((1L, "a b")).toDF("id", "text")
     intercept[IllegalArgumentException] {
@@ -786,6 +815,26 @@ class TrainingDataSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TrainingData.bigramLogProbs(df, col("id"), col("text"), bigramCap = 0)
     }
+  }
+
+  test("perplexityBuckets / perplexityBucketsByLang leave ZERO " +
+    "block-store residue across construction and repeated " +
+    "materializations (the r17 localCheckpoint pins are gone — the " +
+    "driver bench measured them as the scale-killer)") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) s"a b c a b w$i" else s"x y z x y v$i"))
+      .toDF("id", "text")
+    val sc = spark.sparkContext
+    val rddsBefore = sc.getPersistentRDDs.keySet
+    val g = TrainingData.perplexityBuckets(docs, col("id"), col("text"),
+      vocabCap = 50, bigramCap = 100, lambda = 0.8, sampleCap = 10)
+    assert(g.count() == 40 && g.count() == 40) // two materializations
+    val l = TrainingData.perplexityBucketsByLang(docs, col("id"),
+      col("text"), when(col("id") % 2 === 0, "en").otherwise("fr"),
+      vocabCap = 50, bigramCap = 100, lambda = 0.8, sampleCapPerLang = 10)
+    assert(l.count() == 40 && l.count() == 40)
+    assert(sc.getPersistentRDDs.keySet == rddsBefore,
+      "bucketing must not pin corpus frames in the block store")
   }
 
   test("perplexityBuckets: contiguous score-ordered terciles (every tail " +
@@ -1025,6 +1074,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert((25L to 48L).forall(i => global(i) != "head"))
     val bHeads = got.filter(r => r._2 == "B" && r._4 == "head").map(_._1)
     assert(bHeads.nonEmpty && bHeads.forall(i => global(i) != "head"))
+  }
+
+  test("perplexityBucketsByLang: a NULL language key coalesces to 'und' " +
+    "instead of silently vanishing through the inner joins (ADVICE r17)") {
+    val docs = Seq(
+      (1L, "a b a b c", "en"), (2L, "a b c a", "en"), (3L, "c a b", "en"),
+      (4L, "x y z", null), (5L, "x z y x", null), (6L, "z y", null),
+    ).toDF("id", "text", "l")
+    val got = TrainingData.perplexityBucketsByLang(docs, col("id"),
+        col("text"), col("l"), vocabCap = 20, bigramCap = 40,
+        lambda = 0.8, sampleCapPerLang = 10)
+      .select("id", "lang").as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"null-lang docs must not vanish: $got")
+    assert(got(4L) == "und" && got(5L) == "und" && got(6L) == "und")
+    assert(got(1L) == "en")
   }
 
   test("ccnet fixture: the three languages are predicted exactly, the " +

@@ -186,6 +186,29 @@ class WebSpec extends AnyFunSuite {
     assert(got.forall(r => !r._5.isNaN && !r._5.isInfinite))
   }
 
+  test("dropBlockedUrls: registered-domain cut on the CANONICAL url " +
+    "(case/port/userinfo variants of a blocked domain all drop, " +
+    "subdomain hosts included; lookalike suffixes survive); the " +
+    "blocklist attaches by BROADCAST anti-join, never a shuffle or " +
+    "nested loop") {
+    val pages = Seq(
+      (1L, "https://good.com/a"),
+      (2L, "https://bad.com/x"),
+      (3L, "HTTPS://user@BAD.COM:443/y"),      // canonical variant
+      (4L, "https://cdn.bad.com/z"),           // host UNDER the domain
+      (5L, "https://notbad.com/ok"),           // lookalike, NOT blocked
+      (6L, "https://bad.com.evil.org/ok"),     // suffix spoof: domain evil.org
+    ).toDF("doc_id", "url")
+    val bl = Seq(Tuple1("bad.com")).toDF("domain")
+    val kept = WebDomains.dropBlockedUrls(pages, col("url"), bl, col("domain"))
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 5L, 6L))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // bounded side must broadcast
+  }
+
   test("extraction review regression: tags that merely START with a " +
     "block-tag name stay inline (no fabricated paragraph breaks)") {
     assert(extract1("<p>Loading <progress value='1'></progress> done</p>") ==
