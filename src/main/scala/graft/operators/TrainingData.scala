@@ -1348,12 +1348,18 @@ object TrainingData {
       else cleaned.where(TextAnalysis.langScriptConfidence(
         col("clean_text"), TextAnalysis.tokens(col("clean_text")))
         >= minLangConf)
-    // pinned: the LM chain references its input frame several times
-    // (term/bigram/context/first-token subplans) — over a raw parquet
-    // scan that is scan-shaped, but re-running the 3-shuffle dedup
-    // subplan per reference is not; the checkpointed frame is computed
-    // once (narrow: id + counts + cleaned text)
-    val deduped = gated.localCheckpoint()
+    // STAGED to scratch parquet (r18): the LM chain references its
+    // input ~12 times (train scans, the sample cut, sample + output
+    // scoring, the n_kept join) — over a raw parquet scan that is
+    // scan-shaped, but re-running the 3-shuffle dedup subplan per
+    // reference is not. Staging computes the dedup ONCE and makes
+    // every re-read a plain pruned columnar scan, with a deterministic
+    // one-copy storage bound — unlike the previous localCheckpoint,
+    // whose corpus-sized blocks only the ContextCleaner could reclaim
+    // (the GC-timing dependence the r17 driver bench flagged across
+    // this operator family). This is the stage-to-storage shape a
+    // 100 TB pipeline uses between phases anyway.
+    val deduped = Scratch.stage(gated, "ccnet-dedup")
     val clean = col("clean_text")
     perplexityBucketsByLang(deduped, col("id"), clean,
         TextAnalysis.predictedLangScript(clean, TextAnalysis.tokens(clean)),
