@@ -399,6 +399,15 @@ object Bench {
     // ingest-time artifact; what scales is APPLICATION)
     lazy val bpeMerges = graft.operators.BpeTokenizer.trainMerges(docs1,
       col("text"))
+    // Bloom filter over the BASE corpus's canonical URLs (ingest-time
+    // artifact: ≤ m/64 literal longs, textbook-sized at 1% FP)
+    lazy val (bloomM, bloomK) =
+      graft.operators.BloomFilter.sizeFor(math.max(1L, nBase), 0.01)
+    lazy val bloomSeen = pagesOf(docs1)
+      .select(graft.operators.WebDomains.normalizeUrl(col("url")).as("key"))
+      .distinct()
+    lazy val bloomWords = graft.operators.BloomFilter.build(
+      bloomSeen, col("key"), bloomM, bloomK)
 
     // per-scale ingest-time artifacts, built untimed
     def prepared(emb: DataFrame) = (
@@ -633,7 +642,27 @@ object Bench {
         graft.operators.TrainingData.removeDuplicatedSubstrings(
             linedOf(s.docs()), col("doc_id"), col("text"), minLen = 20)
           .select((length(col("clean_text")) + col("n_kept")).as("n"))
-          .agg(sum(col("n")).as("total"))))
+          .agg(sum(col("n")).as("total"))),
+      // Bloom seen-URL gate: the filter is an ingest-time artifact
+      // (built untimed over the BASE corpus's canonical URLs, sized by
+      // the textbook rule — like the IVF centroids / BPE merges, what
+      // scales is APPLICATION); the timed plan is the full gate —
+      // normalization + the literal-word membership projection over
+      // every arriving page, plus the exact confirm join paid ONLY by
+      // the bloom-positive sliver (replica URLs are distinct, so the
+      // scaled side is almost all definite-new: the crawl-frontier
+      // shape the sketch exists for). The aggregate consumes both
+      // verdict columns so neither is pruned.
+      Stress("bloom_gate", s => {
+        val keyed = graft.operators.BloomFilter.gate(
+          pagesOf(s.docs()),
+          col("url"),
+          graft.operators.WebDomains.normalizeUrl(col("url")),
+          bloomSeen, bloomWords, bloomM, bloomK)
+        keyed.select((col("bloom_positive").cast("long") +
+            col("is_seen").cast("long")).as("x"))
+          .agg(sum(col("x")).as("total"))
+      }))
 
 
     // by-name: construction is INSIDE the clock — iterative operators

@@ -242,6 +242,103 @@ object TextHash {
     out
   }
 
+  /** Every GRAM statistic of the Gopher repetition panel (Rae et al.
+    * 2021 Table A1) for ONE document in ONE local pass — repetition is
+    * an intra-document property, so nothing about it needs a shuffle:
+    * the (id, n, gram) aggregations and the two document-keyed window
+    * sorts the first implementation paid (the whole corpus shuffled
+    * twice and sorted twice for a per-row statistic) collapse into this
+    * kernel and the operator becomes a pure projection.
+    *
+    * Layout (9 longs): [0..2] top n-gram products for n = 2..4 —
+    * occurrences × token-chars of the winner, count ties broken to the
+    * LONGER gram, chars clamped below 1e6 exactly like the SQL twin's
+    * integer packing; [3..8] duplicated n-gram COVERAGE for n = 5..10 —
+    * token characters covered by any n-gram occurring ≥ 2 times in the
+    * document, overlaps counted once. All char counts are CODE POINTS
+    * (Spark `length` / DuckDB `len` semantics), tokens come from the
+    * one pinned [[tokenize]], grams are space-joined like [[ngrams]] —
+    * so the values are bit-identical to the shuffle formulation and the
+    * unchanged DuckDB oracle. Documents shorter than n tokens report 0
+    * for that n (the join-was-null → coalesce(0) path of the old plan). */
+  private[functions] def gopherGramStats(text: String): Array[Long] = {
+    val toks = tokenize(text)
+    val T = toks.length
+    val cp = new Array[Long](T)
+    var i = 0
+    while (i < T) {
+      cp(i) = toks(i).codePointCount(0, toks(i).length).toLong
+      i += 1
+    }
+    val out = new Array[Long](9)
+    val Pack = 1000000L
+    val sb = new java.lang.StringBuilder()
+    val plusOne = new java.util.function.BiFunction[Integer, Integer, Integer] {
+      override def apply(a: Integer, b: Integer): Integer =
+        Integer.valueOf(a.intValue + b.intValue)
+    }
+    // top n-gram packed product, n = 2..4
+    var idx = 0
+    var n = 2
+    while (n <= 4) {
+      if (T >= n) {
+        val counts = new java.util.HashMap[String, Integer](64)
+        var p = 0
+        while (p <= T - n) {
+          sb.setLength(0); appendGram(sb, toks, p, n)
+          counts.merge(sb.toString, Integer.valueOf(1), plusOne)
+          p += 1
+        }
+        var best = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val g = e.getKey
+          val chars = (g.codePointCount(0, g.length) - (n - 1)).toLong
+          val clamped = if (chars < Pack - 1L) chars else Pack - 1L
+          val packed = e.getValue.longValue * Pack + clamped
+          if (packed > best) best = packed
+        }
+        out(idx) = (best / Pack) * (best % Pack)
+      }
+      idx += 1; n += 1
+    }
+    // duplicated n-gram coverage, n = 5..10 (overlaps counted once)
+    val covered = new Array[Boolean](T)
+    n = 5
+    while (n <= 10) {
+      if (T >= n) {
+        java.util.Arrays.fill(covered, false)
+        val counts = new java.util.HashMap[String, Integer](64)
+        val grams = new Array[String](T - n + 1)
+        var p = 0
+        while (p <= T - n) {
+          sb.setLength(0); appendGram(sb, toks, p, n)
+          grams(p) = sb.toString
+          counts.merge(grams(p), Integer.valueOf(1), plusOne)
+          p += 1
+        }
+        p = 0
+        while (p <= T - n) {
+          if (counts.get(grams(p)).intValue >= 2) {
+            var q = p
+            while (q < p + n) { covered(q) = true; q += 1 }
+          }
+          p += 1
+        }
+        var cov = 0L
+        var q = 0
+        while (q < T) { if (covered(q)) cov += cp(q); q += 1 }
+        out(idx) = cov
+      }
+      idx += 1; n += 1
+    }
+    out
+  }
+
+  def gopherGramStatsCol(text: Column): Column =
+    ColumnBridge.column(GopherGramStatsExpr(ColumnBridge.expression(text)))
+
   /** [[tokenize]] packaged for Catalyst (called from TokensExpr's
     * generated code through the object's static forwarder). */
   def tokensArrayData(s: UTF8String): ArrayData = {
@@ -343,6 +440,30 @@ case class NgramsExpr(child: Expression, n: Int)
     new GenericArrayData(
       TextHash.ngrams(input.asInstanceOf[UTF8String].toString, n)
         .asInstanceOf[Array[Any]])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [[TextHash.gopherGramStats]] as a Catalyst expression — one
+  * per-document call replacing two corpus shuffles and two window
+  * sorts; the per-row virtual call is noise next to the gram hashmap
+  * work inside, so CodegenFallback like the other gram kernels. */
+case class GopherGramStatsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "gopher_gram_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.gopherGramStats(input.asInstanceOf[UTF8String].toString))
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter membership gate for incremental ingest — the "have we
+  * seen this key?" front door a 100 TB crawl runs before ANY exact
+  * dedup work (Bloom 1970; RefinedWeb-scale crawls keep exactly this
+  * structure over previously-fetched URLs).
+  *
+  * Why a sketch and not the exact anti-join the incremental dedup rows
+  * already have: the exact join must ship (or broadcast) the full seen-key
+  * set every batch — at billions of URLs that is a corpus-sized shuffle
+  * per increment. The Bloom filter is a FIXED m-bit summary built in one
+  * corpus scan and then reused across every arriving batch as a
+  * stateless scan-side projection: definite-new keys (the vast majority
+  * of a healthy crawl) never touch the corpus again, and only the
+  * bloom-positive sliver pays the exact confirm join. False positives
+  * are possible (sized by [[sizeFor]]), false negatives are not — so the
+  * gate is safe to use as a filter IN FRONT of the exact path.
+  *
+  * Determinism contract: bit positions come from the same seeded-md5
+  * kernel as every other hash in this library ([[NearDup.seededHash]]),
+  * so a DuckDB oracle replays the filter bit-for-bit from the parquet
+  * bytes alone — the packed word representation is semantically
+  * identical to position-set membership, which is what the oracle
+  * checks.
+  *
+  * Scale shape: build = one scan + one distinct on ≤ m positions + one
+  * 64-way pack groupBy (map-side bit_or partials), collected as ≤ m/64
+  * longs — bounded by the PARAMETER, not the corpus (m = 2^30 bits is
+  * 16 MB of words: broadcast material). Gate = pure projection over two
+  * bounded literal arrays; no join, no shuffle, whole-stage codegen.
+  */
+object BloomFilter {
+
+  /** The j-th bit position of `key` in an m-bit filter: the shared
+    * seeded-md5 kernel mod m (the 60-bit hash is non-negative, so `%`
+    * and `pmod` agree — the oracle replays plain `%`). */
+  def position(j: Int, key: Column, m: Int): Column =
+    NearDup.seededHash(j, key) % m
+
+  /** Textbook sizing: bits per key and hash count for a target
+    * false-positive rate p (m = -n ln p / ln²2, k = (m/n) ln 2),
+    * rounded up to whole words. */
+  def sizeFor(n: Long, targetFp: Double): (Int, Int) = {
+    require(n > 0 && targetFp > 0 && targetFp < 1, "need n > 0, 0 < p < 1")
+    val ln2 = math.log(2)
+    val mRaw = math.ceil(-n * math.log(targetFp) / (ln2 * ln2)).toLong
+    val m = (((mRaw + 63) / 64) * 64).min(Int.MaxValue.toLong).toInt
+    val k = math.max(1, math.round(m.toDouble / n * ln2).toInt)
+    (m, k)
+  }
+
+  /** Build the filter over `corpus`'s key column: returns the packed
+    * bit words (little-endian within each 64-bit word, word w holds
+    * positions [64w, 64w+63]). One corpus scan; the distinct and the
+    * pack groupBy are bounded by m, not by the corpus; the collect is
+    * ≤ m/64 longs — the same bounded-model discipline as the DSIR /
+    * classifier literal models. */
+  def build(corpus: DataFrame, key: Column, m: Int, k: Int): Array[Long] = {
+    require(m > 0 && k > 0, "need m > 0, k > 0")
+    val words = new Array[Long]((m + 63) / 64)
+    val positions = array((0 until k).map(j => position(j, key, m)): _*)
+    corpus
+      .select(explode(positions).as("pos"))
+      .distinct()
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  // one literal 2^b table so the gate needs no column-shift expression:
+  // element_at is codegen'd and the array is 64 longs regardless of m
+  private val PowersOfTwo: Seq[Long] = (0 until 64).map(1L << _)
+
+  /** Membership test as a pure projection: true iff ALL k bit positions
+    * of `key` are set in `words`. No false negatives by construction;
+    * false positives at the [[sizeFor]] rate. */
+  def mightContain(key: Column, words: Array[Long], m: Int, k: Int): Column = {
+    val wordsLit = typedlit(words.toSeq)
+    val powLit = typedlit(PowersOfTwo)
+    (0 until k).map { j =>
+      val p = position(j, key, m)
+      val word = element_at(wordsLit, (p / 64).cast("int") + 1)
+      val bit = element_at(powLit, pmod(p, lit(64)).cast("int") + 1)
+      word.bitwiseAND(bit) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** The full incremental gate over arriving rows: `bloom_positive`
+    * (the sketch's verdict) and `is_seen` (the exact confirm, evaluated
+    * ONLY for bloom-positive rows — definite-new rows skip the corpus
+    * join entirely, which is the point of the sketch). `seenKeys` is
+    * the corpus's distinct canonical key frame with one column. */
+  def gate(batch: DataFrame, id: Column, key: Column,
+           seenKeys: DataFrame, words: Array[Long],
+           m: Int, k: Int): DataFrame = {
+    val keyed = batch.select(id.as("id"), key.as("__key"),
+      mightContain(key, words, m, k).as("bloom_positive"))
+    val seen = seenKeys.toDF("__seen_key").distinct()
+    val candidates = keyed.where(col("bloom_positive"))
+      .join(seen, col("__key") === col("__seen_key"), "left")
+      .select(col("id"), col("__key"), col("bloom_positive"),
+        col("__seen_key").isNotNull.as("is_seen"))
+    val definiteNew = keyed.where(!col("bloom_positive"))
+      .select(col("id"), col("__key"), col("bloom_positive"),
+        lit(false).as("is_seen"))
+    candidates.unionByName(definiteNew).drop("__key")
+  }
+}

@@ -802,6 +802,69 @@ object TrainingData {
       .drop("__grp", "__rate")
   }
 
+  /** Data-constrained token-budget PLAN (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeating data up to
+    * ~4 epochs costs almost nothing vs fresh tokens, and returns decay
+    * rapidly beyond — so a budget allocator caps per-group repetition
+    * rather than letting a small high-priority source loop forever):
+    * given a total token `budget`, desired per-group shares `targets`,
+    * and a per-row token count, emit ONE PLANNING ROW PER TARGET GROUP:
+    *
+    *   - `n_docs`, `avail_tokens` — the group's corpus mass,
+    *   - `quota_tokens` — share × budget (what the mixture wants),
+    *   - `epochs` — min(maxEpochs, quota / avail): how many passes over
+    *     the group the budget buys, clipped at the published utility
+    *     cliff,
+    *   - `alloc_tokens` — round(avail × epochs): what the plan actually
+    *     delivers,
+    *   - `shortfall_tokens` — quota − alloc (> 0 iff the epoch cap
+    *     binds: the group is too small for its share and the trainer
+    *     must re-weight or backfill from elsewhere).
+    *
+    * Groups absent from `targets` are dropped (untargeted sources),
+    * like [[mixtureSample]]. Cross-engine float discipline: quota and
+    * epochs are single IEEE multiply/divides rounded to 6; alloc is a
+    * round-to-long of one product — every step replays bit-exactly in
+    * the SQL oracle.
+    *
+    * Scale shape: one groupBy with CONSTANT aggregation state (count +
+    * long sum), a broadcast literal target table, pure projections
+    * after — the plan output is O(groups) rows, broadcast material for
+    * the sampler that consumes it. */
+  def tokenBudgetPlan(df: DataFrame, group: Column, tokens: Column,
+                      budget: Long, targets: Map[String, Double],
+                      maxEpochs: Double): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs > 0.0d, "maxEpochs must be positive")
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0d),
+      "targets must be non-empty with positive shares")
+    val spark = df.sparkSession
+    val tgt = broadcast(
+      spark.createDataFrame(targets.toSeq.sortBy(_._1))
+        .toDF("__grp", "__share"))
+    df.select(group.as("__grp"), tokens.cast("long").as("__tok"))
+      .where(col("__grp").isNotNull)
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("avail_tokens"))
+      .join(tgt, "__grp")
+      .select(col("__grp").as("group"), col("n_docs"), col("avail_tokens"),
+        round(col("__share") * budget, 6).as("quota_tokens"),
+        (least(lit(maxEpochs),
+          round(col("__share") * budget /
+            col("avail_tokens").cast("double"), 6)) + lit(0.0d))
+          .as("epochs"))
+      .select(col("group"), col("n_docs"), col("avail_tokens"),
+        (col("quota_tokens") + lit(0.0d)).as("quota_tokens"),
+        col("epochs"),
+        round(col("avail_tokens").cast("double") * col("epochs"), 0)
+          .cast("long").as("alloc_tokens"))
+      .select(col("group"), col("n_docs"), col("avail_tokens"),
+        col("quota_tokens"), col("epochs"), col("alloc_tokens"),
+        (round(col("quota_tokens") -
+          col("alloc_tokens").cast("double"), 6) + lit(0.0d))
+          .as("shortfall_tokens"))
+  }
+
   // ---------------- weighted sampling ----------------
 
   /** Deterministic weighted sampling without replacement, top-`k` of the
@@ -1457,20 +1520,26 @@ object TrainingData {
     * every ratio), and `passes` compares the ROUNDED 6-decimal
     * fractions, the cross-engine boundary convention.
     *
-    * Scale shape: the line/paragraph block is a pure projection
-    * (array-side distinct/char sums — zero shuffles). The gram blocks
-    * pay ONE shuffle keyed (id, n, gram) for counts (map-side
-    * partials / window over high-cardinality keys) and ONE
-    * document-keyed sort for the coverage windows — all six n share
-    * one window partition+order, so Spark plans a single Window
-    * operator. Nothing is collected; per-group state is bounded.
+    * Scale shape (round 18): a PURE PROJECTION — repetition is an
+    * intra-document property, so every gram statistic comes from the
+    * one-pass JIT kernel
+    * ([[graft.functions.TextHash.gopherGramStats]]: per-document gram
+    * hashmaps, count ties to the longer gram via the same integer
+    * packing, coverage overlaps counted once) and the line/paragraph
+    * block is array arithmetic. Zero shuffles, zero windows, nothing
+    * collected — the first formulation shuffled the corpus twice
+    * (keyed (id, n, gram)) and sorted it twice (document-keyed window
+    * frames) for a per-row statistic; the kernel shape measured ~1.7×
+    * faster same-box at sf0.1, and at 100 TB it is the difference
+    * between a scan and four corpus-wide exchanges. Values are
+    * bit-identical (the unchanged DuckDB oracle gates that), including
+    * the ADVICE-r17 char clamp below 1e6 inside the packing.
     *
     * Output: (id, dup_line_frac, dup_line_char_frac, dup_para_frac,
     * dup_para_char_frac, top_2gram_char_frac .. top_4gram_char_frac,
     * dup_5gram_char_frac .. dup_10gram_char_frac, passes). */
   def gopherRepetitionStats(df: DataFrame, id: Column,
                             text: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ws = graft.functions.TextHash.WsClassJava
     def r6(c: Column): Column = round(c, 6) + lit(0.0d)
     def units(sep: String): Column =
@@ -1490,81 +1559,28 @@ object TrainingData {
           .otherwise((occChars - dstChars) / occChars))
           .as(s"dup_${tag}_char_frac"))
     }
+    val topNs = GopherMaxTopGramCharFrac.map(_._1)
+    val dupNs = GopherMaxDupGramCharFrac.map(_._1)
     val toks = TextAnalysis.tokens(text)
     val base = df.select(
       (Seq(id.as("id"),
         aggregate(transform(toks, t => length(t)), lit(0L),
-          (a, x) => a + x).cast("double").as("__chars")) ++
+          (a, x) => a + x).cast("double").as("__chars"),
+        graft.functions.TextHash.gopherGramStatsCol(text).as("__rep")) ++
         unitCols(units("\n"), "line") ++
         unitCols(units("\n{2,}"), "para")): _*)
-    // ---- top n-gram token-char mass, n = 2..4 (one union, one
-    // shuffle keyed (id, n, gram) with map-side partials) ----
-    val topNs = GopherMaxTopGramCharFrac.map(_._1)
-    val topGrams = topNs.map(n =>
-        df.select(id.as("id"), lit(n).as("n"),
-          explode(ngrams(text, n)).as("gram")))
-      .reduce(_ unionByName _)
-    // integer packing (cnt, token chars): max picks the highest count,
-    // ties to the longer gram; token chars = string length minus the
-    // n-1 single-space separators, CLAMPED to Pack-1 so a pathological
-    // >= 1M-char n-gram cannot overflow the chars field into the count
-    // (ADVICE r17 — both engines clamp identically, web text never
-    // reaches the clamp). Values stay far under 2^53.
-    val Pack = 1000000L
-    val topAggs = topNs.map(n =>
-      max(when(col("n") === n,
-        floor(col("__m") / Pack).cast("long") * pmod(col("__m"), lit(Pack))))
-        .as(s"__top$n"))
-    val top = topGrams.groupBy(col("id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("id"), col("n"))
-      .agg(max(col("cnt") * lit(Pack) +
-        least(length(col("gram")).cast("long") - (col("n") - 1),
-          lit(Pack - 1L))).as("__m"))
-      .groupBy(col("id"))
-      .agg(topAggs.head, topAggs.tail: _*)
-    // ---- duplicated n-gram token-char coverage, n = 5..10 ----
-    val dupNs = GopherMaxDupGramCharFrac.map(_._1)
-    val posTok = df.select(id.as("id"),
-        posexplode(transform(toks, t => length(t))).as(Seq("p", "__len")))
-    val posGrams = dupNs.map(n =>
-        df.select(id.as("id"), lit(n).as("n"),
-          posexplode(ngrams(text, n)).as(Seq("p", "gram"))))
-      .reduce(_ unionByName _)
-    val wGram = Window.partitionBy(col("id"), col("n"), col("gram"))
-    val dupStarts = posGrams
-      .withColumn("__cnt", count(lit(1)).over(wGram))
-      .where(col("__cnt") >= 2)
-      .groupBy(col("id"), col("p"))
-      .agg(dupNs.map(n =>
-        max(when(col("n") === n, 1).otherwise(0)).as(s"__s$n")).head,
-        dupNs.tail.map(n =>
-          max(when(col("n") === n, 1).otherwise(0)).as(s"__s$n")): _*)
-    // ONE document-keyed sort: all six trailing frames share the
-    // window partition + order, so Spark plans a single Window operator
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("p"))
-    val flagged = dupNs.foldLeft(
-        posTok.join(dupStarts, Seq("id", "p"), "left")) { (f, n) =>
-      f.withColumn(s"__c$n",
-        max(coalesce(col(s"__s$n"), lit(0)))
-          .over(wDoc.rowsBetween(-(n - 1), 0)))
-    }
-    val covAggs = dupNs.map(n =>
-      sum(col(s"__c$n") * col("__len")).cast("double").as(s"__cov$n"))
-    val coverage = flagged.groupBy(col("id"))
-      .agg(covAggs.head, covAggs.tail: _*)
-    // ---- assemble + thresholds (rounded-fraction comparisons) ----
-    val joined = base
-      .join(top, Seq("id"), "left")
-      .join(coverage, Seq("id"), "left")
+    // kernel layout: [1..3] top products n=2..4, [4..9] coverage n=5..10
     def frac(num: Column): Column =
       r6(when(col("__chars") === 0.0d, lit(0.0d))
-        .otherwise(coalesce(num.cast("double"), lit(0.0d)) / col("__chars")))
-    val withFracs = joined.select(
+        .otherwise(num.cast("double") / col("__chars")))
+    val withFracs = base.select(
       (Seq(col("id"), col("dup_line_frac"), col("dup_line_char_frac"),
         col("dup_para_frac"), col("dup_para_char_frac")) ++
-        topNs.map(n => frac(col(s"__top$n")).as(s"top_${n}gram_char_frac")) ++
-        dupNs.map(n => frac(col(s"__cov$n")).as(s"dup_${n}gram_char_frac"))): _*)
+        topNs.zipWithIndex.map { case (n, i) =>
+          frac(element_at(col("__rep"), i + 1)).as(s"top_${n}gram_char_frac") } ++
+        dupNs.zipWithIndex.map { case (n, i) =>
+          frac(element_at(col("__rep"), topNs.size + i + 1))
+            .as(s"dup_${n}gram_char_frac") }): _*)
     val passCond = (
       Seq(col("dup_line_frac") <= GopherMaxDupLineFrac,
         col("dup_line_char_frac") <= GopherMaxDupLineCharFrac,

@@ -343,7 +343,7 @@ object DedupQueries {
     * step — 634 s → 300 s at sf0.1) and reachability `r` seeding every
     * doc with its own id. ONE definition for both cluster oracles, so a
     * threshold or closure change cannot desynchronize the two gates. */
-  private val closureCtes: String =
+  private[queries] val closureCtes: String =
     s"""e AS MATERIALIZED (SELECT doc_a AS sn, doc_b AS dn FROM p WHERE j >= 0.5
        |      UNION ALL SELECT doc_b, doc_a FROM p WHERE j >= 0.5),
        |r AS (SELECT doc_id AS node, doc_id AS comp FROM documents

@@ -490,6 +490,52 @@ object PipelineQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE split: near-duplicate documents must not straddle
+    * train/test — Lee et al. 2022 measure exactly this contamination in
+    * deployed corpora (near-dup twins of test documents sitting in
+    * train). The per-document md5 split above cannot prevent it (twins
+    * hash independently), so this variant splits by the near-dup
+    * CLUSTER: connected components over the confirmed near-dup edges,
+    * then the SAME md5 bucket rule keyed on the component's canonical
+    * id — every member of a cluster lands in the same split by
+    * construction, and isolated documents (their own component) reduce
+    * to the plain split. The oracle replays edges, the transitive
+    * closure, and the bucket CASE end-to-end.
+    *
+    * Scale shape: the components pass is the already-gated O(log n)
+    * hash-min (bounded rounds, released checkpoint generations); the
+    * split itself stays a pure projection — no new shuffle beyond the
+    * CC pass a dedup freeze runs anyway. */
+  private val splitLeakageSafe: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val pairs = NearDup.nearDupEdges(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+    val comp = graft.operators.ConnectedComponents.components(
+      pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .select(col("doc_id"), col("component"),
+        TrainingData.assignSplit(col("component"), trainPct = 90, valPct = 5)
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val splitLeakageSafeSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.jaccardPairs},
+       |${DedupQueries.closureCtes},
+       |comp AS (SELECT node AS doc_id, min(comp) AS component FROM r
+       |         GROUP BY node)
+       |SELECT doc_id, component,
+       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, component,
+       |        ('0x' || substr(md5('split:' || component::VARCHAR), 1, 8))::BIGINT
+       |          % 100 AS b
+       |      FROM comp)
+       |ORDER BY doc_id""".stripMargin
+
   /** Domain-mixture rebalancing to en 0.4 / de 0.2 / es 0.2 / zh 0.2 —
     * fr is deliberately untargeted (dropped) and de is the binding group
     * (rate 1.0 path). The oracle recomputes the cap, the per-group
@@ -515,6 +561,45 @@ object PipelineQueries {
       |        % 1000000
       |      < floor(r.rate * 1000000)
       |ORDER BY doc_id""".stripMargin
+
+  /** Data-constrained token-budget plan (Muennighoff et al. 2023): a
+    * 100k-token budget at the standard en .4 / de .2 / es .2 / zh .2
+    * mixture, repetition capped at the published ~4-epoch utility
+    * cliff. At sf0.01 the cap BINDS for de/es/zh (each too small for
+    * its 20k-token quota — nonzero shortfall) while en fills its 40k
+    * quota in ~3.4 epochs uncapped, so both regimes of the plan are
+    * under the hash gate. fr is untargeted and must not appear. */
+  private val TokenBudget = 100000L
+  private val BudgetTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2)
+
+  private val tokenBudget: QueryFn = (s, dir) =>
+    TrainingData.tokenBudgetPlan(table(s, dir, "documents"),
+        col("lang"), size(tokens(col("text"))),
+        budget = TokenBudget, targets = BudgetTargets.toMap, maxEpochs = 4.0)
+      .withColumnRenamed("group", "lang")
+      .orderBy(col("lang"))
+
+  private val tokenBudgetSql: String = {
+    val vals = BudgetTargets.sortBy(_._1)
+      .map { case (g, sh) => s"('$g', $sh::DOUBLE)" }.mkString(", ")
+    s"""WITH tgt(lang, share) AS (VALUES $vals),
+       |g AS (SELECT lang, count(*) AS n_docs,
+       |        sum(len(${TextQueries.tokSql}))::BIGINT AS avail_tokens
+       |      FROM documents GROUP BY 1),
+       |e AS (SELECT g.lang, n_docs, avail_tokens,
+       |        round(share * $TokenBudget, 6) + 0 AS quota_tokens,
+       |        least(4.0::DOUBLE,
+       |          round(share * $TokenBudget / avail_tokens::DOUBLE, 6)) + 0
+       |          AS epochs
+       |      FROM g JOIN tgt USING (lang)),
+       |a AS (SELECT lang, n_docs, avail_tokens, quota_tokens, epochs,
+       |        round(avail_tokens::DOUBLE * epochs, 0)::BIGINT AS alloc_tokens
+       |      FROM e)
+       |SELECT lang, n_docs, avail_tokens, quota_tokens, epochs, alloc_tokens,
+       |  round(quota_tokens - alloc_tokens::DOUBLE, 6) + 0 AS shortfall_tokens
+       |FROM a ORDER BY lang""".stripMargin
+  }
 
   /** Deterministic weighted sampling (Efraimidis-Spirakis top-k in log
     * space), weight = document length in chars: longer documents are
@@ -893,6 +978,8 @@ object PipelineQueries {
     Q("pipeline_pack_payloads_bpe", packPayloadsBpe, Some(packPayloadsBpeSql)),
     Q("pipeline_remove_spans", removeSpans, Some(removeSpansSql)),
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
+    Q("pipeline_split_leakage_safe", splitLeakageSafe, Some(splitLeakageSafeSql)),
+    Q("pipeline_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

@@ -234,8 +234,58 @@ object WebQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Bloom-filter seen-URL gate at the crawl front door (Bloom 1970;
+    * the structure RefinedWeb-scale crawls keep over fetched URLs):
+    * the filter is built over the CANONICAL URLs of the already-crawled
+    * corpus (doc_id <= BloomSplit) and each arriving page is gated by a
+    * pure scan-side projection — only bloom-positive pages pay the
+    * exact confirm join. The fixture filter is deliberately UNDERSIZED
+    * (m=32, k=2 over ~20 keys, ~72% fill) so the row pins all three
+    * outcomes at once: the true positive the exact confirm keeps
+    * (doc 23 — its canonical twin doc 22 is in the corpus), a FALSE
+    * positive the confirm rejects (doc 27), and definite-new negatives
+    * that never touch the corpus (24/25/26). The oracle rebuilds the
+    * position set from the same seeded md5 and replays set membership —
+    * semantically identical to the packed-word bit test. */
+  private val BloomSplit = 22
+  private val BloomM = 32
+  private val BloomK = 2
+
+  private val bloomUrlGate: QueryFn = (s, _) => {
+    val pages = s.read.parquet(Fixture)
+    val norm = WebDomains.normalizeUrl(col("url"))
+    val corpusKeys = pages.where(col("doc_id") <= BloomSplit)
+      .select(norm.as("key")).distinct()
+    val words = graft.operators.BloomFilter.build(
+      corpusKeys, col("key"), BloomM, BloomK)
+    graft.operators.BloomFilter.gate(
+        pages.where(col("doc_id") > BloomSplit),
+        col("doc_id"), norm, corpusKeys, words, BloomM, BloomK)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val bloomUrlGateSql: String = {
+    val posOf = (j: Int, e: String) => s"${DedupQueries.hashSql(j, e)} % $BloomM"
+    val posList = (e: String) =>
+      (0 until BloomK).map(j => posOf(j, e)).mkString("[", ", ", "]")
+    s"""WITH n AS (SELECT doc_id, ${WebDomains.normalizeUrlSql("url")} AS nu
+       |           FROM $FixtureSql),
+       |c AS (SELECT DISTINCT nu FROM n WHERE doc_id <= $BloomSplit),
+       |bits AS (SELECT list(DISTINCT p) AS ps
+       |         FROM (SELECT unnest(${posList("nu")}) AS p FROM c)),
+       |b AS (SELECT doc_id, nu, ${posList("nu")} AS poss
+       |      FROM n WHERE doc_id > $BloomSplit)
+       |SELECT b.doc_id,
+       |  list_has_all(bits.ps, b.poss) AS bloom_positive,
+       |  (list_has_all(bits.ps, b.poss) AND
+       |   b.nu IN (SELECT nu FROM c)) AS is_seen
+       |FROM b, bits ORDER BY b.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pipeline_remove_lines", removeLines, Some(removeLinesSql)),
+    Q("dedup_bloom_url_gate", bloomUrlGate, Some(bloomUrlGateSql)),
     Q("text_extract_html", extractHtml, Some(extractHtmlSql)),
     Q("text_extract_chunks", extractChunks, Some(extractChunksSql)),
     Q("dedup_url_exact", urlExact, Some(urlExactSql)),

@@ -1160,6 +1160,68 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetPlan: the epoch cap binds exactly when quota exceeds " +
+    "maxEpochs x avail; untargeted groups drop; guards fire") {
+    val docs = (
+      (1 to 10).map(i => (s"a$i", "a", 10L)) ++   // a: 100 tokens avail
+      Seq(("b1", "b", 10L)) ++                     // b: 10 tokens avail
+      Seq(("c1", "c", 50L))                        // c: untargeted
+    ).toDF("id", "grp", "ntok")
+    val plan = TrainingData.tokenBudgetPlan(docs, col("grp"), col("ntok"),
+        budget = 100L, targets = Map("a" -> 0.5, "b" -> 0.5), maxEpochs = 4.0)
+      .as[(String, Long, Long, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(plan.keySet == Set("a", "b"), "untargeted group must drop")
+    // a: quota 50 over 100 avail -> 0.5 epochs, alloc 50, no shortfall
+    assert(plan("a") == (("a", 10L, 100L, 50.0, 0.5, 50L, 0.0)))
+    // b: quota 50 over 10 avail wants 5 epochs -> capped at 4,
+    // alloc 40, shortfall 10 (the trainer must re-weight or backfill)
+    assert(plan("b") == (("b", 1L, 10L, 50.0, 4.0, 40L, 10.0)))
+    intercept[IllegalArgumentException] {
+      TrainingData.tokenBudgetPlan(docs, col("grp"), col("ntok"),
+        budget = 0L, targets = Map("a" -> 1.0), maxEpochs = 4.0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.tokenBudgetPlan(docs, col("grp"), col("ntok"),
+        budget = 10L, targets = Map.empty, maxEpochs = 4.0)
+    }
+  }
+
+  test("leakage-safe split property: near-dup twins land in the SAME " +
+    "split even when their per-id buckets differ; isolated docs reduce " +
+    "to the plain per-id split") {
+    // ids 2 and 4 have DIFFERENT plain splits (bucket 96 'test' vs 49
+    // 'train'); give them identical text so they form one cluster.
+    // id 12 ('val') stays isolated.
+    val twin = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (2L, twin), (4L, twin),
+      (12L, "completely unrelated text about spark catalyst planning"),
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.NearDup.nearDupEdges(docs, col("doc_id"),
+      col("text"), n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+    val comp = graft.operators.ConnectedComponents.components(
+      pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    val split = docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .select(col("doc_id"), col("component"),
+        TrainingData.assignSplit(col("component")).as("split"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(split(2L)._2 == 2L && split(4L)._2 == 2L,
+      "twins must share the cluster's canonical component")
+    assert(split(2L)._3 == split(4L)._3, "twins must share a split")
+    assert(split(2L)._3 == "test", "cluster split keys on the component id")
+    // the PER-ID split would have separated them: id 4 is 'train'
+    val plain = docs.select(col("doc_id"),
+        TrainingData.assignSplit(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(plain(4L) == "train" && plain(2L) == "test",
+      "fixture must actually exercise the straddle")
+    assert(split(12L)._3 == plain(12L), "isolated docs match the plain split")
+  }
+
   test("repetitionStats: degenerate, clean, and too-short docs") {
     val docs = Seq(
       (1L, "a a a a"),          // bigrams: 3x "a a" -> top 1.0, dup 2/3
