@@ -260,7 +260,42 @@ object TextHash {
     * one pinned [[tokenize]], grams are space-joined like [[ngrams]] —
     * so the values are bit-identical to the shuffle formulation and the
     * unchanged DuckDB oracle. Documents shorter than n tokens report 0
-    * for that n (the join-was-null → coalesce(0) path of the old plan). */
+    * for that n (the join-was-null → coalesce(0) path of the old plan).
+    *
+    * [9] total token chars (code points — the fraction denominator);
+    * [10..13] LINE unit stats (occurrences, distinct, occurrence chars,
+    * distinct chars — '\n' units under the pinned-whitespace trim,
+    * blanks excluded) and [14..17] the same for PARAGRAPHS (`\n{2,}`
+    * units): the Column formulation re-evaluated the interpreted
+    * split + per-element trim lambda for each of its four aggregates
+    * (~8 evaluations per unit type per row — measured 3× the kernel's
+    * whole cost at sf0.1), where one pass here computes all eight
+    * numbers. Split/trim semantics are the exact Java-regex patterns
+    * Spark's split/regexp_replace evaluate, so values are unchanged. */
+  private val GopherTrim =
+    java.util.regex.Pattern.compile(s"^$WsClassJava+|$WsClassJava+$$")
+  private val GopherLine = java.util.regex.Pattern.compile("\n")
+  private val GopherPara = java.util.regex.Pattern.compile("\n{2,}")
+
+  private def unitStatsInto(text: String, p: java.util.regex.Pattern,
+                            out: Array[Long], off: Int): Unit = {
+    val parts = p.split(text, -1)
+    val seen = new java.util.HashSet[String](64)
+    var occ = 0L; var dst = 0L; var occChars = 0L; var dstChars = 0L
+    var i = 0
+    while (i < parts.length) {
+      val t = GopherTrim.matcher(parts(i)).replaceAll("")
+      if (t.nonEmpty) {
+        val cp = t.codePointCount(0, t.length).toLong
+        occ += 1; occChars += cp
+        if (seen.add(t)) { dst += 1; dstChars += cp }
+      }
+      i += 1
+    }
+    out(off) = occ; out(off + 1) = dst
+    out(off + 2) = occChars; out(off + 3) = dstChars
+  }
+
   private[functions] def gopherGramStats(text: String): Array[Long] = {
     val toks = tokenize(text)
     val T = toks.length
@@ -270,7 +305,13 @@ object TextHash {
       cp(i) = toks(i).codePointCount(0, toks(i).length).toLong
       i += 1
     }
-    val out = new Array[Long](9)
+    val out = new Array[Long](18)
+    var tc = 0L
+    i = 0
+    while (i < T) { tc += cp(i); i += 1 }
+    out(9) = tc
+    unitStatsInto(text, GopherLine, out, 10)
+    unitStatsInto(text, GopherPara, out, 14)
     val Pack = 1000000L
     val sb = new java.lang.StringBuilder()
     val plusOne = new java.util.function.BiFunction[Integer, Integer, Integer] {

@@ -550,11 +550,24 @@ object Multimodal {
     shaHex(d)
   }
 
-  /** PPM/PGM raster: the header tokens (with comments) as in
+  /** A pure-decoder raster as a ROW STREAM: dimensions up front, then
+    * `play(sink)` emits RGBA rows top-down (display order) into the
+    * sink as `(y, rowBytes)`. The row buffer is REUSED between calls —
+    * a sink must consume what it needs before returning. `play` yields
+    * false when the stream turns out malformed mid-decode (bad PNG
+    * filter byte, palette index out of range) — the caller discards
+    * whatever the sink absorbed, exactly the return-None contract of
+    * the checksum decoders. This is the shape that lets checksum AND
+    * resize share one decode with O(row) state — no full-raster
+    * allocation ever happens on the pure paths. */
+  final case class RasterRows(width: Int, height: Int, source: String,
+                              play: ((Int, Array[Byte]) => Unit) => Boolean)
+
+  /** PPM/PGM raster rows: the header tokens (with comments) as in
     * [[decodePpm]], then — per the netpbm spec — exactly ONE whitespace
     * byte and the raw samples (P6: RGB triples, P5: grey). maxval must
     * fit one byte (the 2-byte-sample variant falls through). */
-  def decodePpmPixels(b: Array[Byte]): Option[PixelDecoded] = {
+  def decodePpmRows(b: Array[Byte]): Option[RasterRows] = {
     if (b.length < 2 || b(0) != 'P'.toByte ||
         (b(1) != '5'.toByte && b(1) != '6'.toByte)) return None
     val per = if (b(1) == '6'.toByte) 3 else 1
@@ -580,25 +593,48 @@ object Multimodal {
       if w > 0 && h > 0 && maxval > 0 && maxval < 256
       body = i + 1 // exactly one whitespace byte after maxval
       if body + w.toLong * h * per <= b.length
-    } yield {
-      val d = java.security.MessageDigest.getInstance("SHA-256")
-      var p = 0
-      val n = w * h
-      while (p < n) {
-        val o = body + p * per
-        if (per == 3) d.update(Array(b(o), b(o + 1), b(o + 2), 0xff.toByte))
-        else d.update(Array(b(o), b(o), b(o), 0xff.toByte))
-        p += 1
+      if w.toLong * 4 <= Int.MaxValue
+    } yield RasterRows(w, h, "ppm", sink => {
+      val row = new Array[Byte](w * 4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = body + (y * w + x) * per
+          if (per == 3) {
+            row(x * 4) = b(o); row(x * 4 + 1) = b(o + 1)
+            row(x * 4 + 2) = b(o + 2)
+          } else {
+            row(x * 4) = b(o); row(x * 4 + 1) = b(o)
+            row(x * 4 + 2) = b(o)
+          }
+          row(x * 4 + 3) = 0xff.toByte
+          x += 1
+        }
+        sink(y, row)
+        y += 1
       }
-      PixelDecoded(w, h, shaHex(d), "ppm")
-    }
+      true
+    })
   }
 
-  /** Uncompressed 24-bit BMP raster, pure Scala: BGR triples in
+  /** [[decodePpmRows]] reduced to the canonical checksum. */
+  def decodePpmPixels(b: Array[Byte]): Option[PixelDecoded] =
+    decodePpmRows(b).flatMap(shaOfRows)
+
+  /** A row stream reduced to the canonical checksum; None if the
+    * stream turned malformed mid-decode (the old return-None paths). */
+  private def shaOfRows(r: RasterRows): Option[PixelDecoded] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    if (!r.play((_, row) => d.update(row))) None
+    else Some(PixelDecoded(r.width, r.height, shaHex(d), r.source))
+  }
+
+  /** Uncompressed 24-bit BMP raster rows, pure Scala: BGR triples in
     * 4-byte-padded rows, bottom-up unless the height was negative
-    * (top-down). Paletted/16/32-bit variants fall through (ImageIO
-    * covers them). */
-  def decodeBmpPixels(b: Array[Byte]): Option[PixelDecoded] = {
+    * (top-down) — emitted top-down either way. Paletted/16/32-bit
+    * variants fall through (ImageIO covers them). */
+  def decodeBmpRows(b: Array[Byte]): Option[RasterRows] = {
     val hdr = decodeBmp(b).getOrElse(return None)
     val (w, h) = (hdr.width, hdr.height)
     // ALL size arithmetic in Long: decodeBmp accepts any positive i32
@@ -618,8 +654,7 @@ object Multimodal {
       topDown = hs >= 40 && i32(b, 22).exists(_ < 0)
       rowSz = ((w.toLong * 3 + 3) / 4 * 4).toInt
       if dataOff + rowSz.toLong * h <= b.length
-    } yield {
-      val d = java.security.MessageDigest.getInstance("SHA-256")
+    } yield RasterRows(w, h, "bmp", sink => {
       val row = new Array[Byte](w * 4)
       var y = 0
       while (y < h) {
@@ -633,12 +668,16 @@ object Multimodal {
           row(x * 4 + 3) = 0xff.toByte
           x += 1
         }
-        d.update(row)
+        sink(y, row)
         y += 1
       }
-      PixelDecoded(w, h, shaHex(d), "bmp")
-    }
+      true
+    })
   }
+
+  /** [[decodeBmpRows]] reduced to the canonical checksum. */
+  def decodeBmpPixels(b: Array[Byte]): Option[PixelDecoded] =
+    decodeBmpRows(b).flatMap(shaOfRows)
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -653,7 +692,12 @@ object Multimodal {
     * color types 0/2/3/4/6, non-interlaced. Anything else (16-bit,
     * sub-byte palettes, Adam7) returns None and the ImageIO fallback
     * takes it. Public spec: PNG (ISO/IEC 15948) §9-13. */
-  def decodePngPixels(b: Array[Byte]): Option[PixelDecoded] = {
+  def decodePngPixels(b: Array[Byte]): Option[PixelDecoded] =
+    decodePngRows(b).flatMap(shaOfRows)
+
+  /** PNG raster rows (see [[decodePngPixels]] for the supported
+    * shape); the inflate + defilter run lazily inside `play`. */
+  def decodePngRows(b: Array[Byte]): Option[RasterRows] = {
     val hdr = decodePng(b).getOrElse(return None)
     val (w, h) = (hdr.width, hdr.height)
     // decodePng guarantees only 24 bytes (through the IHDR dims); the
@@ -704,80 +748,88 @@ object Multimodal {
     // executor before the Inflater ever sees the stream
     if (expect > idat.size().toLong * 1032L + 64L) return None
     val stride = strideL.toInt
-    val raw = new Array[Byte](expect.toInt)
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(idat.toByteArray)
-      var got = 0
-      while (got < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, got, raw.length - got)
-        // n == 0 and not finished covers BOTH a truncated stream
-        // (needsInput) and a preset-dictionary header (needsDictionary,
-        // which PNG forbids) — either way, bail; looping would spin
-        // forever on the dictionary case
-        if (n == 0) return None
-        got += n
-      }
-      if (got < raw.length) return None
-    } catch {
-      case _: java.util.zip.DataFormatException => return None
-    } finally inf.end()
-    // defilter in place, row by row
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-    val cur = new Array[Int](stride)
-    val prior = new Array[Int](stride)
-    val out = new Array[Byte](w * 4)
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + stride)
-      val f = raw(base) & 0xff
-      if (f > 4) return None
-      var i = 0
-      while (i < stride) {
-        val v = raw(base + 1 + i) & 0xff
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = if (y > 0) prior(i) else 0
-        val ul = if (y > 0 && i >= bpp) prior(i - bpp) else 0
-        cur(i) = f match {
-          case 0 => v
-          case 1 => (v + left) & 0xff
-          case 2 => (v + up) & 0xff
-          case 3 => (v + (left + up) / 2) & 0xff
-          case 4 => (v + paeth(left, up, ul)) & 0xff
+    val idatBytes = idat.toByteArray
+    val pal = palette
+    Some(RasterRows(w, h, "png-jdk", sink => {
+      val raw = new Array[Byte](expect.toInt)
+      val inf = new java.util.zip.Inflater()
+      var ok = true
+      try {
+        inf.setInput(idatBytes)
+        var got = 0
+        var stop = false
+        while (!stop && got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          // n == 0 and not finished covers BOTH a truncated stream
+          // (needsInput) and a preset-dictionary header
+          // (needsDictionary, which PNG forbids) — either way, bail;
+          // looping would spin forever on the dictionary case
+          if (n == 0) { ok = false; stop = true } else got += n
         }
-        i += 1
-      }
-      var x = 0
-      while (x < w) {
-        val o = x * bpp
-        ct match {
-          case 0 =>
-            val v = cur(o).toByte
-            out(x * 4) = v; out(x * 4 + 1) = v; out(x * 4 + 2) = v
-            out(x * 4 + 3) = 0xff.toByte
-          case 2 =>
-            out(x * 4) = cur(o).toByte; out(x * 4 + 1) = cur(o + 1).toByte
-            out(x * 4 + 2) = cur(o + 2).toByte; out(x * 4 + 3) = 0xff.toByte
-          case 3 =>
-            val idx = cur(o)
-            if (idx * 3 + 2 >= palette.length) return None
-            out(x * 4) = palette(idx * 3); out(x * 4 + 1) = palette(idx * 3 + 1)
-            out(x * 4 + 2) = palette(idx * 3 + 2); out(x * 4 + 3) = 0xff.toByte
-          case 4 =>
-            val v = cur(o).toByte
-            out(x * 4) = v; out(x * 4 + 1) = v; out(x * 4 + 2) = v
-            out(x * 4 + 3) = cur(o + 1).toByte
-          case 6 =>
-            out(x * 4) = cur(o).toByte; out(x * 4 + 1) = cur(o + 1).toByte
-            out(x * 4 + 2) = cur(o + 2).toByte; out(x * 4 + 3) = cur(o + 3).toByte
+        if (got < raw.length) ok = false
+      } catch {
+        case _: java.util.zip.DataFormatException => ok = false
+      } finally inf.end()
+      // defilter in place, row by row
+      val cur = new Array[Int](stride)
+      val prior = new Array[Int](stride)
+      val out = new Array[Byte](w * 4)
+      var y = 0
+      while (ok && y < h) {
+        val base = y * (1 + stride)
+        val f = raw(base) & 0xff
+        if (f > 4) ok = false
+        var i = 0
+        while (ok && i < stride) {
+          val v = raw(base + 1 + i) & 0xff
+          val left = if (i >= bpp) cur(i - bpp) else 0
+          val up = if (y > 0) prior(i) else 0
+          val ul = if (y > 0 && i >= bpp) prior(i - bpp) else 0
+          cur(i) = f match {
+            case 0 => v
+            case 1 => (v + left) & 0xff
+            case 2 => (v + up) & 0xff
+            case 3 => (v + (left + up) / 2) & 0xff
+            case 4 => (v + paeth(left, up, ul)) & 0xff
+          }
+          i += 1
         }
-        x += 1
+        var x = 0
+        while (ok && x < w) {
+          val o = x * bpp
+          ct match {
+            case 0 =>
+              val v = cur(o).toByte
+              out(x * 4) = v; out(x * 4 + 1) = v; out(x * 4 + 2) = v
+              out(x * 4 + 3) = 0xff.toByte
+            case 2 =>
+              out(x * 4) = cur(o).toByte; out(x * 4 + 1) = cur(o + 1).toByte
+              out(x * 4 + 2) = cur(o + 2).toByte; out(x * 4 + 3) = 0xff.toByte
+            case 3 =>
+              val idx = cur(o)
+              if (idx * 3 + 2 >= pal.length) ok = false
+              else {
+                out(x * 4) = pal(idx * 3); out(x * 4 + 1) = pal(idx * 3 + 1)
+                out(x * 4 + 2) = pal(idx * 3 + 2); out(x * 4 + 3) = 0xff.toByte
+              }
+            case 4 =>
+              val v = cur(o).toByte
+              out(x * 4) = v; out(x * 4 + 1) = v; out(x * 4 + 2) = v
+              out(x * 4 + 3) = cur(o + 1).toByte
+            case 6 =>
+              out(x * 4) = cur(o).toByte; out(x * 4 + 1) = cur(o + 1).toByte
+              out(x * 4 + 2) = cur(o + 2).toByte; out(x * 4 + 3) = cur(o + 3).toByte
+          }
+          x += 1
+        }
+        if (ok) {
+          sink(y, out)
+          System.arraycopy(cur, 0, prior, 0, stride)
+        }
+        y += 1
       }
-      d.update(out)
-      System.arraycopy(cur, 0, prior, 0, stride)
-      y += 1
-    }
-    Some(PixelDecoded(w, h, shaHex(d), "png-jdk"))
+      ok
+    }))
   }
 
   /** Decoded audio SAMPLES: stream layout plus the canonical sample
@@ -858,6 +910,41 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** The ImageIO fallback as a row stream (rows converted from the
+    * decoded BufferedImage's ARGB accessor — the image itself is
+    * materialized by ImageIO, as always on this path). */
+  def decodeImageIoRows(bytes: Array[Byte]): Option[RasterRows] =
+    try {
+      imageIoInit
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w.toLong * 4 > Int.MaxValue) None
+        else Some(RasterRows(w, h, "imageio", sink => {
+          val row = new Array[Byte](w * 4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              row(x * 4) = ((p >> 16) & 0xff).toByte
+              row(x * 4 + 1) = ((p >> 8) & 0xff).toByte
+              row(x * 4 + 2) = (p & 0xff).toByte
+              row(x * 4 + 3) = ((p >>> 24) & 0xff).toByte
+              x += 1
+            }
+            sink(y, row)
+            y += 1
+          }
+          true
+        }))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
   /** Full raster decode: pure-Scala PPM / PNG / 24-bit-BMP first (zero
     * dependencies, bit-exact vs the fixture manifest's independent
     * encoders), then the JDK ImageIO readers, else None (audio/video/
@@ -866,6 +953,92 @@ object Multimodal {
   def decodePixels(bytes: Array[Byte]): Option[PixelDecoded] =
     decodePpmPixels(bytes).orElse(decodePngPixels(bytes))
       .orElse(decodeBmpPixels(bytes)).orElse(decodePixelsImageIO(bytes))
+
+  /** The raster row streams in [[decodePixels]]' exact probe order
+    * (pure PPM/PNG/24-bit-BMP first, then the ImageIO fallback) — so a
+    * row-sink consumer like the resize supports precisely the assets
+    * [[decodePixels]] checksums. */
+  def decodeRasterRows(bytes: Array[Byte]): Option[RasterRows] =
+    decodePpmRows(bytes).orElse(decodePngRows(bytes))
+      .orElse(decodeBmpRows(bytes)).orElse(decodeImageIoRows(bytes))
+
+  /** Nearest-neighbor RESIZE to (dstW, dstH), streaming: source rows
+    * play through the shared [[RasterRows]] sink and each is sampled
+    * into the destination rows it maps to (src = floor(dst·srcDim /
+    * dstDim) — the standard un-centered NN rule, integer-exact in any
+    * engine, replayed by the fixture generator's python twin). Memory
+    * is O(dstW·dstH·4) for the destination plus the decoder's own
+    * O(row) state — on the pure paths the source raster is never
+    * materialized, keeping their bounded-allocation contract (the
+    * ImageIO fallback materializes its BufferedImage, as it always
+    * did). Returns the canonical RGBA checksum of the resized raster
+    * with the decode source tag; None exactly where [[decodePixels]]
+    * has no raster. */
+  def resizedPixelSha(bytes: Array[Byte], dstW: Int,
+                      dstH: Int): Option[PixelDecoded] = {
+    require(dstW > 0 && dstH > 0, "resize dims must be positive")
+    require(dstW.toLong * dstH * 4 <= Int.MaxValue, "resize raster too large")
+    decodeRasterRows(bytes).flatMap { r =>
+      val dst = new Array[Byte](dstW * dstH * 4)
+      val sxFor = Array.tabulate(dstW)(dx => (dx.toLong * r.width / dstW).toInt)
+      // source row y feeds dst rows [dyStart(y), dyStart(y+1)) — the
+      // dst→src map is monotone, so each dst row is filled exactly once
+      val dyStart = new Array[Int](r.height + 1)
+      var dy = 0
+      var sy = 0
+      while (sy <= r.height) {
+        while (dy < dstH && (dy.toLong * r.height / dstH).toInt < sy) dy += 1
+        dyStart(sy) = dy
+        sy += 1
+      }
+      val played = r.play { (y, row) =>
+        var d = dyStart(y)
+        val end = if (y + 1 <= r.height) dyStart(y + 1) else dstH
+        while (d < end) {
+          val base = d * dstW * 4
+          var x = 0
+          while (x < dstW) {
+            val s = sxFor(x) * 4
+            dst(base + x * 4) = row(s)
+            dst(base + x * 4 + 1) = row(s + 1)
+            dst(base + x * 4 + 2) = row(s + 2)
+            dst(base + x * 4 + 3) = row(s + 3)
+            x += 1
+          }
+          d += 1
+        }
+      }
+      if (!played) None
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        digest.update(dst)
+        Some(PixelDecoded(dstW, dstH, shaHex(digest), r.source))
+      }
+    }
+  }
+
+  /** Per-asset resize metadata; null fields = no pure-decodable
+    * raster. */
+  final case class ResizeMeta(name: String, resize_width: Option[Int],
+                              resize_height: Option[Int],
+                              resize_sha: Option[String],
+                              resize_source: Option[String])
+
+  /** Per-partition streaming resize over (name, bytes) — the same
+    * batched executor shape as [[decodePixelPartitions]] (what a
+    * mapInPandas thumbnail stage looks like in Scala). */
+  def resizePixelPartitions(ds: Dataset[(String, Array[Byte])],
+                            dstW: Int, dstH: Int): Dataset[ResizeMeta] = {
+    implicit val enc: Encoder[ResizeMeta] = Encoders.product[ResizeMeta]
+    ds.mapPartitions(_.map { case (name, bytes) =>
+      resizedPixelSha(bytes, dstW, dstH) match {
+        case Some(p) =>
+          ResizeMeta(name, Some(p.width), Some(p.height), Some(p.sha),
+            Some(p.source))
+        case None => ResizeMeta(name, None, None, None, None)
+      }
+    })
+  }
 
   /** Per-asset pixel metadata for the per-partition decode path: null
     * fields = no decodable raster. */

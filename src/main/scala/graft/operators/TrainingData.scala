@@ -1540,46 +1540,28 @@ object TrainingData {
     * dup_5gram_char_frac .. dup_10gram_char_frac, passes). */
   def gopherRepetitionStats(df: DataFrame, id: Column,
                             text: Column): DataFrame = {
-    val ws = graft.functions.TextHash.WsClassJava
     def r6(c: Column): Column = round(c, 6) + lit(0.0d)
-    def units(sep: String): Column =
-      filter(transform(split(text, sep),
-        u => regexp_replace(u, s"^$ws+|$ws+$$", "")), u => u =!= "")
-    def unitCols(u: Column, tag: String): Seq[Column] = {
-      val occ = size(u).cast("double")
-      val dst = size(array_distinct(u)).cast("double")
-      val occChars = aggregate(u, lit(0L), (a, x) => a + length(x))
-        .cast("double")
-      val dstChars = aggregate(array_distinct(u), lit(0L),
-        (a, x) => a + length(x)).cast("double")
-      Seq(
-        r6(when(occ === 0.0d, lit(0.0d)).otherwise((occ - dst) / occ))
-          .as(s"dup_${tag}_frac"),
-        r6(when(occChars === 0.0d, lit(0.0d))
-          .otherwise((occChars - dstChars) / occChars))
-          .as(s"dup_${tag}_char_frac"))
-    }
     val topNs = GopherMaxTopGramCharFrac.map(_._1)
     val dupNs = GopherMaxDupGramCharFrac.map(_._1)
-    val toks = TextAnalysis.tokens(text)
-    val base = df.select(
-      (Seq(id.as("id"),
-        aggregate(transform(toks, t => length(t)), lit(0L),
-          (a, x) => a + x).cast("double").as("__chars"),
-        graft.functions.TextHash.gopherGramStatsCol(text).as("__rep")) ++
-        unitCols(units("\n"), "line") ++
-        unitCols(units("\n{2,}"), "para")): _*)
-    // kernel layout: [1..3] top products n=2..4, [4..9] coverage n=5..10
-    def frac(num: Column): Column =
-      r6(when(col("__chars") === 0.0d, lit(0.0d))
-        .otherwise(num.cast("double") / col("__chars")))
+    val base = df.select(id.as("id"),
+      graft.functions.TextHash.gopherGramStatsCol(text).as("__rep"))
+    // kernel layout: [1..3] top products n=2..4, [4..9] coverage
+    // n=5..10, [10] token chars, [11..14]/[15..18] line/para unit stats
+    def at(i: Int): Column = element_at(col("__rep"), i).cast("double")
+    def ratio(num: Column, den: Column): Column =
+      r6(when(den === 0.0d, lit(0.0d)).otherwise(num / den))
+    def unitCols(off: Int, tag: String): Seq[Column] = {
+      val (occ, dst, occChars, dstChars) =
+        (at(off), at(off + 1), at(off + 2), at(off + 3))
+      Seq(ratio(occ - dst, occ).as(s"dup_${tag}_frac"),
+        ratio(occChars - dstChars, occChars).as(s"dup_${tag}_char_frac"))
+    }
     val withFracs = base.select(
-      (Seq(col("id"), col("dup_line_frac"), col("dup_line_char_frac"),
-        col("dup_para_frac"), col("dup_para_char_frac")) ++
+      (Seq(col("id")) ++ unitCols(11, "line") ++ unitCols(15, "para") ++
         topNs.zipWithIndex.map { case (n, i) =>
-          frac(element_at(col("__rep"), i + 1)).as(s"top_${n}gram_char_frac") } ++
+          ratio(at(i + 1), at(10)).as(s"top_${n}gram_char_frac") } ++
         dupNs.zipWithIndex.map { case (n, i) =>
-          frac(element_at(col("__rep"), topNs.size + i + 1))
+          ratio(at(topNs.size + i + 1), at(10))
             .as(s"dup_${n}gram_char_frac") }): _*)
     val passCond = (
       Seq(col("dup_line_frac") <= GopherMaxDupLineFrac,

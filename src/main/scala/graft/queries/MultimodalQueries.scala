@@ -99,6 +99,38 @@ object MultimodalQueries {
        |FROM read_json('$MultimodalFixDir/manifest.json')
        |ORDER BY name""".stripMargin
 
+  /** STREAMING nearest-neighbor resize to 8×8 over the same assets —
+    * the thumbnail/feature-prep stage of an image pipeline
+    * (Multimodal.resizePixelPartitions: source rows play through the
+    * shared decoder row-sink and are sampled straight into the
+    * destination raster; the source is never materialized). The oracle
+    * is the fixture generator's INDEPENDENT python twin — same
+    * un-centered floor(dst·src/dstDim) rule over its ground-truth RGBA
+    * arrays — so upsampling (3×5 → 8×8), downsampling (21×13 → 8×8),
+    * and the 1×999 degenerate strip are all pinned byte-exactly.
+    * Assets without a pure-decoder raster (ImageIO-only formats, audio,
+    * video, junk) must stay null, like pixel_sha. */
+  private val mmResize: QueryFn = (s, _) => {
+    import s.implicits._
+    Multimodal.resizePixelPartitions(
+        s.read.format("binaryFile").load(MultimodalFixDir)
+          .select(element_at(split(col("path"), "/"), -1).as("name"),
+            col("content"))
+          .where(col("name") =!= "manifest.json")
+          .as[(String, Array[Byte])],
+        dstW = 8, dstH = 8)
+      .toDF()
+      .select(col("name"), col("resize_width"), col("resize_height"),
+        col("resize_sha"))
+      .orderBy("name")
+  }
+
+  private val mmResizeSql: String =
+    s"""SELECT name, resize_width::INT AS resize_width,
+       |  resize_height::INT AS resize_height, resize_sha
+       |FROM read_json('$MultimodalFixDir/manifest.json')
+       |ORDER BY name""".stripMargin
+
   /** REAL audio-sample decode: WAV PCM payloads verify end-to-end
     * (sha256 over the raw PCM as the python `wave` writer emitted it),
     * and FLAC payloads decode LOSSLESSLY through the pure-JDK
@@ -330,6 +362,7 @@ object MultimodalQueries {
     Q("multimodal_features", mmFeatures, Some(mmFeaturesSql)),
     Q("multimodal_decode_headers", mmDecodeHeaders, Some(mmDecodeHeadersSql)),
     Q("multimodal_decode_pixels", mmDecodePixels, Some(mmDecodePixelsSql)),
+    Q("multimodal_resize", mmResize, Some(mmResizeSql)),
     Q("multimodal_decode_samples", mmDecodeSamples, Some(mmDecodeSamplesSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("streaming_window_agg", eventWindows, Some(eventWindowsSql)),

@@ -470,6 +470,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeSamples(fixture("audio_song.ogg")).isEmpty)
   }
 
+  test("streaming resize: identity dims reproduce the decode checksum " +
+    "exactly (every pure decoder AND the imageio fallback feed the same " +
+    "row sink), junk stays None, and resize support equals decode support") {
+    for (n <- Seq("img_rgb.ppm", "img_rgba.png", "img_pal.png",
+        "img_24bit.bmp", "img_topdown.bmp", "img_pal8.bmp")) {
+      val b = fixture(n)
+      val px = Multimodal.decodePixels(b).get
+      val same = Multimodal.resizedPixelSha(b, px.width, px.height).get
+      assert(same.sha == px.sha && same.source == px.source,
+        s"identity resize must be a no-op for $n")
+    }
+    // a known-tiny upsample: 1x1 source -> every dst pixel is that pixel
+    val one = ("P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30))
+    val up = Multimodal.resizedPixelSha(one, 3, 2).get
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    (0 until 6).foreach(_ => d.update(Array[Byte](10, 20, 30, 0xff.toByte)))
+    assert(up.sha == d.digest().map("%02x".format(_)).mkString)
+    // no raster -> no resize, never a throw; support sets are equal
+    for (n <- Seq("payload.bin", "audio_stereo16.wav", "vid_basic.mp4",
+        "not_a.png", "img_base.jpg")) {
+      val b = fixture(n)
+      assert(Multimodal.resizedPixelSha(b, 8, 8).isDefined ==
+        Multimodal.decodePixels(b).isDefined, n)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizedPixelSha(one, 0, 8)
+    }
+  }
+
   test("frame sampling: slices cover the payload in order, last frame ragged") {
     val frames = Multimodal.sampleFrames(assets.where($"id" === 2),
       col("id"), col("content")).collect()

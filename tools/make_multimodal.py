@@ -60,6 +60,23 @@ def rgba_sha(rgba):
     """Canonical pixel checksum: sha256 over R,G,B,A bytes row-major."""
     return hashlib.sha256(bytes(rgba)).hexdigest()
 
+RESIZE_W, RESIZE_H = 8, 8
+
+def resize_nn_sha(rgba, w, h, dst_w=RESIZE_W, dst_h=RESIZE_H):
+    """Nearest-neighbor resize ground truth (the Scala engine's twin):
+    src = floor(dst * srcDim / dstDim), the standard un-centered rule —
+    integer-exact, so both implementations agree byte-for-byte."""
+    rgba = bytes(rgba)
+    out = bytearray(dst_w * dst_h * 4)
+    for y in range(dst_h):
+        sy = (y * h) // dst_h
+        for x in range(dst_w):
+            sx = (x * w) // dst_w
+            si = (sy * w + sx) * 4
+            di = (y * dst_w + x) * 4
+            out[di:di + 4] = rgba[si:si + 4]
+    return hashlib.sha256(bytes(out)).hexdigest()
+
 
 def bmp(width, height, bpp=24, top_down=False, header_size=40):
     """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (or the legacy
@@ -642,11 +659,16 @@ def main():
         entry = {"name": name, "modality": modality, "width": width,
                  "height": height, "n_frames": n_frames,
                  "pixel_width": None, "pixel_height": None,
-                 "pixel_sha": None, "sample_sha": None}
+                 "pixel_sha": None, "resize_width": None,
+                 "resize_height": None, "resize_sha": None,
+                 "sample_sha": None}
         if rgba is not None:
             entry["pixel_width"] = width
             entry["pixel_height"] = height
             entry["pixel_sha"] = rgba_sha(rgba)
+            entry["resize_width"] = RESIZE_W
+            entry["resize_height"] = RESIZE_H
+            entry["resize_sha"] = resize_nn_sha(rgba, width, height)
         if pcm is not None:
             entry["sample_sha"] = hashlib.sha256(pcm).hexdigest()
         assets.append(entry)
