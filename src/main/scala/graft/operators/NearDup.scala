@@ -540,6 +540,72 @@ object NearDup {
           .as("est_jaccard"))
   }
 
+  /** All-pairs CONTAINMENT join with EXACT prefix filtering (the
+    * PPJoin family — Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008):
+    * every ORDERED pair (id_a, id_b), a ≠ b, whose hashed n-gram
+    * shingle containment |S_a ∩ S_b| / |S_a| ≥ threshold. Containment
+    * is the ONE-SIDED overlap that catches a document quoted inside a
+    * much larger one — a case symmetric Jaccard scores ≈ |S_a|/|S_b|
+    * and the MinHash bands therefore never surface.
+    *
+    * Exactness (no recall dial, unlike the banded MinHash path): a
+    * pair at containment ≥ t shares ≥ ceil(t·|S_a|) of S_a's shingles,
+    * so by pigeonhole at least one lies in S_a's PREFIX of length
+    * |S_a| − ceil(t·|S_a|) + 1 under ANY fixed global shingle order —
+    * probing only prefixes against the full posting lists generates
+    * every qualifying pair. The all-pairs DuckDB oracle hash-gates
+    * that no pair is lost. (The in-plan ceil subtracts 1e-9 first: if
+    * the t·|S| double rounds a hair ABOVE an exact integer the prefix
+    * would come up one short and silently drop bound-exact pairs;
+    * erring long costs a few extra candidates, never recall.)
+    *
+    * Scale shape: one scan for shingle sets (stateless — recomputed
+    * per use rather than pinned), one shuffle for global document
+    * frequencies, a bounded per-doc sort (each doc orders its OWN
+    * shingles by (freq asc, hash) — rarest first, so prefixes hold the
+    * rare shingles and posting lists joined against stay short; a
+    * corpus-common shingle reaches a prefix only in a nearly-all-
+    * boilerplate doc), one (prefix × posting) equi-join on the scalar
+    * hash, and the exact confirm only on candidates. No all-pairs
+    * product anywhere. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0d && threshold <= 1.0d,
+      "containment threshold must be in (0, 1]")
+    val sets = df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
+      .where(size(col("hsh")) > 0)
+    val freq = sets.select(explode(col("hsh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__f"))
+    // rarest-first order per doc; prefix long enough by pigeonhole
+    val ordered = sets.select(col("id"), explode(col("hsh")).as("h"))
+      .join(freq, "h")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("__f"), col("h"))))
+        .as("__ord"))
+      .select(col("id"),
+        transform(col("__ord"), x => x.getField("h")).as("__sorted"),
+        size(col("__ord")).as("__sz"))
+    val prefixes = ordered.select(col("id").as("id_a"),
+        explode(slice(col("__sorted"), lit(1),
+          greatest(lit(1), col("__sz") -
+            ceil(lit(threshold) * col("__sz") - lit(1e-9)).cast("int") +
+            lit(1)))).as("h"))
+    val postings = sets.select(col("id").as("id_b"),
+      explode(col("hsh")).as("h"))
+    val candidates = prefixes.join(postings, "h")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val confirm = candidates
+      .join(sets.select(col("id").as("id_a"), col("hsh").as("__ha")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hsh").as("__hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          size(col("__ha")).cast("double")).as("__c"))
+    confirm.where(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (round(col("__c"), 6) + lit(0.0d)).as("containment"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, banded: the
     * fingerprint is split into `numBands` sub-keys; by pigeonhole any pair
     * within maxHamming <= numBands - 1 shares at least one exact sub-key,

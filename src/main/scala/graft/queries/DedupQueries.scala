@@ -370,6 +370,28 @@ object DedupQueries {
        |SELECT node AS doc_id FROM r
        |GROUP BY node HAVING node = min(comp) ORDER BY doc_id""".stripMargin
 
+  /** CONTAINMENT pairs with exact prefix filtering (PPJoin family):
+    * ordered pairs whose trigram-set containment |Sa∩Sb|/|Sa| clears
+    * 0.9 — the one-sided overlap a quoted-subset duplicate shows when
+    * symmetric Jaccard does not. The oracle goes ALL-PAIRS over the
+    * identical hashed trigram sets, so a prefix one shingle too short
+    * on the Spark side (a lost candidate) hash-mismatches the row —
+    * the filter's exactness is the thing under gate, recall has no
+    * dial here. */
+  private val containmentPairsQ: QueryFn = (s, dir) =>
+    NearDup.containmentPairs(table(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val containmentPairsSql: String =
+    s"""WITH s AS ($hashedTrigramSets),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        len(list_intersect(a.hsh, b.hsh))::DOUBLE / len(a.hsh) AS c
+       |      FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       |      WHERE len(a.hsh) > 0)
+       |SELECT id_a, id_b, round(c, 6) + 0 AS containment FROM p
+       |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   /** Multilingual near-dup over the committed unicode fixture — the
     * gate for the PINNED Unicode tokenization contract (NFC +
     * per-code-point simple lowercase + explicit whitespace class):
@@ -555,6 +577,7 @@ object DedupQueries {
     Q("dedup_near_pairs", nearPairs, Some(nearPairsSql)),
     Q("dedup_near_survivors", nearSurvivors, Some(nearSurvivorsSql)),
     Q("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    Q("dedup_containment_pairs", containmentPairsQ, Some(containmentPairsSql)),
     Q("dedup_embedding_near", embeddingNear, Some(embeddingNearSql)),
     Q("dedup_embedding_near_lsh", embeddingNearLsh, Some(embeddingNearLshSql)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsSql)),

@@ -562,6 +562,67 @@ object PipelineQueries {
       |      < floor(r.rate * 1000000)
       |ORDER BY doc_id""".stripMargin
 
+  /** The LEAKAGE AUDIT the safe split exists for: over every confirmed
+    * near-dup pair, count how many straddle train/val/test under the
+    * plain per-doc split (real contamination — Lee et al. 2022's
+    * measured failure) versus under the cluster-keyed split (zero BY
+    * CONSTRUCTION, and this row proves the construction end-to-end
+    * rather than asserting it). One output row: pairs, plain-split
+    * straddles (> 0 on this corpus), safe-split straddles (must be 0).
+    * The oracle replays edges all-pairs, the closure, and both split
+    * rules. */
+  private val splitLeakageAudit: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val pairs = NearDup.nearDupPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.ConnectedComponents.components(
+      NearDup.nearDupEdges(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b")), "id_a", "id_b")
+    val both = pairs
+      .join(comp.select(col("node").as("__na"), col("comp").as("__ca")),
+        col("id_a") === col("__na"), "left")
+      .join(comp.select(col("node").as("__nb"), col("comp").as("__cb")),
+        col("id_b") === col("__nb"), "left")
+      .select(col("id_a"), col("id_b"),
+        TrainingData.assignSplit(col("id_a")).as("__pa"),
+        TrainingData.assignSplit(col("id_b")).as("__pb"),
+        TrainingData.assignSplit(coalesce(col("__ca"), col("id_a")))
+          .as("__sa"),
+        TrainingData.assignSplit(coalesce(col("__cb"), col("id_b")))
+          .as("__sb"))
+    both.agg(
+      count(lit(1)).as("n_near_dup_pairs"),
+      sum(when(col("__pa") =!= col("__pb"), 1L).otherwise(0L))
+        .as("n_straddle_plain"),
+      sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+        .as("n_straddle_safe"))
+  }
+
+  private val splitLeakageAuditSql: String = {
+    def splitOf(e: String) =
+      s"""CASE WHEN ('0x' || substr(md5('split:' || ($e)::VARCHAR), 1, 8))::BIGINT % 100 < 90
+         | THEN 'train'
+         | WHEN ('0x' || substr(md5('split:' || ($e)::VARCHAR), 1, 8))::BIGINT % 100 < 95
+         | THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE ${DedupQueries.jaccardPairs},
+       |${DedupQueries.closureCtes},
+       |comp AS (SELECT node, min(comp) AS component FROM r GROUP BY node),
+       |e2 AS (SELECT p.doc_a AS id_a, p.doc_b AS id_b,
+       |         ca.component AS comp_a, cb.component AS comp_b
+       |       FROM p
+       |       JOIN comp ca ON ca.node = p.doc_a
+       |       JOIN comp cb ON cb.node = p.doc_b
+       |       WHERE p.j >= 0.5)
+       |SELECT count(*)::BIGINT AS n_near_dup_pairs,
+       |  sum(CASE WHEN (${splitOf("id_a")}) <> (${splitOf("id_b")})
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_straddle_plain,
+       |  sum(CASE WHEN (${splitOf("comp_a")}) <> (${splitOf("comp_b")})
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_straddle_safe
+       |FROM e2""".stripMargin
+  }
+
   /** Data-constrained token-budget plan (Muennighoff et al. 2023): a
     * 100k-token budget at the standard en .4 / de .2 / es .2 / zh .2
     * mixture, repetition capped at the published ~4-epoch utility
@@ -980,6 +1041,7 @@ object PipelineQueries {
     Q("pipeline_split_assign", splitAssign, Some(splitAssignSql)),
     Q("pipeline_split_leakage_safe", splitLeakageSafe, Some(splitLeakageSafeSql)),
     Q("pipeline_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    Q("pipeline_split_leakage_audit", splitLeakageAudit, Some(splitLeakageAuditSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

@@ -430,6 +430,57 @@ class NearDupSpec extends AnyFunSuite {
       s"mean estimator error ${errs.sum / errs.size}")
   }
 
+  test("containmentPairs: a short document QUOTED inside a long one is " +
+    "found at containment 1.0 in that direction only — the case whose " +
+    "Jaccard is far below any near-dup threshold; prefix filtering is " +
+    "exact against a brute-force recomputation; no cartesian product") {
+    val quote = "the five boxing wizards jump quickly over the lazy dog tonight"
+    val host = ("completely different framing text around a citation " +
+      s"$quote and then a long unrelated tail " +
+      (1 to 60).map(i => s"filler$i").mkString(" "))
+    val other = "nothing in common with anything else here at all truly"
+    val df = Seq((1L, quote), (2L, host), (3L, other)).toDF("doc_id", "text")
+    val got = graft.operators.NearDup.containmentPairs(df, col("doc_id"),
+        col("text"), n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected only quote->host, got $got")
+    assert(got.head._3 == 1.0)
+    // the symmetric Jaccard of the planted pair is far below 0.5 — the
+    // MinHash near-dup path must NOT see it (that's containment's job)
+    val jac = graft.operators.NearDup.nearDupPairs(df, col("doc_id"),
+      col("text"), n = 3, numHashes = 16, rowsPerBand = 2,
+      threshold = 0.5).count()
+    assert(jac == 0L, "the planted pair must be invisible to Jaccard dedup")
+    // exactness: brute force over hashed trigram sets agrees at several
+    // thresholds (prefix never loses a qualifying pair)
+    val sets = df.select(col("doc_id"),
+        graft.operators.NearDup.hashedShingles(col("text"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().map { case (i, h) => i -> h.toSet }
+      .toMap
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val brute = (for {
+        (a, ha) <- sets; (b, hb) <- sets
+        if a != b && ha.nonEmpty
+        c = ha.intersect(hb).size.toDouble / ha.size
+        if c >= t
+      } yield (a, b)).toSet
+      val found = graft.operators.NearDup.containmentPairs(df, col("doc_id"),
+          col("text"), n = 3, threshold = t)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(found == brute, s"at t=$t: found $found vs brute $brute")
+    }
+    val plan = graft.operators.NearDup.containmentPairs(df, col("doc_id"),
+      col("text"), n = 3, threshold = 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException] {
+      graft.operators.NearDup.containmentPairs(df, col("doc_id"),
+        col("text"), n = 3, threshold = 0.0)
+    }
+  }
+
   test("bandedCandidates never pairs a doc with itself and orders ids") {
     val sh = docs.select(col("doc_id").as("id"),
       minhashSignature(hashedShingles(col("text"), 2), 8).as("sig"))
