@@ -865,6 +865,34 @@ object TrainingData {
           .as("shortfall_tokens"))
   }
 
+  /** APPLY a [[tokenBudgetPlan]]: emit one (id, group, epoch) row per
+    * scheduled pass over each document — epochs 0..⌊e⌋−1
+    * unconditionally, plus epoch ⌊e⌋ for the md5-sampled fraction of
+    * the group that fills the non-integer remainder (Muennighoff et
+    * al.'s repeat-then-sample shape: a group at e = 3.4 sees every doc
+    * 3 times and a deterministic 40% of docs a 4th). Selection is a
+    * pure function of (plan, id) — purpose-salted like every other
+    * deterministic-selection stage, so backfills replay and the epoch
+    * draw is independent of split/mixture/sample draws on the same id.
+    *
+    * Scale shape: the plan is O(groups) broadcast; the corpus pays one
+    * scan and the explode multiplies rows only by the epochs the plan
+    * already budgeted — there is no shuffle at all. */
+  def tokenBudgetSample(df: DataFrame, id: Column, group: Column,
+                        plan: DataFrame): DataFrame = {
+    val p = broadcast(plan.select(col("group").as("__grp"),
+      col("epochs").as("__e")))
+    val full = floor(col("__e")).cast("int")
+    val fracBuckets =
+      floor((col("__e") - full.cast("double")) * 1000000L).cast("long")
+    val keepExtra = hashBucket("epoch:", col("id"), 1000000L) < fracBuckets
+    df.select(id.as("id"), group.as("__grp"))
+      .join(p, "__grp")
+      .select(col("id"), col("__grp").as("group"),
+        explode(filter(sequence(lit(0), full),
+          e => e < full || keepExtra)).as("epoch"))
+  }
+
   // ---------------- weighted sampling ----------------
 
   /** Deterministic weighted sampling without replacement, top-`k` of the

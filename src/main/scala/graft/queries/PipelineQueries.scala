@@ -662,6 +662,47 @@ object PipelineQueries {
        |FROM a ORDER BY lang""".stripMargin
   }
 
+  /** The plan APPLIED (Muennighoff et al.'s repeat-then-sample): one
+    * (doc, epoch) row per scheduled pass — capped groups (de/es/zh at
+    * exactly 4.0 epochs) emit each doc exactly 4 times with NO
+    * fractional draw, while en at ~3.40 epochs emits 3 full passes
+    * plus an md5-selected ~40% fourth. The oracle retrains the plan
+    * and replays the series + the salted fractional draw. */
+  private val tokenBudgetSample: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val plan = TrainingData.tokenBudgetPlan(docs,
+      col("lang"), size(tokens(col("text"))),
+      budget = TokenBudget, targets = BudgetTargets.toMap, maxEpochs = 4.0)
+    TrainingData.tokenBudgetSample(docs, col("doc_id"), col("lang"), plan)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("group", "lang")
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  private val tokenBudgetSampleSql: String = {
+    val vals = BudgetTargets.sortBy(_._1)
+      .map { case (g, sh) => s"('$g', $sh::DOUBLE)" }.mkString(", ")
+    s"""WITH tgt(lang, share) AS (VALUES $vals),
+       |g AS (SELECT lang,
+       |        sum(len(${TextQueries.tokSql}))::BIGINT AS avail_tokens
+       |      FROM documents GROUP BY 1),
+       |e AS (SELECT g.lang,
+       |        least(4.0::DOUBLE,
+       |          round(share * $TokenBudget / avail_tokens::DOUBLE, 6)) + 0
+       |          AS epochs
+       |      FROM g JOIN tgt USING (lang)),
+       |x AS (SELECT d.doc_id, d.lang,
+       |        floor(e.epochs)::INT AS fl,
+       |        floor((e.epochs - floor(e.epochs)) * 1000000)::BIGINT AS fb
+       |      FROM documents d JOIN e USING (lang))
+       |SELECT doc_id, lang, u.e::INT AS epoch
+       |FROM x, unnest(range(0, fl + 1)) AS u(e)
+       |WHERE u.e < fl OR
+       |  ('0x' || substr(md5('epoch:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |    % 1000000 < fb
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   /** Deterministic weighted sampling (Efraimidis-Spirakis top-k in log
     * space), weight = document length in chars: longer documents are
     * proportionally likelier to be drawn, and the draw replays from the
@@ -1042,6 +1083,7 @@ object PipelineQueries {
     Q("pipeline_split_leakage_safe", splitLeakageSafe, Some(splitLeakageSafeSql)),
     Q("pipeline_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Q("pipeline_split_leakage_audit", splitLeakageAudit, Some(splitLeakageAuditSql)),
+    Q("pipeline_token_budget_sample", tokenBudgetSample, Some(tokenBudgetSampleSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

@@ -1187,6 +1187,37 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetSample: integer-epoch groups emit exactly full passes " +
+    "with no fractional draw; fractional groups add the md5-selected " +
+    "remainder epoch; replay is deterministic") {
+    val docs = (
+      (1 to 100).map(i => (s"a$i", "a", 10L)) ++   // a: 1000 avail
+      (1 to 10).map(i => (s"b$i", "b", 10L))       // b: 100 avail
+    ).toDF("id", "grp", "ntok")
+    // budget 2000, a .75 / b .25: a wants 1500/1000 = 1.5 epochs;
+    // b wants 500/100 = 5 -> capped at 2.0 exactly
+    val plan = TrainingData.tokenBudgetPlan(docs, col("grp"), col("ntok"),
+      budget = 2000L, targets = Map("a" -> 0.75, "b" -> 0.25),
+      maxEpochs = 2.0)
+    val out = TrainingData.tokenBudgetSample(docs, col("id"), col("grp"),
+        plan)
+      .as[(String, String, Int)].collect()
+    val b = out.filter(_._2 == "b")
+    assert(b.length == 20 && b.map(_._3).toSet == Set(0, 1),
+      "capped group: every doc exactly twice, epochs 0 and 1")
+    val a = out.filter(_._2 == "a")
+    val aFull = a.count(_._3 == 0)
+    val aExtra = a.count(_._3 == 1)
+    assert(aFull == 100, "every doc gets the full pass")
+    assert(aExtra > 25 && aExtra < 75,
+      s"~50% of docs drawn for the fractional epoch, got $aExtra")
+    assert(a.forall(_._3 <= 1))
+    // pure function of (plan, id): a second evaluation is identical
+    val again = TrainingData.tokenBudgetSample(docs, col("id"), col("grp"),
+      plan).as[(String, String, Int)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("leakage-safe split property: near-dup twins land in the SAME " +
     "split even when their per-id buckets differ; isolated docs reduce " +
     "to the plain per-id split") {
