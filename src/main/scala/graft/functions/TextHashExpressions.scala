@@ -242,6 +242,43 @@ object TextHash {
     out
   }
 
+  /** Per-document hashed-feature BUCKET HISTOGRAM — the DSIR/classifier
+    * feature stream (unigram + bigram occurrences WITH multiplicity,
+    * seeded-md5 hashed, mod `buckets`) folded into one length-`buckets`
+    * count array in a single tokenize pass. Index = bucket id; values
+    * are occurrence counts. Bit-identical to exploding
+    * concat(tokens, ngrams(2)) through seededHash(seed, _) % buckets
+    * and counting per (doc, bucket) — which is exactly what the DuckDB
+    * oracle still replays — but it turns the scoring side of DSIR and
+    * the NB classifier into a pure projection: no (id, bucket) shuffle,
+    * no model join, no per-doc collect_list fold (the r18 driver bench
+    * measured that shuffle as the 100x-tier bound breaker:
+    * dsir_weights@100x 162x vs the x150 bound). */
+  private[functions] def featureBucketHistogram(text: String, seed: Int,
+                                                buckets: Int): Array[Long] = {
+    val toks = tokenize(text)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](buckets)
+    val sb = new java.lang.StringBuilder()
+    val prefix = seed.toString + ":"
+    var i = 0
+    while (i < toks.length) { // unigrams, every occurrence
+      sb.setLength(0)
+      sb.append(prefix).append(toks(i))
+      out((md5Prefix60(digest, sb.toString) % buckets).toInt) += 1L
+      i += 1
+    }
+    i = 0
+    while (i + 1 < toks.length) { // bigrams, every occurrence
+      sb.setLength(0)
+      sb.append(prefix)
+      appendGram(sb, toks, i, 2)
+      out((md5Prefix60(digest, sb.toString) % buckets).toInt) += 1L
+      i += 1
+    }
+    out
+  }
+
   /** Every GRAM statistic of the Gopher repetition panel (Rae et al.
     * 2021 Table A1) for ONE document in ONE local pass — repetition is
     * an intra-document property, so nothing about it needs a shuffle:
@@ -380,6 +417,10 @@ object TextHash {
   def gopherGramStatsCol(text: Column): Column =
     ColumnBridge.column(GopherGramStatsExpr(ColumnBridge.expression(text)))
 
+  def featureBucketsCol(text: Column, seed: Int, buckets: Int): Column =
+    ColumnBridge.column(
+      FeatureBucketsExpr(ColumnBridge.expression(text), seed, buckets))
+
   /** [[tokenize]] packaged for Catalyst (called from TokensExpr's
     * generated code through the object's static forwarder). */
   def tokensArrayData(s: UTF8String): ArrayData = {
@@ -481,6 +522,31 @@ case class NgramsExpr(child: Expression, n: Int)
     new GenericArrayData(
       TextHash.ngrams(input.asInstanceOf[UTF8String].toString, n)
         .asInstanceOf[Array[Any]])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [[TextHash.featureBucketHistogram]] as a Catalyst expression — the
+  * DSIR/NB-classifier feature-bucket histogram in one per-row kernel
+  * call; the per-row virtual call is noise next to the per-gram md5
+  * work inside, so CodegenFallback like the other gram kernels. */
+case class FeatureBucketsExpr(child: Expression, seed: Int, buckets: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(buckets >= 1, "bucket count must be >= 1")
+  override def prettyName: String = "feature_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.featureBucketHistogram(
+      input.asInstanceOf[UTF8String].toString, seed, buckets))
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

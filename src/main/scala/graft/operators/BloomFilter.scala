@@ -40,14 +40,26 @@ object BloomFilter {
   def position(j: Int, key: Column, m: Int): Column =
     NearDup.seededHash(j, key) % m
 
+  /** Largest whole-word bit count addressable by an Int index:
+    * the greatest multiple of 64 <= Int.MaxValue. Sizing clamps here
+    * for very large n — past ~2^31 bits the realized false-positive
+    * rate DEGRADES below the requested target (document the tradeoff
+    * or shard the key space across several filters). */
+  val MaxBits: Int = (Int.MaxValue / 64) * 64
+
   /** Textbook sizing: bits per key and hash count for a target
     * false-positive rate p (m = -n ln p / ln²2, k = (m/n) ln 2),
-    * rounded up to whole words. */
+    * rounded up to whole words. Clamps to [[MaxBits]] — the largest
+    * multiple of 64 that fits an Int, preserving the whole-word
+    * alignment the packed representation depends on; when the clamp
+    * binds, the realized FP rate is worse than `targetFp` (k is
+    * re-derived from the CLAMPED m, the optimum for the bits actually
+    * available). */
   def sizeFor(n: Long, targetFp: Double): (Int, Int) = {
     require(n > 0 && targetFp > 0 && targetFp < 1, "need n > 0, 0 < p < 1")
     val ln2 = math.log(2)
     val mRaw = math.ceil(-n * math.log(targetFp) / (ln2 * ln2)).toLong
-    val m = (((mRaw + 63) / 64) * 64).min(Int.MaxValue.toLong).toInt
+    val m = (((mRaw + 63) / 64) * 64).min(MaxBits.toLong).toInt
     val k = math.max(1, math.round(m.toDouble / n * ln2).toInt)
     (m, k)
   }
@@ -63,6 +75,10 @@ object BloomFilter {
     val words = new Array[Long]((m + 63) / 64)
     val positions = array((0 until k).map(j => position(j, key, m)): _*)
     corpus
+      // a NULL key hashes to null positions and would NPE the word read
+      // below; it carries no membership information either way — skip it
+      // (the gate treats null-keyed rows as definite-new, consistently)
+      .where(key.isNotNull)
       .select(explode(positions).as("pos"))
       .distinct()
       .select((col("pos") / 64).cast("int").as("w"),
@@ -95,12 +111,19 @@ object BloomFilter {
     * (the sketch's verdict) and `is_seen` (the exact confirm, evaluated
     * ONLY for bloom-positive rows — definite-new rows skip the corpus
     * join entirely, which is the point of the sketch). `seenKeys` is
-    * the corpus's distinct canonical key frame with one column. */
+    * the corpus's distinct canonical key frame with one column.
+    *
+    * NULL keys (a malformed/unnormalizable URL) are DEFINITE-NEW by
+    * contract: the membership test yields NULL on them, and without the
+    * coalesce the row would fail BOTH branch predicates and silently
+    * vanish from the output — neither seen nor new. [[build]] skips
+    * null keys symmetrically, so the two verdicts cannot drift. */
   def gate(batch: DataFrame, id: Column, key: Column,
            seenKeys: DataFrame, words: Array[Long],
            m: Int, k: Int): DataFrame = {
     val keyed = batch.select(id.as("id"), key.as("__key"),
-      mightContain(key, words, m, k).as("bloom_positive"))
+      coalesce(mightContain(key, words, m, k), lit(false))
+        .as("bloom_positive"))
     val seen = seenKeys.toDF("__seen_key").distinct()
     val candidates = keyed.where(col("bloom_positive"))
       .join(seen, col("__key") === col("__seen_key"), "left")

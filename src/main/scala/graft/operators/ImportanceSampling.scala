@@ -19,14 +19,17 @@ import org.apache.spark.sql.functions._
   * Gumbel keys bit-for-bit.
   *
   * Scale shape: the bucket model is O(buckets) — two aggregations with
-  * map-side partials (target side is the SMALL curated exemplar set) —
-  * materialized EAGERLY to the driver as a `buckets`-row literal frame
-  * (the same bounded-model collect class as the IVF centroids and the
-  * BM25 stats). Per-document scoring is one (id, bucket) count shuffle
-  * followed by a broadcast join against the literal model; the fold over
-  * a document's buckets is ordered (bucket-sorted), so the float sum is
-  * deterministic under any partitioning. Selection is a TakeOrdered
-  * top-k, never a global sort.
+  * map-side partials (target side is the SMALL curated exemplar set;
+  * the per-doc histogram kernel caps each document's shuffle input at
+  * `buckets` rows) — materialized EAGERLY to the driver as a
+  * `buckets`-length literal array (the same bounded-model collect class
+  * as the IVF centroids and the BM25 stats). Per-document scoring is a
+  * PROJECTION-ONLY scan — the histogram kernel + an in-row fold over
+  * the (count, lam) zip in bucket order, so the float sum is
+  * deterministic under any partitioning and NOTHING shuffles (the
+  * former (id, bucket) count shuffle was the r18 driver bench's
+  * 100x-tier bound breaker). Selection is a TakeOrdered top-k, never a
+  * global sort.
   *
   * Storage discipline (round 18): NOTHING corpus-sized is pinned. The
   * raw corpus pays two linear tokenize+hash passes per end-to-end run —
@@ -52,20 +55,31 @@ object ImportanceSampling {
     * web-scale English; the contract holds for any positive value. */
   val DefaultBuckets = 64
 
-  /** One row per feature OCCURRENCE: (id, bucket). Unigrams keep
+  /** Per-row feature-bucket HISTOGRAM (length-`buckets` long array,
+    * index = bucket, value = occurrence count): unigrams keep
     * multiplicity ([[TextAnalysis.tokens]] occurrences, not the distinct
     * shingle set) and bigrams come from the duplicate-preserving
-    * [[TrainingData.ngrams]] kernel. A token never contains whitespace,
-    * so a unigram can never collide with a bigram string. */
-  private[operators] def featureBuckets(df: DataFrame, id: Column,
-                                        text: Column,
-                                        buckets: Int): DataFrame =
+    * [[TrainingData.ngrams]] stream; hashing is seededHash(13, gram) %
+    * buckets, all folded in ONE tokenize pass by the JIT kernel
+    * ([[graft.functions.TextHash.featureBucketsCol]]). A token never
+    * contains whitespace, so a unigram can never collide with a bigram
+    * string. Bit-identical to exploding the gram stream through the
+    * shared md5 kernel — which is what the DuckDB oracle replays. */
+  private[operators] def bucketHistogram(text: Column, buckets: Int): Column =
+    graft.functions.TextHash.featureBucketsCol(text, FeatureHashSeed, buckets)
+
+  /** Per-document bucket counts: (id, bucket, cnt) with cnt >= 1 — the
+    * relational unroll of [[bucketHistogram]] for the TRAINING
+    * aggregations (at most `buckets` rows per document reach the
+    * shuffle, vs one row per token occurrence in the exploded-gram
+    * formulation). */
+  private[operators] def featureBucketCounts(df: DataFrame, id: Column,
+                                             text: Column,
+                                             buckets: Int): DataFrame =
     df.select(id.as("id"),
-        explode(concat(TextAnalysis.tokens(text),
-          TrainingData.ngrams(text, 2))).as("gram"))
-      .select(col("id"),
-        pmod(NearDup.seededHash(FeatureHashSeed, col("gram")), lit(buckets.toLong))
-          .as("bucket"))
+        posexplode(bucketHistogram(text, buckets)).as(Seq("bucket", "cnt")))
+      .where(col("cnt") > 0L)
+      .select(col("id"), col("bucket").cast("long").as("bucket"), col("cnt"))
 
   /** The smoothed log-ratio model: (bucket, lam) for EVERY bucket in
     * [0, buckets), with
@@ -77,8 +91,8 @@ object ImportanceSampling {
   def bucketModel(raw: DataFrame, target: DataFrame, id: Column,
                   text: Column, buckets: Int = DefaultBuckets): DataFrame =
     bucketModelFrom(
-      featureBuckets(raw, id, text, buckets)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("rc")),
+      featureBucketCounts(raw, id, text, buckets)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("rc")),
       target, id, text, buckets)
 
   /** [[bucketModel]] with the raw side's bucket counts ALREADY computed
@@ -91,8 +105,8 @@ object ImportanceSampling {
     val spark = rawCounts.sparkSession
     import spark.implicits._
     val all = (0L until buckets.toLong).toDF("bucket")
-    val t = featureBuckets(target, id, text, buckets)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val t = featureBucketCounts(target, id, text, buckets)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("tc"))
     val r = rawCounts
     val joined = all.join(t, Seq("bucket"), "left").join(r, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"),
@@ -114,89 +128,93 @@ object ImportanceSampling {
             (col("rt") + lit(buckets.toLong)).cast("double"))).as("lam"))
   }
 
-  /** EAGERLY materialize a (bucket, lam) model frame to the driver and
-    * re-create it as a literal DataFrame: O(buckets) rows — bounded
-    * collect, the IVF-centroid/BM25-stats class. Doubles round-trip the
-    * driver bit-exactly (java.sql Row carries the IEEE value), so a
-    * literal model scores identically to the lazy plan it came from —
-    * and a plan holding the LITERAL model re-materializes at one corpus
-    * scan instead of re-training on every action. */
-  private def literalModel(model: DataFrame): DataFrame = {
-    val spark = model.sparkSession
-    val rows = model.select(col("bucket").cast("long"), col("lam"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    spark.createDataFrame(rows).toDF("bucket", "lam")
+  /** EAGERLY collect a (bucket, lam) model frame into a dense
+    * bucket-indexed array: O(buckets) rows — bounded collect, the
+    * IVF-centroid/BM25-stats class. Doubles round-trip the driver
+    * bit-exactly (the Row carries the IEEE value), so the literal array
+    * scores identically to the frame it came from. Validates the model
+    * shape loudly: a caller passing a DIFFERENT bucket count would hash
+    * features into buckets the model has no values for — systematically
+    * wrong logweights with no error otherwise. */
+  private[operators] def lamArray(model: DataFrame, valueCol: String,
+                                  buckets: Int): Array[Double] = {
+    val rows = model.select(col("bucket").cast("long"), col(valueCol))
+      .collect()
+    require(rows.length == buckets &&
+        rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < buckets),
+      s"model has ${rows.length} buckets but scoring was asked for " +
+        s"$buckets — train and score with ONE bucket count")
+    val out = new Array[Double](buckets)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+    out
+  }
+
+  /** The shared PROJECTION-ONLY scoring tail: per row, the
+    * [[bucketHistogram]] kernel builds the bucket counts in one
+    * tokenize pass and the contribution fold runs over the
+    * (count, lam) zip in bucket order — the IDENTICAL float sequence
+    * as the former (id, bucket) shuffle + broadcast-join +
+    * collect_list fold (contributions cnt*lam for cnt >= 1 buckets,
+    * ascending bucket, left fold from 0.0), so hashes are unchanged —
+    * at ZERO shuffles: the r18 driver bench measured the old shuffle
+    * as the 100x-tier bound breaker (dsir_weights@100x 162x vs the
+    * x150 bound). Returns (n_feats, logweight_unrounded) columns. */
+  private[operators] def scoreColumns(text: Column, lam: Array[Double],
+                                      buckets: Int): (Column, Column) = {
+    val hist = bucketHistogram(text, buckets)
+    val lamLit = typedlit(lam.toSeq)
+    val contribs = filter(
+      zip_with(hist, lamLit, (c, l) =>
+        when(c > lit(0L), c.cast("double") * l)),
+      x => x.isNotNull)
+    val s = aggregate(contribs, lit(0.0d), (acc, x) => acc + x)
+    val nFeats = aggregate(hist, lit(0L), (acc, x) => acc + x)
+    (nFeats, s)
   }
 
   /** Per-document importance weight under the model: (id, n_feats,
-    * logweight) for EVERY raw document. (The pinned kernel tokenizes
-    * empty text to one empty-string token, so in practice every document
-    * carries at least one feature; the defensive left join still maps a
-    * feature-less row to n_feats 0, logweight 0.0.) `logweight` =
-    * sum over the document's feature occurrences of lam_bucket, folded in
-    * bucket order (deterministic float sum), rounded to 6 — the
-    * cross-engine contract every other score column follows.
+    * logweight) for EVERY raw document (the pinned kernel tokenizes
+    * empty text to one empty-string token, so every document carries at
+    * least one feature; a hypothetical feature-less row folds to 0.0).
+    * `logweight` = sum over the document's feature occurrences of
+    * lam_bucket, folded in bucket order (deterministic float sum),
+    * rounded to 6 — the cross-engine contract every other score column
+    * follows.
     *
     * Execution shape: the model trains EAGERLY at call time (one linear
-    * tokenize+hash pass over each side, collected to `buckets` literal
-    * rows); the RETURNED plan is one stateless corpus scan — nothing is
-    * checkpointed, persisted, or otherwise pinned, so repeated calls and
-    * repeated materializations leave zero executor-storage residue (see
-    * the object scaladoc for why this beats the shared-pass pin). */
+    * tokenize+hash pass over each side, collected to a `buckets`-length
+    * literal array); the RETURNED plan is one stateless projection-only
+    * corpus scan — no (id, bucket) shuffle, no join, nothing pinned, so
+    * repeated calls and materializations leave zero executor-storage
+    * residue. */
   def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
                         text: Column,
                         buckets: Int = DefaultBuckets): DataFrame = {
-    val model = literalModel(bucketModel(raw, target, id, text, buckets))
-    val docBuckets = featureBuckets(raw, id, text, buckets)
-      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    scoreCounts(docBuckets, raw.select(id.as("id")), model)
+    val lam = lamArray(bucketModel(raw, target, id, text, buckets),
+      "lam", buckets)
+    scoreProjection(raw, id, text, lam, buckets)
   }
 
   /** Score a frame against an ALREADY-TRAINED bucket model — the
     * streaming/incremental shape: the model is fixed for the life of a
     * stream (trained once from (raw, target) like the decontamination
-    * gate's benchmark shingles), and each arriving micro-batch pays one
-    * tokenize+hash pass plus a broadcast join. Output contract identical
-    * to [[importanceWeights]]. */
+    * gate's benchmark shingles, collected ONCE to a bounded literal
+    * array), and each arriving micro-batch pays one tokenize+hash
+    * projection pass. Output contract identical to
+    * [[importanceWeights]]. */
   def scoreWithModel(df: DataFrame, id: Column, text: Column,
                      model: DataFrame,
                      buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    // the model is exactly one row per bucket by construction; a caller
-    // passing a DIFFERENT bucket count would hash features into buckets
-    // the model has no rows for, and the scoring join would SILENTLY
-    // drop that feature mass — systematically wrong logweights with no
-    // error. One tiny aggregate over the B-row frame catches it loudly.
-    val mRows = model.agg(count(lit(1)), max(col("bucket"))).head()
-    require(mRows.getLong(0) == buckets.toLong &&
-        (buckets == 0 || mRows.getLong(1) == buckets.toLong - 1L),
-      s"model has ${mRows.getLong(0)} buckets (max id ${mRows.get(1)}) but " +
-        s"scoring was asked for $buckets — train and score with ONE bucket count")
-    val docBuckets = featureBuckets(df, id, text, buckets)
-      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    scoreCounts(docBuckets, df.select(id.as("id")), model)
+    scoreProjection(df, id, text, lamArray(model, "lam", buckets), buckets)
   }
 
-  /** Shared scoring tail: (id, bucket, cnt) counts x broadcast (bucket,
-    * lam) model -> bucket-ordered contribution fold -> every input doc
-    * (feature-less rows score 0.0 through the defensive left join). */
-  private def scoreCounts(docBuckets: DataFrame, allDocs: DataFrame,
-                          model: DataFrame): DataFrame = {
-    val perDoc = docBuckets
-      .join(broadcast(model), "bucket")
-      .select(col("id"), col("bucket"), col("cnt"),
-        (col("cnt").cast("double") * col("lam")).as("contrib"))
-    val scored = perDoc.groupBy(col("id"))
-      .agg(sum(col("cnt")).as("n_feats"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
-            x => x.getField("contrib")),
-          lit(0.0d), (acc, x) => acc + x).as("__s"))
-      .select(col("id"), col("n_feats"),
-        (round(col("__s"), 6) + lit(0.0d)).as("logweight"))
-    allDocs.join(scored, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("logweight"), lit(0.0d)).as("logweight"))
+  /** [[scoreColumns]] packaged as the (id, n_feats, logweight) frame. */
+  private def scoreProjection(df: DataFrame, id: Column, text: Column,
+                              lam: Array[Double], buckets: Int): DataFrame = {
+    val (nFeats, s) = scoreColumns(text, lam, buckets)
+    df.select(id.as("id"), nFeats.as("n_feats"),
+      (round(s, 6) + lit(0.0d)).as("logweight"))
   }
 
   /** Gumbel top-`k` importance resample (the paper's selection rule:

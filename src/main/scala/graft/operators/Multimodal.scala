@@ -751,37 +751,45 @@ object Multimodal {
     val idatBytes = idat.toByteArray
     val pal = palette
     Some(RasterRows(w, h, "png-jdk", sink => {
-      val raw = new Array[Byte](expect.toInt)
+      // STREAMING inflate: exactly one filtered row (filter byte +
+      // stride samples) is pulled from the Inflater per iteration, so
+      // play() holds O(row) state like the PPM/BMP paths — the full
+      // defiltered raster (h * (1 + stride) bytes) is never
+      // materialized (it was, until r19, making the "O(row) state"
+      // claim overstate the PNG case).
       val inf = new java.util.zip.Inflater()
       var ok = true
-      try {
-        inf.setInput(idatBytes)
-        var got = 0
-        var stop = false
-        while (!stop && got < raw.length && !inf.finished()) {
-          val n = inf.inflate(raw, got, raw.length - got)
-          // n == 0 and not finished covers BOTH a truncated stream
-          // (needsInput) and a preset-dictionary header
-          // (needsDictionary, which PNG forbids) — either way, bail;
-          // looping would spin forever on the dictionary case
-          if (n == 0) { ok = false; stop = true } else got += n
+      val rowRaw = new Array[Byte](1 + stride)
+      def fillRow(): Boolean =
+        try {
+          var got = 0
+          var stalled = false
+          while (!stalled && got < rowRaw.length) {
+            val n = inf.inflate(rowRaw, got, rowRaw.length - got)
+            // n == 0 covers BOTH a truncated stream (needsInput with
+            // the whole IDAT already provided) and a preset-dictionary
+            // header (needsDictionary, which PNG forbids) — either
+            // way, bail; looping would spin forever
+            if (n == 0) stalled = true else got += n
+          }
+          !stalled
+        } catch {
+          case _: java.util.zip.DataFormatException => false
         }
-        if (got < raw.length) ok = false
-      } catch {
-        case _: java.util.zip.DataFormatException => ok = false
-      } finally inf.end()
-      // defilter in place, row by row
+      try {
+      inf.setInput(idatBytes)
+      // defilter row by row as rows stream out of the Inflater
       val cur = new Array[Int](stride)
       val prior = new Array[Int](stride)
       val out = new Array[Byte](w * 4)
       var y = 0
       while (ok && y < h) {
-        val base = y * (1 + stride)
-        val f = raw(base) & 0xff
-        if (f > 4) ok = false
+        if (!fillRow()) ok = false
+        val f = if (ok) rowRaw(0) & 0xff else 0
+        if (ok && f > 4) ok = false
         var i = 0
         while (ok && i < stride) {
-          val v = raw(base + 1 + i) & 0xff
+          val v = rowRaw(1 + i) & 0xff
           val left = if (i >= bpp) cur(i - bpp) else 0
           val up = if (y > 0) prior(i) else 0
           val ul = if (y > 0 && i >= bpp) prior(i - bpp) else 0
@@ -829,6 +837,7 @@ object Multimodal {
         y += 1
       }
       ok
+      } finally inf.end() // native zlib state — release even if a sink throws
     }))
   }
 

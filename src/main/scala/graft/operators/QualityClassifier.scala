@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * documents drawn by the published Pareto rule; the LLaMA pipeline's
   * Wikipedia-reference classifier is the same shape). This is the
   * Naive-Bayes form over the SAME hashed unigram+bigram feature buckets
-  * as DSIR ([[ImportanceSampling.featureBuckets]], seed 13): per-class
+  * as DSIR ([[ImportanceSampling.bucketHistogram]], seed 13): per-class
   * add-one-smoothed bucket likelihoods, a document's score is the
   * class-prior log-odds plus the bucket-ordered sum of per-occurrence
   * log-likelihood ratios, squashed to a probability.
@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * Pareto draw derives from the id under a dedicated salt.
   *
   * Scale shape: training scans each class once into O(buckets) rows
-  * (map-side partials; the positive exemplar set is small, the negative
-  * side is a bounded crawl sample — NOT the whole corpus); the model
-  * broadcasts. Scoring is one (id, bucket) count shuffle + a broadcast
-  * join + the ordered fold — the DSIR scoring shape exactly.
+  * (map-side partials over per-doc histogram counts — at most `buckets`
+  * rows per document reach the shuffle; the positive exemplar set is
+  * small, the negative side is a bounded crawl sample — NOT the whole
+  * corpus); the model collects to a bounded literal array. Scoring is a
+  * PROJECTION-ONLY scan — the shared histogram kernel + the in-row
+  * bucket-ordered fold, zero shuffles — the DSIR scoring shape exactly.
   */
 object QualityClassifier {
 
@@ -54,10 +56,10 @@ object QualityClassifier {
     val spark = pos.sparkSession
     import spark.implicits._
     val all = (0L until buckets.toLong).toDF("bucket")
-    val p = ImportanceSampling.featureBuckets(pos, id, text, buckets)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("pc"))
-    val n = ImportanceSampling.featureBuckets(neg, id, text, buckets)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("nc"))
+    val p = ImportanceSampling.featureBucketCounts(pos, id, text, buckets)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("pc"))
+    val n = ImportanceSampling.featureBucketCounts(neg, id, text, buckets)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("nc"))
     val joined = all.join(p, Seq("bucket"), "left").join(n, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("pc"), lit(0L)).as("pc"),
         coalesce(col("nc"), lit(0L)).as("nc"))
@@ -77,40 +79,37 @@ object QualityClassifier {
   /** Score every document of `df` against a trained model: `llr` =
     * round(lprior + bucket-ordered sum of cnt_b * w_b, 6), `prob` =
     * round(sigmoid(llr), 6) — the logistic runs on the ROUNDED llr so
-    * both engines feed exp the same double. Feature-less rows (the
-    * defensive left join; the pinned tokenizer makes them unreachable
-    * in practice) score the bare prior.
+    * both engines feed exp the same double. A feature-less row (the
+    * pinned tokenizer makes it unreachable in practice) folds to 0.0
+    * and scores the bare prior.
+    *
+    * Execution shape: the model is collected ONCE into a bounded
+    * `buckets`-length literal array (O(buckets) — the DSIR precedent)
+    * and scoring is a PROJECTION-ONLY scan: the shared histogram kernel
+    * plus the in-row bucket-ordered fold — the identical float sequence
+    * as the former (id, bucket) shuffle + broadcast join +
+    * collect_list fold, at zero shuffles.
     *
     * Output: (id, n_feats, llr, prob) for EVERY input document. */
   def score(df: DataFrame, id: Column, text: Column, model: DataFrame,
             buckets: Int = ImportanceSampling.DefaultBuckets): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    // same loud mismatch guard as ImportanceSampling.scoreWithModel: a
-    // wrong bucket count would silently drop feature mass in the join
-    val m = model.agg(count(lit(1)), max(col("bucket")), max(col("lprior"))).head()
-    require(m.getLong(0) == buckets.toLong && m.getLong(1) == buckets.toLong - 1L,
-      s"model has ${m.getLong(0)} buckets (max id ${m.get(1)}) but scoring " +
-        s"was asked for $buckets — train and score with ONE bucket count")
-    val lprior = m.getDouble(2)
-    val priorOnly = BigDecimal(lprior)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0d
-    val docBuckets = ImportanceSampling.featureBuckets(df, id, text, buckets)
-      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val perDoc = docBuckets
-      .join(broadcast(model), "bucket")
-      .select(col("id"), col("bucket"), col("cnt"),
-        (col("cnt").cast("double") * col("w")).as("contrib"))
-    val scored = perDoc.groupBy(col("id"))
-      .agg(sum(col("cnt")).as("n_feats"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
-            x => x.getField("contrib")),
-          lit(0.0d), (acc, x) => acc + x).as("__s"))
-      .select(col("id"), col("n_feats"),
-        (round(lit(lprior) + col("__s"), 6) + lit(0.0d)).as("llr"))
-    df.select(id.as("id")).join(scored, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("llr"), lit(priorOnly)).as("llr"))
+    // ONE bounded collect for weights AND prior (a second action would
+    // re-run the training scans behind a lazy model frame); the shape
+    // guard is loud — a wrong bucket count would silently hash feature
+    // mass into buckets the model has no weights for
+    val rows = model
+      .select(col("bucket").cast("long"), col("w"), col("lprior")).collect()
+    require(rows.length == buckets &&
+        rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < buckets),
+      s"model has ${rows.length} buckets but scoring was asked for " +
+        s"$buckets — train and score with ONE bucket count")
+    val w = new Array[Double](buckets)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
+    val lprior = rows.head.getDouble(2)
+    val (nFeats, s) = ImportanceSampling.scoreColumns(text, w, buckets)
+    df.select(id.as("id"), nFeats.as("n_feats"),
+        (round(lit(lprior) + s, 6) + lit(0.0d)).as("llr"))
       .withColumn("prob",
         round(lit(1.0d) / (lit(1.0d) + exp(-col("llr"))), 6) + lit(0.0d))
   }

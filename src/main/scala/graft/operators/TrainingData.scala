@@ -299,8 +299,13 @@ object TrainingData {
     * tokenize scans of the text (one for positional grams via the
     * [[ngrams]] JIT kernel, one for the token stream — the same
     * two-scan budget as [[boilerplateFraction]]); the common-gram set
-    * is the SAME provably bounded broadcast (at most G/minDocFreq
-    * grams can clear the threshold); common starts expand to their
+    * is CORPUS-DEPENDENT (the df >= minDocFreq cut bounds it by
+    * G/minDocFreq with G the total gram occurrences — which still
+    * grows linearly with the corpus, so it is NOT broadcast-safe at
+    * every scale) and joins back with no strategy hint, the
+    * [[removeCommonLines]]/[[removeCommonParagraphs]] convention:
+    * stats/AQE pick broadcast when it fits and a shuffle join when it
+    * does not; common starts expand to their
     * covered positions (output-bound, n rows per common start) and
     * tokens drop via a (id, position) ANTI-JOIN — never a per-token
     * scan of a per-doc starts array, which would go quadratic on
@@ -325,8 +330,10 @@ object TrainingData {
       .where(col("df") >= minDocFreq)
       .select(col("h"))
     // covered (id, position) pairs: distinct because overlapping common
-    // windows cover the union of their positions exactly once
-    val coveredPos = occ.join(broadcast(common), "h")
+    // windows cover the union of their positions exactly once. No join
+    // hint: the common set is corpus-dependent, so AQE/stats must stay
+    // free to pick a shuffle join when it outgrows broadcast range.
+    val coveredPos = occ.join(common, "h")
       .select(col("id"),
         explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
       .distinct()
@@ -376,18 +383,26 @@ object TrainingData {
     * (n_kept 0), the caller's call to drop.
     *
     * Scale shape — linear in corpus tokens, no candidate-pair stage at
-    * all: one tokenize scan materializes tokens + positional window
-    * digests (each window pays an O(minLen) md5 — the same O(n·k) the
-    * paper spends building its suffix array); ONE shuffle on the digest
-    * counts occurrences (map-side partials, 16-byte keys); duplicated
-    * digests join back on the digest key (no broadcast hint — the
-    * duplicated-window set is corpus-dependent; AQE picks); coverage is
-    * ONE per-document ROWS window over dense positions (max of the
-    * duplicated flag over the trailing minLen-1 rows — ZERO
-    * amplification, unlike exploding each duplicated start into minLen
-    * covered positions, which would rewrite the corpus' entire
-    * duplicated mass x minLen through a shuffle); reassembly is one
-    * per-doc aggregation bounded by the document's own token array.
+    * all, and TEXT NEVER RIDES THE WIDE SHUFFLES: one tokenize scan
+    * materializes positional window digests (each window pays an
+    * O(minLen) md5 — the same O(n·k) the paper spends building its
+    * suffix array; digests travel as 16-byte BINARY, not 32-char hex);
+    * ONE shuffle on the digest counts occurrences (map-side partials);
+    * duplicated digests join back on the digest key over NARROW
+    * (id, p, h) rows (no broadcast hint — the duplicated-window set is
+    * corpus-dependent; AQE picks); coverage is ONE per-document ROWS
+    * window over dense positions (max of the duplicated flag over the
+    * trailing minLen-1 rows — ZERO amplification, unlike exploding each
+    * duplicated start into minLen covered positions, which would
+    * rewrite the corpus' entire duplicated mass x minLen through a
+    * shuffle) carrying only (id, p, flag); reassembly indexes the
+    * surviving POSITIONS into the document's own token array
+    * (element_at — O(kept) per doc), so the corpus text crosses exactly
+    * ONE shuffle, packed as one array per document in the final id
+    * join. (The previous formulation shipped every token as its own row
+    * through BOTH the digest join and the coverage window — under the
+    * all-duplicated 10x stress shape those two wide sorts spilled and
+    * the driver bench read 26.5x vs the x15 near-linear bound.)
     * Nothing corpus-sized is collected.
     *
     * Output: (id, n_kept, n_removed, clean_text) — [[removeCommonLines]]'
@@ -398,13 +413,17 @@ object TrainingData {
                                  minLen: Int = 50): DataFrame = {
     require(minLen >= 2, "minLen must be at least 2 tokens")
     val base = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"),
-      transform(ngrams(text, minLen), g => md5(g)).as("__w"))
-    // arrays_zip pads the shorter window array with nulls: position p
-    // carries its token and (for p <= n - minLen) its window digest
+      transform(ngrams(text, minLen), g => unhex(md5(g))).as("__w"))
+    // positional digest rows padded to TOKEN length: position p carries
+    // its window digest for p <= n - minLen, null for the trailing
+    // minLen-1 positions (no window starts there; slice handles the
+    // shorter-than-minLen doc, whose window array is empty). Tokens
+    // deliberately do NOT ride these rows.
     val occ = base.select(col("id"),
-        posexplode(arrays_zip(col("__t"), col("__w"))).as(Seq("p", "z")))
-      .select(col("id"), col("p"),
-        col("z").getField("__t").as("tok"), col("z").getField("__w").as("h"))
+        posexplode(slice(
+          concat(col("__w"),
+            array_repeat(lit(null).cast("binary"), minLen - 1)),
+          lit(1), size(col("__t")))).as(Seq("p", "h")))
     val dup = occ.where(col("h").isNotNull)
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
@@ -412,20 +431,21 @@ object TrainingData {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("p"))
       .rowsBetween(-(minLen - 1), 0) // positions are dense: ROWS = RANGE
-    val kept = occ.join(dup, Seq("h"), "left")
+    val keptPos = occ.join(dup, Seq("h"), "left")
       .withColumn("__cov", max(coalesce(col("__dup"), lit(0))).over(win))
       .where(col("__cov") === 0)
       .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-        x => x.getField("tok")).as("__kept"))
-    base.select(col("id"), size(col("__t")).as("__n"))
-      .join(kept, Seq("id"), "left") // fully-duplicated docs: empty husk
-      .withColumn("__kept",
-        coalesce(col("__kept"), array().cast("array<string>")))
+      .agg(sort_array(collect_list(col("p"))).as("__kp"))
+    base.select(col("id"), col("__t"), size(col("__t")).as("__n"))
+      .join(keptPos, Seq("id"), "left") // fully-duplicated docs: empty husk
+      .withColumn("__kp",
+        coalesce(col("__kp"), array().cast("array<int>")))
       .select(col("id"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", col("__kept")).as("clean_text"))
+        size(col("__kp")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kp"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__kp"), p => element_at(col("__t"), p + lit(1))))
+          .as("clean_text"))
   }
 
   /** LINE-level boilerplate removal — the CCNet/RefinedWeb pass that
@@ -879,18 +899,95 @@ object TrainingData {
     * scan and the explode multiplies rows only by the epochs the plan
     * already budgeted — there is no shuffle at all. */
   def tokenBudgetSample(df: DataFrame, id: Column, group: Column,
-                        plan: DataFrame): DataFrame = {
+                        plan: DataFrame): DataFrame =
+    epochExpanded(df.select(id.as("id"), group.as("__grp")), plan)
+      .select(col("id"), col("__grp").as("group"), col("epoch"))
+
+  /** The shared epoch-expansion core of [[tokenBudgetSample]] and
+    * [[tokenBudgetPack]]: `docs` must carry (id, __grp) plus any
+    * passthrough columns, all of which survive alongside the new
+    * `epoch` column — ONE home for the fractional-epoch draw so the
+    * sample and the pack cannot drift. */
+  private def epochExpanded(docs: DataFrame, plan: DataFrame): DataFrame = {
     val p = broadcast(plan.select(col("group").as("__grp"),
       col("epochs").as("__e")))
     val full = floor(col("__e")).cast("int")
+    // ROUND, not floor: epochs is already quantized to 6 decimals by
+    // the plan, so round reproduces the nominal fraction exactly, while
+    // floor on the FP representation can land one bucket short (e.g.
+    // frac 0.9 -> 899999 buckets, a 1e-6 drift from the plan).
     val fracBuckets =
-      floor((col("__e") - full.cast("double")) * 1000000L).cast("long")
+      round((col("__e") - full.cast("double")) * 1000000L).cast("long")
     val keepExtra = hashBucket("epoch:", col("id"), 1000000L) < fracBuckets
-    df.select(id.as("id"), group.as("__grp"))
-      .join(p, "__grp")
-      .select(col("id"), col("__grp").as("group"),
+    docs.join(p, "__grp")
+      .withColumn("epoch",
         explode(filter(sequence(lit(0), full),
-          e => e < full || keepExtra)).as("epoch"))
+          e => e < full || keepExtra)))
+      .drop("__e")
+  }
+
+  /** COMPOSE a token-budget plan into the packing sink: the
+    * (id, group, epoch) stream [[tokenBudgetSample]] schedules is
+    * packed by [[packAssignments]] into fixed-`budget` training
+    * sequences — the end-to-end artifact the data-constrained recipe
+    * (Muennighoff et al. 2023) exists for: planned epochs become
+    * actual sequence coordinates a shard writer consumes.
+    *
+    * Concatenation order is EPOCH-MAJOR, id-minor — training consumes
+    * full passes in sequence (epoch 0's whole stream, then epoch 1's,
+    * …), the repeat-then-sample reading order. The instance key is the
+    * pure arithmetic `epoch * (max_id + 1) + id`, so any engine
+    * replays the exact global token stream from the ids alone and the
+    * doc/epoch coordinates decode back arithmetically — no stored
+    * mapping, no extra join after the prefix sum.
+    *
+    * Scale shape: one bounded 1-row max(id) scan (the literal-attach
+    * class), the plan collected ONCE to an O(groups) literal (reused
+    * for the sample join and the overflow guard — no double plan
+    * evaluation), then [[tokenBudgetSample]]'s broadcast-join + explode
+    * and [[packAssignments]]'s two-phase prefix sum. Nothing
+    * corpus-sized is collected; the explode multiplies rows only by the
+    * epochs the plan already budgeted.
+    *
+    * Output: (id, epoch, n_tokens, offset, seq_first, seq_pos,
+    * seq_last) — [[packAssignments]]' contract per document INSTANCE;
+    * feed through [[sequenceRows]] / [[writeShards]] for the physical
+    * shard layout. `id` must be a non-negative numeric; `plan` is a
+    * [[tokenBudgetPlan]] frame. */
+  def tokenBudgetPack(df: DataFrame, id: Column, group: Column,
+                      nTokens: Column, plan: DataFrame, budget: Long,
+                      shards: Int = 32): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    val spark = df.sparkSession
+    val docs = df.select(id.cast("long").as("id"), group.as("__grp"),
+      nTokens.cast("long").as("n_tokens"))
+    val maxId = docs.agg(max(col("id")), min(col("id"))).head()
+    require(!maxId.isNullAt(0), "tokenBudgetPack needs at least one document")
+    require(maxId.getLong(1) >= 0, "document ids must be non-negative")
+    val span = maxId.getLong(0) + 1L
+    // the plan is O(groups): collect ONCE, reuse as a literal for both
+    // the epoch join and the key-overflow guard (a second action on a
+    // lazy plan frame would re-run the corpus aggregation behind it)
+    val planRows = plan.select(col("group").cast("string"), col("epochs"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    require(planRows.nonEmpty, "token-budget plan is empty")
+    val maxEpochs = planRows.map(r => math.ceil(r._2).toLong).max
+    require(maxEpochs + 1 <= Long.MaxValue / span,
+      s"instance key overflow: (max epoch $maxEpochs + 1) * id span $span " +
+        "exceeds Long range — repartition the id space")
+    val planLit = spark.createDataFrame(planRows).toDF("group", "epochs")
+    val inst = tokenBudgetSample(docs, col("id"), col("__grp"), planLit)
+      .join(docs.select(col("id"), col("n_tokens")), "id")
+      .select((col("epoch").cast("long") * lit(span) + col("id")).as("ikey"),
+        col("n_tokens"))
+    packAssignments(inst, col("ikey"), col("n_tokens"), budget, shards)
+      // packAssignments names its key column "id" = the instance key;
+      // decode (id, epoch) back arithmetically — no join
+      .select((col("id") % lit(span)).as("doc"),
+        expr(s"id DIV ${span}L").cast("int").as("epoch"),
+        col("n_tokens"), col("offset"),
+        col("seq_first"), col("seq_pos"), col("seq_last"))
+      .withColumnRenamed("doc", "id")
   }
 
   // ---------------- weighted sampling ----------------
@@ -939,15 +1036,17 @@ object TrainingData {
     * navigation chrome, license headers, and template text recur across
     * documents while organic content does not).
     *
-    * Scale shape: the corpus-common gram set is PROVABLY bounded —
-    * sum of doc-frequencies equals total gram occurrences G, so at most
-    * G / minDocFreq grams can clear the threshold — which is what makes
-    * it broadcast-safe at any corpus size (pick minDocFreq so
-    * G/minDocFreq fits a broadcast; at web scale that is exactly the
-    * heavy-hitter set you care about). Two aggregations: gram doc
-    * frequency (8-byte hashed keys, map-side partials) cut to the common
-    * set and broadcast, then per-doc hit counts joined back map-side.
-    * The corpus text is scanned once per pass and never self-joined.
+    * Scale shape: the corpus-common gram set is bounded by
+    * G / minDocFreq (sum of doc-frequencies equals total gram
+    * occurrences G) — but G grows LINEARLY with the corpus, so the cut
+    * set is corpus-dependent and must NOT be force-broadcast (at 100 TB
+    * with a small minDocFreq it is a sizeable fraction of the distinct
+    * gram space). Two aggregations: gram doc frequency (8-byte hashed
+    * keys, map-side partials) cut to the common set, then per-doc hit
+    * counts joined back with NO strategy hint — stats/AQE broadcast it
+    * while it fits and fall back to a shuffle join when it doesn't, the
+    * [[removeCommonLines]] convention. The corpus text is scanned once
+    * per pass and never self-joined.
     *
     * Output: (id, n_grams, common_frac) — one row per document;
     * documents with fewer than `n` tokens have no grams and score 0.0.
@@ -962,7 +1061,7 @@ object TrainingData {
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocFreq)
       .select(col("h"))
-    val hits = exploded.join(broadcast(common), "h")
+    val hits = exploded.join(common, "h")
       .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
     // project the gram COUNT before the join: joining the full hashed
     // arrays would shuffle 8 bytes per gram per row just to take size()

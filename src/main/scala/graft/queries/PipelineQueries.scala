@@ -693,7 +693,7 @@ object PipelineQueries {
        |      FROM g JOIN tgt USING (lang)),
        |x AS (SELECT d.doc_id, d.lang,
        |        floor(e.epochs)::INT AS fl,
-       |        floor((e.epochs - floor(e.epochs)) * 1000000)::BIGINT AS fb
+       |        round((e.epochs - floor(e.epochs)) * 1000000)::BIGINT AS fb
        |      FROM documents d JOIN e USING (lang))
        |SELECT doc_id, lang, u.e::INT AS epoch
        |FROM x, unnest(range(0, fl + 1)) AS u(e)
@@ -701,6 +701,76 @@ object PipelineQueries {
        |  ('0x' || substr(md5('epoch:' || doc_id::VARCHAR), 1, 8))::BIGINT
        |    % 1000000 < fb
        |ORDER BY doc_id, epoch""".stripMargin
+  }
+
+  /** The token-budget plan COMPOSED into the shard sink (the
+    * data-constrained recipe end-to-end): plan → repeat-then-sample
+    * epochs → EPOCH-MAJOR packing over the instance key
+    * epoch * (max_id + 1) + doc_id → per-(sequence, doc) slice rows →
+    * deterministic shard assignment (seq DIV seqsPerShard). The oracle
+    * replays the whole chain — the plan arithmetic, the fractional
+    * md5 draw, the instance-key concatenation order, the global prefix
+    * sum, the slice math, and the shard arithmetic — so a drifted
+    * epoch draw or a swapped concatenation order hash-mismatches. */
+  private val TbpBudget = 64L
+  private val TbpSeqsPerShard = 8L
+
+  private val tokenBudgetShards: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val plan = TrainingData.tokenBudgetPlan(docs,
+      col("lang"), size(tokens(col("text"))),
+      budget = TokenBudget, targets = BudgetTargets.toMap, maxEpochs = 4.0)
+    val packed = TrainingData.tokenBudgetPack(docs, col("doc_id"),
+      col("lang"), size(tokens(col("text"))), plan,
+      budget = TbpBudget, shards = 8)
+    TrainingData.sequenceRows(packed, budget = TbpBudget)
+      .withColumn("shard", expr(s"seq DIV ${TbpSeqsPerShard}L"))
+      .select(col("seq"), col("id").as("doc_id"), col("slice_start"),
+        col("slice_len"), col("seq_pos"), col("shard"))
+      .orderBy(col("seq"), col("seq_pos"), col("doc_id"))
+  }
+
+  private val tokenBudgetShardsSql: String = {
+    val vals = BudgetTargets.sortBy(_._1)
+      .map { case (g, sh) => s"('$g', $sh::DOUBLE)" }.mkString(", ")
+    val b = TbpBudget
+    s"""WITH tgt(lang, share) AS (VALUES $vals),
+       |g AS (SELECT lang,
+       |        sum(len(${TextQueries.tokSql}))::BIGINT AS avail_tokens
+       |      FROM documents GROUP BY 1),
+       |e AS (SELECT g.lang,
+       |        least(4.0::DOUBLE,
+       |          round(share * $TokenBudget / avail_tokens::DOUBLE, 6)) + 0
+       |          AS epochs
+       |      FROM g JOIN tgt USING (lang)),
+       |x AS (SELECT d.doc_id, len(${TextQueries.tokSql})::BIGINT AS n_tokens,
+       |        floor(e.epochs)::INT AS fl,
+       |        round((e.epochs - floor(e.epochs)) * 1000000)::BIGINT AS fb
+       |      FROM documents d JOIN e USING (lang)),
+       |span AS (SELECT max(doc_id)::BIGINT + 1 AS s FROM documents),
+       |inst AS (SELECT doc_id, n_tokens,
+       |          u.e::BIGINT * (SELECT s FROM span) + doc_id AS ikey
+       |        FROM x, unnest(range(0, fl + 1)) AS u(e)
+       |        WHERE u.e < fl OR
+       |          ('0x' || substr(md5('epoch:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |            % 1000000 < fb),
+       |o AS (SELECT doc_id, n_tokens, ikey,
+       |        coalesce(SUM(n_tokens) OVER (ORDER BY ikey
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |          AS off
+       |      FROM inst),
+       |a AS (SELECT doc_id, n_tokens, off,
+       |        off // $b AS seq_first,
+       |        (off + greatest(n_tokens, 1) - 1) // $b AS seq_last
+       |      FROM o WHERE n_tokens > 0)
+       |SELECT u.s AS seq, doc_id,
+       |  greatest(off, u.s * $b) - off AS slice_start,
+       |  least(off + n_tokens, (u.s + 1) * $b) - greatest(off, u.s * $b)
+       |    AS slice_len,
+       |  greatest(off, u.s * $b) - u.s * $b AS seq_pos,
+       |  u.s // $TbpSeqsPerShard AS shard
+       |FROM a, unnest(range(seq_first, seq_last + 1)) AS u(s)
+       |ORDER BY seq, seq_pos, doc_id""".stripMargin
   }
 
   /** Deterministic weighted sampling (Efraimidis-Spirakis top-k in log
@@ -1084,6 +1154,8 @@ object PipelineQueries {
     Q("pipeline_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Q("pipeline_split_leakage_audit", splitLeakageAudit, Some(splitLeakageAuditSql)),
     Q("pipeline_token_budget_sample", tokenBudgetSample, Some(tokenBudgetSampleSql)),
+    Q("pipeline_token_budget_shards", tokenBudgetShards,
+      Some(tokenBudgetShardsSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

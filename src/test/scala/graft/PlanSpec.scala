@@ -156,16 +156,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("pipeline_dsir_weights: the bucket model is BROADCAST back and the " +
-    "corpus is never cartesian-crossed (the only nested-loop joins are " +
-    "the bounded one-row totals/Z broadcasts inside the model CTE)") {
+  test("pipeline_dsir_weights: scoring is a PROJECTION-ONLY scan — the " +
+    "model folds in-row against a bounded literal array, so the " +
+    "returned plan has no join, no exchange, no window (r19: the " +
+    "former (id, bucket) count shuffle was the 100x stress-tier bound " +
+    "breaker in the r18 driver record)") {
     val p = plan("pipeline_dsir_weights")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("CartesianProduct"))
-    // every BNL must be a BuildRight broadcast of a 1-row aggregate —
-    // never a corpus-side nested loop; the corpus reaches only hash
-    // aggregations and the broadcast hash join above
-    assert(!p.contains("SortMergeJoin") || p.contains("LeftOuter"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("feature_buckets"), p) // the shared histogram kernel
+  }
+
+  test("no forced broadcast of a CORPUS-DERIVED set survives (r18 " +
+    "verdict task 2): the common-gram joins of remove_spans and " +
+    "boilerplate carry NO strategy hint — the cut set grows with the " +
+    "corpus, so stats/AQE must stay free to pick a shuffle join") {
+    for (name <- Seq("pipeline_remove_spans", "text_boilerplate")) {
+      val analyzed = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$name carries a join-strategy hint:\n$analyzed")
+    }
   }
 
   test("pipeline_ccnet_buckets_lang: the per-language sample cut is " +
@@ -200,14 +212,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("text_quality_classifier: the two-class model attaches by " +
-    "BROADCAST; per-doc counts are map-side partialed; no cartesian / " +
-    "nested-loop on the corpus") {
+  test("text_quality_classifier: scoring is a PROJECTION-ONLY scan — " +
+    "the two-class model folds in-row against a bounded literal array " +
+    "(the DSIR scoring shape exactly); no join, no shuffle on the " +
+    "corpus") {
     val p = plan("text_quality_classifier")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("feature_buckets"), p) // the shared histogram kernel
   }
 
   test("pipeline_mixture_temperature: the G-row rate table broadcasts; " +

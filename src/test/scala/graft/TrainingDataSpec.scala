@@ -1218,6 +1218,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("tokenBudgetPack: epoch-major concatenation (every epoch-0 offset " +
+    "precedes every epoch-1 offset), offsets are the gapless prefix sum " +
+    "of the scheduled instances, and sequenceRows slices cover each " +
+    "instance exactly once") {
+    val docs = (
+      (0L to 9L).map(i => (i, "a", 7L)) ++        // a: 70 avail
+      (10L to 14L).map(i => (i, "b", 4L))         // b: 20 avail
+    ).toDF("id", "grp", "ntok")
+    // a: 60/70 epochs (fractional), b: 40/20 -> capped at 2.0 exactly
+    val plan = TrainingData.tokenBudgetPlan(docs, col("grp"), col("ntok"),
+      budget = 100L, targets = Map("a" -> 0.6, "b" -> 0.4), maxEpochs = 2.0)
+    val packed = TrainingData.tokenBudgetPack(docs, col("id"), col("grp"),
+      col("ntok"), plan, budget = 16L, shards = 4)
+    val rows = packed
+      .select(col("id"), col("epoch"), col("n_tokens"), col("offset"))
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._4)
+    // the packed stream matches the sample's schedule instance-for-instance
+    val sched = TrainingData.tokenBudgetSample(docs, col("id"), col("grp"),
+      plan).as[(Long, String, Int)].collect().map(r => (r._1, r._3)).sorted
+    assert(rows.map(r => (r._1, r._2)).sorted.toSeq == sched.toSeq)
+    // epoch-major: offsets sort by (epoch, id)
+    assert(rows.map(r => (r._2, r._1)).toSeq ==
+      rows.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    // gapless prefix sum
+    var expect = 0L
+    rows.foreach { r => assert(r._4 == expect); expect += r._3 }
+    // sequenceRows slices reassemble each instance exactly once
+    val slices = TrainingData.sequenceRows(packed, budget = 16L)
+      .select(col("id"), col("slice_len"))
+      .as[(Long, Long)].collect()
+    val perDoc = slices.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val epochsPerDoc = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    val ntok = ((0L to 9L).map(i => i -> 7L) ++
+      (10L to 14L).map(i => i -> 4L)).toMap
+    perDoc.foreach { case (id, tot) =>
+      assert(tot == ntok(id) * epochsPerDoc(id),
+        s"doc $id slice mass $tot != n_tokens * epochs")
+    }
+  }
+
   test("leakage-safe split property: near-dup twins land in the SAME " +
     "split even when their per-id buckets differ; isolated docs reduce " +
     "to the plain per-id split") {

@@ -25,17 +25,23 @@ def main():
     changed = []
     missing = []
 
+    def fixed_point(v):
+        # NEVER exponent notation: a 1e+06 span would no longer match the
+        # backtick regex below and would silently never be requoted again.
+        s = f"{v:.6f}".rstrip("0").rstrip(".")
+        return s if s else "0"
+
     def sub(m):
-        key, old = m.group(1), m.group(2)
+        key, old, suffix = m.group(1), m.group(2), m.group(3)
         if key not in ratios:
             missing.append(key)
             return m.group(0)
-        new = f"{ratios[key]:g}"
+        new = fixed_point(ratios[key])
         if new != old:
             changed.append((key, old, new))
-        return f"`{key}={new}`"
+        return f"`{key}={new}{suffix}`"  # preserve a trailing 'x' verbatim
 
-    out = re.sub(r"`([a-z_0-9]+(?:@100x)?)=([0-9.]+)x?`", sub, text)
+    out = re.sub(r"`([a-z_0-9]+(?:@100x)?)=([0-9.]+)(x?)`", sub, text)
     (ROOT / "SCALING.md").write_text(out)
     for key, old, new in changed:
         print(f"requoted {key}: {old} -> {new}")
