@@ -656,7 +656,6 @@ object Bench {
       Stress("bloom_gate", s => {
         val keyed = graft.operators.BloomFilter.gate(
           pagesOf(s.docs()),
-          col("url"),
           graft.operators.WebDomains.normalizeUrl(col("url")),
           bloomSeen, bloomWords, bloomM, bloomK)
         keyed.select((col("bloom_positive").cast("long") +

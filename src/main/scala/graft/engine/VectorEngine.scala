@@ -60,6 +60,19 @@ final class VectorEngine private (val spark: SparkSession,
     * over that library's partition (amortized: once per cascade, not per
     * search). */
   private var staleHists: Set[String] = Set.empty
+  /** Per-library seen-CHUNK-ID Bloom filter — the FOURTH piece of index
+    * metadata (m/64 longs per library, the parameter-bounded sketch
+    * class): fronts the exact replay anti-join in the incremental
+    * ingest paths ([[graft.streaming.StreamingIngest]]; the crawl front
+    * door reaches it through the curation core's dedup-gated ingest).
+    * OPT-IN per library ([[enableBloomGate]]) because upkeep costs one
+    * O(batch) pack aggregate per bulk ingest. Maintained ADD-ONLY:
+    * deletes leave bits set — the safe direction (a deleted id stays
+    * bloom-positive and pays the exact confirm join, which correctly
+    * reports it absent); false negatives never occur, so definite-new
+    * rows skip the corpus join safely. Persisted at save beside the
+    * other index models (`blooms.parquet`), loaded on open. */
+  private var blooms: Map[String, BloomState] = Map.empty
 
   // -------------------------------------------------------------------
   // Read-only views (the query surface)
@@ -368,6 +381,7 @@ final class VectorEngine private (val spark: SparkSession,
     pqModels -= id
     hists -= id
     staleHists -= id
+    blooms -= id
     markDirty(id)
     afterMutation()
   }
@@ -762,8 +776,15 @@ final class VectorEngine private (val spark: SparkSession,
     // materialization: aggregating a re-execution of the caller's
     // DataFrame would silently desync the histogram on a
     // non-deterministic input df and skew every later adaptive probe.
+    // bloom-maintained libraries need the SAME pin as histogram ones:
+    // the filter must fold in exactly the ids the chunks table keeps —
+    // re-executing a non-deterministic caller frame could set bits for
+    // ids that never landed (harmless) or MISS ids that did (a false
+    // negative, breaking the gate's exactness)
     val prepared =
-      if (hists.contains(libraryId)) derived.localCheckpoint() else derived
+      if (hists.contains(libraryId) || blooms.contains(libraryId))
+        derived.localCheckpoint()
+      else derived
     chunks = chunks.unionByName(prepared)
     // histogram upkeep: ONE O(batch) aggregate over the ingested rows (the
     // pinned batch frame, never the chunks table) keeps the LSH histogram
@@ -771,6 +792,14 @@ final class VectorEngine private (val spark: SparkSession,
     if (hists.contains(libraryId))
       histUpdate(libraryId, prepared.groupBy("bucket").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)))
+    // bloom upkeep: OR the batch's id bits into the filter (one O(batch)
+    // pack aggregate + an O(m/64) bounded collect, the build discipline)
+    blooms.get(libraryId).foreach { bs =>
+      val add = graft.operators.BloomFilter.build(
+        prepared.toDF().select(col("id")), col("id"), bs.m, bs.k)
+      var i = 0
+      while (i < add.length) { bs.words(i) |= add(i); i += 1 }
+    }
     // set-based parent refresh: every document referenced by the batch gets
     // its updated_at bumped (reference increments its chunk_count per row),
     // as does the library — no driver row loop.
@@ -1846,6 +1875,79 @@ final class VectorEngine private (val spark: SparkSession,
       .orderBy(col("batch_id"), col("distance"), col("chunk_id"))
   }
 
+  /** OPT a library into the Bloom-fronted replay gate: build the
+    * seen-chunk-id filter over the library's CURRENT chunk ids, sized
+    * by the textbook rule for `expectedKeys` (floored at the current
+    * count and a 1024-key minimum so a young library's filter has
+    * headroom) at `targetFp`. From here on, every bulk ingest
+    * ([[addChunksDf]]) folds its new ids in (one O(batch) pack
+    * aggregate), the incremental ingest paths gate arriving batches
+    * through [[bloomReplayGate]], and the filter persists at [[save]]
+    * beside the other index models. Idempotent rebuild: calling again
+    * re-derives the filter from the current ids (the cold-start path
+    * for a pre-bloom state dir). */
+  def enableBloomGate(libraryId: String, targetFp: Double = 0.01,
+                      expectedKeys: Long = 0L): Unit = {
+    getLibrary(libraryId)
+    val n = chunks.where(col("library_id") === libraryId).count()
+    val cap = math.max(math.max(n, expectedKeys), 1024L)
+    val (m, k) = graft.operators.BloomFilter.sizeFor(cap, targetFp)
+    enableBloomGateSized(libraryId, m, k)
+  }
+
+  /** [[enableBloomGate]] with EXPLICIT (m, k) sizing — the test/oracle
+    * hook (an undersized filter forces all three gate outcomes on a
+    * small fixture) and the knob for deployments that size by memory
+    * budget instead of key count. */
+  def enableBloomGateSized(libraryId: String, m: Int, k: Int): Unit = {
+    getLibrary(libraryId)
+    val words = graft.operators.BloomFilter.build(
+      chunks.where(col("library_id") === libraryId).select(col("id")).toDF(),
+      col("id"), m, k)
+    blooms += libraryId -> BloomState(m, k, words)
+    markDirty(libraryId)
+  }
+
+  /** The library's Bloom state, if the gate is enabled. */
+  def bloomGateState(libraryId: String): Option[BloomState] =
+    blooms.get(libraryId)
+
+  /** Bloom-fronted REPLAY GATE over an arriving batch (column contract:
+    * an `id` chunk-id column): None when the library has no filter —
+    * the caller falls back to the plain exact anti-join. Otherwise
+    * returns (definite_new, confirmed_new, n_bloom_definite_new):
+    *
+    *   - `definite_new` — rows whose id the filter has NEVER seen; the
+    *     frame is a pure filter over the pinned batch (NO corpus scan,
+    *     no join — the point of the sketch; the no-false-negatives
+    *     property makes skipping the join exact, not approximate);
+    *   - `confirmed_new` — the bloom-positive sliver, anti-joined
+    *     against the library's chunk ids exactly (false positives are
+    *     rejected here; true replays drop);
+    *   - the definite-new COUNT, for `n_bloom_definite_new` accounting.
+    *
+    * The union of the two frames is row-identical to the exact
+    * replay anti-join of the whole batch — the sketch changes the
+    * execution shape, never the result. The batch is pinned once
+    * (O(batch) localCheckpoint) because both branches and the count
+    * consume it. */
+  def bloomReplayGate(libraryId: String, batch: DataFrame)
+      : Option[(DataFrame, DataFrame, Long)] =
+    blooms.get(libraryId).map { bs =>
+      val keyed = batch.withColumn("__bloom_positive",
+          coalesce(graft.operators.BloomFilter.mightContain(
+            col("id"), bs.words, bs.m, bs.k), lit(false)))
+        .localCheckpoint()
+      val definiteNew = keyed.where(!col("__bloom_positive"))
+        .drop("__bloom_positive")
+      val nDefiniteNew = definiteNew.count()
+      val confirmedNew = keyed.where(col("__bloom_positive"))
+        .drop("__bloom_positive")
+        .join(chunks.where(col("library_id") === libraryId)
+          .select(col("id")).toDF(), Seq("id"), "left_anti")
+      (definiteNew, confirmedNew, nDefiniteNew)
+    }
+
   /** Facade decontamination audit over a managed library: every chunk of
     * `libraryId` sharing at least one word `n`-gram with the benchmark
     * texts, with the distinct shared-gram count (the pre-release check
@@ -2264,6 +2366,15 @@ final class VectorEngine private (val spark: SparkSession,
         .flatMap { case (lid, h) => h.toSeq.map { case (b, n) => HistRow(lid, b, n) } }
         .toDS().toDF().write.mode("overwrite")
         .parquet(s"$base/histograms.parquet")
+      // Bloom filters: sparse non-zero words + a header row per library
+      // (w = -1) so (m, k) survive an all-zero filter
+      blooms.toSeq.flatMap { case (lid, bs) =>
+        BloomRow(lid, bs.m, bs.k, -1, 0L) +:
+          bs.words.zipWithIndex.collect {
+            case (wd, w) if wd != 0L => BloomRow(lid, bs.m, bs.k, w, wd)
+          }.toSeq
+      }.toDS().toDF().write.mode("overwrite")
+        .parquet(s"$base/blooms.parquet")
       val chunksPath = s"$dir/chunks"
       val out = chunks.toDF()
       // does the live chunks plan reference files under THIS dir?
@@ -2440,6 +2551,21 @@ final class VectorEngine private (val spark: SparkSession,
       hists = lshIds.map(_ -> Map.empty[Long, Long]).toMap
       staleHists = lshIds.toSet
     }
+    // Bloom filters: absent in pre-bloom state dirs — treat as "no gates
+    // enabled" (a caller re-opts-in with enableBloomGate, which rebuilds
+    // from the loaded chunk ids), never an error
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$base/blooms.parquet")
+    val bloomFs = bloomPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    blooms =
+      if (!bloomFs.exists(bloomPath)) Map.empty
+      else spark.read.parquet(s"$base/blooms.parquet").as[BloomRow]
+        .collect().groupBy(_.library_id)
+        .map { case (lid, rows) =>
+          val hdr = rows.head // every row carries the same (m, k)
+          val words = new Array[Long]((hdr.m + 63) / 64)
+          rows.foreach(r => if (r.w >= 0) words(r.w) = r.word)
+          lid -> BloomState(hdr.m, hdr.k, words)
+        }
     // The STORED index-key column is trusted on load: buckets/cells are
     // derived by the same kernels at ingest and written in the same save
     // as the matrix/centroid metadata they derive from, so inside the
@@ -3056,6 +3182,18 @@ object VectorEngine {
   /** Persisted LSH bucket-histogram row (<= 2^P per library, saved as
     * `histograms.parquet` — the adaptive probe's index metadata). */
   final case class HistRow(library_id: String, bucket: Long, n: Long)
+
+  /** In-memory per-library seen-chunk-id Bloom filter (m bits packed as
+    * m/64 longs, k seeded-md5 hash functions —
+    * [[graft.operators.BloomFilter]]'s representation). */
+  final case class BloomState(m: Int, k: Int, words: Array[Long])
+
+  /** Persisted Bloom-filter word row (saved as `blooms.parquet` —
+    * SPARSE: only non-zero words are written, plus one `w = -1` header
+    * row per library so an all-zero filter still round-trips its
+    * (m, k) sizing). */
+  final case class BloomRow(library_id: String, m: Int, k: Int,
+                            w: Int, word: Long)
 
   /** Fresh empty engine. */
   def create(spark: SparkSession,

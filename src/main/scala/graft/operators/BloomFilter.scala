@@ -117,21 +117,24 @@ object BloomFilter {
     * contract: the membership test yields NULL on them, and without the
     * coalesce the row would fail BOTH branch predicates and silently
     * vanish from the output — neither seen nor new. [[build]] skips
-    * null keys symmetrically, so the two verdicts cannot drift. */
-  def gate(batch: DataFrame, id: Column, key: Column,
+    * null keys symmetrically, so the two verdicts cannot drift.
+    *
+    * Every batch column PASSES THROUGH (r19 — the facade ingest gates
+    * need the full rows, not just verdicts), so `batch` must not
+    * already carry `bloom_positive`/`is_seen`/`__key` columns. */
+  def gate(batch: DataFrame, key: Column,
            seenKeys: DataFrame, words: Array[Long],
            m: Int, k: Int): DataFrame = {
-    val keyed = batch.select(id.as("id"), key.as("__key"),
-      coalesce(mightContain(key, words, m, k), lit(false))
-        .as("bloom_positive"))
+    val keyed = batch.withColumn("__key", key)
+      .withColumn("bloom_positive",
+        coalesce(mightContain(col("__key"), words, m, k), lit(false)))
     val seen = seenKeys.toDF("__seen_key").distinct()
     val candidates = keyed.where(col("bloom_positive"))
       .join(seen, col("__key") === col("__seen_key"), "left")
-      .select(col("id"), col("__key"), col("bloom_positive"),
-        col("__seen_key").isNotNull.as("is_seen"))
+      .withColumn("is_seen", col("__seen_key").isNotNull)
+      .drop("__seen_key")
     val definiteNew = keyed.where(!col("bloom_positive"))
-      .select(col("id"), col("__key"), col("bloom_positive"),
-        lit(false).as("is_seen"))
+      .withColumn("is_seen", lit(false))
     candidates.unionByName(definiteNew).drop("__key")
   }
 }

@@ -834,6 +834,107 @@ object EngineQueries {
     e
   }
 
+  /** The Bloom-fronted incremental ingest at the facade (r18 verdict
+    * task 3): a library ingests batch 1 (doc_id % 3 == 0), opts into
+    * the seen-chunk-id Bloom gate with a DELIBERATELY undersized filter
+    * (m=128, k=2 — so the fixture forces all three outcomes: true
+    * replays confirmed-and-dropped, definite-new rows that never touch
+    * the corpus join, and likely false positives the exact confirm
+    * rejects), then batch 2 (doc_id % 3 <= 1 — replays + new rows)
+    * arrives through the streaming path's gated ingest. The row pins
+    * the PRE-INGEST per-id verdicts from the engine's live filter
+    * (bit-for-bit — the oracle rebuilds the position set from batch 1's
+    * ids with the same seeded md5), plus the n_bloom_definite_new
+    * accounting and the ingested count. Capped at doc_id < 100 so the
+    * filter's fill factor is sf-independent. */
+  private val BloomIngestM = 128
+  private val BloomIngestK = 2
+  private val BloomIngestCap = 100
+
+  private[graft] val bloomEngines = scala.collection.mutable.HashMap[
+    String, (SparkSession, VectorEngine, DataFrame, Long, Long)]()
+
+  private def cachedBloomBuild(s: SparkSession, dir: String)
+      : (VectorEngine, DataFrame, Long, Long) = bloomEngines.synchronized {
+    bloomEngines.get(dir) match {
+      case Some((owner, e, v, a, b)) if owner eq s => (e, v, a, b)
+      case _ =>
+        bloomEngines.filterInPlace { case (_, (owner, _, _, _, _)) => owner eq s }
+        val r = buildBloomEngine(s, dir)
+        bloomEngines(dir) = (s, r._1, r._2, r._3, r._4)
+        r
+    }
+  }
+
+  private def buildBloomEngine(s: SparkSession, dir: String)
+      : (VectorEngine, DataFrame, Long, Long) = {
+    val docs = table(s, dir, "documents")
+    val e = VectorEngine.create(s)
+    val lib = e.createLibrary("bloom-gated", dim = 4,
+      indexKind = VectorEngine.IndexKindLsh, id = Some("bloomlib"))
+    val doc = e.createDocument(lib.id, "bloom-batch")
+    def chunkFrame(cond: org.apache.spark.sql.Column): DataFrame =
+      docs.where(col("doc_id") < BloomIngestCap && cond)
+        .select(concat(lit("b-"), col("doc_id")).as("id"),
+          lit(doc.id).as("document_id"),
+          concat(lit("doc "), col("doc_id")).as("text"),
+          array((1 to 4).map(i =>
+            (pmod(xxhash64(col("doc_id"), lit(i)), lit(2001L)).cast("double")
+              / 1000.0 - 1.0).cast("float")): _*).as("embedding"),
+          typedLit(Map.empty[String, String]).as("metadata"),
+          col("doc_id").cast("int").as("chunk_index"))
+    e.addChunksDf(lib.id, chunkFrame(col("doc_id") % 3 === 0))
+    e.enableBloomGateSized(lib.id, BloomIngestM, BloomIngestK)
+    val batch2 = chunkFrame(col("doc_id") % 3 <= 1)
+    // PRE-INGEST per-id verdicts from the live filter: words CLONED
+    // (the typedlit literal wraps the array, and addChunksDf mutates it
+    // in place below) and the frame eagerly pinned, so the captured
+    // verdicts are exactly what the gated ingest saw
+    val bs = e.bloomGateState(lib.id).get
+    val verdicts = graft.operators.BloomFilter.gate(
+        batch2.select(col("id")), col("id"),
+        e.chunksDf.where(col("library_id") === lib.id).select(col("id")),
+        bs.words.clone(), bs.m, bs.k)
+      .localCheckpoint()
+    val report = graft.streaming.StreamingIngest
+      .ingestDedupGatedBatchReport(e, lib.id, batch2, threshold = 0.0)
+    (e, verdicts, report.n_bloom_definite_new, report.n_ingested)
+  }
+
+  private val bloomIngest: QueryFn = (s, dir) => {
+    val (_, verdicts, nDefNew, nIngested) = cachedBloomBuild(s, dir)
+    verdicts.select(col("id").as("chunk_id"), col("bloom_positive"),
+        col("is_seen"))
+      .withColumn("n_bloom_definite_new", lit(nDefNew))
+      .withColumn("n_ingested", lit(nIngested))
+      .orderBy(col("chunk_id"))
+  }
+
+  private val bloomIngestSql: String = {
+    val m = BloomIngestM
+    val posList = (e: String) =>
+      (0 until BloomIngestK).map(j =>
+        s"${DedupQueries.hashSql(j, e)} % $m").mkString("[", ", ", "]")
+    s"""WITH b1 AS (SELECT 'b-' || doc_id::VARCHAR AS id FROM documents
+       |            WHERE doc_id < $BloomIngestCap AND doc_id % 3 = 0),
+       |b2 AS (SELECT 'b-' || doc_id::VARCHAR AS id, doc_id % 3 = 0 AS seen
+       |       FROM documents
+       |       WHERE doc_id < $BloomIngestCap AND doc_id % 3 <= 1),
+       |bits AS (SELECT list(DISTINCT p) AS ps
+       |         FROM (SELECT unnest(${posList("id")}) AS p FROM b1)),
+       |v AS (SELECT b2.id,
+       |        list_has_all(bits.ps, ${posList("b2.id")}) AS bloom_positive,
+       |        b2.seen AS is_seen
+       |      FROM b2, bits),
+       |agg AS (SELECT
+       |          count(*) FILTER (WHERE NOT bloom_positive)::BIGINT AS ndn,
+       |          count(*) FILTER (WHERE NOT is_seen)::BIGINT AS ni
+       |        FROM v)
+       |SELECT v.id AS chunk_id, v.bloom_positive, v.is_seen,
+       |  agg.ndn AS n_bloom_definite_new, agg.ni AS n_ingested
+       |FROM v, agg ORDER BY chunk_id""".stripMargin
+  }
+
   private val dsirIngestSql: String = {
     val stride = CurateMax - CurateOverlap
     val seed = graft.operators.ImportanceSampling.FeatureHashSeed
@@ -938,6 +1039,7 @@ object EngineQueries {
   val all: Seq[Q] = Seq(
     Q("lifecycle_curate_ingest", curateIngest, Some(curateIngestSql)),
     Q("lifecycle_dsir_ingest", dsirIngest, Some(dsirIngestSql)),
+    Q("lifecycle_bloom_ingest", bloomIngest, Some(bloomIngestSql)),
     Q("lifecycle_cascade_counts", cascadeCounts, Some(cascadeCountsSql)),
     Q("lifecycle_hybrid", hybridSearch, Some(hybridSearchSql)),
     Q("lifecycle_hybrid_batch", hybridBatchSearch, Some(hybridBatchSql)),

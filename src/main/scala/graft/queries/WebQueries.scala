@@ -260,8 +260,8 @@ object WebQueries {
       corpusKeys, col("key"), BloomM, BloomK)
     graft.operators.BloomFilter.gate(
         pages.where(col("doc_id") > BloomSplit),
-        col("doc_id"), norm, corpusKeys, words, BloomM, BloomK)
-      .withColumnRenamed("id", "doc_id")
+        norm, corpusKeys, words, BloomM, BloomK)
+      .select(col("doc_id"), col("bloom_positive"), col("is_seen"))
       .orderBy(col("doc_id"))
   }
 

@@ -146,14 +146,42 @@ object StreamingIngest {
     * shuffle. Returns the number of chunks actually ingested. */
   def ingestDedupGatedBatch(engine: graft.engine.VectorEngine,
                             libraryId: String, batch: DataFrame,
-                            threshold: Double): Long = {
+                            threshold: Double): Long =
+    ingestDedupGatedBatchReport(engine, libraryId, batch, threshold)
+      .n_ingested
+
+  /** Per-batch accounting of the gated ingest: how many rows the
+    * Bloom sketch cleared WITHOUT touching the corpus
+    * (`n_bloom_definite_new`; -1 when the library has no filter — the
+    * exact-join path), and how many rows actually landed. */
+  final case class GatedIngestReport(n_bloom_definite_new: Long,
+                                     n_ingested: Long)
+
+  /** [[ingestDedupGatedBatch]] returning the per-batch
+    * [[GatedIngestReport]]. When the target library maintains a Bloom
+    * seen-id filter ([[graft.engine.VectorEngine.enableBloomGate]]),
+    * the replay gate runs Bloom-fronted: definite-new rows (the vast
+    * majority of a healthy crawl) skip the exact anti-join against the
+    * library's chunk ids entirely — only the bloom-positive sliver
+    * pays the confirm join. Result-identical to the exact path (the
+    * filter has no false negatives); only the execution shape changes. */
+  def ingestDedupGatedBatchReport(engine: graft.engine.VectorEngine,
+                                  libraryId: String, batch: DataFrame,
+                                  threshold: Double): GatedIngestReport = {
     // replay gate scoped to THE TARGET library's ids: a new row whose id
     // collides with a chunk in a DIFFERENT library is not a redelivery —
     // it must reach addChunksDf and fail its id-conflict guard loudly,
     // not vanish as a "replay"
-    val replayFree = batch.dropDuplicates("id")
-      .join(engine.chunksDf.where(col("library_id") === libraryId)
-        .select(col("id")), Seq("id"), "left_anti")
+    val pre = batch.dropDuplicates("id")
+    val (replayGated, nBloomDefiniteNew) =
+      engine.bloomReplayGate(libraryId, pre) match {
+        case Some((definiteNew, confirmedNew, nDefNew)) =>
+          (definiteNew.unionByName(confirmedNew), nDefNew)
+        case None =>
+          (pre.join(engine.chunksDf.where(col("library_id") === libraryId)
+            .select(col("id")), Seq("id"), "left_anti"), -1L)
+      }
+    val replayFree = replayGated
       // pinned once (O(batch), distributed): consumed by the corpus gate
       // and the survivor set below
       .localCheckpoint()
@@ -171,7 +199,7 @@ object StreamingIngest {
     // behind corpusLosers never re-runs — and addChunksDf pins its own
     // derived batch for the histogram path anyway
     val fresh = corpusSurvivors.join(intraLosers, Seq("id"), "left_anti")
-    engine.addChunksDf(libraryId, fresh)
+    GatedIngestReport(nBloomDefiniteNew, engine.addChunksDf(libraryId, fresh))
   }
 
   /** Start the dedup-gated chunk ingest as a stream (foreachBatch:

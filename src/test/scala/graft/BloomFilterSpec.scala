@@ -58,8 +58,8 @@ class BloomFilterSpec extends AnyFunSuite {
     val batch = (Seq(5, 17).map(i => (i.toLong, corpusKeys(i - 1))) ++
       (100L to 140L).map(i => (i, s"https://new.example.org/item/$i")))
       .toDF("id", "key")
-    val out = BloomFilter.gate(batch, col("id"), col("key"),
-        corpus, words, m, k)
+    val out = BloomFilter.gate(batch, col("key"), corpus, words, m, k)
+      .select(col("id"), col("bloom_positive"), col("is_seen"))
       .as[(Long, Boolean, Boolean)].collect()
       .map { case (id, b, s) => id -> ((b, s)) }
       .toMap // id -> (bloom_positive, is_seen)

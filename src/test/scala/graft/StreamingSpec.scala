@@ -247,6 +247,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.chunkCount("glib") == 4)
   }
 
+  test("BLOOM-fronted replay gate: definite-new rows skip the corpus " +
+    "join (plan assertion — the definite_new branch is a pure filter " +
+    "over the pinned batch), the branch union is row-identical to the " +
+    "exact anti-join, n_bloom_definite_new is accounted, and the gated " +
+    "ingest result matches the exact path") {
+    import graft.engine._
+    import spark.implicits._
+    val e = VectorEngine.create(spark)
+    e.createLibrary("bloomed", dim = 4, id = Some("blib"),
+      indexKind = "random_projection", lshProjections = 4, lshSeed = 7L)
+    val doc = e.createDocument("blib", "bdoc")
+    def frame(rows: Seq[(String, Seq[Float], Int)]) =
+      rows.map { case (id, emb, ix) => (id, doc.id, s"text $id", emb, ix) }
+        .toDF("id", "document_id", "text", "embedding", "chunk_index")
+        .withColumn("metadata", typedLit(Map.empty[String, String]))
+    // batch 1: three corpus chunks, then opt into the gate
+    assert(StreamingIngest.ingestDedupGatedBatch(e, "blib",
+      frame(Seq(("a1", Seq(1f, 0f, 0f, 0f), 0), ("a2", Seq(0f, 1f, 0f, 0f), 1),
+        ("a3", Seq(0f, 0f, 1f, 0f), 2))), threshold = 0.0) == 3L)
+    e.enableBloomGateSized("blib", m = 1 << 16, k = 3) // well-sized: no fps
+    // batch 2: two replays + two novel rows
+    val batch2 = frame(Seq(("a1", Seq(1f, 0f, 0f, 0f), 0),
+      ("a3", Seq(0f, 0f, 1f, 0f), 2), ("b1", Seq(0f, 0f, 0f, 1f), 3),
+      ("b2", Seq(0.5f, 0.5f, 0f, 0f), 4)))
+    val Some((definiteNew, confirmedNew, nDefNew)) =
+      e.bloomReplayGate("blib", batch2)
+    // PLAN: the definite-new branch never touches the corpus — no join,
+    // no exchange, just a filter over the pinned batch
+    val p = definiteNew.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"definite-new branch must be projection-only:\n$p")
+    // at this sizing the filter has no false positives: both novel rows
+    // are definite-new, both replays go to the confirm join and drop
+    assert(nDefNew == 2L)
+    assert(definiteNew.select("id").as[String].collect().sorted
+      .toSeq == Seq("b1", "b2"))
+    assert(confirmedNew.count() == 0L)
+    // branch union == the exact replay anti-join, row for row
+    val exact = batch2.join(
+      e.chunksDf.where(col("library_id") === "blib").select(col("id")),
+      Seq("id"), "left_anti")
+    assert(definiteNew.unionByName(confirmedNew).select("id")
+      .as[String].collect().sorted.toSeq ==
+      exact.select("id").as[String].collect().sorted.toSeq)
+    // the gated ingest lands exactly the novel rows and accounts the
+    // sketch's contribution
+    val report = StreamingIngest.ingestDedupGatedBatchReport(
+      e, "blib", batch2, threshold = 0.0)
+    assert(report.n_bloom_definite_new == 2L && report.n_ingested == 2L)
+    assert(e.chunkCount("blib") == 5)
+    // the ingest folded b1/b2 into the filter: a redelivery of batch 2
+    // is now ALL bloom-positive and the confirm join drops everything
+    val report2 = StreamingIngest.ingestDedupGatedBatchReport(
+      e, "blib", batch2, threshold = 0.0)
+    assert(report2.n_bloom_definite_new == 0L && report2.n_ingested == 0L)
+    assert(e.chunkCount("blib") == 5)
+    // persistence: the filter survives save/open beside the other index
+    // models — the reopened engine still gates without re-enabling
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-bloom-state").toString
+    e.save(state)
+    val re = VectorEngine.open(spark, state)
+    val bs = re.bloomGateState("blib")
+    assert(bs.isDefined && bs.get.m == (1 << 16) && bs.get.k == 3)
+    assert(bs.get.words.toSeq == e.bloomGateState("blib").get.words.toSeq)
+    val report3 = StreamingIngest.ingestDedupGatedBatchReport(
+      re, "blib", batch2, threshold = 0.0)
+    assert(report3.n_bloom_definite_new == 0L && report3.n_ingested == 0L)
+  }
+
   test("dedup gate: a row whose only near neighbour was itself dropped " +
     "by the corpus gate still lands (intra-batch pass sees survivors only)") {
     import graft.engine._
