@@ -348,6 +348,30 @@ object Bench {
       col("doc_id"),
       concat(lit("HOME | ABOUT | CONTACT\nDoc "), col("doc_id"),
         lit("\n"), col("text"), lit("\nAll rights reserved")).as("text"))
+    // BOILERPLATE-HEAVY containment shape (the posting-list skew
+    // adversary VERDICT r18 asked to see measured): HALF the docs share
+    // one hot ~40-token boilerplate block — its trigram posting lists
+    // are corpus-sized and scale with the inflation — while every doc
+    // also carries ~120 doc-UNIQUE tokens (derived from the doc_id, so
+    // exact-copy inflation's fresh ids keep them frequency-1 at every
+    // scale). Hot-block mass sits ~25% of each sharer's shingle set:
+    // BELOW the 0.8 threshold, so true containment pairs are ~none and
+    // the output cannot excuse quadratic time — yet rarest-first
+    // prefixes must keep the hot shingles OUT of the prefix join for
+    // the ratio to stay near-linear (a full-set or position-blind
+    // prefix join would explode against the hot posting lists).
+    def boilerplatedOf(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("the site navigation header terms of service privacy " +
+            "policy cookie notice subscribe to our newsletter all " +
+            "rights reserved contact us about careers press kit " +
+            "sitemap help center community guidelines advertise " +
+            "here ")).otherwise(lit("")),
+        concat_ws(" ", transform(sequence(lit(1), lit(120)),
+          i => concat(lit("u"), col("doc_id"), lit("x"), i))))
+        .as("text"))
     // ZIPFIAN crawl shape (real crawls are head-heavy, not uniform):
     // HALF the pages are re-crawls of ONE landing page — every even
     // doc_id normalizes to the same canonical URL (case + fragment
@@ -643,6 +667,19 @@ object Bench {
             linedOf(s.docs()), col("doc_id"), col("text"), minLen = 20)
           .select((length(col("clean_text")) + col("n_kept")).as("n"))
           .agg(sum(col("n")).as("total"))),
+      // exact containment join under HOT POSTING LISTS (VERDICT r18
+      // task 4): half the corpus shares one boilerplate trigram block
+      // whose posting lists are corpus-sized, but the hot mass sits
+      // below the threshold, so rarest-first prefixes must exclude it
+      // from the prefix join — the measured ratio is the proof the
+      // prefix filter, not luck, bounds the candidate set. The
+      // aggregate consumes the containment column so the confirm
+      // arithmetic is not pruned.
+      Stress("containment_pairs", s =>
+        NearDup.containmentPairs(boilerplatedOf(s.docs()),
+            col("doc_id"), col("text"), n = 3, threshold = 0.8)
+          .select((col("id_a") + col("id_b") + col("containment")).as("x"))
+          .agg(sum(col("x")).as("total"), count(lit(1)).as("n_pairs"))),
       // Bloom seen-URL gate: the filter is an ingest-time artifact
       // (built untimed over the BASE corpus's canonical URLs, sized by
       // the textbook rule — like the IVF centroids / BPE merges, what

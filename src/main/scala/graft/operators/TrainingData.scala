@@ -309,9 +309,15 @@ object TrainingData {
     * covered positions (output-bound, n rows per common start) and
     * tokens drop via a (id, position) ANTI-JOIN — never a per-token
     * scan of a per-doc starts array, which would go quadratic on
-    * exactly the boilerplate-heavy documents this operator targets;
-    * reassembly is one per-doc aggregation bounded by each document's
-    * own token array. Nothing corpus-sized is collected.
+    * exactly the boilerplate-heavy documents this operator targets.
+    * TEXT NEVER RIDES THE SHUFFLES (round 19, the substring-dedup
+    * discipline): every joined/aggregated row is (id, position, hash)
+    * narrow — token positions come from a sequence over the array
+    * LENGTH, not a token explode — and reassembly element_at-indexes
+    * the surviving positions into the document's own token array, so
+    * the corpus text crosses exactly ONE shuffle, packed as one array
+    * per document in the final id join. Nothing corpus-sized is
+    * collected.
     *
     * Output: (id, n_kept, n_removed, clean_text). */
   def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
@@ -337,21 +343,27 @@ object TrainingData {
       .select(col("id"),
         explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
       .distinct()
-    val toksExploded = base.select(col("id"),
-      posexplode(col("__t")).as(Seq("p", "tok")))
-    val keptAgg = toksExploded
+    // all token POSITIONS, no token strings (the pinned kernel yields
+    // >= 1 token for any non-null text; the guard keeps a hypothetical
+    // empty array from generating sequence(0, -1))
+    val allPos = base.select(col("id"),
+      explode(when(size(col("__t")) > 0,
+          sequence(lit(0), size(col("__t")) - 1))
+        .otherwise(array().cast("array<int>"))).as("p"))
+    val keptPos = allPos
       .join(coveredPos, Seq("id", "p"), "left_anti")
       .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-        x => x.getField("tok")).as("__kept"))
-    base.select(col("id"), size(col("__t")).as("__n"))
-      .join(keptAgg, Seq("id"), "left") // fully-covered docs: empty husk
-      .withColumn("__kept",
-        coalesce(col("__kept"), array().cast("array<string>")))
+      .agg(sort_array(collect_list(col("p"))).as("__kp"))
+    base.select(col("id"), col("__t"), size(col("__t")).as("__n"))
+      .join(keptPos, Seq("id"), "left") // fully-covered docs: empty husk
+      .withColumn("__kp",
+        coalesce(col("__kp"), array().cast("array<int>")))
       .select(col("id"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", col("__kept")).as("clean_text"))
+        size(col("__kp")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kp"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__kp"), p => element_at(col("__t"), p + lit(1))))
+          .as("clean_text"))
   }
 
   /** Substring-level exact dedup — the ExactSubstr rung of the dedup
@@ -467,40 +479,58 @@ object TrainingData {
     * Scale shape: one shuffle on the 60-bit line hash for the
     * distinct-doc frequency, one hash equi-join back (no broadcast
     * hint — the common-line set is corpus-dependent; AQE picks the
-    * strategy), one reassembly aggregation keyed by document. A doc
-    * whose every line is boilerplate survives as an empty husk
-    * (n_kept = 0) — the caller's call to drop.
+    * strategy), one reassembly aggregation keyed by document. TEXT
+    * NEVER RIDES THE SHUFFLES (round 19): the anti-join and the
+    * reassembly aggregation carry narrow (id, position, hash) rows,
+    * and surviving positions element_at-index back into the document's
+    * own line array — the corpus text crosses exactly ONE shuffle,
+    * packed per document in the final id join. A doc whose every line
+    * is boilerplate survives as an empty husk (n_kept = 0) — the
+    * caller's call to drop.
     *
     * Output: (id, n_kept, n_removed, clean_text). */
   def removeCommonLines(df: DataFrame, id: Column, text: Column,
-                        minDocFreq: Int = 2): DataFrame = {
+                        minDocFreq: Int = 2): DataFrame =
+    removeCommonUnits(df, id, split(text, "\n"), minDocFreq, "\n")
+
+  /** Shared narrow-row unit-removal core of [[removeCommonLines]]
+    * (units = lines) and [[removeCommonParagraphs]] (units =
+    * paragraphs): drop units whose pinned-whitespace-trimmed content
+    * recurs in >= minDocFreq distinct documents, reassemble survivors
+    * in order joined by `sep`. Blank units are commonality-exempt
+    * (null hash never matches the anti-join). */
+  private def removeCommonUnits(df: DataFrame, id: Column, units: Column,
+                                minDocFreq: Int, sep: String): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq must be at least 2")
     val ws = graft.functions.TextHash.WsClassJava
-    val base = df.select(id.as("id"), split(text, "\n").as("__l"))
+    val base = df.select(id.as("id"), units.as("__l"))
+    // narrow (id, p, h) rows: the unit string exists only transiently
+    // inside the hash projection, never in a shuffled row
     val occ = base.select(col("id"),
         posexplode(col("__l")).as(Seq("p", "line")))
       .withColumn("__t", regexp_replace(col("line"), s"^$ws+|$ws+$$", ""))
-      .withColumn("h",
+      .select(col("id"), col("p"),
         when(col("__t") === "", lit(null).cast("long"))   // blank: exempt
-          .otherwise(NearDup.seededHash(0, col("__t"))))
+          .otherwise(NearDup.seededHash(0, col("__t"))).as("h"))
     val common = occ.where(col("h").isNotNull)
       .select(col("id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocFreq)
       .select(col("h"))
-    // null hashes (blank lines) never match in the anti-join: kept
-    val kept = occ.join(common, Seq("h"), "left_anti")
+    // null hashes (blank units) never match in the anti-join: kept
+    val keptPos = occ.join(common, Seq("h"), "left_anti")
       .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("line")))),
-        x => x.getField("line")).as("__kept"))
-    base.select(col("id"), size(col("__l")).as("__n"))
-      .join(kept, Seq("id"), "left")
-      .withColumn("__kept",
-        coalesce(col("__kept"), array().cast("array<string>")))
+      .agg(sort_array(collect_list(col("p"))).as("__kp"))
+    base.select(col("id"), col("__l"), size(col("__l")).as("__n"))
+      .join(keptPos, Seq("id"), "left")
+      .withColumn("__kp",
+        coalesce(col("__kp"), array().cast("array<int>")))
       .select(col("id"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
-        concat_ws("\n", col("__kept")).as("clean_text"))
+        size(col("__kp")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kp"))).cast("long").as("n_removed"),
+        concat_ws(sep,
+          transform(col("__kp"), p => element_at(col("__l"), p + lit(1))))
+          .as("clean_text"))
   }
 
   /** PARAGRAPH-level corpus dedup — CCNet's step 1 (Wenzek et al. 2020
@@ -527,34 +557,8 @@ object TrainingData {
     *
     * Output: (id, n_kept, n_removed, clean_text). */
   def removeCommonParagraphs(df: DataFrame, id: Column, text: Column,
-                             minDocFreq: Int = 2): DataFrame = {
-    require(minDocFreq >= 2, "minDocFreq must be at least 2")
-    val ws = graft.functions.TextHash.WsClassJava
-    val base = df.select(id.as("id"), split(text, "\n{2,}").as("__g"))
-    val occ = base.select(col("id"),
-        posexplode(col("__g")).as(Seq("p", "para")))
-      .withColumn("__t", regexp_replace(col("para"), s"^$ws+|$ws+$$", ""))
-      .withColumn("h",
-        when(col("__t") === "", lit(null).cast("long"))  // blank: exempt
-          .otherwise(NearDup.seededHash(0, col("__t"))))
-    val common = occ.where(col("h").isNotNull)
-      .select(col("id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDocFreq)
-      .select(col("h"))
-    val kept = occ.join(common, Seq("h"), "left_anti")
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("para")))),
-        x => x.getField("para")).as("__kept"))
-    base.select(col("id"), size(col("__g")).as("__n"))
-      .join(kept, Seq("id"), "left")
-      .withColumn("__kept",
-        coalesce(col("__kept"), array().cast("array<string>")))
-      .select(col("id"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
-        concat_ws("\n\n", col("__kept")).as("clean_text"))
-  }
+                             minDocFreq: Int = 2): DataFrame =
+    removeCommonUnits(df, id, split(text, "\n{2,}"), minDocFreq, "\n\n")
 
   // ---------------- C4 cleaning rules ----------------
 
