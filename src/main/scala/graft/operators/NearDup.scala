@@ -606,6 +606,78 @@ object NearDup {
         (round(col("__c"), 6) + lit(0.0d)).as("containment"))
   }
 
+  /** All-pairs EXACT Jaccard join — the exact-verification rung the
+    * banded MinHash path estimates: every UNORDERED pair (id_a < id_b)
+    * whose hashed n-gram shingle Jaccard |S_a ∩ S_b| / |S_a ∪ S_b| ≥
+    * threshold, with the exact similarity. Completes the dedup ladder:
+    * MinHash bands (approximate, recall dial), SimHash (Hamming),
+    * containment (one-sided), and THIS — exact symmetric overlap with
+    * no dial at all.
+    *
+    * Exactness: J(A,B) ≥ t implies containment C(A→B) ≥ t (|A∪B| ≥
+    * |A|), so [[containmentPairs]]' pigeonhole prefix — length
+    * |S| − ceil(t·|S|) + 1 under the rarest-first global order — from
+    * EITHER side generates every qualifying pair; probing only the
+    * smaller id's prefix suffices for the unordered output. Two
+    * additional candidate cuts, both exactness-preserving:
+    * PPJoin's LENGTH FILTER (J ≥ t forces t·|S_b| ≤ |S_a| within the
+    * pair — evaluated in the same double-division form as the confirm,
+    * so FP rounding can never drop a pair the confirm would keep:
+    * real-arithmetic monotonicity min/max ≥ ∩/∪ survives rounding) and
+    * the id order itself. The all-pairs DuckDB oracle hash-gates zero
+    * lost pairs.
+    *
+    * Scale shape: [[containmentPairs]]' exactly — one shingle scan, one
+    * frequency shuffle, bounded per-doc sorts, the (prefix × posting)
+    * equi-join with the length cut applied BEFORE the distinct, and the
+    * exact confirm on candidates only. Exact copies (J = 1 groups)
+    * genuinely emit all their pairs — that is the OUTPUT's size, not
+    * avoidable work; collapse copies first ([[collapseByDigest]] /
+    * the exact-dedup rung) when groups are large. */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0d && threshold <= 1.0d,
+      "jaccard threshold must be in (0, 1]")
+    val sets = df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
+      .where(size(col("hsh")) > 0)
+    val freq = sets.select(explode(col("hsh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__f"))
+    val ordered = sets.select(col("id"), explode(col("hsh")).as("h"))
+      .join(freq, "h")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("__f"), col("h"))))
+        .as("__ord"))
+      .select(col("id"),
+        transform(col("__ord"), x => x.getField("h")).as("__sorted"),
+        size(col("__ord")).as("__sz"))
+    val prefixes = ordered.select(col("id").as("id_a"),
+        col("__sz").as("__sza"),
+        explode(slice(col("__sorted"), lit(1),
+          greatest(lit(1), col("__sz") -
+            ceil(lit(threshold) * col("__sz") - lit(1e-9)).cast("int") +
+            lit(1)))).as("h"))
+    val candidates = prefixes
+      .join(sets.select(col("id").as("id_b"),
+          size(col("hsh")).as("__szb"), explode(col("hsh")).as("h")), "h")
+      .where(col("id_a") < col("id_b"))
+      // length filter in the confirm's own double-division form:
+      // min/max >= t is NECESSARY for J >= t and rounding-monotone
+      .where(least(col("__sza"), col("__szb")).cast("double") /
+        greatest(col("__sza"), col("__szb")).cast("double") >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    val confirm = candidates
+      .join(sets.select(col("id").as("id_a"), col("hsh").as("__ha")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hsh").as("__hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          (size(col("__ha")) + size(col("__hb")) -
+            size(array_intersect(col("__ha"), col("__hb")))).cast("double"))
+          .as("__j"))
+    confirm.where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (round(col("__j"), 6) + lit(0.0d)).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, banded: the
     * fingerprint is split into `numBands` sub-keys; by pigeonhole any pair
     * within maxHamming <= numBands - 1 shares at least one exact sub-key,

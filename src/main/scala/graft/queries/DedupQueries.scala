@@ -392,6 +392,29 @@ object DedupQueries {
        |SELECT id_a, id_b, round(c, 6) + 0 AS containment FROM p
        |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  /** EXACT Jaccard pair join (the exact-verification rung beside the
+    * MinHash ESTIMATE of dedup_near_pairs): the oracle brute-forces all
+    * unordered pairs over the same hashed trigram sets and recomputes
+    * exact |∩|/|∪| — a prefix or length filter that loses even one
+    * qualifying pair hash-mismatches the row. Threshold 0.5 keeps the
+    * row's pair set distinct from the containment row's (quoted-doc
+    * pairs drop, symmetric twins stay). */
+  private val jaccardPairsQ: QueryFn = (s, dir) =>
+    NearDup.jaccardPairs(table(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val jaccardPairsExactSql: String =
+    s"""WITH s AS ($hashedTrigramSets),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        len(list_intersect(a.hsh, b.hsh))::DOUBLE /
+       |          (len(a.hsh) + len(b.hsh) -
+       |           len(list_intersect(a.hsh, b.hsh))) AS j
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE len(a.hsh) > 0 AND len(b.hsh) > 0)
+       |SELECT id_a, id_b, round(j, 6) + 0 AS jaccard FROM p
+       |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   /** Multilingual near-dup over the committed unicode fixture — the
     * gate for the PINNED Unicode tokenization contract (NFC +
     * per-code-point simple lowercase + explicit whitespace class):
@@ -578,6 +601,7 @@ object DedupQueries {
     Q("dedup_near_survivors", nearSurvivors, Some(nearSurvivorsSql)),
     Q("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("dedup_containment_pairs", containmentPairsQ, Some(containmentPairsSql)),
+    Q("dedup_jaccard_exact", jaccardPairsQ, Some(jaccardPairsExactSql)),
     Q("dedup_embedding_near", embeddingNear, Some(embeddingNearSql)),
     Q("dedup_embedding_near_lsh", embeddingNearLsh, Some(embeddingNearLshSql)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsSql)),

@@ -459,8 +459,9 @@ class NearDupSpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().map { case (i, h) => i -> h.toSet }
       .toMap
     for (t <- Seq(0.3, 0.6, 0.9)) {
+      // Seq views — a for over a Map yielding pairs collapses by key
       val brute = (for {
-        (a, ha) <- sets; (b, hb) <- sets
+        (a, ha) <- sets.toSeq; (b, hb) <- sets.toSeq
         if a != b && ha.nonEmpty
         c = ha.intersect(hb).size.toDouble / ha.size
         if c >= t
@@ -478,6 +479,57 @@ class NearDupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.NearDup.containmentPairs(df, col("doc_id"),
         col("text"), n = 3, threshold = 0.0)
+    }
+  }
+
+  test("jaccardPairs: exact symmetric pairs against a brute-force " +
+    "recomputation at several thresholds (prefix + length filter lose " +
+    "nothing), unordered output with id_a < id_b, no cartesian product") {
+    val twinA = "the quick brown fox jumps over the lazy dog again today"
+    val twinB = "the quick brown fox jumps over the lazy dog again tomorrow"
+    val other = "nothing in common with anything else here at all truly"
+    val exact = twinA // J = 1.0 with doc 1
+    val df = Seq((1L, twinA), (2L, twinB), (3L, other), (4L, exact))
+      .toDF("doc_id", "text")
+    val sets = df.select(col("doc_id"),
+        graft.operators.NearDup.hashedShingles(col("text"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().map { case (i, h) => i -> h.toSet }
+      .toMap
+    for (t <- Seq(0.3, 0.6, 0.9, 1.0)) {
+      // iterate Seq views: a for over a Map yielding (a, b) pairs
+      // builds a MAP and silently collapses same-id_a pairs
+      val brute = (for {
+        (a, ha) <- sets.toSeq; (b, hb) <- sets.toSeq
+        if a < b && ha.nonEmpty && hb.nonEmpty
+        j = ha.intersect(hb).size.toDouble / ha.union(hb).size
+        if j >= t
+      } yield (a, b)).toSet
+      val found = graft.operators.NearDup.jaccardPairs(df, col("doc_id"),
+          col("text"), n = 3, threshold = t)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(found == brute, s"at t=$t: found $found vs brute $brute")
+      assert(found.forall(p => p._1 < p._2), "output must be id_a < id_b")
+    }
+    // the exact-copy pair reports J = 1.0; the twins report their true
+    // value; similarity values match the brute-force doubles
+    val vals = graft.operators.NearDup.jaccardPairs(df, col("doc_id"),
+        col("text"), n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    assert(vals((1L, 4L)) == 1.0)
+    val bruteJ = sets(1L).intersect(sets(2L)).size.toDouble /
+      sets(1L).union(sets(2L)).size
+    assert(math.abs(vals((1L, 2L)) -
+      (math.rint(bruteJ * 1e6) / 1e6)) < 1e-12)
+    val plan = graft.operators.NearDup.jaccardPairs(df, col("doc_id"),
+      col("text"), n = 3, threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException] {
+      graft.operators.NearDup.jaccardPairs(df, col("doc_id"),
+        col("text"), n = 3, threshold = 1.5)
     }
   }
 
