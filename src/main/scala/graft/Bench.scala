@@ -570,6 +570,16 @@ object Bench {
           // operator — the same rule html_extract/domain_stats follow
           .select((col("logweight") + col("n_feats")).as("x"))
           .agg(sum(col("x")).as("total"))),
+      // whole-document greedy packing: the per-bucket imperative fold
+      // (parameter-bounded groups) + the O(buckets) numbering pass —
+      // the aggregate consumes every output column so nothing is pruned
+      Stress("pack_whole_docs", s =>
+        graft.operators.TrainingData.packWholeDocs(s.docs(), col("doc_id"),
+          size(graft.operators.TextAnalysis.tokens(col("text"))),
+          budget = 64L)
+          .select((col("seq") + col("seq_pos") + col("n_tokens") +
+            col("oversize").cast("long")).as("x"))
+          .agg(sum(col("x")).as("total"))),
       // the two-phase prefix sum: the stage that would be a
       // single-partition window naively — shards sized to the corpus
       Stress("pack_sequences", s =>

@@ -151,6 +151,76 @@ object TrainingData {
         col("seq_first"), col("seq_pos"), col("seq_last"))
   }
 
+  /** WHOLE-DOCUMENT greedy packing — the no-cross-document-attention
+    * alternative to [[packAssignments]]' concat-and-chunk: documents
+    * are packed in ascending id order into fixed-`budget` sequences
+    * and NEVER SPLIT — a document that does not fit the open sequence
+    * closes it and opens a new one; a document longer than the budget
+    * occupies a sequence alone (`oversize` = true — the caller
+    * truncates or routes it). The layout training stacks use when
+    * attention must not cross document boundaries (padding replaces
+    * the split tail; the trade is the padding fraction, observable as
+    * budget − max(seq_pos + n_tokens) per sequence).
+    *
+    * Greedy fill is a SEQUENTIAL RECURRENCE (the break position
+    * depends on every prior fill — no window or prefix sum expresses
+    * it), so this is the library's one legitimate per-group imperative
+    * fold: ids bucket by integer range (`id DIV bucketDocs` — an
+    * integer range of width B holds at most B distinct ids, so
+    * per-group state is PARAMETER-bounded, never corpus-bounded), each
+    * bucket's ≤ `bucketDocs` docs sort and fold in memory, and global
+    * sequence ids attach via an exclusive prefix sum over the
+    * O(buckets) per-bucket sequence counts (broadcast back — the
+    * [[packAssignments]] two-phase discipline). Bucket boundaries
+    * close the open sequence — the standard distributed-packing
+    * approximation, costing at most one partial sequence per bucket,
+    * and exactly what makes the layout a pure function of
+    * (ids, budget, bucketDocs) that any engine replays.
+    *
+    * Output: (id, n_tokens, seq, seq_pos, oversize) — one row per doc;
+    * `seq` is the global sequence index, `seq_pos` the doc's first
+    * token slot inside it. `id` must be integral and unique. */
+  def packWholeDocs(df: DataFrame, id: Column, nTokens: Column,
+                    budget: Long, bucketDocs: Int = 4096): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    require(bucketDocs > 0, "bucketDocs must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(id.cast("long").as("id"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"id DIV ${bucketDocs}L"))
+    val local = keyed.select(col("id"), col("n_tokens"), col("bucket"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (bucket: Long, rows: Iterator[(Long, Long, Long)]) =>
+        // ≤ bucketDocs rows by the integer-range argument: safe to sort
+        // in memory; ascending id is the pinned packing order
+        val docs = rows.map(r => (r._1, r._2)).toArray.sortInPlaceBy(_._1)
+        var seq = -1L
+        var fill = 0L
+        docs.iterator.map { case (docId, n) =>
+          if (seq < 0 || fill + n > budget) { seq += 1; fill = 0L }
+          val pos = fill
+          fill += n
+          (bucket, seq, docId, n, pos, n > budget)
+        }
+      }
+      .toDF("bucket", "local_seq", "id", "n_tokens", "seq_pos", "oversize")
+    // exactly O(buckets) rows: the only driver-sized structure
+    val perBucket = local.groupBy(col("bucket"))
+      .agg((max(col("local_seq")) + 1L).as("n_seqs"))
+    val baseW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = broadcast(perBucket
+      .withColumn("seq_base",
+        coalesce(sum(col("n_seqs")).over(baseW), lit(0L)))
+      .select(col("bucket"), col("seq_base")))
+    local.join(bases, "bucket")
+      .select(col("id"), col("n_tokens"),
+        (col("seq_base") + col("local_seq")).as("seq"),
+        col("seq_pos"), col("oversize"))
+  }
+
   // ---------------- training-shard sink ----------------
 
   /** Per-(sequence, document) slice rows from a [[packAssignments]]

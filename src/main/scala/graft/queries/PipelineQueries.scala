@@ -773,6 +773,56 @@ object PipelineQueries {
        |ORDER BY seq, seq_pos, doc_id""".stripMargin
   }
 
+  /** Whole-document greedy packing (no cross-document attention — docs
+    * never split): the oracle replays the ENTIRE recurrence with a
+    * recursive CTE stepping every id-range bucket one row at a time —
+    * the greedy break rule, the oversize-alone case, the bucket
+    * boundary close, and the two-phase global sequence numbering all
+    * hash-gate. Budget 64 / bucketDocs 32 so the sf0.01 fixture
+    * exercises multi-bucket numbering and oversize docs at once. */
+  private val PwdBudget = 64L
+  private val PwdBucketDocs = 32
+
+  private val packWholeDocs: QueryFn = (s, dir) =>
+    TrainingData.packWholeDocs(table(s, dir, "documents"),
+        col("doc_id"), size(tokens(col("text"))),
+        budget = PwdBudget, bucketDocs = PwdBucketDocs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val packWholeDocsSql: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT doc_id AS id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT id, n_tokens, id // $PwdBucketDocs AS bucket,
+       |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
+       |                           ORDER BY id) AS rn
+       |      FROM n),
+       |g AS (
+       |  SELECT bucket, rn, id, n_tokens,
+       |    0::BIGINT AS local_seq, 0::BIGINT AS seq_pos,
+       |    n_tokens AS fill
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.bucket, b.rn, b.id, b.n_tokens,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN g.local_seq + 1 ELSE g.local_seq END,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN 0 ELSE g.fill END,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN b.n_tokens ELSE g.fill + b.n_tokens END
+       |  FROM g JOIN b ON b.bucket = g.bucket AND b.rn = g.rn + 1),
+       |ns AS (SELECT bucket, max(local_seq) + 1 AS n_seqs FROM g GROUP BY 1),
+       |bs AS (SELECT bucket,
+       |         coalesce(sum(n_seqs) OVER (ORDER BY bucket
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS seq_base
+       |       FROM ns)
+       |SELECT g.id AS doc_id, g.n_tokens,
+       |  (bs.seq_base + g.local_seq)::BIGINT AS seq, g.seq_pos,
+       |  g.n_tokens > $PwdBudget AS oversize
+       |FROM g JOIN bs USING (bucket) ORDER BY doc_id""".stripMargin
+
   /** Deterministic weighted sampling (Efraimidis-Spirakis top-k in log
     * space), weight = document length in chars: longer documents are
     * proportionally likelier to be drawn, and the draw replays from the
@@ -1156,6 +1206,7 @@ object PipelineQueries {
     Q("pipeline_token_budget_sample", tokenBudgetSample, Some(tokenBudgetSampleSql)),
     Q("pipeline_token_budget_shards", tokenBudgetShards,
       Some(tokenBudgetShardsSql)),
+    Q("pipeline_pack_whole_docs", packWholeDocs, Some(packWholeDocsSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

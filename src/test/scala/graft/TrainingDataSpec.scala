@@ -1258,6 +1258,56 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("packWholeDocs: documents never split, fills never exceed the " +
+    "budget except oversize-alone sequences, greedy break points match " +
+    "a reference fold, bucket boundaries close the open sequence, and " +
+    "global seq ids are contiguous from 0") {
+    val budget = 10L
+    // ids 0..9 in bucket 0 (bucketDocs = 8 puts 8 in bucket 0), sizes
+    // chosen to force: exact fit, overflow break, oversize-alone, zero
+    val sizes = Map(0L -> 4L, 1L -> 6L, 2L -> 3L, 3L -> 0L, 4L -> 12L,
+      5L -> 5L, 6L -> 5L, 7L -> 1L, 8L -> 9L, 9L -> 2L)
+    val df = sizes.toSeq.toDF("id", "n")
+    val out = TrainingData.packWholeDocs(df, col("id"), col("n"),
+        budget, bucketDocs = 8)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // reference greedy fold, bucket 0 = ids 0..7, bucket 1 = ids 8..9
+    // bucket 0: 4+6=10 fits seq0; 3,0 -> seq1 (fill 3); 12 oversize ->
+    // seq2 alone; 5,5 -> seq3 (10); 1 -> seq4. n_seqs(b0)=5
+    // bucket 1: 9,? 9+2>10 -> 9 seq5 (local 0), 2 seq6 (local 1)
+    val expect = Map(
+      0L -> ((0L, 0L, false)), 1L -> ((0L, 4L, false)),
+      2L -> ((1L, 0L, false)), 3L -> ((1L, 3L, false)),
+      4L -> ((2L, 0L, true)),
+      5L -> ((3L, 0L, false)), 6L -> ((3L, 5L, false)),
+      7L -> ((4L, 0L, false)),
+      8L -> ((5L, 0L, false)), 9L -> ((6L, 0L, false)))
+    assert(out == expect, s"got $out")
+    // invariants on a bigger deterministic corpus: no fill exceeds the
+    // budget except oversize-alone; seq ids contiguous; order respected
+    val big = (0L until 500L).map(i => (i, (i * 7 + 3) % 23)).toDF("id", "n")
+    val rows = TrainingData.packWholeDocs(big, col("id"), col("n"),
+        budget = 16L, bucketDocs = 64)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val bySeq = rows.groupBy(_._3)
+    bySeq.foreach { case (seq, ds) =>
+      val mass = ds.map(_._2).sum
+      if (ds.exists(_._5)) assert(ds.length == 1, s"oversize shares seq $seq")
+      else assert(mass <= 16L, s"seq $seq overfilled: $mass")
+      // seq_pos is the running fill in id order
+      var fill = 0L
+      ds.sortBy(_._1).foreach { d =>
+        assert(d._4 == fill, s"seq $seq pos drift at id ${d._1}"); fill += d._2
+      }
+    }
+    val seqs = rows.map(_._3).distinct.sorted
+    assert(seqs.head == 0L && seqs.last == seqs.length - 1L,
+      "global seq ids must be contiguous from 0")
+    // ids in ascending order never map to a smaller seq
+    assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+  }
+
   test("leakage-safe split property: near-dup twins land in the SAME " +
     "split even when their per-id buckets differ; isolated docs reduce " +
     "to the plain per-id split") {
