@@ -221,6 +221,43 @@ object TrainingData {
         col("seq_pos"), col("oversize"))
   }
 
+  /** One-row efficiency report over a [[packWholeDocs]] layout — the
+    * number that decides between whole-doc packing and concat-and-chunk
+    * for a given corpus: every non-oversize sequence pads its unfilled
+    * tail, so `padding_frac` IS the throughput tax of keeping attention
+    * inside documents. Oversize sequences are excluded from padding
+    * (they are truncation decisions, not padding) and reported
+    * separately.
+    *
+    * Scale shape: one constant-state aggregation per sequence (sum +
+    * max over its docs) and one global rollup — O(seqs) intermediate,
+    * nothing collected.
+    *
+    * Output: (n_docs, n_seqs, n_oversize, packed_tokens, padded_tokens,
+    * padding_frac) — fractions rounded to 6, the cross-engine
+    * convention. */
+  def packingEfficiency(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    val perSeq = packed.groupBy(col("seq"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(col("n_tokens")).as("__mass"),
+        max(col("oversize").cast("int")).as("__over"))
+    perSeq.agg(
+      sum(col("__docs")).cast("long").as("n_docs"),
+      count(lit(1)).cast("long").as("n_seqs"),
+      sum(col("__over")).cast("long").as("n_oversize"),
+      sum(col("__mass")).cast("long").as("packed_tokens"),
+      sum(when(col("__over") === 0, lit(budget) - col("__mass"))
+        .otherwise(lit(0L))).cast("long").as("padded_tokens"))
+      .select(col("n_docs"), col("n_seqs"), col("n_oversize"),
+        col("packed_tokens"), col("padded_tokens"),
+        when((col("n_seqs") - col("n_oversize")) === 0, lit(0.0d))
+          .otherwise(round(col("padded_tokens").cast("double") /
+            ((col("n_seqs") - col("n_oversize")).cast("double") * budget), 6)
+            + lit(0.0d))
+          .as("padding_frac"))
+  }
+
   // ---------------- training-shard sink ----------------
 
   /** Per-(sequence, document) slice rows from a [[packAssignments]]

@@ -823,6 +823,55 @@ object PipelineQueries {
        |  g.n_tokens > $PwdBudget AS oversize
        |FROM g JOIN bs USING (bucket) ORDER BY doc_id""".stripMargin
 
+  /** The whole-doc layout's efficiency report — the padding tax of
+    * keeping attention inside documents, the number that picks between
+    * this layout and concat-and-chunk. The oracle re-runs the packing
+    * recurrence and aggregates identically. */
+  private val packingEfficiency: QueryFn = (s, dir) =>
+    TrainingData.packingEfficiency(
+      TrainingData.packWholeDocs(table(s, dir, "documents"),
+        col("doc_id"), size(tokens(col("text"))),
+        budget = PwdBudget, bucketDocs = PwdBucketDocs),
+      budget = PwdBudget)
+
+  private val packingEfficiencySql: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT doc_id AS id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT id, n_tokens, id // $PwdBucketDocs AS bucket,
+       |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
+       |                           ORDER BY id) AS rn
+       |      FROM n),
+       |g AS (
+       |  SELECT bucket, rn, id, n_tokens,
+       |    0::BIGINT AS local_seq, n_tokens AS fill
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.bucket, b.rn, b.id, b.n_tokens,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN g.local_seq + 1 ELSE g.local_seq END,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN b.n_tokens ELSE g.fill + b.n_tokens END
+       |  FROM g JOIN b ON b.bucket = g.bucket AND b.rn = g.rn + 1),
+       |ps AS (SELECT bucket, local_seq, count(*) AS docs,
+       |         sum(n_tokens) AS mass,
+       |         max(CASE WHEN n_tokens > $PwdBudget THEN 1 ELSE 0 END)
+       |           AS over
+       |       FROM g GROUP BY 1, 2),
+       |agg AS (SELECT sum(docs)::BIGINT AS n_docs,
+       |          count(*)::BIGINT AS n_seqs,
+       |          sum(over)::BIGINT AS n_oversize,
+       |          sum(mass)::BIGINT AS packed_tokens,
+       |          sum(CASE WHEN over = 0 THEN $PwdBudget - mass
+       |              ELSE 0 END)::BIGINT AS padded_tokens
+       |        FROM ps)
+       |SELECT n_docs, n_seqs, n_oversize, packed_tokens, padded_tokens,
+       |  CASE WHEN n_seqs - n_oversize = 0 THEN 0.0::DOUBLE
+       |       ELSE round(padded_tokens::DOUBLE /
+       |              ((n_seqs - n_oversize)::DOUBLE * $PwdBudget), 6) + 0
+       |  END AS padding_frac
+       |FROM agg""".stripMargin
+
   /** Deterministic weighted sampling (Efraimidis-Spirakis top-k in log
     * space), weight = document length in chars: longer documents are
     * proportionally likelier to be drawn, and the draw replays from the
@@ -1207,6 +1256,8 @@ object PipelineQueries {
     Q("pipeline_token_budget_shards", tokenBudgetShards,
       Some(tokenBudgetShardsSql)),
     Q("pipeline_pack_whole_docs", packWholeDocs, Some(packWholeDocsSql)),
+    Q("pipeline_packing_efficiency", packingEfficiency,
+      Some(packingEfficiencySql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

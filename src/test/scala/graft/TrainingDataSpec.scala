@@ -1306,6 +1306,15 @@ class TrainingDataSpec extends AnyFunSuite {
       "global seq ids must be contiguous from 0")
     // ids in ascending order never map to a smaller seq
     assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // efficiency report on the handcrafted fixture: 10 docs, 7 seqs,
+    // 1 oversize (12 tokens); padding over the 6 non-oversize seqs:
+    // fills 10, 3, 10, 1, 9, 2 -> padded 60 - 35 = 25 -> 25/60
+    val eff = TrainingData.packingEfficiency(
+        TrainingData.packWholeDocs(df, col("id"), col("n"),
+          budget, bucketDocs = 8), budget)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(eff == ((10L, 7L, 1L, 47L, 25L,
+      math.rint(25.0 / 60.0 * 1e6) / 1e6)), s"got $eff")
   }
 
   test("leakage-safe split property: near-dup twins land in the SAME " +
