@@ -221,6 +221,39 @@ object TrainingData {
         col("seq_pos"), col("oversize"))
   }
 
+  /** Materialized WHOLE-DOC sequence payloads — the training sequences
+    * of the [[packWholeDocs]] layout (the [[packedTokenSequences]] twin
+    * without document straddle): one row per sequence, member docs'
+    * token arrays concatenated in seq_pos order, never split. An
+    * oversize sequence carries its single doc's FULL token stream
+    * (n_tokens > budget, `oversize` = true) — truncation is the
+    * caller's policy, stated not hidden.
+    *
+    * Scale shape: [[packWholeDocs]]' two-phase layout, one id equi-join
+    * binding token arrays to their assignments, and ONE output-bound
+    * groupBy(seq) whose per-group state is bounded by `budget` tokens
+    * (plus the one oversize doc case).
+    *
+    * Output: (seq, n_docs, n_tokens, oversize, tokens). */
+  def packedWholeDocSequences(df: DataFrame, id: Column, toks: Column,
+                              budget: Long,
+                              bucketDocs: Int = 4096): DataFrame = {
+    val docs = df.select(id.as("id"), toks.as("__toks"))
+    val packed = packWholeDocs(docs, col("id"), size(col("__toks")),
+        budget, bucketDocs)
+      .select(col("id"), col("seq"), col("seq_pos"), col("oversize"))
+    docs.join(packed, "id")
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max(col("oversize")).as("oversize"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq_pos"), col("__toks")))),
+          x => x.getField("__toks"))).as("tokens"))
+      .select(col("seq"), col("n_docs"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        col("oversize"), col("tokens"))
+  }
+
   /** One-row efficiency report over a [[packWholeDocs]] layout — the
     * number that decides between whole-doc packing and concat-and-chunk
     * for a given corpus: every non-oversize sequence pads its unfilled

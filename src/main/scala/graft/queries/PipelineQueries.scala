@@ -823,6 +823,58 @@ object PipelineQueries {
        |  g.n_tokens > $PwdBudget AS oversize
        |FROM g JOIN bs USING (bucket) ORDER BY doc_id""".stripMargin
 
+  /** The whole-doc layout's PAYLOADS — actual training sequences with
+    * member docs' tokens concatenated in slot order, never split; the
+    * oracle replays the packing recurrence and reassembles each
+    * sequence's token stream blind (content-hashed like the
+    * concat-and-chunk payload rows). */
+  private val packWholeDocsPayloads: QueryFn = (s, dir) =>
+    TrainingData.packedWholeDocSequences(table(s, dir, "documents"),
+        col("doc_id"), tokens(col("text")),
+        budget = PwdBudget, bucketDocs = PwdBucketDocs)
+      .select(col("seq"), col("n_docs"), col("n_tokens"), col("oversize"),
+        md5(concat_ws(" ", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("seq"))
+
+  private val packWholeDocsPayloadsSql: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT doc_id AS id, ${TextQueries.tokSql} AS t FROM documents),
+       |b AS (SELECT id, t, len(t)::BIGINT AS n_tokens,
+       |        id // $PwdBucketDocs AS bucket,
+       |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
+       |                           ORDER BY id) AS rn
+       |      FROM n),
+       |g AS (
+       |  SELECT bucket, rn, id, n_tokens,
+       |    0::BIGINT AS local_seq, 0::BIGINT AS seq_pos,
+       |    n_tokens AS fill
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.bucket, b.rn, b.id, b.n_tokens,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN g.local_seq + 1 ELSE g.local_seq END,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN 0 ELSE g.fill END,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN b.n_tokens ELSE g.fill + b.n_tokens END
+       |  FROM g JOIN b ON b.bucket = g.bucket AND b.rn = g.rn + 1),
+       |ns AS (SELECT bucket, max(local_seq) + 1 AS n_seqs FROM g GROUP BY 1),
+       |bs AS (SELECT bucket,
+       |         coalesce(sum(n_seqs) OVER (ORDER BY bucket
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS seq_base
+       |       FROM ns),
+       |m AS (SELECT (bs.seq_base + g.local_seq)::BIGINT AS seq,
+       |        g.seq_pos, g.n_tokens > $PwdBudget AS over, b.t
+       |      FROM g JOIN bs USING (bucket)
+       |      JOIN b ON b.bucket = g.bucket AND b.rn = g.rn)
+       |SELECT seq, count(*)::BIGINT AS n_docs,
+       |  sum(len(t))::BIGINT AS n_tokens,
+       |  max(over) AS oversize,
+       |  md5(array_to_string(flatten(list(t ORDER BY seq_pos)), ' '))
+       |    AS tokens_md5
+       |FROM m GROUP BY seq ORDER BY seq""".stripMargin
+
   /** The whole-doc layout's efficiency report — the padding tax of
     * keeping attention inside documents, the number that picks between
     * this layout and concat-and-chunk. The oracle re-runs the packing
@@ -1258,6 +1310,8 @@ object PipelineQueries {
     Q("pipeline_pack_whole_docs", packWholeDocs, Some(packWholeDocsSql)),
     Q("pipeline_packing_efficiency", packingEfficiency,
       Some(packingEfficiencySql)),
+    Q("pipeline_pack_whole_payloads", packWholeDocsPayloads,
+      Some(packWholeDocsPayloadsSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),
