@@ -315,6 +315,15 @@ class StreamingSpec extends AnyFunSuite {
     val report3 = StreamingIngest.ingestDedupGatedBatchReport(
       re, "blib", batch2, threshold = 0.0)
     assert(report3.n_bloom_definite_new == 0L && report3.n_ingested == 0L)
+    // default sizing: textbook m/k from the current count (floored at
+    // the 1024-key minimum so a young library's filter has headroom),
+    // word-aligned; the rebuilt filter still gates correctly
+    e.enableBloomGate("blib", targetFp = 0.01)
+    val auto = e.bloomGateState("blib").get
+    assert(auto.m % 64 == 0 && auto.m >= 1024 && auto.k >= 1)
+    val r4 = StreamingIngest.ingestDedupGatedBatchReport(
+      e, "blib", batch2, threshold = 0.0)
+    assert(r4.n_ingested == 0L, "rebuilt filter must still drop replays")
   }
 
   test("dedup gate: a row whose only near neighbour was itself dropped " +
