@@ -168,6 +168,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("feature_buckets"), p) // the shared histogram kernel
   }
 
+  test("pipeline_token_budget_shards: the epoch plan attaches by " +
+    "BROADCAST, the prefix sum is the two-phase shape (local windows " +
+    "partition by shard; the only unpartitioned window is the " +
+    "O(shards) base roll-up), no cartesian / nested loop") {
+    val p = plan("pipeline_token_budget_shards")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("pipeline_pack_whole_docs: the greedy fold runs per bounded id " +
+    "bucket (typed group-map over the bucket key), global numbering by " +
+    "broadcast — no cartesian, no corpus-wide unpartitioned window") {
+    val p = plan("pipeline_pack_whole_docs")
+    assert(p.contains("MapGroups"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_jaccard_exact: candidates via hash equi-joins only — " +
+    "never a nested loop or cartesian over the corpus") {
+    val p = plan("dedup_jaccard_exact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no forced broadcast of a CORPUS-DERIVED set survives (r18 " +
     "verdict task 2): the common-gram joins of remove_spans and " +
     "boilerplate carry NO strategy hint — the cut set grows with the " +

@@ -95,6 +95,59 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("jaccardPairs == brute-force exact Jaccard on random corpora " +
+    "WITH duplicates, at a random threshold (prefix + length filter " +
+    "lose nothing, values exact)") = {
+    import graft.operators.NearDup
+    val wordPool = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val textGen = Gen.listOfN(5, Gen.oneOf(wordPool)).map(_.mkString(" "))
+    forAll(Gen.listOfN(8, textGen), Gen.chooseNum(1, 3),
+      Gen.oneOf(0.3, 0.5, 0.8, 1.0)) { (texts, dupFactor, t) =>
+      val docs = (texts ++ Seq.fill(dupFactor)(texts.take(3)).flatten)
+        .zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      val df = docs.toDF("doc_id", "text")
+      val got = NearDup.jaccardPairs(df, col("doc_id"), col("text"),
+          n = 2, threshold = t)
+        .select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSet
+      val h = df.select($"doc_id",
+          NearDup.hashedShingles(col("text"), 2).as("hsh"))
+        .as[(Long, Seq[Long])].collect().map { case (i, s) => i -> s.toSet }
+      val brute = (for {
+        (a, ha) <- h; (b, hb) <- h
+        if a < b && ha.nonEmpty && hb.nonEmpty
+        if ha.intersect(hb).size.toDouble / ha.union(hb).size >= t
+      } yield (a, b)).toSet
+      got == brute
+    }
+  }
+
+  property("packWholeDocs invariants on random sizes: no split, no " +
+    "overfill except oversize-alone, contiguous global seqs, id order " +
+    "monotone in seq") = {
+    import graft.operators.TrainingData
+    forAll(Gen.listOfN(20, Gen.chooseNum(0L, 30L)),
+      Gen.oneOf(4, 7, 16), Gen.oneOf(3, 8, 64)) { (sizes, budget, bd) =>
+      val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("id", "n")
+      val rows = TrainingData.packWholeDocs(df, col("id"), col("n"),
+          budget.toLong, bucketDocs = bd)
+        .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      val bySeq = rows.groupBy(_._3)
+      val fills = bySeq.forall { case (_, ds) =>
+        if (ds.exists(_._5)) ds.length == 1
+        else ds.map(_._2).sum <= budget
+      }
+      val seqs = rows.map(_._3).distinct.sorted
+      val contiguous = seqs.isEmpty ||
+        (seqs.head == 0L && seqs.last == seqs.length - 1L)
+      val monotone = rows.sliding(2).forall(p =>
+        p.length < 2 || p(0)._3 <= p(1)._3)
+      val allDocs = rows.length == sizes.length
+      fills && contiguous && monotone && allDocs
+    }
+  }
+
   property("collapsed nearDupPairs == brute-force pairs and nearDupEdges " +
     "preserves losers + closure, on random corpora WITH duplicates") = {
     import graft.operators.NearDup
