@@ -875,6 +875,76 @@ object PipelineQueries {
        |    AS tokens_md5
        |FROM m GROUP BY seq ORDER BY seq""".stripMargin
 
+  /** Whole-doc payloads over BPE SUBWORD streams — the full
+    * no-cross-document-attention pipeline: train merges on the corpus,
+    * tokenize every document to subwords, pack WHOLE documents by
+    * subword count, materialize each sequence's subword stream. The
+    * oracle replays BPE training + application (the sentinel-wrapped
+    * CTE chain), the per-doc subword counts, the packing recurrence,
+    * and the per-sequence reassembly — entirely blind. */
+  private val packWholePayloadsBpe: QueryFn = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val merges = bpeMergesFor(s, dir)
+    val encoded = BpeTokenizer.encodedTokens(docs, col("doc_id"),
+      col("text"), merges)
+    TrainingData.packedWholeDocSequences(encoded, col("id"), col("toks"),
+        budget = PwdBudget, bucketDocs = PwdBucketDocs)
+      .select(col("seq"), col("n_docs"), col("n_tokens"), col("oversize"),
+        md5(concat_ws(" ", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("seq"))
+  }
+
+  private val packWholePayloadsBpeSql: String =
+    s"""WITH RECURSIVE $bpeTrainCtes,
+       |$bpeApplyCtes,
+       |termtoks AS (
+       |  SELECT term,
+       |    CASE WHEN s IS NULL THEN string_split(term, '')
+       |         ELSE string_split(s[2:len(s)-1], chr(3)||chr(2)) END AS tl
+       |  FROM a$BpeM),
+       |words AS (
+       |  SELECT id, i AS pos, t[i] AS term
+       |  FROM (SELECT doc_id AS id, ${TextQueries.tokSql} AS t FROM documents),
+       |       unnest(range(1, len(t) + 1)) AS u(i)),
+       |dt AS (
+       |  SELECT id, flatten(list(tl ORDER BY pos)) AS dtoks
+       |  FROM words JOIN termtoks USING (term) GROUP BY id),
+       |b AS (SELECT id, dtoks, len(dtoks)::BIGINT AS n_tokens,
+       |        id // $PwdBucketDocs AS bucket,
+       |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
+       |                           ORDER BY id) AS rn
+       |      FROM dt),
+       |g AS (
+       |  SELECT bucket, rn, id, n_tokens,
+       |    0::BIGINT AS local_seq, 0::BIGINT AS seq_pos,
+       |    n_tokens AS fill
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.bucket, b.rn, b.id, b.n_tokens,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN g.local_seq + 1 ELSE g.local_seq END,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN 0 ELSE g.fill END,
+       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
+       |         THEN b.n_tokens ELSE g.fill + b.n_tokens END
+       |  FROM g JOIN b ON b.bucket = g.bucket AND b.rn = g.rn + 1),
+       |ns AS (SELECT bucket, max(local_seq) + 1 AS n_seqs FROM g GROUP BY 1),
+       |bs AS (SELECT bucket,
+       |         coalesce(sum(n_seqs) OVER (ORDER BY bucket
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS seq_base
+       |       FROM ns),
+       |m AS (SELECT (bs.seq_base + g.local_seq)::BIGINT AS seq,
+       |        g.seq_pos, g.n_tokens > $PwdBudget AS over, b.dtoks
+       |      FROM g JOIN bs USING (bucket)
+       |      JOIN b ON b.bucket = g.bucket AND b.rn = g.rn)
+       |SELECT seq, count(*)::BIGINT AS n_docs,
+       |  sum(len(dtoks))::BIGINT AS n_tokens,
+       |  max(over) AS oversize,
+       |  md5(array_to_string(flatten(list(dtoks ORDER BY seq_pos)), ' '))
+       |    AS tokens_md5
+       |FROM m GROUP BY seq ORDER BY seq""".stripMargin
+
   /** The whole-doc layout's efficiency report — the padding tax of
     * keeping attention inside documents, the number that picks between
     * this layout and concat-and-chunk. The oracle re-runs the packing
@@ -1312,6 +1382,8 @@ object PipelineQueries {
       Some(packingEfficiencySql)),
     Q("pipeline_pack_whole_payloads", packWholeDocsPayloads,
       Some(packWholeDocsPayloadsSql)),
+    Q("pipeline_pack_whole_bpe", packWholePayloadsBpe,
+      Some(packWholePayloadsBpeSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),
