@@ -1908,9 +1908,14 @@ final class VectorEngine private (val spark: SparkSession,
     markDirty(libraryId)
   }
 
-  /** The library's Bloom state, if the gate is enabled. */
+  /** The library's Bloom state, if the gate is enabled — returned with
+    * a DEFENSIVE COPY of the words (O(m/64) — call once and reuse):
+    * the live array is mutated in place by every bulk ingest, so a
+    * caller capturing it in a lazy plan (typedlit wraps the array, it
+    * does not copy) would silently see verdicts flip after the next
+    * ingest. */
   def bloomGateState(libraryId: String): Option[BloomState] =
-    blooms.get(libraryId)
+    blooms.get(libraryId).map(bs => bs.copy(words = bs.words.clone()))
 
   /** Bloom-fronted REPLAY GATE over an arriving batch (column contract:
     * an `id` chunk-id column): None when the library has no filter —

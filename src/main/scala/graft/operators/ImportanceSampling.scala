@@ -140,10 +140,17 @@ object ImportanceSampling {
                                   buckets: Int): Array[Double] = {
     val rows = model.select(col("bucket").cast("long"), col(valueCol))
       .collect()
+    // the DISTINCT id set must be exactly [0, buckets): a row-count
+    // check alone admits duplicate ids, silently zeroing the missing
+    // bucket and taking a collect-order-dependent value for the
+    // duplicated one — the exact silent-wrong-scores failure this
+    // guard exists to make loud
     require(rows.length == buckets &&
-        rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < buckets),
-      s"model has ${rows.length} buckets but scoring was asked for " +
-        s"$buckets — train and score with ONE bucket count")
+        rows.map(_.getLong(0)).toSet == (0L until buckets.toLong).toSet,
+      s"model has ${rows.length} rows over " +
+        s"${rows.map(_.getLong(0)).distinct.length} distinct bucket ids " +
+        s"but scoring was asked for $buckets — train and score with ONE " +
+        "bucket count")
     val out = new Array[Double](buckets)
     rows.foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
     out
@@ -161,7 +168,13 @@ object ImportanceSampling {
     * x150 bound). Returns (n_feats, logweight_unrounded) columns. */
   private[operators] def scoreColumns(text: Column, lam: Array[Double],
                                       buckets: Int): (Column, Column) = {
-    val hist = bucketHistogram(text, buckets)
+    // NULL-text rows score (0, 0.0) — the old defensive-left-join
+    // contract: the kernel returns null for a null child, and without
+    // this coalesce the folds would propagate null n_feats/logweight
+    // (and null llr/prob in the classifier) instead of the documented
+    // feature-less zeros
+    val hist = coalesce(bucketHistogram(text, buckets),
+      typedlit(Seq.fill(buckets)(0L)))
     val lamLit = typedlit(lam.toSeq)
     val contribs = filter(
       zip_with(hist, lamLit, (c, l) =>

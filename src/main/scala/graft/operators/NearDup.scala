@@ -568,10 +568,19 @@ object NearDup {
     * boilerplate doc), one (prefix × posting) equi-join on the scalar
     * hash, and the exact confirm only on candidates. No all-pairs
     * product anywhere. */
-  def containmentPairs(df: DataFrame, id: Column, text: Column,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    require(threshold > 0.0d && threshold <= 1.0d,
-      "containment threshold must be in (0, 1]")
+  /** Shared candidate machinery of [[containmentPairs]] and
+    * [[jaccardPairs]] — ONE home for the exactness-critical pieces
+    * (the rarest-first global order and the epsilon'd pigeonhole
+    * prefix length), so a fix to either cannot silently diverge the
+    * other's losslessness: returns (sets = (id, hsh), prefixes =
+    * (id_a, __sza, h) — each doc's |S| − ceil(t·|S|) + 1 rarest
+    * shingles, with its set size carried for callers' length filters).
+    * The in-plan `- 1e-9` before the ceil errs the prefix LONG when
+    * t·|S| rounds a hair above an exact integer — a few extra
+    * candidates, never lost recall. */
+  private def prefixCandidateSides(df: DataFrame, id: Column, text: Column,
+                                   n: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
     val sets = df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
       .where(size(col("hsh")) > 0)
     val freq = sets.select(explode(col("hsh")).as("h"))
@@ -586,10 +595,19 @@ object NearDup {
         transform(col("__ord"), x => x.getField("h")).as("__sorted"),
         size(col("__ord")).as("__sz"))
     val prefixes = ordered.select(col("id").as("id_a"),
+        col("__sz").as("__sza"),
         explode(slice(col("__sorted"), lit(1),
           greatest(lit(1), col("__sz") -
             ceil(lit(threshold) * col("__sz") - lit(1e-9)).cast("int") +
             lit(1)))).as("h"))
+    (sets, prefixes)
+  }
+
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0d && threshold <= 1.0d,
+      "containment threshold must be in (0, 1]")
+    val (sets, prefixes) = prefixCandidateSides(df, id, text, n, threshold)
     val postings = sets.select(col("id").as("id_b"),
       explode(col("hsh")).as("h"))
     val candidates = prefixes.join(postings, "h")
@@ -638,24 +656,7 @@ object NearDup {
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0d && threshold <= 1.0d,
       "jaccard threshold must be in (0, 1]")
-    val sets = df.select(id.as("id"), hashedShingles(text, n).as("hsh"))
-      .where(size(col("hsh")) > 0)
-    val freq = sets.select(explode(col("hsh")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("__f"))
-    val ordered = sets.select(col("id"), explode(col("hsh")).as("h"))
-      .join(freq, "h")
-      .groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("__f"), col("h"))))
-        .as("__ord"))
-      .select(col("id"),
-        transform(col("__ord"), x => x.getField("h")).as("__sorted"),
-        size(col("__ord")).as("__sz"))
-    val prefixes = ordered.select(col("id").as("id_a"),
-        col("__sz").as("__sza"),
-        explode(slice(col("__sorted"), lit(1),
-          greatest(lit(1), col("__sz") -
-            ceil(lit(threshold) * col("__sz") - lit(1e-9)).cast("int") +
-            lit(1)))).as("h"))
+    val (sets, prefixes) = prefixCandidateSides(df, id, text, n, threshold)
     val candidates = prefixes
       .join(sets.select(col("id").as("id_b"),
           size(col("hsh")).as("__szb"), explode(col("hsh")).as("h")), "h")

@@ -100,10 +100,15 @@ object QualityClassifier {
     // mass into buckets the model has no weights for
     val rows = model
       .select(col("bucket").cast("long"), col("w"), col("lprior")).collect()
+    // distinct-id coverage of [0, buckets), not just a row count — a
+    // duplicate id would silently zero the missing bucket (see
+    // ImportanceSampling.lamArray)
     require(rows.length == buckets &&
-        rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < buckets),
-      s"model has ${rows.length} buckets but scoring was asked for " +
-        s"$buckets — train and score with ONE bucket count")
+        rows.map(_.getLong(0)).toSet == (0L until buckets.toLong).toSet,
+      s"model has ${rows.length} rows over " +
+        s"${rows.map(_.getLong(0)).distinct.length} distinct bucket ids " +
+        s"but scoring was asked for $buckets — train and score with ONE " +
+        "bucket count")
     val w = new Array[Double](buckets)
     rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
     val lprior = rows.head.getDouble(2)

@@ -179,14 +179,23 @@ object TrainingData {
     *
     * Output: (id, n_tokens, seq, seq_pos, oversize) — one row per doc;
     * `seq` is the global sequence index, `seq_pos` the doc's first
-    * token slot inside it. `id` must be integral and unique. */
+    * token slot inside it. `id` must be NON-NEGATIVE integral and
+    * unique — guarded IN-PLAN and loudly: Spark's integer DIV truncates
+    * toward zero while SQL engines floor, so a negative id would both
+    * break the ≤ bucketDocs-per-group bound (the range around zero
+    * doubles up) and diverge from any floor-division oracle replay. */
   def packWholeDocs(df: DataFrame, id: Column, nTokens: Column,
                     budget: Long, bucketDocs: Int = 4096): DataFrame = {
     require(budget > 0, "pack budget must be positive")
     require(bucketDocs > 0, "bucketDocs must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(id.cast("long").as("id"),
+    val guardedId = when(id.cast("long") < 0L,
+        raise_error(concat(lit("packWholeDocs: negative id "),
+          id.cast("string"),
+          lit(" — ids must be non-negative (trunc-vs-floor DIV)"))))
+      .otherwise(id.cast("long"))
+    val keyed = df.select(guardedId.as("id"),
         nTokens.cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"id DIV ${bucketDocs}L"))
     val local = keyed.select(col("id"), col("n_tokens"), col("bucket"))

@@ -886,15 +886,15 @@ object EngineQueries {
     e.addChunksDf(lib.id, chunkFrame(col("doc_id") % 3 === 0))
     e.enableBloomGateSized(lib.id, BloomIngestM, BloomIngestK)
     val batch2 = chunkFrame(col("doc_id") % 3 <= 1)
-    // PRE-INGEST per-id verdicts from the live filter: words CLONED
-    // (the typedlit literal wraps the array, and addChunksDf mutates it
-    // in place below) and the frame eagerly pinned, so the captured
-    // verdicts are exactly what the gated ingest saw
+    // PRE-INGEST per-id verdicts: bloomGateState returns a defensive
+    // COPY of the words (addChunksDf mutates the live array in place
+    // below), and the frame pins eagerly, so the captured verdicts are
+    // exactly what the gated ingest saw
     val bs = e.bloomGateState(lib.id).get
     val verdicts = graft.operators.BloomFilter.gate(
         batch2.select(col("id")), col("id"),
         e.chunksDf.where(col("library_id") === lib.id).select(col("id")),
-        bs.words.clone(), bs.m, bs.k)
+        bs.words, bs.m, bs.k)
       .localCheckpoint()
     val report = graft.streaming.StreamingIngest
       .ingestDedupGatedBatchReport(e, lib.id, batch2, threshold = 0.0)

@@ -783,21 +783,22 @@ object PipelineQueries {
   private val PwdBudget = 64L
   private val PwdBucketDocs = 32
 
-  private val packWholeDocs: QueryFn = (s, dir) =>
-    TrainingData.packWholeDocs(table(s, dir, "documents"),
-        col("doc_id"), size(tokens(col("text"))),
-        budget = PwdBudget, bucketDocs = PwdBucketDocs)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
-
-  private val packWholeDocsSql: String =
-    s"""WITH RECURSIVE n AS (
-       |  SELECT doc_id AS id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
-       |  FROM documents),
-       |b AS (SELECT id, n_tokens, id // $PwdBucketDocs AS bucket,
+  /** ONE home for the recursive greedy-packing CTE chain — the
+    * round's most intricate oracle SQL, shared by all four whole-doc
+    * rows so a fix to the break rule or the seq_base roll-up cannot
+    * silently leave a sibling replaying the old recurrence. Input:
+    * a CTE named `src` with (id, n_tokens[, carried payload columns]);
+    * emits CTEs b (bucketed + row-numbered, carrying `carry`),
+    * g (the per-bucket greedy recurrence: local_seq/seq_pos/fill),
+    * ns and bs (per-bucket sequence counts → exclusive global bases).
+    * Callers append their SELECT (join b back by (bucket, rn) for
+    * carried payloads). */
+  private def packRecurrenceCtes(src: String, carry: String = ""): String = {
+    val c = if (carry.isEmpty) "" else s", $carry"
+    s"""b AS (SELECT id, n_tokens$c, id // $PwdBucketDocs AS bucket,
        |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
        |                           ORDER BY id) AS rn
-       |      FROM n),
+       |      FROM $src),
        |g AS (
        |  SELECT bucket, rn, id, n_tokens,
        |    0::BIGINT AS local_seq, 0::BIGINT AS seq_pos,
@@ -817,7 +818,21 @@ object PipelineQueries {
        |         coalesce(sum(n_seqs) OVER (ORDER BY bucket
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |           AS seq_base
-       |       FROM ns)
+       |       FROM ns)""".stripMargin
+  }
+
+  private val packWholeDocs: QueryFn = (s, dir) =>
+    TrainingData.packWholeDocs(table(s, dir, "documents"),
+        col("doc_id"), size(tokens(col("text"))),
+        budget = PwdBudget, bucketDocs = PwdBucketDocs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val packWholeDocsSql: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT doc_id AS id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
+       |  FROM documents),
+       |${packRecurrenceCtes("n")}
        |SELECT g.id AS doc_id, g.n_tokens,
        |  (bs.seq_base + g.local_seq)::BIGINT AS seq, g.seq_pos,
        |  g.n_tokens > $PwdBudget AS oversize
@@ -837,33 +852,10 @@ object PipelineQueries {
       .orderBy(col("seq"))
 
   private val packWholeDocsPayloadsSql: String =
-    s"""WITH RECURSIVE n AS (
+    s"""WITH RECURSIVE n0 AS (
        |  SELECT doc_id AS id, ${TextQueries.tokSql} AS t FROM documents),
-       |b AS (SELECT id, t, len(t)::BIGINT AS n_tokens,
-       |        id // $PwdBucketDocs AS bucket,
-       |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
-       |                           ORDER BY id) AS rn
-       |      FROM n),
-       |g AS (
-       |  SELECT bucket, rn, id, n_tokens,
-       |    0::BIGINT AS local_seq, 0::BIGINT AS seq_pos,
-       |    n_tokens AS fill
-       |  FROM b WHERE rn = 1
-       |  UNION ALL
-       |  SELECT b.bucket, b.rn, b.id, b.n_tokens,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN g.local_seq + 1 ELSE g.local_seq END,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN 0 ELSE g.fill END,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN b.n_tokens ELSE g.fill + b.n_tokens END
-       |  FROM g JOIN b ON b.bucket = g.bucket AND b.rn = g.rn + 1),
-       |ns AS (SELECT bucket, max(local_seq) + 1 AS n_seqs FROM g GROUP BY 1),
-       |bs AS (SELECT bucket,
-       |         coalesce(sum(n_seqs) OVER (ORDER BY bucket
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |           AS seq_base
-       |       FROM ns),
+       |n AS (SELECT id, t, len(t)::BIGINT AS n_tokens FROM n0),
+       |${packRecurrenceCtes("n", carry = "t")},
        |m AS (SELECT (bs.seq_base + g.local_seq)::BIGINT AS seq,
        |        g.seq_pos, g.n_tokens > $PwdBudget AS over, b.t
        |      FROM g JOIN bs USING (bucket)
@@ -909,31 +901,8 @@ object PipelineQueries {
        |dt AS (
        |  SELECT id, flatten(list(tl ORDER BY pos)) AS dtoks
        |  FROM words JOIN termtoks USING (term) GROUP BY id),
-       |b AS (SELECT id, dtoks, len(dtoks)::BIGINT AS n_tokens,
-       |        id // $PwdBucketDocs AS bucket,
-       |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
-       |                           ORDER BY id) AS rn
-       |      FROM dt),
-       |g AS (
-       |  SELECT bucket, rn, id, n_tokens,
-       |    0::BIGINT AS local_seq, 0::BIGINT AS seq_pos,
-       |    n_tokens AS fill
-       |  FROM b WHERE rn = 1
-       |  UNION ALL
-       |  SELECT b.bucket, b.rn, b.id, b.n_tokens,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN g.local_seq + 1 ELSE g.local_seq END,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN 0 ELSE g.fill END,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN b.n_tokens ELSE g.fill + b.n_tokens END
-       |  FROM g JOIN b ON b.bucket = g.bucket AND b.rn = g.rn + 1),
-       |ns AS (SELECT bucket, max(local_seq) + 1 AS n_seqs FROM g GROUP BY 1),
-       |bs AS (SELECT bucket,
-       |         coalesce(sum(n_seqs) OVER (ORDER BY bucket
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |           AS seq_base
-       |       FROM ns),
+       |n AS (SELECT id, dtoks, len(dtoks)::BIGINT AS n_tokens FROM dt),
+       |${packRecurrenceCtes("n", carry = "dtoks")},
        |m AS (SELECT (bs.seq_base + g.local_seq)::BIGINT AS seq,
        |        g.seq_pos, g.n_tokens > $PwdBudget AS over, b.dtoks
        |      FROM g JOIN bs USING (bucket)
@@ -960,21 +929,7 @@ object PipelineQueries {
     s"""WITH RECURSIVE n AS (
        |  SELECT doc_id AS id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
        |  FROM documents),
-       |b AS (SELECT id, n_tokens, id // $PwdBucketDocs AS bucket,
-       |        row_number() OVER (PARTITION BY id // $PwdBucketDocs
-       |                           ORDER BY id) AS rn
-       |      FROM n),
-       |g AS (
-       |  SELECT bucket, rn, id, n_tokens,
-       |    0::BIGINT AS local_seq, n_tokens AS fill
-       |  FROM b WHERE rn = 1
-       |  UNION ALL
-       |  SELECT b.bucket, b.rn, b.id, b.n_tokens,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN g.local_seq + 1 ELSE g.local_seq END,
-       |    CASE WHEN g.fill + b.n_tokens > $PwdBudget
-       |         THEN b.n_tokens ELSE g.fill + b.n_tokens END
-       |  FROM g JOIN b ON b.bucket = g.bucket AND b.rn = g.rn + 1),
+       |${packRecurrenceCtes("n")},
        |ps AS (SELECT bucket, local_seq, count(*) AS docs,
        |         sum(n_tokens) AS mass,
        |         max(CASE WHEN n_tokens > $PwdBudget THEN 1 ELSE 0 END)

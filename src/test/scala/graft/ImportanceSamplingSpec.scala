@@ -82,6 +82,43 @@ class ImportanceSamplingSpec extends AnyFunSuite {
       col("text"), model, B).count() == 5)
   }
 
+  test("NULL text scores (n_feats 0, logweight 0.0) — the defensive " +
+    "contract the projection rewrite must preserve (a null kernel " +
+    "output must not propagate null scores)") {
+    val withNull = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val model = ImportanceSampling.bucketModel(rawDocs, targetDocs,
+      col("doc_id"), col("text"), B)
+    val got = ImportanceSampling.scoreWithModel(withNull, col("doc_id"),
+        col("text"), model, B)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    assert(got(1) == ((2L, 0L, 0.0d)), s"null-text row scored ${got(1)}")
+    assert(got(0)._2 > 0L)
+    // the classifier twin: null text scores the bare (rounded) prior
+    val qc = graft.operators.QualityClassifier.trainModel(targetDocs,
+      rawDocs, col("doc_id"), col("text"), B)
+    val lprior = qc.select(col("lprior")).head().getDouble(0)
+    val prior6 = BigDecimal(lprior)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0d
+    val llr = graft.operators.QualityClassifier.score(withNull,
+        col("doc_id"), col("text"), qc, B)
+      .where(col("id") === 2L).select(col("llr")).head().getDouble(0)
+    assert(llr == prior6, s"null-text llr $llr != bare prior $prior6")
+  }
+
+  test("a malformed model with DUPLICATE bucket ids fails loudly even " +
+    "when the row count matches (a dup would silently zero the missing " +
+    "bucket)") {
+    val bad = (0 until B).map(i =>
+        (if (i == B - 1) (B - 2).toLong else i.toLong, 0.1d))
+      .toDF("bucket", "lam")
+    val e = intercept[IllegalArgumentException] {
+      ImportanceSampling.scoreWithModel(rawDocs, col("doc_id"),
+        col("text"), bad, B).collect()
+    }
+    assert(e.getMessage.contains("distinct bucket ids"))
+  }
+
   test("importanceWeights is STATELESS: repeated calls and repeated " +
     "materializations agree, equal scoreWithModel over the lazy model, " +
     "and leave no block-store residue (no checkpoint/persist pins)") {

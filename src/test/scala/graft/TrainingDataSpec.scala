@@ -1315,6 +1315,16 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Double)].head()
     assert(eff == ((10L, 7L, 1L, 47L, 25L,
       math.rint(25.0 / 60.0 * 1e6) / 1e6)), s"got $eff")
+    // negative ids fail LOUDLY in-plan: Spark's trunc-DIV vs SQL's
+    // floor-DIV would silently diverge the layout, and the range around
+    // zero would double a bucket's in-memory bound
+    val neg = Seq((-1L, 3L), (0L, 3L)).toDF("id", "n")
+    val err = intercept[Exception] { // SparkRuntimeException via raise_error
+      TrainingData.packWholeDocs(neg, col("id"), col("n"),
+        budget, bucketDocs = 8).collect()
+    }
+    assert(err.getMessage.contains("negative id") ||
+      Option(err.getCause).exists(_.getMessage.contains("negative id")))
   }
 
   test("leakage-safe split property: near-dup twins land in the SAME " +
