@@ -2306,10 +2306,14 @@ final class VectorEngine private (val spark: SparkSession,
     val batch = withEmb.select(col("id"),
       chunkDocumentId.as("document_id"), col("text"), col("embedding"),
       typedLit(Map.empty[String, String]).as("metadata"), col("chunk_index"))
-    val nIngested = graft.streaming.StreamingIngest.ingestDedupGatedBatch(
-      this, libraryId, batch, threshold)
+    // the REPORT variant, so the Bloom split the streaming path already
+    // surfaces (GatedIngestReport) reaches the batch facades too
+    // (VERDICT r19 task 7): n_bloom_definite_new = rows the sketch
+    // cleared without the exact anti-join, -1 when no gate is enabled
+    val gatedReport = graft.streaming.StreamingIngest
+      .ingestDedupGatedBatchReport(this, libraryId, batch, threshold)
     VectorEngine.CurationReport(nChunks, nQuality, nClassified, nSelected,
-      nClean, nIngested)
+      nClean, gatedReport.n_ingested, gatedReport.n_bloom_definite_new)
   }
 
   // -------------------------------------------------------------------
@@ -3058,12 +3062,18 @@ object VectorEngine {
     * no classifier model is passed), `n_after_dsir` counts survivors of
     * the DSIR gate that runs after it (= `n_after_classifier` when no
     * DSIR model is passed) — so per-gate attrition stays observable in
-    * classifier-only, dsir-only, and combined runs. */
+    * classifier-only, dsir-only, and combined runs.
+    * `n_bloom_definite_new` (r19 verdict task 7) surfaces the Bloom
+    * replay-gate split beside the other per-gate counts: rows the
+    * library's seen-id sketch cleared WITHOUT the exact anti-join;
+    * -1 when the library has no filter — the same sentinel the
+    * streaming `GatedIngestReport` uses. */
   final case class CurationReport(n_chunks: Long, n_after_quality: Long,
                                   n_after_classifier: Long,
                                   n_after_dsir: Long,
                                   n_after_decontamination: Long,
-                                  n_ingested: Long)
+                                  n_ingested: Long,
+                                  n_bloom_definite_new: Long = -1L)
 
   /** Accounting for [[VectorEngine.crawlAndIngest]]'s crawl-side stages
     * (the curation-side stages report through [[CurationReport]]).

@@ -125,6 +125,14 @@ object BloomFilter {
   def gate(batch: DataFrame, key: Column,
            seenKeys: DataFrame, words: Array[Long],
            m: Int, k: Int): DataFrame = {
+    // loud guard, not a scaladoc-only contract (ADVICE r19): withColumn
+    // would silently CLOBBER a caller column of the same name and the
+    // verdicts downstream would be wrong with no error
+    val reserved = Seq("__key", "bloom_positive", "is_seen")
+      .filter(batch.columns.contains)
+    require(reserved.isEmpty,
+      s"bloom gate reserves column name(s) ${reserved.mkString(", ")} — " +
+        "rename them in the batch before gating")
     val keyed = batch.withColumn("__key", key)
       .withColumn("bloom_positive",
         coalesce(mightContain(col("__key"), words, m, k), lit(false)))

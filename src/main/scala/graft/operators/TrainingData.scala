@@ -215,15 +215,25 @@ object TrainingData {
         }
       }
       .toDF("bucket", "local_seq", "id", "n_tokens", "seq_pos", "oversize")
-    // exactly O(buckets) rows: the only driver-sized structure
+    // O(id_span / bucketDocs) rows — PARAMETER-damped but still
+    // CORPUS-DEPENDENT (a sparse 1e12 id span at the default bucketDocs
+    // is ~244M buckets), so the numbering side carries NO strategy hint
+    // (the removeRepeatedSpans convention): stats/AQE broadcast it when
+    // it fits and fall back to a shuffle join when it does not. The
+    // exclusive prefix sum below IS a single-partition window — the
+    // accepted bound is O(buckets) rows of two longs, the same
+    // one-reducer prefix-sum bound packAssignments accepts over its
+    // `shards` rows; callers with astronomically sparse id spans
+    // densify ids first (the negative-id guard already forces ids
+    // through a cast).
     val perBucket = local.groupBy(col("bucket"))
       .agg((max(col("local_seq")) + 1L).as("n_seqs"))
     val baseW = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = broadcast(perBucket
+    val bases = perBucket
       .withColumn("seq_base",
         coalesce(sum(col("n_seqs")).over(baseW), lit(0L)))
-      .select(col("bucket"), col("seq_base")))
+      .select(col("bucket"), col("seq_base"))
     local.join(bases, "bucket")
       .select(col("id"), col("n_tokens"),
         (col("seq_base") + col("local_seq")).as("seq"),
@@ -284,13 +294,16 @@ object TrainingData {
       .agg(count(lit(1)).as("__docs"),
         sum(col("n_tokens")).as("__mass"),
         max(col("oversize").cast("int")).as("__over"))
+    // coalesce every sum: over an EMPTY layout the group-less aggregate
+    // emits one row of null sums (ADVICE r19) — the documented contract
+    // is the zero counters (0, 0, 0, 0, 0, 0.0), not nulls
     perSeq.agg(
-      sum(col("__docs")).cast("long").as("n_docs"),
+      coalesce(sum(col("__docs")), lit(0L)).cast("long").as("n_docs"),
       count(lit(1)).cast("long").as("n_seqs"),
-      sum(col("__over")).cast("long").as("n_oversize"),
-      sum(col("__mass")).cast("long").as("packed_tokens"),
-      sum(when(col("__over") === 0, lit(budget) - col("__mass"))
-        .otherwise(lit(0L))).cast("long").as("padded_tokens"))
+      coalesce(sum(col("__over")), lit(0L)).cast("long").as("n_oversize"),
+      coalesce(sum(col("__mass")), lit(0L)).cast("long").as("packed_tokens"),
+      coalesce(sum(when(col("__over") === 0, lit(budget) - col("__mass"))
+        .otherwise(lit(0L))), lit(0L)).cast("long").as("padded_tokens"))
       .select(col("n_docs"), col("n_seqs"), col("n_oversize"),
         col("packed_tokens"), col("padded_tokens"),
         when((col("n_seqs") - col("n_oversize")) === 0, lit(0.0d))
@@ -1106,7 +1119,19 @@ object TrainingData {
     * seq_last) — [[packAssignments]]' contract per document INSTANCE;
     * feed through [[sequenceRows]] / [[writeShards]] for the physical
     * shard layout. `id` must be a non-negative numeric; `plan` is a
-    * [[tokenBudgetPlan]] frame. */
+    * [[tokenBudgetPlan]] frame.
+    *
+    * DETERMINISTIC-INPUT REQUIREMENT (ADVICE r19): `df` is evaluated by
+    * THREE independent consumers — the eager id-span aggregate, the
+    * epoch-sampled side inside [[tokenBudgetSample]], and the n_tokens
+    * equi-join — without pinning, because pinning here would
+    * localCheckpoint the FULL CORPUS projection (the block-store
+    * residue class SCALING.md §r17 bans from operators; the facades pin
+    * their own bounded batches instead). A non-deterministic source
+    * (sampled/rand()-derived frames) could therefore desync the draw
+    * from the span guard: callers must pass a deterministic frame —
+    * table-backed reads and pure projections are; localCheckpoint at
+    * the CALL SITE if yours is not. */
   def tokenBudgetPack(df: DataFrame, id: Column, group: Column,
                       nTokens: Column, plan: DataFrame, budget: Long,
                       shards: Int = 32): DataFrame = {

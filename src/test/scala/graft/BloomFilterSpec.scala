@@ -73,6 +73,21 @@ class BloomFilterSpec extends AnyFunSuite {
       "is_seen without bloom_positive is impossible by construction")
   }
 
+  test("gate: a batch already carrying a reserved column name fails " +
+    "LOUDLY instead of being silently clobbered (ADVICE r19 — the " +
+    "no-collision contract is a require, not a scaladoc note)") {
+    val m = 64; val k = 2
+    val words = BloomFilter.build(corpus, col("key"), m, k)
+    for (bad <- Seq("__key", "bloom_positive", "is_seen")) {
+      val batch = Seq((1L, "https://x.example.com/1", true))
+        .toDF("id", "key", bad)
+      val err = intercept[IllegalArgumentException] {
+        BloomFilter.gate(batch, col("key"), corpus, words, m, k)
+      }
+      assert(err.getMessage.contains(bad), s"message must name $bad")
+    }
+  }
+
   test("mightContain is a pure projection: no join, no exchange, no " +
     "subquery in its plan — the definite-new path never touches the corpus") {
     val m = 256; val k = 3

@@ -1825,6 +1825,10 @@ class EngineSpec extends AnyFunSuite {
     assert(r.curation.n_chunks == 4L)
     assert(r.curation.n_after_decontamination == 3L)  // /c quoted the eval
     assert(r.curation.n_ingested == 3L)
+    // no Bloom gate on the library yet: the report carries the
+    // no-filter sentinel (VERDICT r19 task 7 — the batch facade
+    // surfaces the Bloom split beside its other per-gate counts)
+    assert(r.curation.n_bloom_definite_new == -1L)
     assert(e.chunkCount(lib.id) == 3L)
     // PAGE-PER-DOCUMENT: one document per page surviving line removal
     // (the husked /d gets none), named by the canonical URL, carrying
@@ -1845,19 +1849,29 @@ class EngineSpec extends AnyFunSuite {
     assert(e.chunkCount(lib.id) == 2L)
     assert(e.listDocuments(lib.id).total == 3L)
     // re-crawling the same batch re-creates /b's document (it is absent
-    // again) but the replay gate re-ingests only /b's chunk
+    // again) but the replay gate re-ingests only /b's chunk — now
+    // Bloom-fronted: the filter (built from the 2 surviving chunk ids)
+    // routes arrivals it has never seen around the exact anti-join, and
+    // the report surfaces the split
+    e.enableBloomGate(lib.id)
     val again = e.crawlAndIngest(lib.id, pages, col("url"),
       col("html"), embed, bench, col("text"), minLineDocFreq = 2,
       maxTokens = 16, n = 3, threshold = 0.0)
     assert(again.curation.n_ingested == 1L)
+    assert(again.curation.n_bloom_definite_new >= 0L,
+      "gate enabled: the crawl report must carry the Bloom split")
     assert(e.chunkCount(lib.id) == 3L)
     assert(e.listDocuments(lib.id).total == 4L)
     // a THIRD crawl is a full no-op: all documents present, all chunks
-    // caught by the replay gate
+    // caught by the replay gate — and every arriving id is now IN the
+    // filter (bulk ingest folds new ids in), so zero rows skip the
+    // exact confirm
     val third = e.crawlAndIngest(lib.id, pages, col("url"),
       col("html"), embed, bench, col("text"), minLineDocFreq = 2,
       maxTokens = 16, n = 3, threshold = 0.0)
     assert(third.curation.n_ingested == 0L)
+    assert(third.curation.n_bloom_definite_new == 0L,
+      "all replayed ids are in the filter: nothing is definite-new")
     assert(e.chunkCount(lib.id) == 3L && e.listDocuments(lib.id).total == 4L)
     // the same URL set crawls into a SECOND library: document (and so
     // chunk) ids are salted with the library id, so nothing collides

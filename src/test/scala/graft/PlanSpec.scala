@@ -180,13 +180,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pipeline_pack_whole_docs: the greedy fold runs per bounded id " +
-    "bucket (typed group-map over the bucket key), global numbering by " +
-    "broadcast — no cartesian, no corpus-wide unpartitioned window") {
+    "bucket (typed group-map over the bucket key); the numbering side " +
+    "carries NO forced broadcast (bucket count is corpus-dependent — " +
+    "ADVICE r19), and no cartesian / corpus-wide unpartitioned window") {
     val p = plan("pipeline_pack_whole_docs")
     assert(p.contains("MapGroups"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val analyzed = SparkEntry.queries("pipeline_pack_whole_docs")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"pack_whole_docs numbering carries a join-strategy hint:\n$analyzed")
   }
 
   test("dedup_jaccard_exact: candidates via hash equi-joins only — " +

@@ -1325,6 +1325,15 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("negative id") ||
       Option(err.getCause).exists(_.getMessage.contains("negative id")))
+    // EMPTY layout: the documented zero counters, never a null row
+    // (ADVICE r19 — sum over zero rows is null without the coalesce,
+    // and the n_oversize guard in padding_frac never fires on null)
+    val empty = TrainingData.packingEfficiency(
+        TrainingData.packWholeDocs(
+          Seq.empty[(Long, Long)].toDF("id", "n"),
+          col("id"), col("n"), budget, bucketDocs = 8), budget)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(empty == ((0L, 0L, 0L, 0L, 0L, 0.0d)), s"got $empty")
   }
 
   test("leakage-safe split property: near-dup twins land in the SAME " +
