@@ -585,21 +585,26 @@ object NearDup {
       .where(size(col("hsh")) > 0)
     val freq = sets.select(explode(col("hsh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("__f"))
-    // rarest-first order per doc; prefix long enough by pigeonhole
-    val ordered = sets.select(col("id"), explode(col("hsh")).as("h"))
+    // rarest-first order per doc as a ROW_NUMBER window over narrow
+    // (id, sz, h, f) rows — NEVER a per-doc collect_list multiset
+    // (VERDICT r19 task 1b: the wide aggregation buffer was the 10x
+    // tier's worst spiller under full-suite memory pressure; the window
+    // sorts fixed-width rows and spills gracefully instead). The order
+    // (__f asc, h asc) is EXACTLY the tie the old array_sort(struct(__f,
+    // h)) version produced, so the prefix SET is unchanged. `hsh` is
+    // distinct per doc, so row_number is deterministic.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__f"), col("h"))
+    val prefixes = sets
+      .select(col("id"), size(col("hsh")).as("__sz"),
+        explode(col("hsh")).as("h"))
       .join(freq, "h")
-      .groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("__f"), col("h"))))
-        .as("__ord"))
-      .select(col("id"),
-        transform(col("__ord"), x => x.getField("h")).as("__sorted"),
-        size(col("__ord")).as("__sz"))
-    val prefixes = ordered.select(col("id").as("id_a"),
-        col("__sz").as("__sza"),
-        explode(slice(col("__sorted"), lit(1),
-          greatest(lit(1), col("__sz") -
-            ceil(lit(threshold) * col("__sz") - lit(1e-9)).cast("int") +
-            lit(1)))).as("h"))
+      .withColumn("__rn", row_number().over(w))
+      // prefix long enough by pigeonhole (same epsilon'd ceil as ever)
+      .where(col("__rn") <= greatest(lit(1), col("__sz") -
+        ceil(lit(threshold) * col("__sz") - lit(1e-9)).cast("int") +
+        lit(1)))
+      .select(col("id").as("id_a"), col("__sz").as("__sza"), col("h"))
     (sets, prefixes)
   }
 
@@ -645,18 +650,32 @@ object NearDup {
     * the id order itself. The all-pairs DuckDB oracle hash-gates zero
     * lost pairs.
     *
-    * Scale shape: [[containmentPairs]]' exactly — one shingle scan, one
-    * frequency shuffle, bounded per-doc sorts, the (prefix × posting)
-    * equi-join with the length cut applied BEFORE the distinct, and the
-    * exact confirm on candidates only. Exact copies (J = 1 groups)
-    * genuinely emit all their pairs — that is the OUTPUT's size, not
-    * avoidable work; collapse copies first ([[collapseByDigest]] /
-    * the exact-dedup rung) when groups are large. */
+    * Scale shape: [[containmentPairs]]' prefix machinery run over
+    * DISTINCT TEXTS only — exact copies collapse FIRST
+    * ([[collapseByDigest]], r19 verdict task 3: a group of m identical
+    * boilerplate pages would otherwise push all m(m-1)/2 identity pairs
+    * through the candidate join and the confirm; post-collapse the
+    * machinery sees ONE row per distinct text and the quadratic
+    * within-group row count exists only in the pair OUTPUT itself,
+    * which is inherent to the pair contract — [[nearDupPairs]]'
+    * expansion, verbatim). One shingle scan over reps, one frequency
+    * shuffle, the narrow-row prefix window, the (prefix × posting)
+    * equi-join with the length cut applied BEFORE the distinct, the
+    * exact confirm on rep candidates only (ONE intersect per candidate
+    * — Catalyst does not CSE the ∩ across the numerator and the union
+    * denominator, so it is computed once and reused), then the
+    * output-bound member expansion: within-group pairs score the
+    * identical-text jaccard 1.0 (nonempty shingle sets only — empty
+    * docs pair with nothing, as ever), cross-group member pairs
+    * inherit their reps' jaccard, which IS their jaccard. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0d && threshold <= 1.0d,
       "jaccard threshold must be in (0, 1]")
-    val (sets, prefixes) = prefixCandidateSides(df, id, text, n, threshold)
+    val (members0, reps) = collapseByDigest(df, id, text)
+    val members = members0.localCheckpoint() // expandPairs reads it 4x
+    val (sets, prefixes) =
+      prefixCandidateSides(reps, col("grp"), col("text"), n, threshold)
     val candidates = prefixes
       .join(sets.select(col("id").as("id_b"),
           size(col("hsh")).as("__szb"), explode(col("hsh")).as("h")), "h")
@@ -670,13 +689,20 @@ object NearDup {
       .join(sets.select(col("id").as("id_a"), col("hsh").as("__ha")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hsh").as("__hb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
-          (size(col("__ha")) + size(col("__hb")) -
-            size(array_intersect(col("__ha"), col("__hb")))).cast("double"))
-          .as("__j"))
-    confirm.where(col("__j") >= threshold)
+        size(array_intersect(col("__ha"), col("__hb"))).as("__ix"),
+        (size(col("__ha")) + size(col("__hb"))).as("__sum"))
       .select(col("id_a"), col("id_b"),
+        (col("__ix").cast("double") /
+          (col("__sum") - col("__ix")).cast("double")).as("__j"))
+    val crossPairs = confirm.where(col("__j") >= threshold)
+      .select(col("id_a").as("grp_a"), col("id_b").as("grp_b"),
         (round(col("__j"), 6) + lit(0.0d)).as("jaccard"))
+    // identical texts: J = 1.0 by definition; `sets` already excludes
+    // empty shingle sets, so empty-text groups emit nothing (the exact
+    // behavior of the pre-collapse plan) and 1.0 >= threshold always
+    val withinGroups = sets.select(col("id").as("grp"),
+      lit(1.0d).as("jaccard"))
+    expandPairs(members, crossPairs, withinGroups, "jaccard")
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, banded: the
