@@ -414,6 +414,59 @@ object TextHash {
     out
   }
 
+  /** Per-document DISTINCT ADJACENT-TOKEN-PAIR RUNS — one document's
+    * bigram multiset as (prev, cur, cnt) structs, distinct pairs with
+    * occurrence counts, sorted by (prev, cur) in UTF8-BINARY order (the
+    * exact comparator Spark's array_sort uses on string structs, so a
+    * downstream fold over the array ordinal replays the identical
+    * float-addition order the old sort-by-strings fold produced).
+    * Bit-identical to exploding arrays_zip(slice(tokens, 1, n-1),
+    * slice(tokens, 2, n-1)) and counting per (doc, prev, cur) — which
+    * is exactly what the DuckDB oracle still replays — but it turns
+    * the bigram-LM scoring side into kernel + posexplode + broadcast
+    * model joins + ONE narrow (id, pos, contrib) fold shuffle: no
+    * (id, prev, cur) string-keyed corpus shuffle, no per-doc
+    * collect_list(struct(prev, cur, contrib)) wide state (the r19
+    * driver bench measured that shuffle pair as the 10x tier's
+    * lm_bigram bound breaker: 22.4x vs the x15 bound under full-suite
+    * memory pressure). Tokens come from the one pinned [[tokenize]].
+    * Documents with fewer than two tokens yield an empty array. */
+  private[functions] def bigramRunsData(text: String): ArrayData = {
+    val toks = tokenize(text)
+    val T = toks.length
+    if (T < 2) return new GenericArrayData(Array.empty[Any])
+    val u = new Array[UTF8String](T)
+    var i = 0
+    while (i < T) { u(i) = UTF8String.fromString(toks(i)); i += 1 }
+    val idx = new Array[Integer](T - 1)
+    i = 0
+    while (i < T - 1) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val ai = a.intValue; val bi = b.intValue
+        val c = u(ai).compareTo(u(bi))
+        if (c != 0) c else u(ai + 1).compareTo(u(bi + 1))
+      }
+    })
+    val rows = new java.util.ArrayList[Any](T - 1)
+    var p = 0
+    while (p < T - 1) {
+      val s = idx(p).intValue
+      var cnt = 1
+      while (p + cnt < T - 1 && {
+        val t = idx(p + cnt).intValue
+        u(s).equals(u(t)) && u(s + 1).equals(u(t + 1))
+      }) cnt += 1
+      rows.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](u(s), u(s + 1), cnt)))
+      p += cnt
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  def bigramRunsCol(text: Column): Column =
+    ColumnBridge.column(BigramRunsExpr(ColumnBridge.expression(text)))
+
   def gopherGramStatsCol(text: Column): Column =
     ColumnBridge.column(GopherGramStatsExpr(ColumnBridge.expression(text)))
 
@@ -547,6 +600,34 @@ case class FeatureBucketsExpr(child: Expression, seed: Int, buckets: Int)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextHash.featureBucketHistogram(
       input.asInstanceOf[UTF8String].toString, seed, buckets))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [[TextHash.bigramRunsData]] as a Catalyst expression — one
+  * per-document call replacing the bigram-LM scoring side's
+  * (id, prev, cur) string-keyed count shuffle and its wide per-doc
+  * fold state; the per-row virtual call is noise next to the per-pair
+  * sort work inside, so CodegenFallback like the other gram kernels. */
+case class BigramRunsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "bigram_runs"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("prev", StringType, nullable = false),
+    StructField("cur", StringType, nullable = false),
+    StructField("cnt", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.bigramRunsData(input.asInstanceOf[UTF8String].toString)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

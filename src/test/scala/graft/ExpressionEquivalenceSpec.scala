@@ -271,6 +271,52 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     rows.foreach { case (e, h) => assert(e == h) }
   }
 
+  test("bigramRuns kernel == explode-zip-groupBy-sort composition " +
+    "(distinct pairs, counts, and the (prev, cur) UTF8-BINARY order — " +
+    "including supplementary-plane tokens where UTF-16 and UTF-8 " +
+    "orders diverge)") {
+    val gen = new scala.util.Random(23)
+    //  (U+F8FF) sorts AFTER 😀 (U+1F600) in UTF-16
+    // code units but BEFORE it in UTF-8 bytes: the kernel must take
+    // the UTF-8 side, because array_sort on string structs does
+    val adversarial = " 😀  😀 zz "
+    val texts = (Seq(
+      "the cat sat on the mat the cat sat",
+      "a a a a", "single", "", "  ", "Mixed CASE tokens mixed case",
+      adversarial) ++
+      (0 until 40).map(_ => Seq.fill(3 + gen.nextInt(40))(
+        "t" + gen.nextInt(7)).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val kernel = texts.select(col("id"),
+        posexplode(graft.functions.TextHash.bigramRunsCol(col("text")))
+          .as(Seq("pos", "p")))
+      .select(col("id"), col("pos"), col("p.prev"), col("p.cur"),
+        col("p.cnt").cast("long"))
+      .as[(Long, Int, String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val hof = texts
+      .select(col("id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("__t"))
+      .select(col("id"), explode(arrays_zip(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("z"))
+      .select(col("id"), col("z.0").as("prev"), col("z.1").as("cur"))
+      .groupBy(col("id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(
+        struct(col("prev"), col("cur"), col("cnt")))).as("a"))
+      .select(col("id"), posexplode(col("a")).as(Seq("pos", "p")))
+      .select(col("id"), col("pos"), col("p.prev"), col("p.cur"),
+        col("p.cnt"))
+      .as[(Long, Int, String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(kernel.length == hof.length, s"${kernel.length} vs ${hof.length}")
+    kernel.zip(hof).foreach { case (k, h) => assert(k == h, s"$k vs $h") }
+    assert(kernel.nonEmpty)
+  }
+
   test("simhash expression == array-accumulator HOF") {
     val bits = 16
     val masks = array((0 until bits).map(j => lit(1L << j)): _*)
