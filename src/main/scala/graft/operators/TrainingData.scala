@@ -313,6 +313,24 @@ object TrainingData {
           .as("padding_frac"))
   }
 
+  /** Per-(sequence, document) slice rows of a [[packWholeDocs]] layout
+    * — [[sequenceRows]]' twin for the no-cross-attention layout (r19
+    * verdict task 4: the whole-doc path now reaches [[writeShards]]'
+    * physical artifact exactly like concat-and-chunk does). A document
+    * is never split here, so the frame is a pure PROJECTION of the
+    * layout: exactly one row per token-bearing document, `slice_start`
+    * 0, `slice_len` the doc's full token count, `seq_pos` its slot.
+    * Token-less documents are dropped (they contribute no slice — the
+    * [[sequenceRows]] contract); an oversize sequence carries its
+    * single doc's full stream (truncation is the caller's policy,
+    * stated not hidden). Output: (seq, id, slice_start, slice_len,
+    * seq_pos) — [[writeShards]]' input contract, token column
+    * `slice_len`. */
+  def wholeDocSequenceRows(packed: DataFrame): DataFrame =
+    packed.where(col("n_tokens") > 0)
+      .select(col("seq"), col("id"), lit(0L).as("slice_start"),
+        col("n_tokens").as("slice_len"), col("seq_pos"))
+
   // ---------------- training-shard sink ----------------
 
   /** Per-(sequence, document) slice rows from a [[packAssignments]]

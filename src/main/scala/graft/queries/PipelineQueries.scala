@@ -949,6 +949,48 @@ object PipelineQueries {
        |  END AS padding_frac
        |FROM agg""".stripMargin
 
+  /** The WHOLE-DOC training-shard sink, gated end-to-end (r19 verdict
+    * task 4): pack whole documents at the shared budget, project the
+    * layout's one-slice-per-doc rows, WRITE them as fixed-size parquet
+    * shards through the same [[TrainingData.writeShards]] sink
+    * concat-and-chunk uses, then aggregate the manifest from the files
+    * the sink actually wrote. The oracle replays the greedy-packing
+    * recurrence and the shard arithmetic in SQL — a wrong break point,
+    * a dropped doc, or a mis-sharded sequence all hash-mismatch
+    * against bytes that went through a real parquet roundtrip. */
+  private val wholeShardSinks =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private val packWholeShards: QueryFn = (s, dir) => {
+    val sink = wholeShardSinks.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft-wshard-sink")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrfDir(root.toFile)))
+      val packed = TrainingData.packWholeDocs(table(s, dir, "documents"),
+        col("doc_id"), size(tokens(col("text"))),
+        budget = PwdBudget, bucketDocs = PwdBucketDocs)
+      val path = root.toString + "/shards"
+      TrainingData.writeShards(
+        TrainingData.wholeDocSequenceRows(packed), path, seqsPerShard = 8)
+      path
+    })
+    s.read.parquet(s"$sink/_graft_manifest").orderBy(col("shard"))
+  }
+
+  private val packWholeShardsSql: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT doc_id AS id, len(${TextQueries.tokSql})::BIGINT AS n_tokens
+       |  FROM documents),
+       |${packRecurrenceCtes("n")},
+       |sl AS (
+       |  SELECT (bs.seq_base + g.local_seq) // 8 AS shard,
+       |         (bs.seq_base + g.local_seq) AS seq, g.n_tokens
+       |  FROM g JOIN bs USING (bucket)
+       |  WHERE g.n_tokens > 0)
+       |SELECT shard, count(*) AS n_rows, count(DISTINCT seq) AS n_seqs,
+       |  sum(n_tokens)::BIGINT AS n_tokens
+       |FROM sl GROUP BY shard ORDER BY shard""".stripMargin
+
+
   /** Deterministic weighted sampling (Efraimidis-Spirakis top-k in log
     * space), weight = document length in chars: longer documents are
     * proportionally likelier to be drawn, and the draw replays from the
@@ -1339,6 +1381,8 @@ object PipelineQueries {
       Some(packWholeDocsPayloadsSql)),
     Q("pipeline_pack_whole_bpe", packWholePayloadsBpe,
       Some(packWholePayloadsBpeSql)),
+    Q("pipeline_pack_whole_shards", packWholeShards,
+      Some(packWholeShardsSql)),
     Q("pipeline_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     Q("pipeline_mixture_temperature", mixtureTemperature,
       Some(mixtureTemperatureSql)),

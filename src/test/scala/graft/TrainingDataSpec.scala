@@ -1325,6 +1325,17 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("negative id") ||
       Option(err.getCause).exists(_.getMessage.contains("negative id")))
+    // wholeDocSequenceRows: one slice row per token-bearing doc —
+    // never split (slice_start 0, slice_len = the full token count),
+    // token-less docs dropped, writeShards' column contract satisfied
+    val slices = TrainingData.wholeDocSequenceRows(
+        TrainingData.packWholeDocs(df, col("id"), col("n"),
+          budget, bucketDocs = 8))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(slices.length == df.where(col("n") > 0).count().toInt)
+    assert(slices.forall(_._3 == 0L), "whole docs never split")
+    assert(slices.map(_._4).sum ==
+      df.agg(sum(col("n"))).head().getLong(0), "slice mass = token mass")
     // EMPTY layout: the documented zero counters, never a null row
     // (ADVICE r19 — sum over zero rows is null without the coalesce,
     // and the n_oversize guard in padding_frac never fires on null)
