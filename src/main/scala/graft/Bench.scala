@@ -255,7 +255,12 @@ object Bench {
     * ingest-time artifacts; the coarse model is sample-bounded and shared
     * by both scales so the ratio isolates the serving scan). near_linear
     * = every ratio <= factor * 1.5 — generous headroom for fixed job
-    * overheads, strict enough that any quadratic term at 10x fails. */
+    * overheads, strict enough that any quadratic term at 10x fails —
+    * AND zero scaled-side task spill (r19 verdict task 2: the scaled
+    * time is the MEDIAN of three runs and each entry reports its max
+    * per-run spill bytes, so a spilling-but-lucky clock can no longer
+    * land as green and the gate's verdict is reproducible across
+    * full-suite runs). */
   private def measureStress(spark: SparkSession, sfDir: String,
                             factor: Int,
                             onlyTasks: Option[Set[String]] = None): String = {
@@ -690,6 +695,21 @@ object Bench {
             col("doc_id"), col("text"), n = 3, threshold = 0.8)
           .select((col("id_a") + col("id_b") + col("containment")).as("x"))
           .agg(sum(col("x")).as("total"), count(lit(1)).as("n_pairs"))),
+      // exact Jaccard pair join under the SAME hot-posting-list
+      // adversary (VERDICT r19 task 3: it shares containment's prefix
+      // machinery and was the slowest bench row with no stress entry of
+      // its own). Every doc's text is distinct here (the unique tokens
+      // derive from the replica's fresh doc_id), so the digest-collapse
+      // pre-step passes through and the measured cost is the candidate
+      // machinery itself: the hot boilerplate block sits below the
+      // threshold, true pairs are ~none, and the output cannot excuse
+      // quadratic time — the narrow-row prefix window and the length
+      // filter must keep the hot posting lists out of the probes.
+      Stress("jaccard_pairs", s =>
+        NearDup.jaccardPairs(boilerplatedOf(s.docs()),
+            col("doc_id"), col("text"), n = 3, threshold = 0.8)
+          .select((col("id_a") + col("id_b") + col("jaccard")).as("x"))
+          .agg(sum(col("x")).as("total"), count(lit(1)).as("n_pairs"))),
       // Bloom seen-URL gate: the filter is an ingest-time artifact
       // (built untimed over the BASE corpus's canonical URLs, sized by
       // the textbook rule — like the IVF centroids / BPE merges, what
@@ -721,14 +741,38 @@ object Bench {
     // inside the clock. foreach deserializes every column of every
     // output row: no count shortcut, no column pruning, and the
     // deserialization cost is uniform across both scales.
-    def timedRun(mk: => DataFrame): (Double, Boolean) = {
+    // SPILL ACCOUNTING (r19 verdict task 2 — make the gate mechanical):
+    // a SparkListener accumulates task-level memory+disk spill bytes;
+    // each timed run records its delta. Spill turns "host noise vs real
+    // superlinearity" into a measurement: the three rounds of gate flap
+    // all shared one mechanism — a wide scaled side sitting AT the
+    // spill threshold, green in a friendly JVM and 4-8x over the bound
+    // under full-suite pressure — so a run that spills on the scaled
+    // side now FAILS the tier even when its clock got lucky.
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val spillListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(spillListener)
+    def drainListenerBus(): Unit = Thread.sleep(300) // events are async
+    def timedRun(mk: => DataFrame): (Double, Boolean, Long) = {
+      drainListenerBus()
+      val s0 = spillBytes.get()
       val t0 = System.nanoTime()
       val df = mk
       df.foreach(_ => ())
       val t = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
+      val spill = spillBytes.get() - s0
       val p = df.queryExecution.executedPlan.toString
       (t, !p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"))
+        !p.contains("BroadcastNestedLoopJoin"), spill)
     }
     val selected = tasks.filter(t => onlyTasks.forall(_.contains(t.name)))
     var allLinear = true
@@ -755,7 +799,7 @@ object Bench {
       // operator (measured: dsir_weights' base collapsed 1.46s -> 0.08s
       // when the flush ran only at task end)
       task.flush()
-      val (t1, _) = timedRun(task.at(base))
+      val (t1, _, _) = timedRun(task.at(base))
       task.flush()
       // untimed SCALED warm-up too: the per-scale ingest-time artifacts
       // (inflation, localCheckpoints, the lsh partitioned-parquet write)
@@ -767,17 +811,32 @@ object Bench {
       // artifacts its tasks don't read.
       task.at(scaled).foreach(_ => ())
       task.flush()
-      val (tN, okN) = timedRun(task.at(scaled))
-      task.flush() // the last run's cache must not outlive the task either
+      // MEDIAN-OF-3 scaled runs (r19 verdict task 2): one lucky or one
+      // unlucky scaled clock can no longer decide the tier — the
+      // median is the reported time, and the spill verdict takes the
+      // MAX across the three (a spill in ANY run is the mechanism, not
+      // noise; a lucky no-spill run must not mask two spilling ones)
+      val scaledRuns = (1 to 3).map { _ =>
+        val r = timedRun(task.at(scaled)); task.flush(); r
+      }
+      val tN = scaledRuns.map(_._1).sorted.apply(1)
+      val okN = scaledRuns.forall(_._2)
+      val spillN = scaledRuns.map(_._3).max
       val ratio = if (t1 > 0) tN / t1 else Double.PositiveInfinity
-      val linear = ratio <= factor * 1.5
+      // spill ~ 0: a <=64 MiB allowance absorbs listener-timing noise
+      // and incidental sort-buffer handoffs; a genuine wide-row spill
+      // is GBs (the r18/r19 breakers spilled the corpus)
+      val spillOk = spillN <= (64L << 20)
+      val linear = ratio <= factor * 1.5 && spillOk
       allLinear &&= linear; allPlans &&= okN
       f"${jstr(task.name)}:{" +
         f""""t_base":${math.rint(t1 * 10000) / 10000}%s,""" +
         f""""t_scaled":${math.rint(tN * 10000) / 10000}%s,""" +
         f""""ratio":${math.rint(ratio * 100) / 100}%s,""" +
+        s""""spill_bytes":$spillN,"spill_ok":$spillOk,""" +
         s""""plan_ok":$okN}"""
     }
+    spark.sparkContext.removeSparkListener(spillListener)
     s"""{"factor":$factor,"near_linear_ok":$allLinear,"plans_ok":$allPlans,""" +
       s""""queries":${parts.mkString("{", ",", "}")}}"""
   }
