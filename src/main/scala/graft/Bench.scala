@@ -750,17 +750,33 @@ object Bench {
     // under full-suite pressure — so a run that spills on the scaled
     // side now FAILS the tier even when its clock got lucky.
     val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val taskEnds = new java.util.concurrent.atomic.AtomicLong()
     val spillListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null)
           spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        taskEnds.incrementAndGet()
         ()
       }
     }
     spark.sparkContext.addSparkListener(spillListener)
-    def drainListenerBus(): Unit = Thread.sleep(300) // events are async
+    // Drain = poll the task-end COUNT until no new event lands in a
+    // 100 ms window (5 s cap) — a fixed sleep is not a drain: under
+    // full-suite load the bus backlog can exceed any fixed pause at
+    // exactly the moment a spilling run needs attributing, and a
+    // late-delivered TaskEnd would both escape its own bracket and
+    // bleed into the next one. All tasks HAVE ended when the action
+    // returns; this waits for their queued events to be processed.
+    def drainListenerBus(): Unit = {
+      var prev = -1L
+      var cur = taskEnds.get()
+      var rounds = 0
+      while (prev != cur && rounds < 50) {
+        Thread.sleep(100); prev = cur; cur = taskEnds.get(); rounds += 1
+      }
+    }
     def timedRun(mk: => DataFrame): (Double, Boolean, Long) = {
       drainListenerBus()
       val s0 = spillBytes.get()
@@ -777,7 +793,10 @@ object Bench {
     val selected = tasks.filter(t => onlyTasks.forall(_.contains(t.name)))
     var allLinear = true
     var allPlans = true
-    val parts = selected.map { task =>
+    // finally: a task that throws must not leak the listener onto the
+    // SparkContext for the JVM's lifetime (the next tier would then
+    // stack a second one and double-count)
+    val parts = try selected.map { task =>
       // drain between TASKS, not only at tier entry: the tier-entry
       // collection (above) removed the 134-query backlog, but the tier
       // itself accumulates dead blocks too — per-scale checkpoints,
@@ -835,8 +854,7 @@ object Bench {
         f""""ratio":${math.rint(ratio * 100) / 100}%s,""" +
         s""""spill_bytes":$spillN,"spill_ok":$spillOk,""" +
         s""""plan_ok":$okN}"""
-    }
-    spark.sparkContext.removeSparkListener(spillListener)
+    } finally spark.sparkContext.removeSparkListener(spillListener)
     s"""{"factor":$factor,"near_linear_ok":$allLinear,"plans_ok":$allPlans,""" +
       s""""queries":${parts.mkString("{", ",", "}")}}"""
   }

@@ -1354,9 +1354,9 @@ object TrainingData {
     * see.
     *
     * Scale shape (r19 — NARROW rows everywhere): the corpus pays
-    * token-event aggregations only, ALL keyed on a seeded `xxhash64`
-    * of their unit (8-byte fixed-width shuffle keys; strings join back
-    * only for the cap-bounded survivors — see [[trainBigramLm]]) — term counts (cut to vocabCap), bigram counts
+    * token-event aggregations only, ALL keyed on 128-bit composite
+    * seeded-`xxhash64` keys (fixed-width shuffle rows; strings join
+    * back only for the cap-bounded survivors — see [[trainBigramLm]]) — term counts (cut to vocabCap), bigram counts
     * (cut to bigramCap by (count desc, prev, cur) — a total order, so
     * the cut is deterministic), context counts joined to the CAPPED
     * frame (the uncapped context table is vocabulary-sized but only
@@ -1406,12 +1406,14 @@ object TrainingData {
     * replaces.
     *
     * Scale shape (r19 verdict task 1a — the NARROW-KEY rewrite): every
-    * corpus-event aggregation keys on a seeded `xxhash64` of its unit
-    * (8-byte fixed-width shuffle keys, map-side partials; xxhash64 and
-    * not the md5-backed seededHash because the hash here is INTERNAL
-    * plumbing the oracle never sees, and md5 per token event measured
-    * 5x the cost of the very shuffle it narrows), NEVER on the
-    * strings — the string-keyed groupBys here were the
+    * corpus-event aggregation keys on TWO independently-seeded
+    * `xxhash64` values of its unit (a 128-bit composite — 16-byte
+    * fixed-width shuffle keys, map-side partials; collision-merged
+    * counts would be EXPECTED at 10^10 distinct bigrams under one
+    * 64-bit key, and xxhash64 rather than the md5-backed seededHash
+    * because the hash here is INTERNAL plumbing the oracle never
+    * sees, and md5 per token event measured 5x the cost of the very
+    * shuffle it narrows), NEVER on the strings — the string-keyed groupBys here were the
     * driver bench's lm_bigram/ccnet_lang 10x-tier bound breakers
     * (22.4x/17.4x vs the x15 bound: wide partial-agg hash maps spill
     * under full-suite memory pressure). Strings join back ONLY for the
@@ -1444,9 +1446,17 @@ object TrainingData {
     // scan budget as the string-keyed original — while every
     // corpus-event shuffle carries fixed-width rows.
     val termEvents = df.select(explode(TextAnalysis.tokens(text)).as("term"))
+    // TWO independently-seeded xxhash64 values per unit = a 128-bit
+    // composite key: one 64-bit key silently merges colliding units'
+    // counts, and at the 10^10-distinct-bigram scale this operator
+    // targets the birthday bound makes that EXPECTED (n^2/2^65), which
+    // would break the exact-cut "model set unchanged" contract; at
+    // 128 bits the probability is ~1e-19 — and the rows stay
+    // fixed-width (16-byte keys)
     val termCounts = Scratch.stage(
-      termEvents.select(xxhash64(lit(21L), col("term")).as("ht"))
-        .groupBy(col("ht")).agg(count(lit(1)).as("c")),
+      termEvents.select(xxhash64(lit(21L), col("term")).as("ht1"),
+          xxhash64(lit(31L), col("term")).as("ht2"))
+        .groupBy(col("ht1"), col("ht2")).agg(count(lit(1)).as("c")),
       "bigramlm-termcounts")
     // exact integer token-event count (the OOV-floor literal): the sum
     // of per-term counts IS the event count — no extra corpus scan
@@ -1464,8 +1474,9 @@ object TrainingData {
       case None => Seq.empty[(String, Double)]
       case Some(th) =>
         termEvents
-          .select(col("term"), xxhash64(lit(21L), col("term")).as("ht"))
-          .join(termCounts.where(col("c") >= lit(th)), "ht")
+          .select(col("term"), xxhash64(lit(21L), col("term")).as("ht1"),
+            xxhash64(lit(31L), col("term")).as("ht2"))
+          .join(termCounts.where(col("c") >= lit(th)), Seq("ht1", "ht2"))
           .select(col("term"), col("c")).distinct()
           .orderBy(col("c").desc, col("term")).limit(vocabCap)
           .select(col("term"),
@@ -1478,31 +1489,38 @@ object TrainingData {
       .select(col("p").getField("prev").as("prev"),
         col("p").getField("cur").as("cur"),
         col("p").getField("cnt").cast("long").as("cnt"))
-    def pairH(prev: Column, cur: Column): Column =
-      xxhash64(lit(22L), prev, cur)
-    // the pair hash carries its prev hash along (hb determines prev,
-    // so first() is THE value): context totals then derive from the
-    // staged counts alone — cctx(prev) = sum of cbg over prev's
+    def pairH(seed: Long, prev: Column, cur: Column): Column =
+      xxhash64(lit(seed), prev, cur)
+    // the pair key carries its prev key along (the pair determines
+    // prev, so first() is THE value): context totals then derive from
+    // the staged counts alone — cctx(prev) = sum of cbg over prev's
     // bigrams, the exact event count — with zero further corpus scans
     val bgCounts = Scratch.stage(
-      pairRuns.select(pairH(col("prev"), col("cur")).as("hb"),
-          xxhash64(lit(23L), col("prev")).as("hp"), col("cnt"))
-        .groupBy(col("hb"))
-        .agg(sum(col("cnt")).as("cbg"), first(col("hp")).as("hp")),
+      pairRuns.select(pairH(22L, col("prev"), col("cur")).as("hb1"),
+          pairH(32L, col("prev"), col("cur")).as("hb2"),
+          xxhash64(lit(23L), col("prev")).as("hp1"),
+          xxhash64(lit(33L), col("prev")).as("hp2"), col("cnt"))
+        .groupBy(col("hb1"), col("hb2"))
+        .agg(sum(col("cnt")).as("cbg"),
+          first(col("hp1")).as("hp1"), first(col("hp2")).as("hp2")),
       "bigramlm-bgcounts")
     val bgRows = capThreshold(bgCounts, col("cbg"), bigramCap) match {
       case None => Seq.empty[(String, String, Double)]
       case Some(th) =>
         val capped = pairRuns
           .select(col("prev"), col("cur"),
-            pairH(col("prev"), col("cur")).as("hb"))
+            pairH(22L, col("prev"), col("cur")).as("hb1"),
+            pairH(32L, col("prev"), col("cur")).as("hb2"))
           .join(bgCounts.where(col("cbg") >= lit(th))
-            .select(col("hb"), col("cbg")), "hb")
+            .select(col("hb1"), col("hb2"), col("cbg")), Seq("hb1", "hb2"))
           .select(col("prev"), col("cur"), col("cbg")).distinct()
           .orderBy(col("cbg").desc, col("prev"), col("cur")).limit(bigramCap)
-        val ctx = bgCounts.groupBy(col("hp")).agg(sum(col("cbg")).as("cctx"))
-        ctx.join(broadcast(capped.withColumn("hp",
-            xxhash64(lit(23L), col("prev")))), "hp")
+        val ctx = bgCounts.groupBy(col("hp1"), col("hp2"))
+          .agg(sum(col("cbg")).as("cctx"))
+        ctx.join(broadcast(capped
+            .withColumn("hp1", xxhash64(lit(23L), col("prev")))
+            .withColumn("hp2", xxhash64(lit(33L), col("prev")))),
+          Seq("hp1", "hp2"))
           .select(col("prev"), col("cur"),
             (col("cbg").cast("double") / col("cctx").cast("double"))
               .as("pbg"))

@@ -382,20 +382,34 @@ object PipelineQueries {
   private val shardSinks =
     new scala.collection.concurrent.TrieMap[String, String]
 
-  private val writeShards: QueryFn = (s, dir) => {
-    val sink = shardSinks.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files.createTempDirectory("graft-shard-sink")
+  /** ONE home for the one-sink-per-(process, sf dir) lifecycle both
+    * shard-sink queries share (temp root + shutdown-hook cleanup +
+    * the `/shards` path + the manifest read): a lifecycle fix applies
+    * once instead of diverging between near-verbatim copies. */
+  private def shardSinkManifest(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      cache: scala.collection.concurrent.TrieMap[String, String],
+      tmpPrefix: String)(build: String => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    val sink = cache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory(tmpPrefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmrfDir(root.toFile)))
-      val packed = TrainingData.packAssignments(table(s, dir, "documents"),
-        col("doc_id"), size(tokens(col("text"))), budget = 64L, shards = 8)
       val path = root.toString + "/shards"
-      TrainingData.writeShards(
-        TrainingData.sequenceRows(packed, budget = 64L), path,
-        seqsPerShard = 8)
+      build(path)
       path
     })
     s.read.parquet(s"$sink/_graft_manifest").orderBy(col("shard"))
   }
+
+  private val writeShards: QueryFn = (s, dir) =>
+    shardSinkManifest(s, dir, shardSinks, "graft-shard-sink") { path =>
+      val packed = TrainingData.packAssignments(table(s, dir, "documents"),
+        col("doc_id"), size(tokens(col("text"))), budget = 64L, shards = 8)
+      TrainingData.writeShards(
+        TrainingData.sequenceRows(packed, budget = 64L), path,
+        seqsPerShard = 8)
+      ()
+    }
 
   private def rmrfDir(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrfDir))
@@ -961,20 +975,15 @@ object PipelineQueries {
   private val wholeShardSinks =
     new scala.collection.concurrent.TrieMap[String, String]
 
-  private val packWholeShards: QueryFn = (s, dir) => {
-    val sink = wholeShardSinks.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files.createTempDirectory("graft-wshard-sink")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrfDir(root.toFile)))
+  private val packWholeShards: QueryFn = (s, dir) =>
+    shardSinkManifest(s, dir, wholeShardSinks, "graft-wshard-sink") { path =>
       val packed = TrainingData.packWholeDocs(table(s, dir, "documents"),
         col("doc_id"), size(tokens(col("text"))),
         budget = PwdBudget, bucketDocs = PwdBucketDocs)
-      val path = root.toString + "/shards"
       TrainingData.writeShards(
         TrainingData.wholeDocSequenceRows(packed), path, seqsPerShard = 8)
-      path
-    })
-    s.read.parquet(s"$sink/_graft_manifest").orderBy(col("shard"))
-  }
+      ()
+    }
 
   private val packWholeShardsSql: String =
     s"""WITH RECURSIVE n AS (
