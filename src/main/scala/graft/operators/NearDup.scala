@@ -177,6 +177,33 @@ object NearDup {
     cross.unionByName(within)
   }
 
+  /** [[expandPairs]]' ORDERED twin for asymmetric pair relations
+    * (containment): crossPairs are ORDERED rep pairs (grp_a, grp_b,
+    * value) — both directions arrive as separate rows, each with its
+    * own directional value — and each expands to every (member of A,
+    * member of B) ordered pair verbatim; withinGroups (grp, value)
+    * expands to all ordered member pairs x != y (both directions, the
+    * same value — identical texts are symmetric). Output (id_a, id_b,
+    * value); every ordered pair appears exactly once (groups are
+    * disjoint). Same output-bound shape as [[expandPairs]]. */
+  private[operators] def expandOrderedPairs(members: DataFrame,
+      crossPairs: DataFrame, withinGroups: DataFrame,
+      valueName: String): DataFrame = {
+    val cross = crossPairs
+      .join(members.select(col("grp").as("grp_a"), col("id").as("id_a")),
+        "grp_a")
+      .join(members.select(col("grp").as("grp_b"), col("id").as("id_b")),
+        "grp_b")
+      .select(col("id_a"), col("id_b"), col(valueName))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.grp") === col("y.grp") && col("x.id") =!= col("y.id"))
+      .join(withinGroups.select(col("grp").as("__wg"), col(valueName)),
+        col("x.grp") === col("__wg"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col(valueName))
+    cross.unionByName(within)
+  }
+
   /** Rep-level minhash near-dup: hashed shingles for DISTINCT texts only
     * (checkpointed — the band explode and both confirm sides reuse it; at
     * larger scale this artifact would be written to storage once at
@@ -612,7 +639,23 @@ object NearDup {
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0d && threshold <= 1.0d,
       "containment threshold must be in (0, 1]")
-    val (sets, prefixes) = prefixCandidateSides(df, id, text, n, threshold)
+    // exact-copy collapse (round 20 — the jaccardPairs discipline):
+    // byte-identical texts share a shingle set, so a group of m copies
+    // would push all m(m-1) ORDERED identity pairs through the
+    // candidate join and the confirm; post-collapse the machinery sees
+    // one row per distinct text and the quadratic within-group row
+    // count exists only in the pair OUTPUT. Shingle frequencies then
+    // count DISTINCT texts — a different (but still fixed) global
+    // order, and the pigeonhole completeness proof is
+    // order-INDEPENDENT, so the output pair set is unchanged.
+    // Within-group ordered pairs score containment 1.0 exactly
+    // (identical nonempty sets; empty-set docs pair with nothing, as
+    // ever); cross-group member pairs inherit their reps' directional
+    // containment, which IS theirs.
+    val (members0, reps) = collapseByDigest(df, id, text)
+    val members = members0.localCheckpoint() // ordered expansion reads it 4x
+    val (sets, prefixes) =
+      prefixCandidateSides(reps, col("grp"), col("text"), n, threshold)
     val postings = sets.select(col("id").as("id_b"),
       explode(col("hsh")).as("h"))
     val candidates = prefixes.join(postings, "h")
@@ -624,9 +667,12 @@ object NearDup {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
           size(col("__ha")).cast("double")).as("__c"))
-    confirm.where(col("__c") >= threshold)
-      .select(col("id_a"), col("id_b"),
+    val crossPairs = confirm.where(col("__c") >= threshold)
+      .select(col("id_a").as("grp_a"), col("id_b").as("grp_b"),
         (round(col("__c"), 6) + lit(0.0d)).as("containment"))
+    val withinGroups = sets.select(col("id").as("grp"),
+      lit(1.0d).as("containment"))
+    expandOrderedPairs(members, crossPairs, withinGroups, "containment")
   }
 
   /** All-pairs EXACT Jaccard join — the exact-verification rung the
