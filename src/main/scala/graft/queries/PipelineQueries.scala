@@ -991,8 +991,8 @@ object PipelineQueries {
        |  FROM documents),
        |${packRecurrenceCtes("n")},
        |sl AS (
-       |  SELECT (bs.seq_base + g.local_seq) // 8 AS shard,
-       |         (bs.seq_base + g.local_seq) AS seq, g.n_tokens
+       |  SELECT ((bs.seq_base + g.local_seq) // 8)::BIGINT AS shard,
+       |         (bs.seq_base + g.local_seq)::BIGINT AS seq, g.n_tokens
        |  FROM g JOIN bs USING (bucket)
        |  WHERE g.n_tokens > 0)
        |SELECT shard, count(*) AS n_rows, count(DISTINCT seq) AS n_seqs,

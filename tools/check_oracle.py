@@ -25,6 +25,24 @@ def cell_mismatch(x, y):
     return x != y
 
 
+# Result-type lint (VERDICT r20 task 2): the driver's typed byte-hash
+# compares Arrow buffers, so a DuckDB implicit widening that rows+schema
+# checks miss (HUGEINT/decimal128 from a windowed sum(), as in the r20
+# packWholeShardsSql slip) must fail LOUDLY here instead of silently
+# diverging the hash. Every oracle result column must be one of the
+# Spark-representable types the declared queries actually emit.
+ALLOWED_ORACLE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "FLOAT", "VARCHAR",
+                        "BOOLEAN", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+                        "DATE"}
+
+
+def lint_types(rel):
+    """Return the list of (column, type) pairs whose DuckDB result type is
+    outside the allowed Spark-compatible set (HUGEINT, DECIMAL, ...)."""
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() not in ALLOWED_ORACLE_TYPES]
+
+
 def load_spark(path):
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if not files:
@@ -54,13 +72,19 @@ def main():
             n_fail += 1
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
+            rel = con.sql(sql)
+            bad_types = lint_types(rel)
+            dcols = list(rel.columns)
             order = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            drows = [tuple(r[i] for i in order) for r in res.fetchall()]
+            drows = [tuple(r[i] for i in order) for r in rel.fetchall()]
             dcols = sorted(dcols)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: oracle result type outside the hashable set: "
+                  f"{bad_types} (allowed: {sorted(ALLOWED_ORACLE_TYPES)})")
             n_fail += 1
             continue
         if scols != dcols:
