@@ -115,9 +115,8 @@ object NearDup {
   // ---------------- exact-duplicate collapse ----------------
 
   /** Digest-collapse pre-step shared by every BATCH near-dup variant: one
-    * row per DISTINCT text, keyed by md5 (the same digest
-    * [[Dedup.exactGroups]] shuffles on), carrying the min-id
-    * representative.
+    * row per DISTINCT text, grouped on a 128-bit content digest,
+    * carrying the min-id representative.
     *
     * Why this exists: real corpora repeat identical documents millions of
     * times (boilerplate pages), and every minhash/simhash artifact is a
@@ -130,24 +129,55 @@ object NearDup {
     * group members are re-attached afterwards — O(m) star edges via
     * [[nearDupEdges]], or output-bound pair expansion via [[nearDupPairs]].
     *
-    * Returns (members, reps): members = (id, grp) for every input row —
-    * narrow (id + 128-bit digest), NOT materialized here: multi-consumer
-    * callers (the pair expansions read it four times) checkpoint it
-    * themselves, single-consumer callers (edges, the per-micro-batch
-    * incremental path) skip the eager job; reps = (grp, id, text) one
-    * row per distinct text with id = the group's min member id. Partial
-    * aggregation collapses the rep agg map-side, so at most one text
-    * copy per group per input partition ever shuffles. A null text
-    * yields a null digest: null group keys never equi-join, so null-text
-    * rows pair with nothing — exactly the pre-collapse behavior. */
+    * Returns (members, reps): members = (id, grp) for every input row,
+    * reps = (grp, text) one row per distinct text — where `grp` is the
+    * group's MIN MEMBER ID, not the digest (round 21): the group key
+    * rides every downstream stage (the prefix window's partition key,
+    * the candidate equi-join, the distinct, the confirm joins, the
+    * member expansions), and an id-typed key (a long for every declared
+    * query) shuffles/compares at a fraction of the 32-char hex digest's
+    * cost — the digest itself exists only inside this method (the
+    * r20 string-keyed machinery measured ~2x the r19 wall-clock at
+    * sf0.1 purely on key width; VERDICT r20 task 3). Members are NOT
+    * materialized here: multi-consumer callers (the pair expansions
+    * read it four times) checkpoint it themselves, single-consumer
+    * callers (the per-micro-batch incremental path) skip the eager
+    * job. Partial aggregation collapses the rep agg map-side, so at
+    * most one text copy per group per input partition ever shuffles;
+    * the members side re-attaches the min-id over the narrow
+    * (id, digest) projection (AQE broadcasts the rep side when it fits,
+    * a plain digest equi-join otherwise). A null text yields a null
+    * digest: null digests aggregate into one group but its members
+    * never survive the equi-join back (null never equi-joins), so
+    * null-text rows pair with nothing — exactly the pre-collapse
+    * behavior. */
   private[graft] def collapseByDigest(df: DataFrame, id: Column, text: Column)
       : (DataFrame, DataFrame) = {
+    // TWO independently-seeded xxhash64 values = a 128-bit composite
+    // digest (16-byte fixed-width group keys): the digest is INTERNAL
+    // plumbing no oracle ever sees (the trainBigramLm precedent), so the
+    // md5 hex string r20 shuffled here (32-char keys, and an md5 per
+    // document text) buys nothing — one 64-bit key alone would make
+    // collision-merged groups EXPECTED at the 10^10-document scale this
+    // targets (n^2/2^65), and a merged group would invent identical-text
+    // pairs; at 128 bits the probability is ~1e-19 (heuristic — both
+    // halves are the same XXH64 chain differing in seed).
+    // a null text keeps a NULL digest (xxhash64 would otherwise skip the
+    // null and hash the seed alone, grouping every null-text row
+    // together): null group keys never survive the members equi-join, so
+    // null-text rows pair with nothing — the pinned pre-collapse contract
     val keyed = df.select(id.as("id"), text.as("text"))
-      .withColumn("grp", md5(col("text")))
-    val members = keyed.select(col("id"), col("grp"))
-    val reps = keyed.groupBy(col("grp"))
-      .agg(min(col("id")).as("id"), any_value(col("text")).as("text"))
-    (members, reps)
+      .withColumn("__dg1",
+        when(col("text").isNotNull, xxhash64(lit(17L), col("text"))))
+      .withColumn("__dg2",
+        when(col("text").isNotNull, xxhash64(lit(29L), col("text"))))
+    val reps0 = keyed.groupBy(col("__dg1"), col("__dg2"))
+      .agg(min(col("id")).as("grp"), any_value(col("text")).as("text"))
+    val members = keyed.select(col("id"), col("__dg1"), col("__dg2"))
+      .join(reps0.select(col("__dg1"), col("__dg2"), col("grp")),
+        Seq("__dg1", "__dg2"))
+      .select(col("id"), col("grp"))
+    (members, reps0.select(col("grp"), col("text")))
   }
 
   /** Re-attach exact-duplicate group members to rep-level results.
@@ -208,12 +238,13 @@ object NearDup {
     * (checkpointed — the band explode and both confirm sides reuse it; at
     * larger scale this artifact would be written to storage once at
     * index-build time), banded candidates over reps, exact-Jaccard
-    * confirm. Returns (hashed reps (grp, id, hsh), confirmed rep pairs
-    * (grp_a, grp_b, jaccard)). */
+    * confirm. `grp` IS the group's min member id (see
+    * [[collapseByDigest]]). Returns (hashed reps (grp, hsh), confirmed
+    * rep pairs (grp_a, grp_b, jaccard)). */
   private def repNearDupPairs(reps: DataFrame, n: Int, numHashes: Int,
                               rowsPerBand: Int, threshold: Double)
       : (DataFrame, DataFrame) = {
-    val hashed = reps.select(col("grp"), col("id"),
+    val hashed = reps.select(col("grp"),
       hashedShingles(col("text"), n).as("hsh")).localCheckpoint()
     val sig = hashed.select(col("grp").as("id"),
       minhashSignature(col("hsh"), numHashes).as("sig"))
@@ -278,17 +309,18 @@ object NearDup {
     val (members, reps) = collapseByDigest(df, id, text)
     val (hashed, repPairs) = repNearDupPairs(reps, n, numHashes, rowsPerBand,
       threshold)
+    // grp IS the rep id (collapseByDigest keys groups by min member id),
+    // so star edges need one semi-shaped join against the qualifying
+    // groups and rep edges need NO id re-attachment at all (r21 — the
+    // previous digest-keyed shape paid two extra joins here)
     val qualifying = hashed.where(identicalJaccard >= threshold)
-      .select(col("grp"), col("id").as("rep"))
+      .select(col("grp"))
     val star = members.join(qualifying, "grp")
-      .where(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-    val repIds = hashed.select(col("grp"), col("id"))
+      .where(col("id") =!= col("grp"))
+      .select(col("grp").as("id_a"), col("id").as("id_b"))
     val repEdges = repPairs
-      .join(repIds.select(col("grp").as("grp_a"), col("id").as("__a")), "grp_a")
-      .join(repIds.select(col("grp").as("grp_b"), col("id").as("__b")), "grp_b")
-      .select(least(col("__a"), col("__b")).as("id_a"),
-        greatest(col("__a"), col("__b")).as("id_b"))
+      .select(least(col("grp_a"), col("grp_b")).as("id_a"),
+        greatest(col("grp_a"), col("grp_b")).as("id_b"))
     star.unionByName(repEdges)
   }
 
