@@ -769,6 +769,11 @@ object Bench {
     // late-delivered TaskEnd would both escape its own bracket and
     // bleed into the next one. All tasks HAVE ended when the action
     // returns; this waits for their queued events to be processed.
+    // drain_capped counts the times the 50-round cap was hit with the bus
+    // still moving (ADVICE r20): a nonzero count means some TaskEnd events
+    // may have bled across a timing bracket — surfaced in the tier JSON so
+    // a spill attributed to the wrong bracket is at least visible.
+    var drainCapped = 0
     def drainListenerBus(): Unit = {
       var prev = -1L
       var cur = taskEnds.get()
@@ -776,6 +781,7 @@ object Bench {
       while (prev != cur && rounds < 50) {
         Thread.sleep(100); prev = cur; cur = taskEnds.get(); rounds += 1
       }
+      if (prev != cur) drainCapped += 1
     }
     def timedRun(mk: => DataFrame): (Double, Boolean, Long) = {
       drainListenerBus()
@@ -818,8 +824,18 @@ object Bench {
       // operator (measured: dsir_weights' base collapsed 1.46s -> 0.08s
       // when the flush ran only at task end)
       task.flush()
-      val (t1, _, _) = timedRun(task.at(base))
-      task.flush()
+      // MEDIAN-OF-3 base runs too (r20 verdict task 4): the scaled side
+      // got medians in r19/r20 but t_base stayed one draw, and it swung
+      // up to 3x between otherwise-identical records (bloom_gate 2.93 ↔
+      // 9.90 s), whipsawing ratios the bound then had to absorb. The
+      // base side is the cheap side by construction, so two extra runs
+      // cost little. Base-side spill is reported as telemetry (ADVICE
+      // r20: a spilling base clock flatters the ratio silently).
+      val baseRuns = (1 to 3).map { _ =>
+        val r = timedRun(task.at(base)); task.flush(); r
+      }
+      val t1 = baseRuns.map(_._1).sorted.apply(1)
+      val spillBase = baseRuns.map(_._3).max
       // untimed SCALED warm-up too: the per-scale ingest-time artifacts
       // (inflation, localCheckpoints, the lsh partitioned-parquet write)
       // are LAZY and materialize on first dereference — without this
@@ -852,10 +868,12 @@ object Bench {
         f""""t_base":${math.rint(t1 * 10000) / 10000}%s,""" +
         f""""t_scaled":${math.rint(tN * 10000) / 10000}%s,""" +
         f""""ratio":${math.rint(ratio * 100) / 100}%s,""" +
-        s""""spill_bytes":$spillN,"spill_ok":$spillOk,""" +
+        s""""spill_bytes":$spillN,"spill_base_bytes":$spillBase,""" +
+        s""""spill_ok":$spillOk,""" +
         s""""plan_ok":$okN}"""
     } finally spark.sparkContext.removeSparkListener(spillListener)
     s"""{"factor":$factor,"near_linear_ok":$allLinear,"plans_ok":$allPlans,""" +
+      s""""drain_capped":$drainCapped,""" +
       s""""queries":${parts.mkString("{", ",", "}")}}"""
   }
 
