@@ -485,19 +485,23 @@ object TrainingData {
     * every scale) and joins back with no strategy hint, the
     * [[removeCommonLines]]/[[removeCommonParagraphs]] convention:
     * stats/AQE pick broadcast when it fits and a shuffle join when it
-    * does not; common starts expand to their
-    * covered positions (output-bound, n rows per common start) and
-    * tokens drop via a (id, position) ANTI-JOIN — never a per-token
-    * scan of a per-doc starts array, which would go quadratic on
-    * exactly the boilerplate-heavy documents this operator targets.
+    * does not; coverage is ONE per-document ROWS window over dense
+    * positions (max of the common flag over the trailing n-1 rows —
+    * the [[removeDuplicatedSubstrings]] shape, round 21: the previous
+    * formulation exploded each common start into n covered positions,
+    * ran a DISTINCT over that n-amplified frame, and dropped tokens
+    * via an (id, position) anti-join — three shuffles of the corpus'
+    * covered mass where the window needs one pass over (id, p, flag)
+    * rows with ZERO amplification; measured 3.4 s → 2.x s at sf0.1
+    * with the output hash unchanged).
     * TEXT NEVER RIDES THE SHUFFLES (round 19, the substring-dedup
     * discipline): every joined/aggregated row is (id, position, hash)
-    * narrow — token positions come from a sequence over the array
-    * LENGTH, not a token explode — and reassembly element_at-indexes
-    * the surviving positions into the document's own token array, so
-    * the corpus text crosses exactly ONE shuffle, packed as one array
-    * per document in the final id join. Nothing corpus-sized is
-    * collected.
+    * narrow — token positions come from the padded positional
+    * posexplode, not a token explode — and reassembly
+    * element_at-indexes the surviving positions into the document's
+    * own token array, so the corpus text crosses exactly ONE shuffle,
+    * packed as one array per document in the final id join. Nothing
+    * corpus-sized is collected.
     *
     * Output: (id, n_kept, n_removed, clean_text). */
   def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
@@ -506,32 +510,33 @@ object TrainingData {
     require(minDocFreq >= 2, "minDocFreq must be at least 2")
     val base = df.select(id.as("id"), TextAnalysis.tokens(text).as("__t"),
       ngrams(text, n).as("__g"))
-    // ngrams keeps every occurrence in order, so the posexplode index
-    // IS the 0-based gram start position
+    // positional gram rows padded to TOKEN length: position p carries
+    // the gram STARTING at p (ngrams keeps every occurrence in order,
+    // so the array index IS the 0-based start), null for the trailing
+    // n-1 positions where no gram starts. The hash runs per ROW after
+    // the explode (codegen; a transform(...) lambda would evaluate the
+    // md5 interpreted per element) and a null gram yields a null hash,
+    // which never matches the common-set equi-join below. The gram
+    // string never crosses a shuffle — it is projected away here.
     val occ = base.select(col("id"),
-        posexplode(col("__g")).as(Seq("s", "gram")))
-      .select(col("id"), col("s"), NearDup.seededHash(0, col("gram")).as("h"))
-    val common = occ.select(col("id"), col("h")).distinct()
+        posexplode(slice(
+          concat(col("__g"), array_repeat(lit(null).cast("string"), n - 1)),
+          lit(1), size(col("__t")))).as(Seq("p", "gram")))
+      .select(col("id"), col("p"), NearDup.seededHash(0, col("gram")).as("h"))
+    val common = occ.where(col("h").isNotNull)
+      .select(col("id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocFreq)
-      .select(col("h"))
-    // covered (id, position) pairs: distinct because overlapping common
-    // windows cover the union of their positions exactly once. No join
-    // hint: the common set is corpus-dependent, so AQE/stats must stay
-    // free to pick a shuffle join when it outgrows broadcast range.
-    val coveredPos = occ.join(common, "h")
-      .select(col("id"),
-        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
-      .distinct()
-    // all token POSITIONS, no token strings (the pinned kernel yields
-    // >= 1 token for any non-null text; the guard keeps a hypothetical
-    // empty array from generating sequence(0, -1))
-    val allPos = base.select(col("id"),
-      explode(when(size(col("__t")) > 0,
-          sequence(lit(0), size(col("__t")) - 1))
-        .otherwise(array().cast("array<int>"))).as("p"))
-    val keptPos = allPos
-      .join(coveredPos, Seq("id", "p"), "left_anti")
+      .select(col("h"), lit(1).as("__dup"))
+    // position p is covered iff a common gram starts in (p-n, p]:
+    // positions are dense, so a trailing ROWS window over the common
+    // flag covers the union of overlapping spans in one pass
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+      .rowsBetween(-(n - 1), 0)
+    val keptPos = occ.join(common, Seq("h"), "left")
+      .withColumn("__cov", max(coalesce(col("__dup"), lit(0))).over(win))
+      .where(col("__cov") === 0)
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("p"))).as("__kp"))
     base.select(col("id"), col("__t"), size(col("__t")).as("__n"))
