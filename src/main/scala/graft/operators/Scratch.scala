@@ -61,15 +61,24 @@ object Scratch {
 
   /** Materialize `df` ONCE to scratch parquet and return the read-back
     * frame. Eager (runs the write job now). The previous staging for
-    * the same `label` is deleted AFTER the new copy lands, so the
-    * storage bound is one live copy per label (two transiently, during
-    * the write). */
+    * the same `label` BY THE SAME THREAD is deleted AFTER the new copy
+    * lands, so the storage bound is one live copy per (label, thread) —
+    * two transiently, during the write.
+    *
+    * Concurrency guard (r20 verdict task 7): the reclaim key includes
+    * the CALLING THREAD's id, so two threads staging the same label
+    * (parallel test suites, concurrent driver jobs over one session)
+    * can never delete a directory the other thread's returned frame
+    * still reads — the previous footgun was label-keyed reclaim, where
+    * thread B's stage() silently unlinked the parquet under thread A's
+    * live plan. Cross-thread copies are reclaimed by the shutdown hook
+    * (bounded: one copy per label per thread that ever staged it). */
   def stage(df: DataFrame, label: String): DataFrame = {
     require(label.matches("[A-Za-z0-9._-]+"), s"unsafe stage label: $label")
     val dir = root(df).resolve(s"$label-${counter.incrementAndGet()}")
       .toString
     df.write.mode("overwrite").parquet(dir)
-    val previous = live.put(label, dir)
+    val previous = live.put(s"$label@${Thread.currentThread().getId}", dir)
     if (previous != null)
       try deleteRecursively(java.nio.file.Paths.get(previous))
       catch { case _: Exception => () }

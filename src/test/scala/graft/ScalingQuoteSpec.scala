@@ -25,7 +25,22 @@ import org.json4s.jackson.JsonMethods
   * drift-inferred fallback, which went vacuous at exactly the commit
   * that introduced drift and false-failed the legitimate update).
   * Prose stale against BOTH records still fails. Outside a git repo it
-  * checks the file alone. */
+  * checks the file alone.
+  *
+  * CORE-COUNT AWARENESS (r21 verdict task 2): the round driver benches
+  * at TWO core counts and the checkout keeps whichever ran last; stress
+  * spans legitimately differ >2x across core counts (jaccard_pairs read
+  * 1.88 at 32c and 6.28 at 8c on identical code), so cross-core records
+  * must neither vouch for nor fail the prose. SCALING.md declares the
+  * core count its quotes were measured at with a `quoted-cpus=N` span
+  * (hyphenated, so the quote regex cannot read it as a query ratio);
+  * records carry their producing `cpus` field (Bench.scala writes it).
+  * A record whose cpus differs from the declared quoted-cpus is
+  * EXCLUDED from enforcement; if NO same-cpus record is present in this
+  * checkout the quotes are unenforceable and the spec passes LOUDLY
+  * (info + stderr) rather than failing the tree on a core-count
+  * mismatch the prose already names. Records without a cpus field
+  * (pre-r22) stay enforceable against any prose, the old behavior. */
 class ScalingQuoteSpec extends AnyFunSuite {
 
   private def read(p: String): String =
@@ -63,25 +78,56 @@ class ScalingQuoteSpec extends AnyFunSuite {
       case other => fail(s"BENCH.json $name.queries unreadable: $other")
     }
 
+  private def cpusOf(b: JValue): Option[Int] = b \ "cpus" match {
+    case JInt(i)    => Some(i.toInt)
+    case JDouble(d) => Some(d.toInt)
+    case _          => None
+  }
+
   test("every `name=ratio` / `name@100x=ratio` quote in SCALING.md " +
-    "matches the working-tree OR the HEAD-committed BENCH.json record") {
+    "matches the working-tree OR the HEAD-committed BENCH.json record " +
+    "of the declared quoted-cpus core count") {
     val scaling = read("SCALING.md")
-    val records = benchJsons().map { case (label, bytes) =>
+    val quotedCpus = """`quoted-cpus=([0-9]+)`""".r
+      .findFirstMatchIn(scaling).map(_.group(1).toInt)
+    val allRecords = benchJsons().map { case (label, bytes) =>
       val b = JsonMethods.parse(bytes)
-      (label, tier(b, "stress"), tier(b, "stress_100"))
+      (label, cpusOf(b), tier(b, "stress"), tier(b, "stress_100"))
+    }
+    // a record is enforceable when core counts are compatible: either
+    // side missing its declaration keeps the legacy always-enforce
+    // behavior; both declared and different excludes the record
+    val records = allRecords.filter { case (_, cpus, _, _) =>
+      (quotedCpus, cpus) match {
+        case (Some(q), Some(c)) => q == c
+        case _                  => true
+      }
     }
     val quote = """`([a-z_0-9]+)(@100x)?=([0-9][0-9.]*)`""".r
     val quotes = quote.findAllMatchIn(scaling).toSeq
     assert(quotes.nonEmpty,
       "SCALING.md has no machine-checkable `name=ratio` quotes — the " +
         "stress paragraphs must quote the committed record in this format")
+    // both tiers must be quoted at least once, so a silently-dropped
+    // paragraph can't dodge the check
+    assert(quotes.exists(_.group(2) == null), "no 10x-tier quotes found")
+    assert(quotes.exists(_.group(2) != null), "no 100x-tier quotes found")
+    if (records.isEmpty) {
+      // pass loudly: a core-count mismatch is not prose drift
+      val msg = s"no BENCH.json record at quoted-cpus=${quotedCpus.get} " +
+        s"is present in this checkout (records: ${allRecords.map { case
+          (l, c, _, _) => s"$l cpus=${c.getOrElse("?")}" }.mkString(", ")})" +
+        " — quotes are unenforceable until a same-cpus bench lands"
+      info(msg)
+      System.err.println(s"[ScalingQuoteSpec] $msg")
+    } else {
     val vouchers = scala.collection.mutable.Set[String]()
     val divergent = scala.collection.mutable.ListBuffer[String]()
     quotes.foreach { m =>
       val (name, is100, quoted) = (m.group(1), m.group(2) != null,
         m.group(3).toDouble)
       val label = if (is100) s"$name@100x" else name
-      val readings = records.map { case (src, s10, s100) =>
+      val readings = records.map { case (src, _, s10, s100) =>
         src -> (if (is100) s100 else s10).get(name)
       }
       val matched = readings.collectFirst {
@@ -100,7 +146,9 @@ class ScalingQuoteSpec extends AnyFunSuite {
       // record said 32.0, a real scale regression the either-or
       // acceptance passed silently. When both records carry the span
       // and they diverge more than 2x, name the pair LOUDLY so the
-      // divergence is read, not buried.
+      // divergence is read, not buried. (Cross-core records never reach
+      // here — they are excluded above, which is exactly why: their >2x
+      // spans are core-count physics, not regressions.)
       val present = readings.collect { case (src, Some(r)) => src -> r }
       if (present.size == 2) {
         val Seq((srcA, a), (srcB, b)) = present
@@ -119,9 +167,6 @@ class ScalingQuoteSpec extends AnyFunSuite {
       info(msg)
       System.err.println(s"[ScalingQuoteSpec] $msg")
     }
-    // both tiers must be quoted at least once, so a silently-dropped
-    // paragraph can't dodge the check
-    assert(quotes.exists(_.group(2) == null), "no 10x-tier quotes found")
-    assert(quotes.exists(_.group(2) != null), "no 100x-tier quotes found")
+    }
   }
 }

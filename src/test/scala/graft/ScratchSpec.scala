@@ -48,4 +48,32 @@ class ScratchSpec extends AnyFunSuite {
       Scratch.stage(df, "../escape")
     }
   }
+
+  test("stage: a CONCURRENT stage of the same label from another thread " +
+    "never deletes the first thread's live copy (r20 verdict task 7: " +
+    "reclaim is keyed per (label, thread), not per label)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val mine = Scratch.stage(df, "concurrent-label")
+    val myDir = java.nio.file.Paths.get(
+      new java.net.URI(mine.inputFiles.head).getPath).getParent
+    // another thread stages the same label — under the old label-keyed
+    // reclaim this deleted myDir out from under the live `mine` frame
+    var theirs: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      theirs = Scratch.stage(df.withColumn("id", col("id") + 10),
+        "concurrent-label")
+    })
+    t.start(); t.join()
+    assert(java.nio.file.Files.exists(myDir),
+      s"thread B's stage() deleted thread A's live staging $myDir")
+    // both frames stay readable with their own values
+    assert(mine.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+    assert(theirs.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(11L, 12L))
+    // and same-thread restage still bounds storage (deletes the previous)
+    Scratch.stage(df, "concurrent-label")
+    assert(!java.nio.file.Files.exists(myDir),
+      "same-thread restage must still reclaim the previous copy")
+  }
 }
